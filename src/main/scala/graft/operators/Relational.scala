@@ -1,0 +1,707 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operator catalog — SURVEY.md §2.2 (filters/projection),
+  * §2.3 (joins), §2.4 (aggregations), §2.6 (sort/limit), §2.7 (set ops),
+  * §2.8 (scalar function families).
+  *
+  * Every query is a declarative DataFrame plan: Catalyst handles predicate
+  * pushdown, column pruning and join selection; AQE rewrites shuffles at
+  * runtime. Determinism discipline for the DuckDB oracle (SURVEY §5):
+  *   - every query ends in ORDER BY over a unique key,
+  *   - monetary double sums go through DECIMAL(18,2) so the result is
+  *     exact and summation-order independent at any parallelism,
+  *   - NULL sort order is made explicit where NULLs can occur (Spark
+  *     defaults to NULLS FIRST on ASC, DuckDB to NULLS LAST).
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Order-independent exact sum for 2-decimal monetary doubles
+    * (ClickHouse would store these as Decimal; reference cols like
+    * `video_duration` are ints — see /root/reference/migrations/006:26-27). */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  // ===================== §2.2 projection / filter ======================
+
+  val queries: Map[String, Q] = Map(
+    // O-P1: projection + column pruning — scan should read only 3 columns.
+    "o_p1_project" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // O-F1: equality + time-range filter on the event envelope — the
+    // predicate shape the reference's ORDER BY (timestamp, event_name)
+    // exists for (migrations/*:18-20); pushed to parquet row-group stats.
+    "o_f1_filter_range" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase" &&
+          col("ts") >= to_timestamp(lit("2024-01-08 00:00:00")) &&
+          col("ts") < to_timestamp(lit("2024-01-15 00:00:00")))
+        .select("event_id", "ts", "user_id", "value")
+        .orderBy("event_id")
+    }),
+
+    // O-F2: LIKE / contains predicates (reference error classifier shape,
+    // src/handler.rs:206-212).
+    "o_f2_like" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(col("p_type").like("%ECONOMY%") || col("p_name").contains("red"))
+        .select("p_partkey", "p_name", "p_type")
+        .orderBy("p_partkey")
+    }),
+
+    // O-F3: set-membership (reference subject routing, src/handler.rs:16-53).
+    "o_f3_isin" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // O-F4: null/empty normalization (proto3 defaults arrive as ""/0/false,
+    // never NULL — FIXTURES.md invariant 4).
+    "o_f4_nulls" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          coalesce(expr("nullif(c_mktsegment, '')"), lit("UNKNOWN")).as("seg"),
+          when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")).as("pos_bal"))
+        .orderBy("c_custkey")
+    }),
+
+    // ========================= §2.3 joins ==============================
+
+    // O-J1: inner equi-join fact⋈fact-dim; shuffles both sides on the key,
+    // AQE may convert to broadcast at runtime if one side is small.
+    "o_j1_inner" -> ((s, d) => {
+      val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(dsum(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // O-J2: broadcast hash join — dimension is explicitly broadcast so the
+    // 100 TB fact side never shuffles.
+    "o_j2_broadcast" -> ((s, d) => {
+      val li = Tables.lineitem(s, d); val p = Tables.part(s, d)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"), avg("l_quantity").as("avg_qty"))
+        .orderBy("p_brand")
+    }),
+
+    // O-J3: left outer join preserving zero-order customers.
+    "o_j3_left" -> ((s, d) => {
+      val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(c("c_custkey"))
+        .agg(count(o("o_orderkey")).as("n_orders"),
+          coalesce(dsum(o("o_totalprice")), lit(0.0)).as("spend"))
+        .orderBy("c_custkey")
+    }),
+
+    // O-J4: left semi (EXISTS).
+    "o_j4_semi" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    // O-J5: left anti (NOT EXISTS) — customers with no urgent order
+    // (unfiltered variant is empty in this data: every customer orders).
+    "o_j5_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    // O-J6: as-of join (ClickHouse ASOF JOIN): latest order at-or-before
+    // each purchase event. Implemented the scalable way — union both
+    // streams, single shuffle on the key, last(ignoreNulls) over an
+    // ordered window — instead of a range join that multiplies rows.
+    "o_j6_asof" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("t"), lit(1).as("is_event"),
+          col("event_id"), lit(null).cast("long").as("o_orderkey"),
+          lit(null).cast("timestamp").as("o_orderdate"))
+      val od = Tables.orders(s, d)
+        .select(col("o_custkey").as("user_id"), col("o_orderdate").as("t"),
+          lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
+          col("o_orderkey"), col("o_orderdate"))
+      // Tie rules: at equal t, orders (is_event=0) sort before events so
+      // "at-or-before" is inclusive; among same-date orders the max
+      // o_orderkey wins (o_orderkey ASC + last()).
+      val w = Window.partitionBy("user_id").orderBy("t", "is_event", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.unionByName(od)
+        .withColumn("ok", last("o_orderkey", ignoreNulls = true).over(w))
+        .withColumn("od", last("o_orderdate", ignoreNulls = true).over(w))
+        .filter(col("is_event") === 1 && col("ok").isNotNull)
+        .select(col("event_id"), col("user_id"), col("t").as("ts"),
+          col("ok").as("o_orderkey"), col("od").as("o_orderdate"))
+        .orderBy("event_id")
+    }),
+
+    // O-J7: range (interval) join with an equi prefix: clicks within 24h
+    // after each signup, same user. The equi key keeps this a shuffled
+    // hash/sort-merge join with a range post-filter — no cartesian blowup.
+    "o_j7_range" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val a = e.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"), col("ts").as("t0"))
+      val b = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("t1"))
+      a.join(b, Seq("user_id"))
+        .filter(col("t1") >= col("t0") && col("t1") < col("t0") + expr("INTERVAL 24 HOURS"))
+        .groupBy("signup_id", "user_id").agg(count(lit(1)).as("n_clicks"))
+        .orderBy("signup_id")
+    }),
+
+    // O-J8: self join — order pairs of the same customer within 7 days.
+    "o_j8_self" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.select(col("o_custkey").as("custkey"), col("o_orderkey").as("k1"),
+        col("o_orderdate").as("d1"))
+      val b = o.select(col("o_custkey").as("custkey"), col("o_orderkey").as("k2"),
+        col("o_orderdate").as("d2"))
+      a.join(b, Seq("custkey"))
+        .filter(col("k1") < col("k2") && abs(datediff(col("d2"), col("d1"))) <= 7)
+        .groupBy("custkey").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("custkey")
+    }),
+
+    // O-J9: cross join (small × small calendar/dimension spine).
+    "o_j9_cross" -> ((s, d) => {
+      val r = Tables.region(s, d)
+      val st = Tables.orders(s, d).select("o_orderstatus").distinct()
+      r.crossJoin(st).select("r_name", "o_orderstatus")
+        .orderBy("r_name", "o_orderstatus")
+    }),
+
+    // ====================== §2.4 aggregations ==========================
+
+    // O-A1: partial+final hash aggregate (TPC-H Q1 shape). Decimal-cast
+    // sums are exact => identical at any shuffle parallelism.
+    "o_a1_hashagg" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.groupBy("l_returnflag", "l_linestatus").agg(
+          sum("l_quantity").as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(24,6)")).cast("double").as("sum_disc"),
+          (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // O-A2: exact distinct count (ClickHouse uniqExact) — DAU per type.
+    "o_a2_distinct" -> ((s, d) => {
+      Tables.events(s, d).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("dau"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // O-A3: approximate distinct (ClickHouse uniq/uniqHLL12) — HLL++.
+    // No oracle: approx result is engine-specific by design.
+    "o_a3_approx_distinct" -> ((s, d) => {
+      Tables.events(s, d).groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .orderBy("event_type")
+    }),
+
+    // O-A4: quantiles (ClickHouse quantile()) — exact interpolated here;
+    // percentile_approx is the 100 TB path (see Bench).
+    "o_a4_quantile" -> ((s, d) => {
+      Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+          expr("round(percentile(l_quantity, 0.5), 6)").as("p50"),
+          expr("round(percentile(l_quantity, 0.9), 6)").as("p90"))
+        .orderBy("l_returnflag")
+    }),
+
+    // O-A5: argMax (ClickHouse argMax) via built-in max_by/min_by.
+    "o_a5_argmax" -> ((s, d) => {
+      Tables.events(s, d).groupBy("user_id").agg(
+          expr("max_by(event_id, ts)").as("last_event_id"),
+          expr("min_by(event_id, ts)").as("first_event_id"),
+          max("ts").as("last_ts"))
+        .orderBy("user_id")
+    }),
+
+    // O-A6: collect-to-array (ClickHouse groupArray); sorted + joined to a
+    // string so the oracle compare is order-stable.
+    "o_a6_collect" -> ((s, d) => {
+      Tables.orders(s, d).groupBy("o_custkey")
+        .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"))
+        .orderBy("o_custkey")
+    }),
+
+    // O-A7: conditional aggregates (ClickHouse countIf/sumIf).
+    "o_a7_condagg" -> ((s, d) => {
+      Tables.events(s, d).groupBy("event_type").agg(
+          expr("count_if(value > 100.0)").as("n_big"),
+          coalesce(sum(when(col("value") > 100.0, col("value").cast("decimal(18,2)")))
+            .cast("double"), lit(0.0)).as("sum_big"))
+        .orderBy("event_type")
+    }),
+
+    // O-A8: rollup hierarchy report with explicit grouping bits. Spark SQL
+    // path: the Dataset rollup API trips DetectAmbiguousSelfJoin when
+    // grouping() + ORDER BY reference Expand-duplicated attributes.
+    "o_a8_rollup" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      Tables.nation(s, d).createOrReplaceTempView("v_nation")
+      Tables.region(s, d).createOrReplaceTempView("v_region")
+      s.sql("""
+        SELECT r_name, n_name, COUNT(*) AS n_cust,
+               CAST(grouping(r_name) * 2 + grouping(n_name) AS INT) AS gid
+        FROM v_customer
+        JOIN v_nation ON c_nationkey = n_nationkey
+        JOIN v_region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+        ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
+    }),
+
+    // O-A9: per-table row counts (ops monitoring, src/handler.rs:120).
+    "o_a9_counts" -> ((s, d) => {
+      val one = (t: String) => Tables(s, d, t).agg(count(lit(1)).as("n"))
+        .select(lit(t).as("tbl"), col("n"))
+      one("lineitem").unionByName(one("orders")).unionByName(one("customer"))
+        .unionByName(one("events")).orderBy("tbl")
+    }),
+
+    // O-A10: histogram / bucketed aggregation.
+    "o_a10_histogram" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(floor(col("value") / 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
+    // ===================== §2.6 sort / limit / topk ====================
+
+    "o_s1_sort" -> ((s, d) =>
+      Tables.events(s, d).select("event_id", "ts").orderBy("ts", "event_id")),
+
+    "o_s2_limit_offset" -> ((s, d) =>
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey").offset(50).limit(100)),
+
+    // O-S3: order+limit fuses to TakeOrderedAndProject — no global sort.
+    "o_s3_topk" -> ((s, d) =>
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)),
+
+    "o_s4_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ========================= §2.7 set ops ============================
+
+    // O-U1: union-all of event families over the shared envelope
+    // (the reference's 9-table common prefix, SURVEY §1.4).
+    "o_u1_union" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val a = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("id"), lit("click").as("src"))
+      val b = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("id"), lit("view").as("src"))
+      a.unionByName(b).groupBy("id", "src").agg(count(lit(1)).as("n"))
+        .orderBy("id", "src")
+    }),
+
+    "o_u2_intersect" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      e.filter(col("event_type") === "purchase").select("user_id")
+        .intersect(e.filter(col("event_type") === "error").select("user_id"))
+        .orderBy("user_id")
+    }),
+
+    // O-U3: except — customers who ordered but never urgently.
+    "o_u3_except" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val all = o.select(col("o_custkey").as("custkey"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      all.except(urgent).orderBy("custkey")
+    }),
+
+    // ==================== §2.8 scalar function families =================
+
+    // O-X1: strings (screen_resolution/user_agent-style parsing,
+    // migrations/*:16-17).
+    "o_x1_string" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_custkey"),
+          upper(col("c_name")).as("name_upper"),
+          length(col("c_name")).as("name_len"),
+          substring(col("c_name"), 1, 8).as("prefix"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+          concat(col("c_mktsegment"), lit(":"), col("c_name")).as("tagged"))
+        .orderBy("c_custkey")
+    }),
+
+    // O-X2: date/time (epoch↔DateTime is the reference's one real type
+    // coercion — dto.proto int64 seconds → DateTime, SURVEY §1.3).
+    "o_x2_datetime" -> ((s, d) => {
+      Tables.orders(s, d).select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("plus7"),
+          datediff(lit("2002-01-01").cast("date"), col("o_orderdate")).as("age_days"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"))
+        .orderBy("o_orderkey")
+    }),
+
+    // O-X3: math (completion-ratio shapes, migrations/006:26-27).
+    "o_x3_math" -> ((s, d) => {
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+          // raw IEEE products: bitwise identical across engines; rounding
+          // a 4-decimal product to 2 places is engine-dependent at .xx5.
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net"),
+          (col("l_extendedprice") * (lit(1.0) + col("l_tax"))).as("taxed"),
+          floor(col("l_extendedprice")).as("fl"),
+          round(abs(col("l_discount") - col("l_tax")), 6).as("ab"),
+          greatest(col("l_discount"), col("l_tax")).as("g"),
+          round(col("l_quantity") / 50.0, 6).as("ratio"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // O-X4: conditionals (CASE WHEN / if / coalesce).
+    "o_x4_case" -> ((s, d) => {
+      Tables.orders(s, d).select(col("o_orderkey"),
+          when(col("o_orderstatus") === "F", "finished")
+            .when(col("o_orderstatus") === "O", "open")
+            .otherwise("partial").as("status_label"),
+          when(col("o_totalprice") > 200000.0, "big")
+            .when(col("o_totalprice") > 50000.0, "mid")
+            .otherwise("small").as("size_class"))
+        .orderBy("o_orderkey")
+    }),
+
+    // O-X5: arrays (ClickHouse has/length/arrayJoin — migrations/009:24-27).
+    "o_x5_array" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("words", split(col("text"), " "))
+        .select(col("doc_id"),
+          size(col("words")).as("n_words"),
+          array_contains(col("words"), "spark").as("has_spark"),
+          size(array_distinct(col("words"))).as("n_uniq"),
+          array_join(slice(array_sort(array_distinct(col("words"))), 1, 5), ",").as("top5"))
+        .orderBy("doc_id")
+    }),
+
+    // O-X6: map via from_json (props JSON plays the Map role, FIXTURES.md).
+    "o_x6_map" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("m", from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")))
+        .select(col("event_id"),
+          element_at(col("m"), "k").as("k_val"),
+          size(map_keys(col("m"))).as("n_keys"))
+        .orderBy("event_id")
+    }),
+
+    // O-X7: JSON extraction (event_details String — migrations/006:33).
+    "o_x7_json" -> ((s, d) => {
+      Tables.events(s, d).select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"))
+        .orderBy("event_id")
+    }),
+
+    // O-X8: hashing (dedup keys, SURVEY O-X8).
+    "o_x8_hash" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_custkey"),
+          md5(col("c_name").cast("binary")).as("name_md5"),
+          sha2(col("c_name").cast("binary"), 256).as("name_sha256"))
+        .orderBy("c_custkey")
+    }),
+
+    // S-SCAN1: sort-key-prefix scan — filter + narrow projection must both
+    // reach the parquet reader (PushedFilters / ReadSchema in explain).
+    "s_scan1_pushdown" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // S-ROUTE: subject→table demultiplex as a batch CASE fanout
+    // (src/handler.rs:9-55; unroutable ⇒ dead-letter, src/main.rs:68-72).
+    "s_route_fanout" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("route",
+          when(col("event_type").isin("click", "view"), "engagement_events")
+            .when(col("event_type") === "purchase", "purchase_events")
+            .when(col("event_type") === "signup", "registration_events")
+            .otherwise("_dlq"))
+        .groupBy("route").agg(count(lit(1)).as("n"))
+        .orderBy("route")
+    })
+  )
+
+  // ======================= DuckDB oracle SQL ==========================
+
+  val oracles: Map[String, String] = Map(
+    "o_p1_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "o_f1_filter_range" ->
+      """SELECT event_id, ts, user_id, value FROM events
+         WHERE event_type = 'purchase'
+           AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+           AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+         ORDER BY event_id""",
+
+    "o_f2_like" ->
+      """SELECT p_partkey, p_name, p_type FROM part
+         WHERE p_type LIKE '%ECONOMY%' OR p_name LIKE '%red%'
+         ORDER BY p_partkey""",
+
+    "o_f3_isin" ->
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+         WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "o_f4_nulls" ->
+      """SELECT c_custkey,
+                COALESCE(NULLIF(c_mktsegment, ''), 'UNKNOWN') AS seg,
+                CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS pos_bal
+         FROM customer ORDER BY c_custkey""",
+
+    "o_j1_inner" ->
+      """SELECT o_orderstatus,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                COUNT(*) AS n
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "o_j2_broadcast" ->
+      """SELECT p_brand, COUNT(*) AS n_items, AVG(l_quantity) AS avg_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+
+    "o_j3_left" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+                COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS spend
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+
+    "o_j4_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+
+    "o_j5_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+
+    "o_j6_asof" ->
+      """SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM (
+           SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+           FROM events e JOIN orders o
+             ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+           WHERE e.event_type = 'purchase'
+           QUALIFY row_number() OVER (PARTITION BY e.event_id
+                     ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1)
+         ORDER BY event_id""",
+
+    "o_j7_range" ->
+      """SELECT e1.event_id AS signup_id, e1.user_id AS user_id, COUNT(*) AS n_clicks
+         FROM events e1 JOIN events e2
+           ON e1.user_id = e2.user_id
+          AND e2.ts >= e1.ts AND e2.ts < e1.ts + INTERVAL 24 HOUR
+         WHERE e1.event_type = 'signup' AND e2.event_type = 'click'
+         GROUP BY 1, 2 ORDER BY 1""",
+
+    "o_j8_self" ->
+      """SELECT a.o_custkey AS custkey, COUNT(*) AS n_pairs
+         FROM orders a JOIN orders b
+           ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+          AND abs(date_diff('day', a.o_orderdate, b.o_orderdate)) <= 7
+         GROUP BY 1 ORDER BY 1""",
+
+    "o_j9_cross" ->
+      """SELECT r_name, o_orderstatus
+         FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+         ORDER BY r_name, o_orderstatus""",
+
+    "o_a1_hashagg" ->
+      """SELECT l_returnflag, l_linestatus,
+                SUM(l_quantity) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+                CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc,
+                SUM(l_quantity) / COUNT(*) AS avg_qty,
+                COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "o_a2_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS dau, COUNT(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "o_a4_quantile" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+                round(quantile_cont(l_quantity, 0.9), 6) AS p90
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "o_a5_argmax" ->
+      """SELECT user_id, arg_max(event_id, ts) AS last_event_id,
+                arg_min(event_id, ts) AS first_event_id, MAX(ts) AS last_ts
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "o_a6_collect" ->
+      """SELECT o_custkey,
+                array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+
+    "o_a7_condagg" ->
+      """SELECT event_type,
+                COUNT(*) FILTER (WHERE value > 100.0) AS n_big,
+                COALESCE(CAST(SUM(CASE WHEN value > 100.0
+                  THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS sum_big
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "o_a8_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_cust,
+                CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INT) AS gid
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST""",
+
+    "o_a9_counts" ->
+      """SELECT tbl, n FROM (
+           SELECT 'lineitem' AS tbl, COUNT(*) AS n FROM lineitem
+           UNION ALL SELECT 'orders', COUNT(*) FROM orders
+           UNION ALL SELECT 'customer', COUNT(*) FROM customer
+           UNION ALL SELECT 'events', COUNT(*) FROM events)
+         ORDER BY tbl""",
+
+    "o_a10_histogram" ->
+      """SELECT CAST(FLOOR(value / 50) AS BIGINT) AS bucket, COUNT(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "o_s1_sort" ->
+      "SELECT event_id, ts FROM events ORDER BY ts, event_id",
+
+    "o_s2_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_orderkey LIMIT 100 OFFSET 50""",
+
+    "o_s3_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    "o_s4_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "o_u1_union" ->
+      """SELECT id, src, COUNT(*) AS n FROM (
+           SELECT user_id AS id, 'click' AS src FROM events WHERE event_type = 'click'
+           UNION ALL
+           SELECT user_id, 'view' FROM events WHERE event_type = 'view')
+         GROUP BY id, src ORDER BY id, src""",
+
+    "o_u2_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+         INTERSECT
+         SELECT user_id FROM events WHERE event_type = 'error'
+         ORDER BY user_id""",
+
+    "o_u3_except" ->
+      """SELECT o_custkey AS custkey FROM orders
+         EXCEPT SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         ORDER BY custkey""",
+
+    "o_x1_string" ->
+      """SELECT c_custkey, upper(c_name) AS name_upper,
+                CAST(length(c_name) AS INT) AS name_len,
+                substring(c_name, 1, 8) AS prefix,
+                regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+                c_mktsegment || ':' || c_name AS tagged
+         FROM customer ORDER BY c_custkey""",
+
+    "o_x2_datetime" ->
+      """SELECT o_orderkey,
+                CAST(year(o_orderdate) AS INT) AS y,
+                CAST(month(o_orderdate) AS INT) AS m,
+                CAST(day(o_orderdate) AS INT) AS dom,
+                date_trunc('month', o_orderdate) AS month_start,
+                o_orderdate + INTERVAL 7 DAY AS plus7,
+                CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS age_days,
+                CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+         FROM orders ORDER BY o_orderkey""",
+
+    "o_x3_math" ->
+      """SELECT l_orderkey, l_linenumber,
+                l_extendedprice * (1.0 - l_discount) AS net,
+                l_extendedprice * (1.0 + l_tax) AS taxed,
+                CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+                round(abs(l_discount - l_tax), 6) AS ab,
+                greatest(l_discount, l_tax) AS g,
+                round(l_quantity / 50.0, 6) AS ratio
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "o_x4_case" ->
+      """SELECT o_orderkey,
+                CASE o_orderstatus WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open'
+                     ELSE 'partial' END AS status_label,
+                CASE WHEN o_totalprice > 200000.0 THEN 'big'
+                     WHEN o_totalprice > 50000.0 THEN 'mid'
+                     ELSE 'small' END AS size_class
+         FROM orders ORDER BY o_orderkey""",
+
+    "o_x5_array" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+                list_contains(string_split(text, ' '), 'spark') AS has_spark,
+                CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq,
+                array_to_string(list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 5), ',') AS top5
+         FROM documents ORDER BY doc_id""",
+
+    "o_x6_map" ->
+      """SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+                CAST(len(json_keys(props)) AS INT) AS n_keys
+         FROM events ORDER BY event_id""",
+
+    "o_x7_json" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str
+         FROM events ORDER BY event_id""",
+
+    "o_x8_hash" ->
+      """SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha256
+         FROM customer ORDER BY c_custkey""",
+
+    "s_scan1_pushdown" ->
+      """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate <  TIMESTAMP '1998-01-01'
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "s_route_fanout" ->
+      """SELECT CASE WHEN event_type IN ('click','view') THEN 'engagement_events'
+                     WHEN event_type = 'purchase' THEN 'purchase_events'
+                     WHEN event_type = 'signup' THEN 'registration_events'
+                     ELSE '_dlq' END AS route, COUNT(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1"""
+  )
+}

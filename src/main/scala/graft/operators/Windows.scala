@@ -1,0 +1,215 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function catalog — SURVEY.md §2.5 (O-W1..O-W7) and the batch
+  * equivalents of the event-time windows §2.9 (O-T8/T9/T10).
+  *
+  * All windows partition by a key (user_id / event_id / o_custkey) so the
+  * single shuffle is on that key and state per partition stays bounded —
+  * the layout that survives 100 TB. No global (unpartitioned) windows.
+  */
+object Windows {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // O-W1: canonical at-least-once dedup view — row_number per event_id
+    // (reference delivers duplicates by design: src/nats.rs:74,
+    // src/handler.rs:132; SURVEY §1.4 "duplicate semantics").
+    "o_w1_dedup" -> ((s, d) => {
+      val w = Window.partitionBy("event_id").orderBy("ts", "user_id")
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // O-W2: top-N per group (ClickHouse LIMIT n BY k).
+    "o_w2_topn" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // O-W3: lag — inter-event gap per user in microseconds (sessionization
+    // input; integer math so the oracle compare is exact).
+    "o_w3_lag" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+        .orderBy("event_id")
+    }),
+
+    // O-W4: running/cumulative aggregate with an explicit frame; the sum
+    // runs over DECIMAL so prefix sums are exact and order-independent.
+    "o_w4_running" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("run_n"),
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("run_v"))
+        .orderBy("event_id")
+    }),
+
+    // O-W5: sliding frame — moving average over the last 4 rows, computed
+    // as exact decimal sum / count so both engines agree bit-for-bit.
+    "o_w5_moving" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          (sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
+            count(lit(1)).over(w)).as("mov_avg"))
+        .orderBy("event_id")
+    }),
+
+    // O-W6: rank / dense_rank / ntile leaderboard.
+    "o_w6_rank" -> ((s, d) => {
+      val base = Tables.orders(s, d).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+      val byN = Window.orderBy(col("n_orders").desc)
+      val total = Window.orderBy(col("n_orders").desc, col("o_custkey"))
+      base.select(col("o_custkey"), col("n_orders"),
+          rank().over(byN).as("rnk"),
+          dense_rank().over(byN).as("drnk"),
+          ntile(4).over(total).as("quartile"))
+        .orderBy("o_custkey")
+    }),
+
+    // O-W7: first/last value per key (first-touch attribution).
+    "o_w7_firstlast" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .select(col("user_id"),
+          first("event_type").over(w).as("first_type"),
+          last("event_type").over(w).as("last_type"))
+        .distinct()
+        .orderBy("user_id")
+    }),
+
+    // O-T8: event-time tumbling window (batch form; streaming form in
+    // graft.streaming). window() starts are epoch-aligned == date_trunc.
+    "o_t8_tumbling" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // O-T9: sliding window — 6h window sliding 1h; each event lands in 6
+    // windows. At scale this is the "rolling active users" query.
+    "o_t9_sliding" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "6 hours", "1 hour").getField("start").as("win_start"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("win_start")
+    }),
+
+    // O-T10: session window, 30-minute gap (batch session_window; the
+    // is_ended-flag-driven variant lives in graft.streaming per SURVEY §7).
+    "o_t10_session" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"))
+        .orderBy("user_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "o_w1_dedup" ->
+      """SELECT event_type, COUNT(*) AS n FROM (
+           SELECT event_type,
+                  row_number() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
+           FROM events) WHERE rn = 1
+         GROUP BY event_type ORDER BY event_type""",
+
+    "o_w2_topn" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  CAST(row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+           FROM orders) WHERE rn <= 3
+         ORDER BY o_custkey, rn""",
+
+    "o_w3_lag" ->
+      """SELECT user_id, event_id,
+                epoch_us(ts) - lag(epoch_us(ts), 1)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+         FROM events ORDER BY event_id""",
+
+    "o_w4_running" ->
+      """SELECT event_id, user_id,
+                COUNT(*) OVER w AS run_n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_v
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
+    "o_w5_moving" ->
+      """SELECT event_id, user_id,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                  / COUNT(*) OVER w AS mov_avg
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
+    "o_w6_rank" ->
+      """SELECT o_custkey, n_orders,
+                CAST(rank() OVER (ORDER BY n_orders DESC) AS INT) AS rnk,
+                CAST(dense_rank() OVER (ORDER BY n_orders DESC) AS INT) AS drnk,
+                CAST(ntile(4) OVER (ORDER BY n_orders DESC, o_custkey) AS INT) AS quartile
+         FROM (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey)
+         ORDER BY o_custkey""",
+
+    "o_w7_firstlast" ->
+      """SELECT DISTINCT user_id,
+                first_value(event_type) OVER w AS first_type,
+                last_value(event_type) OVER w AS last_type
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY user_id""",
+
+    "o_t8_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+                COUNT(*) AS n, COUNT(DISTINCT user_id) AS users
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "o_t9_sliding" ->
+      """SELECT date_trunc('hour', ts) - h * INTERVAL 1 HOUR AS win_start, COUNT(*) AS n
+         FROM events, range(0, 6) t(h)
+         GROUP BY 1 ORDER BY 1""",
+
+    "o_t10_session" ->
+      """WITH marks AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            >= INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS is_new
+           FROM events),
+         sess AS (
+           SELECT user_id,
+                  SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM marks)
+         SELECT user_id, COUNT(DISTINCT sid) AS n_sessions, COUNT(*) AS n_events
+         FROM sess GROUP BY user_id ORDER BY user_id"""
+  )
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+/** Smoke + invariants over the full query catalog at sf0.001. The heavy
+  * value-level check is differential vs DuckDB (tools/verify.sh → the
+  * driver's t2 gate); here we assert structural invariants cheaply. */
+class CatalogSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("entry flagship returns rows") {
+    val df = SparkEntry.entry(spark)
+    assert(df.columns.toSet == Set("hour", "event_type", "users", "n"))
+    assert(df.count() > 0)
+  }
+
+  test("every oracle key has a query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("all queries execute and are non-empty at sf0.001") {
+    val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      if (n == 0) Some(name) else None
+    }
+    assert(empties.isEmpty, s"empty results: $empties")
+  }
+
+  test("dedup is idempotent (O-W1 law)") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.events(spark, sf)
+    val d1 = e.dropDuplicates(Seq("event_id"))
+    val d2 = d1.dropDuplicates(Seq("event_id"))
+    assert(d1.count() == d2.count())
+  }
+
+  test("union of routed fanout partitions the table (S-ROUTE law)") {
+    val total = Tables.events(spark, sf).count()
+    val routed = SparkEntry.queries("s_route_fanout")(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(routed == total)
+  }
+}
