@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Payload → typed-row decode, kept behind a trait so a binary protobuf
+  * decoder (custom Catalyst Expression) can replace the JSON stand-in
+  * without touching the pipeline (SURVEY §7-M3, hard part 1).
+  * Decode failure yields a NULL struct ⇒ permanent error ⇒ dead-letter,
+  * mirroring ClickHouse "Cannot parse" ⇒ AckKind::Term
+  * (src/handler.rs:206-212). */
+trait EventDecoder {
+  /** Adds a `decoded` struct column parsed from `payload`. */
+  def decode(df: DataFrame, schema: StructType): DataFrame
+}
+
+/** JSON-lines stand-in for the protobuf wire format (same schemas). */
+object JsonPayloadDecoder extends EventDecoder {
+  def decode(df: DataFrame, schema: StructType): DataFrame =
+    // PERMISSIVE from_json yields an all-null struct on malformed rows;
+    // the validity test in ingestBatch treats a null event_id as a parse
+    // failure (event_id is proto field 1, always set by producers).
+    df.withColumn("decoded", from_json(col("payload"), schema))
+}
+
+/** The reference's ingestion dataflow (src/main.rs + src/handler.rs) as
+  * Structured Streaming:
+  *
+  *   NATS pull-consume        → file/Kafka `readStream` micro-batches
+  *   subject routing (:15-55) → 9 filtered writes per batch
+  *   row/byte/time flush      → Trigger (time-based; byte thresholds are
+  *                              approximated by source rate options —
+  *                              SURVEY O-T2 documents the difference)
+  *   ack-after-insert         → checkpointed exactly-once file sink
+  *   Term vs Nak (:206-212)   → decode failures & unroutable subjects to
+  *                              `_dlq` with a reason; transient failures
+  *                              retried via checkpoint replay
+  *
+  * Scale design: each table write repartitions by event_date and sorts
+  * within partitions by (timestamp, event_name) — the MergeTree
+  * ORDER BY (migrations ORDER BY lines) re-expressed as parquet row-group
+  * min/max locality, giving data-skipping scans; date directories give
+  * partition pruning at 100 TB.
+  */
+object Ingest {
+
+  val DlqTable = "_dlq"
+
+  /** One micro-batch of (subject, payload) through route→decode→write.
+    * Exposed for foreachBatch and for batch (backfill) reuse. */
+  def ingestBatch(batch: DataFrame, outDir: String,
+                  decoder: EventDecoder = JsonPayloadDecoder): Unit = {
+    val spark = batch.sparkSession
+    val routable = EventSchemas.routes.keys.toSeq
+    val cached = batch.persist()
+    try {
+      // Unroutable ⇒ dead-letter (reference terminally drops with Term,
+      // src/main.rs:68-72; we keep the rows auditable in _dlq).
+      cached.filter(!col("subject").isin(routable: _*))
+        .select(col("subject"), col("payload"),
+          lit("unroutable_subject").as("reason"),
+          current_timestamp().as("dlq_ts"))
+        .write.mode("append").parquet(s"$outDir/$DlqTable")
+
+      EventSchemas.routes.foreach { case (subject, table) =>
+        val schema = EventSchemas.tables(table)
+        val decoded = decoder.decode(
+          cached.filter(col("subject") === subject), schema)
+
+        // Permanent decode failures ⇒ _dlq (Term analog). A null struct
+        // or null event_id (= malformed under PERMISSIVE) is permanent.
+        val invalid = col("decoded").isNull || col("decoded.event_id").isNull
+        decoded.filter(invalid)
+          .select(col("subject"), col("payload"),
+            lit("decode_error").as("reason"),
+            current_timestamp().as("dlq_ts"))
+          .write.mode("append").parquet(s"$outDir/$DlqTable")
+
+        // proto3 default semantics: absent scalar fields become ""/0/false
+        // (FIXTURES.md invariant 4); epoch seconds → TimestampType.
+        val defaults: Map[String, Any] = schema.fields.collect {
+          case StructField(n, StringType, _, _) if n != "payload" => n -> ""
+          case StructField(n, IntegerType, _, _) => n -> 0
+          case StructField(n, LongType, _, _)    => n -> 0L
+          case StructField(n, BooleanType, _, _) => n -> false
+        }.toMap
+        val rows = decoded.filter(!invalid)
+          .select(col("decoded.*"))
+          .na.fill(defaults)
+          .withColumn("timestamp", timestamp_seconds(col("timestamp")))
+          .withColumn("event_date", to_date(col("timestamp")))
+
+        if (!rows.isEmpty) {
+          rows
+            .repartition(col("event_date"))
+            .sortWithinPartitions("event_date", "timestamp", "event_name")
+            .write.mode("append")
+            .partitionBy("event_date")
+            .parquet(s"$outDir/$table")
+        }
+      }
+    } finally cached.unpersist()
+  }
+
+  /** Start the streaming pipeline over a JSON-lines directory source
+    * (this env has no Kafka/NATS connector; the source swap is one line).
+    * Input schema: {"subject": "...", "payload": "<json event>"}. */
+  def start(spark: SparkSession, inputDir: String, outDir: String,
+            checkpointDir: String,
+            decoder: EventDecoder = JsonPayloadDecoder,
+            trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+    val in = spark.readStream
+      .schema(StructType(Seq(
+        StructField("subject", StringType), StructField("payload", StringType))))
+      .option("maxFilesPerTrigger", 16) // backpressure (O-T6 analog)
+      .json(inputDir)
+    in.writeStream
+      .queryName("graft-ingest")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatch(batch, outDir, decoder)
+      }
+      .start()
+  }
+
+  /** O-T12: incrementally-maintained exactly-once view over at-least-once
+    * input — streaming dedup by event_id with watermark-bounded state. */
+  def dedupStream(events: DataFrame, watermark: String = "2 minutes"): DataFrame =
+    events.withWatermark("timestamp", watermark)
+      .dropDuplicates(Seq("event_id"))
+}

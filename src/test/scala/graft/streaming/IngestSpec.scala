@@ -1,0 +1,122 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import graft.TestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IngestSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def payload(eventId: String, name: String, user: String,
+                      ts: Long, extra: String = ""): String = {
+    val extraJson = if (extra.isEmpty) "" else s",$extra"
+    s"""{"event_id":"$eventId","event_name":"$name","user_id":"$user",
+       |"session_id":"s-1","anonymous_id":"a-1","timestamp":$ts,
+       |"service_origin":"web","platform":"android","platform_version":"14",
+       |"os_name":"android","os_version":"14","browser_name":"chrome",
+       |"browser_version":"128","device_type":"mobile",
+       |"screen_resolution":"1080x2400","user_agent":"UA"$extraJson}"""
+      .stripMargin.replaceAll("\n", "")
+  }
+
+  test("route↔schema consistency (reference bug not replicated)") {
+    // Every route target must have a schema — the reference's routing
+    // table misspells shahre_farang targets (src/handler.rs:42,46).
+    assert(EventSchemas.routes.values.toSet.subsetOf(EventSchemas.tables.keySet))
+    assert(EventSchemas.routes.size == 9 && EventSchemas.tables.size == 9)
+    // Envelope is a shared prefix of every wire schema.
+    EventSchemas.tables.values.foreach { st =>
+      assert(st.fields.take(16).toSeq == EventSchemas.envelope)
+    }
+  }
+
+  test("ingest pipeline: routing, decode, DLQ, sorted partitioned writes") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_in").toString
+    val out = Files.createTempDirectory("graft_out").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+
+    val t0 = 1726300800L
+    val rows = Seq(
+      ("events.login", payload("e-1", "login", "u-1", t0)),
+      ("events.login", payload("e-2", "login", "u-2", t0 + 5)),
+      ("events.login", payload("e-2", "login", "u-2", t0 + 5)), // at-least-once duplicate
+      ("events.angulak.watch", payload("e-3", "watch", "u-1", t0 + 10,
+        """"item_id":"i-1","play_info_id":"p-1","video_position":120,"video_duration":2400""")),
+      ("events.session", payload("e-4", "session", "u-1", t0 + 20, """"is_ended":false""")),
+      ("events.session", payload("e-5", "session", "u-1", t0 + 90, """"is_ended":true""")),
+      ("events.login", "this is not json"),          // poison ⇒ decode_error
+      ("events.unknown", payload("e-6", "x", "u-3", t0))) // unroutable
+    rows.toDF("subject", "payload").coalesce(1).write.mode("append").json(in)
+
+    val q = Ingest.start(spark, in, out, ckpt)
+    q.processAllAvailable()
+
+    val login = spark.read.parquet(s"$out/login_events")
+    assert(login.count() == 3) // duplicates preserved (at-least-once semantics)
+    assert(login.select("event_id").distinct().count() == 2)
+    assert(login.dropDuplicates(Seq("event_id")).count() == 2) // O-W1/O-S4 view
+    // epoch seconds → TimestampType, date partition present
+    assert(login.schema("timestamp").dataType.typeName == "timestamp")
+    assert(login.columns.contains("event_date"))
+
+    val watch = spark.read.parquet(s"$out/angulak_watch_events")
+    assert(watch.count() == 1)
+    assert(watch.head().getAs[Int]("video_duration") == 2400)
+    // proto3 default fill: absent string fields are "", not null
+    assert(watch.head().getAs[String]("ad_id") == "")
+
+    assert(spark.read.parquet(s"$out/session_events").count() == 2)
+
+    val dlq = spark.read.parquet(s"$out/${Ingest.DlqTable}")
+      .groupBy("reason").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dlq == Map("unroutable_subject" -> 1L, "decode_error" -> 1L))
+
+    // Checkpointed resume: a new input file is processed exactly once,
+    // old files are not reprocessed (ack-after-insert analog, O-T4).
+    Seq(("events.login", payload("e-7", "login", "u-9", t0 + 100)))
+      .toDF("subject", "payload").write.mode("append").json(in)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(s"$out/login_events").count() == 4)
+  }
+
+  test("streaming dedup with watermark (O-T12)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(String, Timestamp)]
+    val deduped = Ingest.dedupStream(
+      ms.toDF().toDF("event_id", "timestamp"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    val base = 1726300800000L
+    ms.addData(("e-1", new Timestamp(base)), ("e-2", new Timestamp(base + 1000)),
+      ("e-1", new Timestamp(base))) // duplicate within batch
+    q.processAllAvailable()
+    ms.addData(("e-1", new Timestamp(base))) // duplicate across batches
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup_out").count() == 2)
+  }
+
+  test("flag-driven sessionization (is_ended, migrations/007:18)") {
+    import spark.implicits._
+    val t = (s: Long) => new Timestamp(1726300800000L + s * 1000)
+    val ds = Seq(
+      SessionEvent("s-1", "u-1", t(0), is_ended = false),
+      SessionEvent("s-1", "u-1", t(30), is_ended = false),
+      SessionEvent("s-1", "u-1", t(60), is_ended = true),
+      SessionEvent("s-2", "u-2", t(10), is_ended = false) // never ended
+    ).toDS()
+    val out = Sessions.flagSessions(ds).collect().map(s => s.session_id -> s).toMap
+    // s-1 ends via flag with 3 events and a 60s span; s-2 has no end flag
+    // and no timeout in batch mode ⇒ not emitted.
+    assert(out.keySet == Set("s-1"))
+    assert(out("s-1").n_events == 3 && out("s-1").ended_by_flag)
+    assert(out("s-1").end_ts.getTime - out("s-1").start_ts.getTime == 60000L)
+  }
+}
