@@ -27,10 +27,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries ++ operators.Windows.queries
+    operators.Relational.queries ++ operators.Windows.queries ++
+      pipeline.TextDedup.queries ++ pipeline.Similarity.queries ++
+      pipeline.TextAnalysis.queries ++ pipeline.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracles ++ operators.Windows.oracles
+    operators.Relational.oracles ++ operators.Windows.oracles ++
+      pipeline.TextDedup.oracles ++ pipeline.Similarity.oracles ++
+      pipeline.TextAnalysis.oracles
 }

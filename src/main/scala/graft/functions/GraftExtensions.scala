@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering graft's native expressions for SQL use
+  * (`SELECT simhash64(text) ...`). Install either via
+  * `spark.sql.extensions=graft.functions.GraftExtensions` or at runtime
+  * with [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.specs.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private type Builder = Seq[Expression] => Expression
+
+  private val specs: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("simhash64",
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (es: Seq[Expression]) => SimHash64(es.head)),
+    ("rolling_hash64",
+      new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash64"),
+      (es: Seq[Expression]) => RollingHash64(es.head)))
+
+  /** Runtime registration for sessions built without the extension. */
+  def register(spark: SparkSession): Unit =
+    specs.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

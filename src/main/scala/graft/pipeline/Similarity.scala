@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (Array[Float] column).
+  *
+  * - `d_knn_cosine`: brute-force cosine top-k — the exactness baseline.
+  *   The (small) query set is broadcast; the candidate side streams, so
+  *   at 100 TB this is one scan, no shuffle of the big side. Dot products
+  *   run through codegen'd higher-order functions (zip_with/aggregate),
+  *   not UDFs.
+  * - `d_ann_lsh` (rows-only): sign-bit LSH bucketing — the sub-linear
+  *   scale path: bucket once (linear), then search only within buckets.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact sequential-fold dot product in double — same accumulation
+    * order as the oracle engine's loop. */
+  private def dot(a: String, b: String) = expr(
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+
+  private def norm(a: String) = expr(
+    s"sqrt(aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v))")
+
+  val queries: Map[String, Q] = Map(
+    // Brute-force cosine top-5 neighbors for query vectors vec_id < 10.
+    "d_knn_cosine" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        .withColumn("qn", norm("qv"))
+      val cand = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+        .withColumn("nn", norm("nv"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+      cand.crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", round(dot("qv", "nv") / (col("qn") * col("nn")), 4))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("n_id"), col("cos"))
+        .orderBy("q_id", "rnk")
+    }),
+
+    // Sign-bit LSH ANN: 4-bit bucket from the signs of the first 4 dims
+    // (bucket count tuned to corpus size: 2^b ≈ n/30); exact cosine
+    // re-rank within the query's bucket only. No oracle (bucketing choice
+    // is engine-internal); SimilaritySpec checks bucket-restricted
+    // agreement with brute force.
+    "d_ann_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).withColumn("bucket", expr(
+        """aggregate(zip_with(slice(embedding, 1, 4), sequence(0, 3),
+                              (x, i) -> IF(x >= 0F, shiftleft(1, i), 0)),
+                     0, (acc, v) -> acc + v)"""))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          col("bucket").as("qb"))
+        .withColumn("qn", norm("qv"))
+      val cand = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"),
+        col("bucket"))
+        .withColumn("nn", norm("nv"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+      cand.join(broadcast(q), col("bucket") === col("qb"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", round(dot("qv", "nv") / (col("qn") * col("nn")), 4))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("n_id"), col("cos"), col("bucket"))
+        .orderBy("q_id", "rnk")
+    }),
+
+    // Embedding-cosine near-duplicate pairs (the "semantic dedup" shape):
+    // all pairs above a cosine threshold, via the same broadcast pattern
+    // over a bounded probe slice.
+    "d_dedup_cosine" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("n", norm("v"))
+      val a = e.select(col("vec_id").as("va"), col("v").as("xa"), col("n").as("na"))
+        .filter(col("va") < 200)
+      val b = e.select(col("vec_id").as("vb"), col("v").as("xb"), col("n").as("nb"))
+      b.crossJoin(broadcast(a))
+        .filter(col("va") < col("vb"))
+        .withColumn("cos", round(dot("xa", "xb") / (col("na") * col("nb")), 4))
+        .filter(col("cos") >= 0.3)
+        .select(col("va"), col("vb"), col("cos"))
+        .orderBy("va", "vb")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d_knn_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         scored AS (
+           SELECT q_id, e.vec_id AS n_id,
+                  round(list_cosine_similarity(qv, e.v), 4) AS cos
+           FROM q JOIN e ON q_id <> e.vec_id)
+         SELECT q_id, rnk, n_id, cos FROM (
+           SELECT q_id, n_id, cos,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, n_id) AS INT) AS rnk
+           FROM scored) WHERE rnk <= 5
+         ORDER BY q_id, rnk""",
+
+    "d_dedup_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT a.vec_id AS va, b.vec_id AS vb,
+                round(list_cosine_similarity(a.v, b.v), 4) AS cos
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE a.vec_id < 200
+           AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
+         ORDER BY va, vb"""
+  )
+}

@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation over `documents`: quality
+  * scoring, n-gram-heuristic language ID, token counting, and document
+  * fingerprinting. Everything is per-row columnar work (codegen'd
+  * built-ins + higher-order functions, no UDFs) — embarrassingly parallel
+  * at any scale; the only shuffle is the fingerprint group.
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is")
+  // Marker sets for the n-gram/stopword language heuristic. The corpus is
+  // English-ish tech text; de/fr rows exercise the tie/zero paths.
+  private val stopDe = Seq("der", "die", "das", "und", "ist")
+  private val stopFr = Seq("le", "la", "et", "est", "les")
+
+  private def arrayLit(xs: Seq[String]) = array(xs.map(lit): _*)
+
+  val queries: Map[String, Q] = Map(
+    // Quality scoring: length/word/uniqueness/stopword ratios.
+    "d_text_quality" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("words", split(col("text"), " "))
+        .select(col("doc_id"), col("n_chars"),
+          size(col("words")).as("n_words"),
+          size(array_distinct(col("words"))).as("n_uniq"),
+          round(size(array_distinct(col("words"))) /
+            size(col("words")).cast("double"), 6).as("uniq_ratio"),
+          round(expr("aggregate(transform(words, x -> length(x)), 0, (a, v) -> a + v)") /
+            size(col("words")).cast("double"), 6).as("avg_word_len"),
+          round(size(array_intersect(array_distinct(col("words")), arrayLit(stopEn))) /
+            size(array_distinct(col("words"))).cast("double"), 6).as("stopword_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // Language ID by stopword-hit scoring with a deterministic tiebreak.
+    "d_text_langid" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("uw", array_distinct(split(col("text"), " ")))
+        .select(col("doc_id"), col("lang").as("declared_lang"),
+          size(array_intersect(col("uw"), arrayLit(stopEn))).as("s_en"),
+          size(array_intersect(col("uw"), arrayLit(stopDe))).as("s_de"),
+          size(array_intersect(col("uw"), arrayLit(stopFr))).as("s_fr"))
+        .withColumn("pred_lang",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_de") >= col("s_fr"), "de")
+            .otherwise("fr"))
+        .orderBy("doc_id")
+    }),
+
+    // Token counting: whitespace, regex word-tokens, and a BPE-ish
+    // chars/4 estimate (the standard subword budget heuristic).
+    "d_text_tokens" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_ws_tokens"),
+          regexp_count(col("text"), lit("[a-zA-Z0-9]+")).as("n_re_tokens"),
+          ceil(col("n_chars") / 4.0).cast("long").as("n_bpe_est"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprint: md5 of the sorted distinct word set (word-
+    // order-insensitive near-dup key) + per-fingerprint group size.
+    "d_text_fingerprint" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(array_join(array_sort(array_distinct(split(lower(col("text")), " "))), " ")
+            .cast("binary")).as("fp"))
+        .withColumn("n_same_fp", count(lit(1)).over(Window.partitionBy("fp")))
+        .orderBy("doc_id")
+    })
+  )
+
+  private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ",", "]")
+
+  val oracles: Map[String, String] = Map(
+    "d_text_quality" ->
+      s"""SELECT doc_id, n_chars,
+                 CAST(len(w) AS INT) AS n_words,
+                 CAST(len(list_distinct(w)) AS INT) AS n_uniq,
+                 round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 6) AS uniq_ratio,
+                 round(list_sum(list_transform(w, x -> length(x))) /
+                       CAST(len(w) AS DOUBLE), 6) AS avg_word_len,
+                 round(len(list_intersect(list_distinct(w), ${sqlList(stopEn)})) /
+                       CAST(len(list_distinct(w)) AS DOUBLE), 6) AS stopword_ratio
+          FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents)
+          ORDER BY doc_id""",
+
+    "d_text_langid" ->
+      s"""SELECT doc_id, declared_lang, s_en, s_de, s_fr,
+                 CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                      WHEN s_de >= s_fr THEN 'de'
+                      ELSE 'fr' END AS pred_lang
+          FROM (
+            SELECT doc_id, lang AS declared_lang,
+                   CAST(len(list_intersect(uw, ${sqlList(stopEn)})) AS INT) AS s_en,
+                   CAST(len(list_intersect(uw, ${sqlList(stopDe)})) AS INT) AS s_de,
+                   CAST(len(list_intersect(uw, ${sqlList(stopFr)})) AS INT) AS s_fr
+            FROM (SELECT doc_id, lang,
+                         list_distinct(string_split(text, ' ')) AS uw
+                  FROM documents))
+          ORDER BY doc_id""",
+
+    "d_text_tokens" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+                CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS INT) AS n_re_tokens,
+                CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_bpe_est
+         FROM documents ORDER BY doc_id""",
+
+    "d_text_fingerprint" ->
+      """SELECT doc_id,
+                md5(array_to_string(list_sort(list_distinct(
+                  string_split(lower(text), ' '))), ' ')) AS fp,
+                COUNT(*) OVER (PARTITION BY md5(array_to_string(list_sort(
+                  list_distinct(string_split(lower(text), ' '))), ' '))) AS n_same_fp
+         FROM documents ORDER BY doc_id"""
+  )
+}

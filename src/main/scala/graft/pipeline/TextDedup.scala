@@ -1,0 +1,184 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data deduplication over the `documents` table — the operators
+  * a 100 TB pretraining pipeline needs (BASELINE.json north star).
+  *
+  * Scale design notes:
+  *  - exact dedup is one hash-shuffle on the fingerprint;
+  *  - MinHash+LSH is linear in corpus size: tokens → 8 minhashes → 4
+  *    banded keys → candidates only for colliding buckets — never the
+  *    O(n²) pair space. Hashes are md5-hex (deterministic, engine-portable)
+  *    so the whole pipeline is DuckDB-oracle-checkable; at production
+  *    scale you'd swap in xxhash64 (same shape, one line).
+  *  - the quadratic n-gram Jaccard variant is deliberately bounded to a
+  *    doc_id slice — it is the *verifier*, not the scale path.
+  */
+object TextDedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Word bigrams ("shingles") — the corpus vocabulary is tiny, so unigram
+    * sets degenerate (every doc ≈ whole vocab); bigrams discriminate. */
+  private def bigramsCol: Column = expr(
+    """CASE WHEN size(words) >= 2
+         THEN transform(sequence(1, size(words) - 1),
+                        i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))
+         ELSE array() END""")
+
+  private def tokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), explode(bigramsCol).as("bg"))
+      .distinct()
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: hash-groupBy on a text fingerprint; keeper = min doc_id.
+    "d_dedup_exact" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(lower(col("text")).cast("binary")).as("fp"))
+        .groupBy("fp")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("fp")
+    }),
+
+    // n-gram (bigram) Jaccard near-dup pairs — exact quadratic verifier on
+    // a bounded slice (doc_id < 200). The LSH query below is the scale path.
+    "d_dedup_ngram" -> ((s, d) => {
+      val t = tokens(s, d).filter(col("doc_id") < 200)
+      val sz = t.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = t.as("a").join(t.as("b"),
+          col("a.bg") === col("b.bg") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sz).as("sa"), col("da") === col("sa.doc_id"))
+        .join(broadcast(sz).as("sb"), col("db") === col("sb.doc_id"))
+        .select(col("da"), col("db"),
+          round(col("inter") / (col("sa.n") + col("sb.n") - col("inter")), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("da", "db")
+    }),
+
+    // MinHash + LSH near-dup detection: 8 minhashes, 4 bands × 2 rows;
+    // candidate pairs from band-bucket collisions, then exact Jaccard
+    // verification on candidates only.
+    "d_dedup_minhash" -> ((s, d) => {
+      val t = tokens(s, d)
+      val seeds = s.range(0, 8).select(col("id").cast("int").as("seed"))
+      val sigs = t.crossJoin(broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(min(substring(md5(concat(col("seed").cast("string"), lit("|"), col("bg"))
+          .cast("binary")), 1, 16)).as("h"))
+      val bands = sigs.withColumn("band", col("seed") % 4)
+        .groupBy("doc_id", "band")
+        .agg(expr("array_join(transform(array_sort(collect_list(struct(seed, h))), x -> x.h), '')")
+          .as("bkey"))
+      val cands = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .distinct()
+      val sz = t.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cands
+        .join(t.as("ta"), col("da") === col("ta.doc_id"))
+        .join(t.as("tb"), col("db") === col("tb.doc_id") && col("ta.bg") === col("tb.bg"))
+        .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sz).as("sa"), col("da") === col("sa.doc_id"))
+        .join(broadcast(sz).as("sb"), col("db") === col("sb.doc_id"))
+        .select(col("da"), col("db"),
+          round(col("inter") / (col("sa.n") + col("sb.n") - col("inter")), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("da", "db")
+    }),
+
+    // SimHash near-dup pairs via the native codegen'd SimHash64
+    // expression: 4×16-bit chunk banding (pigeonhole: hamming ≤ 8 pairs
+    // share at least one exact chunk at distance ≤ 3·16… conservatively
+    // candidates = any shared chunk), verified by bit_count(xor).
+    // Rows-only: the fingerprint function is engine-specific by design;
+    // TextDedupSpec cross-checks against the minhash pairs.
+    "d_dedup_simhash" -> ((s, d) => {
+      graft.functions.GraftExtensions.register(s)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), expr("simhash64(lower(text))").as("sh"))
+      val chunks = docs.select(col("doc_id"), col("sh"),
+        explode(expr(
+          """transform(sequence(0, 3),
+               i -> struct(i AS ci,
+                           CAST(shiftrightunsigned(sh, i * 16) & 65535 AS INT) AS ck))"""))
+          .as("c"))
+        .select(col("doc_id"), col("sh"), col("c.ci").as("ci"), col("c.ck").as("ck"))
+      val cands = chunks.as("a").join(chunks.as("b"),
+          col("a.ci") === col("b.ci") && col("a.ck") === col("b.ck") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("a.sh").as("sa"),
+          col("b.doc_id").as("db"), col("b.sh").as("sb"))
+        .distinct()
+      cands
+        .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+        .filter(col("hamming") <= 8)
+        .select(col("da"), col("db"), col("hamming"))
+        .orderBy("da", "db")
+    })
+  )
+
+  private val bigramCte =
+    """toks AS (
+         SELECT DISTINCT doc_id, bg FROM (
+           SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i + 1])) AS bg
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))"""
+
+  val oracles: Map[String, String] = Map(
+    "d_dedup_exact" ->
+      """SELECT md5(lower(text)) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY fp""",
+
+    "d_dedup_ngram" ->
+      s"""WITH $bigramCte,
+          t AS (SELECT * FROM toks WHERE doc_id < 200),
+          sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY 1),
+          pairs AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+            FROM t a JOIN t b ON a.bg = b.bg AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT da, db,
+                 round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+          FROM pairs
+          JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+          WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.5
+          ORDER BY da, db""",
+
+    "d_dedup_minhash" ->
+      s"""WITH $bigramCte,
+          sigs AS (
+            SELECT doc_id, seed,
+                   MIN(substr(md5(CAST(seed AS VARCHAR) || '|' || bg), 1, 16)) AS h
+            FROM toks CROSS JOIN range(0, 8) r(seed)
+            GROUP BY doc_id, seed),
+          bands AS (
+            SELECT doc_id, seed % 4 AS band, string_agg(h, '' ORDER BY seed) AS bkey
+            FROM sigs GROUP BY 1, 2),
+          cands AS (
+            SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+          sz AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+          pairs AS (
+            SELECT da, db, COUNT(*) AS inter
+            FROM cands
+            JOIN toks ta ON da = ta.doc_id
+            JOIN toks tb ON db = tb.doc_id AND ta.bg = tb.bg
+            GROUP BY 1, 2)
+          SELECT da, db, round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+          FROM pairs
+          JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+          WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.5
+          ORDER BY da, db"""
+  )
+}

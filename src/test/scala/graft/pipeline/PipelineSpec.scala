@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import graft.{Tables, TestSession}
+import graft.functions.{ArgMaxLong, GraftExtensions, SimHash64}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  test("simhash64: identity, locality, codegen == interpreted") {
+    val a = SimHash64.compute(UTF8String.fromString("the quick brown fox jumps over dog"))
+    val b = SimHash64.compute(UTF8String.fromString("the quick brown fox jumps over dog"))
+    assert(a == b)
+    // one-token change flips few bits
+    val c = SimHash64.compute(UTF8String.fromString("the quick brown fox jumps over cat"))
+    assert(java.lang.Long.bitCount(a ^ c) < 20)
+    // unrelated text is far
+    val e = SimHash64.compute(UTF8String.fromString("zzz yyy xxx www vvv uuu ttt"))
+    assert(java.lang.Long.bitCount(a ^ e) > 15)
+    // SQL (codegen) path matches direct eval
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT simhash64('the quick brown fox jumps over dog') AS h").head().getLong(0)
+    assert(viaSql == a)
+  }
+
+  test("simhash pairs ⊇-overlap with minhash near-dup pairs") {
+    val mh = TextDedup.queries("d_dedup_minhash")(spark, sf)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = TextDedup.queries("d_dedup_simhash")(spark, sf)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.nonEmpty, "minhash should find the planted near-dups")
+    // SimHash at hamming<=8 should rediscover most high-jaccard pairs.
+    val overlap = mh.intersect(sh).size.toDouble / mh.size
+    assert(overlap >= 0.5, s"simhash recall vs minhash too low: $overlap ($sh vs $mh)")
+  }
+
+  test("ann lsh results agree with brute force within the same bucket") {
+    val brute = Similarity.queries("d_knn_cosine")(spark, sf)
+    val lsh = Similarity.queries("d_ann_lsh")(spark, sf)
+    // every LSH result pair must appear in brute-force scoring with the
+    // same rounded cosine (correctness of the scoring path)
+    val bmap = brute.collect().map(r =>
+      (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val top1 = lsh.filter(col("rnk") === 1).collect()
+    assert(top1.nonEmpty)
+    top1.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      bmap.get(key).foreach(c => assert(c == r.getDouble(3)))
+    }
+  }
+
+  test("multimodal feature extraction: schema, determinism, batching") {
+    val docs = Tables.documents(spark, sf)
+    val feats = Multimodal.extractFeatures(Multimodal.asMedia(docs), batchSize = 7)
+    val rows = feats.collect()
+    assert(rows.length == docs.count())
+    val byId = rows.map(r => r.doc_id -> r).toMap
+    // deterministic: re-run yields identical features
+    val again = Multimodal.extractFeatures(Multimodal.asMedia(docs)).collect()
+    again.foreach { r =>
+      val p = byId(r.doc_id)
+      assert(p.mean_byte == r.mean_byte && p.byte_entropy == r.byte_entropy
+        && p.thumb.sameElements(r.thumb) && p.n_frames == r.n_frames)
+    }
+    // n_bytes = utf-8 length of text; entropy is positive for real text
+    rows.foreach { r => assert(r.n_bytes > 0 && r.byte_entropy > 0 && r.thumb.length == 4) }
+    // video mime gets stride frame-sampling, others a single frame
+    assert(rows.filter(_.mime == "video/mp4").forall(_.n_frames >= 1))
+    assert(rows.filter(_.mime != "video/mp4").forall(_.n_frames == 1))
+  }
+
+  test("typed ArgMaxLong aggregator matches max_by") {
+    import spark.implicits._
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ord"))
+    val typed = e.as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new ArgMaxLong().toColumn)
+      .collect().toMap
+    val builtin = e.groupBy("user_id").agg(expr("max_by(event_id, ord)"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(typed == builtin)
+  }
+}
