@@ -47,7 +47,7 @@ object TextDedup {
     // n-gram (bigram) Jaccard near-dup pairs — exact quadratic verifier on
     // a bounded slice (doc_id < 200). The LSH query below is the scale path.
     "d_dedup_ngram" -> ((s, d) => {
-      val t = tokens(s, d).filter(col("doc_id") < 200)
+      val t = tokens(s, d).filter(col("doc_id") < 200).persist()
       val sz = t.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = t.as("a").join(t.as("b"),
           col("a.bg") === col("b.bg") && col("a.doc_id") < col("b.doc_id"))
@@ -66,16 +66,25 @@ object TextDedup {
     // candidate pairs from band-bucket collisions, then exact Jaccard
     // verification on candidates only.
     "d_dedup_minhash" -> ((s, d) => {
-      val t = tokens(s, d)
-      val seeds = s.range(0, 8).select(col("id").cast("int").as("seed"))
-      val sigs = t.crossJoin(broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(min(substring(md5(concat(col("seed").cast("string"), lit("|"), col("bg"))
-          .cast("binary")), 1, 16)).as("h"))
-      val bands = sigs.withColumn("band", col("seed") % 4)
-        .groupBy("doc_id", "band")
-        .agg(expr("array_join(transform(array_sort(collect_list(struct(seed, h))), x -> x.h), '')")
-          .as("bkey"))
+      // The token table feeds the signature agg AND both sides of the
+      // verification join — cache it rather than re-exploding 4×.
+      // (~n_docs × shingles rows; at cluster scale this is a persisted
+      // intermediate table, same idea.)
+      val t = tokens(s, d).persist()
+      // All 8 minhashes in ONE hash aggregate keyed by doc_id: the 8 mins
+      // combine map-side (partial min), so the only shuffle carries one
+      // row per (doc × 8 hashes) instead of 8 exploded rows per token.
+      val hs = (0 until 8).map(i =>
+        min(substring(md5(concat(lit(s"$i|"), col("bg")).cast("binary")), 1, 16)).as(s"h$i"))
+      val sigs = t.groupBy("doc_id").agg(hs.head, hs.tail: _*)
+      // band b ⇒ seeds {b, b+4} in seed order (matches the oracle's
+      // string_agg ORDER BY seed).
+      val bands = sigs.select(col("doc_id"), explode(expr(
+        """array(struct(0 AS band, concat(h0, h4) AS bkey),
+                 struct(1 AS band, concat(h1, h5) AS bkey),
+                 struct(2 AS band, concat(h2, h6) AS bkey),
+                 struct(3 AS band, concat(h3, h7) AS bkey))""")).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
       val cands = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))

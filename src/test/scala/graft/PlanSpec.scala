@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates — the ".explain and iterate" discipline
+  * codified. These assert the properties that matter at 100 TB: filters
+  * and projections reach the parquet scan, small dimensions broadcast,
+  * aggregates run partial→final, and sorted-prefix scans don't shuffle
+  * more than once.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("s_scan1: filter pushed to parquet, schema pruned") {
+    val p = plan("s_scan1_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"no pushed filter in:\n$p")
+    assert(p.contains("ReadSchema: struct<l_returnflag:string,l_shipdate:timestamp"),
+      s"schema not pruned to 2 cols in:\n$p")
+  }
+
+  test("o_p1: projection pruned at the scan") {
+    val p = plan("o_p1_project")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double>"))
+  }
+
+  test("o_j2: dimension join is a broadcast hash join") {
+    val p = plan("o_j2_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"expected BroadcastHashJoin in:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("o_a1: hash aggregate is partial then final, inside codegen") {
+    val df = SparkEntry.queries("o_a1_hashagg")(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen stages materialize
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum"), s"expected partial aggregation:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final HashAggregate:\n$p")
+    // codegen stages print as "*(n)" in the adaptive final-plan string
+    assert(p.contains("*("), "agg should run inside whole-stage codegen")
+  }
+
+  test("o_s3: top-k fuses to TakeOrderedAndProject (no global sort)") {
+    val p = plan("o_s3_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject in:\n$p")
+  }
+
+  test("o_j6 as-of: single shuffle on the join key, no row-multiplying join") {
+    val p = plan("o_j6_asof")
+    // union + window approach: no Join node at all
+    assert(!p.contains("Join"), s"as-of should be join-free (union+window):\n$p")
+    assert(p.contains("Window"), "expected window operator")
+  }
+
+  test("d_knn_cosine: query side broadcast, no shuffle of candidates") {
+    val p = plan("d_knn_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"queries must broadcast:\n$p")
+  }
+
+  test("catalog queries avoid cartesian products except the declared cross joins") {
+    val allowed = Set("o_j9_cross", "d_knn_cosine", "d_dedup_cosine", "d_ann_lsh")
+    SparkEntry.queries.keys.filterNot(allowed).foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product:\n$p")
+    }
+  }
+}
