@@ -270,6 +270,38 @@ object Relational {
         ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
     }),
 
+    // O-A8b: full cube over two independent dimensions.
+    "o_a8b_cube" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid
+        FROM v_orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+    }),
+
+    // O-A8c: explicit grouping sets (non-hierarchical slices in one pass).
+    "o_a8c_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid
+        FROM v_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+    }),
+
+    // O-A11: pivot (ClickHouse-style sumIf/countIf matrix as columns).
+    "o_a11_pivot" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy("user_id")
+    }),
+
     // O-A9: per-table row counts (ops monitoring, src/handler.rs:120).
     "o_a9_counts" -> ((s, d) => {
       val one = (t: String) => Tables(s, d, t).agg(count(lit(1)).as("n"))
@@ -585,6 +617,29 @@ object Relational {
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP(r_name, n_name)
          ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST""",
+
+    "o_a8b_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid
+         FROM orders
+         GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "o_a8c_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+         ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "o_a11_pivot" ->
+      """SELECT user_id,
+                COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+                COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+                COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+                COUNT(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
 
     "o_a9_counts" ->
       """SELECT tbl, n FROM (

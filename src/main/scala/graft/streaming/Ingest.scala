@@ -25,6 +25,22 @@ object JsonPayloadDecoder extends EventDecoder {
     df.withColumn("decoded", from_json(col("payload"), schema))
 }
 
+/** True protobuf wire decode: payload is base64-encoded proto3 bytes
+  * (binary transport through the JSON-lines file source; a Kafka source
+  * would hand us the raw bytes directly). Wire parse happens in
+  * [[ProtoWire.decodeToJson]]; typing/null handling stays in Catalyst
+  * via from_json. Parse failures → null → DLQ (Term analog). */
+object ProtoPayloadDecoder extends EventDecoder {
+  def decode(df: DataFrame, schema: StructType): DataFrame = {
+    val parse = udf { (b: Array[Byte]) =>
+      if (b == null) null
+      else try ProtoWire.decodeToJson(b, schema)
+      catch { case _: Exception => null }
+    }
+    df.withColumn("decoded", from_json(parse(unbase64(col("payload"))), schema))
+  }
+}
+
 /** The reference's ingestion dataflow (src/main.rs + src/handler.rs) as
   * Structured Streaming:
   *

@@ -1,0 +1,157 @@
+package graft.streaming
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.types._
+
+/** Minimal proto3 wire-format codec, schema-driven.
+  *
+  * The reference inserts concatenated protobuf messages bound by
+  * `format_schema='dto.proto:<Msg>'` (src/click_house.rs:75-78); this is
+  * the equivalent decode for our engine, hand-rolled because the
+  * spark-protobuf jar is absent in this environment (SURVEY §7 hard
+  * part 1). Wire format per the public protobuf encoding spec:
+  * tag = (fieldNumber << 3) | wireType; wireType 0 = varint,
+  * 2 = length-delimited. Field numbering follows dto.proto: envelope
+  * fields 1..16, per-table extras in declaration order from 17
+  * (SURVEY §1.4 "fields 1-16 of every proto message").
+  *
+  * Supported field types (the complete set used by the reference DDL,
+  * SURVEY §1.3): string, int64, int32, bool, repeated string.
+  *
+  * Decode failures (truncated varint/body, unknown field number, wrong
+  * wire type) throw — the permanent "Cannot parse" class that the
+  * reference dead-letters with AckKind::Term (src/handler.rs:206-212).
+  */
+object ProtoWire {
+
+  final class ProtoParseException(msg: String) extends RuntimeException(msg)
+
+  // ------------------------------ encode ------------------------------
+
+  private def writeVarint(out: ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+
+  private def writeLen(out: ByteArrayOutputStream, field: Int, bytes: Array[Byte]): Unit = {
+    writeVarint(out, (field.toLong << 3) | 2L)
+    writeVarint(out, bytes.length.toLong)
+    out.write(bytes)
+  }
+
+  /** Encode one message; `values` positionally matches `schema` (proto3
+    * semantics: default values — ""/0/false/empty — are omitted). */
+  def encode(values: Seq[Any], schema: StructType): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val field = i + 1
+      (f.dataType, values(i)) match {
+        case (_, null) => ()
+        case (StringType, s: String) if s.nonEmpty =>
+          writeLen(out, field, s.getBytes(StandardCharsets.UTF_8))
+        case (StringType, _) => ()
+        case (LongType, v: Long) if v != 0L =>
+          writeVarint(out, (field.toLong << 3)); writeVarint(out, v)
+        case (LongType, _) => ()
+        case (IntegerType, v: Int) if v != 0 =>
+          writeVarint(out, (field.toLong << 3)); writeVarint(out, v.toLong)
+        case (IntegerType, _) => ()
+        case (BooleanType, v: Boolean) if v =>
+          writeVarint(out, (field.toLong << 3)); writeVarint(out, 1L)
+        case (BooleanType, _) => ()
+        case (ArrayType(StringType, _), xs: Seq[_]) =>
+          xs.foreach(x => writeLen(out, field, x.toString.getBytes(StandardCharsets.UTF_8)))
+        case (dt, v) =>
+          throw new ProtoParseException(s"unsupported encode type $dt for value $v")
+      }
+    }
+    out.toByteArray
+  }
+
+  // ------------------------------ decode ------------------------------
+
+  private final class Reader(bytes: Array[Byte]) {
+    var pos = 0
+    def hasMore: Boolean = pos < bytes.length
+    def varint(): Long = {
+      var shift = 0; var res = 0L
+      while (true) {
+        if (pos >= bytes.length) throw new ProtoParseException("truncated varint")
+        val b = bytes(pos); pos += 1
+        res |= (b & 0x7fL) << shift
+        if ((b & 0x80) == 0) return res
+        shift += 7
+        if (shift > 63) throw new ProtoParseException("varint too long")
+      }
+      res
+    }
+    def lenDelimited(): Array[Byte] = {
+      val n = varint()
+      if (n < 0 || pos + n > bytes.length) throw new ProtoParseException("truncated body")
+      val r = java.util.Arrays.copyOfRange(bytes, pos, pos + n.toInt)
+      pos += n.toInt
+      r
+    }
+  }
+
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"'  => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Decode one message to a JSON object string matching `schema`
+    * (feeds from_json — keeps typing/null handling in Catalyst).
+    * proto3 defaults: absent fields simply don't appear; the ingest
+    * fills ""/0/false downstream (FIXTURES.md invariant 4). */
+  def decodeToJson(bytes: Array[Byte], schema: StructType): String = {
+    val r = new Reader(bytes)
+    val scalar = new Array[Any](schema.length)
+    val repeated = Array.fill(schema.length)(List.empty[String])
+    while (r.hasMore) {
+      val tag = r.varint()
+      val field = (tag >>> 3).toInt
+      val wire = (tag & 7).toInt
+      if (field < 1 || field > schema.length)
+        throw new ProtoParseException(s"unknown field number $field")
+      val f = schema.fields(field - 1)
+      (f.dataType, wire) match {
+        case (StringType, 2) =>
+          scalar(field - 1) = new String(r.lenDelimited(), StandardCharsets.UTF_8)
+        case (ArrayType(StringType, _), 2) =>
+          repeated(field - 1) :+= new String(r.lenDelimited(), StandardCharsets.UTF_8)
+        case (LongType, 0)    => scalar(field - 1) = r.varint()
+        case (IntegerType, 0) => scalar(field - 1) = r.varint().toInt
+        case (BooleanType, 0) => scalar(field - 1) = r.varint() != 0L
+        case (dt, w) =>
+          throw new ProtoParseException(s"wire type $w does not match ${f.name}: $dt")
+      }
+    }
+    val sb = new StringBuilder("{")
+    var first = true
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val part = f.dataType match {
+        case ArrayType(StringType, _) if repeated(i).nonEmpty =>
+          Some(repeated(i).map(s => "\"" + jsonEscape(s) + "\"").mkString("[", ",", "]"))
+        case StringType if scalar(i) != null =>
+          Some("\"" + jsonEscape(scalar(i).asInstanceOf[String]) + "\"")
+        case (LongType | IntegerType | BooleanType) if scalar(i) != null =>
+          Some(scalar(i).toString)
+        case _ => None
+      }
+      part.foreach { p =>
+        if (!first) sb.append(',')
+        sb.append('"').append(f.name).append("\":").append(p)
+        first = false
+      }
+    }
+    sb.append('}').toString
+  }
+}
