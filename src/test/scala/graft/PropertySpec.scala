@@ -1,0 +1,91 @@
+package graft
+
+import graft.streaming.{EventSchemas, Ingest, ProtoWire}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based laws (SURVEY §5.3): dedup idempotence, batching
+  * invariance (any micro-batch split yields the same final table —
+  * mirrors the reference's at-least-once batcher, src/handler.rs:140-163),
+  * and protobuf wire round-trip over generated events. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  /** Deterministic stand-in for forAll: sample `gen` across fixed seeds. */
+  private def forSeeds[T](gen: Gen[T], n: Int)(body: T => Unit): Unit =
+    (1 to n).foreach { i =>
+      body(gen.apply(Gen.Parameters.default, Seed(i.toLong))
+        .getOrElse(fail(s"gen failed for seed $i")))
+    }
+
+  private val loginSchema = EventSchemas.tables("login_events")
+
+  private val eventGen: Gen[Seq[Any]] = for {
+    id <- Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(12))
+    user <- Gen.choose(1, 50)
+    ts <- Gen.choose(1726300800L, 1726400000L)
+    platform <- Gen.oneOf("android", "ios", "web", "")
+    res <- Gen.oneOf("1920x1080", "1080x2400", "")
+  } yield Seq(s"e-$id", "login", s"u-$user", "s-1", "a-1", ts, "web",
+    platform, "14", "android", "14", "chrome", "128", "mobile", res, "UA")
+
+  test("protobuf wire round-trip is lossless for generated events") {
+    forSeeds(Gen.listOfN(20, eventGen), 10) { events =>
+      events.foreach { v =>
+        val json = ProtoWire.decodeToJson(ProtoWire.encode(v, loginSchema), loginSchema)
+        val row = spark.range(1)
+          .select(from_json(lit(json), loginSchema).as("d")).select("d.*").head()
+        // proto3 defaults: "" encodes to nothing and decodes to null;
+        // non-defaults round-trip exactly.
+        loginSchema.fields.zipWithIndex.foreach { case (f, i) =>
+          val expected = v(i) match {
+            case "" => null
+            case x  => x
+          }
+          assert(row.get(i) == expected, s"field ${f.name}: ${row.get(i)} != $expected")
+        }
+      }
+    }
+  }
+
+  test("batching invariance: any split into micro-batches yields the same table") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("prop").toString
+    val rows = (1 to 40).map { i =>
+      ("events.login",
+        s"""{"event_id":"e-$i","event_name":"login","user_id":"u-${i % 7}","session_id":"s",
+           |"anonymous_id":"a","timestamp":${1726300800L + i},"service_origin":"w","platform":"p",
+           |"platform_version":"1","os_name":"o","os_version":"1","browser_name":"b",
+           |"browser_version":"1","device_type":"d","screen_resolution":"r","user_agent":"u"}"""
+          .stripMargin.replaceAll("\n", ""))
+    }
+    // split A: one batch; split B: 4 uneven batches
+    val outA = s"$base/outA"; val outB = s"$base/outB"
+    Ingest.ingestBatch(rows.toDF("subject", "payload"), outA)
+    Seq(rows.take(3), rows.slice(3, 17), rows.slice(17, 18), rows.drop(18))
+      .foreach(chunk => Ingest.ingestBatch(chunk.toDF("subject", "payload"), outB))
+    val a = spark.read.parquet(s"$outA/login_events")
+      .select("event_id", "user_id", "timestamp").collect().map(_.toString).sorted
+    val b = spark.read.parquet(s"$outB/login_events")
+      .select("event_id", "user_id", "timestamp").collect().map(_.toString).sorted
+    assert(a.sameElements(b), "content must be independent of micro-batch boundaries")
+  }
+
+  test("dedup idempotence and order-insensitivity over random duplicates") {
+    import spark.implicits._
+    forSeeds(Gen.listOfN(60, Gen.choose(1, 20)), 5) { ids =>
+      val df = ids.zipWithIndex
+        .map { case (id, i) => (s"e-$id", 1726300800L + i) }
+        .toDF("event_id", "ts")
+      val d1 = df.dropDuplicates(Seq("event_id"))
+      assert(d1.count() == ids.distinct.size)
+      assert(d1.dropDuplicates(Seq("event_id")).count() == d1.count())
+      // shuffled input produces the same key set
+      val d2 = df.orderBy(rand(42)).dropDuplicates(Seq("event_id"))
+      assert(d2.select("event_id").collect().map(_.getString(0)).sorted
+        .sameElements(d1.select("event_id").collect().map(_.getString(0)).sorted))
+    }
+  }
+}
