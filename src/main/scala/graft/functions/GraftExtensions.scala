@@ -11,10 +11,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * with [[GraftExtensions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.specs.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectPostHocResolutionRule(_ => graft.plans.CollapseDedup)
+  }
 }
 
 object GraftExtensions {
@@ -28,7 +30,9 @@ object GraftExtensions {
       new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash64"),
       (es: Seq[Expression]) => RollingHash64(es.head)))
 
-  /** Runtime registration for sessions built without the extension. */
+  /** Runtime registration for sessions built without the extension
+    * (functions only — analyzer rules can't be added to a live session;
+    * CollapseDedup needs the `spark.sql.extensions` path). */
   def register(spark: SparkSession): Unit =
     specs.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry

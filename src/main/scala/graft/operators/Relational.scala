@@ -468,6 +468,22 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // S-PING: health check (GET /ping ⇒ "Ok.", src/click_house.rs:46-59).
+    "s_ping" -> ((s, _) => {
+      import s.implicits._
+      Seq("Ok.").toDF("ping")
+    }),
+
+    // O-A4b: approximate quantiles — the 100 TB path for O-A4 (single
+    // pass, mergeable sketches; exact percentile needs a global sort of
+    // the group). No oracle: approximation is engine-specific.
+    "o_a4b_quantile_approx" -> ((s, d) => {
+      Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+          expr("percentile_approx(l_quantity, 0.5, 1000)").as("p50_approx"),
+          expr("percentile_approx(l_quantity, 0.9, 1000)").as("p90_approx"))
+        .orderBy("l_returnflag")
+    }),
+
     // S-ROUTE: subject→table demultiplex as a batch CASE fanout
     // (src/handler.rs:9-55; unroutable ⇒ dead-letter, src/main.rs:68-72).
     "s_route_fanout" -> ((s, d) => {
@@ -745,6 +761,8 @@ object Relational {
     "o_x8_hash" ->
       """SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha256
          FROM customer ORDER BY c_custkey""",
+
+    "s_ping" -> "SELECT 'Ok.' AS ping",
 
     "s_scan1_pushdown" ->
       """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
