@@ -72,6 +72,50 @@ object Similarity {
         .orderBy("q_id", "rnk")
     }),
 
+    // IVF (inverted-file) ANN: k-means coarse quantizer → search only the
+    // n_probe closest cells. The centroid table is tiny and broadcast;
+    // the big side is scanned once to assign cells (linear), then probed
+    // per query — the standard sub-linear ANN layout at corpus scale.
+    // Rows-only (clustering is engine-internal); SimilaritySpec measures
+    // recall against brute force.
+    "d_ann_ivf" -> ((s, d) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val nCells = 8; val nProbe = 2
+      val e = Tables.embeddings(s, d)
+        .withColumn("features", array_to_vector(col("embedding").cast("array<double>")))
+        .persist()
+      val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(10)
+        .fit(e.select("features"))
+      val assigned = model.transform(e).withColumnRenamed("prediction", "cell")
+      // n_probe nearest cells per query vector, by distance to centroids
+      val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray)
+      }.toSeq
+      val cDf = s.createDataFrame(centroids).toDF("cell", "centroid")
+      val q = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        .withColumn("qn", norm("qv"))
+      val qCells = q.crossJoin(broadcast(cDf))
+        .withColumn("dist", expr(
+          """aggregate(zip_with(qv, centroid, (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),
+                       0D, (acc, v) -> acc + v)"""))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("dist"), col("cell"))))
+        .filter(col("rk") <= nProbe)
+        .select(col("q_id"), col("qv"), col("qn"), col("cell"))
+      val cand = assigned.select(col("vec_id").as("n_id"), col("embedding").as("nv"),
+        col("cell")).withColumn("nn", norm("nv"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+      cand.join(broadcast(qCells), Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", round(dot("qv", "nv") / (col("qn") * col("nn")), 4))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("n_id"), col("cos"))
+        .orderBy("q_id", "rnk")
+    }),
+
     // Embedding-cosine near-duplicate pairs (the "semantic dedup" shape):
     // all pairs above a cosine threshold, via the same broadcast pattern
     // over a bounded probe slice.

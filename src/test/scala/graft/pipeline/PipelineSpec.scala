@@ -53,6 +53,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf ann: scores agree with brute force, recall is reasonable") {
+    val brute = Similarity.queries("d_knn_cosine")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivf = Similarity.queries("d_ann_ivf")(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    // every IVF hit must carry the exact brute-force cosine when present
+    ivf.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(2)))
+        .foreach(c => assert(c == r.getDouble(3)))
+    }
+    // recall@5 vs brute force over the probed queries (2/8 cells probed on
+    // unclustered random vectors ⇒ expect roughly ≥ 0.15)
+    val bruteTop = brute.keySet
+    val hit = ivf.count(r => bruteTop.contains((r.getLong(0), r.getLong(2))))
+    val recall = hit.toDouble / bruteTop.size
+    assert(recall >= 0.1, s"ivf recall too low: $recall")
+  }
+
   test("multimodal feature extraction: schema, determinism, batching") {
     val docs = Tables.documents(spark, sf)
     val feats = Multimodal.extractFeatures(Multimodal.asMedia(docs), batchSize = 7)
