@@ -13,7 +13,12 @@ import org.apache.spark.sql.functions.expr
   */
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    // events must always route through the nanos-normalizing loader;
+    // a raw read of it is order-dependent (works only if some earlier
+    // query already set the nanosAsLong conf) and otherwise throws
+    // PARQUET_TYPE_ILLEGAL.
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
 
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
@@ -30,7 +35,8 @@ object Tables {
     * ts filters pushdown-eligible. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    s.read.parquet(s"$d/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
