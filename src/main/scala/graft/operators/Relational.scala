@@ -432,6 +432,14 @@ object Relational {
         .orderBy("doc_id")
     }),
 
+    // O-X5b: generator/UDTF surface — posexplode (ClickHouse arrayJoin,
+    // migrations/009:24-27), bounded slice for output size.
+    "o_x5b_explode" -> ((s, d) => {
+      Tables.documents(s, d).filter(col("doc_id") < 20)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .orderBy("doc_id", "pos")
+    }),
+
     // O-X6: map via from_json (props JSON plays the Map role, FIXTURES.md).
     "o_x6_map" -> ((s, d) => {
       Tables.events(s, d)
@@ -747,6 +755,12 @@ object Relational {
                 CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq,
                 array_to_string(list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 5), ',') AS top5
          FROM documents ORDER BY doc_id""",
+
+    "o_x5b_explode" ->
+      """SELECT doc_id, CAST(i - 1 AS INT) AS pos, w[i] AS word
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 20),
+              unnest(generate_series(1, len(w))) AS t(i)
+         ORDER BY doc_id, pos""",
 
     "o_x6_map" ->
       """SELECT event_id,

@@ -47,6 +47,37 @@ class StreamingAggSpec extends AnyFunSuite {
     assert(out.contains((h0, "watch", 1L)))
   }
 
+  test("query progress is observable and stop() drains cleanly (O-T7)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val progressed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val terminated = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        progressed.incrementAndGet()
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        terminated.set(true)
+    }
+    spark.streams.addListener(listener)
+    try {
+      val ms = MemoryStream[(String, Timestamp)]
+      val q = StreamingAgg.gapSessions(ms.toDF().toDF("user_id", "timestamp"))
+        .writeStream.format("memory").queryName("drain_out")
+        .outputMode("append").start()
+      ms.addData(("u1", ts(0)))
+      q.processAllAvailable()
+      q.stop() // graceful drain (ctrl-c → flush_all analog, src/main.rs:93-106)
+      q.awaitTermination(30000)
+      // listener events are async; poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (!(terminated.get && progressed.get > 0) && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(progressed.get > 0, "no progress events observed")
+      assert(terminated.get, "no termination event observed")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("streaming gap sessions close on inactivity (O-T10)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
