@@ -122,15 +122,22 @@ object Ingest {
 
   /** Start the streaming pipeline over a JSON-lines directory source
     * (this env has no Kafka/NATS connector; the source swap is one line).
-    * Input schema: {"subject": "...", "payload": "<json event>"}. */
+    * Input schema: {"subject": "...", "payload": "<json event>"}.
+    *
+    * Backpressure mirrors the reference's flush envelope (O-T2/O-T6):
+    * `maxBytesPerTrigger` = the 60 MB per-flush byte cap
+    * (config/default.toml:42), the 1-second trigger = flush_interval_ms
+    * (default.toml:43). Row-count capping (max_rows=100k) has no direct
+    * file-source knob — the byte cap bounds the same resource. */
   def start(spark: SparkSession, inputDir: String, outDir: String,
             checkpointDir: String,
             decoder: EventDecoder = JsonPayloadDecoder,
-            trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+            trigger: Trigger = Trigger.ProcessingTime("1 second"),
+            maxBytesPerTrigger: Long = 60L * 1000 * 1000): StreamingQuery = {
     val in = spark.readStream
       .schema(StructType(Seq(
         StructField("subject", StringType), StructField("payload", StringType))))
-      .option("maxFilesPerTrigger", 16) // backpressure (O-T6 analog)
+      .option("maxBytesPerTrigger", maxBytesPerTrigger)
       .json(inputDir)
     in.writeStream
       .queryName("graft-ingest")
