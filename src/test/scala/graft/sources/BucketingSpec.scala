@@ -35,4 +35,19 @@ class BucketingSpec extends AnyFunSuite {
     assert(unbucketed.queryExecution.executedPlan.toString
       .contains("Exchange hashpartitioning"))
   }
+
+  test("ANALYZE TABLE feeds CBO cardinalities (SURVEY §4.2 join reorder)") {
+    spark.sql("DROP TABLE IF EXISTS stats_demo")
+    val loc = new java.io.File("spark-warehouse/stats_demo")
+    if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    Tables.nation(spark, sf).write.saveAsTable("stats_demo")
+    // without stats: only size-in-bytes estimates
+    spark.sql("ANALYZE TABLE stats_demo COMPUTE STATISTICS FOR COLUMNS n_nationkey, n_regionkey")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.table("stats_demo").queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(25)), s"expected rowCount=25, got $stats")
+      assert(stats.attributeStats.nonEmpty, "expected per-column stats for the CBO")
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
 }
