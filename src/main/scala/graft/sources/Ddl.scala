@@ -30,10 +30,23 @@ object Ddl {
       val cols = tableSchema(table).fields
         .filterNot(_.name == "event_date")
         .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      // materialize the location so MSCK/scans never hit a missing dir
+      val loc = new org.apache.hadoop.fs.Path(s"$rootDir/$table")
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(loc)
       spark.sql(
         s"""CREATE TABLE IF NOT EXISTS $table ($cols, `event_date` DATE)
             USING parquet
             PARTITIONED BY (event_date)
             LOCATION '$rootDir/$table'""")
+    }
+
+  /** Register partitions the streaming Ingest wrote directly to the
+    * table locations (path-based writes bypass the catalog's partition
+    * metadata — MSCK discovers the event_date directories). Run after
+    * createEventTables over an ingest output dir, or on a schedule
+    * alongside Compaction. */
+  def repairEventTables(spark: SparkSession): Unit =
+    EventSchemas.tables.keys.foreach { table =>
+      spark.sql(s"MSCK REPAIR TABLE $table")
     }
 }
