@@ -47,7 +47,9 @@ object TextDedup {
     // n-gram (bigram) Jaccard near-dup pairs — exact quadratic verifier on
     // a bounded slice (doc_id < 200). The LSH query below is the scale path.
     "d_dedup_ngram" -> ((s, d) => {
-      val t = tokens(s, d).filter(col("doc_id") < 200).persist()
+      // Slice bound covers the planted near-dup pairs at every SF (pairs
+      // like 8↔245 straddle 200); stays quadratic-bounded at sf0.1+.
+      val t = tokens(s, d).filter(col("doc_id") < 500).persist()
       val sz = t.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = t.as("a").join(t.as("b"),
           col("a.bg") === col("b.bg") && col("a.doc_id") < col("b.doc_id"))
@@ -112,8 +114,18 @@ object TextDedup {
     // TextDedupSpec cross-checks against the minhash pairs.
     "d_dedup_simhash" -> ((s, d) => {
       graft.functions.GraftExtensions.register(s)
+      // Hash the bigram token stream, not raw words: with this corpus's
+      // ~31-word vocabulary nearly all docs share most words, so word-level
+      // simhashes collide en masse (79k pairs at sf0.1); bigrams carry the
+      // same discriminating signal the minhash pipeline shingles on.
       val docs = Tables.documents(s, d)
-        .select(col("doc_id"), expr("simhash64(lower(text))").as("sh"))
+        .withColumn("words", split(lower(col("text")), " "))
+        .select(col("doc_id"),
+          expr("simhash64(array_join(" +
+            """CASE WHEN size(words) >= 2
+                 THEN transform(sequence(1, size(words) - 1),
+                        i -> concat(element_at(words, i), '_', element_at(words, i + 1)))
+                 ELSE words END, ' '))""").as("sh"))
       val chunks = docs.select(col("doc_id"), col("sh"),
         explode(expr(
           """transform(sequence(0, 3),
@@ -150,7 +162,7 @@ object TextDedup {
 
     "d_dedup_ngram" ->
       s"""WITH $bigramCte,
-          t AS (SELECT * FROM toks WHERE doc_id < 200),
+          t AS (SELECT * FROM toks WHERE doc_id < 500),
           sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY 1),
           pairs AS (
             SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
