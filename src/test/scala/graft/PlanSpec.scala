@@ -46,6 +46,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), "agg should run inside whole-stage codegen")
   }
 
+  test("o_w2: rank filter gets the WindowGroupLimit physical path (LIMIT BY)") {
+    val p = plan("o_w2_topn")
+    // Spark's InferWindowGroupLimit turns rn<=k into a per-group limit
+    // pushed below the window — the efficient ClickHouse LIMIT-BY shape.
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$p")
+  }
+
   test("o_s3: top-k fuses to TakeOrderedAndProject (no global sort)") {
     val p = plan("o_s3_topk")
     assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject in:\n$p")
