@@ -43,6 +43,25 @@ class CatalogSpec extends AnyFunSuite {
     assert(empties.isEmpty, s"empty results: $empties")
   }
 
+  test("approx aggregates land within tolerance of exact (rows-only gate)") {
+    // approx_count_distinct (rsd=0.02) vs exact DAU
+    val exact = SparkEntry.queries("o_a2_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    SparkEntry.queries("o_a3_approx_distinct")(spark, sf).collect().foreach { r =>
+      val (t, approx) = (r.getString(0), r.getLong(1))
+      val e = exact(t).toDouble
+      assert(math.abs(approx - e) / e <= 0.1, s"$t: approx $approx vs exact $e")
+    }
+    // percentile_approx vs exact percentile
+    val exactQ = SparkEntry.queries("o_a4_quantile")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    SparkEntry.queries("o_a4b_quantile_approx")(spark, sf).collect().foreach { r =>
+      val (f, p50, p90) = (r.getString(0), r.getDouble(1), r.getDouble(2))
+      assert(math.abs(p50 - exactQ(f)._1) <= 2.0, s"$f p50: $p50 vs ${exactQ(f)._1}")
+      assert(math.abs(p90 - exactQ(f)._2) <= 2.0, s"$f p90: $p90 vs ${exactQ(f)._2}")
+    }
+  }
+
   test("dedup is idempotent (O-W1 law)") {
     import org.apache.spark.sql.functions._
     val e = Tables.events(spark, sf)
