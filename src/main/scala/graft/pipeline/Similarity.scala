@@ -107,13 +107,13 @@ object Similarity {
       val cand = assigned.select(col("vec_id").as("n_id"), col("embedding").as("nv"),
         col("cell")).withColumn("nn", norm("nv"))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-      cand.join(broadcast(qCells), Seq("cell"))
+      Materialize.drop(cand.join(broadcast(qCells), Seq("cell"))
         .filter(col("q_id") =!= col("n_id"))
         .withColumn("cos", round(dot("qv", "nv") / (col("qn") * col("nn")), 4))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
         .select(col("q_id"), col("rnk"), col("n_id"), col("cos"))
-        .orderBy("q_id", "rnk")
+        .orderBy("q_id", "rnk"), e)
     }),
 
     // Embedding-cosine near-duplicate pairs (the "semantic dedup" shape):

@@ -55,13 +55,13 @@ object TextDedup {
           col("a.bg") === col("b.bg") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .agg(count(lit(1)).as("inter"))
-      inter
+      Materialize.drop(inter
         .join(broadcast(sz).as("sa"), col("da") === col("sa.doc_id"))
         .join(broadcast(sz).as("sb"), col("db") === col("sb.doc_id"))
         .select(col("da"), col("db"),
           round(col("inter") / (col("sa.n") + col("sb.n") - col("inter")), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
-        .orderBy("da", "db")
+        .orderBy("da", "db"), t)
     }),
 
     // MinHash + LSH near-dup detection: 8 minhashes, 4 bands × 2 rows;
@@ -73,12 +73,20 @@ object TextDedup {
       // (~n_docs × shingles rows; at cluster scale this is a persisted
       // intermediate table, same idea.)
       val t = tokens(s, d).persist()
+      // The shingle ALPHABET is tiny (vocab² bigrams ≈ 1k distinct values)
+      // while the token table is |docs|×|shingles| — so the 8 seeded md5s
+      // are computed once per DISTINCT shingle into a broadcast dim and
+      // joined back, turning 8·|tokens| md5 calls into 8·|alphabet|.
+      val bgHash = t.select("bg").distinct().select(
+        col("bg") +: (0 until 8).map(i =>
+          substring(md5(concat(lit(s"$i|"), col("bg")).cast("binary")), 1, 16)
+            .as(s"bh$i")): _*)
       // All 8 minhashes in ONE hash aggregate keyed by doc_id: the 8 mins
       // combine map-side (partial min), so the only shuffle carries one
       // row per (doc × 8 hashes) instead of 8 exploded rows per token.
-      val hs = (0 until 8).map(i =>
-        min(substring(md5(concat(lit(s"$i|"), col("bg")).cast("binary")), 1, 16)).as(s"h$i"))
-      val sigs = t.groupBy("doc_id").agg(hs.head, hs.tail: _*)
+      val hs = (0 until 8).map(i => min(col(s"bh$i")).as(s"h$i"))
+      val sigs = t.join(broadcast(bgHash), "bg")
+        .groupBy("doc_id").agg(hs.head, hs.tail: _*)
       // band b ⇒ seeds {b, b+4} in seed order (matches the oracle's
       // string_agg ORDER BY seed).
       val bands = sigs.select(col("doc_id"), explode(expr(
@@ -93,17 +101,24 @@ object TextDedup {
         .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
         .distinct()
       val sz = t.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = cands
+      // Candidate pairs are ≪ corpus by LSH construction — broadcast them
+      // through both verification joins so the big token table is only
+      // ever scanned (from cache), never shuffled. (If a corpus ever
+      // produced a non-broadcastable candidate set, dropping the hints
+      // falls back to shuffle joins with no other change.)
+      val withA = broadcast(cands)
         .join(t.as("ta"), col("da") === col("ta.doc_id"))
-        .join(t.as("tb"), col("db") === col("tb.doc_id") && col("ta.bg") === col("tb.bg"))
+        .select(col("da"), col("db"), col("ta.bg").as("cand_bg"))
+      val inter = broadcast(withA)
+        .join(t.as("tb"), col("db") === col("tb.doc_id") && col("cand_bg") === col("tb.bg"))
         .groupBy("da", "db").agg(count(lit(1)).as("inter"))
-      inter
+      Materialize.drop(inter
         .join(broadcast(sz).as("sa"), col("da") === col("sa.doc_id"))
         .join(broadcast(sz).as("sb"), col("db") === col("sb.doc_id"))
         .select(col("da"), col("db"),
           round(col("inter") / (col("sa.n") + col("sb.n") - col("inter")), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
-        .orderBy("da", "db")
+        .orderBy("da", "db"), t)
     }),
 
     // SimHash near-dup pairs via the native codegen'd SimHash64
@@ -133,16 +148,18 @@ object TextDedup {
                            CAST(shiftrightunsigned(sh, i * 16) & 65535 AS INT) AS ck))"""))
           .as("c"))
         .select(col("doc_id"), col("sh"), col("c.ci").as("ci"), col("c.ck").as("ck"))
-      val cands = chunks.as("a").join(chunks.as("b"),
+      // hamming is computed and filtered BEFORE the dedup-distinct: on a
+      // low-entropy corpus most chunk collisions fail the distance test,
+      // so filtering first shrinks the distinct's shuffle input from
+      // |collisions| to |near-dups| (hamming is a function of the pair, so
+      // the result set is unchanged).
+      chunks.as("a").join(chunks.as("b"),
           col("a.ci") === col("b.ci") && col("a.ck") === col("b.ck") &&
             col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("a.sh").as("sa"),
-          col("b.doc_id").as("db"), col("b.sh").as("sb"))
-        .distinct()
-      cands
-        .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
         .filter(col("hamming") <= 8)
-        .select(col("da"), col("db"), col("hamming"))
+        .distinct()
         .orderBy("da", "db")
     })
   )

@@ -48,15 +48,24 @@ object Compaction {
     val tmp = new Path(path.getParent, s".${path.getName}_compact_tmp")
     fs.delete(tmp, true)
 
+    // Range-partition over (partition col ++ sort cols): output splits are
+    // bounded by nFiles regardless of how many rows share one date — a
+    // hash-by-date repartition would cap non-empty outputs at the number of
+    // distinct dates and ignore targetBytes within a hot date. Ranges also
+    // cluster each date's rows contiguously, so per-date file counts stay
+    // proportional to per-date bytes and the within-partition sort keeps
+    // row-group min/max stats tight.
     val writer = partitionCol match {
       case Some(pc) if df.columns.contains(pc) =>
-        df.repartition(nFiles, col(pc))
-          .sortWithinPartitions((pc +: sortCols.filter(df.columns.contains))
-            .map(col): _*)
+        val keys = (pc +: sortCols.filter(df.columns.contains)).map(col)
+        df.repartitionByRange(nFiles, keys: _*)
+          .sortWithinPartitions(keys: _*)
           .write.partitionBy(pc)
       case _ =>
-        df.repartition(nFiles)
-          .sortWithinPartitions(sortCols.filter(df.columns.contains).map(col): _*)
+        val keys = sortCols.filter(df.columns.contains).map(col)
+        (if (keys.nonEmpty) df.repartitionByRange(nFiles, keys: _*)
+         else df.repartition(nFiles))
+          .sortWithinPartitions(keys: _*)
           .write
     }
     writer.mode("overwrite").parquet(tmp.toString)

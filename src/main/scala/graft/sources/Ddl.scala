@@ -14,13 +14,16 @@ import org.apache.spark.sql.types._
 object Ddl {
 
   /** Catalog (storage) schema for a table: wire schema with the epoch-
-    * seconds `timestamp` promoted to TimestampType + event_date partition. */
+    * seconds `timestamp` promoted to TimestampType + the two partition
+    * columns the ingest sink lays down — event_date (pruning axis) over
+    * ingest_batch (idempotent-replay axis, see [[graft.streaming.Ingest]]). */
   def tableSchema(table: String): StructType = {
     val wire = EventSchemas.tables(table)
     StructType(wire.fields.map {
       case StructField("timestamp", LongType, n, m) => StructField("timestamp", TimestampType, n, m)
       case f => f
-    } :+ StructField("event_date", DateType, nullable = true))
+    } :+ StructField("event_date", DateType, nullable = true)
+      :+ StructField("ingest_batch", LongType, nullable = true))
   }
 
   /** CREATE TABLE IF NOT EXISTS for all 9 event tables under `rootDir`.
@@ -28,15 +31,16 @@ object Ddl {
   def createEventTables(spark: SparkSession, rootDir: String): Unit =
     EventSchemas.tables.keys.foreach { table =>
       val cols = tableSchema(table).fields
-        .filterNot(_.name == "event_date")
+        .filterNot(f => f.name == "event_date" || f.name == "ingest_batch")
         .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
       // materialize the location so MSCK/scans never hit a missing dir
       val loc = new org.apache.hadoop.fs.Path(s"$rootDir/$table")
       loc.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(loc)
       spark.sql(
-        s"""CREATE TABLE IF NOT EXISTS $table ($cols, `event_date` DATE)
+        s"""CREATE TABLE IF NOT EXISTS $table
+            ($cols, `event_date` DATE, `ingest_batch` BIGINT)
             USING parquet
-            PARTITIONED BY (event_date)
+            PARTITIONED BY (event_date, ingest_batch)
             LOCATION '$rootDir/$table'""")
     }
 

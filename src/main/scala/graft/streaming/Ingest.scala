@@ -49,7 +49,16 @@ object ProtoPayloadDecoder extends EventDecoder {
   *   row/byte/time flush      → Trigger (time-based; byte thresholds are
   *                              approximated by source rate options —
   *                              SURVEY O-T2 documents the difference)
-  *   ack-after-insert         → checkpointed exactly-once file sink
+  *   ack-after-insert         → checkpoint + IDEMPOTENT batch writes:
+  *                              each micro-batch lands in its own
+  *                              `ingest_batch=<id>` partition directory
+  *                              written with overwrite mode, so checkpoint
+  *                              replay after a mid-batch crash rewrites
+  *                              exactly that batch's output instead of
+  *                              appending duplicates — end-to-end
+  *                              effectively-once, same recipe as the
+  *                              reference's ack-after-insert (at-least-once
+  *                              delivery + dedup-friendly storage; O-W1)
   *   Term vs Nak (:206-212)   → decode failures & unroutable subjects to
   *                              `_dlq` with a reason; transient failures
   *                              retried via checkpoint replay
@@ -64,36 +73,60 @@ object Ingest {
 
   val DlqTable = "_dlq"
 
+  /** Idempotent sink: every row carries an `ingest_batch` partition column
+    * (nested UNDER the leading partition axes, so date pruning is
+    * unaffected) and the write is a DYNAMIC partition overwrite — it
+    * replaces exactly the (…, ingest_batch=<id>) partitions this batch
+    * produces. Micro-batch contents are deterministic under checkpoint
+    * replay, so re-running a batch after a mid-batch crash rewrites the
+    * same partitions instead of appending duplicates. batchId < 0 (ad-hoc
+    * backfill outside a stream) falls back to plain append. */
+  private def sink(rows: DataFrame, table: String, outDir: String,
+                   batchId: Long, partitionCols: Seq[String]): Unit = {
+    val tagged = rows.withColumn("ingest_batch", lit(batchId))
+    val w =
+      if (batchId >= 0)
+        tagged.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      else tagged.write.mode("append")
+    w.partitionBy((partitionCols :+ "ingest_batch"): _*).parquet(s"$outDir/$table")
+  }
+
   /** One micro-batch of (subject, payload) through route→decode→write.
-    * Exposed for foreachBatch and for batch (backfill) reuse. */
+    * Exposed for foreachBatch and for batch (backfill) reuse.
+    *
+    * Job shape per micro-batch: ONE dead-letter write (unroutable subjects
+    * unioned with every table's decode failures) + one write per routed
+    * table — each subject's slice is decoded exactly once (persisted),
+    * shared by the DLQ union and the table write. No pre-count/isEmpty
+    * probes: an empty write is cheaper than the extra job. */
   def ingestBatch(batch: DataFrame, outDir: String,
-                  decoder: EventDecoder = JsonPayloadDecoder): Unit = {
-    val spark = batch.sparkSession
+                  decoder: EventDecoder = JsonPayloadDecoder,
+                  batchId: Long = -1L): Unit = {
     val routable = EventSchemas.routes.keys.toSeq
     val cached = batch.persist()
+    // A null struct or null event_id (= malformed under PERMISSIVE) is a
+    // permanent decode failure (Term analog, src/handler.rs:206-212).
+    val invalid = col("decoded").isNull || col("decoded.event_id").isNull
+    val decodedSlices = EventSchemas.routes.toSeq.map { case (subject, table) =>
+      val schema = EventSchemas.tables(table)
+      (table, schema,
+        decoder.decode(cached.filter(col("subject") === subject), schema).persist())
+    }
     try {
+      val asDlq = (reason: String) => Seq(col("subject"), col("payload"),
+        lit(reason).as("reason"), current_timestamp().as("dlq_ts"))
       // Unroutable ⇒ dead-letter (reference terminally drops with Term,
-      // src/main.rs:68-72; we keep the rows auditable in _dlq).
-      cached.filter(!col("subject").isin(routable: _*))
-        .select(col("subject"), col("payload"),
-          lit("unroutable_subject").as("reason"),
-          current_timestamp().as("dlq_ts"))
-        .write.mode("append").parquet(s"$outDir/$DlqTable")
+      // src/main.rs:68-72; we keep the rows auditable in _dlq), unioned
+      // with per-table decode failures into a single write. This one job
+      // also materializes every per-subject decode cache.
+      val dlq = decodedSlices
+        .map { case (_, _, d) => d.filter(invalid).select(asDlq("decode_error"): _*) }
+        .foldLeft(
+          cached.filter(!col("subject").isin(routable: _*))
+            .select(asDlq("unroutable_subject"): _*))(_ union _)
+      sink(dlq, DlqTable, outDir, batchId, Nil)
 
-      EventSchemas.routes.foreach { case (subject, table) =>
-        val schema = EventSchemas.tables(table)
-        val decoded = decoder.decode(
-          cached.filter(col("subject") === subject), schema)
-
-        // Permanent decode failures ⇒ _dlq (Term analog). A null struct
-        // or null event_id (= malformed under PERMISSIVE) is permanent.
-        val invalid = col("decoded").isNull || col("decoded.event_id").isNull
-        decoded.filter(invalid)
-          .select(col("subject"), col("payload"),
-            lit("decode_error").as("reason"),
-            current_timestamp().as("dlq_ts"))
-          .write.mode("append").parquet(s"$outDir/$DlqTable")
-
+      decodedSlices.foreach { case (table, schema, decoded) =>
         // proto3 default semantics: absent scalar fields become ""/0/false
         // (FIXTURES.md invariant 4); epoch seconds → TimestampType.
         val defaults: Map[String, Any] = schema.fields.collect {
@@ -107,17 +140,14 @@ object Ingest {
           .na.fill(defaults)
           .withColumn("timestamp", timestamp_seconds(col("timestamp")))
           .withColumn("event_date", to_date(col("timestamp")))
-
-        if (!rows.isEmpty) {
-          rows
-            .repartition(col("event_date"))
-            .sortWithinPartitions("event_date", "timestamp", "event_name")
-            .write.mode("append")
-            .partitionBy("event_date")
-            .parquet(s"$outDir/$table")
-        }
+          .repartition(col("event_date"))
+          .sortWithinPartitions("event_date", "timestamp", "event_name")
+        sink(rows, table, outDir, batchId, Seq("event_date"))
       }
-    } finally cached.unpersist()
+    } finally {
+      decodedSlices.foreach { case (_, _, d) => d.unpersist() }
+      cached.unpersist()
+    }
   }
 
   /** Start the streaming pipeline over a JSON-lines directory source
@@ -143,8 +173,8 @@ object Ingest {
       .queryName("graft-ingest")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestBatch(batch, outDir, decoder)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, outDir, decoder, batchId)
       }
       .start()
   }

@@ -16,7 +16,7 @@ class DdlSpec extends AnyFunSuite {
 
     // insert through SQL, read back through the catalog
     spark.sql("""
-      INSERT INTO login_events PARTITION (event_date='2024-09-14')
+      INSERT INTO login_events PARTITION (event_date='2024-09-14', ingest_batch=-1)
       SELECT 'e-1','login','u-1','s-1','a-1', TIMESTAMP '2024-09-14 10:00:00',
              'web','android','14','android','14','chrome','128','mobile',
              '1080x2400','UA'""")
