@@ -28,11 +28,18 @@ object TextDedup {
                         i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))
          ELSE array() END""")
 
-  private def tokens(s: SparkSession, d: String): DataFrame =
+  /** Exploded (doc_id, bigram) stream, duplicates retained — min-hash and
+    * collect_set are duplicate-insensitive, so the scale path never pays
+    * the distinct's shuffle. */
+  private def rawTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("words", split(col("text"), " "))
       .select(col("doc_id"), explode(bigramsCol).as("bg"))
-      .distinct()
+
+  /** Distinct (doc_id, bigram) rows — needed where a pairwise COUNT(*)
+    * stands in for set-intersection size (the n-gram verifier). */
+  private def tokens(s: SparkSession, d: String): DataFrame =
+    rawTokens(s, d).distinct()
 
   val queries: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy on a text fingerprint; keeper = min doc_id.
@@ -68,13 +75,12 @@ object TextDedup {
     // candidate pairs from band-bucket collisions, then exact Jaccard
     // verification on candidates only.
     "d_dedup_minhash" -> ((s, d) => {
-      // The token table feeds the signature agg AND both sides of the
-      // verification join — cache it rather than re-exploding 4×.
-      // (~n_docs × shingles rows; at cluster scale this is a persisted
-      // intermediate table, same idea.)
-      val t = tokens(s, d).persist()
+      // The exploded token stream feeds the signature agg AND the per-doc
+      // set table — cache it rather than re-exploding. (~n_docs × shingles
+      // rows; at cluster scale this is a persisted intermediate table.)
+      val t = rawTokens(s, d).persist()
       // The shingle ALPHABET is tiny (vocab² bigrams ≈ 1k distinct values)
-      // while the token table is |docs|×|shingles| — so the 8 seeded md5s
+      // while the token stream is |docs|×|shingles| — so the 8 seeded md5s
       // are computed once per DISTINCT shingle into a broadcast dim and
       // joined back, turning 8·|tokens| md5 calls into 8·|alphabet|.
       val bgHash = t.select("bg").distinct().select(
@@ -88,37 +94,39 @@ object TextDedup {
       val sigs = t.join(broadcast(bgHash), "bg")
         .groupBy("doc_id").agg(hs.head, hs.tail: _*)
       // band b ⇒ seeds {b, b+4} in seed order (matches the oracle's
-      // string_agg ORDER BY seed).
+      // string_agg ORDER BY seed). Persisted: it feeds BOTH sides of the
+      // bucket self-join, and without the cache each side would recompute
+      // the whole signature pipeline.
       val bands = sigs.select(col("doc_id"), explode(expr(
         """array(struct(0 AS band, concat(h0, h4) AS bkey),
                  struct(1 AS band, concat(h1, h5) AS bkey),
                  struct(2 AS band, concat(h2, h6) AS bkey),
                  struct(3 AS band, concat(h3, h7) AS bkey))""")).as("b"))
         .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+        .persist()
       val cands = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
         .distinct()
-      val sz = t.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // Candidate pairs are ≪ corpus by LSH construction — broadcast them
-      // through both verification joins so the big token table is only
-      // ever scanned (from cache), never shuffled. (If a corpus ever
-      // produced a non-broadcastable candidate set, dropping the hints
-      // falls back to shuffle joins with no other change.)
-      val withA = broadcast(cands)
-        .join(t.as("ta"), col("da") === col("ta.doc_id"))
-        .select(col("da"), col("db"), col("ta.bg").as("cand_bg"))
-      val inter = broadcast(withA)
-        .join(t.as("tb"), col("db") === col("tb.doc_id") && col("cand_bg") === col("tb.bg"))
-        .groupBy("da", "db").agg(count(lit(1)).as("inter"))
-      Materialize.drop(inter
-        .join(broadcast(sz).as("sa"), col("da") === col("sa.doc_id"))
-        .join(broadcast(sz).as("sb"), col("db") === col("sb.doc_id"))
+      // Verification via per-doc shingle SETS (one row per doc, ~|shingles|
+      // strings each): candidates resolve both sets with two joins and an
+      // array_intersect — no token-table shuffle, nothing quadratic. The
+      // set table is docs-sized; broadcast is right up to tens of millions
+      // of docs per verification domain, beyond that drop the hints and
+      // both joins shuffle by doc_id with no other change.
+      val docSets = t.groupBy("doc_id").agg(collect_set(col("bg")).as("bgs"))
+      Materialize.drop(cands
+        .join(broadcast(docSets).as("sa"), col("da") === col("sa.doc_id"))
+        .join(broadcast(docSets).as("sb"), col("db") === col("sb.doc_id"))
         .select(col("da"), col("db"),
-          round(col("inter") / (col("sa.n") + col("sb.n") - col("inter")), 6).as("jaccard"))
+          size(array_intersect(col("sa.bgs"), col("sb.bgs"))).cast("long").as("inter"),
+          size(col("sa.bgs")).cast("long").as("na"),
+          size(col("sb.bgs")).cast("long").as("nb"))
+        .select(col("da"), col("db"),
+          round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
-        .orderBy("da", "db"), t)
+        .orderBy("da", "db"), t, bands)
     }),
 
     // SimHash near-dup pairs via the native codegen'd SimHash64
@@ -133,6 +141,9 @@ object TextDedup {
       // ~31-word vocabulary nearly all docs share most words, so word-level
       // simhashes collide en masse (79k pairs at sf0.1); bigrams carry the
       // same discriminating signal the minhash pipeline shingles on.
+      // Persisted: the fingerprint scan (tokenize + simhash64 over the full
+      // text) is the expensive leg, and it feeds BOTH sides of the bucket
+      // self-join — one row (doc_id, sh) per doc, tiny to cache.
       val docs = Tables.documents(s, d)
         .withColumn("words", split(lower(col("text")), " "))
         .select(col("doc_id"),
@@ -141,6 +152,7 @@ object TextDedup {
                  THEN transform(sequence(1, size(words) - 1),
                         i -> concat(element_at(words, i), '_', element_at(words, i + 1)))
                  ELSE words END, ' '))""").as("sh"))
+        .persist()
       val chunks = docs.select(col("doc_id"), col("sh"),
         explode(expr(
           """transform(sequence(0, 3),
@@ -153,14 +165,14 @@ object TextDedup {
       // so filtering first shrinks the distinct's shuffle input from
       // |collisions| to |near-dups| (hamming is a function of the pair, so
       // the result set is unchanged).
-      chunks.as("a").join(chunks.as("b"),
+      Materialize.drop(chunks.as("a").join(chunks.as("b"),
           col("a.ci") === col("b.ci") && col("a.ck") === col("b.ck") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
           bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
         .filter(col("hamming") <= 8)
         .distinct()
-        .orderBy("da", "db")
+        .orderBy("da", "db"), docs)
     })
   )
 
