@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     ext.injectPostHocResolutionRule(_ => graft.plans.CollapseDedup)
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
   }
 }
 

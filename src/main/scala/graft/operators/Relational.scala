@@ -123,6 +123,27 @@ object Relational {
         .select("c_custkey", "c_name").orderBy("c_custkey")
     }),
 
+    // O-J6 (native): the same as-of join through graft's custom physical
+    // operator (AsOfJoinPlan → GraftStrategies → AsOfJoinExec): one
+    // shuffle per side, sorted-merge with O(1) running state — no union
+    // blowup, no window sort. Same oracle as o_j6_asof.
+    "o_j6b_asof_native" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      // o_orderdate is TIMESTAMP_NTZ in the parquet; cast once to the
+      // session-zone timestamp used both as join time and output (keeps
+      // the schema identical to o_j6_asof / the oracle).
+      val od = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").as("o_odts"))
+      graft.plans.AsOfJoin.asof(ev, od,
+          Seq("user_id"), Seq("o_custkey"), "ts", "o_odts",
+          tieBreak = Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("o_orderkey"), col("o_odts").as("o_orderdate"))
+        .orderBy("event_id")
+    }),
+
     // O-J6: as-of join (ClickHouse ASOF JOIN): latest order at-or-before
     // each purchase event. Implemented the scalable way — union both
     // streams, single shuffle on the key, last(ignoreNulls) over an
@@ -565,6 +586,16 @@ object Relational {
          WHERE NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
          ORDER BY c_custkey""",
+
+    "o_j6b_asof_native" ->
+      """SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM (
+           SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+           FROM events e JOIN orders o
+             ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+           WHERE e.event_type = 'purchase'
+           QUALIFY row_number() OVER (PARTITION BY e.event_id
+                     ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1)
+         ORDER BY event_id""",
 
     "o_j6_asof" ->
       """SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM (

@@ -1,0 +1,71 @@
+package graft.plans
+
+import java.sql.Timestamp
+import graft.{SparkEntry, TestSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  private def ts(s: Long) = new Timestamp(1726300800000L + s * 1000)
+
+  test("native as-of join == union-window composition on real data (O-J6)") {
+    val native = SparkEntry.queries("o_j6b_asof_native")(spark, sf).collect()
+    val composed = SparkEntry.queries("o_j6_asof")(spark, sf)
+      .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate").collect()
+    assert(native.length == composed.length && native.length > 0)
+    assert(native.map(_.toString).toSeq == composed.map(_.toString).toSeq)
+  }
+
+  test("plan: AsOfJoinExec with one exchange+sort per side, no window/union") {
+    val p = SparkEntry.queries("o_j6b_asof_native")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), s"native exec missing in:\n$p")
+    assert(!p.contains("Window"), s"window leaked into native plan:\n$p")
+    assert(!p.contains("Union"), s"union leaked into native plan:\n$p")
+  }
+
+  test("semantics: ties inclusive, tie-break picks max, outer emits misses, nulls match nothing") {
+    import spark.implicits._
+    val left = Seq(
+      ("e1", "u1", ts(10)),                       // matches r2 (t=10 inclusive, max tiebreak 12)
+      ("e2", "u1", ts(5)),                        // matches r0 (t=0)
+      ("e3", "u1", ts(-1)),                       // before all rights -> miss
+      ("e4", "u2", ts(100)),                      // key with no right rows -> miss
+      ("e5", null.asInstanceOf[String], ts(50)),  // null key -> miss
+      ("e6", "u3", ts(7))                         // right has null-time row for u3; real row at t=3
+    ).toDF("eid", "k", "t")
+    val right = Seq(
+      ("u1", 10L, Option(ts(0))),
+      ("u1", 11L, Option(ts(10))),
+      ("u1", 12L, Option(ts(10))),   // same time as 11: tie-break ascending, last wins
+      ("u1", 13L, Option(ts(99))),
+      ("u3", 30L, None),             // null time: never matches
+      ("u3", 31L, Option(ts(3)))
+    ).toDF("k2", "oid", "t2")
+    val out = AsOfJoin.asof(left, right, Seq("k"), Seq("k2"), "t", "t2",
+        tieBreak = Seq("oid"), leftOuter = true)
+      .select(col("eid"), col("oid")).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out == Map("e1" -> 12L, "e2" -> 10L, "e3" -> -1L,
+      "e4" -> -1L, "e5" -> -1L, "e6" -> 31L))
+
+    // inner join drops the misses instead
+    val inner = AsOfJoin.asof(left, right, Seq("k"), Seq("k2"), "t", "t2",
+      tieBreak = Seq("oid")).select("eid").collect().map(_.getString(0)).toSet
+    assert(inner == Set("e1", "e2", "e6"))
+  }
+
+  test("install is idempotent; time-type mismatch rejected") {
+    import spark.implicits._
+    AsOfJoin.install(spark); AsOfJoin.install(spark)
+    assert(spark.experimental.extraStrategies.count(_ == GraftStrategies) == 1)
+    val l = Seq(("a", ts(0))).toDF("k", "t")
+    val r = Seq(("a", 1)).toDF("k2", "t2") // int, not timestamp
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asof(l, r, Seq("k"), Seq("k2"), "t", "t2")
+    }
+  }
+}
