@@ -36,5 +36,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.Windows.oracles ++
       pipeline.TextDedup.oracles ++ pipeline.Similarity.oracles ++
-      pipeline.TextAnalysis.oracles
+      pipeline.TextAnalysis.oracles ++ pipeline.Multimodal.oracles
 }

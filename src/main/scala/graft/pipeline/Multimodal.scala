@@ -15,6 +15,13 @@ case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Int,
                          mean_byte: Double, byte_entropy: Double,
                          thumb: Array[Float], n_frames: Int)
 
+/** One sampled video frame: byte offset into the payload plus the frame's
+  * leading bytes (the real pipeline would carry the decoded frame tensor;
+  * the Spark-side shape — a generator fanning one media row out to
+  * n_frames rows — is identical). */
+case class FrameRow(doc_id: Long, frame_idx: Int, frame_off: Int,
+                    frame_bytes: Array[Byte])
+
 /** Multimodal column processing for training-data pipelines.
   *
   * The decode step is a clearly-marked STUB: image/audio codec libraries
@@ -85,10 +92,30 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling: every `stride` bytes of a video payload stands in
+    * for every k-th frame; each frame row carries its offset and leading
+    * `sigBytes` bytes. A generator (1 → n rows), partition-preserving —
+    * the same shape a real frame extractor (decode + select-every-k)
+    * produces, so swapping in a codec touches only the slice expression. */
+  def frameSample(media: Dataset[MediaRow], stride: Int = 256,
+                  sigBytes: Int = 8): Dataset[FrameRow] = {
+    implicit val enc = Encoders.product[FrameRow]
+    media.flatMap { r =>
+      if (!r.mime.startsWith("video/")) Iterator.empty
+      else (0 until frameCount(r.mime, r.media.length, stride)).iterator.map { i =>
+        val off = i * stride
+        FrameRow(r.doc_id, i, off,
+          r.media.slice(off, math.min(off + sigBytes, r.media.length)))
+      }
+    }
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
-  /** Rows-only query entry (binary + mapPartitions is not oracle-SQL
-    * expressible; MultimodalSpec checks the feature semantics). */
+  /** `d_media_features` is rows-only (float byte-stats aren't worth a
+    * lossy SQL re-derivation; MultimodalSpec checks the semantics). The
+    * integer-valued metadata/frame paths ARE oracled — they run the real
+    * mapPartitions/flatMap plumbing and DuckDB recomputes them exactly. */
   val queries: Map[String, Q] = Map(
     "d_media_features" -> ((s, d) => {
       extractFeatures(asMedia(Tables.documents(s, d)))
@@ -98,6 +125,47 @@ object Multimodal {
           round(col("byte_entropy"), 6).as("byte_entropy"),
           col("n_frames"))
         .orderBy("doc_id")
+    }),
+
+    "d_media_meta" -> ((s, d) => {
+      extractFeatures(asMedia(Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("mime"), col("n_bytes"), col("n_frames"))
+        .orderBy("doc_id")
+    }),
+
+    "d_media_frames" -> ((s, d) => {
+      frameSample(asMedia(Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"), col("frame_off"),
+          hex(col("frame_bytes")).as("frame_sig"))
+        .orderBy("doc_id", "frame_idx")
     })
+  )
+
+  /** DuckDB oracles for the integer/hex-valued media paths. The corpus is
+    * ASCII (verified: octet_length(encode(text)) == length(text) for every
+    * row), so character slicing in the oracle equals the byte slicing the
+    * Spark side does on the binary payload. */
+  val oracles: Map[String, String] = Map(
+    "d_media_meta" ->
+      """SELECT doc_id,
+                CASE WHEN source = 'src0' THEN 'image/png'
+                     WHEN source = 'src1' THEN 'audio/wav'
+                     ELSE 'video/mp4' END AS mime,
+                CAST(length(text) AS INT) AS n_bytes,
+                CAST(CASE WHEN source NOT IN ('src0', 'src1')
+                          THEN greatest(1, length(text) // 256)
+                          ELSE 1 END AS INT) AS n_frames
+         FROM documents ORDER BY doc_id""",
+
+    "d_media_frames" ->
+      """SELECT doc_id, CAST(i - 1 AS INT) AS frame_idx,
+                CAST((i - 1) * 256 AS INT) AS frame_off,
+                hex(encode(substring(text, (i - 1) * 256 + 1, 8))) AS frame_sig
+         FROM documents,
+              unnest(generate_series(1, greatest(1, length(text) // 256))) AS t(i)
+         WHERE source NOT IN ('src0', 'src1')
+         ORDER BY doc_id, frame_idx"""
   )
 }

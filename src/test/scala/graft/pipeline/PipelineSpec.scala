@@ -91,6 +91,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.filter(_.mime != "video/mp4").forall(_.n_frames == 1))
   }
 
+  test("frame sampling: stride-width slices tile the sampled prefix in order") {
+    val media = Multimodal.asMedia(Tables.documents(spark, sf))
+    // sigBytes = stride ⇒ consecutive frames are contiguous; concatenating
+    // them in frame_idx order reproduces the payload prefix the
+    // floor(len/stride) frame grid covers.
+    val frames = Multimodal.frameSample(media, stride = 64, sigBytes = 64)
+      .collect().groupBy(_.doc_id)
+    val videos = media.filter(_.mime == "video/mp4").collect()
+    assert(videos.nonEmpty && frames.size == videos.length)
+    videos.foreach { v =>
+      val n = math.max(1, v.media.length / 64)
+      val covered = math.min(n * 64, v.media.length)
+      val rebuilt = frames(v.doc_id).sortBy(_.frame_idx).flatMap(_.frame_bytes)
+      assert(rebuilt.length == covered && frames(v.doc_id).length == n)
+      assert(rebuilt.sameElements(v.media.take(covered)), s"doc ${v.doc_id} tiling broken")
+      frames(v.doc_id).foreach(f => assert(f.frame_off == f.frame_idx * 64))
+    }
+  }
+
   test("typed ArgMaxLong aggregator matches max_by") {
     import spark.implicits._
     val e = Tables.events(spark, sf)
