@@ -19,13 +19,16 @@ private[streaming] case class SessionState(user_id: String, start: Long, last: L
   * it — this is the custom-state case for flatMapGroupsWithState.
   *
   * State per session_id is O(1) (start/last/count), emitted when the
-  * is_ended flag arrives or on a processing-time timeout (abandoned
-  * sessions) — bounded state at any scale. Works in batch mode too
-  * (each group processed once, no timeout path).
+  * is_ended flag arrives or when the session is abandoned — bounded state
+  * at any scale. Abandonment is EVENT-time: a session times out when the
+  * stream's watermark passes `last event + timeoutMs`, which is
+  * deterministic, replayable, and keeps the engine quiescent between
+  * batches. (A processing-time timeout would also force the engine into a
+  * permanent batch-scheduling loop just to poll the wall clock — with a
+  * 1-second trigger that is one no-op stateful batch per second forever.)
+  * Works in batch mode too (each group processed once, no timeout path).
   */
 object Sessions {
-
-  val Timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout
 
   private[streaming] def summarize(events: Iterator[SessionEvent],
                 state: SessionState): (SessionState, Option[SessionSummary]) = {
@@ -63,19 +66,24 @@ object Sessions {
           Iterator.single(summary.copy(session_id = sessionId))
         case None =>
           state.update(st)
-          if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+          // abandoned when the watermark passes last-seen + timeout
+          if (timeoutMs > 0) state.setTimeoutTimestamp(st.last + timeoutMs)
           Iterator.empty
       }
     }
   }
 
   /** is_ended-driven sessions; `timeoutMs` bounds abandoned-session state
-    * (streaming only; pass 0 in batch). */
+    * via an event-time timeout (streaming input must carry a watermark on
+    * `timestamp`; pass 0 in batch — no timeout path). */
   def flagSessions(ds: Dataset[SessionEvent],
                    timeoutMs: Long = 0L): Dataset[SessionSummary] = {
     implicit val enc = Encoders.product[SessionSummary]
     implicit val stEnc = Encoders.product[SessionState]
+    val timeout: GroupStateTimeout =
+      if (timeoutMs > 0) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     ds.groupByKey(_.session_id)(Encoders.STRING)
-      .flatMapGroupsWithState(OutputMode.Append, Timeout)(flatMapFn(timeoutMs))
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(flatMapFn(timeoutMs))
   }
 }

@@ -103,6 +103,39 @@ class IngestSpec extends AnyFunSuite {
     assert(spark.table("dedup_out").count() == 2)
   }
 
+  test("streaming sessionization: flag ends emit immediately, abandoned sessions time out by watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t = (s: Long) => new Timestamp(1726300800000L + s * 1000)
+    val ms = MemoryStream[SessionEvent]
+    // 5s abandonment timeout, 10s watermark delay — both event-time, so
+    // the test is deterministic (no wall clock anywhere).
+    val q = Sessions.flagSessions(
+        ms.toDS().withWatermark("timestamp", "10 seconds"), timeoutMs = 5000)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // s-10 ends via flag in-stream; s-11 never ends → timeout path
+    ms.addData(
+      SessionEvent("s-10", "u-1", t(0), is_ended = false),
+      SessionEvent("s-11", "u-2", t(1), is_ended = false))
+    q.processAllAvailable()
+    ms.addData(SessionEvent("s-10", "u-1", t(30), is_ended = true))
+    q.processAllAvailable()
+    val afterFlag = spark.table("sess_out").as[SessionSummary].collect()
+      .map(s => s.session_id -> s).toMap
+    assert(afterFlag.contains("s-10"))
+    assert(afterFlag("s-10").ended_by_flag && afterFlag("s-10").n_events == 2)
+    // t(30) pushes the watermark to t(20) > s-11's timeout (t(1)+5s):
+    // the abandoned session flushes on the watermark-advance batch
+    ms.addData(SessionEvent("s-12", "u-3", t(60), is_ended = true))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("sess_out").as[SessionSummary].collect()
+      .map(s => s.session_id -> s).toMap
+    assert(all.keySet == Set("s-10", "s-11", "s-12"))
+    assert(!all("s-11").ended_by_flag && all("s-11").n_events == 1) // abandoned
+  }
+
   test("flag-driven sessionization (is_ended, migrations/007:18)") {
     import spark.implicits._
     val t = (s: Long) => new Timestamp(1726300800000L + s * 1000)
