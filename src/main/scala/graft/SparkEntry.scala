@@ -28,6 +28,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.Windows.queries ++
+      operators.IncrementalRollup.queries ++
       pipeline.TextDedup.queries ++ pipeline.Similarity.queries ++
       pipeline.TextAnalysis.queries ++ pipeline.Multimodal.queries
 
