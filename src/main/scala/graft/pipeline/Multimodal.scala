@@ -22,6 +22,13 @@ case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Int,
 case class FrameRow(doc_id: Long, frame_idx: Int, frame_off: Int,
                     frame_bytes: Array[Byte])
 
+/** One hopped audio window (the STFT-frame shape: overlapping `win`-byte
+  * slices every `hop` bytes). `energy` is the stub feature — a real
+  * pipeline computes spectral features per window with identical
+  * plumbing. */
+case class AudioWindow(doc_id: Long, win_idx: Int, win_off: Int,
+                       win_len: Int, energy: Double)
+
 /** Multimodal column processing for training-data pipelines.
   *
   * The decode step is a clearly-marked STUB: image/audio codec libraries
@@ -110,6 +117,32 @@ object Multimodal {
     }
   }
 
+  /** Overlapping audio windows: `win` bytes every `hop` bytes, last
+    * window truncated at the payload end (ceil window count — no tail
+    * byte is dropped); a payload shorter than one window yields a single
+    * short window. The hop overlap (win - hop bytes shared by neighbors)
+    * is what spectral features need for continuity. */
+  def audioWindows(media: Dataset[MediaRow], win: Int = 128,
+                   hop: Int = 64): Dataset[AudioWindow] = {
+    implicit val enc = Encoders.product[AudioWindow]
+    media.flatMap { r =>
+      if (!r.mime.startsWith("audio/")) Iterator.empty
+      else {
+        val len = r.media.length
+        val n = if (len <= win) 1 else 1 + (len - win + hop - 1) / hop
+        (0 until n).iterator.map { i =>
+          val off = i * hop
+          val wl = math.max(0, math.min(win, len - off))
+          val slice = r.media.slice(off, off + wl)
+          val energy =
+            if (slice.isEmpty) 0.0
+            else slice.map(b => (b & 0xff).toDouble).sum / slice.length
+          AudioWindow(r.doc_id, i, off, wl, energy)
+        }
+      }
+    }
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   /** `d_media_features` is rows-only (float byte-stats aren't worth a
@@ -140,6 +173,13 @@ object Multimodal {
         .select(col("doc_id"), col("frame_idx"), col("frame_off"),
           hex(col("frame_bytes")).as("frame_sig"))
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    "d_media_audio_windows" -> ((s, d) => {
+      audioWindows(asMedia(Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("win_idx"), col("win_off"), col("win_len"))
+        .orderBy("doc_id", "win_idx")
     })
   )
 
@@ -166,6 +206,17 @@ object Multimodal {
          FROM documents,
               unnest(generate_series(1, greatest(1, length(text) // 256))) AS t(i)
          WHERE source NOT IN ('src0', 'src1')
-         ORDER BY doc_id, frame_idx"""
+         ORDER BY doc_id, frame_idx""",
+
+    "d_media_audio_windows" ->
+      """WITH a AS (
+           SELECT doc_id, length(text) AS len FROM documents
+           WHERE source = 'src1')
+         SELECT doc_id, CAST(i - 1 AS INT) AS win_idx,
+                CAST((i - 1) * 64 AS INT) AS win_off,
+                CAST(least(128, len - (i - 1) * 64) AS INT) AS win_len
+         FROM a, unnest(generate_series(1,
+                CASE WHEN len <= 128 THEN 1 ELSE 1 + (len - 128 + 63) // 64 END)) AS t(i)
+         ORDER BY doc_id, win_idx"""
   )
 }

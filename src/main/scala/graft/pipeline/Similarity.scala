@@ -85,8 +85,18 @@ object Similarity {
       val e = Tables.embeddings(s, d)
         .withColumn("features", array_to_vector(col("embedding").cast("array<double>")))
         .persist()
+      // Coarse quantizer fits on a bounded sample (standard IVF practice:
+      // centroid quality saturates long before corpus size, and the fit is
+      // the only iterative multi-job stage). Assignment below still scans
+      // the full corpus once.
+      val n = e.count()
+      val sampleCap = 2000L
+      val trainSet =
+        if (n <= sampleCap) e.select("features")
+        else e.select("features").sample(withReplacement = false,
+          sampleCap.toDouble / n, seed = 42)
       val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(10)
-        .fit(e.select("features"))
+        .fit(trainSet)
       val assigned = model.transform(e).withColumnRenamed("prediction", "cell")
       // n_probe nearest cells per query vector, by distance to centroids
       val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>

@@ -110,6 +110,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("audio windows: hop grid, overlap, tail coverage, bounded energy") {
+    val media = Multimodal.asMedia(Tables.documents(spark, sf))
+    val wins = Multimodal.audioWindows(media, win = 128, hop = 64)
+      .collect().groupBy(_.doc_id)
+    val audio = media.filter(_.mime == "audio/wav").collect()
+    assert(audio.nonEmpty && wins.size == audio.length)
+    audio.foreach { a =>
+      val ws = wins(a.doc_id).sortBy(_.win_idx)
+      ws.foreach { w =>
+        assert(w.win_off == w.win_idx * 64 && w.win_len > 0 && w.win_len <= 128)
+        assert(w.energy >= 0.0 && w.energy <= 255.0)
+      }
+      // last window reaches the payload end; neighbors overlap by 64 bytes
+      assert(ws.last.win_off + ws.last.win_len == a.media.length)
+      if (ws.length > 1) ws.init.foreach(w => assert(w.win_len == 128))
+    }
+  }
+
   test("typed ArgMaxLong aggregator matches max_by") {
     import spark.implicits._
     val e = Tables.events(spark, sf)
