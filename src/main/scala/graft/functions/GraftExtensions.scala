@@ -29,7 +29,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => SimHash64(es.head)),
     ("rolling_hash64",
       new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash64"),
-      (es: Seq[Expression]) => RollingHash64(es.head)))
+      (es: Seq[Expression]) => RollingHash64(es.head)),
+    ("float_dot",
+      new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
+      (es: Seq[Expression]) => FloatDot(es.head, es(1))))
 
   /** Runtime registration for sessions built without the extension
     * (functions only — analyzer rules can't be added to a live session;

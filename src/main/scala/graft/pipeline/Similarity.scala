@@ -18,17 +18,22 @@ import org.apache.spark.sql.functions._
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Exact sequential-fold dot product in double — same accumulation
-    * order as the oracle engine's loop. */
-  private def dot(a: String, b: String) = expr(
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+  /** Exact sequential dot product in double via the native allocation-free
+    * [[graft.functions.FloatDot]] expression — same accumulation order as
+    * the composable `aggregate(zip_with(...))` fold it replaced (the
+    * DuckDB oracles hash-match either way), minus the per-pair
+    * intermediate array. Queries call [[register]] before using these. */
+  private def register(s: SparkSession): Unit =
+    graft.functions.GraftExtensions.register(s)
 
-  private def norm(a: String) = expr(
-    s"sqrt(aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v))")
+  private def dot(a: String, b: String) = expr(s"float_dot($a, $b)")
+
+  private def norm(a: String) = expr(s"sqrt(float_dot($a, $a))")
 
   val queries: Map[String, Q] = Map(
     // Brute-force cosine top-5 neighbors for query vectors vec_id < 10.
     "d_knn_cosine" -> ((s, d) => {
+      register(s)
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
@@ -51,6 +56,7 @@ object Similarity {
     // is engine-internal); SimilaritySpec checks bucket-restricted
     // agreement with brute force.
     "d_ann_lsh" -> ((s, d) => {
+      register(s)
       val e = Tables.embeddings(s, d).withColumn("bucket", expr(
         """aggregate(zip_with(slice(embedding, 1, 4), sequence(0, 3),
                               (x, i) -> IF(x >= 0F, shiftleft(1, i), 0)),
@@ -79,6 +85,7 @@ object Similarity {
     // Rows-only (clustering is engine-internal); SimilaritySpec measures
     // recall against brute force.
     "d_ann_ivf" -> ((s, d) => {
+      register(s)
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val nCells = 8; val nProbe = 2
@@ -130,6 +137,7 @@ object Similarity {
     // all pairs above a cosine threshold, via the same broadcast pattern
     // over a bounded probe slice.
     "d_dedup_cosine" -> ((s, d) => {
+      register(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").as("v"))
         .withColumn("n", norm("v"))

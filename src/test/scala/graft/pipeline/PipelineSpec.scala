@@ -110,6 +110,21 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("float_dot native expression == composable zip_with fold (bit-identical)") {
+    graft.functions.GraftExtensions.register(spark)
+    val rows = Tables.embeddings(spark, sf).limit(100).select(
+      expr("float_dot(embedding, embedding)").as("native"),
+      expr("""aggregate(zip_with(embedding, embedding,
+                (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+              0D, (acc, v) -> acc + v)""").as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // interpreted path agrees with the generated one
+    val a = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1.5f, -2f, 3f))
+    assert(graft.functions.FloatDot.compute(a, a) == 1.5 * 1.5 + 4.0 + 9.0)
+  }
+
   test("audio windows: hop grid, overlap, tail coverage, bounded energy") {
     val media = Multimodal.asMedia(Tables.documents(spark, sf))
     val wins = Multimodal.audioWindows(media, win = 128, hop = 64)
