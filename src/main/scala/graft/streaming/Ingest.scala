@@ -73,6 +73,20 @@ object Ingest {
 
   val DlqTable = "_dlq"
 
+  /** Pool for concurrent per-table writes inside one micro-batch. The 9
+    * routed tables are independent outputs; submitting their jobs from
+    * one thread serializes ~9 small Spark jobs per 1-second trigger.
+    * Four submitter threads let the scheduler interleave them (each job
+    * still uses every executor core). Daemon threads — the pool must not
+    * block JVM exit. */
+  private lazy val writePool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+        val t = new Thread(r, "graft-ingest-write")
+        t.setDaemon(true)
+        t
+      }))
+
   /** Idempotent sink: every row carries an `ingest_batch` partition column
     * (nested UNDER the leading partition axes, so date pruning is
     * unaffected) and the write is a DYNAMIC partition overwrite — it
@@ -126,7 +140,15 @@ object Ingest {
             .select(asDlq("unroutable_subject"): _*))(_ union _)
       sink(dlq, DlqTable, outDir, batchId, Nil)
 
-      decodedSlices.foreach { case (table, schema, decoded) =>
+      // Per-table writes are independent outputs over the shared decode
+      // caches — submit them concurrently so the scheduler interleaves
+      // the ~9 small jobs instead of running them back-to-back. A failed
+      // write fails the batch; checkpoint replay + idempotent overwrite
+      // (sink above) make the retry safe even if sibling writes finished.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec = writePool
+      val writes = decodedSlices.map { case (table, schema, decoded) => Future {
         // proto3 default semantics: absent scalar fields become ""/0/false
         // (FIXTURES.md invariant 4); epoch seconds → TimestampType.
         val defaults: Map[String, Any] = schema.fields.collect {
@@ -143,7 +165,8 @@ object Ingest {
           .repartition(col("event_date"))
           .sortWithinPartitions("event_date", "timestamp", "event_name")
         sink(rows, table, outDir, batchId, Seq("event_date"))
-      }
+      }}
+      Await.result(Future.sequence(writes), Duration.Inf)
     } finally {
       decodedSlices.foreach { case (_, _, d) => d.unpersist() }
       cached.unpersist()
