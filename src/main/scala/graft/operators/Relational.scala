@@ -144,6 +144,24 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // O-J6 (native, forward direction): CH ASOF's >= variant — the FIRST
+    // purchase event at-or-after each order's date, per customer. (Events
+    // postdate orders in this dataset, so forward must look from orders
+    // into events.)
+    "o_j6c_asof_forward" -> ((s, d) => {
+      val od = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("timestamp").as("o_odts"))
+      val ev = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      graft.plans.AsOfJoin.asof(od, ev,
+          Seq("o_custkey"), Seq("user_id"), "o_odts", "ts",
+          tieBreak = Seq("event_id"), forward = true)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_odts").as("o_orderdate"), col("event_id"), col("ts"))
+        .orderBy("o_orderkey")
+    }),
+
     // O-J6: as-of join (ClickHouse ASOF JOIN): latest order at-or-before
     // each purchase event. Implemented the scalable way — union both
     // streams, single shuffle on the key, last(ignoreNulls) over an
@@ -596,6 +614,18 @@ object Relational {
            QUALIFY row_number() OVER (PARTITION BY e.event_id
                      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1)
          ORDER BY event_id""",
+
+    "o_j6c_asof_forward" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, event_id, ts FROM (
+           SELECT o.o_orderkey, o.o_custkey,
+                  CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+                  e.event_id, e.ts
+           FROM orders o JOIN events e
+             ON o.o_custkey = e.user_id AND e.ts >= o.o_orderdate
+           WHERE e.event_type = 'purchase'
+           QUALIFY row_number() OVER (PARTITION BY o.o_orderkey
+                     ORDER BY e.ts ASC, e.event_id ASC) = 1)
+         ORDER BY o_orderkey""",
 
     "o_j6_asof" ->
       """SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM (

@@ -63,6 +63,23 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Deterministic hash-based corpus split (CH SAMPLE semantics: a hash
+    // of the sampling key, not an RNG): reproducible across runs, engines
+    // and cluster sizes — the train/val/held-out assignment a pretraining
+    // pipeline needs to survive re-shards and backfills. First md5 hex
+    // digit partitions 16 ways: 0 → val (1/16), 1 → test (1/16), rest
+    // train. A pure per-row projection: no shuffle, scales linearly.
+    "d_sample_split" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1).as("h"))
+        .select(col("doc_id"),
+          when(col("h") === "0", "val")
+            .when(col("h") === "1", "test")
+            .otherwise("train").as("split"))
+        .orderBy("doc_id")
+    }),
+
     // Document fingerprint: md5 of the sorted distinct word set (word-
     // order-insensitive near-dup key) + per-fingerprint group size.
     "d_text_fingerprint" -> ((s, d) => {
@@ -111,6 +128,13 @@ object TextAnalysis {
                 CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
                 CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS INT) AS n_re_tokens,
                 CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_bpe_est
+         FROM documents ORDER BY doc_id""",
+
+    "d_sample_split" ->
+      """SELECT doc_id,
+                CASE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                  WHEN '0' THEN 'val' WHEN '1' THEN 'test'
+                  ELSE 'train' END AS split
          FROM documents ORDER BY doc_id""",
 
     "d_text_fingerprint" ->

@@ -35,6 +35,7 @@ case class AsOfJoinPlan(
     leftTime: Expression, rightTime: Expression,
     rightTieBreak: Seq[Expression],
     leftOuter: Boolean,
+    forward: Boolean,
     left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ (if (leftOuter) right.output.map(_.withNullability(true))
@@ -52,6 +53,7 @@ case class AsOfJoinExec(
     leftTime: Expression, rightTime: Expression,
     rightTieBreak: Seq[Expression],
     leftOuter: Boolean,
+    forward: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -77,6 +79,7 @@ case class AsOfJoinExec(
     val (lKeys, rKeys, lTime, rTime) = (leftKeys, rightKeys, leftTime, rightTime)
     val outAttrs = output
     val isOuter = leftOuter
+    val isForward = forward
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
       val rKeyProj = UnsafeProjection.create(rKeys, rOut)
@@ -102,28 +105,49 @@ case class AsOfJoinExec(
         } else {
           val ltRow = lTimeProj(lrow).copy()
           val ltNull = ltRow.isNullAt(0)
-          // Advance the right cursor over rows that can never match a
-          // LATER left row: smaller keys, equal-key NULL-time rows (they
-          // sort first and match nothing), equal-key rows at-or-before
-          // this left time. Both inputs are (key, time)-sorted, so the
-          // cursor moves strictly forward — O(|L|+|R|) total.
+          // Advance the right cursor over rows that can never match this
+          // or a LATER left row: smaller keys, equal-key NULL-time rows
+          // (they sort first and match nothing), and — direction-
+          // dependent — equal-key rows at-or-before this left time
+          // (backward keeps the latest as running state) or strictly
+          // before it (forward discards them; the match is the head).
+          // Both inputs are (key, time)-sorted, so the cursor moves
+          // strictly forward — O(|L|+|R|) total.
           var advance = true
           while (advance && rBuf.hasNext) {
             val head = rBuf.head
             val rk = rKeyProj(head)
             val c = keyOrd.compare(rk, lkey)
             val rtNull = rTimeProj(head).isNullAt(0)
-            if (c < 0 || (c == 0 && rtNull) ||
-                (c == 0 && !ltNull && timeOrd.compare(rTimeProj(head), ltRow) <= 0)) {
+            val consume = c < 0 || (c == 0 && rtNull) ||
+              (c == 0 && !ltNull && {
+                val cmp = timeOrd.compare(rTimeProj(head), ltRow)
+                if (isForward) cmp < 0 else cmp <= 0
+              })
+            if (consume) {
               val r = rBuf.next()
-              val rk2 = rKeyProj(r)
-              if (!rk2.anyNull && !rTimeProj(r).isNullAt(0)) {
-                lastMatch = r.copy(); lastKey = rk2.copy()
+              if (!isForward) {
+                val rk2 = rKeyProj(r)
+                if (!rk2.anyNull && !rTimeProj(r).isNullAt(0)) {
+                  lastMatch = r.copy(); lastKey = rk2.copy()
+                }
               }
             } else advance = false
           }
-          val hit = !ltNull && lastKey != null && keyOrd.compare(lastKey, lkey) == 0
-          if (hit) { numOutputRows += 1; Iterator.single(resultProj(joined(lrow, lastMatch))) }
+          val m: InternalRow =
+            if (ltNull) null
+            else if (isForward) {
+              // match = first remaining equal-key row (its time is >= lt
+              // by construction; nulls were consumed); NOT consumed — it
+              // may also match later left rows.
+              if (rBuf.hasNext && {
+                    val rk = rKeyProj(rBuf.head)
+                    !rk.anyNull && keyOrd.compare(rk, lkey) == 0
+                  }) rBuf.head
+              else null
+            } else if (lastKey != null && keyOrd.compare(lastKey, lkey) == 0) lastMatch
+            else null
+          if (m != null) { numOutputRows += 1; Iterator.single(resultProj(joined(lrow, m))) }
           else if (isOuter) { numOutputRows += 1; Iterator.single(resultProj(joined(lrow, nullRight))) }
           else Iterator.empty
         }
@@ -141,18 +165,20 @@ case class AsOfJoinExec(
   * `spark.sql.extensions=graft.functions.GraftExtensions`. */
 object GraftStrategies extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(lk, rk, lt, rt, tb, outer, l, r) =>
-      AsOfJoinExec(lk, rk, lt, rt, tb, outer, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(lk, rk, lt, rt, tb, outer, fwd, l, r) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, outer, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
 /** User-facing builder: `AsOfJoin.asof(events, orders, Seq("user_id"),
   * Seq("o_custkey"), "ts", "o_odts", tieBreak = Seq("o_orderkey"))`.
-  * Right tie-break columns resolve equal-time matches (last in ascending
-  * tie-break order wins — CH ASOF picks one arbitrary; we pin it for
-  * determinism). Caller must ensure left/right have disjoint lineage
-  * (alias/re-select when self-joining). */
+  * Backward (default): LAST right row with time <= left time; tie-break
+  * columns resolve equal-time matches (last in ascending tie-break order
+  * wins). `forward = true`: FIRST right row with time >= left time
+  * (first in tie-break order) — CH ASOF's >= variant. CH picks one
+  * arbitrary row on ties; we pin it for determinism. Caller must ensure
+  * left/right have disjoint lineage (alias/re-select when self-joining). */
 object AsOfJoin {
   def install(spark: SparkSession): Unit =
     if (!spark.experimental.extraStrategies.contains(GraftStrategies))
@@ -163,7 +189,8 @@ object AsOfJoin {
            leftKeys: Seq[String], rightKeys: Seq[String],
            leftTime: String, rightTime: String,
            tieBreak: Seq[String] = Nil,
-           leftOuter: Boolean = false): DataFrame = {
+           leftOuter: Boolean = false,
+           forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     install(spark)
     val (lp, rp) = (left.queryExecution.analyzed, right.queryExecution.analyzed)
@@ -175,6 +202,6 @@ object AsOfJoin {
     org.apache.spark.sql.graft.Bridge.ofRows(spark, AsOfJoinPlan(
       leftKeys.map(attr(lp, _)), rightKeys.map(attr(rp, _)),
       attr(lp, leftTime), attr(rp, rightTime), tieBreak.map(attr(rp, _)),
-      leftOuter, lp, rp))
+      leftOuter, forward, lp, rp))
   }
 }

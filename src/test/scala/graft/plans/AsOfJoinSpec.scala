@@ -58,6 +58,27 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(inner == Set("e1", "e2", "e6"))
   }
 
+  test("forward direction: first right at-or-after, ties pick first tie-break") {
+    import spark.implicits._
+    val left = Seq(
+      ("e1", "u1", ts(5)),   // -> r11 (t=10, first of the t=10 tie)
+      ("e2", "u1", ts(10)),  // inclusive: also r11
+      ("e3", "u1", ts(100)), // after all rights -> miss
+      ("e4", "u2", ts(0))    // no rights for key -> miss
+    ).toDF("eid", "k", "t")
+    val right = Seq(
+      ("u1", 10L, Option(ts(0))),
+      ("u1", 11L, Option(ts(10))),
+      ("u1", 12L, Option(ts(10))),
+      ("u3", 30L, None)
+    ).toDF("k2", "oid", "t2")
+    val out = AsOfJoin.asof(left, right, Seq("k"), Seq("k2"), "t", "t2",
+        tieBreak = Seq("oid"), leftOuter = true, forward = true)
+      .select(col("eid"), col("oid")).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out == Map("e1" -> 11L, "e2" -> 11L, "e3" -> -1L, "e4" -> -1L))
+  }
+
   test("install is idempotent; time-type mismatch rejected") {
     import spark.implicits._
     AsOfJoin.install(spark); AsOfJoin.install(spark)
