@@ -32,7 +32,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => RollingHash64(es.head)),
     ("float_dot",
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
-      (es: Seq[Expression]) => FloatDot(es.head, es(1))))
+      (es: Seq[Expression]) => FloatDot(es.head, es(1))),
+    ("proto_decode",
+      new ExpressionInfo(classOf[ProtoDecode].getName, "proto_decode"),
+      (es: Seq[Expression]) => ProtoDecode(es.head, es(1))))
 
   /** Runtime registration for sessions built without the extension
     * (functions only — analyzer rules can't be added to a live session;

@@ -63,6 +63,23 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Global n-gram frequency table — the corpus-statistics op (vocab /
+    // n-gram counting over the whole corpus): explode bigram occurrences,
+    // one hash agg (map-side partial), top-100. At 100 TB this is one
+    // scan + one shuffle of partial counts bounded by |vocab²|.
+    "d_text_ngram_freq" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("w", split(lower(col("text")), " "))
+        .select(explode(expr(
+          """CASE WHEN size(w) >= 2
+               THEN transform(sequence(1, size(w) - 1),
+                      i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
+               ELSE array() END""")).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bg"))
+        .limit(100)
+    }),
+
     // Deterministic hash-based corpus split (CH SAMPLE semantics: a hash
     // of the sampling key, not an RNG): reproducible across runs, engines
     // and cluster sizes — the train/val/held-out assignment a pretraining
@@ -129,6 +146,14 @@ object TextAnalysis {
                 CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS INT) AS n_re_tokens,
                 CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_bpe_est
          FROM documents ORDER BY doc_id""",
+
+    "d_text_ngram_freq" ->
+      """SELECT bg, COUNT(*) AS n FROM (
+           SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i + 1])) AS bg
+           FROM (SELECT string_split(lower(text), ' ') AS w FROM documents)
+           WHERE len(w) >= 2)
+         GROUP BY bg ORDER BY n DESC, bg LIMIT 100""",
 
     "d_sample_split" ->
       """SELECT doc_id,

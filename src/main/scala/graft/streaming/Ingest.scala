@@ -27,17 +27,15 @@ object JsonPayloadDecoder extends EventDecoder {
 
 /** True protobuf wire decode: payload is base64-encoded proto3 bytes
   * (binary transport through the JSON-lines file source; a Kafka source
-  * would hand us the raw bytes directly). Wire parse happens in
-  * [[ProtoWire.decodeToJson]]; typing/null handling stays in Catalyst
-  * via from_json. Parse failures → null → DLQ (Term analog). */
+  * would hand us the raw bytes directly). Decode is the native
+  * [[graft.functions.ProtoDecode]] expression — one parse straight to a
+  * Catalyst struct, inside whole-stage codegen; no UDF, no JSON
+  * intermediate. Parse failures → null struct → DLQ (Term analog). */
 object ProtoPayloadDecoder extends EventDecoder {
   def decode(df: DataFrame, schema: StructType): DataFrame = {
-    val parse = udf { (b: Array[Byte]) =>
-      if (b == null) null
-      else try ProtoWire.decodeToJson(b, schema)
-      catch { case _: Exception => null }
-    }
-    df.withColumn("decoded", from_json(parse(unbase64(col("payload"))), schema))
+    graft.functions.GraftExtensions.register(df.sparkSession)
+    df.withColumn("decoded",
+      expr(s"proto_decode(unbase64(payload), '${schema.toDDL}')"))
   }
 }
 

@@ -107,6 +107,49 @@ object ProtoWire {
     sb.toString
   }
 
+  /** Decode one message straight to a Catalyst InternalRow matching
+    * `schema` — the zero-copy path used by the native
+    * [[graft.functions.ProtoDecode]] expression (no JSON intermediate,
+    * strings land as UTF8String without transcoding). Absent fields are
+    * null, like the JSON path; the ingest fills proto3 defaults
+    * downstream. */
+  def decodeToRow(bytes: Array[Byte],
+                  schema: StructType): org.apache.spark.sql.catalyst.InternalRow = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val r = new Reader(bytes)
+    val values = new Array[Any](schema.length)
+    val repeated = Array.fill(schema.length)(List.empty[UTF8String])
+    while (r.hasMore) {
+      val tag = r.varint()
+      val field = (tag >>> 3).toInt
+      val wire = (tag & 7).toInt
+      if (field < 1 || field > schema.length)
+        throw new ProtoParseException(s"unknown field number $field")
+      val f = schema.fields(field - 1)
+      (f.dataType, wire) match {
+        case (StringType, 2) =>
+          values(field - 1) = UTF8String.fromBytes(r.lenDelimited())
+        case (ArrayType(StringType, _), 2) =>
+          repeated(field - 1) :+= UTF8String.fromBytes(r.lenDelimited())
+        case (LongType, 0)    => values(field - 1) = r.varint()
+        case (IntegerType, 0) => values(field - 1) = r.varint().toInt
+        case (BooleanType, 0) => values(field - 1) = r.varint() != 0L
+        case (dt, w) =>
+          throw new ProtoParseException(s"wire type $w does not match ${f.name}: $dt")
+      }
+    }
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      f.dataType match {
+        case ArrayType(StringType, _) if repeated(i).nonEmpty =>
+          values(i) = new GenericArrayData(repeated(i).toArray[Any])
+        case _ => ()
+      }
+    }
+    new GenericInternalRow(values)
+  }
+
   /** Decode one message to a JSON object string matching `schema`
     * (feeds from_json — keeps typing/null handling in Catalyst).
     * proto3 defaults: absent fields simply don't appear; the ingest

@@ -36,6 +36,30 @@ class ProtoWireSpec extends AnyFunSuite {
     assert(row.getAs[String]("reach_method") == "search")
   }
 
+  test("native proto_decode expression == JSON decode path, null on poison") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    val values = envelopeValues("e-9", "item", 1726300800L) ++
+      Seq("i-1", "p-1", 12, true, false, true,
+        Seq("drama", "comedy"), Seq("hd"), Seq("fa", "en"), Seq("movies"), "search")
+    val bytes = ProtoWire.encode(values, itemSchema)
+    val df = Seq(Base64.getEncoder.encodeToString(bytes), "cG9pc29u") // "poison"
+      .toDF("payload")
+    val ddl = itemSchema.toDDL
+    val both = df.select(
+      expr(s"proto_decode(unbase64(payload), '$ddl')").as("native"),
+      from_json(
+        udf((b: Array[Byte]) =>
+          try ProtoWire.decodeToJson(b, itemSchema)
+          catch { case _: Exception => null })
+          .apply(unbase64(col("payload"))), itemSchema).as("viaJson"))
+      .collect()
+    assert(both.length == 2)
+    assert(both(0).get(0) == both(0).get(1)) // field-for-field equal structs
+    assert(!both(0).isNullAt(0))
+    assert(both(1).isNullAt(0) && both(1).isNullAt(1)) // poison → null both ways
+  }
+
   test("varint edge cases: large values and multi-byte lengths") {
     val v = envelopeValues("e", "watch", Long.MaxValue) ++
       Seq("st", "it", "x" * 300, "p", 300, 70000, "", "", Int.MaxValue, 1,
