@@ -23,11 +23,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup: JIT the scan/agg/join/window paths once, untimed.
+    // Warmup: JIT the scan/agg/join/window paths once, untimed. The
+    // complex pipelines additionally warm at sf0.001 — whole-stage
+    // codegen caches by generated source, so running the same plan shape
+    // on toy data compiles the classes the timed run will hit (one-time
+    // compiler cost, not steady-state throughput, stays out of timings).
     try {
       SparkEntry.entry(spark).count()
       SparkEntry.queries("o_a1_hashagg")(spark, sfDir).count()
       SparkEntry.queries("o_j1_inner")(spark, sfDir).count()
+      val warmSf = "/root/testdata/sf0.001"
+      Seq("d_dedup_minhash", "d_dedup_simhash", "d_dedup_ngram",
+          "d_dedup_cosine", "d_knn_cosine", "d_ann_lsh", "d_ann_ivf",
+          "o_j6b_asof_native", "o_j6c_asof_forward", "o_a12_sketch_merge")
+        .foreach { q =>
+          try SparkEntry.queries(q)(spark, warmSf).count()
+          catch { case _: Throwable => () }
+        }
     } catch { case _: Throwable => () }
 
     // A failed query must not masquerade as a fast one: its timing is
