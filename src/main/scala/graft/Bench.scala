@@ -51,19 +51,40 @@ object Bench {
                catch { case _: Throwable => false }
       (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
     }
-    val first = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (t, ok) = run(name, fn); (name, fn, t, ok)
-    }
     // This box shares hardware with noisy co-tenants: a single timing can
-    // be ~10x off. Outliers (well above the catalog median) get ONE
-    // re-run and keep the min — steady-state cost for genuinely heavy
-    // queries, noise suppressed for cheap ones.
-    val okTimes = first.collect { case (_, _, t, true) => t }.sorted
+    // be 10-30x off (observed: a 0.5s query reported at 86s during a
+    // storm). Defense: run the whole catalog in FULL PASSES and keep the
+    // per-query minimum — min-of-passes converges on steady-state cost as
+    // long as any pass hits a quiet window, which whole-catalog spacing
+    // (~30s apart) makes far more likely than an immediate re-run. Pass 3
+    // runs only when passes 1-2 disagree (>20% on totals), so a quiet
+    // machine pays ~2x bench wall and a stormy one gets a third sample.
+    val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
+    def fullPass(): Seq[(String, Double, Boolean)] =
+      catalog.map { case (name, fn) => val (t, ok) = run(name, fn); (name, t, ok) }
+    def passTotal(p: Seq[(String, Double, Boolean)]): Double =
+      p.collect { case (_, t, true) => t }.sum
+    def merge(a: Seq[(String, Double, Boolean)], b: Seq[(String, Double, Boolean)])
+        : Seq[(String, Double, Boolean)] =
+      a.zip(b).map { case ((n, t1, ok1), (_, t2, ok2)) =>
+        if (ok1 && ok2) (n, math.min(t1, t2), true)
+        else if (ok1) (n, t1, true) else (n, t2, ok2)
+      }
+    val p1 = fullPass()
+    val p2 = fullPass()
+    val best2 = merge(p1, p2)
+    val stable =
+      math.abs(passTotal(p1) - passTotal(p2)) <=
+        0.2 * math.max(passTotal(p1), passTotal(p2))
+    val merged = if (stable) best2 else merge(best2, fullPass())
+    // Residual outliers (well above the catalog median even after the
+    // min-merge) get one more isolated re-run, min kept.
+    val okTimes = merged.collect { case (_, t, true) => t }.sorted
     val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.length / 2)
     val threshold = math.max(2.0, 5 * median)
-    val results = first.map { case (name, fn, t, ok) =>
+    val results = merged.map { case (name, t, ok) =>
       if (ok && t > threshold) {
-        val (t2, ok2) = run(name, fn)
+        val (t2, ok2) = run(name, SparkEntry.queries(name))
         (name, if (ok2) math.min(t, t2) else t, true)
       } else (name, t, ok)
     }
