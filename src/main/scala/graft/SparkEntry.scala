@@ -30,12 +30,14 @@ object SparkEntry {
     operators.Relational.queries ++ operators.Windows.queries ++
       operators.IncrementalRollup.queries ++
       pipeline.TextDedup.queries ++ pipeline.Similarity.queries ++
-      pipeline.TextAnalysis.queries ++ pipeline.Multimodal.queries
+      pipeline.TextAnalysis.queries ++ pipeline.Multimodal.queries ++
+      pipeline.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.Windows.oracles ++
       pipeline.TextDedup.oracles ++ pipeline.Similarity.oracles ++
-      pipeline.TextAnalysis.oracles ++ pipeline.Multimodal.oracles
+      pipeline.TextAnalysis.oracles ++ pipeline.Multimodal.oracles ++
+      pipeline.Curation.oracles
 }

@@ -1,0 +1,211 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a pretraining-data pipeline runs between
+  * raw ingest and training: benchmark decontamination, PII scrubbing,
+  * stratified sampling, intra-document repetition scoring, and
+  * embedding-space centroid/outlier analysis.
+  *
+  * Scale design notes:
+  *  - decontamination joins the corpus n-gram stream against the
+  *    DISTINCT benchmark n-gram set — the benchmark side is orders of
+  *    magnitude smaller than the corpus, so it broadcasts and the 100 TB
+  *    side is one scan + one map-side join, no corpus shuffle;
+  *  - PII scrubbing / repetition scoring are pure per-row projections
+  *    (codegen'd regex/array built-ins): embarrassingly parallel;
+  *  - the stratified sample ranks by a HASH of the key, not an RNG —
+  *    reproducible across runs, engines, and cluster sizes (CH SAMPLE
+  *    semantics, same rationale as d_sample_split);
+  *  - centroids aggregate per (label, dim) with map-side partial sums in
+  *    DECIMAL (exact, order-independent — a plain double sum would be
+  *    partition-order-dependent and unreproducible under AQE/retries).
+  */
+object Curation {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** md5-hex of the doc_id — the deterministic sampling/splitting key
+    * (first hex digit '0' = val split, '1' = test split, rest train). */
+  private def splitHash = substring(
+    md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+  private val ipRe = "(?:[0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  val queries: Map[String, Q] = Map(
+    // Benchmark decontamination: train docs sharing any word-5-gram with
+    // the held-out test split (the standard n-gram overlap contamination
+    // check). The distinct benchmark-gram set is tiny vs the corpus —
+    // broadcast it; the corpus side never shuffles.
+    "d_decontam" -> ((s, d) => {
+      val w = Tables.documents(s, d)
+        .withColumn("h", splitHash)
+        .withColumn("w", split(lower(col("text")), " "))
+      val grams = w.filter(size(col("w")) >= 5)
+        .select(col("doc_id"), col("h"), explode(expr(
+          "transform(sequence(1, size(w) - 4), i -> array_join(slice(w, i, 5), ' '))"))
+          .as("g"))
+      val bench = grams.filter(col("h") === "1").select("g").distinct()
+      grams.filter(!col("h").isin("0", "1"))
+        .join(broadcast(bench), "g")
+        .groupBy("doc_id").agg(countDistinct(col("g")).as("n_shared"))
+        .orderBy("doc_id")
+    }),
+
+    // PII scrubbing: redact emails, IPv4s, then any residual digit runs;
+    // report per-doc redaction counts and the scrubbed-text fingerprint.
+    // The corpus text is digit-free by construction, so a deterministic
+    // PII suffix derived from doc_id is appended first — the regex paths
+    // are exercised on every row and the oracle stays exact.
+    "d_pii_scrub" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("s", concat(col("text"),
+          lit(" contact-"), col("doc_id").cast("string"),
+          lit("@mail.example ip 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7 id "), (col("doc_id") * 7919).cast("string")))
+        .select(col("doc_id"),
+          regexp_count(col("s"), lit(emailRe)).as("n_emails"),
+          regexp_count(col("s"), lit(ipRe)).as("n_ips"),
+          md5(regexp_replace(regexp_replace(regexp_replace(col("s"),
+            emailRe, "<EMAIL>"), ipRe, "<IP>"), "[0-9]+", "<NUM>")
+            .cast("binary")).as("scrub_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic stratified sample: top-5 docs per language by md5
+    // rank — per-stratum quota sampling that survives re-shards and
+    // backfills. One hash-shuffle on the stratum key; the per-stratum
+    // sort is a top-k (rank ≤ 5), not a full sort.
+    "d_strat_sample" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          row_number().over(Window.partitionBy("lang")
+            .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id")))
+            .as("rnk"))
+        .filter(col("rnk") <= 5)
+        .orderBy("lang", "rnk")
+    }),
+
+    // Intra-document repetition (Gopher-style duplicate-n-gram fraction):
+    // share of repeated bigrams within each doc — a pure projection.
+    "d_repetition" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("w", split(lower(col("text")), " "))
+        .withColumn("bgs", expr(
+          """CASE WHEN size(w) >= 2
+               THEN transform(sequence(1, size(w) - 1),
+                      i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
+               ELSE array() END"""))
+        .select(col("doc_id"),
+          size(col("bgs")).as("n_bg"),
+          size(array_distinct(col("bgs"))).as("n_uniq_bg"),
+          round(lit(1) - size(array_distinct(col("bgs"))) /
+            size(col("bgs")).cast("double"), 6).as("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // Embedding-space outliers: distance of every vector to its label's
+    // centroid, top-3 per label — the cluster-quality / mislabel filter.
+    // Centroid sums run in DECIMAL so the result is exact and identical
+    // under any partitioning (double sums are addition-order-dependent);
+    // the per-vector distance fold is in-row and order-fixed.
+    "d_emb_outlier" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val pos = e.select(col("vec_id"), col("label"),
+        posexplode(col("v")).as(Seq("p", "x")))
+      // 640-row centroid table (|labels| × 64 dims): broadcast dimension.
+      val cent = pos
+        .groupBy(col("label").as("cl"), (col("p") + 1).as("i"))
+        .agg((sum(col("x").cast("decimal(20,14)")).cast("double") /
+          count(lit(1))).as("c"))
+      val dist = pos
+        .join(broadcast(cent), col("label") === col("cl") && (col("p") + 1) === col("i"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(((col("x") - col("c")) * (col("x") - col("c")))
+          .cast("decimal(20,14)")).as("s2"))
+        .select(col("vec_id"), col("label"),
+          round(sqrt(col("s2").cast("double")), 6).as("dist"))
+      dist.withColumn("rnk", row_number().over(
+          Window.partitionBy("label").orderBy(col("dist").desc, col("vec_id"))))
+        .filter(col("rnk") <= 3)
+        .orderBy("label", "rnk")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d_decontam" ->
+      """WITH w AS (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h,
+                           string_split(lower(text), ' ') AS w FROM documents),
+         grams AS (SELECT doc_id, h,
+                  unnest(list_transform(generate_series(1, len(w) - 4),
+                         i -> array_to_string(w[i:i+4], ' '))) AS g
+                  FROM w WHERE len(w) >= 5),
+         bench AS (SELECT DISTINCT g FROM grams WHERE h = '1')
+         SELECT t.doc_id, COUNT(DISTINCT t.g) AS n_shared
+         FROM grams t JOIN bench USING (g)
+         WHERE t.h NOT IN ('0', '1')
+         GROUP BY 1 ORDER BY 1""",
+
+    "d_pii_scrub" ->
+      """WITH synth AS (
+           SELECT doc_id,
+                  text || ' contact-' || CAST(doc_id AS VARCHAR) ||
+                  '@mail.example ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+                  '.7 id ' || CAST(doc_id * 7919 AS VARCHAR) AS s
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS INT) AS n_emails,
+                CAST(len(regexp_extract_all(s, '(?:[0-9]{1,3}\.){3}[0-9]{1,3}')) AS INT) AS n_ips,
+                md5(regexp_replace(regexp_replace(regexp_replace(s,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+                    '(?:[0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+                    '[0-9]+', '<NUM>', 'g')) AS scrub_md5
+         FROM synth ORDER BY doc_id""",
+
+    "d_strat_sample" ->
+      """SELECT lang, doc_id, rnk FROM (
+           SELECT lang, doc_id,
+                  CAST(row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rnk
+           FROM documents) WHERE rnk <= 5
+         ORDER BY lang, rnk""",
+
+    "d_repetition" ->
+      """WITH b AS (
+           SELECT doc_id, CASE WHEN len(w) >= 2
+                    THEN list_transform(generate_series(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i + 1])
+                    ELSE [] END AS bgs
+           FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents))
+         SELECT doc_id, CAST(len(bgs) AS INT) AS n_bg,
+                CAST(len(list_distinct(bgs)) AS INT) AS n_uniq_bg,
+                round(1 - len(list_distinct(bgs)) / CAST(len(bgs) AS DOUBLE), 6) AS dup_frac
+         FROM b ORDER BY doc_id""",
+
+    "d_emb_outlier" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         cent AS (
+           SELECT label, CAST(i AS INT) AS i,
+                  CAST(SUM(CAST(v[i] AS DECIMAL(20,14))) AS DOUBLE) / COUNT(*) AS c
+           FROM e, unnest(generate_series(1, 64)) AS t(i)
+           GROUP BY label, i),
+         dist AS (
+           SELECT e.vec_id, e.label,
+                  SUM(CAST((v[t.i] - c) * (v[t.i] - c) AS DECIMAL(20,14))) AS s2
+           FROM e, unnest(generate_series(1, 64)) AS t(i)
+           JOIN cent ON cent.label = e.label AND cent.i = t.i
+           GROUP BY 1, 2)
+         SELECT vec_id, label, round(sqrt(CAST(s2 AS DOUBLE)), 6) AS dist, rnk
+         FROM (SELECT vec_id, label, s2,
+                      CAST(row_number() OVER (PARTITION BY label
+                        ORDER BY round(sqrt(CAST(s2 AS DOUBLE)), 6) DESC, vec_id) AS INT) AS rnk
+               FROM dist)
+         WHERE rnk <= 3 ORDER BY label, rnk"""
+  )
+}

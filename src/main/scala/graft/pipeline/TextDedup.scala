@@ -2,6 +2,7 @@ package graft.pipeline
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data deduplication over the `documents` table — the operators
@@ -78,7 +79,52 @@ object TextDedup {
     // MinHash + LSH near-dup detection: 8 minhashes, 4 bands × 2 rows;
     // candidate pairs from band-bucket collisions, then exact Jaccard
     // verification on candidates only.
-    "d_dedup_minhash" -> ((s, d) => {
+    "d_dedup_minhash" -> ((s, d) => minhashPairs(s, d)),
+
+    // Near-duplicate CLUSTERS: connected components over the minhash
+    // pair graph, so each dup group gets one canonical keeper (min
+    // doc_id) — the step that turns pairwise dedup output into an
+    // actionable keep/drop list. Components are found by iterative
+    // min-label propagation (each round: label := min over self +
+    // neighbors), the standard scalable CC loop (cf. large-star/
+    // small-star): per round one join + one aggregate over the EDGE
+    // list only — never the corpus — and rounds are bounded by
+    // component diameter (near-dup clusters are shallow). Convergence
+    // is detected by the label-sum signature, which strictly decreases
+    // while any label changes (labels only ever decrease).
+    "d_dedup_cluster" -> ((s, d) => {
+      val pr = minhashPairs(s, d).select(col("da"), col("db"))
+      val edges = pr.union(pr.select(col("db"), col("da")))
+        .toDF("src", "dst").persist()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id")).persist()
+      var sig = labels.agg(sum("lbl")).first().getLong(0)
+      var converged = false
+      while (!converged) {
+        val next = edges.join(labels, col("dst") === col("id"))
+          .select(col("src").as("id"), col("lbl"))
+          .union(labels)
+          .groupBy("id").agg(min("lbl").as("lbl"))
+          .persist()
+        val nextSig = next.agg(sum("lbl")).first().getLong(0)
+        labels.unpersist()
+        labels = next
+        converged = nextSig == sig
+        sig = nextSig
+      }
+      Materialize.drop(labels
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .orderBy("doc_id"), edges, labels)
+    }),
+
+    "d_dedup_simhash" -> ((s, d) => simhashPairs(s, d))
+  )
+
+  /** MinHash+LSH near-dup pairs — shared by d_dedup_minhash (the pair
+    * list) and d_dedup_cluster (connected components over the pairs). */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
       // The exploded token stream feeds the signature agg AND the per-doc
       // set table — cache it rather than re-exploding. (~n_docs × shingles
       // rows; at cluster scale this is a persisted intermediate table.)
@@ -131,15 +177,15 @@ object TextDedup {
           round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy("da", "db"), t, bands)
-    }),
+  }
 
-    // SimHash near-dup pairs via the native codegen'd SimHash64
-    // expression: 4×16-bit chunk banding (pigeonhole: hamming ≤ 8 pairs
-    // share at least one exact chunk at distance ≤ 3·16… conservatively
-    // candidates = any shared chunk), verified by bit_count(xor).
-    // Rows-only: the fingerprint function is engine-specific by design;
-    // TextDedupSpec cross-checks against the minhash pairs.
-    "d_dedup_simhash" -> ((s, d) => {
+  /** SimHash near-dup pairs via the native codegen'd SimHash64
+    * expression: 4×16-bit chunk banding (pigeonhole: hamming ≤ 8 pairs
+    * share at least one exact chunk at distance ≤ 3·16… conservatively
+    * candidates = any shared chunk), verified by bit_count(xor).
+    * Rows-only: the fingerprint function is engine-specific by design;
+    * TextDedupSpec cross-checks against the minhash pairs. */
+  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
       graft.functions.GraftExtensions.register(s)
       // Hash the bigram token stream, not raw words: with this corpus's
       // ~31-word vocabulary nearly all docs share most words, so word-level
@@ -177,8 +223,7 @@ object TextDedup {
         .filter(col("hamming") <= 8)
         .distinct()
         .orderBy("da", "db"), docs)
-    })
-  )
+  }
 
   private val bigramCte =
     """toks AS (
@@ -233,6 +278,49 @@ object TextDedup {
           FROM pairs
           JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
           WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.5
-          ORDER BY da, db"""
+          ORDER BY da, db""",
+
+    // Transitive closure over the (symmetrized) minhash near-dup pairs;
+    // cluster_id = min reachable doc_id (incl. self), matching the
+    // min-label-propagation fixpoint on the Spark side.
+    "d_dedup_cluster" ->
+      s"""WITH RECURSIVE $bigramCte,
+          sigs AS (
+            SELECT doc_id, seed,
+                   MIN(substr(md5(CAST(seed AS VARCHAR) || '|' || bg), 1, 16)) AS h
+            FROM toks CROSS JOIN range(0, 8) r(seed)
+            GROUP BY doc_id, seed),
+          bands AS (
+            SELECT doc_id, seed % 4 AS band, string_agg(h, '' ORDER BY seed) AS bkey
+            FROM sigs GROUP BY 1, 2),
+          cands AS (
+            SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+          sz AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+          prs AS (
+            SELECT da, db, COUNT(*) AS inter
+            FROM cands
+            JOIN toks ta ON da = ta.doc_id
+            JOIN toks tb ON db = tb.doc_id AND ta.bg = tb.bg
+            GROUP BY 1, 2),
+          edges0 AS (
+            SELECT da, db FROM prs
+            JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+            WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.5),
+          edges AS (SELECT da AS a, db AS b FROM edges0
+                    UNION SELECT db, da FROM edges0),
+          reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+          members AS (SELECT DISTINCT a AS doc_id FROM edges),
+          clusters AS (
+            SELECT m.doc_id, LEAST(m.doc_id, MIN(r.b)) AS cluster_id
+            FROM members m LEFT JOIN reach r ON r.a = m.doc_id
+            GROUP BY 1)
+          SELECT doc_id, cluster_id,
+                 COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+          FROM clusters ORDER BY doc_id"""
   )
 }

@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import graft.{Tables, TestSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  test("strat sample: per-stratum quota, hash-deterministic across runs") {
+    val s1 = Curation.queries("d_strat_sample")(spark, sf).collect()
+    val perLang = s1.groupBy(_.getString(0))
+    val langs = Tables.documents(spark, sf).select("lang").distinct().count()
+    assert(perLang.size == langs)
+    perLang.values.foreach { rs =>
+      assert(rs.length <= 5)
+      assert(rs.map(_.getInt(2)).sorted.sameElements(1 to rs.length))
+    }
+    val s2 = Curation.queries("d_strat_sample")(spark, sf).collect()
+    assert(s1.map(_.toString).sameElements(s2.map(_.toString)))
+  }
+
+  test("decontam: flagged docs are train-split and truly share a 5-gram") {
+    val flagged = Curation.queries("d_decontam")(spark, sf).collect()
+    assert(flagged.nonEmpty, "planted near-dups straddle the split")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(col("text")).as("t"),
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1).as("h"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    def grams5(t: String): Set[String] =
+      t.split(" ").sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+    val benchGrams = docs.values.collect { case (t, "1") => grams5(t) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    flagged.foreach { r =>
+      val (t, h) = docs(r.getLong(0))
+      assert(h != "0" && h != "1", "flagged doc must be train-split")
+      val shared = grams5(t).intersect(benchGrams)
+      assert(shared.size == r.getLong(1), s"doc ${r.getLong(0)} n_shared mismatch")
+    }
+  }
+
+  test("pii scrub: every synthetic PII token is redacted") {
+    val rows = Curation.queries("d_pii_scrub")(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getInt(1) == 1, "exactly the planted email")
+      assert(r.getInt(2) == 1, "exactly the planted IPv4")
+    }
+    // independently recompute one scrub and confirm no digits survive
+    val t = Tables.documents(spark, sf).filter(col("doc_id") === 7)
+      .select(col("text")).head().getString(0)
+    val s = s"$t contact-7@mail.example ip 10.0.7.7 id ${7 * 7919}"
+    val scrub = s.replaceAll("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>")
+      .replaceAll("(?:[0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>")
+      .replaceAll("[0-9]+", "<NUM>")
+    assert(!scrub.exists(_.isDigit))
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(scrub.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = rows.find(_.getLong(0) == 7L).get.getString(3)
+    assert(got == md, "scrub_md5 must equal an independent JVM-regex scrub")
+  }
+
+  test("repetition: dup fraction bounds and exact recount on a sample") {
+    val rows = Curation.queries("d_repetition")(spark, sf).collect()
+    rows.foreach { r =>
+      val (n, u, f) = (r.getInt(1), r.getInt(2), r.getDouble(3))
+      assert(u <= n && f >= 0.0 && f < 1.0)
+      assert(math.abs(f - (1.0 - u.toDouble / n)) < 1e-6)
+    }
+    val planted = Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(col("text")).as("t")).limit(20).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    planted.foreach { d =>
+      val bgs = d.getString(1).split(" ").sliding(2).map(_.mkString(" ")).toSeq
+      val r = byId(d.getLong(0))
+      assert(r.getInt(1) == bgs.length && r.getInt(2) == bgs.distinct.length)
+    }
+  }
+
+  test("emb outlier: 3 per label, distances positive, centroid is argmin-ish") {
+    val rows = Curation.queries("d_emb_outlier")(spark, sf).collect()
+    val labels = Tables.embeddings(spark, sf).select("label").distinct().count()
+    assert(rows.length == labels * 3)
+    rows.groupBy(_.getInt(1)).values.foreach { rs =>
+      assert(rs.map(_.getInt(3)).sorted.sameElements(1 to 3))
+      // outlier list is sorted by descending distance
+      val ds = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a >= b })
+      ds.foreach(d => assert(d > 0))
+    }
+  }
+
+  test("dedup cluster: consistent with pairs, canonical min keeper") {
+    val pairs = TextDedup.queries("d_dedup_minhash")(spark, sf)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = TextDedup.queries("d_dedup_cluster")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(pairs.nonEmpty && clusters.nonEmpty)
+    // membership = exactly the docs that appear in some pair
+    assert(clusters.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    // both endpoints of every near-dup pair land in the same cluster
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 == clusters(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // cluster_id is the min member; cluster_size counts the members
+    clusters.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(members.keySet.min == cid)
+      members.values.foreach { case (_, sz) => assert(sz == members.size) }
+    }
+  }
+}
