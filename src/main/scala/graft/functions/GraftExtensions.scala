@@ -35,7 +35,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => FloatDot(es.head, es(1))),
     ("proto_decode",
       new ExpressionInfo(classOf[ProtoDecode].getName, "proto_decode"),
-      (es: Seq[Expression]) => ProtoDecode(es.head, es(1))))
+      (es: Seq[Expression]) => ProtoDecode(es.head, es(1))),
+    ("hilbert_index",
+      new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
+      (es: Seq[Expression]) => HilbertIndex(es.head, es(1))))
 
   /** Runtime registration for sessions built without the extension
     * (functions only — analyzer rules can't be added to a live session;

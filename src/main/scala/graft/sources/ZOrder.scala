@@ -30,17 +30,23 @@ object ZOrder {
       acc + when(c.cast("double") >= cut, 1).otherwise(0)
     }
 
-  /** Morton-interleave the bucket indices of `cols` (2 or 3 columns,
-    * `bits` bits each) into one long. */
-  def zvalue(df: DataFrame, cols: Seq[String], bits: Int = 8): Column = {
-    require(cols.size >= 2 && cols.size <= 3, "z-order wants 2-3 columns")
-    require(bits * cols.size <= 60, "z-value must fit a long")
+  /** Quantile-rank bucket columns for `cols` — the shared first step of
+    * both curves (one approxQuantile pass, cut points become literals). */
+  private def bucketCols(df: DataFrame, cols: Seq[String], bits: Int): Seq[Column] = {
+    require(cols.size >= 2 && cols.size <= 3, "curve clustering wants 2-3 columns")
+    require(bits * cols.size <= 60, "curve value must fit a long")
     val nBuckets = 1 << bits
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val buckets = cols.map { name =>
+    cols.map { name =>
       val cuts = df.stat.approxQuantile(name, probs, 0.001)
       bucketCol(col(name), cuts).cast("long")
     }
+  }
+
+  /** Morton-interleave the bucket indices of `cols` (2 or 3 columns,
+    * `bits` bits each) into one long. */
+  def zvalue(df: DataFrame, cols: Seq[String], bits: Int = 8): Column = {
+    val buckets = bucketCols(df, cols, bits)
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       buckets.zipWithIndex.foldLeft(acc) { case (a, (b, j)) =>
         a.bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * cols.size + j))
@@ -48,16 +54,34 @@ object ZOrder {
     }
   }
 
+  /** Hilbert index over the same bucket grid — tighter per-file bounding
+    * boxes than Morton (no power-of-two diagonal jumps) at the cost of a
+    * few bit ops per row in the native [[graft.functions.HilbertIndex]]
+    * expression. Prefer it when files-per-predicate-column matters most;
+    * zvalue when pure expression simplicity does. */
+  def hvalue(df: DataFrame, cols: Seq[String], bits: Int = 8): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.HilbertIndex(
+      Bridge.expression(array(bucketCols(df, cols, bits): _*)),
+      Bridge.expression(lit(bits))))
+  }
+
   /** Cluster `df` into `nPartitions` splits along the Z-curve of `cols`:
     * range-partition + sort by z-value, so consecutive output files cover
     * compact hyper-rectangles of the column space (tight row-group
     * min/max on every z-ordered column). */
   def cluster(df: DataFrame, cols: Seq[String], nPartitions: Int,
-              bits: Int = 8): DataFrame = {
-    val z = zvalue(df, cols, bits)
-    df.withColumn("_zorder", z)
-      .repartitionByRange(nPartitions, col("_zorder"))
-      .sortWithinPartitions("_zorder")
-      .drop("_zorder")
-  }
+              bits: Int = 8): DataFrame =
+    clusterBy(df, zvalue(df, cols, bits), nPartitions)
+
+  /** Same layout discipline along the Hilbert curve. */
+  def clusterHilbert(df: DataFrame, cols: Seq[String], nPartitions: Int,
+                     bits: Int = 8): DataFrame =
+    clusterBy(df, hvalue(df, cols, bits), nPartitions)
+
+  private def clusterBy(df: DataFrame, curve: Column, nPartitions: Int): DataFrame =
+    df.withColumn("_curve", curve)
+      .repartitionByRange(nPartitions, col("_curve"))
+      .sortWithinPartitions("_curve")
+      .drop("_curve")
 }
