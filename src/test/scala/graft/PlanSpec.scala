@@ -107,6 +107,31 @@ class PlanSpec extends AnyFunSuite {
       s"minhash should return a materialized local result:\n$p")
   }
 
+  test("d_decontam: benchmark grams broadcast; distinct is partial before shuffle") {
+    val p = plan("d_decontam")
+    assert(p.contains("BroadcastHashJoin"), s"bench gram set must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus side must not shuffle for the join:\n$p")
+    assert(p.contains("partial_count(distinct"), s"count-distinct must have a partial level:\n$p")
+  }
+
+  test("d_emb_outlier: centroid broadcast, partial sums, top-3 via WindowGroupLimit") {
+    val p = plan("d_emb_outlier")
+    assert(p.contains("BroadcastHashJoin"), s"640-row centroid table must broadcast:\n$p")
+    assert(p.contains("partial_sum"), s"distance sum must combine map-side:\n$p")
+    // rnk<=3 must push below the window as a per-group limit
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+  }
+
+  test("pii scrub / repetition are single-pass projections (no join, no agg)") {
+    Seq("d_pii_scrub", "d_repetition").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Join") && !p.contains("HashAggregate"),
+        s"$name should be a pure projection:\n$p")
+      // only the deterministic output sort may shuffle
+      assert("Exchange".r.findAllIn(p).size == 1, s"$name should shuffle once (sort):\n$p")
+    }
+  }
+
   test("catalog queries avoid cartesian products except the declared cross joins") {
     val allowed = Set("o_j9_cross", "d_knn_cosine", "d_dedup_cosine", "d_ann_lsh")
     SparkEntry.queries.keys.filterNot(allowed).foreach { name =>
