@@ -15,6 +15,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.specs.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    GraftExtensions.tableSpecs.foreach { case (name, info, builder) =>
+      ext.injectTableFunction((FunctionIdentifier(name), info, builder))
+    }
     ext.injectPostHocResolutionRule(_ => graft.plans.CollapseDedup)
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
   }
@@ -40,12 +43,27 @@ object GraftExtensions {
       new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
       (es: Seq[Expression]) => HilbertIndex(es.head, es(1))))
 
+  /** SQL table functions (FROM-clause relations). The graft_asof builder
+    * resolves its table/column arguments eagerly against the active
+    * session, so it works both injected and runtime-registered. */
+  private val tableSpecs
+      : Seq[(String, ExpressionInfo,
+             Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
+    Seq(("graft_asof",
+      new ExpressionInfo("graft.plans.AsOfJoin", "graft_asof"),
+      (es: Seq[Expression]) => graft.plans.AsOfJoin.tvfBuilder(es)))
+
   /** Runtime registration for sessions built without the extension
     * (functions only — analyzer rules can't be added to a live session;
     * CollapseDedup needs the `spark.sql.extensions` path). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     specs.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    tableSpecs.foreach { case (name, _, builder) =>
+      spark.sessionState.tableFunctionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
 }

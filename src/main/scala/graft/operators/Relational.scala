@@ -144,6 +144,26 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // O-J6 via the SQL table-function surface: same plan as o_j6b (the
+    // native AsOfJoinExec), reached from pure SQL — the entry point a
+    // ClickHouse `ASOF JOIN` user migrates to. Views registered
+    // idempotently; graft_asof resolves them through the session catalog.
+    "o_j6d_asof_sql" -> ((s, d) => {
+      graft.functions.GraftExtensions.register(s)
+      Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .createOrReplaceTempView("g_asof_ev")
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").as("o_odts"))
+        .createOrReplaceTempView("g_asof_od")
+      s.sql("""SELECT event_id, user_id, ts, o_orderkey, o_odts AS o_orderdate
+               FROM graft_asof('g_asof_ev', 'g_asof_od',
+                               'user_id', 'o_custkey', 'ts', 'o_odts',
+                               '', 'o_orderkey')
+               ORDER BY event_id""")
+    }),
+
     // O-J6 (native, forward direction): CH ASOF's >= variant — the FIRST
     // purchase event at-or-after each order's date, per customer. (Events
     // postdate orders in this dataset, so forward must look from orders
@@ -606,6 +626,16 @@ object Relational {
          ORDER BY c_custkey""",
 
     "o_j6b_asof_native" ->
+      """SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM (
+           SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+           FROM events e JOIN orders o
+             ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+           WHERE e.event_type = 'purchase'
+           QUALIFY row_number() OVER (PARTITION BY e.event_id
+                     ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1)
+         ORDER BY event_id""",
+
+    "o_j6d_asof_sql" ->
       """SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM (
            SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
            FROM events e JOIN orders o

@@ -204,4 +204,40 @@ object AsOfJoin {
       attr(lp, leftTime), attr(rp, rightTime), tieBreak.map(attr(rp, _)),
       leftOuter, forward, lp, rp))
   }
+
+  /** SQL table-function surface (the ClickHouse-user entry point —
+    * `ASOF JOIN` as a FROM-clause relation):
+    *
+    *   SELECT ... FROM graft_asof(
+    *     'left_table', 'right_table',
+    *     'lk1,lk2', 'rk1,rk2',         -- equi-key columns per side
+    *     'left_time', 'right_time'
+    *     [, 'mode'                     -- '', 'outer', 'forward', both
+    *     [, 'tie1,tie2']])             -- right-side tie-break columns
+    *
+    * All arguments are string literals; tables resolve through the active
+    * session's catalog at parse time (eager resolution keeps this
+    * registerable on a live session — analyzer rules can't be). Register
+    * via [[graft.functions.GraftExtensions]]. */
+  def tvfBuilder(args: Seq[Expression]): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    def str(i: Int, what: String): String = args(i) match {
+      case Literal(s, StringType) if s != null => s.toString
+      case _ => throw new IllegalArgumentException(
+        s"graft_asof: argument $i ($what) must be a string literal")
+    }
+    require(args.length >= 6 && args.length <= 8,
+      "graft_asof(left, right, left_keys, right_keys, left_time, right_time[, mode[, tiebreak]])")
+    val spark = SparkSession.active
+    def keys(i: Int) = str(i, "keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val mode = if (args.length >= 7) str(6, "mode") else ""
+    val tie = if (args.length >= 8) keys(7) else Nil
+    asof(spark.table(str(0, "left table")), spark.table(str(1, "right table")),
+      keys(2), keys(3), str(4, "left time"), str(5, "right time"),
+      tieBreak = tie,
+      leftOuter = mode.contains("outer"),
+      forward = mode.contains("forward"))
+      .queryExecution.analyzed
+  }
 }

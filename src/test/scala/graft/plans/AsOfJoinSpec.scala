@@ -89,4 +89,34 @@ class AsOfJoinSpec extends AnyFunSuite {
       AsOfJoin.asof(l, r, Seq("k"), Seq("k2"), "t", "t2")
     }
   }
+
+  test("graft_asof SQL table function == DataFrame API, native exec in plan") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    val left = Seq(("u1", "e1", ts(5)), ("u1", "e2", ts(20)), ("u2", "e3", ts(5)))
+      .toDF("k", "eid", "t")
+    val right = Seq(("u1", 10L, ts(0)), ("u1", 11L, ts(10)), ("u2", 20L, ts(7)))
+      .toDF("k2", "oid", "t2")
+    left.createOrReplaceTempView("tvf_l")
+    right.createOrReplaceTempView("tvf_r")
+    val viaSql = spark.sql(
+      "SELECT eid, oid FROM graft_asof('tvf_l', 'tvf_r', 'k', 'k2', 't', 't2')")
+    assert(viaSql.queryExecution.executedPlan.toString.contains("AsOfJoin ["),
+      "SQL surface must reach the native operator")
+    val sqlRows = viaSql.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val apiRows = AsOfJoin.asof(left, right, Seq("k"), Seq("k2"), "t", "t2")
+      .select(col("eid"), col("oid")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sqlRows == apiRows && sqlRows == Map("e1" -> 10L, "e2" -> 11L, "e3" -> 20L))
+    // modes thread through: forward+outer
+    val fwd = spark.sql("""SELECT eid, oid FROM graft_asof('tvf_l', 'tvf_r',
+        'k', 'k2', 't', 't2', 'forward outer', 'oid')""").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(fwd == Map("e1" -> 11L, "e2" -> -1L, "e3" -> 20L))
+    // non-literal argument is rejected with a clear error
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_asof('tvf_l', 'tvf_r', 'k', 'k2', 't', lower('T2'))")
+        .collect()
+    }
+  }
 }
