@@ -44,8 +44,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => HilbertIndex(es.head, es(1))))
 
   /** SQL table functions (FROM-clause relations). The graft_asof builder
-    * resolves its table/column arguments eagerly against the active
-    * session, so it works both injected and runtime-registered. */
+    * returns a lazy [[graft.plans.AsOfJoinByName]] over UnresolvedRelation
+    * children — the analyzing session's catalog resolves the tables, so it
+    * is multi-session-safe and works both injected and runtime-registered
+    * (GraftStrategies lowers it at planning; no analyzer rule needed). */
   private val tableSpecs
       : Seq[(String, ExpressionInfo,
              Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
@@ -65,5 +67,8 @@ object GraftExtensions {
       spark.sessionState.tableFunctionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    // graft_asof plans lower through GraftStrategies — live sessions can
+    // still gain planner strategies via the experimental hook.
+    graft.plans.AsOfJoin.install(spark)
   }
 }

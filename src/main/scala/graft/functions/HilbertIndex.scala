@@ -50,10 +50,17 @@ object HilbertIndex {
   /** Called from both interpreted eval and generated code. */
   def compute(coords: ArrayData, bits: Int): Long = {
     val d = coords.numElements()
-    require(d >= 1 && d * bits <= 63, s"hilbert_index: $d dims x $bits bits")
+    require(d >= 1 && bits >= 1 && d * bits <= 63,
+      s"hilbert_index: $d dims x $bits bits (need d >= 1, bits >= 1, d*bits <= 63)")
     val x = new Array[Long](d)
     var i = 0
-    while (i < d) { x(i) = coords.getLong(i); i += 1 }
+    while (i < d) {
+      val c = coords.getLong(i)
+      require(c >= 0 && c < (1L << bits),
+        s"hilbert_index: coord $c out of [0, 2^$bits) at dim $i")
+      x(i) = c
+      i += 1
+    }
     // Skilling AxesToTranspose: inverse-undo excess work
     var q = 1L << (bits - 1)
     while (q > 1) {

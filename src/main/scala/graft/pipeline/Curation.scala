@@ -38,8 +38,12 @@ object Curation {
   val queries: Map[String, Q] = Map(
     // Benchmark decontamination: train docs sharing any word-5-gram with
     // the held-out test split (the standard n-gram overlap contamination
-    // check). The distinct benchmark-gram set is tiny vs the corpus —
-    // broadcast it; the corpus side never shuffles.
+    // check). Here the "benchmark" is the h='1' hash split — ~1/16 of the
+    // corpus's distinct 5-grams, small enough to broadcast at test scale
+    // but NOT at 100 TB. In production the benchmark side is a genuinely
+    // small held-out eval table (MMLU/GSM8K-sized, thousands of grams) and
+    // the broadcast holds; against a large split, drop the broadcast hint
+    // and let AQE pick the join — the corpus side then shuffles on g once.
     "d_decontam" -> ((s, d) => {
       val w = Tables.documents(s, d)
         .withColumn("h", splitHash)

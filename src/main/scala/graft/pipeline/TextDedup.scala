@@ -98,7 +98,10 @@ object TextDedup {
         .toDF("src", "dst").persist()
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("lbl", col("id")).persist()
-      var sig = labels.agg(sum("lbl")).first().getLong(0)
+      // coalesce: a clean corpus has no pairs, so labels is empty and a
+      // bare sum returns NULL — converge immediately to an empty result
+      // instead of an NPE.
+      var sig = labels.agg(coalesce(sum("lbl"), lit(0L))).first().getLong(0)
       var converged = false
       while (!converged) {
         val next = edges.join(labels, col("dst") === col("id"))
@@ -106,7 +109,7 @@ object TextDedup {
           .union(labels)
           .groupBy("id").agg(min("lbl").as("lbl"))
           .persist()
-        val nextSig = next.agg(sum("lbl")).first().getLong(0)
+        val nextSig = next.agg(coalesce(sum("lbl"), lit(0L))).first().getLong(0)
         labels.unpersist()
         labels = next
         converged = nextSig == sig

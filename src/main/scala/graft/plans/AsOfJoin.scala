@@ -160,6 +160,54 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** Name-based as-of join, the lazy form produced by the SQL table function
+  * [[AsOfJoin.tvfBuilder]]: children are `UnresolvedRelation`s and the
+  * key/time columns are names, so the ANALYZING session's catalog resolves
+  * the tables — not whichever session happened to be active when the query
+  * text was parsed (multi-session JVMs share one active-session slot).
+  * The node reports resolved once its children are and every referenced
+  * column exists; [[GraftStrategies]] lowers it to [[AsOfJoinExec]] at
+  * planning time, so no injected analyzer rule is needed and the runtime
+  * [[graft.functions.GraftExtensions.register]] path works identically. */
+case class AsOfJoinByName(
+    leftKeys: Seq[String], rightKeys: Seq[String],
+    leftTime: String, rightTime: String,
+    tieBreak: Seq[String],
+    leftOuter: Boolean,
+    forward: Boolean,
+    left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
+
+  private[plans] def find(p: LogicalPlan, n: String): Option[Attribute] =
+    p.output.find(_.name.equalsIgnoreCase(n))
+
+  override lazy val resolved: Boolean = childrenResolved &&
+    (leftKeys :+ leftTime).forall(find(left, _).isDefined) &&
+    (rightKeys ++ (rightTime +: tieBreak)).forall(find(right, _).isDefined) &&
+    find(left, leftTime).get.dataType == find(right, rightTime).get.dataType
+
+  /** The key/time columns are strings, not Expressions, so the default
+    * (expression-derived) references are empty — ColumnPruning would prune
+    * them out of the children and un-resolve the plan. Surface them. */
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      (leftKeys :+ leftTime).flatMap(find(left, _)) ++
+        (rightKeys ++ (rightTime +: tieBreak)).flatMap(find(right, _)))
+
+  override def output: Seq[Attribute] =
+    left.output ++ (if (leftOuter) right.output.map(_.withNullability(true))
+                    else right.output)
+
+  /** Lower to the attribute-based plan (callable once resolved). */
+  def toPlan: AsOfJoinPlan = AsOfJoinPlan(
+    leftKeys.map(find(left, _).get), rightKeys.map(find(right, _).get),
+    find(left, leftTime).get, find(right, rightTime).get,
+    tieBreak.map(find(right, _).get), leftOuter, forward, left, right)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinByName =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Planner strategy for graft's custom logical operators. Installed
   * per-session by [[AsOfJoin.install]] (public `experimental` hook) or via
   * `spark.sql.extensions=graft.functions.GraftExtensions`. */
@@ -167,6 +215,7 @@ object GraftStrategies extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(lk, rk, lt, rt, tb, outer, fwd, l, r) =>
       AsOfJoinExec(lk, rk, lt, rt, tb, outer, fwd, planLater(l), planLater(r)) :: Nil
+    case j: AsOfJoinByName => apply(j.toPlan)
     case _ => Nil
   }
 }
@@ -215,12 +264,16 @@ object AsOfJoin {
     *     [, 'mode'                     -- '', 'outer', 'forward', both
     *     [, 'tie1,tie2']])             -- right-side tie-break columns
     *
-    * All arguments are string literals; tables resolve through the active
-    * session's catalog at parse time (eager resolution keeps this
-    * registerable on a live session — analyzer rules can't be). Register
-    * via [[graft.functions.GraftExtensions]]. */
+    * All arguments are string literals. The returned plan is LAZY: tables
+    * become `UnresolvedRelation`s inside an [[AsOfJoinByName]], so the
+    * session that ANALYZES the query resolves them against its own
+    * catalog/temp views — safe in multi-session JVMs where
+    * `SparkSession.active` at parse time may differ from the querying
+    * session. Register via [[graft.functions.GraftExtensions]]. */
   def tvfBuilder(args: Seq[Expression]): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
     import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
     import org.apache.spark.sql.types.StringType
     def str(i: Int, what: String): String = args(i) match {
       case Literal(s, StringType) if s != null => s.toString
@@ -229,15 +282,13 @@ object AsOfJoin {
     }
     require(args.length >= 6 && args.length <= 8,
       "graft_asof(left, right, left_keys, right_keys, left_time, right_time[, mode[, tiebreak]])")
-    val spark = SparkSession.active
+    def rel(i: Int, what: String) =
+      UnresolvedRelation(CatalystSqlParser.parseMultipartIdentifier(str(i, what)))
     def keys(i: Int) = str(i, "keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val mode = if (args.length >= 7) str(6, "mode") else ""
     val tie = if (args.length >= 8) keys(7) else Nil
-    asof(spark.table(str(0, "left table")), spark.table(str(1, "right table")),
-      keys(2), keys(3), str(4, "left time"), str(5, "right time"),
-      tieBreak = tie,
-      leftOuter = mode.contains("outer"),
-      forward = mode.contains("forward"))
-      .queryExecution.analyzed
+    AsOfJoinByName(keys(2), keys(3), str(4, "left time"), str(5, "right time"),
+      tie, leftOuter = mode.contains("outer"), forward = mode.contains("forward"),
+      rel(0, "left table"), rel(1, "right table"))
   }
 }

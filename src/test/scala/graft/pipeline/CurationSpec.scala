@@ -109,4 +109,18 @@ class CurationSpec extends AnyFunSuite {
       members.values.foreach { case (_, sz) => assert(sz == members.size) }
     }
   }
+
+  test("dedup cluster on a clean corpus returns empty, not NPE") {
+    import spark.implicits._
+    // Single-word docs produce zero bigrams -> zero minhash pairs -> the
+    // label-propagation loop starts from an empty frame (regression: the
+    // bare sum() signature read was NULL here and threw).
+    val dir = java.nio.file.Files.createTempDirectory("clean_corpus").toString
+    Seq((1L, "alpha", "en"), (2L, "beta", "en"), (3L, "gamma", "de"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextDedup.queries("d_dedup_cluster")(spark, dir)
+    assert(out.columns.toSeq == Seq("doc_id", "cluster_id", "cluster_size"))
+    assert(out.count() == 0)
+  }
 }

@@ -107,7 +107,8 @@ class AsOfJoinSpec extends AnyFunSuite {
     val apiRows = AsOfJoin.asof(left, right, Seq("k"), Seq("k2"), "t", "t2")
       .select(col("eid"), col("oid")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(sqlRows == apiRows && sqlRows == Map("e1" -> 10L, "e2" -> 11L, "e3" -> 20L))
+    // backward: e3 (u2, t=5) has no u2 right at-or-before t=5 (only t=7) -> dropped
+    assert(sqlRows == apiRows && sqlRows == Map("e1" -> 10L, "e2" -> 11L))
     // modes thread through: forward+outer
     val fwd = spark.sql("""SELECT eid, oid FROM graft_asof('tvf_l', 'tvf_r',
         'k', 'k2', 't', 't2', 'forward outer', 'oid')""").collect()
@@ -116,6 +117,38 @@ class AsOfJoinSpec extends AnyFunSuite {
     // non-literal argument is rejected with a clear error
     intercept[Exception] {
       spark.sql("SELECT * FROM graft_asof('tvf_l', 'tvf_r', 'k', 'k2', 't', lower('T2'))")
+        .collect()
+    }
+  }
+
+  test("tvf plan is lazy: UnresolvedRelation children, resolved by the querying session") {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // The builder must NOT touch any session's catalog: in a multi-session
+    // JVM, SparkSession.active at parse time can be a different session
+    // than the one that runs the query.
+    val plan = AsOfJoin.tvfBuilder(
+      Seq("no_such_view_anywhere", "also_absent", "k", "k2", "t", "t2")
+        .map(Literal(_)))
+    val byName = plan.asInstanceOf[AsOfJoinByName]
+    assert(byName.children.forall(_.isInstanceOf[UnresolvedRelation]))
+    assert(!plan.resolved)
+    // A sibling session with ONLY its own temp views runs the TVF fine.
+    import java.sql.Timestamp
+    val s2 = spark.newSession()
+    graft.functions.GraftExtensions.register(s2)
+    import s2.implicits._
+    Seq(("u1", "e1", ts(5))).toDF("k", "eid", "t")
+      .createOrReplaceTempView("tvf_s2_l")
+    Seq(("u1", 7L, ts(0))).toDF("k2", "oid", "t2")
+      .createOrReplaceTempView("tvf_s2_r")
+    val rows = s2.sql(
+      "SELECT eid, oid FROM graft_asof('tvf_s2_l', 'tvf_s2_r', 'k', 'k2', 't', 't2')")
+      .collect()
+    assert(rows.map(r => r.getString(0) -> r.getLong(1)).toSeq == Seq("e1" -> 7L))
+    // and those views are invisible to the primary session
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_asof('tvf_s2_l', 'tvf_s2_r', 'k', 'k2', 't', 't2')")
         .collect()
     }
   }

@@ -89,6 +89,12 @@ class ZOrderSpec extends AnyFunSuite {
       .sliding(2).map { case Seq((_, a), (_, b)) =>
         math.abs(a._1 - b._1) + math.abs(a._2 - b._2) }.toSeq
     assert(mSteps.max > 1, "sanity: Morton does jump")
+    // Degenerate inputs error instead of silently colliding: bits=0 maps
+    // every row to 0 and out-of-range coords break bijectivity.
+    intercept[IllegalArgumentException] { idx(Seq(1L, 1L), 0) }
+    intercept[IllegalArgumentException] { idx(Seq(16L, 0L), 4) }
+    intercept[IllegalArgumentException] { idx(Seq(-1L, 0L), 4) }
+    intercept[IllegalArgumentException] { idx(Seq(1L, 1L), 32) } // 2*32 > 63
   }
 
   test("hilbert codegen == interpreted, SQL-registered, and file spans ≤ Morton's") {
