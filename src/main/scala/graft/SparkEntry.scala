@@ -37,6 +37,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.Windows.oracles ++
+      operators.IncrementalRollup.oracles ++
       pipeline.TextDedup.oracles ++ pipeline.Similarity.oracles ++
       pipeline.TextAnalysis.oracles ++ pipeline.Multimodal.oracles ++
       pipeline.Curation.oracles

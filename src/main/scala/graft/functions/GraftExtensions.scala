@@ -41,7 +41,16 @@ object GraftExtensions {
       (es: Seq[Expression]) => ProtoDecode(es.head, es(1))),
     ("hilbert_index",
       new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
-      (es: Seq[Expression]) => HilbertIndex(es.head, es(1))))
+      (es: Seq[Expression]) => HilbertIndex(es.head, es(1))),
+    ("ddsketch_agg",
+      new ExpressionInfo(classOf[DDSketchAgg].getName, "ddsketch_agg"),
+      (es: Seq[Expression]) => new DDSketchAgg(es.head, es(1))),
+    ("ddsketch_merge",
+      new ExpressionInfo(classOf[DDSketchMergeAgg].getName, "ddsketch_merge"),
+      (es: Seq[Expression]) => DDSketchMergeAgg(es.head)),
+    ("ddsketch_quantile",
+      new ExpressionInfo(classOf[DDSketchQuantile].getName, "ddsketch_quantile"),
+      (es: Seq[Expression]) => DDSketchQuantile(es.head, es(1))))
 
   /** SQL table functions (FROM-clause relations). The graft_asof builder
     * returns a lazy [[graft.plans.AsOfJoinByName]] over UnresolvedRelation

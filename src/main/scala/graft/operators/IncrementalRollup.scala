@@ -55,6 +55,58 @@ object IncrementalRollup {
           Seq("event_date", "event_type"), "user_id"))
       merged(parts.reduce(_ unionByName _), Seq("event_date", "event_type"))
         .orderBy("event_date", "event_type")
+    }),
+
+    // O-A13: quantileState/quantileMerge — graft's DDSketch aggregate
+    // ([[graft.functions.DDSketch]]). Same two-level shape as a12: per-
+    // batch partial sketches (4-way split), merged to the final group.
+    // Unlike HLL estimates, DDSketch bin indices are DETERMINISTIC
+    // integers (bin-wise counter merges are order-insensitive), so this
+    // sketch query is fully DuckDB-oracled: the oracle recomputes
+    // k = ceil(ln(x)/ln(gamma)) per row and picks the same rank rule.
+    "o_a13_quantile_sketch" -> ((s, d) => {
+      graft.functions.GraftExtensions.register(s)
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_extendedprice") > 0)
+        .select(col("l_returnflag").as("flag"),
+          col("l_extendedprice").cast("double").as("x"),
+          pmod(col("l_orderkey"), lit(4)).as("b"))
+      li.groupBy("flag", "b")
+        .agg(count(lit(1)).as("pn"), expr("ddsketch_agg(x, 0.01D)").as("qs"))
+        .groupBy("flag")
+        .agg(sum("pn").as("n"), expr("ddsketch_merge(qs)").as("m"))
+        .select(col("flag"), col("n"),
+          expr("ddsketch_quantile(m, 0.5D)").as("q50_bin"),
+          expr("ddsketch_quantile(m, 0.95D)").as("q95_bin"),
+          expr("ddsketch_quantile(m, 0.99D)").as("q99_bin"))
+        .orderBy("flag")
     })
+  )
+
+  /** DuckDB oracle for the DDSketch rollup: same bin function, same rank
+    * rule (smallest k with cumulative count >= max(1, ceil(q*N))). gamma
+    * is written as the same double expression (1.01/0.99) both sides; the
+    * ln-ratio would need to sit within ~1e-13 of an integer for the two
+    * engines' libm rounding to disagree on a bin — vanishingly unlikely
+    * over these row counts, and the integer output hashes exactly. */
+  val oracles: Map[String, String] = Map(
+    "o_a13_quantile_sketch" ->
+      """WITH r AS (
+           SELECT l_returnflag AS flag,
+                  CAST(ceil(ln(CAST(l_extendedprice AS DOUBLE)) / ln(1.01/0.99)) AS INT) AS k
+           FROM lineitem WHERE l_extendedprice > 0
+         ), c AS (
+           SELECT flag, k, COUNT(*) AS cnt FROM r GROUP BY flag, k
+         ), w AS (
+           SELECT flag, k,
+                  SUM(cnt) OVER (PARTITION BY flag ORDER BY k) AS cum,
+                  SUM(cnt) OVER (PARTITION BY flag) AS tot
+           FROM c
+         )
+         SELECT flag, CAST(MAX(tot) AS BIGINT) AS n,
+                MIN(CASE WHEN cum >= greatest(1, CAST(ceil(0.50 * tot) AS BIGINT)) THEN k END) AS q50_bin,
+                MIN(CASE WHEN cum >= greatest(1, CAST(ceil(0.95 * tot) AS BIGINT)) THEN k END) AS q95_bin,
+                MIN(CASE WHEN cum >= greatest(1, CAST(ceil(0.99 * tot) AS BIGINT)) THEN k END) AS q99_bin
+         FROM w GROUP BY flag ORDER BY flag"""
   )
 }
