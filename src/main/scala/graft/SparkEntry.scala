@@ -29,6 +29,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.Windows.queries ++
       operators.IncrementalRollup.queries ++
+      sources.ProtoSourceQueries.queries ++
       pipeline.TextDedup.queries ++ pipeline.Similarity.queries ++
       pipeline.TextAnalysis.queries ++ pipeline.Multimodal.queries ++
       pipeline.Curation.queries
@@ -38,6 +39,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.Windows.oracles ++
       operators.IncrementalRollup.oracles ++
+      sources.ProtoSourceQueries.oracles ++
       pipeline.TextDedup.oracles ++ pipeline.Similarity.oracles ++
       pipeline.TextAnalysis.oracles ++ pipeline.Multimodal.oracles ++
       pipeline.Curation.oracles

@@ -1,0 +1,243 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, EOFException, InputStream}
+import java.util
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.streaming.ProtoWire
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 batch source for protobuf wire files —
+  * `spark.read.format("graft-proto").option("schema", ddl).load(dir)`.
+  *
+  * File format: concatenated varint-length-delimited proto3 messages —
+  * exactly the body shape the reference POSTs to ClickHouse
+  * (`INSERT ... FORMAT Protobuf`, src/click_house.rs:75-78; CH's
+  * `Protobuf` input format is the standard length-delimited stream) and
+  * the batch framing its micro-batcher accumulates (src/handler.rs:62-66).
+  * This source makes those at-rest insert payloads directly queryable
+  * without a parquet conversion hop.
+  *
+  * Spark-first structure (the full DSv2 stack, SURVEY §7 hard part 1):
+  * TableProvider → Table(BATCH_READ) → ScanBuilder with
+  * `SupportsPushDownRequiredColumns` → Batch → PartitionReaderFactory.
+  * Column pruning reaches the DECODER: pruned fields are skipped in the
+  * wire stream with zero allocation ([[ProtoWire.decodeToRowPruned]]) —
+  * the proto analog of parquet's ReadSchema pruning.
+  *
+  * Scale notes: varint framing has no sync markers, so the split unit is
+  * the FILE (one `InputPartition` each, like gzipped text/sequence
+  * files); the ingest tier writes many bounded files (60 MB flush cap,
+  * config/default.toml:42), which is exactly the sizing that keeps one
+  * file ≈ one task. Readers stream frames through a 64 KB buffer —
+  * memory is O(largest message), not O(file).
+  */
+class ProtoFileSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-proto"
+
+  private def ddl(options: CaseInsensitiveStringMap): StructType =
+    StructType.fromDDL(Option(options.get("schema")).getOrElse(throw new IllegalArgumentException(
+      "graft-proto requires option 'schema' (a DDL string; field order = proto field numbers 1..n)")))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = ddl(options)
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-proto requires a single load(path)"))
+    new ProtoTable(schema, path)
+  }
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+private[sources] class ProtoTable(tableSchema: StructType, path: String)
+  extends Table with SupportsRead {
+  override def name(): String = s"graft-proto:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ProtoScanBuilder(tableSchema, path)
+}
+
+private[sources] class ProtoScanBuilder(full: StructType, path: String)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new ProtoScan(full, required, path)
+}
+
+private[sources] case class ProtoFilePartition(file: String, bytes: Long)
+  extends InputPartition
+
+private[sources] class ProtoScan(full: StructType, required: StructType, path: String)
+  extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft-proto $path ReadSchema: ${required.toDDL}"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    val files =
+      if (st.isDirectory)
+        fs.listStatus(p).filter(f => f.isFile && {
+          val n = f.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        })
+      else Array(st)
+    files.sortBy(_.getPath.toString)
+      .map(f => ProtoFilePartition(f.getPath.toString, f.getLen): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ProtoReaderFactory(full.toDDL,
+      required.fields.map(f => full.fieldIndex(f.name)))
+}
+
+/** Serializable factory: schema travels as DDL text, the projection as
+  * field indices into the full schema. */
+private[sources] class ProtoReaderFactory(fullDdl: String, projection: Array[Int])
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val part = partition.asInstanceOf[ProtoFilePartition]
+    new ProtoPartitionReader(part.file, StructType.fromDDL(fullDdl), projection)
+  }
+}
+
+private[sources] class ProtoPartitionReader(
+    file: String, full: StructType, projection: Array[Int])
+  extends PartitionReader[InternalRow] {
+
+  private val in: InputStream = {
+    val p = new Path(file)
+    new BufferedInputStream(p.getFileSystem(new Configuration()).open(p), 64 * 1024)
+  }
+  private var current: InternalRow = _
+
+  /** Frame-length varint off the stream; -1 on clean EOF. A partial
+    * varint or truncated body is a corrupt file and throws. */
+  private def readFrameLen(): Int = {
+    var first = true
+    var shift = 0
+    var res = 0L
+    while (true) {
+      val b = in.read()
+      if (b < 0) {
+        if (first) return -1
+        throw new EOFException(s"$file: truncated frame-length varint")
+      }
+      first = false
+      res |= (b & 0x7fL) << shift
+      if ((b & 0x80) == 0) return math.toIntExact(res)
+      shift += 7
+      if (shift > 31) throw new ProtoWire.ProtoParseException(s"$file: frame length varint too long")
+    }
+    -1
+  }
+
+  override def next(): Boolean = {
+    val len = readFrameLen()
+    if (len < 0) { current = null; false }
+    else {
+      val buf = in.readNBytes(len)
+      if (buf.length != len) throw new EOFException(s"$file: truncated frame body")
+      current = ProtoWire.decodeToRowPruned(buf, full, projection)
+      true
+    }
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}
+
+/** Catalog surface for the DSv2 source: a distributed round trip over the
+  * events table. Each task encodes its partition to one wire file (the
+  * micro-batcher's per-flush artifact), then the graft-proto scan reads
+  * them back — decoder-level column pruning and all — and aggregates.
+  *
+  * The oracle mirrors proto3 presence semantics explicitly: zero/empty
+  * scalars are NOT serialized, so they come back NULL (`NULLIF` in SQL).
+  * That asymmetry is a property of the wire format, not a decode bug —
+  * the ingest tier fills defaults downstream (FIXTURES.md invariant 4).
+  */
+object ProtoSourceQueries {
+  type Q = (SparkSession, String) => org.apache.spark.sql.DataFrame
+
+  private val wireDdl =
+    "event_id BIGINT, user_id BIGINT, event_type STRING, props STRING"
+
+  val queries: Map[String, Q] = Map(
+    "s_scan2_proto" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val schema = StructType.fromDDL(wireDdl)
+      val dir = java.nio.file.Files.createTempDirectory("proto_scan").toString
+      // one wire file per task — local[n] shares the driver FS; on a real
+      // cluster this directory would live on the shared object store
+      graft.Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "props")
+        .repartition(4)
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          val pid = org.apache.spark.TaskContext.get().partitionId()
+          ProtoFiles.writeLocal(s"$dir/part-$pid.pbstream",
+            rows.map(r => (0 until 4).map(i => if (r.isNullAt(i)) null else r.get(i))),
+            schema)
+        }
+      s.read.format("graft-proto").option("schema", wireDdl).load(dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("uniq_users"),
+          min(col("event_id")).as("min_event"),
+          max(col("event_id")).as("max_event"))
+        .orderBy("event_type")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s_scan2_proto" ->
+      """SELECT event_type, COUNT(*) AS n,
+                COUNT(DISTINCT NULLIF(user_id, 0)) AS uniq_users,
+                MIN(NULLIF(event_id, 0)) AS min_event,
+                MAX(NULLIF(event_id, 0)) AS max_event
+         FROM events GROUP BY event_type ORDER BY event_type"""
+  )
+}
+
+/** Local/driver-side helpers for producing wire files (tests, fixtures,
+  * and the per-partition writer used by the round-trip catalog query).
+  * The production write path is the ingest tier itself. */
+object ProtoFiles {
+  /** Append `values` rows as length-delimited frames to `out`. */
+  def writeFrames(out: java.io.OutputStream, rows: Iterator[Seq[Any]],
+                  schema: StructType): Unit = {
+    rows.foreach { r =>
+      val msg = ProtoWire.encode(r, schema)
+      var v = msg.length.toLong
+      val lenBytes = ArrayBuffer.empty[Byte]
+      while ((v & ~0x7fL) != 0) { lenBytes += ((v & 0x7f) | 0x80).toByte; v >>>= 7 }
+      lenBytes += v.toByte
+      out.write(lenBytes.toArray)
+      out.write(msg)
+    }
+  }
+
+  def writeLocal(file: String, rows: Iterator[Seq[Any]], schema: StructType): Unit = {
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(file), 64 * 1024)
+    try writeFrames(out, rows, schema) finally out.close()
+  }
+}

@@ -94,6 +94,13 @@ object ProtoWire {
       pos += n.toInt
       r
     }
+    /** Advance past a length-delimited body without copying it — the
+      * column-pruning fast path (skipped fields cost zero allocation). */
+    def skipLenDelimited(): Unit = {
+      val n = varint()
+      if (n < 0 || pos + n > bytes.length) throw new ProtoParseException("truncated body")
+      pos += n.toInt
+    }
   }
 
   private def jsonEscape(s: String): String = {
@@ -144,6 +151,55 @@ object ProtoWire {
       f.dataType match {
         case ArrayType(StringType, _) if repeated(i).nonEmpty =>
           values(i) = new GenericArrayData(repeated(i).toArray[Any])
+        case _ => ()
+      }
+    }
+    new GenericInternalRow(values)
+  }
+
+  /** Decode one message to an InternalRow containing ONLY the fields at
+    * `projection` (indices into `schema`), in projection order. Unwanted
+    * length-delimited fields are skipped without copying; unwanted
+    * varints are consumed in place — the decode-side analog of parquet
+    * column pruning for the [[graft.sources.ProtoFileSource]] scan.
+    * Wire/type mismatches still throw for ALL fields (pruning never
+    * weakens the permanent-error contract). */
+  def decodeToRowPruned(bytes: Array[Byte], schema: StructType,
+                        projection: Array[Int]): org.apache.spark.sql.catalyst.InternalRow = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val outPos = Array.fill(schema.length)(-1)
+    projection.zipWithIndex.foreach { case (fi, oi) => outPos(fi) = oi }
+    val r = new Reader(bytes)
+    val values = new Array[Any](projection.length)
+    val repeated = Array.fill(projection.length)(List.empty[UTF8String])
+    while (r.hasMore) {
+      val tag = r.varint()
+      val field = (tag >>> 3).toInt
+      val wire = (tag & 7).toInt
+      if (field < 1 || field > schema.length)
+        throw new ProtoParseException(s"unknown field number $field")
+      val out = outPos(field - 1)
+      (schema.fields(field - 1).dataType, wire) match {
+        case (StringType, 2) =>
+          if (out >= 0) values(out) = UTF8String.fromBytes(r.lenDelimited())
+          else r.skipLenDelimited()
+        case (ArrayType(StringType, _), 2) =>
+          if (out >= 0) repeated(out) :+= UTF8String.fromBytes(r.lenDelimited())
+          else r.skipLenDelimited()
+        case (LongType, 0)    => val v = r.varint(); if (out >= 0) values(out) = v
+        case (IntegerType, 0) => val v = r.varint().toInt; if (out >= 0) values(out) = v
+        case (BooleanType, 0) => val v = r.varint() != 0L; if (out >= 0) values(out) = v
+        case (dt, w) =>
+          throw new ProtoParseException(
+            s"wire type $w does not match ${schema.fields(field - 1).name}: $dt")
+      }
+    }
+    projection.zipWithIndex.foreach { case (fi, oi) =>
+      schema.fields(fi).dataType match {
+        case ArrayType(StringType, _) if repeated(oi).nonEmpty =>
+          values(oi) = new GenericArrayData(repeated(oi).toArray[Any])
         case _ => ()
       }
     }

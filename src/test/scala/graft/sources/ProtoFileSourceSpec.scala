@@ -1,0 +1,88 @@
+package graft.sources
+
+import graft.TestSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+
+class ProtoFileSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  private val ddl =
+    "msg_id BIGINT, name STRING, score INT, active BOOLEAN, tags ARRAY<STRING>"
+  private val schema = StructType.fromDDL(ddl)
+
+  private def writeFixture(dir: String): Unit = {
+    // two files: reader must treat each as one partition and union them
+    ProtoFiles.writeLocal(s"$dir/a.pbstream", Iterator(
+      Seq(1L, "alpha", 10, true, Seq("x", "y")),
+      Seq(2L, "beta", 0, false, Seq()),           // proto3 defaults -> absent -> null
+      Seq(3L, null, 7, true, Seq("z"))
+    ), schema)
+    ProtoFiles.writeLocal(s"$dir/b.pbstream", Iterator(
+      Seq(4L, "delta", -1, true, Seq("x"))
+    ), schema)
+  }
+
+  test("round trip: all types, proto3 default/null semantics, multi-file") {
+    val dir = java.nio.file.Files.createTempDirectory("proto_src").toString
+    writeFixture(dir)
+    val df = spark.read.format("graft-proto").option("schema", ddl).load(dir)
+    assert(df.schema.toDDL == schema.toDDL)
+    assert(df.rdd.getNumPartitions == 2, "one partition per wire file")
+    val rows = df.orderBy("msg_id").collect()
+    assert(rows.length == 4)
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "alpha" &&
+      rows(0).getInt(2) == 10 && rows(0).getBoolean(3) &&
+      rows(0).getSeq[String](4) == Seq("x", "y"))
+    // zero/empty/false scalars are not on the wire -> decode as null
+    assert(rows(1).getLong(0) == 2L && rows(1).getString(1) == "beta" &&
+      rows(1).isNullAt(2) && rows(1).isNullAt(3) && rows(1).isNullAt(4))
+    assert(rows(2).isNullAt(1) && rows(2).getInt(2) == 7)
+    // negative int32 rides the 10-byte varint
+    assert(rows(3).getInt(2) == -1)
+  }
+
+  test("column pruning reaches the scan (ReadSchema shows only used cols)") {
+    val dir = java.nio.file.Files.createTempDirectory("proto_prune").toString
+    writeFixture(dir)
+    val df = spark.read.format("graft-proto").option("schema", ddl).load(dir)
+      .select("name", "score")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-proto"), plan)
+    assert(plan.contains("ReadSchema: name STRING,score INT") ||
+      plan.contains("ReadSchema: `name` STRING,`score` INT"), plan)
+    val got = df.collect().map(r => (Option(r.getString(0)),
+      if (r.isNullAt(1)) None else Some(r.getInt(1)))).toSet
+    assert(got == Set((Some("alpha"), Some(10)), (Some("beta"), None),
+      (None, Some(7)), (Some("delta"), Some(-1))))
+  }
+
+  test("corrupt frame fails loudly; empty file reads as zero rows") {
+    val dir = java.nio.file.Files.createTempDirectory("proto_bad").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/empty.pbstream"),
+      Array.emptyByteArray)
+    val empty = spark.read.format("graft-proto").option("schema", ddl).load(dir)
+    assert(empty.count() == 0)
+    // frame length promises more bytes than the file has
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/bad.pbstream"),
+      Array[Byte](0x7f, 0x01, 0x02))
+    intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-proto").option("schema", ddl).load(s"$dir/bad.pbstream")
+        .count()
+    }
+  }
+
+  test("s_scan2_proto distributed round trip matches a direct events query") {
+    val got = ProtoSourceQueries.queries("s_scan2_proto")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = graft.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(when(col("user_id") =!= 0, col("user_id"))).as("uniq_users"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+}
