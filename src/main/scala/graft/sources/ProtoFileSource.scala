@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -66,61 +66,154 @@ private[sources] class ProtoTable(tableSchema: StructType, path: String)
   override def name(): String = s"graft-proto:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ProtoScanBuilder(tableSchema, path)
 }
 
 private[sources] class ProtoScanBuilder(full: StructType, path: String)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
   private var required: StructType = full
+  private var limit: Int = -1
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new ProtoScan(full, required, path)
+  /** Partial push: each reader stops after `limit` frames (never decodes
+    * past it), but files are independent partitions so Spark must still
+    * apply the global Limit — hence `false`. */
+  override def pushLimit(l: Int): Boolean = { limit = l; false }
+  override def build(): Scan = new ProtoScan(full, required, path, limit)
 }
 
 private[sources] case class ProtoFilePartition(file: String, bytes: Long)
   extends InputPartition
 
-private[sources] class ProtoScan(full: StructType, required: StructType, path: String)
-  extends Scan with Batch {
+private[sources] class ProtoScan(full: StructType, required: StructType,
+                                 path: String, limit: Int)
+  extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def description(): String =
-    s"graft-proto $path ReadSchema: ${required.toDDL}"
+    s"graft-proto $path ReadSchema: ${required.toDDL}" +
+      (if (limit >= 0) s", PushedLimit: $limit" else "")
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  private lazy val files = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val st = fs.getFileStatus(p)
-    val files =
+    val listed =
       if (st.isDirectory)
         fs.listStatus(p).filter(f => f.isFile && {
           val n = f.getPath.getName
           !n.startsWith("_") && !n.startsWith(".")
         })
       else Array(st)
-    files.sortBy(_.getPath.toString)
-      .map(f => ProtoFilePartition(f.getPath.toString, f.getLen): InputPartition)
+    listed.sortBy(_.getPath.toString)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f => ProtoFilePartition(f.getPath.toString, f.getLen): InputPartition)
+
+  /** Wire bytes ≈ decoded bytes (varint-packed scalars vs 8-byte slots
+    * roughly cancel against UTF-8 strings stored as-is) — good enough for
+    * the broadcast-threshold decision, which is the consumer that
+    * matters: a small wire-file dimension auto-broadcasts in joins. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = files.map(_.getLen).sum
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ProtoReaderFactory(full.toDDL,
-      required.fields.map(f => full.fieldIndex(f.name)))
+      required.fields.map(f => full.fieldIndex(f.name)), limit)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ProtoMicroBatchStream(full, required, path)
+}
+
+/** Streaming form of the scan — the reference's consume loop
+  * (src/main.rs:84-101): the ingest tier appends one wire file per flush;
+  * each file lands in exactly one micro-batch.
+  *
+  * Offset model: flush files are named monotonically (sequence/epoch in
+  * the name), so an offset is simply the highest file name processed —
+  * O(1) state, no file-log compaction. Files sorting at-or-below the
+  * committed offset are never re-read (exactly-once per file given
+  * monotonic names; the at-least-once dedup downstream stays o_w1). */
+private[sources] case class ProtoStreamOffset(last: String)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    val esc = last.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""{"last":"$esc"}"""
+  }
+}
+
+private[sources] class ProtoMicroBatchStream(
+    full: StructType, required: StructType, path: String)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val conf = SparkSession.active.sessionState.newHadoopConf()
+
+  private def listNames(): Array[(String, Long)] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Array.empty
+    val st = fs.getFileStatus(p)
+    val listed =
+      if (st.isDirectory)
+        fs.listStatus(p).filter(f => f.isFile && {
+          val n = f.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        })
+      else Array(st)
+    listed.map(f => (f.getPath.toString, f.getLen)).sortBy(_._1)
+  }
+
+  override def initialOffset(): Offset = ProtoStreamOffset("")
+  override def latestOffset(): Offset = {
+    val names = listNames()
+    ProtoStreamOffset(if (names.isEmpty) "" else names.last._1)
+  }
+  override def deserializeOffset(json: String): Offset = {
+    // {"last":"..."} — tiny fixed shape, parse without a JSON lib
+    val m = """\{"last":"(.*)"\}""".r
+    json match {
+      case m(v) => ProtoStreamOffset(
+        v.replace("\\\"", "\"").replace("\\\\", "\\"))
+      case _ => throw new IllegalArgumentException(s"bad graft-proto offset: $json")
+    }
+  }
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ProtoStreamOffset].last
+    val e = end.asInstanceOf[ProtoStreamOffset].last
+    listNames()
+      .filter { case (n, _) => n > s && n <= e }
+      .map { case (n, len) => ProtoFilePartition(n, len): InputPartition }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ProtoReaderFactory(full.toDDL,
+      required.fields.map(f => full.fieldIndex(f.name)), -1)
 }
 
 /** Serializable factory: schema travels as DDL text, the projection as
   * field indices into the full schema. */
-private[sources] class ProtoReaderFactory(fullDdl: String, projection: Array[Int])
+private[sources] class ProtoReaderFactory(fullDdl: String, projection: Array[Int],
+                                          limit: Int)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val part = partition.asInstanceOf[ProtoFilePartition]
-    new ProtoPartitionReader(part.file, StructType.fromDDL(fullDdl), projection)
+    new ProtoPartitionReader(part.file, StructType.fromDDL(fullDdl), projection, limit)
   }
 }
 
 private[sources] class ProtoPartitionReader(
-    file: String, full: StructType, projection: Array[Int])
+    file: String, full: StructType, projection: Array[Int], limit: Int = -1)
   extends PartitionReader[InternalRow] {
 
   private val in: InputStream = {
@@ -150,13 +243,17 @@ private[sources] class ProtoPartitionReader(
     -1
   }
 
+  private var emitted = 0L
+
   override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) { current = null; return false }
     val len = readFrameLen()
     if (len < 0) { current = null; false }
     else {
       val buf = in.readNBytes(len)
       if (buf.length != len) throw new EOFException(s"$file: truncated frame body")
       current = ProtoWire.decodeToRowPruned(buf, full, projection)
+      emitted += 1
       true
     }
   }

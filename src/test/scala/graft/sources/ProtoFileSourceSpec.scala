@@ -74,6 +74,45 @@ class ProtoFileSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("limit pushdown reaches readers; statistics drive auto-broadcast") {
+    val dir = java.nio.file.Files.createTempDirectory("proto_lim").toString
+    writeFixture(dir)
+    val df = spark.read.format("graft-proto").option("schema", ddl).load(dir)
+    val limited = df.limit(2)
+    assert(limited.queryExecution.executedPlan.toString.contains("PushedLimit: 2"))
+    assert(limited.count() == 2)
+    // a KB-scale wire table reports sizeInBytes under the broadcast
+    // threshold -> BroadcastHashJoin without an explicit hint
+    import spark.implicits._
+    val big = (1L to 10000L).toDF("msg_id")
+    val joined = big.join(df, "msg_id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(joined.count() == 4)
+  }
+
+  test("streaming read: each flush file lands in exactly one micro-batch") {
+    val dir = java.nio.file.Files.createTempDirectory("proto_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("proto_ckpt").toString
+    // monotonic flush names, as the ingest tier writes them
+    ProtoFiles.writeLocal(s"$dir/flush-000001.pbstream", Iterator(
+      Seq(1L, "a", 1, true, Seq[String]()),
+      Seq(2L, "b", 2, true, Seq[String]())), schema)
+    val q = spark.readStream.format("graft-proto").option("schema", ddl).load(dir)
+      .writeStream.format("memory").queryName("proto_stream_out")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("proto_stream_out").count() == 2)
+      ProtoFiles.writeLocal(s"$dir/flush-000002.pbstream", Iterator(
+        Seq(3L, "c", 3, false, Seq[String]())), schema)
+      q.processAllAvailable()
+      val got = spark.table("proto_stream_out").select("msg_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(1L, 2L, 3L), s"each file exactly once, got $got")
+    } finally q.stop()
+  }
+
   test("s_scan2_proto distributed round trip matches a direct events query") {
     val got = ProtoSourceQueries.queries("s_scan2_proto")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
