@@ -50,7 +50,16 @@ object GraftExtensions {
       (es: Seq[Expression]) => DDSketchMergeAgg(es.head)),
     ("ddsketch_quantile",
       new ExpressionInfo(classOf[DDSketchQuantile].getName, "ddsketch_quantile"),
-      (es: Seq[Expression]) => DDSketchQuantile(es.head, es(1))))
+      (es: Seq[Expression]) => DDSketchQuantile(es.head, es(1))),
+    ("topk_agg",
+      new ExpressionInfo(classOf[TopKSketchAgg].getName, "topk_agg"),
+      (es: Seq[Expression]) => new TopKSketchAgg(es.head, es(1))),
+    ("topk_merge",
+      new ExpressionInfo(classOf[TopKMergeAgg].getName, "topk_merge"),
+      (es: Seq[Expression]) => TopKMergeAgg(es.head)),
+    ("topk_extract",
+      new ExpressionInfo(classOf[TopKExtract].getName, "topk_extract"),
+      (es: Seq[Expression]) => TopKExtract(es.head, es(1))))
 
   /** SQL table functions (FROM-clause relations). The graft_asof builder
     * returns a lazy [[graft.plans.AsOfJoinByName]] over UnresolvedRelation

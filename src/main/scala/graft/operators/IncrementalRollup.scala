@@ -80,6 +80,25 @@ object IncrementalRollup {
           expr("ddsketch_quantile(m, 0.95D)").as("q95_bin"),
           expr("ddsketch_quantile(m, 0.99D)").as("q99_bin"))
         .orderBy("flag")
+    }),
+
+    // O-A14: ClickHouse topK(N) — graft's SpaceSaving aggregate
+    // ([[graft.functions.TopKSketch]]), same partial->merge rollup shape.
+    // event_type cardinality (a handful) sits far under cap=64, so the
+    // sketch is provably EXACT here and the query oracles cleanly; the
+    // over-capacity approximate regime is pinned by TopKSketchSpec's
+    // guarantee bounds instead.
+    "o_a14_topk" -> ((s, d) => {
+      graft.functions.GraftExtensions.register(s)
+      Tables.events(s, d)
+        .select(to_date(col("ts")).as("event_date"), col("event_type"),
+          pmod(col("event_id"), lit(4)).as("b"))
+        .groupBy("event_date", "b")
+        .agg(expr("topk_agg(event_type, 64)").as("tk"))
+        .groupBy("event_date")
+        .agg(expr("topk_merge(tk)").as("m"))
+        .select(col("event_date"), expr("topk_extract(m, 3)").as("top_types"))
+        .orderBy("event_date")
     })
   )
 
@@ -107,6 +126,20 @@ object IncrementalRollup {
                 MIN(CASE WHEN cum >= greatest(1, CAST(ceil(0.50 * tot) AS BIGINT)) THEN k END) AS q50_bin,
                 MIN(CASE WHEN cum >= greatest(1, CAST(ceil(0.95 * tot) AS BIGINT)) THEN k END) AS q95_bin,
                 MIN(CASE WHEN cum >= greatest(1, CAST(ceil(0.99 * tot) AS BIGINT)) THEN k END) AS q99_bin
-         FROM w GROUP BY flag ORDER BY flag"""
+         FROM w GROUP BY flag ORDER BY flag""",
+
+    "o_a14_topk" ->
+      """WITH c AS (
+           SELECT CAST(ts AS DATE) AS event_date, event_type, COUNT(*) AS n
+           FROM events GROUP BY 1, 2
+         ), r AS (
+           SELECT event_date, event_type, n,
+                  row_number() OVER (PARTITION BY event_date
+                                     ORDER BY n DESC, event_type) AS rk
+           FROM c
+         )
+         SELECT event_date,
+                string_agg(event_type || ':' || n, '|' ORDER BY rk) AS top_types
+         FROM r WHERE rk <= 3 GROUP BY event_date ORDER BY event_date"""
   )
 }
