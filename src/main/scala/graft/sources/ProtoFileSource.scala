@@ -10,9 +10,10 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage, streaming}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -54,7 +55,16 @@ class ProtoFileSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val path = Option(properties.get("path")).getOrElse(
-      throw new IllegalArgumentException("graft-proto requires a single load(path)"))
+      throw new IllegalArgumentException("graft-proto requires a single load/save(path)"))
+    // On writes Spark passes the DATAFRAME's schema here (external
+    // metadata), not the inferred one — field order IS the wire field
+    // numbering, so a silent mismatch would scramble files. Enforce the
+    // declared option whenever both are present.
+    Option(properties.get("schema")).map(StructType.fromDDL).foreach { declared =>
+      require(schema.map(f => (f.name, f.dataType)) == declared.map(f => (f.name, f.dataType)),
+        "graft-proto: frame schema must match the declared wire schema exactly " +
+          s"(field order = proto field numbers): ${schema.toDDL} vs ${declared.toDDL}")
+    }
     new ProtoTable(schema, path)
   }
 
@@ -62,13 +72,21 @@ class ProtoFileSource extends TableProvider with DataSourceRegister {
 }
 
 private[sources] class ProtoTable(tableSchema: StructType, path: String)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-proto:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ProtoScanBuilder(tableSchema, path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(info.schema().map(f => (f.name, f.dataType)) ==
+        tableSchema.map(f => (f.name, f.dataType)),
+      s"graft-proto write schema must match the declared wire schema exactly " +
+        s"(field order = proto field numbers): ${info.schema().toDDL} vs ${tableSchema.toDDL}")
+    new ProtoWriteBuilder(tableSchema, path, info.queryId())
+  }
 }
 
 private[sources] class ProtoScanBuilder(full: StructType, path: String)
@@ -262,6 +280,117 @@ private[sources] class ProtoPartitionReader(
   override def close(): Unit = in.close()
 }
 
+// ------------------------------- write --------------------------------
+
+/** Append-only write: each task stages `.staged-…` files, the driver
+  * commit renames them live — the two-phase protocol that makes task
+  * retries and speculative duplicates invisible to readers (a staged
+  * file from a losing attempt is simply never renamed). Mirrors the
+  * reference's batched insert boundary: one committed file per task ≈
+  * one micro-batcher flush (src/handler.rs:140-156). */
+private[sources] class ProtoWriteBuilder(schema: StructType, path: String, queryId: String)
+  extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new ProtoBatchWrite(schema, path, queryId)
+    override def toStreaming: streaming.StreamingWrite =
+      new ProtoStreamingWrite(schema, path, queryId)
+  }
+}
+
+private[sources] case class ProtoCommit(staged: String, finalName: String)
+  extends WriterCommitMessage
+
+private[sources] class ProtoBatchWrite(schema: StructType, path: String, queryId: String)
+  extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new ProtoWriterFactory(schema.toDDL, path, s"part-$queryId")
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    ProtoWriteCommit.publish(path, messages)
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    ProtoWriteCommit.discard(path, messages)
+}
+
+/** Streaming sink: epoch-prefixed flush names (`flush-<epoch>-<task>`)
+  * are monotonic per query, exactly the contract the streaming READER's
+  * highest-name offset relies on — write with this sink, tail with the
+  * graft-proto source. */
+private[sources] class ProtoStreamingWrite(schema: StructType, path: String, queryId: String)
+  extends streaming.StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : streaming.StreamingDataWriterFactory =
+    new ProtoStreamingWriterFactory(schema.toDDL, path)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    ProtoWriteCommit.publish(path, messages)
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    ProtoWriteCommit.discard(path, messages)
+}
+
+private[sources] object ProtoWriteCommit {
+  def publish(path: String, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    fs.mkdirs(dir)
+    messages.foreach { case ProtoCommit(staged, finalName) =>
+      val s = new Path(staged)
+      if (fs.exists(s) && !fs.rename(s, new Path(dir, finalName)))
+        throw new java.io.IOException(s"graft-proto commit: rename failed for $staged")
+    }
+  }
+  def discard(path: String, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    messages.foreach {
+      case ProtoCommit(staged, _) => fs.delete(new Path(staged), false)
+      case _ => ()
+    }
+  }
+}
+
+private[sources] class ProtoWriterFactory(ddl: String, path: String, prefix: String)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ProtoDataWriter(StructType.fromDDL(ddl), path,
+      f"$prefix-$partitionId%05d.pbstream", taskId)
+}
+
+private[sources] class ProtoStreamingWriterFactory(ddl: String, path: String)
+  extends streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new ProtoDataWriter(StructType.fromDDL(ddl), path,
+      f"flush-$epochId%010d-$partitionId%05d.pbstream", taskId)
+}
+
+private[sources] class ProtoDataWriter(
+    schema: StructType, path: String, finalName: String, taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  private val staged = new Path(path, s".staged-$finalName-$taskId")
+  private val fs = staged.getFileSystem(new Configuration())
+  private lazy val out = {
+    fs.mkdirs(new Path(path))
+    fs.setWriteChecksum(false) // no .crc sidecars next to wire files
+    new java.io.BufferedOutputStream(fs.create(staged, true), 64 * 1024)
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val msg = ProtoWire.encodeRow(row, schema)
+    var v = msg.length.toLong
+    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+    out.write(msg)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    ProtoCommit(staged.toString, finalName)
+  }
+  override def abort(): Unit = {
+    try out.close() catch { case _: Exception => () }
+    fs.delete(staged, false)
+  }
+  override def close(): Unit = ()
+}
+
 /** Catalog surface for the DSv2 source: a distributed round trip over the
   * events table. Each task encodes its partition to one wire file (the
   * micro-batcher's per-flush artifact), then the graft-proto scan reads
@@ -281,19 +410,15 @@ object ProtoSourceQueries {
   val queries: Map[String, Q] = Map(
     "s_scan2_proto" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      val schema = StructType.fromDDL(wireDdl)
       val dir = java.nio.file.Files.createTempDirectory("proto_scan").toString
-      // one wire file per task — local[n] shares the driver FS; on a real
-      // cluster this directory would live on the shared object store
+      // distributed DSv2 write: each task stages + commits one wire file
+      // (local[n] shares the driver FS; on a real cluster this directory
+      // would live on the shared object store)
       graft.Tables.events(s, d)
         .select("event_id", "user_id", "event_type", "props")
         .repartition(4)
-        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-          val pid = org.apache.spark.TaskContext.get().partitionId()
-          ProtoFiles.writeLocal(s"$dir/part-$pid.pbstream",
-            rows.map(r => (0 until 4).map(i => if (r.isNullAt(i)) null else r.get(i))),
-            schema)
-        }
+        .write.format("graft-proto").option("schema", wireDdl)
+        .mode("append").save(dir)
       s.read.format("graft-proto").option("schema", wireDdl).load(dir)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),

@@ -70,6 +70,41 @@ object ProtoWire {
     out.toByteArray
   }
 
+  /** Encode one Catalyst InternalRow (the executor-side write path of
+    * [[graft.sources.ProtoFileSource]]) — same wire layout as [[encode]],
+    * but strings go out as their UTF8String bytes with no transcoding. */
+  def encodeRow(row: org.apache.spark.sql.catalyst.InternalRow,
+                schema: StructType): Array[Byte] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val out = new ByteArrayOutputStream()
+    var i = 0
+    while (i < schema.length) {
+      val field = i + 1
+      if (!row.isNullAt(i)) schema.fields(i).dataType match {
+        case StringType =>
+          val b = row.getUTF8String(i).getBytes
+          if (b.nonEmpty) writeLen(out, field, b)
+        case LongType =>
+          val v = row.getLong(i)
+          if (v != 0L) { writeVarint(out, field.toLong << 3); writeVarint(out, v) }
+        case IntegerType =>
+          val v = row.getInt(i)
+          if (v != 0) { writeVarint(out, field.toLong << 3); writeVarint(out, v.toLong) }
+        case BooleanType =>
+          if (row.getBoolean(i)) { writeVarint(out, field.toLong << 3); writeVarint(out, 1L) }
+        case ArrayType(StringType, _) =>
+          val arr = row.getArray(i)
+          var j = 0
+          while (j < arr.numElements()) {
+            writeLen(out, field, arr.getUTF8String(j).getBytes); j += 1
+          }
+        case dt => throw new ProtoParseException(s"unsupported encode type $dt")
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
   // ------------------------------ decode ------------------------------
 
   private final class Reader(bytes: Array[Byte]) {

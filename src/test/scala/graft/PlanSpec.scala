@@ -95,6 +95,30 @@ class PlanSpec extends AnyFunSuite {
       s"expected sketch build + union:\n$p")
   }
 
+  test("o_a13/o_a14 sketch rollups: object aggregates, partial build + merge levels") {
+    Seq(("o_a13_quantile_sketch", "ddsketch_agg", "ddsketch_merge"),
+        ("o_a14_topk", "topk_agg", "topk_merge")).foreach {
+      case (name, build, merge) =>
+        val df = SparkEntry.queries(name)(spark, sf)
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+        assert(p.contains("ObjectHashAggregate"),
+          s"$name: expected ObjectHashAggregate:\n$p")
+        assert(p.contains(build) && p.contains(merge),
+          s"$name: expected $build + $merge levels:\n$p")
+    }
+  }
+
+  test("s_scan2_proto: unused wire fields pruned at the proto decoder") {
+    val df = SparkEntry.queries("s_scan2_proto")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft-proto"), s"expected graft-proto scan:\n$p")
+    // props is encoded in the wire files but unused by the aggregate —
+    // the scan's ReadSchema must not include it
+    assert(p.contains("ReadSchema: event_id BIGINT,user_id BIGINT,event_type STRING"),
+      s"proto scan should prune props:\n$p")
+  }
+
   test("d_dedup_minhash: verification joins broadcast, token table never shuffled by bg") {
     val df = SparkEntry.queries("d_dedup_minhash")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

@@ -91,6 +91,57 @@ class ProtoFileSourceSpec extends AnyFunSuite {
     assert(joined.count() == 4)
   }
 
+  test("DSv2 write: staged-commit round trip, schema enforced, no staged leftovers") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("proto_write").toString
+    val df = Seq(
+      (1L, "alpha", 10, true, Seq("x", "y")),
+      (2L, "", 0, false, Seq[String]()),
+      (3L, "gamma", -5, true, Seq("z"))
+    ).toDF("msg_id", "name", "score", "active", "tags")
+    df.repartition(2).write.format("graft-proto").option("schema", ddl)
+      .mode("append").save(dir)
+    val files = new java.io.File(dir).listFiles.map(_.getName)
+      .filterNot(_.startsWith(".")).sorted
+    assert(files.length == 2 && files.forall(_.endsWith(".pbstream")), files.toSeq)
+    assert(!new java.io.File(dir).listFiles.exists(_.getName.startsWith(".staged")),
+      "staged files must be renamed away")
+    val back = spark.read.format("graft-proto").option("schema", ddl).load(dir)
+    assert(back.count() == 3)
+    val r = back.filter(col("msg_id") === 2L).head()
+    // proto3 defaults: "" / 0 / false / [] are not on the wire -> null
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+    // a mismatched schema is rejected before any data moves
+    intercept[Exception] {
+      Seq((1L, "x")).toDF("a", "b").write.format("graft-proto")
+        .option("schema", ddl).mode("append").save(dir)
+    }
+  }
+
+  test("streaming sink: epoch flush names feed the streaming reader's offset contract") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("proto_sink_src").toString
+    val out = java.nio.file.Files.createTempDirectory("proto_sink_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("proto_sink_ckpt").toString
+    ProtoFiles.writeLocal(s"$src/flush-000001.pbstream", Iterator(
+      Seq(10L, "s1", 1, true, Seq[String]())), schema)
+    // tail src with the graft-proto SOURCE, re-emit with the graft-proto SINK
+    val q = spark.readStream.format("graft-proto").option("schema", ddl).load(src)
+      .writeStream.format("graft-proto")
+      .option("schema", ddl).option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      ProtoFiles.writeLocal(s"$src/flush-000002.pbstream", Iterator(
+        Seq(11L, "s2", 2, false, Seq[String]())), schema)
+      q.processAllAvailable()
+      val names = new java.io.File(out).listFiles.map(_.getName).filter(_.endsWith(".pbstream"))
+      assert(names.forall(_.startsWith("flush-")), names.toSeq)
+      val back = spark.read.format("graft-proto").option("schema", ddl).load(out)
+      assert(back.select("msg_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 11L))
+    } finally q.stop()
+  }
+
   test("streaming read: each flush file lands in exactly one micro-batch") {
     val dir = java.nio.file.Files.createTempDirectory("proto_stream").toString
     val ckpt = java.nio.file.Files.createTempDirectory("proto_ckpt").toString
