@@ -93,9 +93,14 @@ object TextDedup {
     // is detected by the label-sum signature, which strictly decreases
     // while any label changes (labels only ever decrease).
     "d_dedup_cluster" -> ((s, d) => {
-      val pr = minhashPairs(s, d).select(col("da"), col("db"))
-      val edges = pr.union(pr.select(col("db"), col("da")))
-        .toDF("src", "dst").persist()
+      // Symmetrize via explode, NOT self-union: union would evaluate the
+      // whole (unpersisted) minhash-LSH pair plan once per branch —
+      // measured 2x the pair cost at sf0.1.
+      val edges = minhashPairs(s, d)
+        .select(explode(array(
+          struct(col("da").as("src"), col("db").as("dst")),
+          struct(col("db").as("src"), col("da").as("dst")))).as("e"))
+        .select("e.src", "e.dst").persist()
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("lbl", col("id")).persist()
       // coalesce: a clean corpus has no pairs, so labels is empty and a

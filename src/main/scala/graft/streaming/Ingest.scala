@@ -147,22 +147,8 @@ object Ingest {
       import scala.concurrent.duration.Duration
       implicit val ec = writePool
       val writes = decodedSlices.map { case (table, schema, decoded) => Future {
-        // proto3 default semantics: absent scalar fields become ""/0/false
-        // (FIXTURES.md invariant 4); epoch seconds → TimestampType.
-        val defaults: Map[String, Any] = schema.fields.collect {
-          case StructField(n, StringType, _, _) if n != "payload" => n -> ""
-          case StructField(n, IntegerType, _, _) => n -> 0
-          case StructField(n, LongType, _, _)    => n -> 0L
-          case StructField(n, BooleanType, _, _) => n -> false
-        }.toMap
-        val rows = decoded.filter(!invalid)
-          .select(col("decoded.*"))
-          .na.fill(defaults)
-          .withColumn("timestamp", timestamp_seconds(col("timestamp")))
-          .withColumn("event_date", to_date(col("timestamp")))
-          .repartition(col("event_date"))
-          .sortWithinPartitions("event_date", "timestamp", "event_name")
-        sink(rows, table, outDir, batchId, Seq("event_date"))
+        writeTyped(decoded.filter(!invalid).select(col("decoded.*")),
+          table, schema, outDir, batchId)
       }}
       Await.result(Future.sequence(writes), Duration.Inf)
     } finally {
@@ -170,6 +156,61 @@ object Ingest {
       cached.unpersist()
     }
   }
+
+  /** Shared tail of every table write: proto3 default fill (absent scalar
+    * fields become ""/0/false — FIXTURES.md invariant 4), epoch-seconds →
+    * TimestampType, MergeTree-style sorted/date-partitioned layout, and
+    * the idempotent batch sink. `rows` carries the table's typed wire
+    * columns (from the envelope decode or the graft-proto source). */
+  private def writeTyped(rows: DataFrame, table: String, schema: StructType,
+                         outDir: String, batchId: Long): Unit = {
+    val defaults: Map[String, Any] = schema.fields.collect {
+      case StructField(n, StringType, _, _) if n != "payload" => n -> ""
+      case StructField(n, IntegerType, _, _) => n -> 0
+      case StructField(n, LongType, _, _)    => n -> 0L
+      case StructField(n, BooleanType, _, _) => n -> false
+    }.toMap
+    val out = rows
+      .na.fill(defaults)
+      .withColumn("timestamp", timestamp_seconds(col("timestamp")))
+      .withColumn("event_date", to_date(col("timestamp")))
+      .repartition(col("event_date"))
+      .sortWithinPartitions("event_date", "timestamp", "event_name")
+    sink(out, table, outDir, batchId, Seq("event_date"))
+  }
+
+  /** Wire-native ingest: tail per-subject directories of framed protobuf
+    * flush files (what the reference's micro-batcher accumulates per
+    * subject, src/handler.rs:62-66) through the graft-proto streaming
+    * source — rows arrive ALREADY TYPED (the source decodes frames, with
+    * pruning if a view narrows them), so there is no payload envelope and
+    * no per-batch decode step. One query per event family (SURVEY §1.1's
+    * per-family option; each family keeps its own checkpoint/offsets,
+    * exactly like the reference's per-subject consumers). Corrupt frames
+    * are fail-stop at the source and retried via checkpoint replay —
+    * payload-level Term/DLQ semantics belong to the envelope path
+    * ([[start]]), whose producers are untrusted. */
+  def startFromWire(spark: SparkSession, wireRoot: String, outDir: String,
+                    checkpointRoot: String,
+                    trigger: Trigger = Trigger.ProcessingTime("1 second"),
+                    subjects: Seq[String] = EventSchemas.routes.keys.toSeq)
+      : Map[String, StreamingQuery] =
+    subjects.map { subject =>
+      val table = EventSchemas.routes(subject)
+      val schema = EventSchemas.tables(table)
+      val q = spark.readStream.format("graft-proto")
+        .option("schema", schema.toDDL)
+        .load(s"$wireRoot/$subject")
+        .writeStream
+        .queryName(s"graft-wire-$table")
+        .option("checkpointLocation", s"$checkpointRoot/$table")
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          writeTyped(batch, table, schema, outDir, batchId)
+        }
+        .start()
+      table -> q
+    }.toMap
 
   /** Start the streaming pipeline over a JSON-lines directory source
     * (this env has no Kafka/NATS connector; the source swap is one line).

@@ -85,6 +85,52 @@ class IngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/login_events").count() == 4)
   }
 
+  test("wire-native ingest: graft-proto flush dirs -> typed sorted tables") {
+    val wire = Files.createTempDirectory("graft_wire").toString
+    val out = Files.createTempDirectory("graft_wire_out").toString
+    val ckpt = Files.createTempDirectory("graft_wire_ckpt").toString
+    val t0 = 1726300800L
+
+    def loginMsg(id: String, user: String, ts: Long): Seq[Any] =
+      Seq(id, "login", user, "s-1", "a-1", ts,
+        "web", "android", "14", "android", "14", "chrome", "128",
+        "mobile", "1080x2400", "UA")
+    def sessionMsg(id: String, ts: Long, ended: Boolean): Seq[Any] =
+      Seq(id, "session", "u-1", "s-1", "a-1", ts,
+        "web", "android", "14", "android", "14", "chrome", "128",
+        "mobile", "1080x2400", "UA", ended)
+
+    new java.io.File(s"$wire/events.login").mkdirs()
+    new java.io.File(s"$wire/events.session").mkdirs()
+    graft.sources.ProtoFiles.writeLocal(s"$wire/events.login/flush-000001.pbstream",
+      Iterator(loginMsg("e-1", "u-1", t0), loginMsg("e-2", "u-2", t0 + 5)),
+      EventSchemas.tables("login_events"))
+    graft.sources.ProtoFiles.writeLocal(s"$wire/events.session/flush-000001.pbstream",
+      Iterator(sessionMsg("e-3", t0 + 20, ended = false)),
+      EventSchemas.tables("session_events"))
+
+    val qs = Ingest.startFromWire(spark, wire, out, ckpt,
+      subjects = Seq("events.login", "events.session"))
+    try {
+      qs.values.foreach(_.processAllAvailable())
+      val login = spark.read.parquet(s"$out/login_events")
+      assert(login.count() == 2)
+      assert(login.schema("timestamp").dataType.typeName == "timestamp")
+      assert(login.columns.contains("event_date") && login.columns.contains("ingest_batch"))
+      val session = spark.read.parquet(s"$out/session_events")
+      assert(session.count() == 1)
+      // proto3 false is absent on the wire; the default fill restores it
+      assert(!session.head().getAs[Boolean]("is_ended"))
+
+      // a second flush file is picked up incrementally, exactly once
+      graft.sources.ProtoFiles.writeLocal(s"$wire/events.login/flush-000002.pbstream",
+        Iterator(loginMsg("e-4", "u-3", t0 + 50)),
+        EventSchemas.tables("login_events"))
+      qs("login_events").processAllAvailable()
+      assert(spark.read.parquet(s"$out/login_events").count() == 3)
+    } finally qs.values.foreach(_.stop())
+  }
+
   test("streaming dedup with watermark (O-T12)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
