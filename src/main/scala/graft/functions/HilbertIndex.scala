@@ -56,7 +56,9 @@ object HilbertIndex {
     var i = 0
     while (i < d) {
       val c = coords.getLong(i)
-      require(c >= 0 && c < (1L << bits),
+      // bits == 63 admits any non-negative long (1L << 63 would overflow
+      // to Long.MinValue and reject every coordinate)
+      require(c >= 0 && (bits == 63 || c < (1L << bits)),
         s"hilbert_index: coord $c out of [0, 2^$bits) at dim $i")
       x(i) = c
       i += 1

@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage, streaming}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage, streaming}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -77,7 +77,8 @@ private[sources] class ProtoTable(tableSchema: StructType, path: String)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ProtoScanBuilder(tableSchema, path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -143,7 +144,9 @@ private[sources] class ProtoScan(full: StructType, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ProtoReaderFactory(full.toDDL,
-      required.fields.map(f => full.fieldIndex(f.name)), limit)
+      required.fields.map(f => full.fieldIndex(f.name)), limit,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -216,27 +219,31 @@ private[sources] class ProtoMicroBatchStream(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ProtoReaderFactory(full.toDDL,
-      required.fields.map(f => full.fieldIndex(f.name)), -1)
+      required.fields.map(f => full.fieldIndex(f.name)), -1,
+      new org.apache.spark.util.SerializableConfiguration(conf))
 }
 
 /** Serializable factory: schema travels as DDL text, the projection as
   * field indices into the full schema. */
-private[sources] class ProtoReaderFactory(fullDdl: String, projection: Array[Int],
-                                          limit: Int)
+private[sources] class ProtoReaderFactory(
+    fullDdl: String, projection: Array[Int], limit: Int,
+    conf: org.apache.spark.util.SerializableConfiguration)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val part = partition.asInstanceOf[ProtoFilePartition]
-    new ProtoPartitionReader(part.file, StructType.fromDDL(fullDdl), projection, limit)
+    new ProtoPartitionReader(part.file, StructType.fromDDL(fullDdl), projection,
+      limit, conf.value)
   }
 }
 
 private[sources] class ProtoPartitionReader(
-    file: String, full: StructType, projection: Array[Int], limit: Int = -1)
+    file: String, full: StructType, projection: Array[Int], limit: Int = -1,
+    conf: Configuration = new Configuration())
   extends PartitionReader[InternalRow] {
 
   private val in: InputStream = {
     val p = new Path(file)
-    new BufferedInputStream(p.getFileSystem(new Configuration()).open(p), 64 * 1024)
+    new BufferedInputStream(p.getFileSystem(conf).open(p), 64 * 1024)
   }
   private var current: InternalRow = _
 
@@ -289,9 +296,13 @@ private[sources] class ProtoPartitionReader(
   * reference's batched insert boundary: one committed file per task ≈
   * one micro-batcher flush (src/handler.rs:140-156). */
 private[sources] class ProtoWriteBuilder(schema: StructType, path: String, queryId: String)
-  extends WriteBuilder {
+  extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  /** mode("overwrite") → truncate-then-append: commit first drops the
+    * directory's existing wire files, then publishes the staged ones. */
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new ProtoBatchWrite(schema, path, queryId)
+    override def toBatch: BatchWrite = new ProtoBatchWrite(schema, path, queryId, doTruncate)
     override def toStreaming: streaming.StreamingWrite =
       new ProtoStreamingWrite(schema, path, queryId)
   }
@@ -300,12 +311,28 @@ private[sources] class ProtoWriteBuilder(schema: StructType, path: String, query
 private[sources] case class ProtoCommit(staged: String, finalName: String)
   extends WriterCommitMessage
 
-private[sources] class ProtoBatchWrite(schema: StructType, path: String, queryId: String)
+private[sources] class ProtoBatchWrite(schema: StructType, path: String,
+                                       queryId: String, truncate: Boolean)
   extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ProtoWriterFactory(schema.toDDL, path, s"part-$queryId")
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    new ProtoWriterFactory(schema.toDDL, path, s"part-$queryId",
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // Overwrite = publish new files FIRST, then delete the pre-existing
+    // ones (listed before publish). A failure mid-delete leaves old+new
+    // mixed — duplicates, never data loss; same non-atomic-directory
+    // tradeoff as file-based committers without an atomic dir swap.
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+    val preExisting =
+      if (truncate && fs.exists(dir))
+        fs.listStatus(dir).filter(f => f.isFile && !f.getPath.getName.startsWith(".") &&
+          !f.getPath.getName.startsWith("_")).map(_.getPath)
+      else Array.empty[Path]
     ProtoWriteCommit.publish(path, messages)
+    preExisting.foreach(p => fs.delete(p, false))
+  }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     ProtoWriteCommit.discard(path, messages)
 }
@@ -318,7 +345,9 @@ private[sources] class ProtoStreamingWrite(schema: StructType, path: String, que
   extends streaming.StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : streaming.StreamingDataWriterFactory =
-    new ProtoStreamingWriterFactory(schema.toDDL, path)
+    new ProtoStreamingWriterFactory(schema.toDDL, path,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     ProtoWriteCommit.publish(path, messages)
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
@@ -326,18 +355,36 @@ private[sources] class ProtoStreamingWrite(schema: StructType, path: String, que
 }
 
 private[sources] object ProtoWriteCommit {
+  /** Driver-side conf (planning/commit run on the driver). */
+  private def hadoopConf() = SparkSession.active.sessionState.newHadoopConf()
+
   def publish(path: String, messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(hadoopConf())
     fs.mkdirs(dir)
-    messages.foreach { case ProtoCommit(staged, finalName) =>
-      val s = new Path(staged)
-      if (fs.exists(s) && !fs.rename(s, new Path(dir, finalName)))
-        throw new java.io.IOException(s"graft-proto commit: rename failed for $staged")
-    }
+    // SORTED by final name: files become visible in lexicographic order,
+    // so the streaming reader's highest-name offset can never skip a
+    // lower-named sibling from the same commit.
+    messages.collect { case c: ProtoCommit => c }
+      .sortBy(_.finalName)
+      .foreach { case ProtoCommit(staged, finalName) =>
+        val s = new Path(staged)
+        val target = new Path(dir, finalName)
+        if (fs.exists(target)) {
+          // epoch replay after a crash between commit and checkpoint:
+          // same (epoch, partition) name — already published, drop the
+          // retry's staged copy instead of failing the rename forever
+          fs.delete(s, false)
+        } else if (!fs.exists(s)) {
+          throw new java.io.IOException(
+            s"graft-proto commit: staged file missing: $staged")
+        } else if (!fs.rename(s, target)) {
+          throw new java.io.IOException(s"graft-proto commit: rename failed for $staged")
+        }
+      }
   }
   def discard(path: String, messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(hadoopConf())
     messages.foreach {
       case ProtoCommit(staged, _) => fs.delete(new Path(staged), false)
       case _ => ()
@@ -345,40 +392,40 @@ private[sources] object ProtoWriteCommit {
   }
 }
 
-private[sources] class ProtoWriterFactory(ddl: String, path: String, prefix: String)
+private[sources] class ProtoWriterFactory(
+    ddl: String, path: String, prefix: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ProtoDataWriter(StructType.fromDDL(ddl), path,
-      f"$prefix-$partitionId%05d.pbstream", taskId)
+      f"$prefix-$partitionId%05d.pbstream", taskId, conf.value)
 }
 
-private[sources] class ProtoStreamingWriterFactory(ddl: String, path: String)
+private[sources] class ProtoStreamingWriterFactory(
+    ddl: String, path: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
   extends streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new ProtoDataWriter(StructType.fromDDL(ddl), path,
-      f"flush-$epochId%010d-$partitionId%05d.pbstream", taskId)
+      f"flush-$epochId%010d-$partitionId%05d.pbstream", taskId, conf.value)
 }
 
 private[sources] class ProtoDataWriter(
-    schema: StructType, path: String, finalName: String, taskId: Long)
+    schema: StructType, path: String, finalName: String, taskId: Long,
+    conf: Configuration = new Configuration())
   extends DataWriter[InternalRow] {
 
   private val staged = new Path(path, s".staged-$finalName-$taskId")
-  private val fs = staged.getFileSystem(new Configuration())
+  private val fs = staged.getFileSystem(conf)
   private lazy val out = {
     fs.mkdirs(new Path(path))
     fs.setWriteChecksum(false) // no .crc sidecars next to wire files
     new java.io.BufferedOutputStream(fs.create(staged, true), 64 * 1024)
   }
 
-  override def write(row: InternalRow): Unit = {
-    val msg = ProtoWire.encodeRow(row, schema)
-    var v = msg.length.toLong
-    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
-    out.write(v.toInt)
-    out.write(msg)
-  }
+  override def write(row: InternalRow): Unit =
+    ProtoWire.writeFrame(out, ProtoWire.encodeRow(row, schema))
 
   override def commit(): WriterCommitMessage = {
     out.close()
@@ -410,7 +457,11 @@ object ProtoSourceQueries {
   val queries: Map[String, Q] = Map(
     "s_scan2_proto" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      val dir = java.nio.file.Files.createTempDirectory("proto_scan").toString
+      // Stable per-sf staging dir + overwrite: repeated invocations (the
+      // bench runs every query several times) rewrite the same files
+      // instead of accreting a fresh events copy per call.
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_proto_scan_${math.abs(d.hashCode)}").toString
       // distributed DSv2 write: each task stages + commits one wire file
       // (local[n] shares the driver FS; on a real cluster this directory
       // would live on the shared object store)
@@ -418,7 +469,7 @@ object ProtoSourceQueries {
         .select("event_id", "user_id", "event_type", "props")
         .repartition(4)
         .write.format("graft-proto").option("schema", wireDdl)
-        .mode("append").save(dir)
+        .mode("overwrite").save(dir)
       s.read.format("graft-proto").option("schema", wireDdl).load(dir)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
@@ -445,17 +496,8 @@ object ProtoSourceQueries {
 object ProtoFiles {
   /** Append `values` rows as length-delimited frames to `out`. */
   def writeFrames(out: java.io.OutputStream, rows: Iterator[Seq[Any]],
-                  schema: StructType): Unit = {
-    rows.foreach { r =>
-      val msg = ProtoWire.encode(r, schema)
-      var v = msg.length.toLong
-      val lenBytes = ArrayBuffer.empty[Byte]
-      while ((v & ~0x7fL) != 0) { lenBytes += ((v & 0x7f) | 0x80).toByte; v >>>= 7 }
-      lenBytes += v.toByte
-      out.write(lenBytes.toArray)
-      out.write(msg)
-    }
-  }
+                  schema: StructType): Unit =
+    rows.foreach(r => ProtoWire.writeFrame(out, ProtoWire.encode(r, schema)))
 
   def writeLocal(file: String, rows: Iterator[Seq[Any]], schema: StructType): Unit = {
     val out = new java.io.BufferedOutputStream(

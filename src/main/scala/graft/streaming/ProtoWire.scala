@@ -35,6 +35,16 @@ object ProtoWire {
     out.write(v.toInt)
   }
 
+  /** Append one varint-length-delimited frame — THE framing contract
+    * shared by every wire-file writer and the [[graft.sources]] readers.
+    * Works on any OutputStream (frames are written through buffers). */
+  def writeFrame(out: java.io.OutputStream, msg: Array[Byte]): Unit = {
+    var v = msg.length.toLong
+    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+    out.write(msg)
+  }
+
   private def writeLen(out: ByteArrayOutputStream, field: Int, bytes: Array[Byte]): Unit = {
     writeVarint(out, (field.toLong << 3) | 2L)
     writeVarint(out, bytes.length.toLong)
@@ -156,41 +166,8 @@ object ProtoWire {
     * null, like the JSON path; the ingest fills proto3 defaults
     * downstream. */
   def decodeToRow(bytes: Array[Byte],
-                  schema: StructType): org.apache.spark.sql.catalyst.InternalRow = {
-    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-    import org.apache.spark.sql.catalyst.util.GenericArrayData
-    import org.apache.spark.unsafe.types.UTF8String
-    val r = new Reader(bytes)
-    val values = new Array[Any](schema.length)
-    val repeated = Array.fill(schema.length)(List.empty[UTF8String])
-    while (r.hasMore) {
-      val tag = r.varint()
-      val field = (tag >>> 3).toInt
-      val wire = (tag & 7).toInt
-      if (field < 1 || field > schema.length)
-        throw new ProtoParseException(s"unknown field number $field")
-      val f = schema.fields(field - 1)
-      (f.dataType, wire) match {
-        case (StringType, 2) =>
-          values(field - 1) = UTF8String.fromBytes(r.lenDelimited())
-        case (ArrayType(StringType, _), 2) =>
-          repeated(field - 1) :+= UTF8String.fromBytes(r.lenDelimited())
-        case (LongType, 0)    => values(field - 1) = r.varint()
-        case (IntegerType, 0) => values(field - 1) = r.varint().toInt
-        case (BooleanType, 0) => values(field - 1) = r.varint() != 0L
-        case (dt, w) =>
-          throw new ProtoParseException(s"wire type $w does not match ${f.name}: $dt")
-      }
-    }
-    schema.fields.zipWithIndex.foreach { case (f, i) =>
-      f.dataType match {
-        case ArrayType(StringType, _) if repeated(i).nonEmpty =>
-          values(i) = new GenericArrayData(repeated(i).toArray[Any])
-        case _ => ()
-      }
-    }
-    new GenericInternalRow(values)
-  }
+                  schema: StructType): org.apache.spark.sql.catalyst.InternalRow =
+    decodeToRowPruned(bytes, schema, Array.range(0, schema.length))
 
   /** Decode one message to an InternalRow containing ONLY the fields at
     * `projection` (indices into `schema`), in projection order. Unwanted
@@ -208,7 +185,9 @@ object ProtoWire {
     projection.zipWithIndex.foreach { case (fi, oi) => outPos(fi) = oi }
     val r = new Reader(bytes)
     val values = new Array[Any](projection.length)
-    val repeated = Array.fill(projection.length)(List.empty[UTF8String])
+    // per-out-slot repeated accumulators, allocated lazily (amortized O(1)
+    // append — a List :+ here would be quadratic on wide arrays)
+    val repeated = new Array[scala.collection.mutable.ArrayBuffer[Any]](projection.length)
     while (r.hasMore) {
       val tag = r.varint()
       val field = (tag >>> 3).toInt
@@ -221,8 +200,11 @@ object ProtoWire {
           if (out >= 0) values(out) = UTF8String.fromBytes(r.lenDelimited())
           else r.skipLenDelimited()
         case (ArrayType(StringType, _), 2) =>
-          if (out >= 0) repeated(out) :+= UTF8String.fromBytes(r.lenDelimited())
-          else r.skipLenDelimited()
+          if (out >= 0) {
+            if (repeated(out) == null)
+              repeated(out) = scala.collection.mutable.ArrayBuffer.empty[Any]
+            repeated(out) += UTF8String.fromBytes(r.lenDelimited())
+          } else r.skipLenDelimited()
         case (LongType, 0)    => val v = r.varint(); if (out >= 0) values(out) = v
         case (IntegerType, 0) => val v = r.varint().toInt; if (out >= 0) values(out) = v
         case (BooleanType, 0) => val v = r.varint() != 0L; if (out >= 0) values(out) = v
@@ -231,12 +213,10 @@ object ProtoWire {
             s"wire type $w does not match ${schema.fields(field - 1).name}: $dt")
       }
     }
-    projection.zipWithIndex.foreach { case (fi, oi) =>
-      schema.fields(fi).dataType match {
-        case ArrayType(StringType, _) if repeated(oi).nonEmpty =>
-          values(oi) = new GenericArrayData(repeated(oi).toArray[Any])
-        case _ => ()
-      }
+    var oi = 0
+    while (oi < projection.length) {
+      if (repeated(oi) != null) values(oi) = new GenericArrayData(repeated(oi).toArray)
+      oi += 1
     }
     new GenericInternalRow(values)
   }

@@ -116,6 +116,13 @@ class ProtoFileSourceSpec extends AnyFunSuite {
       Seq((1L, "x")).toDF("a", "b").write.format("graft-proto")
         .option("schema", ddl).mode("append").save(dir)
     }
+    // overwrite truncates prior wire files, then publishes the new ones
+    Seq((9L, "omega", 1, true, Seq[String]()))
+      .toDF("msg_id", "name", "score", "active", "tags")
+      .write.format("graft-proto").option("schema", ddl)
+      .mode("overwrite").save(dir)
+    val after = spark.read.format("graft-proto").option("schema", ddl).load(dir)
+    assert(after.select("msg_id").collect().map(_.getLong(0)).toSeq == Seq(9L))
   }
 
   test("streaming sink: epoch flush names feed the streaming reader's offset contract") {

@@ -95,6 +95,8 @@ class ZOrderSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { idx(Seq(16L, 0L), 4) }
     intercept[IllegalArgumentException] { idx(Seq(-1L, 0L), 4) }
     intercept[IllegalArgumentException] { idx(Seq(1L, 1L), 32) } // 2*32 > 63
+    // 1-D/63-bit boundary: 1L << 63 overflows — must still be accepted
+    assert(idx(Seq(Long.MaxValue), 63) >= 0)
   }
 
   test("hilbert codegen == interpreted, SQL-registered, and file spans ≤ Morton's") {
