@@ -28,6 +28,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.Windows.queries ++
+      operators.EventAnalytics.queries ++
       operators.IncrementalRollup.queries ++
       sources.ProtoSourceQueries.queries ++
       pipeline.TextDedup.queries ++ pipeline.Similarity.queries ++
@@ -38,6 +39,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.Windows.oracles ++
+      operators.EventAnalytics.oracles ++
       operators.IncrementalRollup.oracles ++
       sources.ProtoSourceQueries.oracles ++
       pipeline.TextDedup.oracles ++ pipeline.Similarity.oracles ++

@@ -8,7 +8,7 @@ import org.apache.spark.sql.DataFrame
   * `drop` runs the (small-result) plan eagerly, unpersists the caches it
   * consumed, and hands back the result as a local DataFrame — at cluster
   * scale the same discipline is "unpersist after the terminal action". */
-private[pipeline] object Materialize {
+private[graft] object Materialize {
   def drop(result: DataFrame, caches: DataFrame*): DataFrame = {
     val rows = java.util.Arrays.asList(result.collect(): _*)
     val out = result.sparkSession.createDataFrame(rows, result.schema)
