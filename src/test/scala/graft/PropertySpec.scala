@@ -88,4 +88,46 @@ class PropertySpec extends AnyFunSuite {
         .sameElements(d1.select("event_id").collect().map(_.getString(0)).sorted))
     }
   }
+
+  test("ddsketch law: merge of any partition == whole; quantile within alpha") {
+    import graft.functions.DDSketch
+    val valGen = Gen.listOfN(400, Gen.choose(1, 1000000).map(_ / 100.0))
+    forSeeds(valGen, 8) { xs =>
+      val whole = new DDSketch.State(0.02)
+      xs.foreach(whole.insert)
+      // random 3-way partition (derived from the values, deterministic)
+      val parts = xs.zipWithIndex.groupBy(_._2 % 3).values.map { chunk =>
+        val st = new DDSketch.State(0.02); chunk.foreach(c => st.insert(c._1)); st
+      }
+      val acc = new DDSketch.State(Double.NaN)
+      parts.foreach(acc.mergeFrom)
+      assert(DDSketch.serialize(acc).sameElements(DDSketch.serialize(whole)))
+      for (q <- Seq(0.1, 0.5, 0.9)) {
+        val exact = xs.sorted.apply(math.max(0, math.ceil(q * xs.size).toInt - 1))
+        val est = DDSketch.binValue(DDSketch.quantileBin(whole, q).asInstanceOf[Int], 0.02)
+        assert(math.abs(est - exact) / exact <= 0.02 + 1e-9, s"q=$q $est vs $exact")
+      }
+    }
+  }
+
+  test("topk law: below-capacity merges byte-equal and exact for any split") {
+    import graft.functions.TopKSketch
+    import org.apache.spark.unsafe.types.UTF8String
+    val streamGen = Gen.listOfN(300, Gen.choose(1, 30).map(i => s"k$i"))
+    forSeeds(streamGen, 8) { xs =>
+      val whole = new TopKSketch.State(64)
+      xs.foreach(x => whole.insert(UTF8String.fromString(x)))
+      val acc = new TopKSketch.State(0)
+      xs.grouped(71).foreach { c =>
+        val p = new TopKSketch.State(64)
+        c.foreach(x => p.insert(UTF8String.fromString(x)))
+        acc.mergeFrom(p)
+      }
+      assert(TopKSketch.serialize(acc).sameElements(TopKSketch.serialize(whole)))
+      val truth = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      TopKSketch.sortedEntries(whole).foreach { case (v, est, err) =>
+        assert(err == 0L && est == truth(v.toString))
+      }
+    }
+  }
 }
