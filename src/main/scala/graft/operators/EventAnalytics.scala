@@ -40,13 +40,16 @@ object EventAnalytics {
       val w = expr("INTERVAL 7 DAYS")
       // pairs reaching level 2: (signup, click) chains — keep the chain's
       // bounds so level 3 extends it without re-deriving the window
-      // persisted: reused by the level-2 distinct AND the level-3 chain
-      // extension (an unpersisted frame would re-run the join per branch)
+      // One row per (user, signup): extending a chain only gets easier as
+      // the click time decreases (p.ts > t2 && p.ts <= t1 + w is monotone
+      // in t2), so min(click ts) per signup is equivalent to keeping every
+      // pair — and caps the persisted cache and the level-3 join input at
+      // |signups| instead of |signups| x |clicks| for heavy users.
       val l2pairs = signup.as("s").join(click.as("c"),
         col("c.user_id") === col("s.user_id") &&
           col("c.ts") > col("s.ts") && col("c.ts") <= col("s.ts") + w)
-        .select(col("s.user_id").as("user_id"),
-          col("s.ts").as("t1"), col("c.ts").as("t2"))
+        .groupBy(col("s.user_id").as("user_id"), col("s.ts").as("t1"))
+        .agg(min(col("c.ts")).as("t2"))
         .persist()
       val l2 = l2pairs.select("user_id").distinct()
       val l3 = l2pairs.as("l").join(purchase.as("p"),

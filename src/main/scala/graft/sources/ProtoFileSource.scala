@@ -3,8 +3,6 @@ package graft.sources
 import java.io.{BufferedInputStream, EOFException, InputStream}
 import java.util
 
-import scala.collection.mutable.ArrayBuffer
-
 import graft.streaming.ProtoWire
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
@@ -303,8 +301,13 @@ private[sources] class ProtoWriteBuilder(schema: StructType, path: String, query
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new ProtoBatchWrite(schema, path, queryId, doTruncate)
-    override def toStreaming: streaming.StreamingWrite =
+    override def toStreaming: streaming.StreamingWrite = {
+      // Complete/update output would need per-epoch truncation the flush
+      // contract can't express — fail fast instead of silently appending
+      // a full result set per epoch.
+      require(!doTruncate, "graft-proto streaming sink supports append output mode only")
       new ProtoStreamingWrite(schema, path, queryId)
+    }
   }
 }
 
@@ -325,13 +328,19 @@ private[sources] class ProtoBatchWrite(schema: StructType, path: String,
     // tradeoff as file-based committers without an atomic dir swap.
     val dir = new Path(path)
     val fs = dir.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
-    val preExisting =
-      if (truncate && fs.exists(dir))
-        fs.listStatus(dir).filter(f => f.isFile && !f.getPath.getName.startsWith(".") &&
-          !f.getPath.getName.startsWith("_")).map(_.getPath)
-      else Array.empty[Path]
+    val ours = messages.collect { case ProtoCommit(staged, _) =>
+      new Path(staged).getName }.toSet
+    val (preExisting, orphanedStaged) =
+      if (truncate && fs.exists(dir)) {
+        val all = fs.listStatus(dir).filter(_.isFile).map(_.getPath)
+        (all.filter(p => !p.getName.startsWith(".") && !p.getName.startsWith("_")),
+          // overwrite asserts exclusive ownership of the directory: clear
+          // .staged leftovers from crashed runs (readers skip them, but
+          // nothing else ever deletes them)
+          all.filter(p => p.getName.startsWith(".staged") && !ours(p.getName)))
+      } else (Array.empty[Path], Array.empty[Path])
     ProtoWriteCommit.publish(path, messages)
-    preExisting.foreach(p => fs.delete(p, false))
+    (preExisting ++ orphanedStaged).foreach(p => fs.delete(p, false))
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     ProtoWriteCommit.discard(path, messages)
@@ -371,9 +380,17 @@ private[sources] object ProtoWriteCommit {
         val s = new Path(staged)
         val target = new Path(dir, finalName)
         if (fs.exists(target)) {
-          // epoch replay after a crash between commit and checkpoint:
-          // same (epoch, partition) name — already published, drop the
-          // retry's staged copy instead of failing the rename forever
+          // Same (epoch, partition) name already published. A genuine
+          // epoch replay (crash between commit and checkpoint) re-stages
+          // identical bytes — accept and drop the retry's copy. Anything
+          // else (fresh checkpoint into a used sink dir, two queries
+          // sharing a dir) is a collision that must not silently win or
+          // lose — fail with the cause.
+          if (fs.exists(s) && fs.getFileStatus(s).getLen != fs.getFileStatus(target).getLen)
+            throw new java.io.IOException(
+              s"graft-proto commit: $finalName already exists with different " +
+                "content — flush names must be unique per sink directory " +
+                "(fresh checkpoint into a used dir?)")
           fs.delete(s, false)
         } else if (!fs.exists(s)) {
           throw new java.io.IOException(
@@ -461,7 +478,7 @@ object ProtoSourceQueries {
       // bench runs every query several times) rewrite the same files
       // instead of accreting a fresh events copy per call.
       val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_proto_scan_${math.abs(d.hashCode)}").toString
+        s"graft_proto_scan_${math.abs(d.hashCode)}_${ProcessHandle.current().pid()}").toString
       // distributed DSv2 write: each task stages + commits one wire file
       // (local[n] shares the driver FS; on a real cluster this directory
       // would live on the shared object store)
