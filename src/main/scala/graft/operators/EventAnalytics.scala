@@ -32,12 +32,14 @@ object EventAnalytics {
     Tables.events(s, d).filter(col("event_type") === t).select("user_id", "ts")
 
   val queries: Map[String, Q] = Map(
-    // O-A15: windowFunnel(7 days)(signup -> click -> purchase).
+    // O-A15: windowFunnel(12 hours)(signup -> click -> purchase).
+    // 12h picked because it yields all three levels at every test SF
+    // (7 days saturates: every signup converts).
     "o_a15_funnel" -> ((s, d) => {
       val signup = stage(s, d, "signup").persist()
       val click = stage(s, d, "click")
       val purchase = stage(s, d, "purchase")
-      val w = expr("INTERVAL 7 DAYS")
+      val w = expr("INTERVAL 12 HOURS")
       // pairs reaching level 2: (signup, click) chains — keep the chain's
       // bounds so level 3 extends it without re-deriving the window
       // One row per (user, signup): extending a chain only gets easier as
@@ -106,12 +108,12 @@ object EventAnalytics {
             l2p AS (
               SELECT s.user_id, s.ts AS t1, c.ts AS t2
               FROM s JOIN c ON c.user_id = s.user_id
-                AND c.ts > s.ts AND c.ts <= s.ts + INTERVAL 7 DAY),
+                AND c.ts > s.ts AND c.ts <= s.ts + INTERVAL 12 HOUR),
             l2 AS (SELECT DISTINCT user_id FROM l2p),
             l3 AS (
               SELECT DISTINCT l.user_id
               FROM l2p l JOIN p ON p.user_id = l.user_id
-                AND p.ts > l.t2 AND p.ts <= l.t1 + INTERVAL 7 DAY),
+                AND p.ts > l.t2 AND p.ts <= l.t1 + INTERVAL 12 HOUR),
             u AS (SELECT DISTINCT user_id FROM s)
          SELECT CAST(1 + (l2.user_id IS NOT NULL)::INT + (l3.user_id IS NOT NULL)::INT AS INT)
                   AS funnel_level,
