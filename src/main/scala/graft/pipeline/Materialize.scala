@@ -2,16 +2,20 @@ package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
 
-/** Catalog queries run 70-at-a-time in one session (Bench/Verify), so a
+/** Catalog queries run 90-at-a-time in one session (Bench/Verify), so a
   * query body that persists an intermediate must release it before the next
   * query runs, or cached blocks accumulate for the whole catalog pass.
-  * `drop` runs the (small-result) plan eagerly, unpersists the caches it
-  * consumed, and hands back the result as a local DataFrame — at cluster
-  * scale the same discipline is "unpersist after the terminal action". */
+  *
+  * `drop` cuts the result's lineage with an eager `localCheckpoint`: the
+  * plan runs once and its output is stored as RDD blocks ON THE EXECUTORS
+  * (spilling to executor disk if large), after which the upstream caches
+  * can be released. Nothing passes through the driver — an O(corpus)
+  * near-dup pair list or cluster-label table stays distributed, so the
+  * pattern survives adversarial corpora at 100 TB where a collect()-based
+  * cut would OOM the driver. */
 private[graft] object Materialize {
   def drop(result: DataFrame, caches: DataFrame*): DataFrame = {
-    val rows = java.util.Arrays.asList(result.collect(): _*)
-    val out = result.sparkSession.createDataFrame(rows, result.schema)
+    val out = result.localCheckpoint(eager = true)
     caches.foreach(_.unpersist())
     out
   }

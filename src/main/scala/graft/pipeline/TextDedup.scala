@@ -130,9 +130,29 @@ object TextDedup {
     "d_dedup_simhash" -> ((s, d) => simhashPairs(s, d))
   )
 
-  /** MinHash+LSH near-dup pairs — shared by d_dedup_minhash (the pair
-    * list) and d_dedup_cluster (connected components over the pairs). */
+  /** Verification set-table broadcast gate. Below this many documents the
+    * per-doc shingle-set table is broadcast into the two candidate joins
+    * (one hash probe per candidate, no shuffle); above it the hint is
+    * DROPPED and both joins hash-shuffle by doc_id — a corpus-sized build
+    * side must never be replicated to every executor. The default assumes
+    * ~1 KB of shingle set per doc (≲1 GB broadcast); size it for your
+    * corpus via -Dgraft.dedup.maxBroadcastDocs=N (0 forces the shuffle
+    * path — PlanSpec pins that plan). */
+  private[graft] def maxBroadcastDocs: Long =
+    sys.props.get("graft.dedup.maxBroadcastDocs").map(_.toLong).getOrElse(1000000L)
+
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val (result, caches) = minhashPairsPlan(s, d)
+    Materialize.drop(result, caches: _*)
+  }
+
+  /** MinHash+LSH near-dup pairs — shared by d_dedup_minhash (the pair
+    * list) and d_dedup_cluster (connected components over the pairs).
+    * Returns the un-materialized plan plus the persisted intermediates it
+    * rides on, so callers (and PlanSpec) can inspect or extend the plan
+    * before the lineage cut. */
+  private[graft] def minhashPairsPlan(
+      s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
       // The exploded token stream feeds the signature agg AND the per-doc
       // set table — cache it rather than re-exploding. (~n_docs × shingles
       // rows; at cluster scale this is a persisted intermediate table.)
@@ -170,13 +190,16 @@ object TextDedup {
       // Verification via per-doc shingle SETS (one row per doc, ~|shingles|
       // strings each): candidates resolve both sets with two joins and an
       // array_intersect — no token-table shuffle, nothing quadratic. The
-      // set table is docs-sized; broadcast is right up to tens of millions
-      // of docs per verification domain, beyond that drop the hints and
-      // both joins shuffle by doc_id with no other change.
+      // set table is docs-sized, so the broadcast hint is SIZE-GATED on
+      // the corpus's row count (a cheap parquet-metadata count): small
+      // corpora broadcast, big ones shuffle both joins by doc_id.
       val docSets = t.groupBy("doc_id").agg(collect_set(col("bg")).as("bgs"))
-      Materialize.drop(cands
-        .join(broadcast(docSets).as("sa"), col("da") === col("sa.doc_id"))
-        .join(broadcast(docSets).as("sb"), col("db") === col("sb.doc_id"))
+      val nDocs = Tables.documents(s, d).count()
+      val gated = (df: DataFrame) =>
+        if (nDocs <= maxBroadcastDocs) broadcast(df) else df
+      val verified = cands
+        .join(gated(docSets).as("sa"), col("da") === col("sa.doc_id"))
+        .join(gated(docSets).as("sb"), col("db") === col("sb.doc_id"))
         .select(col("da"), col("db"),
           size(array_intersect(col("sa.bgs"), col("sb.bgs"))).cast("long").as("inter"),
           size(col("sa.bgs")).cast("long").as("na"),
@@ -184,7 +207,8 @@ object TextDedup {
         .select(col("da"), col("db"),
           round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
-        .orderBy("da", "db"), t, bands)
+        .orderBy("da", "db")
+      (verified, Seq(t, bands))
   }
 
   /** SimHash near-dup pairs via the native codegen'd SimHash64

@@ -119,16 +119,49 @@ class PlanSpec extends AnyFunSuite {
       s"proto scan should prune props:\n$p")
   }
 
-  test("d_dedup_minhash: verification joins broadcast, token table never shuffled by bg") {
+  test("d_dedup_minhash: result is a distributed lineage cut, never a driver collect") {
     val df = SparkEntry.queries("d_dedup_minhash")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
-    // Materialize.drop returns a local relation — assert on the plan the
-    // query RAN by checking its shape is cheap: the local result exists
-    // and is tiny. (The heavy-plan property — broadcast hints on the
-    // candidate side — is structural in the query body; a regression
-    // would show up as a multi-second wall-clock jump in BENCH.)
-    assert(p.contains("LocalTableScan") || p.contains("LocalRelation"),
-      s"minhash should return a materialized local result:\n$p")
+    // Materialize.drop = eager localCheckpoint: the returned plan must be
+    // a scan of executor-resident RDD blocks — NOT a LocalTableScan, which
+    // would mean the pair list round-tripped through the driver (the 100 TB
+    // driver-OOM anti-pattern this replaced).
+    assert(!p.contains("LocalTableScan"),
+      s"minhash result must not pass through the driver:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("Scan rdd"),
+      s"minhash should scan checkpointed executor blocks:\n$p")
+  }
+
+  test("d_dedup_minhash: verification joins shuffle by doc_id above the broadcast gate") {
+    // Default gate (corpus << 1M docs): the two per-doc set-table joins
+    // broadcast — plus the shingle-alphabet dim — so >=3 broadcast joins.
+    val (small, smallCaches) = pipeline.TextDedup.minhashPairsPlan(spark, sf)
+    val broadcasts = "BroadcastHashJoin".r
+    val nSmall = broadcasts.findAllIn(small.queryExecution.executedPlan.toString).size
+    assert(nSmall >= 3, s"expected alphabet + 2 set-table broadcasts, got $nSmall")
+    smallCaches.foreach(_.unpersist())
+    // Gate forced to 0 (simulating a >1M-doc corpus): the set-table hint
+    // is dropped, both verification joins become doc_id-keyed shuffles,
+    // and ONLY the explicitly-hinted alphabet dim still broadcasts. The
+    // auto-broadcast threshold is disabled for the same reason the gate
+    // exists: at sf0.001 the un-hinted table is tiny enough for Catalyst
+    // to re-broadcast it from size stats, which a 1M-doc corpus's size
+    // estimate would not allow.
+    System.setProperty("graft.dedup.maxBroadcastDocs", "0")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (big, bigCaches) = pipeline.TextDedup.minhashPairsPlan(spark, sf)
+      val p = big.queryExecution.executedPlan.toString
+      val nBig = broadcasts.findAllIn(p).size
+      assert(nBig < nSmall, s"gate must drop set-table broadcasts: $nBig vs $nSmall\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"verification joins must shuffle by doc_id above the gate:\n$p")
+      bigCaches.foreach(_.unpersist())
+    } finally {
+      System.clearProperty("graft.dedup.maxBroadcastDocs")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
   }
 
   test("d_decontam: benchmark grams broadcast; distinct is partial before shuffle") {
