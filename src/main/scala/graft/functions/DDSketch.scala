@@ -39,9 +39,16 @@ object DDSketch {
   /** Growth factor for the log-scaled bins. */
   def gamma(alpha: Double): Double = (1 + alpha) / (1 - alpha)
 
-  /** Bin index of a positive value. */
+  /** Bin index of a positive value. The 1e-11 nudge before ceil() makes
+    * the bin function robust to libm rounding differences across engines:
+    * a log-ratio landing within ~1 ulp of an integer would otherwise flip
+    * ceil() between this JVM and the DuckDB oracle's libm and flake the
+    * o_a13 hash compare. The nudge shifts every boundary by a relative
+    * 1e-11 — far below alpha's accuracy guarantee — and is applied
+    * IDENTICALLY in the oracle SQL (IncrementalRollup.oracles), so both
+    * engines bin every representable value the same way. */
   def bin(x: Double, gamma: Double): Int =
-    math.ceil(math.log(x) / math.log(gamma)).toInt
+    math.ceil(math.log(x) / math.log(gamma) - 1e-11).toInt
 
   /** Midpoint value estimate of a bin (within alpha of any member). */
   def binValue(k: Int, alpha: Double): Double =

@@ -104,15 +104,16 @@ object IncrementalRollup {
 
   /** DuckDB oracle for the DDSketch rollup: same bin function, same rank
     * rule (smallest k with cumulative count >= max(1, ceil(q*N))). gamma
-    * is written as the same double expression (1.01/0.99) both sides; the
-    * ln-ratio would need to sit within ~1e-13 of an integer for the two
-    * engines' libm rounding to disagree on a bin — vanishingly unlikely
-    * over these row counts, and the integer output hashes exactly. */
+    * is written as the same double expression (1.01/0.99) both sides, and
+    * both sides nudge the ln-ratio down by 1e-11 before ceil()
+    * ([[graft.functions.DDSketch.bin]]) so a ratio within ~1 ulp of an
+    * integer cannot straddle a bin boundary between the two engines'
+    * libm implementations. */
   val oracles: Map[String, String] = Map(
     "o_a13_quantile_sketch" ->
       """WITH r AS (
            SELECT l_returnflag AS flag,
-                  CAST(ceil(ln(CAST(l_extendedprice AS DOUBLE)) / ln(1.01/0.99)) AS INT) AS k
+                  CAST(ceil(ln(CAST(l_extendedprice AS DOUBLE)) / ln(1.01/0.99) - 1e-11) AS INT) AS k
            FROM lineitem WHERE l_extendedprice > 0
          ), c AS (
            SELECT flag, k, COUNT(*) AS cnt FROM r GROUP BY flag, k

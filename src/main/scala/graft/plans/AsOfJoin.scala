@@ -177,8 +177,21 @@ case class AsOfJoinByName(
     forward: Boolean,
     left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
 
+  /** Resolve a name to exactly one child attribute. Ambiguity (a self-join
+    * of one relation, or a child with duplicate column names) must fail
+    * like SQL resolution would, not silently bind to whichever attribute
+    * listed first. Thrown from `resolved` once children are resolved, so
+    * the analyzer surfaces the message instead of a generic "unresolved
+    * operator". */
   private[plans] def find(p: LogicalPlan, n: String): Option[Attribute] =
-    p.output.find(_.name.equalsIgnoreCase(n))
+    p.output.filter(_.name.equalsIgnoreCase(n)) match {
+      case Seq() => None
+      case Seq(one) => Some(one)
+      case many => throw new IllegalArgumentException(
+        s"as_of_join: column name '$n' is ambiguous — matches " +
+          s"${many.map(a => s"${a.name}#${a.exprId.id}").mkString(", ")}; " +
+          "disambiguate with aliased projections before the join")
+    }
 
   override lazy val resolved: Boolean = childrenResolved &&
     (leftKeys :+ leftTime).forall(find(left, _).isDefined) &&

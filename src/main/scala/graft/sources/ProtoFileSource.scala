@@ -159,12 +159,23 @@ private[sources] class ProtoScan(full: StructType, required: StructType,
   * the name), so an offset is simply the highest file name processed —
   * O(1) state, no file-log compaction. Files sorting at-or-below the
   * committed offset are never re-read (exactly-once per file given
-  * monotonic names; the at-least-once dedup downstream stays o_w1). */
-private[sources] case class ProtoStreamOffset(last: String)
+  * monotonic names; the at-least-once dedup downstream stays o_w1).
+  *
+  * The monotonic-name CONTRACT is enforced, not assumed: the offset also
+  * carries how many files sat at-or-below `last` when it was taken. If a
+  * later listing finds MORE files at-or-below the committed offset, a
+  * producer violated monotonicity (batch `part-*` writes into a tailed
+  * directory shadowing subsequent `flush-*` files, or non-zero-padded
+  * names like flush-9 vs flush-10) and those files would silently never
+  * be read — the stream fails loudly instead. Count shrinking is allowed
+  * (retention may expire old flush files). Batch writes must never
+  * target a tailed directory; use a separate staging dir and a distinct
+  * stream. */
+private[sources] case class ProtoStreamOffset(last: String, seen: Long = -1L)
   extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String = {
     val esc = last.replace("\\", "\\\\").replace("\"", "\\\"")
-    s"""{"last":"$esc"}"""
+    s"""{"last":"$esc","seen":$seen}"""
   }
 }
 
@@ -190,17 +201,22 @@ private[sources] class ProtoMicroBatchStream(
     listed.map(f => (f.getPath.toString, f.getLen)).sortBy(_._1)
   }
 
-  override def initialOffset(): Offset = ProtoStreamOffset("")
+  override def initialOffset(): Offset = ProtoStreamOffset("", 0L)
   override def latestOffset(): Offset = {
     val names = listNames()
-    ProtoStreamOffset(if (names.isEmpty) "" else names.last._1)
+    if (names.isEmpty) ProtoStreamOffset("", 0L)
+    else ProtoStreamOffset(names.last._1, names.length.toLong)
   }
   override def deserializeOffset(json: String): Offset = {
-    // {"last":"..."} — tiny fixed shape, parse without a JSON lib
-    val m = """\{"last":"(.*)"\}""".r
+    // {"last":"...","seen":N} — tiny fixed shapes, parse without a JSON
+    // lib; the seen-less shape is a pre-upgrade checkpoint (seen = -1
+    // disables the monotonicity check for that one transition).
+    val withSeen = """\{"last":"(.*)","seen":(-?\d+)\}""".r
+    val legacy = """\{"last":"(.*)"\}""".r
+    def unesc(v: String) = v.replace("\\\"", "\"").replace("\\\\", "\\")
     json match {
-      case m(v) => ProtoStreamOffset(
-        v.replace("\\\"", "\"").replace("\\\\", "\\"))
+      case withSeen(v, n) => ProtoStreamOffset(unesc(v), n.toLong)
+      case legacy(v) => ProtoStreamOffset(unesc(v))
       case _ => throw new IllegalArgumentException(s"bad graft-proto offset: $json")
     }
   }
@@ -208,10 +224,21 @@ private[sources] class ProtoMicroBatchStream(
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[ProtoStreamOffset].last
+    val so = start.asInstanceOf[ProtoStreamOffset]
     val e = end.asInstanceOf[ProtoStreamOffset].last
-    listNames()
-      .filter { case (n, _) => n > s && n <= e }
+    val names = listNames()
+    // Monotonic-name contract check (see ProtoStreamOffset): a file that
+    // APPEARED at-or-below the committed offset after the offset was taken
+    // would be silently skipped forever — fail instead of losing it.
+    val below = names.count { case (n, _) => n <= so.last }
+    if (so.seen >= 0 && below > so.seen)
+      throw new IllegalStateException(
+        s"graft-proto stream over $path: ${below - so.seen} file(s) appeared " +
+          s"at-or-below the committed offset '${so.last}' — flush names must be " +
+          "monotonic (zero-padded sequence/epoch); never batch-write into a " +
+          "tailed directory")
+    names
+      .filter { case (n, _) => n > so.last && n <= e }
       .map { case (n, len) => ProtoFilePartition(n, len): InputPartition }
   }
 
@@ -367,6 +394,32 @@ private[sources] object ProtoWriteCommit {
   /** Driver-side conf (planning/commit run on the driver). */
   private def hadoopConf() = SparkSession.active.sessionState.newHadoopConf()
 
+  /** Streamed byte compare. Epoch-replay dedup must not accept a merely
+    * equal-LENGTH file as identical: a replayed batch with rows shuffled
+    * across partitions, or two queries colliding on a flush name, produce
+    * different bytes at the same size and must fail loudly instead of
+    * silently dropping one copy. Cost: one read of each file, only on the
+    * rare name-collision path. */
+  private def sameContent(fs: org.apache.hadoop.fs.FileSystem,
+                          a: Path, b: Path): Boolean = {
+    if (fs.getFileStatus(a).getLen != fs.getFileStatus(b).getLen) return false
+    val ia = new BufferedInputStream(fs.open(a), 64 * 1024)
+    val ib = new BufferedInputStream(fs.open(b), 64 * 1024)
+    try {
+      val ba = new Array[Byte](64 * 1024)
+      val bb = new Array[Byte](64 * 1024)
+      var same = true
+      var done = false
+      while (same && !done) {
+        val na = ia.readNBytes(ba, 0, ba.length)
+        val nb = ib.readNBytes(bb, 0, bb.length)
+        same = na == nb && java.util.Arrays.equals(ba, 0, na, bb, 0, nb)
+        done = na <= 0
+      }
+      same
+    } finally { ia.close(); ib.close() }
+  }
+
   def publish(path: String, messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(hadoopConf())
@@ -382,11 +435,12 @@ private[sources] object ProtoWriteCommit {
         if (fs.exists(target)) {
           // Same (epoch, partition) name already published. A genuine
           // epoch replay (crash between commit and checkpoint) re-stages
-          // identical bytes — accept and drop the retry's copy. Anything
+          // identical BYTES — accept and drop the retry's copy. Anything
           // else (fresh checkpoint into a used sink dir, two queries
-          // sharing a dir) is a collision that must not silently win or
-          // lose — fail with the cause.
-          if (fs.exists(s) && fs.getFileStatus(s).getLen != fs.getFileStatus(target).getLen)
+          // sharing a dir, replay with rows shuffled across partitions)
+          // is a collision that must not silently win or lose — fail
+          // with the cause.
+          if (fs.exists(s) && !sameContent(fs, s, target))
             throw new java.io.IOException(
               s"graft-proto commit: $finalName already exists with different " +
                 "content — flush names must be unique per sink directory " +
@@ -475,10 +529,13 @@ object ProtoSourceQueries {
     "s_scan2_proto" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // Stable per-sf staging dir + overwrite: repeated invocations (the
-      // bench runs every query several times) rewrite the same files
-      // instead of accreting a fresh events copy per call.
+      // bench runs every query several times) AND repeated processes
+      // rewrite the same files instead of accreting an events-sized wire
+      // copy per run — the write below is a full overwrite, so one fixed
+      // dir keyed by dataset alone is safe. toHexString (not math.abs,
+      // which returns negative for Int.MinValue) keys the name.
       val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_proto_scan_${math.abs(d.hashCode)}_${ProcessHandle.current().pid()}").toString
+        s"graft_proto_scan_${Integer.toHexString(d.hashCode)}").toString
       // distributed DSv2 write: each task stages + commits one wire file
       // (local[n] shares the driver FS; on a real cluster this directory
       // would live on the shared object store)

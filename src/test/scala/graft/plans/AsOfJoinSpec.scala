@@ -152,4 +152,23 @@ class AsOfJoinSpec extends AnyFunSuite {
         .collect()
     }
   }
+
+  test("ambiguous column names fail resolution instead of binding arbitrarily") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    // a relation with two case-insensitive matches for 'k' — SQL
+    // resolution would raise ambiguity; the name-based as-of node must too
+    Seq(("u1", "u1", "e1", ts(5))).toDF("k", "K", "eid", "t")
+      .createOrReplaceTempView("tvf_amb_l")
+    Seq(("u1", 7L, ts(0))).toDF("k2", "oid", "t2")
+      .createOrReplaceTempView("tvf_amb_r")
+    val ex = intercept[Exception] {
+      spark.sql(
+        "SELECT eid, oid FROM graft_asof('tvf_amb_l', 'tvf_amb_r', 'k', 'k2', 't', 't2')")
+        .collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + messages(t.getCause)
+    assert(messages(ex).contains("ambiguous"), s"expected ambiguity error, got: $ex")
+  }
 }

@@ -171,6 +171,54 @@ class ProtoFileSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming read fails loudly when a file appears below the committed offset") {
+    val dir = java.nio.file.Files.createTempDirectory("proto_shadow").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("proto_shadow_ckpt").toString
+    ProtoFiles.writeLocal(s"$dir/flush-000005.pbstream", Iterator(
+      Seq(1L, "a", 1, true, Seq[String]())), schema)
+    val q = spark.readStream.format("graft-proto").option("schema", ddl).load(dir)
+      .writeStream.format("memory").queryName("proto_shadow_out")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("proto_shadow_out").count() == 1)
+      // a non-monotonic name (sorts below the committed offset) would be
+      // silently shadowed forever — the source must fail instead
+      ProtoFiles.writeLocal(s"$dir/flush-000001.pbstream", Iterator(
+        Seq(2L, "b", 2, true, Seq[String]())), schema)
+      val ex = intercept[Exception] {
+        ProtoFiles.writeLocal(s"$dir/flush-000006.pbstream", Iterator(
+          Seq(3L, "c", 3, true, Seq[String]())), schema)
+        q.processAllAvailable()
+      }
+      val msg = Option(ex.getMessage).getOrElse("") +
+        Option(ex.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("monotonic"), s"expected monotonicity error, got: $ex")
+    } finally q.stop()
+  }
+
+  test("epoch-replay dedup accepts identical bytes, rejects equal-length different bytes") {
+    val spark0 = spark // force session init so SparkSession.active resolves
+    assert(spark0 != null)
+    val dir = java.nio.file.Files.createTempDirectory("proto_replay").toString
+    def writeBytes(name: String, rows: Seq[Seq[Any]]): Unit =
+      ProtoFiles.writeLocal(s"$dir/$name", rows.iterator, schema)
+    // published file + a replayed stage with IDENTICAL bytes -> accepted
+    writeBytes("flush-000001.pbstream", Seq(Seq(1L, "aa", 1, true, Seq[String]())))
+    writeBytes(".staged-r1", Seq(Seq(1L, "aa", 1, true, Seq[String]())))
+    ProtoWriteCommit.publish(dir,
+      Array(ProtoCommit(s"$dir/.staged-r1", "flush-000001.pbstream")))
+    assert(!new java.io.File(s"$dir/.staged-r1").exists, "retry copy dropped")
+    // same LENGTH, different bytes (rows shuffled across partitions /
+    // name collision) -> must fail loudly, not silently drop one copy
+    writeBytes(".staged-r2", Seq(Seq(1L, "ab", 1, true, Seq[String]())))
+    val ex = intercept[java.io.IOException] {
+      ProtoWriteCommit.publish(dir,
+        Array(ProtoCommit(s"$dir/.staged-r2", "flush-000001.pbstream")))
+    }
+    assert(ex.getMessage.contains("different"), ex.getMessage)
+  }
+
   test("s_scan2_proto distributed round trip matches a direct events query") {
     val got = ProtoSourceQueries.queries("s_scan2_proto")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
