@@ -73,16 +73,42 @@ object Windows {
         .orderBy("event_id")
     }),
 
-    // O-W6: rank / dense_rank / ntile leaderboard.
+    // O-W6: rank / dense_rank / ntile leaderboard — WITHOUT a global
+    // (unpartitioned) window, which would sort every customer on one
+    // partition at scale. Ranks depend only on the n_orders VALUE, whose
+    // domain is tiny (max orders per customer) and data-size independent:
+    //   rank       = 1 + rows with a strictly greater value
+    //   dense_rank = 1 + distinct values strictly greater
+    // both read off a value-level dimension (per-value counts + a tiny
+    // dim self-join for the running "above" totals) broadcast back onto
+    // the rows. ntile's global row position = rows-above offset + a
+    // PER-VALUE row_number (keyed window). Every shuffle is keyed on
+    // n_orders or o_custkey; nothing single-partition.
     "o_w6_rank" -> ((s, d) => {
       val base = Tables.orders(s, d).groupBy("o_custkey")
         .agg(count(lit(1)).as("n_orders"))
-      val byN = Window.orderBy(col("n_orders").desc)
-      val total = Window.orderBy(col("n_orders").desc, col("o_custkey"))
-      base.select(col("o_custkey"), col("n_orders"),
-          rank().over(byN).as("rnk"),
-          dense_rank().over(byN).as("drnk"),
-          ntile(4).over(total).as("quartile"))
+      val vals = base.groupBy("n_orders").agg(count(lit(1)).as("cnt"))
+      val dim = vals.as("a")
+        .join(vals.as("b"), col("b.n_orders") > col("a.n_orders"), "left")
+        .groupBy(col("a.n_orders").as("n_orders"))
+        .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("rows_above"),
+          count(col("b.n_orders")).as("vals_above"))
+      val totals = vals.agg(sum("cnt").as("total"))
+      val perValue = Window.partitionBy("n_orders").orderBy("o_custkey")
+      base
+        .join(broadcast(dim), "n_orders")
+        .withColumn("pos", col("rows_above") + row_number().over(perValue))
+        .crossJoin(broadcast(totals))
+        .select(col("o_custkey"), col("n_orders"),
+          (col("rows_above") + 1).cast("int").as("rnk"),
+          (col("vals_above") + 1).cast("int").as("drnk"),
+          // SQL ntile(4): the first (total % 4) buckets hold one extra row
+          expr("""CAST(CASE WHEN pos <= (total DIV 4 + 1) * (total % 4)
+                       THEN (pos - 1) DIV (total DIV 4 + 1) + 1
+                       ELSE (total % 4) +
+                            (pos - (total DIV 4 + 1) * (total % 4) - 1)
+                              DIV (total DIV 4) + 1
+                  END AS INT)""").as("quartile"))
         .orderBy("o_custkey")
     }),
 

@@ -53,6 +53,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$p")
   }
 
+  test("o_w6: leaderboard ranks with no single-partition window") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("o_w6_rank")(spark, sf)
+    df.collect()
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case q: QueryStageExec => q +: nodes(q.plan)
+      case _ => p +: p.children.flatMap(nodes)
+    }
+    val wins = nodes(df.queryExecution.executedPlan).collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected the per-value row_number window")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      s"global-order window found — single-partition at scale:\n${wins.mkString("\n")}")
+  }
+
   test("o_s3: top-k fuses to TakeOrderedAndProject (no global sort)") {
     val p = plan("o_s3_topk")
     assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject in:\n$p")
