@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** ClickHouse's event-analytics signatures — `windowFunnel` and
@@ -70,6 +71,109 @@ object EventAnalytics {
       graft.pipeline.Materialize.drop(out, signup, l2pairs)
     }),
 
+    // O-A15b: windowFunnel strict-dedup variant (CH's strict_dedup mode,
+    // [implied] same basis as O-A15). Consecutive-step dedup semantics:
+    // each step's event must be the LAST of its type before the next
+    // step's event — a repeat of stage k's type strictly between step k
+    // and step k+1 breaks the chain. That reading is exactly window-
+    // expressible: the only level-2 chain ending at a click is (last
+    // signup before it, click), and the only level-3 chain ending at a
+    // purchase extends (last click before it); both "last before" values
+    // are running window aggregates over the per-user stream. Ordering is
+    // the (ts, event_id) total order — deterministic under timestamp
+    // ties, pinned identically in the oracle (CH's greedy cursor leaves
+    // tie order engine-private; ours is part of the contract).
+    //
+    // Scale shape: ONE shuffle on user_id; both window passes and the
+    // final per-user flags ride the same partitioning (Spark reuses the
+    // exchange); no joins at all — strictly cheaper than the pair-join
+    // funnel at heavy users.
+    "o_a15b_funnel_dedup" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "click", "purchase"))
+        .select("user_id", "event_type", "ts", "event_id")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pre = w.rowsBetween(Window.unboundedPreceding, -1)
+      val winH = expr("INTERVAL 12 HOURS")
+      // invalid-chain sentinel: far enough in the past that `ts <= lc + w`
+      // can never hold for real data, so "last click had no valid chain"
+      // and "no click at all" both fail level 3 naturally
+      val sentinel = lit("1970-01-01 00:00:00").cast("timestamp")
+      val staged = e
+        // ls = last signup before this row (running max == last in row
+        // order, because rows are ordered by ts)
+        .withColumn("ls", max(when(col("event_type") === "signup", col("ts"))).over(pre))
+        // c2 = this click's chain START (the deduped signup) if the
+        // 12h funnel window admits it
+        .withColumn("c2", when(col("event_type") === "click" &&
+          col("ls").isNotNull && col("ts") <= col("ls") + winH, col("ls")))
+        .withColumn("c2m", when(col("event_type") === "click",
+          coalesce(col("c2"), sentinel)))
+      staged
+        // lc = the LAST click before this row, carrying its chain start
+        .withColumn("lc", last(col("c2m"), ignoreNulls = true).over(pre))
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "signup", 1).otherwise(0)).as("has1"),
+          max(when(col("c2").isNotNull, 1).otherwise(0)).as("has2"),
+          max(when(col("event_type") === "purchase" && col("lc").isNotNull &&
+            col("ts") <= col("lc") + winH, 1).otherwise(0)).as("has3"))
+        .filter(col("has1") === 1)
+        .select((lit(1) + col("has2") + col("has3")).as("funnel_level"))
+        .groupBy("funnel_level").agg(count(lit(1)).as("n_users"))
+        .orderBy("funnel_level")
+    }),
+
+    // O-A17: sequenceMatch('(?1)(?t<=3600)(?2).*(?3)') analog (CH event
+    // pattern matching, the sibling of windowFunnel over the same event
+    // tables): per signup user, 1 iff a click occurs within 1 hour AFTER
+    // a signup and a purchase occurs any time after that click. The
+    // EXISTS chain reads straight off two running window aggregates:
+    // last-signup-before (within the hour) and any-purchase-after, both
+    // strict in ts. One user_id shuffle, no joins.
+    "o_a17_seqmatch" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "click", "purchase"))
+        .select("user_id", "event_type", "ts", "event_id")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val lastSignup = max(when(col("event_type") === "signup", col("ts")))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+      val purchaseAfter = max(when(col("event_type") === "purchase", col("ts")))
+        .over(w.rowsBetween(1, Window.unboundedFollowing))
+      e.withColumn("mid", when(col("event_type") === "click" &&
+          lastSignup >= col("ts") - expr("INTERVAL 1 HOUR") &&
+          lastSignup < col("ts") &&
+          purchaseAfter > col("ts"), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "signup", 1).otherwise(0)).as("has_signup"),
+          max(col("mid")).as("matched"))
+        .filter(col("has_signup") === 1)
+        .groupBy("matched").agg(count(lit(1)).as("n_users"))
+        .orderBy("matched")
+    }),
+
+    // O-A18: sequenceCount('(?1).*(?2)') analog — GREEDY non-overlapping
+    // signup→purchase occurrences per user. The greedy automaton (arm on
+    // signup, fire+disarm on purchase) collapses to a lag(): over the
+    // per-user signup/purchase stream in (ts, event_id) order, a purchase
+    // fires iff its immediate predecessor is a signup. Proof: if the
+    // predecessor is a signup the machine is armed (that signup armed
+    // it); if the predecessor is a purchase, that purchase either fired
+    // (disarming) or was itself unarmed — either way no signup has
+    // occurred since the last fire, so the machine is unarmed. One
+    // user_id shuffle, one window pass.
+    "o_a18_seqcount" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select("user_id", "event_type", "ts", "event_id")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      e.withColumn("prev", lag("event_type", 1).over(w))
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "purchase" && col("prev") === "signup", 1)
+          .otherwise(0)).cast("long").as("seq_count"))
+        .groupBy("seq_count").agg(count(lit(1)).as("n_users"))
+        .orderBy("seq_count")
+    }),
+
     // O-A16: retention — per first-signup cohort date, users returning
     // with a click within 3 days / purchasing within 7 days.
     "o_a16_retention" -> ((s, d) => {
@@ -120,6 +224,76 @@ object EventAnalytics {
                 COUNT(*) AS n_users
          FROM u LEFT JOIN l2 USING (user_id) LEFT JOIN l3 USING (user_id)
          GROUP BY funnel_level ORDER BY funnel_level""",
+
+    "o_a15b_funnel_dedup" ->
+      """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
+                    WHERE event_type IN ('signup','click','purchase')),
+         p1 AS (
+           SELECT user_id, event_type, ts, event_id,
+                  max(CASE WHEN event_type = 'signup' THEN ts END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ls
+           FROM e),
+         p2 AS (
+           SELECT *, CASE WHEN event_type = 'click' AND ls IS NOT NULL
+                            AND ts <= ls + INTERVAL 12 HOUR THEN ls END AS c2
+           FROM p1),
+         p3 AS (
+           SELECT *,
+                  last_value(CASE WHEN event_type = 'click'
+                                  THEN coalesce(c2, TIMESTAMP '1970-01-01') END
+                             IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lc
+           FROM p2),
+         u AS (
+           SELECT user_id,
+                  MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS has1,
+                  MAX(CASE WHEN c2 IS NOT NULL THEN 1 ELSE 0 END) AS has2,
+                  MAX(CASE WHEN event_type = 'purchase' AND lc IS NOT NULL
+                             AND ts <= lc + INTERVAL 12 HOUR THEN 1 ELSE 0 END) AS has3
+           FROM p3 GROUP BY user_id)
+         SELECT 1 + has2 + has3 AS funnel_level, COUNT(*) AS n_users
+         FROM u WHERE has1 = 1 GROUP BY 1 ORDER BY 1""",
+
+    "o_a17_seqmatch" ->
+      """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
+                    WHERE event_type IN ('signup','click','purchase')),
+         m AS (
+           SELECT user_id, event_type,
+                  CASE WHEN event_type = 'click'
+                         AND max(CASE WHEN event_type = 'signup' THEN ts END)
+                             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                             >= ts - INTERVAL 1 HOUR
+                         AND max(CASE WHEN event_type = 'signup' THEN ts END)
+                             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) < ts
+                         AND max(CASE WHEN event_type = 'purchase' THEN ts END)
+                             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) > ts
+                       THEN 1 ELSE 0 END AS mid
+           FROM e),
+         u AS (SELECT user_id,
+                      MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS has_signup,
+                      MAX(mid) AS matched
+               FROM m GROUP BY user_id)
+         SELECT matched, COUNT(*) AS n_users FROM u WHERE has_signup = 1
+         GROUP BY matched ORDER BY matched""",
+
+    "o_a18_seqcount" ->
+      """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
+                    WHERE event_type IN ('signup','purchase')),
+         l AS (SELECT user_id, event_type,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+               FROM e),
+         u AS (SELECT user_id,
+                      CAST(SUM(CASE WHEN event_type = 'purchase' AND prev = 'signup'
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS seq_count
+               FROM l GROUP BY user_id)
+         SELECT seq_count, COUNT(*) AS n_users FROM u
+         GROUP BY seq_count ORDER BY seq_count""",
 
     "o_a16_retention" ->
       """WITH f AS (
