@@ -30,7 +30,7 @@ object SparkEntry {
     operators.Relational.queries ++ operators.Windows.queries ++
       operators.EventAnalytics.queries ++
       operators.IncrementalRollup.queries ++
-      sources.ProtoSourceQueries.queries ++
+      sources.ProtoSourceQueries.queries ++ sources.Retention.queries ++
       pipeline.TextDedup.queries ++ pipeline.Similarity.queries ++
       pipeline.TextAnalysis.queries ++ pipeline.Multimodal.queries ++
       pipeline.Curation.queries
@@ -41,7 +41,7 @@ object SparkEntry {
     operators.Relational.oracles ++ operators.Windows.oracles ++
       operators.EventAnalytics.oracles ++
       operators.IncrementalRollup.oracles ++
-      sources.ProtoSourceQueries.oracles ++
+      sources.ProtoSourceQueries.oracles ++ sources.Retention.oracles ++
       pipeline.TextDedup.oracles ++ pipeline.Similarity.oracles ++
       pipeline.TextAnalysis.oracles ++ pipeline.Multimodal.oracles ++
       pipeline.Curation.oracles

@@ -221,6 +221,16 @@ object Ingest {
     * (config/default.toml:42), the 1-second trigger = flush_interval_ms
     * (default.toml:43). Row-count capping (max_rows=100k) has no direct
     * file-source knob — the byte cap bounds the same resource. */
+  /** Typed-config form: the batcher envelope (max_bytes, flush_interval_ms
+    * — config/default.toml:40-43 via [[graft.EngineConfig]]) drives the
+    * source rate cap and trigger, so a reference deployment's TOML drops
+    * in unchanged. */
+  def start(spark: SparkSession, inputDir: String, outDir: String,
+            checkpointDir: String, cfg: graft.EngineConfig): StreamingQuery =
+    start(spark, inputDir, outDir, checkpointDir,
+      trigger = Trigger.ProcessingTime(s"${cfg.batcher.flushIntervalMs} milliseconds"),
+      maxBytesPerTrigger = cfg.batcher.maxBytes)
+
   def start(spark: SparkSession, inputDir: String, outDir: String,
             checkpointDir: String,
             decoder: EventDecoder = JsonPayloadDecoder,

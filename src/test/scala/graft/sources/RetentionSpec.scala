@@ -1,0 +1,82 @@
+package graft.sources
+
+import graft.TestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RetentionSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  /** Ingest-layout fixture: event_date=…/ingest_batch=…/part-*.parquet */
+  private def writeTable(dir: String): Unit = {
+    import spark.implicits._
+    Seq(
+      // (user_id, event_name, event_date, ingest_batch)
+      (1L, "a", "2024-01-01", 0L), (2L, "b", "2024-01-01", 0L),
+      (1L, "c", "2024-01-02", 0L), (3L, "d", "2024-01-02", 1L),
+      (2L, "e", "2024-01-03", 1L),
+      (7L, "f", "2024-01-04", 2L) // user 7 owns this whole partition
+    ).toDF("user_id", "event_name", "event_date", "ingest_batch")
+      .withColumn("event_date", to_date(col("event_date")))
+      .write.mode("overwrite").partitionBy("event_date", "ingest_batch").parquet(dir)
+  }
+
+  private def dates(dir: String): Seq[String] =
+    new java.io.File(dir).listFiles.toSeq.map(_.getName)
+      .filter(_.startsWith("event_date=")).sorted
+
+  test("expireByAge drops exactly the partitions older than the cutoff") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ttl").toString
+    writeTable(dir)
+    // anchor: 2024-01-04T06:00Z; max_age 48h -> cutoff date 2024-01-02:
+    // the Jan 1 partition expires, Jan 2+ retained
+    val report = Retention.expireByAge(spark, dir, java.time.Duration.ofHours(48),
+      java.time.Instant.parse("2024-01-04T06:00:00Z"))
+    assert(report.cutoff.toString == "2024-01-02")
+    assert(report.dropped == Seq("event_date=2024-01-01"), report)
+    assert(dates(dir) == Seq("event_date=2024-01-02", "event_date=2024-01-03",
+      "event_date=2024-01-04"))
+    // survivors still queryable, contents intact
+    val left = spark.read.parquet(dir)
+    assert(left.count() == 4)
+    assert(left.filter(col("event_date") === "2024-01-01").count() == 0)
+    // idempotent: nothing further to drop at the same anchor
+    val again = Retention.expireByAge(spark, dir, java.time.Duration.ofHours(48),
+      java.time.Instant.parse("2024-01-04T06:00:00Z"))
+    assert(again.dropped.isEmpty && again.retained.size == 3)
+  }
+
+  test("config-driven expiry uses the stream envelope's max_age") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ttl_cfg").toString
+    writeTable(dir)
+    val cfg = graft.EngineConfig.parse("[nats.stream_config]\nmax_age = \"87600h\"")
+    // 10-year envelope: nothing from 2024 expires even on wall clock
+    val report = Retention.expireByAge(spark, dir, cfg)
+    assert(report.dropped.isEmpty && report.retained.size == 4)
+  }
+
+  test("purgeUser rewrites only affected partitions; empty partitions are removed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_purge").toString
+    writeTable(dir)
+    val report = Retention.purgeUser(spark, dir, 1L)
+    // user 1 appears on Jan 1 (shared) and Jan 2 (shared) -> rewritten
+    assert(report.datesRewritten == Seq("event_date=2024-01-01", "event_date=2024-01-02"))
+    assert(report.datesRemoved.isEmpty && report.rowsPurged == 2L)
+    val left = spark.read.parquet(dir)
+    assert(left.filter(col("user_id") === 1L).count() == 0)
+    assert(left.count() == 4, "other users' rows intact")
+    // untouched partition keeps its files byte-identical (no rewrite)
+    assert(dates(dir).size == 4)
+    // ingest_batch sublayout survives the rewrite
+    assert(new java.io.File(s"$dir/event_date=2024-01-02").listFiles
+      .exists(_.getName.startsWith("ingest_batch=")))
+    // purge the sole owner of a partition -> the partition disappears
+    val r7 = Retention.purgeUser(spark, dir, 7L)
+    assert(r7.datesRemoved == Seq("event_date=2024-01-04") && r7.rowsPurged == 1L)
+    assert(dates(dir).size == 3)
+    assert(spark.read.parquet(dir).count() == 3)
+    // purging an absent user is a no-op
+    val rx = Retention.purgeUser(spark, dir, 99L)
+    assert(rx.datesRewritten.isEmpty && rx.datesRemoved.isEmpty && rx.rowsPurged == 0L)
+  }
+}
