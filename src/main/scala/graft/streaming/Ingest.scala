@@ -195,12 +195,26 @@ object Ingest {
                     trigger: Trigger = Trigger.ProcessingTime("1 second"),
                     subjects: Seq[String] = EventSchemas.routes.keys.toSeq)
       : Map[String, StreamingQuery] =
+    startFromBroker(spark, FileBroker(wireRoot), outDir, checkpointRoot,
+      trigger, subjects)
+
+  /** Broker-agnostic form of [[startFromWire]]: one streaming query per
+    * subject over any [[BrokerSource]] (directory tailing today, Kafka
+    * when the connector jar ships — the consumer-semantics mapping lives
+    * on [[KafkaBroker]]). Ack-after-write holds for every source: the
+    * subject's offsets commit to the checkpoint only after foreachBatch's
+    * idempotent table write returns, so a crash replays the batch into
+    * the same `ingest_batch` partition instead of acking unwritten data
+    * (src/nats.rs:63-83 consumer contract ↔ checkpoint commit). */
+  def startFromBroker(spark: SparkSession, broker: BrokerSource, outDir: String,
+                      checkpointRoot: String,
+                      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+                      subjects: Seq[String] = EventSchemas.routes.keys.toSeq)
+      : Map[String, StreamingQuery] =
     subjects.map { subject =>
       val table = EventSchemas.routes(subject)
       val schema = EventSchemas.tables(table)
-      val q = spark.readStream.format("graft-proto")
-        .option("schema", schema.toDDL)
-        .load(s"$wireRoot/$subject")
+      val q = broker.load(spark, subject, schema)
         .writeStream
         .queryName(s"graft-wire-$table")
         .option("checkpointLocation", s"$checkpointRoot/$table")

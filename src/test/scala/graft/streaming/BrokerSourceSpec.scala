@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.TestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class BrokerSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("startFromBroker over FileBroker: typed rows land per table, ack-after-write") {
+    val wire = java.nio.file.Files.createTempDirectory("broker_wire").toString
+    val out = java.nio.file.Files.createTempDirectory("broker_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("broker_ckpt").toString
+    val t0 = 1726300800L
+    def loginMsg(id: String, user: String, ts: Long): Seq[Any] =
+      Seq(id, "login", user, "s-1", "a-1", ts,
+        "web", "android", "14", "android", "14", "chrome", "128",
+        "mobile", "1080x2400", "UA")
+    new java.io.File(s"$wire/events.login").mkdirs()
+    graft.sources.ProtoFiles.writeLocal(s"$wire/events.login/flush-000001.pbstream",
+      Iterator(loginMsg("b-1", "u-1", t0)), EventSchemas.tables("login_events"))
+    val qs = Ingest.startFromBroker(spark, FileBroker(wire), out, ckpt,
+      subjects = Seq("events.login"))
+    try {
+      qs.values.foreach(_.processAllAvailable())
+      val login = spark.read.parquet(s"$out/login_events")
+      assert(login.count() == 1)
+      assert(login.columns.contains("event_date") && login.columns.contains("ingest_batch"))
+      // the committed checkpoint exists only after the write landed
+      assert(new java.io.File(s"$ckpt/login_events/commits").listFiles.nonEmpty,
+        "offsets must be committed (acked) after the batch write")
+    } finally qs.values.foreach(_.stop())
+  }
+
+  test("KafkaBroker option mapping mirrors the reference consumer config") {
+    val kb = KafkaBroker("broker:9092", groupPrefix = "click-consumer",
+      maxOffsetsPerTrigger = 100000L)
+    val o = kb.options("events.login")
+    assert(o("kafka.bootstrap.servers") == "broker:9092")
+    assert(o("subscribe") == "events.login")
+    assert(o("kafka.group.id") == "click-consumer-events.login",
+      "durable_name analog: stable per-subject group id")
+    assert(o("maxOffsetsPerTrigger") == "100000")
+    assert(o("failOnDataLoss") == "true", "retention gaps must be loud")
+    // config-driven construction from the [nats]/[batcher] sections
+    val cfg = graft.EngineConfig.parse(
+      "[nats]\nhost = \"kbroker\"\nclient_port = 9092\nconsumer_name = \"cc\"\n" +
+        "[batcher]\nmax_rows = 5000")
+    val fromCfg = KafkaBroker.fromConfig(cfg)
+    assert(fromCfg.bootstrapServers == "kbroker:9092")
+    assert(fromCfg.groupPrefix == "cc" && fromCfg.maxOffsetsPerTrigger == 5000L)
+  }
+
+  test("KafkaBroker without the connector jar fails with a clear pointer") {
+    val ex = intercept[Exception] {
+      KafkaBroker("broker:9092").load(spark, "events.login",
+        EventSchemas.tables("login_events"))
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + " " + msgs(t.getCause)
+    assert(msgs(ex).toLowerCase.contains("kafka"), s"unexpected error: $ex")
+  }
+}
