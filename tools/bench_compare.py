@@ -26,9 +26,18 @@ def load(path):
     # driver wrappers sometimes truncate the head of the bench line —
     # recover just the queries map (and errors list if present)
     m = re.search(r'"queries":(\{[^{}]*\})', tail)
-    if not m:
-        raise SystemExit(f"{path}: no bench JSON found")
-    out = {"queries": json.loads(m.group(1))}
+    if m:
+        out = {"queries": json.loads(m.group(1))}
+    else:
+        # truncation can even cut MID-map (r3/r4 tails start mid-key):
+        # scrape every "name":seconds pair — query keys are the only
+        # snake_case:number pairs in the bench line
+        pairs = re.findall(r'"([a-z][a-z0-9_]+)":(-?[0-9.]+)', tail)
+        qs = {k: float(v) for k, v in pairs
+              if k not in ("value", "sf", "n", "rc", "cpus")}
+        if not qs:
+            raise SystemExit(f"{path}: no bench JSON found")
+        out = {"queries": qs, "partial": True}
     e = re.search(r'"errors":(\[[^\]]*\])', tail)
     if e:
         out["errors"] = json.loads(e.group(1))
