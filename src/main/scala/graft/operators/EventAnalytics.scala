@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -32,43 +32,86 @@ object EventAnalytics {
   private def stage(s: SparkSession, d: String, t: String) =
     Tables.events(s, d).filter(col("event_type") === t).select("user_id", "ts")
 
+  /** General `windowFunnel(window)(stage1, …, stageN)`: per-user maximum
+    * chain level over arbitrary stage predicates — the N-stage library
+    * form behind o_a15. Level ≥ k iff a strictly-increasing-timestamp
+    * chain e1 < … < ek exists with the k stage predicates and
+    * ek.ts <= e1.ts + window (EXISTS-chain semantics; `window = None` ⇒
+    * unbounded, i.e. CH `sequenceMatch('(?1).*(?2)…')` reach).
+    *
+    * Scale shape: chain state is reduced to ONE row per (user, chain
+    * start) at every level — for a fixed start t1, the feasibility of
+    * extending a chain only improves as the intermediate timestamp
+    * decreases (`ts > t_k` loosens; `ts <= t1 + w` doesn't depend on
+    * t_k), so min(t_k) per (user, t1) dominates every sibling chain.
+    * (A per-GAP time constraint would break that dominance — o_a17
+    * uses the window formulation instead.) Each level is one user-keyed
+    * join + aggregate, capped at |stage-1 events| rows; levels are
+    * lineage-cut with an executor-resident localCheckpoint so the
+    * level-k blocks feed both the flag and the k+1 join without
+    * recomputation and nothing rides the driver.
+    *
+    * Returns (user_id, funnel_level) for every user with a stage-1 event.
+    */
+  def funnelLevels(events: DataFrame, stages: Seq[Column],
+                   window: Option[Column],
+                   userCol: String = "user_id",
+                   tsCol: String = "ts"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val starts = events.filter(stages.head)
+      .select(col(userCol).as("user_id"), col(tsCol).as("t1"))
+      .distinct()
+      .withColumn("tk", col("t1"))
+      .localCheckpoint(true)
+    var chains = starts
+    val reached = Seq.newBuilder[DataFrame] // level-k user sets, k >= 2
+    stages.drop(1).foreach { cond =>
+      val stageEv = events.filter(cond)
+        .select(col(userCol).as("user_id"), col(tsCol).as("ts"))
+      chains = chains.as("c").join(stageEv.as("e"),
+          col("e.user_id") === col("c.user_id") && col("e.ts") > col("c.tk") &&
+            window.map(w => col("e.ts") <= col("c.t1") + w).getOrElse(lit(true)))
+        .groupBy(col("c.user_id").as("user_id"), col("c.t1").as("t1"))
+        .agg(min(col("e.ts")).as("tk"))
+        .localCheckpoint(true)
+      reached += chains.select("user_id").distinct()
+    }
+    // levels are monotone (reached(k) ⊆ reached(k-1)), so level = 1 + Σ flags
+    reached.result().zipWithIndex.foldLeft(
+      starts.select("user_id").distinct().withColumn("funnel_level", lit(1))) {
+      case (acc, (r, i)) =>
+        acc.join(r.withColumn(s"f$i", lit(1)), Seq("user_id"), "left")
+          .withColumn("funnel_level",
+            col("funnel_level") + coalesce(col(s"f$i"), lit(0)))
+          .drop(s"f$i")
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // O-A15: windowFunnel(12 hours)(signup -> click -> purchase).
     // 12h picked because it yields all three levels at every test SF
     // (7 days saturates: every signup converts).
+    // (Instance of the general [[funnelLevels]] library form; the
+    // unchanged oracle proves the generalization preserved o_a15's
+    // EXISTS-chain semantics.)
     "o_a15_funnel" -> ((s, d) => {
-      val signup = stage(s, d, "signup").persist()
-      val click = stage(s, d, "click")
-      val purchase = stage(s, d, "purchase")
-      val w = expr("INTERVAL 12 HOURS")
-      // pairs reaching level 2: (signup, click) chains — keep the chain's
-      // bounds so level 3 extends it without re-deriving the window
-      // One row per (user, signup): extending a chain only gets easier as
-      // the click time decreases (p.ts > t2 && p.ts <= t1 + w is monotone
-      // in t2), so min(click ts) per signup is equivalent to keeping every
-      // pair — and caps the persisted cache and the level-3 join input at
-      // |signups| instead of |signups| x |clicks| for heavy users.
-      val l2pairs = signup.as("s").join(click.as("c"),
-        col("c.user_id") === col("s.user_id") &&
-          col("c.ts") > col("s.ts") && col("c.ts") <= col("s.ts") + w)
-        .groupBy(col("s.user_id").as("user_id"), col("s.ts").as("t1"))
-        .agg(min(col("c.ts")).as("t2"))
-        .persist()
-      val l2 = l2pairs.select("user_id").distinct()
-      val l3 = l2pairs.as("l").join(purchase.as("p"),
-          col("p.user_id") === col("l.user_id") &&
-            col("p.ts") > col("l.t2") && col("p.ts") <= col("l.t1") + w,
-          "left_semi")
-        .select("user_id").distinct()
-      val out = signup.select("user_id").distinct()
-        .join(l2.withColumn("has2", lit(1)), Seq("user_id"), "left")
-        .join(l3.withColumn("has3", lit(1)), Seq("user_id"), "left")
-        .select(col("user_id"),
-          (lit(1) + coalesce(col("has2"), lit(0)) + coalesce(col("has3"), lit(0)))
-            .as("funnel_level"))
+      funnelLevels(Tables.events(s, d),
+        Seq(col("event_type") === "signup", col("event_type") === "click",
+          col("event_type") === "purchase"),
+        Some(expr("INTERVAL 12 HOURS")))
         .groupBy("funnel_level").agg(count(lit(1)).as("n_users"))
         .orderBy("funnel_level")
-      graft.pipeline.Materialize.drop(out, signup, l2pairs)
+    }),
+
+    // O-A15c: the N-stage general form exercised beyond the hardcoded
+    // 3-stage shape — signup→view→click→purchase inside 24h.
+    "o_a15c_funnel_4stage" -> ((s, d) => {
+      funnelLevels(Tables.events(s, d),
+        Seq(col("event_type") === "signup", col("event_type") === "view",
+          col("event_type") === "click", col("event_type") === "purchase"),
+        Some(expr("INTERVAL 24 HOURS")))
+        .groupBy("funnel_level").agg(count(lit(1)).as("n_users"))
+        .orderBy("funnel_level")
     }),
 
     // O-A15b: windowFunnel strict-dedup variant (CH's strict_dedup mode,
@@ -224,6 +267,28 @@ object EventAnalytics {
                 COUNT(*) AS n_users
          FROM u LEFT JOIN l2 USING (user_id) LEFT JOIN l3 USING (user_id)
          GROUP BY funnel_level ORDER BY funnel_level""",
+
+    "o_a15c_funnel_4stage" ->
+      """WITH s1 AS (SELECT DISTINCT user_id, ts AS t1 FROM events
+                     WHERE event_type = 'signup'),
+         c2 AS (SELECT s1.user_id, t1, MIN(e.ts) AS tk FROM s1 JOIN events e
+                ON e.event_type = 'view' AND e.user_id = s1.user_id
+                   AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+                GROUP BY 1, 2),
+         c3 AS (SELECT c2.user_id, t1, MIN(e.ts) AS tk FROM c2 JOIN events e
+                ON e.event_type = 'click' AND e.user_id = c2.user_id
+                   AND e.ts > c2.tk AND e.ts <= c2.t1 + INTERVAL 24 HOUR
+                GROUP BY 1, 2),
+         c4 AS (SELECT c3.user_id, t1, MIN(e.ts) AS tk FROM c3 JOIN events e
+                ON e.event_type = 'purchase' AND e.user_id = c3.user_id
+                   AND e.ts > c3.tk AND e.ts <= c3.t1 + INTERVAL 24 HOUR
+                GROUP BY 1, 2),
+         u AS (SELECT DISTINCT user_id FROM s1)
+         SELECT 1 + (u.user_id IN (SELECT user_id FROM c2))::INT
+                  + (u.user_id IN (SELECT user_id FROM c3))::INT
+                  + (u.user_id IN (SELECT user_id FROM c4))::INT AS funnel_level,
+                COUNT(*) AS n_users
+         FROM u GROUP BY 1 ORDER BY 1""",
 
     "o_a15b_funnel_dedup" ->
       """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.TestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventAnalyticsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  private val stages = Seq("signup", "view", "click", "purchase")
+  private val windowMicros = 24L * 3600 * 1000000 // 24h in micros
+
+  /** In-memory reference: for each chain start, extend greedily with the
+    * earliest feasible event per stage (optimal — the same dominance
+    * argument the distributed reduction relies on, executed by a
+    * different mechanism entirely). */
+  private def bruteLevels(): Map[Long, Int] = {
+    val rows = graft.Tables.events(spark, sf)
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    rows.groupBy(_._1).flatMap { case (user, evs) =>
+      val byStage = stages.map(st => evs.filter(_._2 == st).map(_._3).sorted)
+      if (byStage.head.isEmpty) None
+      else {
+        val best = byStage.head.map { t1 =>
+          var level = 1
+          var t = t1
+          var blocked = false
+          byStage.drop(1).foreach { cand =>
+            if (!blocked) cand.find(ts => ts > t && ts <= t1 + windowMicros) match {
+              case Some(ts) => t = ts; level += 1
+              case None => blocked = true
+            }
+          }
+          level
+        }.max
+        Some(user -> best)
+      }
+    }
+  }
+
+  test("funnelLevels == brute-force greedy chain search (4 stages, 24h)") {
+    val got = EventAnalytics.funnelLevels(graft.Tables.events(spark, sf),
+        stages.map(st => col("event_type") === st),
+        Some(expr("INTERVAL 24 HOURS")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = bruteLevels()
+    assert(got.keySet == want.keySet, "user universe = users with a stage-1 event")
+    val diffs = got.collect { case (u, l) if want(u) != l => (u, l, want(u)) }
+    assert(diffs.isEmpty, s"level mismatches: $diffs")
+    assert(got.values.max >= 3, "fixture should exercise deep chains")
+  }
+
+  test("window None == unbounded; levels monotone under window widening") {
+    val conds = stages.map(st => col("event_type") === st)
+    val e = graft.Tables.events(spark, sf)
+    val unbounded = EventAnalytics.funnelLevels(e, conds, None)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val huge = EventAnalytics.funnelLevels(e, conds, Some(expr("INTERVAL 3650 DAYS")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(unbounded == huge, "a window beyond the data span must equal None")
+    val narrow = EventAnalytics.funnelLevels(e, conds, Some(expr("INTERVAL 12 HOURS")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(narrow.forall { case (u, l) => l <= unbounded(u) },
+      "widening the window can only raise levels")
+  }
+
+  test("single-stage funnel degenerates to the stage-1 user set at level 1") {
+    val lv = EventAnalytics.funnelLevels(graft.Tables.events(spark, sf),
+      Seq(col("event_type") === "signup"), None).collect()
+    assert(lv.nonEmpty && lv.forall(_.getInt(1) == 1))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.funnelLevels(graft.Tables.events(spark, sf), Seq.empty, None)
+    }
+  }
+}
