@@ -32,6 +32,39 @@ object EventAnalytics {
   private def stage(s: SparkSession, d: String, t: String) =
     Tables.events(s, d).filter(col("event_type") === t).select("user_id", "ts")
 
+  /** CH `sequenceMatch('(?1).*(?2)…')` library form: per-user 0/1 whether
+    * a strictly-increasing chain hitting every stage exists (optionally
+    * inside `window` of the chain start). A funnel reaching the last
+    * stage IS a match, so this is [[funnelLevels]] == N.
+    * Returns (user_id, matched) over users with a stage-1 event. */
+  def sequenceMatch(events: DataFrame, stages: Seq[Column],
+                    window: Option[Column] = None,
+                    userCol: String = "user_id",
+                    tsCol: String = "ts"): DataFrame =
+    funnelLevels(events, stages, window, userCol, tsCol)
+      .select(col("user_id"),
+        when(col("funnel_level") === stages.size, 1).otherwise(0).as("matched"))
+
+  /** CH `sequenceCount('(?1).*(?2)')` library form: GREEDY non-overlapping
+    * first→second occurrence count per user. The greedy automaton (arm on
+    * `first`, fire+disarm on `second`) collapses to one lag() over the
+    * two-condition event stream in (ts, tiebreak) order — see o_a18's
+    * proof comment. One user-keyed shuffle, one window pass.
+    * Returns (user_id, seq_count) over users with either event. */
+  def sequenceCount(events: DataFrame, first: Column, second: Column,
+                    userCol: String = "user_id", tsCol: String = "ts",
+                    tieBreak: Seq[String] = Seq("event_id")): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol) +: tieBreak.map(col): _*)
+    events.filter(first || second)
+      // an event satisfying BOTH conditions counts as `first` (arms, never
+      // fires) — pick disjoint predicates if that matters
+      .withColumn("_tag", when(first, lit("a")).otherwise(lit("b")))
+      .withColumn("_prev", lag(col("_tag"), 1).over(w))
+      .groupBy(col(userCol).as("user_id"))
+      .agg(sum(when(col("_tag") === "b" && col("_prev") === "a", 1).otherwise(0))
+        .cast("long").as("seq_count"))
+  }
+
   /** General `windowFunnel(window)(stage1, …, stageN)`: per-user maximum
     * chain level over arbitrary stage predicates — the N-stage library
     * form behind o_a15. Level ≥ k iff a strictly-increasing-timestamp
@@ -204,15 +237,11 @@ object EventAnalytics {
     // (disarming) or was itself unarmed — either way no signup has
     // occurred since the last fire, so the machine is unarmed. One
     // user_id shuffle, one window pass.
+    // (Instance of the general [[sequenceCount]] library form; the
+    // unchanged oracle proves the extraction preserved semantics.)
     "o_a18_seqcount" -> ((s, d) => {
-      val e = Tables.events(s, d)
-        .filter(col("event_type").isin("signup", "purchase"))
-        .select("user_id", "event_type", "ts", "event_id")
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      e.withColumn("prev", lag("event_type", 1).over(w))
-        .groupBy("user_id")
-        .agg(sum(when(col("event_type") === "purchase" && col("prev") === "signup", 1)
-          .otherwise(0)).cast("long").as("seq_count"))
+      sequenceCount(Tables.events(s, d),
+        col("event_type") === "signup", col("event_type") === "purchase")
         .groupBy("seq_count").agg(count(lit(1)).as("n_users"))
         .orderBy("seq_count")
     }),

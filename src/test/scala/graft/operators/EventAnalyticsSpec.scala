@@ -68,6 +68,41 @@ class EventAnalyticsSpec extends AnyFunSuite {
       "widening the window can only raise levels")
   }
 
+  test("sequenceCount == brute-force greedy automaton") {
+    val got = EventAnalytics.sequenceCount(graft.Tables.events(spark, sf),
+        col("event_type") === "signup", col("event_type") === "purchase")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = graft.Tables.events(spark, sf)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val want = rows.groupBy(_._1).map { case (u, evs) =>
+      var armed = false
+      var n = 0L
+      evs.sortBy(e => (e._3, e._4)).foreach {
+        case (_, "signup", _, _) => armed = true
+        case (_, "purchase", _, _) => if (armed) { n += 1; armed = false }
+        case _ => ()
+      }
+      u -> n
+    }
+    assert(got == want)
+    assert(got.values.max >= 2, "fixture should exercise multi-fire users")
+  }
+
+  test("sequenceMatch == funnel completion") {
+    val conds = stages.map(st => col("event_type") === st)
+    val e = graft.Tables.events(spark, sf)
+    val matched = EventAnalytics.sequenceMatch(e, conds, Some(expr("INTERVAL 24 HOURS")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val levels = EventAnalytics.funnelLevels(e, conds, Some(expr("INTERVAL 24 HOURS")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(matched.keySet == levels.keySet)
+    assert(matched.forall { case (u, m) => m == (if (levels(u) == stages.size) 1 else 0) })
+    assert(matched.values.sum > 0, "fixture should contain full matches")
+  }
+
   test("single-stage funnel degenerates to the stage-1 user set at level 1") {
     val lv = EventAnalytics.funnelLevels(graft.Tables.events(spark, sf),
       Seq(col("event_type") === "signup"), None).collect()
