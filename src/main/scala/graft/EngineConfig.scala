@@ -118,26 +118,51 @@ object EngineConfig {
     val header = """\[([A-Za-z0-9_.]+)\]""".r
     val kv = """([A-Za-z0-9_]+)\s*=\s*(.+)""".r
     def stripComment(s: String): String = {
-      // a '#' outside quotes starts a comment
+      // a '#' outside quotes starts a comment; inside quotes, a backslash
+      // escapes the next char (so \" does not toggle the string state)
       var inStr = false
+      var esc = false
       val b = new StringBuilder
       for (c <- s) {
-        if (c == '"') inStr = !inStr
-        if (c == '#' && !inStr) return b.toString
-        b += c
+        if (esc) { esc = false; b += c }
+        else if (inStr && c == '\\') { esc = true; b += c }
+        else {
+          if (c == '"') inStr = !inStr
+          if (c == '#' && !inStr) return b.toString
+          b += c
+        }
+      }
+      b.toString
+    }
+    def unescape(v: String): String = {
+      val b = new StringBuilder
+      var i = 0
+      while (i < v.length) {
+        if (v(i) == '\\' && i + 1 < v.length) {
+          v(i + 1) match {
+            case '"' => b += '"'
+            case '\\' => b += '\\'
+            case 'n' => b += '\n'
+            case 't' => b += '\t'
+            case 'r' => b += '\r'
+            case o => b += '\\'; b += o
+          }
+          i += 2
+        } else { b += v(i); i += 1 }
       }
       b.toString
     }
     def value(raw: String, line: String): TomlValue = raw.trim match {
       case v if v.startsWith("\"") && v.endsWith("\"") && v.length >= 2 =>
-        TStr(v.substring(1, v.length - 1))
+        TStr(unescape(v.substring(1, v.length - 1)))
       case "true" => TBool(true)
       case "false" => TBool(false)
       case v if v.startsWith("[") && v.endsWith("]") =>
         val body = v.substring(1, v.length - 1).trim
         TArr(if (body.isEmpty) Seq.empty
         else body.split(",").toSeq.map(_.trim).map {
-          case e if e.startsWith("\"") && e.endsWith("\"") => e.substring(1, e.length - 1)
+          case e if e.startsWith("\"") && e.endsWith("\"") =>
+            unescape(e.substring(1, e.length - 1))
           case e => throw new IllegalArgumentException(s"non-string array element '$e' in: $line")
         })
       case v if v.matches("-?\\d+") => TInt(v.toLong)

@@ -79,10 +79,11 @@ object EventAnalytics {
     * t_k), so min(t_k) per (user, t1) dominates every sibling chain.
     * (A per-GAP time constraint would break that dominance — o_a17
     * uses the window formulation instead.) Each level is one user-keyed
-    * join + aggregate, capped at |stage-1 events| rows; levels are
-    * lineage-cut with an executor-resident localCheckpoint so the
-    * level-k blocks feed both the flag and the k+1 join without
-    * recomputation and nothing rides the driver.
+    * join + aggregate, capped at |stage-1 events| rows. Level caches are
+    * persisted only for the duration of the call (each level feeds both
+    * its flag and the next join), then released after the final result is
+    * lineage-cut to executor-resident blocks — the catalog cache
+    * discipline (see pipeline.Materialize); nothing rides the driver.
     *
     * Returns (user_id, funnel_level) for every user with a stage-1 event.
     */
@@ -95,8 +96,9 @@ object EventAnalytics {
       .select(col(userCol).as("user_id"), col(tsCol).as("t1"))
       .distinct()
       .withColumn("tk", col("t1"))
-      .localCheckpoint(true)
+      .persist()
     var chains = starts
+    val caches = scala.collection.mutable.Buffer[DataFrame](starts)
     val reached = Seq.newBuilder[DataFrame] // level-k user sets, k >= 2
     stages.drop(1).foreach { cond =>
       val stageEv = events.filter(cond)
@@ -106,11 +108,12 @@ object EventAnalytics {
             window.map(w => col("e.ts") <= col("c.t1") + w).getOrElse(lit(true)))
         .groupBy(col("c.user_id").as("user_id"), col("c.t1").as("t1"))
         .agg(min(col("e.ts")).as("tk"))
-        .localCheckpoint(true)
+        .persist()
+      caches += chains
       reached += chains.select("user_id").distinct()
     }
     // levels are monotone (reached(k) ⊆ reached(k-1)), so level = 1 + Σ flags
-    reached.result().zipWithIndex.foldLeft(
+    val levels = reached.result().zipWithIndex.foldLeft(
       starts.select("user_id").distinct().withColumn("funnel_level", lit(1))) {
       case (acc, (r, i)) =>
         acc.join(r.withColumn(s"f$i", lit(1)), Seq("user_id"), "left")
@@ -118,6 +121,7 @@ object EventAnalytics {
             col("funnel_level") + coalesce(col(s"f$i"), lit(0)))
           .drop(s"f$i")
     }
+    graft.pipeline.Materialize.drop(levels, caches.toSeq: _*)
   }
 
   val queries: Map[String, Q] = Map(

@@ -525,17 +525,32 @@ object ProtoSourceQueries {
   private val wireDdl =
     "event_id BIGINT, user_id BIGINT, event_type STRING, props STRING"
 
+  /** Per-(dataset, process) staging dirs with registered end-of-JVM
+    * cleanup: repeated invocations within a process rewrite the same
+    * files (overwrite mode), the pid suffix keeps CONCURRENT processes
+    * from colliding in one directory (nondeterministic partition order
+    * would trip the publish content check), and the shutdown hook keeps
+    * repeated processes from accreting events-sized wire copies in
+    * tmpdir. toHexString, not math.abs (negative at Int.MinValue). */
+  private val cleanupRegistered = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private def stagingDir(dataset: String): String = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_proto_scan_${Integer.toHexString(dataset.hashCode)}_${ProcessHandle.current().pid()}")
+    if (cleanupRegistered.putIfAbsent(dir.toString, true) == null)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(dir)
+      }, "graft-proto-staging-cleanup"))
+    dir.toString
+  }
+
   val queries: Map[String, Q] = Map(
     "s_scan2_proto" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      // Stable per-sf staging dir + overwrite: repeated invocations (the
-      // bench runs every query several times) AND repeated processes
-      // rewrite the same files instead of accreting an events-sized wire
-      // copy per run — the write below is a full overwrite, so one fixed
-      // dir keyed by dataset alone is safe. toHexString (not math.abs,
-      // which returns negative for Int.MinValue) keys the name.
-      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_proto_scan_${Integer.toHexString(d.hashCode)}").toString
+      val dir = stagingDir(d)
       // distributed DSv2 write: each task stages + commits one wire file
       // (local[n] shares the driver FS; on a real cluster this directory
       // would live on the shared object store)

@@ -34,26 +34,41 @@ object Retention {
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** Date-partition dirs (event_date=YYYY-MM-DD) under `tableDir`. */
-  private def datePartitions(spark: SparkSession, tableDir: String): Seq[(LocalDate, Path)] = {
+  /** All event_date=* partition dirs under `tableDir`, with their parsed
+    * date where the suffix IS a date. A non-date suffix (Hive's
+    * __HIVE_DEFAULT_PARTITION__ from a null timestamp) must not wedge
+    * retention: it simply never expires by age, but is still scanned and
+    * rewritten by [[purgeUser]]. */
+  private def datePartitions(spark: SparkSession, tableDir: String)
+      : Seq[(Option[LocalDate], Path)] = {
     val root = new Path(tableDir)
     val f = fs(spark, tableDir)
     if (!f.exists(root)) return Seq.empty
     f.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_date="))
-      .map(s => (LocalDate.parse(s.getPath.getName.stripPrefix("event_date=")), s.getPath))
-      .sortBy(_._1.toString)
+      .map { s =>
+        val suffix = s.getPath.getName.stripPrefix("event_date=")
+        (scala.util.Try(LocalDate.parse(suffix)).toOption, s.getPath)
+      }
+      .sortBy(_._2.getName)
   }
 
   /** Drop every event_date partition strictly older than `anchor - maxAge`
     * (date granularity, matching the partition axis). `anchor` defaults to
-    * wall clock like JetStream's max_age; tests pin it. */
+    * wall clock like JetStream's max_age; tests pin it. A failed delete is
+    * an error, not a silently-wrong report — the job is idempotent, rerun
+    * it after fixing the cause. */
   def expireByAge(spark: SparkSession, tableDir: String, maxAge: Duration,
                   anchor: java.time.Instant = java.time.Instant.now()): ExpiryReport = {
     val cutoff = anchor.minus(maxAge).atZone(java.time.ZoneOffset.UTC).toLocalDate
     val f = fs(spark, tableDir)
-    val (expired, retained) = datePartitions(spark, tableDir).partition(_._1.isBefore(cutoff))
-    expired.foreach { case (_, p) => f.delete(p, true) }
+    resumeCrashedSwaps(f, tableDir)
+    val (expired, retained) = datePartitions(spark, tableDir)
+      .partition { case (d, _) => d.exists(_.isBefore(cutoff)) }
+    expired.foreach { case (_, p) =>
+      if (!f.delete(p, true) && f.exists(p))
+        throw new java.io.IOException(s"retention: failed to delete expired partition $p")
+    }
     ExpiryReport(cutoff, expired.map(_._2.getName), retained.map(_._2.getName))
   }
 
@@ -61,44 +76,79 @@ object Retention {
   def expireByAge(spark: SparkSession, tableDir: String, cfg: graft.EngineConfig): ExpiryReport =
     expireByAge(spark, tableDir, cfg.broker.streamConfig.maxAgeDuration)
 
+  /** Finish any swap a crashed [[purgeUser]] left half-done: a
+    * `.purge-tmp-<partition>` dir whose target partition is MISSING sits
+    * between the delete and rename steps — its contents are the complete
+    * kept rows, so the rename completes the purge. A tmp whose target
+    * still exists is a stale/partial write from before the delete step
+    * (the target still holds the full pre-purge data) — discard it and
+    * let the purge re-run. */
+  private def resumeCrashedSwaps(f: org.apache.hadoop.fs.FileSystem, tableDir: String): Unit = {
+    val root = new Path(tableDir)
+    if (!f.exists(root)) return
+    f.listStatus(root).filter(_.getPath.getName.startsWith(".purge-tmp-")).foreach { s =>
+      val target = new Path(tableDir, s.getPath.getName.stripPrefix(".purge-tmp-"))
+      if (!f.exists(target)) {
+        if (!f.rename(s.getPath, target))
+          throw new java.io.IOException(
+            s"retention: failed to resume crashed purge swap ${s.getPath} -> $target")
+      } else f.delete(s.getPath, true)
+    }
+  }
+
   /** Remove every row of `userId` from `tableDir`, rewriting only the date
     * partitions that contain the user. A partition left empty by the purge
-    * is removed outright. */
+    * is removed outright. Crash-safe: each partition swap goes
+    * write-tmp → delete → rename, and the NEXT purgeUser/expireByAge call
+    * resumes a swap interrupted between the last two steps
+    * ([[resumeCrashedSwaps]]); every FS step failure is loud. */
   def purgeUser(spark: SparkSession, tableDir: String, userId: Long,
                 userCol: String = "user_id"): PurgeReport = {
     val f = fs(spark, tableDir)
+    resumeCrashedSwaps(f, tableDir)
     val parts = datePartitions(spark, tableDir)
     if (parts.isEmpty) return PurgeReport(Nil, Nil, 0L)
     // pushdown scan: which dates hold the user? (reads only the user's
     // row groups thanks to the parquet filter + column pruning)
-    val affectedDates = spark.read.option("basePath", tableDir)
+    val affected = spark.read.option("basePath", tableDir)
       .parquet(parts.map(_._2.toString): _*)
       .filter(col(userCol) === userId)
       .select("event_date").distinct()
-      .collect().map(_.get(0).toString).sorted
+      .collect()
+      // a null partition value is Hive's default partition on disk
+      .map(r => Option(r.get(0)).map(_.toString).getOrElse("__HIVE_DEFAULT_PARTITION__"))
+      .sorted
     var purged = 0L
     val (rewritten, removed) = (Seq.newBuilder[String], Seq.newBuilder[String])
-    affectedDates.foreach { d =>
+    affected.foreach { d =>
       val partDir = new Path(tableDir, s"event_date=$d")
-      val rows = spark.read.option("basePath", tableDir).parquet(partDir.toString)
-      val kept = rows.filter(col(userCol) =!= userId)
-        .drop("event_date") // constant within the partition dir
-      val nPurged = rows.filter(col(userCol) === userId).count()
-      val tmp = new Path(tableDir, s".purge-tmp-event_date=$d")
-      f.delete(tmp, true)
-      val hasBatchCol = rows.columns.contains("ingest_batch")
-      val keptCount = kept.count()
-      if (keptCount > 0) {
-        val w = kept.write.mode("overwrite")
-        (if (hasBatchCol) w.partitionBy("ingest_batch") else w).parquet(tmp.toString)
-        f.delete(partDir, true)
-        f.rename(tmp, partDir)
-        rewritten += s"event_date=$d"
-      } else {
-        f.delete(partDir, true)
-        removed += s"event_date=$d"
-      }
-      purged += nPurged
+      // one physical read per partition: counts and the rewrite share the
+      // cached blocks (the partition is the user's footprint — small)
+      val rows = spark.read.option("basePath", tableDir)
+        .parquet(partDir.toString).persist()
+      try {
+        val total = rows.count()
+        val kept = rows.filter(col(userCol) =!= userId)
+          .drop("event_date") // constant within the partition dir
+        val tmp = new Path(tableDir, s".purge-tmp-event_date=$d")
+        f.delete(tmp, true)
+        val keptCount = kept.count()
+        if (keptCount > 0) {
+          val w = kept.write.mode("overwrite")
+          (if (rows.columns.contains("ingest_batch")) w.partitionBy("ingest_batch") else w)
+            .parquet(tmp.toString)
+          if (!f.delete(partDir, true))
+            throw new java.io.IOException(s"retention: failed to delete $partDir for swap")
+          if (!f.rename(tmp, partDir))
+            throw new java.io.IOException(s"retention: failed to publish $tmp -> $partDir")
+          rewritten += s"event_date=$d"
+        } else {
+          if (!f.delete(partDir, true))
+            throw new java.io.IOException(s"retention: failed to remove emptied $partDir")
+          removed += s"event_date=$d"
+        }
+        purged += total - keptCount
+      } finally rows.unpersist()
     }
     PurgeReport(rewritten.result(), removed.result(), purged)
   }

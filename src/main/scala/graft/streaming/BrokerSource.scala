@@ -70,10 +70,17 @@ final case class KafkaBroker(
 
   override def load(spark: SparkSession, subject: String, schema: StructType): DataFrame = {
     graft.functions.GraftExtensions.register(spark)
+    // rewrap ONLY the source-not-found failure (missing connector jar) —
+    // a real Kafka config/validation error must surface unchanged
+    def isMissingSource(t: Throwable): Boolean = t != null && (
+      t.isInstanceOf[ClassNotFoundException] ||
+        Option(t.getMessage).exists(m =>
+          m.contains("DATA_SOURCE_NOT_FOUND") || m.contains("Failed to find")) ||
+        isMissingSource(t.getCause))
     val raw =
       try spark.readStream.format("kafka").options(options(subject)).load()
       catch {
-        case e: Exception if Option(e.getMessage).exists(_.toLowerCase.contains("kafka")) =>
+        case e: Exception if isMissingSource(e) =>
           throw new IllegalStateException(
             "KafkaBroker needs the spark-sql-kafka connector on the classpath " +
               "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>); " +

@@ -226,15 +226,6 @@ object Ingest {
       table -> q
     }.toMap
 
-  /** Start the streaming pipeline over a JSON-lines directory source
-    * (this env has no Kafka/NATS connector; the source swap is one line).
-    * Input schema: {"subject": "...", "payload": "<json event>"}.
-    *
-    * Backpressure mirrors the reference's flush envelope (O-T2/O-T6):
-    * `maxBytesPerTrigger` = the 60 MB per-flush byte cap
-    * (config/default.toml:42), the 1-second trigger = flush_interval_ms
-    * (default.toml:43). Row-count capping (max_rows=100k) has no direct
-    * file-source knob — the byte cap bounds the same resource. */
   /** Typed-config form: the batcher envelope (max_bytes, flush_interval_ms
     * — config/default.toml:40-43 via [[graft.EngineConfig]]) drives the
     * source rate cap and trigger, so a reference deployment's TOML drops
@@ -245,6 +236,15 @@ object Ingest {
       trigger = Trigger.ProcessingTime(s"${cfg.batcher.flushIntervalMs} milliseconds"),
       maxBytesPerTrigger = cfg.batcher.maxBytes)
 
+  /** Start the streaming pipeline over a JSON-lines directory source
+    * (this env has no Kafka/NATS connector; the source swap is one line).
+    * Input schema: {"subject": "...", "payload": "<json event>"}.
+    *
+    * Backpressure mirrors the reference's flush envelope (O-T2/O-T6):
+    * `maxBytesPerTrigger` = the 60 MB per-flush byte cap
+    * (config/default.toml:42), the 1-second trigger = flush_interval_ms
+    * (default.toml:43). Row-count capping (max_rows=100k) has no direct
+    * file-source knob — the byte cap bounds the same resource. */
   def start(spark: SparkSession, inputDir: String, outDir: String,
             checkpointDir: String,
             decoder: EventDecoder = JsonPayloadDecoder,

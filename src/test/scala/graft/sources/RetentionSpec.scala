@@ -79,4 +79,45 @@ class RetentionSpec extends AnyFunSuite {
     val rx = Retention.purgeUser(spark, dir, 99L)
     assert(rx.datesRewritten.isEmpty && rx.datesRemoved.isEmpty && rx.rowsPurged == 0L)
   }
+
+  test("a swap interrupted between delete and rename is resumed by the next call") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_purge_crash").toString
+    writeTable(dir)
+    // simulate the crash window: the kept rows sit in .purge-tmp-*, the
+    // target partition is already deleted
+    val part = new java.io.File(s"$dir/event_date=2024-01-03")
+    val tmp = new java.io.File(s"$dir/.purge-tmp-event_date=2024-01-03")
+    assert(part.renameTo(tmp))
+    // any retention entry point must finish the rename before proceeding
+    val report = Retention.purgeUser(spark, dir, 99L)
+    assert(report.rowsPurged == 0L)
+    assert(part.isDirectory && !tmp.exists, "crashed swap must be completed")
+    assert(spark.read.parquet(dir).count() == 6, "no rows lost across the crash")
+    // a STALE tmp (target still present = crash before the delete step)
+    // is discarded, not published over live data
+    val stale = new java.io.File(s"$dir/.purge-tmp-event_date=2024-01-01")
+    stale.mkdirs()
+    Retention.expireByAge(spark, dir, java.time.Duration.ofDays(3650))
+    assert(!stale.exists && new java.io.File(s"$dir/event_date=2024-01-01").isDirectory)
+  }
+
+  test("a non-date partition dir neither wedges expiry nor escapes purge") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nulldate").toString
+    writeTable(dir)
+    // hand-plant a default-partition dir like a null timestamp would create
+    val weird = s"$dir/event_date=__HIVE_DEFAULT_PARTITION__"
+    import spark.implicits._
+    Seq((1L, "z", 9L)).toDF("user_id", "event_name", "ingest_batch")
+      .write.mode("overwrite").partitionBy("ingest_batch").parquet(weird)
+    // expiry parses what it can, never throws, never drops the non-date dir
+    val report = Retention.expireByAge(spark, dir, java.time.Duration.ofHours(48),
+      java.time.Instant.parse("2024-01-04T06:00:00Z"))
+    assert(report.dropped == Seq("event_date=2024-01-01"))
+    assert(report.retained.contains("event_date=__HIVE_DEFAULT_PARTITION__"))
+    // purge still reaches rows inside the non-date partition
+    val purge = Retention.purgeUser(spark, dir, 1L)
+    assert(purge.rowsPurged == 2L, purge) // one in 2024-01-02, one in the weird dir
+    assert(spark.read.parquet(dir).filter(col("user_id") === 1L).count() == 0)
+  }
 }

@@ -49,10 +49,20 @@ def main():
         raise SystemExit(__doc__)
     old, new = load(sys.argv[1]), load(sys.argv[2])
     oq, nq = old["queries"], new["queries"]
+    for label, doc in (("old", old), ("new", new)):
+        if doc.get("partial"):
+            print(f"WARNING: {label} file was head-truncated — its query map "
+                  f"(and any total derived from it) is PARTIAL; trust only "
+                  f"per-query ratios on shared keys")
     tot_o = sum(v for v in oq.values() if v > 0)
     tot_n = sum(v for v in nq.values() if v > 0)
+    shared = [k for k in nq if k in oq and oq[k] > 0 and nq[k] > 0]
+    sh_o, sh_n = sum(oq[k] for k in shared), sum(nq[k] for k in shared)
     print(f"total: {tot_o:.1f}s -> {tot_n:.1f}s "
           f"({(tot_n - tot_o) / tot_o * 100:+.0f}%)")
+    if sh_o > 0:
+        print(f"shared {len(shared)} keys: {sh_o:.1f}s -> {sh_n:.1f}s "
+              f"({(sh_n - sh_o) / sh_o * 100:+.0f}%)")
     errs = new.get("errors", [])
     if errs:
         print(f"ERRORS: {errs}")
