@@ -395,6 +395,22 @@ object Relational {
       Tables.lineitem(s, d).select("l_returnflag", "l_linestatus").distinct()
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // O-S5: ClickHouse `ORDER BY … WITH FILL` — gap-filled hourly series,
+    // zero-filled between the observed bounds. The spine is generated
+    // from the 1-row bounds aggregate (sequence+explode — rows ≈ the
+    // series length, data-size independent) and left-joins the hourly
+    // aggregate; at 100 TB both sides are tiny post-agg.
+    "o_s5_with_fill" -> ((s, d) => {
+      val hourly = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val spine = hourly.agg(min("hour").as("lo"), max("hour").as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+      spine.join(hourly, Seq("hour"), "left")
+        .select(col("hour"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("hour")
+    }),
+
     // ========================= §2.7 set ops ============================
 
     // O-U1: union-all of event families over the shared envelope
@@ -782,6 +798,16 @@ object Relational {
     "o_s4_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
          ORDER BY l_returnflag, l_linestatus""",
+
+    "o_s5_with_fill" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+                         FROM events WHERE event_type = 'purchase' GROUP BY 1),
+            b AS (SELECT CAST(min(hour) AS TIMESTAMP) AS lo,
+                         CAST(max(hour) AS TIMESTAMP) AS hi FROM hourly),
+            spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+                      FROM b)
+         SELECT spine.hour, COALESCE(n, 0) AS n
+         FROM spine LEFT JOIN hourly USING (hour) ORDER BY hour""",
 
     "o_u1_union" ->
       """SELECT id, src, COUNT(*) AS n FROM (
