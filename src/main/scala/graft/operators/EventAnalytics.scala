@@ -92,36 +92,42 @@ object EventAnalytics {
                    userCol: String = "user_id",
                    tsCol: String = "ts"): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    val starts = events.filter(stages.head)
-      .select(col(userCol).as("user_id"), col(tsCol).as("t1"))
-      .distinct()
-      .withColumn("tk", col("t1"))
-      .persist()
-    var chains = starts
-    val caches = scala.collection.mutable.Buffer[DataFrame](starts)
-    val reached = Seq.newBuilder[DataFrame] // level-k user sets, k >= 2
-    stages.drop(1).foreach { cond =>
-      val stageEv = events.filter(cond)
-        .select(col(userCol).as("user_id"), col(tsCol).as("ts"))
-      chains = chains.as("c").join(stageEv.as("e"),
-          col("e.user_id") === col("c.user_id") && col("e.ts") > col("c.tk") &&
-            window.map(w => col("e.ts") <= col("c.t1") + w).getOrElse(lit(true)))
-        .groupBy(col("c.user_id").as("user_id"), col("c.t1").as("t1"))
-        .agg(min(col("e.ts")).as("tk"))
+    val caches = scala.collection.mutable.Buffer[DataFrame]()
+    // finally-released: a failed level join or checkpoint must not leave
+    // N persisted DataFrames in the session cache for the rest of a
+    // 90-query catalog pass
+    try {
+      val starts = events.filter(stages.head)
+        .select(col(userCol).as("user_id"), col(tsCol).as("t1"))
+        .distinct()
+        .withColumn("tk", col("t1"))
         .persist()
-      caches += chains
-      reached += chains.select("user_id").distinct()
-    }
-    // levels are monotone (reached(k) ⊆ reached(k-1)), so level = 1 + Σ flags
-    val levels = reached.result().zipWithIndex.foldLeft(
-      starts.select("user_id").distinct().withColumn("funnel_level", lit(1))) {
-      case (acc, (r, i)) =>
-        acc.join(r.withColumn(s"f$i", lit(1)), Seq("user_id"), "left")
-          .withColumn("funnel_level",
-            col("funnel_level") + coalesce(col(s"f$i"), lit(0)))
-          .drop(s"f$i")
-    }
-    graft.pipeline.Materialize.drop(levels, caches.toSeq: _*)
+      caches += starts
+      var chains = starts
+      val reached = Seq.newBuilder[DataFrame] // level-k user sets, k >= 2
+      stages.drop(1).foreach { cond =>
+        val stageEv = events.filter(cond)
+          .select(col(userCol).as("user_id"), col(tsCol).as("ts"))
+        chains = chains.as("c").join(stageEv.as("e"),
+            col("e.user_id") === col("c.user_id") && col("e.ts") > col("c.tk") &&
+              window.map(w => col("e.ts") <= col("c.t1") + w).getOrElse(lit(true)))
+          .groupBy(col("c.user_id").as("user_id"), col("c.t1").as("t1"))
+          .agg(min(col("e.ts")).as("tk"))
+          .persist()
+        caches += chains
+        reached += chains.select("user_id").distinct()
+      }
+      // levels are monotone (reached(k) ⊆ reached(k-1)): level = 1 + Σ flags
+      val levels = reached.result().zipWithIndex.foldLeft(
+        starts.select("user_id").distinct().withColumn("funnel_level", lit(1))) {
+        case (acc, (r, i)) =>
+          acc.join(r.withColumn(s"f$i", lit(1)), Seq("user_id"), "left")
+            .withColumn("funnel_level",
+              col("funnel_level") + coalesce(col(s"f$i"), lit(0)))
+            .drop(s"f$i")
+      }
+      levels.localCheckpoint(true)
+    } finally caches.foreach(_.unpersist())
   }
 
   val queries: Map[String, Q] = Map(

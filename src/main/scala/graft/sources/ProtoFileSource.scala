@@ -525,25 +525,39 @@ object ProtoSourceQueries {
   private val wireDdl =
     "event_id BIGINT, user_id BIGINT, event_type STRING, props STRING"
 
-  /** Per-(dataset, process) staging dirs with registered end-of-JVM
-    * cleanup: repeated invocations within a process rewrite the same
-    * files (overwrite mode), the pid suffix keeps CONCURRENT processes
-    * from colliding in one directory (nondeterministic partition order
-    * would trip the publish content check), and the shutdown hook keeps
-    * repeated processes from accreting events-sized wire copies in
-    * tmpdir. toHexString, not math.abs (negative at Int.MinValue). */
+  /** Per-(dataset, process) staging dirs: repeated invocations within a
+    * process rewrite the same files (overwrite mode), and the pid suffix
+    * keeps CONCURRENT processes from colliding in one directory
+    * (nondeterministic partition order would trip the publish content
+    * check). Accretion across processes is handled twice over: a shutdown
+    * hook deletes this process's dirs on clean exit, and the first call
+    * in each process sweeps dirs left by DEAD pids (SIGKILL/OOM-killed
+    * runs never reach their hook). toHexString, not math.abs (negative at
+    * Int.MinValue). */
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(rmTree))
+    f.delete()
+  }
+  private val deadPidSweepDone = new java.util.concurrent.atomic.AtomicBoolean(false)
   private val cleanupRegistered = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
   private def stagingDir(dataset: String): String = {
-    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    if (deadPidSweepDone.compareAndSet(false, true)) {
+      val pat = """graft_proto_scan_[0-9a-f]+_(\d+)""".r
+      Option(tmp.listFiles).foreach(_.foreach { f =>
+        f.getName match {
+          case pat(pid) if scala.util.Try(
+              ProcessHandle.of(pid.toLong).isEmpty).getOrElse(false) =>
+            rmTree(f)
+          case _ => ()
+        }
+      })
+    }
+    val dir = new java.io.File(tmp,
       s"graft_proto_scan_${Integer.toHexString(dataset.hashCode)}_${ProcessHandle.current().pid()}")
     if (cleanupRegistered.putIfAbsent(dir.toString, true) == null)
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete()
-        }
-        rm(dir)
-      }, "graft-proto-staging-cleanup"))
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => rmTree(dir), "graft-proto-staging-cleanup"))
     dir.toString
   }
 

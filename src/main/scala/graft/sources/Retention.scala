@@ -92,7 +92,11 @@ object Retention {
         if (!f.rename(s.getPath, target))
           throw new java.io.IOException(
             s"retention: failed to resume crashed purge swap ${s.getPath} -> $target")
-      } else f.delete(s.getPath, true)
+      } else if (!f.delete(s.getPath, true) && f.exists(s.getPath))
+        // a surviving stale tmp could be resurrected as a live partition
+        // by a LATER resume once its target is expired — never leave it
+        throw new java.io.IOException(
+          s"retention: failed to discard stale purge tmp ${s.getPath}")
     }
   }
 
@@ -127,8 +131,11 @@ object Retention {
       val rows = spark.read.option("basePath", tableDir)
         .parquet(partDir.toString).persist()
       try {
-        val total = rows.count()
-        val kept = rows.filter(col(userCol) =!= userId)
+        // exact audit count, and NULL-user rows are kept: `=!=` alone
+        // evaluates to NULL (→ dropped) for them, which would silently
+        // delete rows that do NOT belong to the target user
+        val nPurged = rows.filter(col(userCol) === userId).count()
+        val kept = rows.filter(col(userCol) =!= userId || col(userCol).isNull)
           .drop("event_date") // constant within the partition dir
         val tmp = new Path(tableDir, s".purge-tmp-event_date=$d")
         f.delete(tmp, true)
@@ -147,7 +154,7 @@ object Retention {
             throw new java.io.IOException(s"retention: failed to remove emptied $partDir")
           removed += s"event_date=$d"
         }
-        purged += total - keptCount
+        purged += nPurged
       } finally rows.unpersist()
     }
     PurgeReport(rewritten.result(), removed.result(), purged)

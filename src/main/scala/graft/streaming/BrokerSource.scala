@@ -71,12 +71,16 @@ final case class KafkaBroker(
   override def load(spark: SparkSession, subject: String, schema: StructType): DataFrame = {
     graft.functions.GraftExtensions.register(spark)
     // rewrap ONLY the source-not-found failure (missing connector jar) —
-    // a real Kafka config/validation error must surface unchanged
-    def isMissingSource(t: Throwable): Boolean = t != null && (
-      t.isInstanceOf[ClassNotFoundException] ||
-        Option(t.getMessage).exists(m =>
-          m.contains("DATA_SOURCE_NOT_FOUND") || m.contains("Failed to find")) ||
-        isMissingSource(t.getCause))
+    // a real Kafka config/validation error must surface unchanged. The
+    // message match is anchored to Spark's actual lookup error, and the
+    // cause walk is depth-bounded (initCause permits cyclic chains).
+    def isMissingSource(t: Throwable, depth: Int = 0): Boolean =
+      t != null && depth < 16 && (
+        t.isInstanceOf[ClassNotFoundException] ||
+          Option(t.getMessage).exists(m =>
+            m.contains("DATA_SOURCE_NOT_FOUND") ||
+              m.contains("Failed to find the data source")) ||
+          isMissingSource(t.getCause, depth + 1))
     val raw =
       try spark.readStream.format("kafka").options(options(subject)).load()
       catch {

@@ -80,6 +80,22 @@ class RetentionSpec extends AnyFunSuite {
     assert(rx.datesRewritten.isEmpty && rx.datesRemoved.isEmpty && rx.rowsPurged == 0L)
   }
 
+  test("purgeUser keeps NULL-user rows and reports the exact purged count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_purge_null").toString
+    // NULL user_ids are real on the proto path (zero scalars decode NULL)
+    Seq((Some(5L), "a", "2024-02-01"), (None, "b", "2024-02-01"),
+        (Some(6L), "c", "2024-02-01"))
+      .toDF("user_id", "event_name", "event_date")
+      .withColumn("event_date", to_date(col("event_date")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+    val report = Retention.purgeUser(spark, dir, 5L)
+    assert(report.rowsPurged == 1L, s"exact audit count, got $report")
+    val left = spark.read.parquet(dir)
+    assert(left.count() == 2, "the NULL-user row must survive a purge of user 5")
+    assert(left.filter(col("user_id").isNull).count() == 1)
+  }
+
   test("a swap interrupted between delete and rename is resumed by the next call") {
     val dir = java.nio.file.Files.createTempDirectory("graft_purge_crash").toString
     writeTable(dir)
