@@ -85,8 +85,11 @@ object Windows {
     // PER-VALUE row_number (keyed window). Every shuffle is keyed on
     // n_orders or o_custkey; nothing single-partition.
     "o_w6_rank" -> ((s, d) => {
+      // base feeds the main rows, the value dim, and the totals — one
+      // executor-resident materialization instead of three orders scans
       val base = Tables.orders(s, d).groupBy("o_custkey")
         .agg(count(lit(1)).as("n_orders"))
+        .localCheckpoint(true)
       val vals = base.groupBy("n_orders").agg(count(lit(1)).as("cnt"))
       val dim = vals.as("a")
         .join(vals.as("b"), col("b.n_orders") > col("a.n_orders"), "left")

@@ -59,6 +59,14 @@ class EngineConfigSpec extends AnyFunSuite {
     }
   }
 
+  test("escaped quotes survive comment stripping and are unescaped") {
+    val c = EngineConfig.parse(
+      "[nats]\npassword = \"p\\\"w#1\"   # trailing comment\nhost = \"h\"")
+    assert(c.broker.password == "p\"w#1",
+      s"got '${c.broker.password}' — a '#' after an escaped quote is not a comment")
+    assert(c.broker.host == "h")
+  }
+
   test("duration grammar: ms/s/m/h/d; garbage rejected") {
     import EngineConfig.parseDuration
     assert(parseDuration("1500ms") == java.time.Duration.ofMillis(1500))
