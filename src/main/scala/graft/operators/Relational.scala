@@ -377,6 +377,30 @@ object Relational {
         .orderBy("bucket")
     }),
 
+    // O-A19: CH `sumMap` combinator — per-date event_type → exact sum,
+    // materialized as entry-SORTED struct arrays rather than a MAP column
+    // (map iteration order is engine-private; sorted entries hash-compare
+    // deterministically). Decimal sums keep both engines bit-identical.
+    "o_a19_summap" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+        .groupBy("event_date")
+        .agg(sort_array(collect_list(struct(col("event_type"), col("total"))))
+          .as("totals_map"))
+        .orderBy("event_date")
+    }),
+
+    // O-A20: CH `uniqUpTo(50)` — exact distinct count saturated at N+1
+    // ("more than 10" is all a report needs; the saturated form lets an
+    // engine cap its hash-set state per group at N+1 entries).
+    "o_a20_uniq_upto" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+        .agg(least(countDistinct(col("user_id")), lit(51L)).as("uniq_upto_50"))
+        .orderBy("event_date", "event_type")
+    }),
+
     // ===================== §2.6 sort / limit / topk ====================
 
     "o_s1_sort" -> ((s, d) =>
@@ -771,6 +795,21 @@ object Relational {
                 COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
                 COUNT(*) FILTER (WHERE event_type = 'view') AS view
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "o_a19_summap" ->
+      """WITH g AS (
+           SELECT CAST(ts AS DATE) AS event_date, event_type,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM events GROUP BY 1, 2)
+         SELECT event_date,
+                list(struct_pack(event_type := event_type, total := total)
+                     ORDER BY event_type) AS totals_map
+         FROM g GROUP BY event_date ORDER BY event_date""",
+
+    "o_a20_uniq_upto" ->
+      """SELECT CAST(ts AS DATE) AS event_date, event_type,
+                LEAST(COUNT(DISTINCT user_id), 51) AS uniq_upto_50
+         FROM events GROUP BY 1, 2 ORDER BY event_date, event_type""",
 
     "o_a9_counts" ->
       """SELECT tbl, n FROM (
