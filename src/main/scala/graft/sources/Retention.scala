@@ -20,11 +20,11 @@ import org.apache.spark.sql.functions._
   *    predicate-pushdown scan, and ONLY those partitions are rewritten;
   *    cost is bounded by the user's partition footprint, not table size.
   *
-  * Both report what they touched so callers can audit/undo-check. The
-  * per-partition swap (write tmp → delete → rename) is not atomic: a
-  * crash mid-swap leaves the tmp dir for a re-run to resume, never a
-  * half-rewritten partition — same non-atomic-directory tradeoff as the
-  * proto sink's commit, documented there. */
+  * Both report what they touched so callers can audit/undo-check. Both
+  * are crash-safe by IDEMPOTENCE rather than atomicity: a re-run after a
+  * crash converges to the same end state (expiry re-deletes, the purge's
+  * batched overwrite re-replaces and re-removes), and every FS step
+  * failure is loud. */
 object Retention {
 
   final case class ExpiryReport(cutoff: LocalDate, dropped: Seq[String], retained: Seq[String])
@@ -62,7 +62,6 @@ object Retention {
                   anchor: java.time.Instant = java.time.Instant.now()): ExpiryReport = {
     val cutoff = anchor.minus(maxAge).atZone(java.time.ZoneOffset.UTC).toLocalDate
     val f = fs(spark, tableDir)
-    resumeCrashedSwaps(f, tableDir)
     val (expired, retained) = datePartitions(spark, tableDir)
       .partition { case (d, _) => d.exists(_.isBefore(cutoff)) }
     expired.foreach { case (_, p) =>
@@ -76,88 +75,83 @@ object Retention {
   def expireByAge(spark: SparkSession, tableDir: String, cfg: graft.EngineConfig): ExpiryReport =
     expireByAge(spark, tableDir, cfg.broker.streamConfig.maxAgeDuration)
 
-  /** Finish any swap a crashed [[purgeUser]] left half-done: a
-    * `.purge-tmp-<partition>` dir whose target partition is MISSING sits
-    * between the delete and rename steps — its contents are the complete
-    * kept rows, so the rename completes the purge. A tmp whose target
-    * still exists is a stale/partial write from before the delete step
-    * (the target still holds the full pre-purge data) — discard it and
-    * let the purge re-run. */
-  private def resumeCrashedSwaps(f: org.apache.hadoop.fs.FileSystem, tableDir: String): Unit = {
-    val root = new Path(tableDir)
-    if (!f.exists(root)) return
-    f.listStatus(root).filter(_.getPath.getName.startsWith(".purge-tmp-")).foreach { s =>
-      val target = new Path(tableDir, s.getPath.getName.stripPrefix(".purge-tmp-"))
-      if (!f.exists(target)) {
-        if (!f.rename(s.getPath, target))
-          throw new java.io.IOException(
-            s"retention: failed to resume crashed purge swap ${s.getPath} -> $target")
-      } else if (!f.delete(s.getPath, true) && f.exists(s.getPath))
-        // a surviving stale tmp could be resurrected as a live partition
-        // by a LATER resume once its target is expired — never leave it
-        throw new java.io.IOException(
-          s"retention: failed to discard stale purge tmp ${s.getPath}")
-    }
-  }
-
-  /** Remove every row of `userId` from `tableDir`, rewriting only the date
-    * partitions that contain the user. A partition left empty by the purge
-    * is removed outright. Crash-safe: each partition swap goes
-    * write-tmp → delete → rename, and the NEXT purgeUser/expireByAge call
-    * resumes a swap interrupted between the last two steps
-    * ([[resumeCrashedSwaps]]); every FS step failure is loud. */
+  /** Remove every row of `userId` from `tableDir`, rewriting only the
+    * partitions that contain the user — as ONE batched job, not one job
+    * per partition (a user active daily over a year would otherwise run
+    * hundreds of serial Spark jobs; here wall-clock is affected-bytes /
+    * cluster-throughput regardless of how many partitions are touched):
+    *
+    *   1. per-partition stats aggregate over the affected dirs (exact
+    *      audit count + which partitions the purge empties);
+    *   2. the kept rows are localCheckpoint'ed — the lineage CUT makes a
+    *      self-overwrite race impossible (the write can never re-read the
+    *      source files it is replacing);
+    *   3. one dynamic-partition-overwrite rewrites every partition that
+    *      still has rows;
+    *   4. partitions the purge emptied (dynamic overwrite leaves them
+    *      untouched — no output rows) are deleted at the finest partition
+    *      level, then empty date dirs are removed.
+    *
+    * NULL-user rows are kept (`=!=` alone evaluates NULL → dropped, which
+    * would silently delete rows belonging to no one). Crash-safe by
+    * idempotence: a crash between the overwrite commit and step 4 leaves
+    * partitions that still contain ONLY the user's rows, so a re-run
+    * detects and removes them; every FS step failure is loud. */
   def purgeUser(spark: SparkSession, tableDir: String, userId: Long,
                 userCol: String = "user_id"): PurgeReport = {
     val f = fs(spark, tableDir)
-    resumeCrashedSwaps(f, tableDir)
     val parts = datePartitions(spark, tableDir)
     if (parts.isEmpty) return PurgeReport(Nil, Nil, 0L)
+    // a null partition value is Hive's default partition on disk
+    def dirName(v: Any): String =
+      Option(v).map(_.toString).getOrElse("__HIVE_DEFAULT_PARTITION__")
     // pushdown scan: which dates hold the user? (reads only the user's
     // row groups thanks to the parquet filter + column pruning)
-    val affected = spark.read.option("basePath", tableDir)
+    val all = spark.read.option("basePath", tableDir)
       .parquet(parts.map(_._2.toString): _*)
-      .filter(col(userCol) === userId)
+    val affectedDates = all.filter(col(userCol) === userId)
       .select("event_date").distinct()
+      .collect().map(r => dirName(r.get(0))).sorted
+    if (affectedDates.isEmpty) return PurgeReport(Nil, Nil, 0L)
+    val affectedPaths = affectedDates.map(d => s"$tableDir/event_date=$d")
+    val rows = spark.read.option("basePath", tableDir).parquet(affectedPaths: _*)
+    val partCols = Seq("event_date") ++
+      (if (rows.columns.contains("ingest_batch")) Seq("ingest_batch") else Nil)
+    val keptCond = col(userCol) =!= userId || col(userCol).isNull
+    // one aggregate pass: exact audit count + per-partition emptiness
+    val stats = rows.groupBy(partCols.map(col): _*)
+      .agg(sum(when(col(userCol) === userId, 1L).otherwise(0L)).as("n_user"),
+        sum(when(keptCond, 1L).otherwise(0L)).as("n_kept"))
       .collect()
-      // a null partition value is Hive's default partition on disk
-      .map(r => Option(r.get(0)).map(_.toString).getOrElse("__HIVE_DEFAULT_PARTITION__"))
-      .sorted
-    var purged = 0L
-    val (rewritten, removed) = (Seq.newBuilder[String], Seq.newBuilder[String])
-    affected.foreach { d =>
-      val partDir = new Path(tableDir, s"event_date=$d")
-      // one physical read per partition: counts and the rewrite share the
-      // cached blocks (the partition is the user's footprint — small)
-      val rows = spark.read.option("basePath", tableDir)
-        .parquet(partDir.toString).persist()
-      try {
-        // exact audit count, and NULL-user rows are kept: `=!=` alone
-        // evaluates to NULL (→ dropped) for them, which would silently
-        // delete rows that do NOT belong to the target user
-        val nPurged = rows.filter(col(userCol) === userId).count()
-        val kept = rows.filter(col(userCol) =!= userId || col(userCol).isNull)
-          .drop("event_date") // constant within the partition dir
-        val tmp = new Path(tableDir, s".purge-tmp-event_date=$d")
-        f.delete(tmp, true)
-        val keptCount = kept.count()
-        if (keptCount > 0) {
-          val w = kept.write.mode("overwrite")
-          (if (rows.columns.contains("ingest_batch")) w.partitionBy("ingest_batch") else w)
-            .parquet(tmp.toString)
-          if (!f.delete(partDir, true))
-            throw new java.io.IOException(s"retention: failed to delete $partDir for swap")
-          if (!f.rename(tmp, partDir))
-            throw new java.io.IOException(s"retention: failed to publish $tmp -> $partDir")
-          rewritten += s"event_date=$d"
-        } else {
-          if (!f.delete(partDir, true))
-            throw new java.io.IOException(s"retention: failed to remove emptied $partDir")
-          removed += s"event_date=$d"
-        }
-        purged += nPurged
-      } finally rows.unpersist()
+      .map(r => (partCols.indices.map(i => dirName(r.get(i))),
+        r.getAs[Long]("n_user"), r.getAs[Long]("n_kept")))
+    val purged = stats.map(_._2).sum
+    // kept rows, materialized to executor blocks BEFORE the overwrite
+    val kept = rows.filter(keptCond).localCheckpoint(true)
+    kept.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*).parquet(tableDir)
+    // partitions the purge emptied produced no output — remove their dirs
+    stats.filter { case (_, nUser, nKept) => nUser > 0 && nKept == 0 }
+      .foreach { case (vals, _, _) =>
+        val dir = partCols.zip(vals).map { case (c, v) => s"$c=$v" }
+          .foldLeft(new Path(tableDir))(new Path(_, _))
+        if (!f.delete(dir, true) && f.exists(dir))
+          throw new java.io.IOException(s"retention: failed to remove emptied $dir")
+      }
+    // a date dir whose every sub-partition was removed is itself removed
+    val keptDates = stats.filter(_._3 > 0).map(_._1.head).toSet
+    val removedDates = affectedDates.filterNot(keptDates)
+    removedDates.foreach { d =>
+      val dir = new Path(tableDir, s"event_date=$d")
+      if (f.exists(dir)) {
+        if (f.listStatus(dir).exists(s => !s.getPath.getName.startsWith("_")))
+          throw new java.io.IOException(s"retention: expected $dir empty after purge")
+        if (!f.delete(dir, true) && f.exists(dir))
+          throw new java.io.IOException(s"retention: failed to remove emptied $dir")
+      }
     }
-    PurgeReport(rewritten.result(), removed.result(), purged)
+    PurgeReport(affectedDates.filter(keptDates).map(d => s"event_date=$d"),
+      removedDates.map(d => s"event_date=$d"), purged)
   }
 
   type Q = (SparkSession, String) => org.apache.spark.sql.DataFrame

