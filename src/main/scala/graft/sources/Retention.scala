@@ -75,6 +75,61 @@ object Retention {
   def expireByAge(spark: SparkSession, tableDir: String, cfg: graft.EngineConfig): ExpiryReport =
     expireByAge(spark, tableDir, cfg.broker.streamConfig.maxAgeDuration)
 
+  private val StagingName = ".purge-tmp"
+  private val ManifestName = "_MANIFEST"
+
+  /** Apply (or re-apply) a purge's partition swap from a completed staging
+    * dir. Idempotent metadata-only ops, so a crash ANYWHERE in the swap is
+    * recovered by running it again:
+    *  - `swap <date-dir>`: staged dir present → replace the final dir with
+    *    it; staged dir absent → that swap already completed;
+    *  - `remove <date-dir>`: delete the final dir (purge emptied it).
+    * The staged kept-rows remain visible on disk until every entry is
+    * applied — unlike a dynamic-overwrite commit, whose staging is hidden
+    * and unrecoverable if the driver dies between its per-partition
+    * delete and rename. */
+  private def applyPurgeSwap(f: org.apache.hadoop.fs.FileSystem,
+                             tableDir: String, staging: Path): Unit = {
+    val manifest = new Path(staging, ManifestName)
+    val lines = {
+      val in = f.open(manifest)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    lines.foreach { line =>
+      val Array(action, dirName) = line.split("\t", 2)
+      val finalDir = new Path(tableDir, dirName)
+      val stagedDir = new Path(staging, dirName)
+      action match {
+        case "swap" if f.exists(stagedDir) =>
+          if (f.exists(finalDir) && !f.delete(finalDir, true))
+            throw new java.io.IOException(s"retention: failed to clear $finalDir for swap")
+          if (!f.rename(stagedDir, finalDir))
+            throw new java.io.IOException(s"retention: failed to publish $stagedDir -> $finalDir")
+        case "swap" => () // already published by a previous (crashed) run
+        case "remove" =>
+          if (!f.delete(finalDir, true) && f.exists(finalDir))
+            throw new java.io.IOException(s"retention: failed to remove emptied $finalDir")
+        case other =>
+          throw new java.io.IOException(s"retention: bad manifest action '$other'")
+      }
+    }
+    if (!f.delete(staging, true) && f.exists(staging))
+      throw new java.io.IOException(s"retention: failed to clean staging $staging")
+  }
+
+  /** Recover a purge interrupted mid-swap: a staging dir WITH a manifest
+    * holds the complete kept rows — finish applying it. One without a
+    * manifest is an incomplete phase-1 write (the originals are untouched)
+    * — discard it. */
+  private def resumePurge(f: org.apache.hadoop.fs.FileSystem, tableDir: String): Unit = {
+    val staging = new Path(tableDir, StagingName)
+    if (!f.exists(staging)) return
+    if (f.exists(new Path(staging, ManifestName))) applyPurgeSwap(f, tableDir, staging)
+    else if (!f.delete(staging, true) && f.exists(staging))
+      throw new java.io.IOException(s"retention: failed to discard partial staging $staging")
+  }
+
   /** Remove every row of `userId` from `tableDir`, rewriting only the
     * partitions that contain the user — as ONE batched job, not one job
     * per partition (a user active daily over a year would otherwise run
@@ -82,24 +137,23 @@ object Retention {
     * cluster-throughput regardless of how many partitions are touched):
     *
     *   1. per-partition stats aggregate over the affected dirs (exact
-    *      audit count + which partitions the purge empties);
-    *   2. the kept rows are localCheckpoint'ed — the lineage CUT makes a
-    *      self-overwrite race impossible (the write can never re-read the
-    *      source files it is replacing);
-    *   3. one dynamic-partition-overwrite rewrites every partition that
-    *      still has rows;
-    *   4. partitions the purge emptied (dynamic overwrite leaves them
-    *      untouched — no output rows) are deleted at the finest partition
-    *      level, then empty date dirs are removed.
+    *      audit count + which date partitions the purge empties);
+    *   2. ONE batched job writes the kept rows to a VISIBLE staging dir
+    *      (`.purge-tmp/event_date=…/[ingest_batch=…]`), then a manifest
+    *      records the swap/remove action per affected date;
+    *   3. the swap is pure metadata — per affected date, replace (or
+    *      remove) the final dir ([[applyPurgeSwap]]).
     *
-    * NULL-user rows are kept (`=!=` alone evaluates NULL → dropped, which
-    * would silently delete rows belonging to no one). Crash-safe by
-    * idempotence: a crash between the overwrite commit and step 4 leaves
-    * partitions that still contain ONLY the user's rows, so a re-run
-    * detects and removes them; every FS step failure is loud. */
+    * Crash-safe at every window: before the manifest exists the originals
+    * are untouched (staging is discarded); after it exists the staging
+    * holds the complete kept rows and [[resumePurge]] — run at the start
+    * of every purgeUser/expireByAge — finishes the swap. NULL-user rows
+    * are kept (`=!=` alone evaluates NULL → dropped, which would silently
+    * delete rows belonging to no one). */
   def purgeUser(spark: SparkSession, tableDir: String, userId: Long,
                 userCol: String = "user_id"): PurgeReport = {
     val f = fs(spark, tableDir)
+    resumePurge(f, tableDir)
     val parts = datePartitions(spark, tableDir)
     if (parts.isEmpty) return PurgeReport(Nil, Nil, 0L)
     // a null partition value is Hive's default partition on disk
@@ -107,9 +161,9 @@ object Retention {
       Option(v).map(_.toString).getOrElse("__HIVE_DEFAULT_PARTITION__")
     // pushdown scan: which dates hold the user? (reads only the user's
     // row groups thanks to the parquet filter + column pruning)
-    val all = spark.read.option("basePath", tableDir)
+    val affectedDates = spark.read.option("basePath", tableDir)
       .parquet(parts.map(_._2.toString): _*)
-    val affectedDates = all.filter(col(userCol) === userId)
+      .filter(col(userCol) === userId)
       .select("event_date").distinct()
       .collect().map(r => dirName(r.get(0))).sorted
     if (affectedDates.isEmpty) return PurgeReport(Nil, Nil, 0L)
@@ -118,40 +172,32 @@ object Retention {
     val partCols = Seq("event_date") ++
       (if (rows.columns.contains("ingest_batch")) Seq("ingest_batch") else Nil)
     val keptCond = col(userCol) =!= userId || col(userCol).isNull
-    // one aggregate pass: exact audit count + per-partition emptiness
-    val stats = rows.groupBy(partCols.map(col): _*)
+    // one aggregate pass: exact audit count + which dates stay non-empty
+    val stats = rows.groupBy(col("event_date"))
       .agg(sum(when(col(userCol) === userId, 1L).otherwise(0L)).as("n_user"),
         sum(when(keptCond, 1L).otherwise(0L)).as("n_kept"))
       .collect()
-      .map(r => (partCols.indices.map(i => dirName(r.get(i))),
-        r.getAs[Long]("n_user"), r.getAs[Long]("n_kept")))
+      .map(r => (dirName(r.get(0)), r.getAs[Long]("n_user"), r.getAs[Long]("n_kept")))
     val purged = stats.map(_._2).sum
-    // kept rows, materialized to executor blocks BEFORE the overwrite
-    val kept = rows.filter(keptCond).localCheckpoint(true)
-    kept.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCols: _*).parquet(tableDir)
-    // partitions the purge emptied produced no output — remove their dirs
-    stats.filter { case (_, nUser, nKept) => nUser > 0 && nKept == 0 }
-      .foreach { case (vals, _, _) =>
-        val dir = partCols.zip(vals).map { case (c, v) => s"$c=$v" }
-          .foldLeft(new Path(tableDir))(new Path(_, _))
-        if (!f.delete(dir, true) && f.exists(dir))
-          throw new java.io.IOException(s"retention: failed to remove emptied $dir")
-      }
-    // a date dir whose every sub-partition was removed is itself removed
-    val keptDates = stats.filter(_._3 > 0).map(_._1.head).toSet
-    val removedDates = affectedDates.filterNot(keptDates)
-    removedDates.foreach { d =>
-      val dir = new Path(tableDir, s"event_date=$d")
-      if (f.exists(dir)) {
-        if (f.listStatus(dir).exists(s => !s.getPath.getName.startsWith("_")))
-          throw new java.io.IOException(s"retention: expected $dir empty after purge")
-        if (!f.delete(dir, true) && f.exists(dir))
-          throw new java.io.IOException(s"retention: failed to remove emptied $dir")
-      }
+    val keptDates = stats.filter(_._3 > 0).map(_._1).toSet
+    // phase 1: batched staging write of every kept row (affected dates
+    // only); emptied dates simply have no staged dir
+    val staging = new Path(tableDir, StagingName)
+    f.delete(staging, true)
+    rows.filter(keptCond).write.mode("overwrite")
+      .partitionBy(partCols: _*).parquet(staging.toString)
+    // phase 2: manifest = the point of no return (resume applies it)
+    val manifest = affectedDates.map { d =>
+      val action = if (keptDates(d)) "swap" else "remove"
+      s"$action\tevent_date=$d"
     }
+    val out = f.create(new Path(staging, ManifestName), true)
+    try out.write((manifest.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    // phase 3: metadata-only swap
+    applyPurgeSwap(f, tableDir, staging)
     PurgeReport(affectedDates.filter(keptDates).map(d => s"event_date=$d"),
-      removedDates.map(d => s"event_date=$d"), purged)
+      affectedDates.filterNot(keptDates).map(d => s"event_date=$d"), purged)
   }
 
   type Q = (SparkSession, String) => org.apache.spark.sql.DataFrame
