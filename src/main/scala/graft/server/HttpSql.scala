@@ -1,0 +1,248 @@
+package graft.server
+
+import java.io.OutputStream
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.sql.Timestamp
+import java.time.format.DateTimeFormatter
+import java.time.ZoneOffset
+import java.util.concurrent.Executors
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** SQL-over-HTTP surface — the analysts' entry point the reference
+  * deployment exposes by publishing ClickHouse's HTTP port
+  * (`build/docker-compose.yml:8-9`, ports 8123/9000; SURVEY §3.3). The
+  * reference itself only ever issues `GET /ping` (`src/click_house.rs:46-59`)
+  * and `POST INSERT` against this surface; SELECT traffic arrives from BI
+  * tools. This is that interface re-expressed over a SparkSession:
+  *
+  *   - `GET /ping`                      → `Ok.` (byte-compatible with the
+  *     reference's readiness check, which string-matches the body)
+  *   - `GET /?query=…` or `POST /` body → `spark.sql(query)` streamed back
+  *     in the requested ClickHouse output format: `TabSeparated` (default),
+  *     `TabSeparatedWithNames`, `CSV`, `CSVWithNames`, `JSONEachRow`.
+  *     A trailing `FORMAT <name>` clause (the CH grammar) is recognized and
+  *     stripped before Spark parses the statement; `default_format=` query
+  *     parameter is the fallback, mirroring CH precedence.
+  *
+  * Scale shape: results are streamed through `toLocalIterator` — one
+  * partition resident on the driver at a time, chunked transfer encoding on
+  * the wire — so a SELECT over a 100 TB table holds O(partition) driver
+  * memory, not O(result). Query execution itself is whatever Catalyst plans;
+  * the server adds no materialization.
+  *
+  * Error contract mirrors the reference's permanent/transient split
+  * (`src/handler.rs:206-212`): parse/analysis failures (the "Cannot parse"
+  * class) → HTTP 400; execution failures → HTTP 500. The reference
+  * classifies exactly those 4xx codes as dead-letter-permanent.
+  */
+final class HttpSql(spark: SparkSession, port: Int = 0) {
+
+  private var server: HttpServer = _
+
+  /** Bind + start; returns the actual port (useful with port = 0). */
+  def start(): Int = synchronized {
+    require(server == null, "already started")
+    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/ping", PingHandler)
+    server.createContext("/", QueryHandler)
+    // small fixed pool: the server is an access path, not the engine —
+    // concurrency of heavy queries belongs to the Spark scheduler
+    server.setExecutor(Executors.newFixedThreadPool(4, r => {
+      val t = new Thread(r, "graft-http"); t.setDaemon(true); t
+    }))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = synchronized {
+    if (server != null) { server.stop(0); server = null }
+  }
+
+  private object PingHandler extends HttpHandler {
+    override def handle(x: HttpExchange): Unit =
+      respond(x, 200, "text/plain", "Ok.\n")
+  }
+
+  private object QueryHandler extends HttpHandler {
+    override def handle(x: HttpExchange): Unit = {
+      val params = parseQueryString(Option(x.getRequestURI.getRawQuery))
+      val body = new String(x.getRequestBody.readAllBytes(), UTF_8)
+      // CH precedence: the `query` URL parameter and the body concatenate
+      // (parameterized INSERTs rely on it); for the SELECT surface the
+      // practical reading is param-if-present, else body
+      val raw = params.get("query").filter(_.nonEmpty).getOrElse(body).trim
+      if (raw.isEmpty) { respond(x, 400, "text/plain", "empty query\n"); return }
+      val (sqlText, fmtClause) = stripFormatClause(raw)
+      val fmt = fmtClause.orElse(params.get("default_format"))
+        .getOrElse("TabSeparated")
+      HttpSql.formats.get(fmt.toLowerCase) match {
+        case None => respond(x, 400, "text/plain", s"unknown FORMAT $fmt\n")
+        case Some(render) =>
+          val df =
+            try spark.sql(sqlText)
+            catch { case e: Exception => // parse/analysis: permanent (400 class)
+              respond(x, 400, "text/plain", s"Cannot parse query: ${msg(e)}\n")
+              return
+            }
+          try streamResult(x, df, render)
+          catch { case e: Exception =>
+            respond(x, 500, "text/plain", s"Query failed: ${msg(e)}\n")
+          }
+      }
+    }
+  }
+
+  private def msg(e: Exception): String =
+    Option(e.getMessage).getOrElse(e.getClass.getSimpleName).linesIterator
+      .take(4).mkString(" ")
+
+  /** Chunked streaming of the result set; O(partition) driver memory. */
+  private def streamResult(x: HttpExchange, df: DataFrame,
+                           render: HttpSql.Format): Unit = {
+    val schema = df.schema
+    x.getResponseHeaders.set("Content-Type", render.contentType)
+    x.sendResponseHeaders(200, 0) // 0 ⇒ chunked
+    val out = x.getResponseBody
+    try {
+      render.header(schema).foreach(h => out.write(h.getBytes(UTF_8)))
+      val it = df.toLocalIterator()
+      while (it.hasNext) out.write(render.row(it.next(), schema).getBytes(UTF_8))
+    } finally { out.close(); x.close() }
+  }
+
+  private def respond(x: HttpExchange, code: Int, ct: String, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    x.getResponseHeaders.set("Content-Type", ct)
+    x.sendResponseHeaders(code, bytes.length)
+    val out: OutputStream = x.getResponseBody
+    try out.write(bytes) finally { out.close(); x.close() }
+  }
+
+  /** CH grammar: an outermost trailing `FORMAT <ident>` selects the output
+    * format and is not part of the relational statement — Spark must not
+    * see it. Only strip at top level (a FORMAT inside a subquery string
+    * literal is untouched because we anchor at end-of-statement). */
+  private def stripFormatClause(q: String): (String, Option[String]) = {
+    val m = HttpSql.FormatClause.findFirstMatchIn(q)
+    m match {
+      case Some(g) => (q.substring(0, g.start).trim, Some(g.group(1)))
+      case None    => (q, None)
+    }
+  }
+
+  private def parseQueryString(raw: Option[String]): Map[String, String] =
+    raw.fold(Map.empty[String, String]) { qs =>
+      qs.split('&').iterator.filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        val k = if (i < 0) kv else kv.substring(0, i)
+        val v = if (i < 0) "" else java.net.URLDecoder.decode(kv.substring(i + 1), UTF_8)
+        k -> v
+      }.toMap
+    }
+}
+
+object HttpSql {
+
+  private val FormatClause =
+    """(?is)\bFORMAT\s+([A-Za-z]\w*)\s*;?\s*$""".r
+
+  /** Register the testdata tables as temp views so HTTP queries address
+    * them by name (the CH deployment's `db.table` names play this role). */
+  def registerTables(spark: SparkSession, dir: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+      Tables(spark, dir, t).createOrReplaceTempView(t)
+    }
+
+  /** One output format: content type, optional header line, row renderer. */
+  final case class Format(contentType: String,
+                          header: StructType => Option[String],
+                          row: (Row, StructType) => String)
+
+  private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    .withZone(ZoneOffset.UTC)
+
+  /** CH-style scalar rendering: timestamps as `yyyy-MM-dd HH:mm:ss` (UTC),
+    * arrays as `[…]`, NULL spelled per-format by the caller. */
+  private def scalar(v: Any): String = v match {
+    case null            => null
+    case t: Timestamp    => tsFmt.format(t.toInstant)
+    case d: java.sql.Date => d.toString
+    case s: Seq[_]       => s.map(e => Option(scalar(e)).getOrElse("NULL"))
+                              .mkString("[", ",", "]")
+    case b: Array[Byte]  => java.util.Base64.getEncoder.encodeToString(b)
+    case other           => other.toString
+  }
+
+  private def tsvEscape(s: String): String =
+    s.flatMap {
+      case '\t' => "\\t"
+      case '\n' => "\\n"
+      case '\\' => "\\\\"
+      case c    => c.toString
+    }
+
+  private def tsvCell(v: Any): String =
+    Option(scalar(v)).map(tsvEscape).getOrElse("\\N") // CH TSV NULL literal
+
+  private def csvCell(v: Any): String = Option(scalar(v)) match {
+    case None => "\\N"
+    case Some(s) if s.exists(c => c == ',' || c == '"' || c == '\n') =>
+      "\"" + s.replace("\"", "\"\"") + "\""
+    case Some(s) => s
+  }
+
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '"'  => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c    => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private def jsonValue(v: Any, dt: DataType): String = (v, dt) match {
+    case (null, _) => "null"
+    case (_, _: NumericType) | (_, BooleanType) => v.toString
+    case (s: Seq[_], ArrayType(et, _)) =>
+      s.map(jsonValue(_, et)).mkString("[", ",", "]")
+    case _ => "\"" + jsonEscape(scalar(v)) + "\""
+  }
+
+  private def tsvRow(r: Row, s: StructType): String =
+    s.indices.map(i => tsvCell(r.get(i))).mkString("", "\t", "\n")
+
+  private def csvRow(r: Row, s: StructType): String =
+    s.indices.map(i => csvCell(r.get(i))).mkString("", ",", "\n")
+
+  private def jsonRow(r: Row, s: StructType): String =
+    s.fields.indices.map { i =>
+      "\"" + jsonEscape(s.fields(i).name) + "\":" + jsonValue(r.get(i), s.fields(i).dataType)
+    }.mkString("{", ",", "}\n")
+
+  private def namesHeader(sep: String)(s: StructType): Option[String] =
+    Some(s.fieldNames.mkString("", sep, "\n"))
+
+  val formats: Map[String, Format] = Map(
+    "tabseparated"          -> Format("text/tab-separated-values", _ => None, tsvRow),
+    "tsv"                   -> Format("text/tab-separated-values", _ => None, tsvRow),
+    "tabseparatedwithnames" -> Format("text/tab-separated-values",
+                                      namesHeader("\t"), tsvRow),
+    "tsvwithnames"          -> Format("text/tab-separated-values",
+                                      namesHeader("\t"), tsvRow),
+    "csv"                   -> Format("text/csv", _ => None, csvRow),
+    "csvwithnames"          -> Format("text/csv", namesHeader(","), csvRow),
+    "jsoneachrow"           -> Format("application/x-ndjson", _ => None, jsonRow)
+  )
+}
