@@ -54,6 +54,9 @@ object GraftExtensions {
     ("topk_agg",
       new ExpressionInfo(classOf[TopKSketchAgg].getName, "topk_agg"),
       (es: Seq[Expression]) => new TopKSketchAgg(es.head, es(1))),
+    ("topk_weighted_agg",
+      new ExpressionInfo(classOf[TopKWeightedAgg].getName, "topk_weighted_agg"),
+      (es: Seq[Expression]) => new TopKWeightedAgg(es.head, es(1), es(2))),
     ("topk_merge",
       new ExpressionInfo(classOf[TopKMergeAgg].getName, "topk_merge"),
       (es: Seq[Expression]) => TopKMergeAgg(es.head)),

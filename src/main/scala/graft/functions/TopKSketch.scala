@@ -50,15 +50,22 @@ object TopKSketch {
     def minEst: Long =
       if (counts.isEmpty || counts.size < cap) 0L else minEntry().getValue()(0)
 
-    def insert(x: UTF8String): Unit = {
+    def insert(x: UTF8String): Unit = insertW(x, 1L)
+
+    /** Weighted SpaceSaving step (CH `topKWeighted`): a tracked key gains
+      * the full weight; a new key at capacity replaces the min entry and
+      * inherits its count as error — identical invariants to the unit
+      * case (est - err <= true <= est; exact while under capacity). */
+    def insertW(x: UTF8String, w: Long): Unit = {
+      if (w <= 0) return // CH ignores non-positive weights
       val cur = counts.get(x)
-      if (cur != null) cur(0) += 1
-      else if (counts.size < cap) counts.put(x.clone(), Array(1L, 0L))
+      if (cur != null) cur(0) += w
+      else if (counts.size < cap) counts.put(x.clone(), Array(w, 0L))
       else {
         val ev = minEntry()
         val evCount = ev.getValue()(0)
         counts.remove(ev.getKey)
-        counts.put(x.clone(), Array(evCount + 1L, evCount))
+        counts.put(x.clone(), Array(evCount + w, evCount))
       }
     }
 
@@ -180,6 +187,58 @@ case class TopKSketchAgg(
   override def withNewMutableAggBufferOffset(o: Int): TopKSketchAgg = copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): TopKSketchAgg = copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression): TopKSketchAgg = copy(child = c)
+}
+
+/** `topk_weighted_agg(x, w, cap)` — CH `topKWeighted` analog: SpaceSaving
+  * state where each value contributes its LONG weight (top revenue-earning
+  * items, top bandwidth consumers — count-of-rows is the w=1 special
+  * case). Same mergeable state and guarantees as [[TopKSketchAgg]]; exact
+  * while distinct keys <= capacity, which the catalog entry exploits for a
+  * full DuckDB oracle. */
+case class TopKWeightedAgg(
+    left: Expression,
+    right: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKSketch.State]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  def this(child: Expression, weight: Expression, capExpr: Expression) =
+    this(child, weight, DDSketch.foldableDouble(capExpr, "topk_weighted_agg cap").toInt)
+
+  require(cap >= 1 && cap <= 65536, s"topk_weighted_agg: cap $cap outside [1, 65536]")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (STRING value, BIGINT weight), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "topk_weighted_agg"
+
+  override def createAggregationBuffer(): TopKSketch.State = new TopKSketch.State(cap)
+  override def update(b: TopKSketch.State, row: InternalRow): TopKSketch.State = {
+    val v = left.eval(row)
+    val w = right.eval(row)
+    if (v != null && w != null)
+      b.insertW(v.asInstanceOf[UTF8String], w.asInstanceOf[Long])
+    b
+  }
+  override def merge(b: TopKSketch.State, o: TopKSketch.State): TopKSketch.State = {
+    b.mergeFrom(o); b
+  }
+  override def eval(b: TopKSketch.State): Any = TopKSketch.serialize(b)
+  override def serialize(b: TopKSketch.State): Array[Byte] = TopKSketch.serialize(b)
+  override def deserialize(bytes: Array[Byte]): TopKSketch.State = TopKSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKWeightedAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKWeightedAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopKWeightedAgg =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `topk_merge(state)` → binary state (re-aggregation to coarser groups). */

@@ -209,6 +209,53 @@ object EventAnalytics {
         .orderBy("funnel_level")
     }),
 
+    // O-A15d: windowFunnel strict_order mode (CH's strict_order, [implied]
+    // same basis as O-A15). Strict order = no interventions: the chain
+    // must be CONSECUTIVE in the per-user event stream — any other event
+    // type (view, ...) between signup and click, or between click and
+    // purchase, breaks it (CH doc example: A->B->D->C stops at D with
+    // level 2). Consecutiveness turns the chain search into a pure
+    // prefix-match at each signup position: level = 1
+    //   + (next event is a click inside the window)
+    //   + (… and the one after is a purchase inside the window),
+    // all read off lead() over the (ts, event_id) total order. One
+    // user-keyed shuffle, one window pass, zero joins — the cheapest
+    // funnel mode of the three (plain / strict_dedup / strict_order).
+    "o_a15d_funnel_strict" -> ((s, d) => {
+      val e = Tables.events(s, d).select("user_id", "event_type", "ts", "event_id")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val winH = expr("INTERVAL 12 HOURS")
+      val l2 = lead(col("event_type"), 1).over(w) === "click" &&
+        lead(col("ts"), 1).over(w) <= col("ts") + winH
+      val l3 = l2 && lead(col("event_type"), 2).over(w) === "purchase" &&
+        lead(col("ts"), 2).over(w) <= col("ts") + winH
+      e.withColumn("lvl", when(col("event_type") === "signup",
+          lit(1) + when(l2, 1).otherwise(0) + when(l3, 1).otherwise(0)))
+        .groupBy("user_id").agg(max("lvl").as("funnel_level"))
+        .filter(col("funnel_level").isNotNull) // users with no signup
+        .groupBy("funnel_level").agg(count(lit(1)).as("n_users"))
+        .orderBy("funnel_level")
+    }),
+
+    // O-A21: sequenceNextNode(forward, head) analog (CH's "what happens
+    // NEXT after a pattern" — the exploratory sibling of sequenceMatch):
+    // per user, find the FIRST consecutive signup→click pair in stream
+    // order and report the event type immediately after it ('NONE' at
+    // stream end). Distribution of those next-nodes across users. Same
+    // lead()-prefix technique as strict_order: one shuffle, no joins.
+    "o_a21_seq_next_node" -> ((s, d) => {
+      val e = Tables.events(s, d).select("user_id", "event_type", "ts", "event_id")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      e.withColumn("n1", lead(col("event_type"), 1).over(w))
+        .withColumn("n2", lead(col("event_type"), 2).over(w))
+        .filter(col("event_type") === "signup" && col("n1") === "click")
+        .groupBy("user_id")
+        .agg(min_by(coalesce(col("n2"), lit("NONE")),
+          struct(col("ts"), col("event_id"))).as("next_node"))
+        .groupBy("next_node").agg(count(lit(1)).as("n_users"))
+        .orderBy("next_node")
+    }),
+
     // O-A17: sequenceMatch('(?1)(?t<=3600)(?2).*(?3)') analog (CH event
     // pattern matching, the sibling of windowFunnel over the same event
     // tables): per signup user, 1 iff a click occurs within 1 hour AFTER
@@ -359,6 +406,48 @@ object EventAnalytics {
            FROM p3 GROUP BY user_id)
          SELECT 1 + has2 + has3 AS funnel_level, COUNT(*) AS n_users
          FROM u WHERE has1 = 1 GROUP BY 1 ORDER BY 1""",
+
+    "o_a15d_funnel_strict" ->
+      """WITH p AS (
+           SELECT user_id, event_type, ts, event_id,
+                  lead(event_type, 1) OVER w AS n1t,
+                  lead(ts, 1)         OVER w AS n1s,
+                  lead(event_type, 2) OVER w AS n2t,
+                  lead(ts, 2)         OVER w AS n2s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         l AS (
+           SELECT user_id,
+                  CASE WHEN event_type = 'signup' THEN
+                    1 + CASE WHEN n1t = 'click' AND n1s <= ts + INTERVAL 12 HOUR
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN n1t = 'click' AND n1s <= ts + INTERVAL 12 HOUR
+                                  AND n2t = 'purchase' AND n2s <= ts + INTERVAL 12 HOUR
+                             THEN 1 ELSE 0 END
+                  END AS lvl
+           FROM p),
+         u AS (SELECT user_id, MAX(lvl) AS funnel_level FROM l GROUP BY user_id)
+         SELECT funnel_level, COUNT(*) AS n_users FROM u
+         WHERE funnel_level IS NOT NULL
+         GROUP BY funnel_level ORDER BY funnel_level""",
+
+    "o_a21_seq_next_node" ->
+      """WITH p AS (
+           SELECT user_id, event_type, ts, event_id,
+                  lead(event_type, 1) OVER w AS n1,
+                  lead(event_type, 2) OVER w AS n2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         m AS (
+           SELECT user_id, coalesce(n2, 'NONE') AS nn, ts, event_id FROM p
+           WHERE event_type = 'signup' AND n1 = 'click'),
+         f AS (
+           SELECT user_id, nn,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rk
+           FROM m)
+         SELECT nn AS next_node, COUNT(*) AS n_users FROM f WHERE rk = 1
+         GROUP BY 1 ORDER BY 1""",
 
     "o_a17_seqmatch" ->
       """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events

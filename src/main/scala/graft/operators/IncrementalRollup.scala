@@ -99,6 +99,27 @@ object IncrementalRollup {
         .agg(expr("topk_merge(tk)").as("m"))
         .select(col("event_date"), expr("topk_extract(m, 3)").as("top_types"))
         .orderBy("event_date")
+    }),
+
+    // O-A14b: ClickHouse topKWeighted(N) — each value weighted by a
+    // quantity column instead of row count: top suppliers by shipped
+    // quantity per return flag. ~100 suppliers at test SFs sit far under
+    // cap=256, so the weighted sketch is EXACT and fully oracled (the
+    // over-capacity regime shares TopKSketchSpec's guarantee bounds).
+    // l_quantity is an integral double -> BIGINT cast is lossless.
+    "o_a14b_topk_weighted" -> ((s, d) => {
+      graft.functions.GraftExtensions.register(s)
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          col("l_suppkey").cast("string").as("supp"),
+          col("l_quantity").cast("bigint").as("qty"),
+          pmod(col("l_orderkey"), lit(4)).as("b"))
+        .groupBy("flag", "b")
+        .agg(expr("topk_weighted_agg(supp, qty, 256)").as("tk"))
+        .groupBy("flag")
+        .agg(expr("topk_merge(tk)").as("m"))
+        .select(col("flag"), expr("topk_extract(m, 5)").as("top_suppliers"))
+        .orderBy("flag")
     })
   )
 
@@ -141,6 +162,21 @@ object IncrementalRollup {
          )
          SELECT event_date,
                 string_agg(event_type || ':' || n, '|' ORDER BY rk) AS top_types
-         FROM r WHERE rk <= 3 GROUP BY event_date ORDER BY event_date"""
+         FROM r WHERE rk <= 3 GROUP BY event_date ORDER BY event_date""",
+
+    "o_a14b_topk_weighted" ->
+      """WITH c AS (
+           SELECT l_returnflag AS flag, CAST(l_suppkey AS VARCHAR) AS supp,
+                  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+           FROM lineitem GROUP BY 1, 2
+         ), r AS (
+           SELECT flag, supp, w,
+                  row_number() OVER (PARTITION BY flag
+                                     ORDER BY w DESC, supp) AS rk
+           FROM c
+         )
+         SELECT flag,
+                string_agg(supp || ':' || w, '|' ORDER BY rk) AS top_suppliers
+         FROM r WHERE rk <= 5 GROUP BY flag ORDER BY flag"""
   )
 }

@@ -401,6 +401,20 @@ object Relational {
         .orderBy("event_date", "event_type")
     }),
 
+    // O-A22: CH `minMap`/`maxMap` combinators — the order-statistic
+    // siblings of o_a19's sumMap: per-date event_type → (min, max) value,
+    // as entry-sorted struct arrays. min/max are exact picks (no
+    // summation-order hazard), so plain doubles hash-compare.
+    "o_a22_minmaxmap" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+        .agg(min("value").as("vmin"), max("value").as("vmax"))
+        .groupBy("event_date")
+        .agg(sort_array(collect_list(
+          struct(col("event_type"), col("vmin"), col("vmax")))).as("minmax_map"))
+        .orderBy("event_date")
+    }),
+
     // ===================== §2.6 sort / limit / topk ====================
 
     "o_s1_sort" -> ((s, d) =>
@@ -563,6 +577,32 @@ object Relational {
           md5(col("c_name").cast("binary")).as("name_md5"),
           sha2(col("c_name").cast("binary"), 256).as("name_sha256"))
         .orderBy("c_custkey")
+    }),
+
+    // O-X9: CH array-scan functions `arrayCumSum` / `arrayDifference` —
+    // per order, the line quantities in linenumber order, their running
+    // sum, and their first differences (CH convention: element 0 is 0).
+    // Both are higher-order functions over the collected array —
+    // `aggregate` as a left fold that APPENDS each running value, and
+    // `zip_with` against the self-shifted array — no explode/re-group
+    // round trip, no window shuffle beyond the one groupBy. Quantities
+    // are integral doubles, so every sum is exact in both engines.
+    "o_x9_array_cum" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(transform(array_sort(collect_list(
+            struct(col("l_linenumber"), col("l_quantity")))),
+          x => x.getField("l_quantity")).as("qs"))
+        .select(col("l_orderkey"), col("qs"),
+          expr("""aggregate(qs,
+                    named_struct('a', cast(array() as array<double>), 'r', 0D),
+                    (acc, x) -> named_struct('a', array_append(acc.a, acc.r + x),
+                                             'r', acc.r + x),
+                    acc -> acc.a)""").as("cum"),
+          expr("""zip_with(qs,
+                    concat(array(qs[0]), slice(qs, 1, size(qs) - 1)),
+                    (a, b) -> a - b)""").as("diff"))
+        .orderBy("l_orderkey")
     }),
 
     // S-SCAN1: sort-key-prefix scan — filter + narrow projection must both
@@ -810,6 +850,31 @@ object Relational {
       """SELECT CAST(ts AS DATE) AS event_date, event_type,
                 LEAST(COUNT(DISTINCT user_id), 51) AS uniq_upto_50
          FROM events GROUP BY 1, 2 ORDER BY event_date, event_type""",
+
+    "o_a22_minmaxmap" ->
+      """WITH g AS (
+           SELECT CAST(ts AS DATE) AS event_date, event_type,
+                  MIN(value) AS vmin, MAX(value) AS vmax
+           FROM events GROUP BY 1, 2)
+         SELECT event_date,
+                list(struct_pack(event_type := event_type,
+                                 vmin := vmin, vmax := vmax)
+                     ORDER BY event_type) AS minmax_map
+         FROM g GROUP BY event_date ORDER BY event_date""",
+
+    "o_x9_array_cum" ->
+      """WITH g AS (
+           SELECT l_orderkey,
+                  -- (linenumber, quantity) sort key: the synthetic lineitem
+                  -- has duplicate linenumbers per order, and Spark's
+                  -- array_sort over the (ln, qty) struct breaks ties by qty
+                  list(l_quantity ORDER BY l_linenumber, l_quantity) AS qs
+           FROM lineitem GROUP BY 1)
+         SELECT l_orderkey, qs,
+                list_transform(qs, (x, i) -> list_sum(qs[1:i])) AS cum,
+                list_transform(qs, (x, i) ->
+                  CASE WHEN i = 1 THEN 0.0 ELSE x - qs[i - 1] END) AS diff
+         FROM g ORDER BY l_orderkey""",
 
     "o_a9_counts" ->
       """SELECT tbl, n FROM (

@@ -127,6 +127,30 @@ object Windows {
         .orderBy("user_id")
     }),
 
+    // O-W8: CH `groupArrayMovingSum(3)` / `groupArrayMovingAvg(3)` — the
+    // per-group ARRAY of a moving aggregate, in event order. Two layers:
+    // the O-W5 sliding frame computes each element (exact decimal sums),
+    // then collect_list gathers them per user — sorted by (ts, event_id)
+    // struct prefix for a deterministic array, transform() strips the sort
+    // key. Both passes ride the SAME user_id hash partitioning (one
+    // shuffle; Spark reuses the exchange under the window and the agg).
+    "o_w8_moving_collect" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("ms"),
+          (sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
+            count(lit(1)).over(w)).as("ma"))
+        .groupBy("user_id")
+        .agg(
+          transform(array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("ms")))), x => x.getField("ms")).as("moving_sums"),
+          transform(array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("ma")))), x => x.getField("ma")).as("moving_avgs"))
+        .orderBy("user_id")
+    }),
+
     // O-T8: event-time tumbling window (batch form; streaming form in
     // graft.streaming). window() starts are epoch-aligned == date_trunc.
     "o_t8_tumbling" -> ((s, d) => {
@@ -214,6 +238,20 @@ object Windows {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY user_id""",
+
+    "o_w8_moving_collect" ->
+      """WITH p AS (
+           SELECT user_id, ts, event_id,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS ms,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                    / COUNT(*) OVER w AS ma
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+         SELECT user_id,
+                list(ms ORDER BY ts, event_id) AS moving_sums,
+                list(ma ORDER BY ts, event_id) AS moving_avgs
+         FROM p GROUP BY user_id ORDER BY user_id""",
 
     "o_t8_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,

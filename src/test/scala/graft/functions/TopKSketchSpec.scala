@@ -71,6 +71,43 @@ class TopKSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted: exact below capacity; guarantees hold over capacity") {
+    // weight stream: item i gets total weight ~ 1000*sqrt(i) spread over
+    // bursts — exercises both the tracked-gain and evict-inherit paths
+    val rnd = new scala.util.Random(7)
+    val xs: Seq[(String, Long)] = rnd.shuffle(
+      (1 to 200).flatMap(i => Seq.fill(10)((s"w$i", (100 * math.sqrt(i)).toLong))))
+    val truth = xs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+
+    val exact = new TopKSketch.State(256) // 200 distinct < 256
+    xs.foreach { case (x, w) => exact.insertW(u(x), w) }
+    TopKSketch.sortedEntries(exact).foreach { case (v, est, err) =>
+      assert(est == truth(v.toString) && err == 0L)
+    }
+
+    val approx = new TopKSketch.State(32)
+    xs.foreach { case (x, w) => approx.insertW(u(x), w) }
+    TopKSketch.sortedEntries(approx).foreach { case (v, est, err) =>
+      val t = truth(v.toString)
+      assert(t <= est && est - err <= t, s"$v: true=$t est=$est err=$err")
+    }
+    // non-positive weights are ignored (CH topKWeighted contract)
+    val before = TopKSketch.serialize(approx)
+    approx.insertW(u("w1"), 0L); approx.insertW(u("zzz"), -5L)
+    assert(TopKSketch.serialize(approx).sameElements(before))
+  }
+
+  test("weighted SQL surface: exact regime formats by weight desc") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    Seq(("a", 5L), ("b", 7L), ("a", 1L), ("c", 2L)).toDF("x", "w")
+      .createOrReplaceTempView("tkw_in")
+    val out = spark.sql(
+      "SELECT topk_extract(topk_weighted_agg(x, w, 16), 2) AS t FROM tkw_in")
+      .head().getString(0)
+    assert(out == "b:7|a:6")
+  }
+
   test("SQL surface: extract formats top-k with deterministic tie-break") {
     import spark.implicits._
     GraftExtensions.register(spark)
