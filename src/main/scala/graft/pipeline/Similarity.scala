@@ -133,6 +133,44 @@ object Similarity {
         .orderBy("q_id", "rnk"), e)
     }),
 
+    // Semantic dedup END-TO-END: sign-LSH bucketing (the d_ann_lsh planes)
+    // → exact cosine edges within bucket → connected components → one
+    // cluster label per vector. This is embedding-space near-dup removal
+    // at corpus scale: candidate generation is a bucket-keyed equi-join
+    // (never all-pairs), components run on vertex-keyed shuffles bounded
+    // by cluster diameter ([[Graph.minLabelComponents]]). The axis-sign
+    // planes are deterministic, so the WHOLE pipeline — including the
+    // bucketing — reproduces in the DuckDB oracle's recursive CTE; a
+    // production corpus would raise the plane count with seeded random
+    // hyperplanes (2^b ≈ n/30) at the cost of the oracle, trading recall
+    // across buckets exactly like d_ann_lsh documents.
+    "d_dedup_semantic" -> ((s, d) => {
+      register(s)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("n", norm("v"))
+        .withColumn("bucket", expr(
+          """aggregate(zip_with(slice(v, 1, 4), sequence(0, 3),
+                                (x, i) -> IF(x >= 0F, shiftleft(1, i), 0)),
+                       0, (acc, v) -> acc + v)"""))
+      val a = e.select(col("vec_id").as("va"), col("v").as("xa"),
+        col("n").as("na"), col("bucket"))
+      val b = e.select(col("vec_id").as("vb"), col("v").as("xb"),
+        col("n").as("nb"), col("bucket"))
+      val pairs = a.join(b, Seq("bucket"))
+        .filter(col("va") < col("vb"))
+        .withColumn("cos", round(dot("xa", "xb") / (col("na") * col("nb")), 4))
+        .filter(col("cos") >= 0.3)
+        .select("va", "vb")
+      val edges = Graph.symmetrize(pairs, "va", "vb").persist()
+      val (labels, caches) = Graph.minLabelComponents(edges)
+      Materialize.drop(labels
+        .select(col("id").as("vec_id"), col("lbl").as("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .orderBy("vec_id"), edges +: caches: _*)
+    }),
+
     // Embedding-cosine near-duplicate pairs (the "semantic dedup" shape):
     // all pairs above a cosine threshold, via the same broadcast pattern
     // over a bounded probe slice.
@@ -167,6 +205,34 @@ object Similarity {
                     ORDER BY cos DESC, n_id) AS INT) AS rnk
            FROM scored) WHERE rnk <= 5
          ORDER BY q_id, rnk""",
+
+    "d_dedup_semantic" ->
+      """WITH RECURSIVE
+         e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+                + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+                + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+           FROM embeddings),
+         edges0 AS (
+           SELECT a.vec_id AS va, b.vec_id AS vb
+           FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3),
+         edges AS (SELECT va AS a, vb AS b FROM edges0
+                   UNION SELECT vb, va FROM edges0),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+         members AS (SELECT DISTINCT a AS vec_id FROM edges),
+         clusters AS (
+           SELECT m.vec_id, LEAST(m.vec_id, MIN(r.b)) AS cluster_id
+           FROM members m LEFT JOIN reach r ON r.a = m.vec_id
+           GROUP BY 1)
+         SELECT vec_id, cluster_id,
+                COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         FROM clusters ORDER BY vec_id""",
 
     "d_dedup_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -93,38 +93,13 @@ object TextDedup {
     // is detected by the label-sum signature, which strictly decreases
     // while any label changes (labels only ever decrease).
     "d_dedup_cluster" -> ((s, d) => {
-      // Symmetrize via explode, NOT self-union: union would evaluate the
-      // whole (unpersisted) minhash-LSH pair plan once per branch —
-      // measured 2x the pair cost at sf0.1.
-      val edges = minhashPairs(s, d)
-        .select(explode(array(
-          struct(col("da").as("src"), col("db").as("dst")),
-          struct(col("db").as("src"), col("da").as("dst")))).as("e"))
-        .select("e.src", "e.dst").persist()
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("lbl", col("id")).persist()
-      // coalesce: a clean corpus has no pairs, so labels is empty and a
-      // bare sum returns NULL — converge immediately to an empty result
-      // instead of an NPE.
-      var sig = labels.agg(coalesce(sum("lbl"), lit(0L))).first().getLong(0)
-      var converged = false
-      while (!converged) {
-        val next = edges.join(labels, col("dst") === col("id"))
-          .select(col("src").as("id"), col("lbl"))
-          .union(labels)
-          .groupBy("id").agg(min("lbl").as("lbl"))
-          .persist()
-        val nextSig = next.agg(coalesce(sum("lbl"), lit(0L))).first().getLong(0)
-        labels.unpersist()
-        labels = next
-        converged = nextSig == sig
-        sig = nextSig
-      }
+      val edges = Graph.symmetrize(minhashPairs(s, d), "da", "db").persist()
+      val (labels, caches) = Graph.minLabelComponents(edges)
       Materialize.drop(labels
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy("cluster_id")))
-        .orderBy("doc_id"), edges, labels)
+        .orderBy("doc_id"), edges +: caches: _*)
     }),
 
     "d_dedup_simhash" -> ((s, d) => simhashPairs(s, d))
