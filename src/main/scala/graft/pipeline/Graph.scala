@@ -25,28 +25,52 @@ private[graft] object Graph {
   /** Returns (labels, persisted-intermediates): `labels` has one row per
     * vertex that appears in `edges` — (id, lbl) where lbl = min vertex id
     * of the component. Callers release the intermediates after the
-    * terminal action via [[Materialize.drop]]. */
+    * terminal action via [[Materialize.drop]].
+    *
+    * Two hard-won loop rules:
+    *  - every round is lineage-CUT with an eager localCheckpoint, not
+    *    persist: Catalyst re-analyzes the full logical tree on each
+    *    iteration, so an uncut loop accretes a plan whose ANALYSIS cost
+    *    (driver, single-threaded) grows superlinearly with rounds —
+    *    measured minutes of driver spin at 20+ rounds while executors
+    *    idled. With the cut, each round re-plans a constant-depth tree.
+    *  - each round does edge-relaxation PLUS path-halving
+    *    (lbl := lbl(lbl(id)), the pointer-jumping step of hash-to-min —
+    *    Rastogi et al., "Finding connected components in MapReduce", ICDE
+    *    2013): labels are vertex ids, so a self-join hops to the label's
+    *    label. Rounds drop from O(diameter) to O(log diameter) — the
+    *    difference between 6 and 60 rounds on a stringy giant component,
+    *    and the reason a threshold graph (which often HAS one) stays
+    *    cheap. */
   def minLabelComponents(edges: DataFrame): (DataFrame, Seq[DataFrame]) = {
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).persist()
+      .withColumn("lbl", col("id")).localCheckpoint(true)
     // coalesce: a clean corpus has no pairs, so labels is empty and a
     // bare sum returns NULL — converge immediately to an empty result
     // instead of an NPE.
     var sig = labels.agg(coalesce(sum("lbl"), lit(0L))).first().getLong(0)
     var converged = false
     while (!converged) {
-      val next = edges.join(labels, col("dst") === col("id"))
+      // eager cut so the halving self-join reads blocks instead of
+      // evaluating the relaxation join twice
+      val relaxed = edges.join(labels, col("dst") === col("id"))
         .select(col("src").as("id"), col("lbl"))
         .union(labels)
         .groupBy("id").agg(min("lbl").as("lbl"))
-        .persist()
+        .localCheckpoint(true)
+      val next = relaxed.as("a")
+        .join(relaxed.as("b"), col("a.lbl") === col("b.id"), "left")
+        .groupBy(col("a.id").as("id"))
+        .agg(min(coalesce(col("b.lbl"), col("a.lbl"))).as("lbl"))
+        .localCheckpoint(true)
       val nextSig = next.agg(coalesce(sum("lbl"), lit(0L))).first().getLong(0)
-      labels.unpersist()
       labels = next
       converged = nextSig == sig
       sig = nextSig
     }
-    (labels, Seq(labels))
+    // localCheckpoint blocks are ContextCleaner-managed (released when the
+    // RDD is GC'd); nothing for the caller to unpersist.
+    (labels, Seq.empty)
   }
 
   /** Symmetrize an undirected pair list (a, b) into the (src, dst) edge
