@@ -51,12 +51,18 @@ private[graft] object Graph {
     var sig = labels.agg(coalesce(sum("lbl"), lit(0L))).first().getLong(0)
     var converged = false
     while (!converged) {
-      // eager cut so the halving self-join reads blocks instead of
-      // evaluating the relaxation join twice
-      val relaxed = edges.join(labels, col("dst") === col("id"))
-        .select(col("src").as("id"), col("lbl"))
-        .union(labels)
-        .groupBy("id").agg(min("lbl").as("lbl"))
+      // relax WITHOUT a union: min neighbor label per vertex, then
+      // least() against the vertex's own label. (The natural
+      // union-then-min formulation trips Catalyst's Union constraint
+      // rewrite — NoSuchElementException in rewriteConstraints — when
+      // both branches descend from the same `labels` plan.) Eagerly cut
+      // so the halving self-join reads blocks instead of re-evaluating
+      // the relaxation join.
+      val viaEdges = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min("lbl").as("elbl"))
+      val relaxed = labels.join(viaEdges, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("elbl"), col("lbl"))).as("lbl"))
         .localCheckpoint(true)
       val next = relaxed.as("a")
         .join(relaxed.as("b"), col("a.lbl") === col("b.id"), "left")
