@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational operator catalog — SURVEY.md §2.2 (filters/projection),
@@ -413,6 +414,45 @@ object Relational {
         .agg(sort_array(collect_list(
           struct(col("event_type"), col("vmin"), col("vmax")))).as("minmax_map"))
         .orderBy("event_date")
+    }),
+
+    // O-A23: CH `groupBitAnd`/`groupBitOr`/`groupBitXor` — bitwise
+    // aggregates over integer columns (permission masks, feature flags).
+    // Associative+commutative, so partials combine map-side like any sum.
+    "o_a23_bitagg" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(bit_and(col("user_id")).as("band"),
+          bit_or(col("user_id")).as("bor"),
+          bit_xor(col("user_id")).as("bxor"))
+        .orderBy("event_type")
+    }),
+
+    // O-A24: CH `intervalLengthSum` — total length of the UNION of
+    // per-key intervals (coverage seconds, not double-counting overlaps).
+    // Each event opens a 5-minute activity interval; overlapping/adjacent
+    // intervals merge. Classic sweep-line as ONE keyed window pass:
+    // an interval starts an island iff it begins after the running max
+    // end of everything before it; island id = running count of starts;
+    // then island length = max(end) - min(start), summed per user.
+    // Integer epoch-second arithmetic end to end — exact in both engines.
+    // One user_id shuffle; island state is O(1) per row.
+    "o_a24_interval_union" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("s", "event_id")
+      val prevMaxEnd = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("s"),
+          (unix_timestamp(col("ts")) + 300).as("e"))
+        .withColumn("new_island",
+          when(prevMaxEnd.isNull || col("s") > prevMaxEnd, 1).otherwise(0))
+        .withColumn("island",
+          sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "island")
+        .agg((max("e") - min("s")).as("len"))
+        .groupBy("user_id")
+        .agg(sum("len").as("covered_seconds"), count(lit(1)).as("n_islands"))
+        .orderBy("user_id")
     }),
 
     // ===================== §2.6 sort / limit / topk ====================
@@ -850,6 +890,44 @@ object Relational {
       """SELECT CAST(ts AS DATE) AS event_date, event_type,
                 LEAST(COUNT(DISTINCT user_id), 51) AS uniq_upto_50
          FROM events GROUP BY 1, 2 ORDER BY event_date, event_type""",
+
+    "o_a23_bitagg" ->
+      """SELECT event_type,
+                bit_and(user_id) AS band,
+                bit_or(user_id) AS bor,
+                bit_xor(user_id) AS bxor
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "o_a24_interval_union" ->
+      """WITH iv AS (
+           SELECT user_id, event_id,
+                  -- floor, not cast: epoch() keeps the fractional second
+                  -- and DuckDB CAST rounds; Spark unix_timestamp truncates
+                  CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                  CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
+           FROM events),
+         marked AS (
+           SELECT user_id, s, e,
+                  CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         IS NULL
+                         OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       THEN 1 ELSE 0 END AS new_island,
+                  event_id
+           FROM iv),
+         islands AS (
+           SELECT user_id, s, e,
+                  SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS island
+           FROM marked),
+         per AS (
+           SELECT user_id, island, MAX(e) - MIN(s) AS len
+           FROM islands GROUP BY 1, 2)
+         SELECT user_id, CAST(SUM(len) AS BIGINT) AS covered_seconds,
+                COUNT(*) AS n_islands
+         FROM per GROUP BY user_id ORDER BY user_id""",
 
     "o_a22_minmaxmap" ->
       """WITH g AS (
