@@ -62,7 +62,25 @@ object GraftExtensions {
       (es: Seq[Expression]) => TopKMergeAgg(es.head)),
     ("topk_extract",
       new ExpressionInfo(classOf[TopKExtract].getName, "topk_extract"),
-      (es: Seq[Expression]) => TopKExtract(es.head, es(1))))
+      (es: Seq[Expression]) => TopKExtract(es.head, es(1))),
+    ("bitmap_agg",
+      new ExpressionInfo(classOf[BitmapAgg].getName, "bitmap_agg"),
+      (es: Seq[Expression]) => BitmapAgg(es.head)),
+    ("bitmap_merge",
+      new ExpressionInfo(classOf[BitmapMergeAgg].getName, "bitmap_merge"),
+      (es: Seq[Expression]) => BitmapMergeAgg(es.head)),
+    ("bitmap_count",
+      new ExpressionInfo(classOf[BitmapCount].getName, "bitmap_count"),
+      (es: Seq[Expression]) => BitmapCount(es.head)),
+    ("bitmap_and_count",
+      new ExpressionInfo(classOf[BitmapAndCount].getName, "bitmap_and_count"),
+      (es: Seq[Expression]) => BitmapAndCount(es.head, es(1))),
+    ("bitmap_or_count",
+      new ExpressionInfo(classOf[BitmapOrCount].getName, "bitmap_or_count"),
+      (es: Seq[Expression]) => BitmapOrCount(es.head, es(1))),
+    ("bitmap_andnot_count",
+      new ExpressionInfo(classOf[BitmapAndnotCount].getName, "bitmap_andnot_count"),
+      (es: Seq[Expression]) => BitmapAndnotCount(es.head, es(1))))
 
   /** SQL table functions (FROM-clause relations). The graft_asof builder
     * returns a lazy [[graft.plans.AsOfJoinByName]] over UnresolvedRelation

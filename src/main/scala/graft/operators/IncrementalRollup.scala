@@ -120,6 +120,33 @@ object IncrementalRollup {
         .agg(expr("topk_merge(tk)").as("m"))
         .select(col("flag"), expr("topk_extract(m, 5)").as("top_suppliers"))
         .orderBy("flag")
+    }),
+
+    // O-A25: ClickHouse groupBitmap family — exact per-segment id sets
+    // with set algebra ON THE AGGREGATED STATES ("did A and B but not
+    // C"), not row joins: per-(type, batch) partial bitmap_agg states
+    // union through bitmap_merge (AggregatingMergeTree shape, raw rows
+    // never revisited), then every pairwise and/or/andnot cardinality is
+    // computed on one row per segment PAIR. The segment table is a
+    // handful of rows — broadcast nested-loop on the explicit hint; the
+    // only data-sized work is the one partial-agg shuffle.
+    "o_a25_bitmap_segments" -> ((s, d) => {
+      graft.functions.GraftExtensions.register(s)
+      val bm = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"),
+          pmod(col("event_id"), lit(4)).as("b"))
+        .groupBy("event_type", "b")
+        .agg(expr("bitmap_agg(user_id)").as("pb"))
+        .groupBy("event_type").agg(expr("bitmap_merge(pb)").as("bm"))
+      bm.as("x").join(broadcast(bm.as("y")),
+          col("x.event_type") < col("y.event_type"))
+        .select(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"),
+          expr("bitmap_count(x.bm)").as("users_a"),
+          expr("bitmap_count(y.bm)").as("users_b"),
+          expr("bitmap_and_count(x.bm, y.bm)").as("n_and"),
+          expr("bitmap_or_count(x.bm, y.bm)").as("n_or"),
+          expr("bitmap_andnot_count(x.bm, y.bm)").as("n_andnot"))
+        .orderBy("type_a", "type_b")
     })
   )
 
@@ -177,6 +204,23 @@ object IncrementalRollup {
          )
          SELECT flag,
                 string_agg(supp || ':' || w, '|' ORDER BY rk) AS top_suppliers
-         FROM r WHERE rk <= 5 GROUP BY flag ORDER BY flag"""
+         FROM r WHERE rk <= 5 GROUP BY flag ORDER BY flag""",
+
+    "o_a25_bitmap_segments" ->
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+         c AS (SELECT event_type, COUNT(*) AS n FROM u GROUP BY 1),
+         aand AS (
+           SELECT ua.event_type AS ta, ub.event_type AS tb, COUNT(*) AS n_and
+           FROM u ua JOIN u ub
+             ON ua.user_id = ub.user_id AND ua.event_type < ub.event_type
+           GROUP BY 1, 2)
+         SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+                ca.n AS users_a, cb.n AS users_b,
+                COALESCE(aand.n_and, 0) AS n_and,
+                ca.n + cb.n - COALESCE(aand.n_and, 0) AS n_or,
+                ca.n - COALESCE(aand.n_and, 0) AS n_andnot
+         FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+         LEFT JOIN aand ON aand.ta = ca.event_type AND aand.tb = cb.event_type
+         ORDER BY type_a, type_b"""
   )
 }

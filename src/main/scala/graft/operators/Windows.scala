@@ -151,6 +151,27 @@ object Windows {
         .orderBy("user_id")
     }),
 
+    // O-W9: CH `exponentialMovingAverage` — per-user EMA over the event
+    // stream, alpha = 1/2: ema_1 = x_1, ema_i = ema_{i-1}/2 + x_i/2.
+    // The recursion is ORDER-DEPENDENT floating point, so the only
+    // hash-exact formulation is the same left fold over the same ordered
+    // list in both engines (Spark `aggregate` HOF ≡ DuckDB `list_reduce`;
+    // identical IEEE op sequence ⇒ identical bits — and halving is
+    // exponent-only, so the only rounding is in the adds, which both
+    // engines execute in the same order). A window-sum-of-powers
+    // rewrite would change summation order and flake the compare.
+    "o_w9_ema" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(transform(array_sort(collect_list(struct(col("ts"),
+          col("event_id"), col("value")))), x => x.getField("value")).as("vs"))
+        .select(col("user_id"), size(col("vs")).as("n"),
+          expr("""aggregate(slice(vs, 2, size(vs) - 1),
+                    vs[0],
+                    (acc, x) -> acc * 0.5D + x * 0.5D)""").as("ema"))
+        .orderBy("user_id")
+    }),
+
     // O-T8: event-time tumbling window (batch form; streaming form in
     // graft.streaming). window() starts are epoch-aligned == date_trunc.
     "o_t8_tumbling" -> ((s, d) => {
@@ -238,6 +259,14 @@ object Windows {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY user_id""",
+
+    "o_w9_ema" ->
+      """WITH g AS (
+           SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+           FROM events GROUP BY user_id)
+         SELECT user_id, CAST(len(vs) AS INT) AS n,
+                list_reduce(vs, (acc, x) -> acc * 0.5e0 + x * 0.5e0) AS ema
+         FROM g ORDER BY user_id""",
 
     "o_w8_moving_collect" ->
       """WITH p AS (
