@@ -10,14 +10,13 @@ object TimeQueries {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: TimeQueries <sfDir> <query>...")
     val sf = args.head
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val unknown = args.tail.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")}; valid names: " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+    val spark: SparkSession = EngineSession.local(
+      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,
+      appName = "graft-timeq")
     args.tail.foreach { q =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, sf).count()

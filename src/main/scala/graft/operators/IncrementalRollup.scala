@@ -132,12 +132,16 @@ object IncrementalRollup {
     // only data-sized work is the one partial-agg shuffle.
     "o_a25_bitmap_segments" -> ((s, d) => {
       graft.functions.GraftExtensions.register(s)
+      // lineage-cut: bm feeds BOTH sides of the pair join; without the cut
+      // the events scan + bitmap aggregation would execute twice (the
+      // broadcast side and the probe side cannot share an exchange)
       val bm = Tables.events(s, d)
         .select(col("event_type"), col("user_id"),
           pmod(col("event_id"), lit(4)).as("b"))
         .groupBy("event_type", "b")
         .agg(expr("bitmap_agg(user_id)").as("pb"))
         .groupBy("event_type").agg(expr("bitmap_merge(pb)").as("bm"))
+        .localCheckpoint(true)
       bm.as("x").join(broadcast(bm.as("y")),
           col("x.event_type") < col("y.event_type"))
         .select(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"),
@@ -207,7 +211,8 @@ object IncrementalRollup {
          FROM r WHERE rk <= 5 GROUP BY flag ORDER BY flag""",
 
     "o_a25_bitmap_segments" ->
-      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events
+                    WHERE user_id IS NOT NULL),
          c AS (SELECT event_type, COUNT(*) AS n FROM u GROUP BY 1),
          aand AS (
            SELECT ua.event_type AS ta, ub.event_type AS tb, COUNT(*) AS n_and

@@ -628,7 +628,11 @@ object Relational {
     // round trip, no window shuffle beyond the one groupBy. Quantities
     // are integral doubles, so every sum is exact in both engines.
     "o_x9_array_cum" -> ((s, d) => {
+      // quantity IS NOT NULL both sides: a NULL element would be dropped
+      // by collect_list but kept by DuckDB's list() (and would poison the
+      // fold on either engine)
       Tables.lineitem(s, d)
+        .filter(col("l_quantity").isNotNull)
         .groupBy("l_orderkey")
         .agg(transform(array_sort(collect_list(
             struct(col("l_linenumber"), col("l_quantity")))),
@@ -947,7 +951,7 @@ object Relational {
                   -- has duplicate linenumbers per order, and Spark's
                   -- array_sort over the (ln, qty) struct breaks ties by qty
                   list(l_quantity ORDER BY l_linenumber, l_quantity) AS qs
-           FROM lineitem GROUP BY 1)
+           FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1)
          SELECT l_orderkey, qs,
                 list_transform(qs, (x, i) -> list_sum(qs[1:i])) AS cum,
                 list_transform(qs, (x, i) ->

@@ -137,7 +137,11 @@ object Windows {
     "o_w8_moving_collect" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         .rowsBetween(-2, Window.currentRow)
+      // value IS NOT NULL both sides: an all-NULL frame makes ms NULL,
+      // which collect_list drops but DuckDB's list() keeps (same latent
+      // skew as o_w9; harmless on current fixtures, pinned anyway)
       Tables.events(s, d)
+        .filter(col("value").isNotNull)
         .select(col("user_id"), col("ts"), col("event_id"),
           sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("ms"),
           (sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
@@ -161,7 +165,11 @@ object Windows {
     // engines execute in the same order). A window-sum-of-powers
     // rewrite would change summation order and flake the compare.
     "o_w9_ema" -> ((s, d) => {
+      // value IS NOT NULL on both sides: collect_list skips NULLs while
+      // DuckDB's list() keeps them — pin identical element lists so the
+      // bit-exactness argument below holds for any fixture
       Tables.events(s, d)
+        .filter(col("value").isNotNull)
         .groupBy("user_id")
         .agg(transform(array_sort(collect_list(struct(col("ts"),
           col("event_id"), col("value")))), x => x.getField("value")).as("vs"))
@@ -263,7 +271,7 @@ object Windows {
     "o_w9_ema" ->
       """WITH g AS (
            SELECT user_id, list(value ORDER BY ts, event_id) AS vs
-           FROM events GROUP BY user_id)
+           FROM events WHERE value IS NOT NULL GROUP BY user_id)
          SELECT user_id, CAST(len(vs) AS INT) AS n,
                 list_reduce(vs, (acc, x) -> acc * 0.5e0 + x * 0.5e0) AS ema
          FROM g ORDER BY user_id""",
@@ -275,6 +283,7 @@ object Windows {
                   CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
                     / COUNT(*) OVER w AS ma
            FROM events
+           WHERE value IS NOT NULL
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
          SELECT user_id,

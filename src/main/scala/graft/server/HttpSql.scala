@@ -70,7 +70,18 @@ final class HttpSql(spark: SparkSession, port: Int = 0) {
   }
 
   private object QueryHandler extends HttpHandler {
-    override def handle(x: HttpExchange): Unit = {
+    override def handle(x: HttpExchange): Unit =
+      // the JDK server swallows handler exceptions and drops the
+      // connection — catch everything that escapes the per-stage handling
+      // below (e.g. malformed percent-encoding in parseQueryString) and
+      // answer 400 rather than an EOF
+      try handleInner(x)
+      catch { case e: Exception =>
+        try respond(x, 400, "text/plain", s"Bad request: ${msg(e)}\n")
+        catch { case _: Exception => x.close() }
+      }
+
+    private def handleInner(x: HttpExchange): Unit = {
       val params = parseQueryString(Option(x.getRequestURI.getRawQuery))
       val body = new String(x.getRequestBody.readAllBytes(), UTF_8)
       // CH precedence: the `query` URL parameter and the body concatenate
@@ -84,11 +95,20 @@ final class HttpSql(spark: SparkSession, port: Int = 0) {
       HttpSql.formats.get(fmt.toLowerCase) match {
         case None => respond(x, 400, "text/plain", s"unknown FORMAT $fmt\n")
         case Some(render) =>
+          // the permanent/transient split the reference's dead-letter
+          // classifier keys on (src/handler.rs:206-212): parse/analysis
+          // failures are the permanent 400 class; anything at execution
+          // time (including eagerly-run commands like INSERT) is 500
           val df =
             try spark.sql(sqlText)
-            catch { case e: Exception => // parse/analysis: permanent (400 class)
-              respond(x, 400, "text/plain", s"Cannot parse query: ${msg(e)}\n")
-              return
+            catch {
+              case e @ (_: org.apache.spark.sql.catalyst.parser.ParseException |
+                        _: org.apache.spark.sql.AnalysisException) =>
+                respond(x, 400, "text/plain", s"Cannot parse query: ${msg(e)}\n")
+                return
+              case e: Exception =>
+                respond(x, 500, "text/plain", s"Query failed: ${msg(e)}\n")
+                return
             }
           try streamResult(x, df, render)
           catch { case e: Exception =>
@@ -98,21 +118,28 @@ final class HttpSql(spark: SparkSession, port: Int = 0) {
     }
   }
 
-  private def msg(e: Exception): String =
+  private def msg(e: Throwable): String =
     Option(e.getMessage).getOrElse(e.getClass.getSimpleName).linesIterator
       .take(4).mkString(" ")
 
-  /** Chunked streaming of the result set; O(partition) driver memory. */
+  /** Chunked streaming of the result set; O(partition) driver memory.
+    * The first `hasNext` runs the first Spark job BEFORE the 200 headers
+    * go out, so execution failures surface as a clean 500 from the caller
+    * (headers-already-sent would otherwise turn every runtime error into
+    * a truncated 200). Failures after the first partition can only
+    * truncate the chunked stream — inherent to streaming transfer. */
   private def streamResult(x: HttpExchange, df: DataFrame,
                            render: HttpSql.Format): Unit = {
     val schema = df.schema
+    val it = df.toLocalIterator()
+    val nonEmpty = it.hasNext // first job: throws HERE on execution error
     x.getResponseHeaders.set("Content-Type", render.contentType)
     x.sendResponseHeaders(200, 0) // 0 ⇒ chunked
     val out = x.getResponseBody
     try {
       render.header(schema).foreach(h => out.write(h.getBytes(UTF_8)))
-      val it = df.toLocalIterator()
-      while (it.hasNext) out.write(render.row(it.next(), schema).getBytes(UTF_8))
+      if (nonEmpty)
+        while (it.hasNext) out.write(render.row(it.next(), schema).getBytes(UTF_8))
     } finally { out.close(); x.close() }
   }
 
@@ -126,13 +153,14 @@ final class HttpSql(spark: SparkSession, port: Int = 0) {
 
   /** CH grammar: an outermost trailing `FORMAT <ident>` selects the output
     * format and is not part of the relational statement — Spark must not
-    * see it. Only strip at top level (a FORMAT inside a subquery string
-    * literal is untouched because we anchor at end-of-statement). */
+    * see it. Anchored at end-of-statement AND restricted to known format
+    * names, so `ORDER BY format DESC` (a column that happens to be named
+    * format) is never mangled. */
   private def stripFormatClause(q: String): (String, Option[String]) = {
-    val m = HttpSql.FormatClause.findFirstMatchIn(q)
-    m match {
-      case Some(g) => (q.substring(0, g.start).trim, Some(g.group(1)))
-      case None    => (q, None)
+    HttpSql.FormatClause.findFirstMatchIn(q) match {
+      case Some(g) if HttpSql.formats.contains(g.group(1).toLowerCase) =>
+        (q.substring(0, g.start).trim, Some(g.group(1)))
+      case _ => (q, None)
     }
   }
 
@@ -184,6 +212,7 @@ object HttpSql {
     s.flatMap {
       case '\t' => "\\t"
       case '\n' => "\\n"
+      case '\r' => "\\r"
       case '\\' => "\\\\"
       case c    => c.toString
     }
@@ -214,6 +243,9 @@ object HttpSql {
 
   private def jsonValue(v: Any, dt: DataType): String = (v, dt) match {
     case (null, _) => "null"
+    // non-finite doubles are not JSON; CH JSONEachRow emits null for them
+    case (d: java.lang.Double, _) if d.isNaN || d.isInfinite => "null"
+    case (f: java.lang.Float, _) if f.isNaN || f.isInfinite  => "null"
     case (_, _: NumericType) | (_, BooleanType) => v.toString
     case (s: Seq[_], ArrayType(et, _)) =>
       s.map(jsonValue(_, et)).mkString("[", ",", "]")

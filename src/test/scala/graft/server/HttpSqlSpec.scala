@@ -83,10 +83,45 @@ class HttpSqlSpec extends AnyFunSuite {
       val r = get(c, p, s"/?query=${enc("SELEKT 1")}")
       assert(r.statusCode() == 400)
       assert(r.body().startsWith("Cannot parse query:"))
-      val unknown = get(c, p, s"/?query=${enc("SELECT 1 FORMAT Quipu")}")
-      assert(unknown.statusCode() == 400)
       val empty = get(c, p, "/?query=")
       assert(empty.statusCode() == 400)
+    }
+  }
+
+  test("error contract: execution failure is 500, before any 200 bytes") {
+    withServer { (c, p) =>
+      val r = get(c, p, s"/?query=${enc("SELECT raise_error('boom')")}")
+      assert(r.statusCode() == 500)
+      assert(r.body().startsWith("Query failed:"))
+    }
+  }
+
+  test("robustness: malformed percent-encoding answers 400, not a dropped connection") {
+    withServer { (_, p) =>
+      // HttpClient validates URIs client-side; speak raw HTTP to exercise
+      // the server's own handling of a bad escape pair
+      val sock = new java.net.Socket("127.0.0.1", p)
+      try {
+        val out = sock.getOutputStream
+        out.write(("GET /?query=SELECT%zz1 HTTP/1.1\r\nHost: x\r\n" +
+          "Connection: close\r\n\r\n").getBytes(UTF_8))
+        out.flush()
+        val status = new String(sock.getInputStream.readAllBytes(), UTF_8)
+          .linesIterator.next()
+        assert(status.contains("400"), s"got: $status")
+      } finally sock.close()
+    }
+  }
+
+  test("FORMAT stripping is restricted to known format names") {
+    withServer { (c, p) =>
+      // unknown trailing ident -> treated as SQL, fails analysis as 400
+      val unknown = get(c, p, s"/?query=${enc("SELECT 1 FORMAT Quipu")}")
+      assert(unknown.statusCode() == 400)
+      // a column actually NAMED format is untouched
+      val col = get(c, p, s"/?query=${enc(
+        "SELECT * FROM (SELECT 2 AS format) ORDER BY format")}")
+      assert(col.statusCode() == 200 && col.body() == "2\n")
     }
   }
 }
