@@ -206,6 +206,34 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("o_a15d/o_a24: one user_id exchange, no joins (lead/sweep-line shapes)") {
+    Seq("o_a15d_funnel_strict", "o_a24_interval_union").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name should be join-free:\n$p")
+      // the data-sized shuffle happens ONCE: window + per-user aggregate
+      // ride the same user_id partitioning (the tiny result-distribution
+      // aggregate after it may add its own exchange)
+      assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+        s"$name should shuffle the stream on user_id exactly once:\n$p")
+    }
+  }
+
+  test("o_w8: window and collect ride one user_id exchange") {
+    val p = plan("o_w8_moving_collect")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"window + groupBy should reuse the same user_id partitioning:\n$p")
+  }
+
+  test("o_a25: pair join runs on the lineage-cut segment table, no rescan") {
+    val p = plan("o_a25_bitmap_segments")
+    // after the localCheckpoint cut, both join sides read checkpoint
+    // blocks — the events parquet scan must not appear in the join plan
+    assert(!p.contains("FileScan parquet"),
+      s"o_a25 join should read the cut segment table, not rescan events:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"tiny theta self-join should broadcast:\n$p")
+  }
+
   test("catalog queries avoid cartesian products except the declared cross joins") {
     val allowed = Set("o_j9_cross", "d_knn_cosine", "d_dedup_cosine", "d_ann_lsh")
     SparkEntry.queries.keys.filterNot(allowed).foreach { name =>
