@@ -144,32 +144,8 @@ object Similarity {
     // production corpus would raise the plane count with seeded random
     // hyperplanes (2^b ≈ n/30) at the cost of the oracle, trading recall
     // across buckets exactly like d_ann_lsh documents.
-    "d_dedup_semantic" -> ((s, d) => {
-      register(s)
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").as("v"))
-        .withColumn("n", norm("v"))
-        .withColumn("bucket", expr(
-          """aggregate(zip_with(slice(v, 1, 4), sequence(0, 3),
-                                (x, i) -> IF(x >= 0F, shiftleft(1, i), 0)),
-                       0, (acc, v) -> acc + v)"""))
-      val a = e.select(col("vec_id").as("va"), col("v").as("xa"),
-        col("n").as("na"), col("bucket"))
-      val b = e.select(col("vec_id").as("vb"), col("v").as("xb"),
-        col("n").as("nb"), col("bucket"))
-      val pairs = a.join(b, Seq("bucket"))
-        .filter(col("va") < col("vb"))
-        .withColumn("cos", round(dot("xa", "xb") / (col("na") * col("nb")), 4))
-        .filter(col("cos") >= 0.3)
-        .select("va", "vb")
-      val edges = Graph.symmetrize(pairs, "va", "vb").persist()
-      val (labels, caches) = Graph.minLabelComponents(edges)
-      Materialize.drop(labels
-        .select(col("id").as("vec_id"), col("lbl").as("cluster_id"))
-        .withColumn("cluster_size",
-          count(lit(1)).over(Window.partitionBy("cluster_id")))
-        .orderBy("vec_id"), edges +: caches: _*)
-    }),
+    "d_dedup_semantic" -> ((s, d) =>
+      semanticDedup(s, Tables.embeddings(s, d), planes = 4, threshold = 0.3)),
 
     // Embedding-cosine near-duplicate pairs (the "semantic dedup" shape):
     // all pairs above a cosine threshold, via the same broadcast pattern
@@ -190,6 +166,46 @@ object Similarity {
         .orderBy("va", "vb")
     })
   )
+
+  /** Semantic dedup library form behind `d_dedup_semantic`: sign-LSH
+    * bucketing over the first `planes` dims → exact cosine edges within
+    * bucket → [[Graph.minLabelComponents]]. `planes` is THE scale knob:
+    * candidate pairs cost Σ|bucket|², so size 2^planes ≈ corpus/30 (the
+    * d_ann_lsh rule) to keep buckets bounded as the corpus grows — the
+    * catalog instance pins planes=4 because the axis-aligned buckets
+    * reproduce exactly in the DuckDB oracle; tools/scale_smoke.sh drives
+    * this entry point with corpus-scaled planes. Cross-bucket recall
+    * trades exactly like d_ann_lsh documents (near-dups at threshold
+    * 0.9+ almost always share sign bits; a second, rotated plane set
+    * OR-ed in would recover the remainder at 2x candidate cost). */
+  def semanticDedup(s: SparkSession, embeddings: DataFrame,
+                    planes: Int, threshold: Double): DataFrame = {
+    require(planes >= 1 && planes <= 16, s"planes $planes outside [1,16]")
+    register(s)
+    val e = embeddings
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("n", norm("v"))
+      .withColumn("bucket", expr(
+        s"""aggregate(zip_with(slice(v, 1, $planes), sequence(0, ${planes - 1}),
+                              (x, i) -> IF(x >= 0F, shiftleft(1, i), 0)),
+                     0, (acc, v) -> acc + v)"""))
+    val a = e.select(col("vec_id").as("va"), col("v").as("xa"),
+      col("n").as("na"), col("bucket"))
+    val b = e.select(col("vec_id").as("vb"), col("v").as("xb"),
+      col("n").as("nb"), col("bucket"))
+    val pairs = a.join(b, Seq("bucket"))
+      .filter(col("va") < col("vb"))
+      .withColumn("cos", round(dot("xa", "xb") / (col("na") * col("nb")), 4))
+      .filter(col("cos") >= threshold)
+      .select("va", "vb")
+    val edges = Graph.symmetrize(pairs, "va", "vb").persist()
+    val (labels, caches) = Graph.minLabelComponents(edges)
+    Materialize.drop(labels
+      .select(col("id").as("vec_id"), col("lbl").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .orderBy("vec_id"), edges +: caches: _*)
+  }
 
   val oracles: Map[String, String] = Map(
     "d_knn_cosine" ->

@@ -1,0 +1,15 @@
+#!/bin/bash
+# Scale-stress the iterative/quadratic-prone operators on synthetic
+# corpora: tools/scale_smoke.sh [multipliers...] (default 1 4 16)
+set -e
+cd /root/repo
+sbt -batch package > /tmp/sbt_package.log 2>&1 || { tail -30 /tmp/sbt_package.log; exit 1; }
+ADDOPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADDOPENS="$ADDOPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+java $ADDOPENS -Xmx48g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "target/scala-2.13/ed_clickhousespark_2.13-0.1.0.jar:/opt/spark/jars/*" \
+  graft.ScaleSmoke "$@" 2>&1 | grep -E "^\[scale\]|Exception|Error" || true
