@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.TestSession
+import graft.operators.EventAnalytics
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental windowFunnel ([[FunnelStream]]) — O-A15's streaming form. */
+class FunnelStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private val t0 = 1726300800000L
+  private def ts(min: Long) = new Timestamp(t0 + min * 60000)
+  private val stages = Seq("signup", "click", "purchase")
+
+  test("levels advance across micro-batches; intra-batch disorder handled") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[FunnelEvent]
+    val q = FunnelStream.funnelUpdates(ms.toDS(), stages)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+
+    // batch 1: u1 signs up; u2 arrives DISORDERED inside the batch
+    // (click before its signup) — the in-batch sort must still chain them
+    ms.addData(FunnelEvent(1, "signup", ts(0)),
+      FunnelEvent(2, "click", ts(10)), FunnelEvent(2, "signup", ts(5)))
+    q.processAllAvailable()
+    // batch 2: u1 clicks then purchases (level jumps 1 -> 3 in one batch);
+    // u2's purchase lands BEFORE its click in event time -> no level 3
+    ms.addData(FunnelEvent(1, "click", ts(20)), FunnelEvent(1, "purchase", ts(30)),
+      FunnelEvent(2, "purchase", ts(7)))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("funnel_out")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // u1: level 1 in batch 1, then 3 in batch 2; u2: level 2 in batch 1
+    assert(rows == Set((1L, 1), (1L, 3), (2L, 2)))
+  }
+
+  test("final streamed levels agree with the batch operator (in-order stream)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // deterministic event log: 30 users, staggered stage progress
+    val log = (1 to 30).flatMap { u =>
+      val base = Seq(FunnelEvent(u.toLong, "signup", ts(u)))
+      val c = if (u % 2 == 0) Seq(FunnelEvent(u.toLong, "click", ts(u + 100))) else Nil
+      val p = if (u % 6 == 0) Seq(FunnelEvent(u.toLong, "purchase", ts(u + 200))) else Nil
+      base ++ c ++ p
+    }
+    val ms = MemoryStream[FunnelEvent]
+    val q = FunnelStream.funnelUpdates(ms.toDS(), stages)
+      .writeStream.format("memory").queryName("funnel_agree")
+      .outputMode("append").start()
+    log.sortBy(_.ts.getTime).grouped(17).foreach { chunk =>
+      ms.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+
+    // latest update per user = current level
+    val streamed = spark.table("funnel_agree")
+      .groupBy("user_id").agg(max("funnel_level").as("lvl"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batch = EventAnalytics.funnelLevels(
+        log.toDF("user_id", "event_type", "ts"),
+        stages.map(t => col("event_type") === t), window = None)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamed == batch)
+  }
+
+  test("batch-mode invocation emits each user's final level once") {
+    import spark.implicits._
+    val ds = Seq(FunnelEvent(7, "signup", ts(0)), FunnelEvent(7, "click", ts(1)),
+      FunnelEvent(8, "click", ts(0))).toDS()
+    val out = FunnelStream.funnelUpdates(ds, stages).collect()
+    // u8 never signs up -> level 0 -> no update row at all
+    assert(out.map(u => (u.user_id, u.funnel_level)).toSet == Set((7L, 2)))
+  }
+}
