@@ -7,8 +7,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 case class FunnelEvent(user_id: Long, event_type: String, ts: Timestamp)
 
-/** Emitted whenever a user's funnel level INCREASES (Update-style feed of
-  * `funnelLevels` — one row per advance, latest row per user = current). */
+/** Emitted in each micro-batch where a user's funnel level INCREASED,
+  * carrying the new level — a multi-level jump inside one batch collapses
+  * to a single row with the final level (FunnelStreamSpec pins this).
+  * Latest row per user = current level. */
 case class FunnelUpdate(user_id: Long, funnel_level: Int, at: Timestamp)
 
 private[streaming] case class FunnelChainState(mins: Seq[Long], emitted: Int)
@@ -32,10 +34,14 @@ private[streaming] case class FunnelChainState(mins: Seq[Long], emitted: Int)
   * (sorted here), so intra-batch disorder is handled; an event arriving
   * in a LATER batch with an earlier timestamp than already-consumed
   * history can under-count (the stage-k events it would have unlocked are
-  * forgotten) — the standard incremental-funnel trade, bounded in
-  * practice by the source watermark. The batch operator over the full
-  * log remains the exact reference; FunnelStreamSpec pins agreement on
-  * in-order streams.
+  * forgotten) — the standard incremental-funnel trade. The batch operator
+  * over the full log remains the exact reference; FunnelStreamSpec pins
+  * agreement on in-order streams.
+  *
+  * State boundedness: entries exist only for users with a chain START (a
+  * drive-by user who never hits stage 1 stores nothing), and
+  * `idleTimeoutMs` adds event-time eviction of stale chains for unbounded
+  * user populations.
   */
 object FunnelStream {
 
@@ -57,33 +63,57 @@ object FunnelStream {
   private[streaming] def level(mins: Seq[Long]): Int =
     mins.takeWhile(_ != Long.MaxValue).size
 
-  private def flatMapFn(stages: Seq[String])(
+  private def flatMapFn(stages: Seq[String], idleTimeoutMs: Long)(
       userId: Long, events: Iterator[FunnelEvent],
       state: GroupState[FunnelChainState]): Iterator[FunnelUpdate] = {
+    if (state.hasTimedOut) {
+      // idle user evicted: a funnel this stale is reported history, not
+      // live state; if the user returns, the chain restarts from scratch
+      state.remove()
+      return Iterator.empty
+    }
     val st0 = state.getOption.getOrElse(
       FunnelChainState(Seq.fill(stages.size)(Long.MaxValue), 0))
     val evs = events.toSeq
     val st1 = advance(stages, st0, evs)
     val lvl = level(st1.mins)
-    if (lvl > st1.emitted) {
-      // the level-lvl chain completed at the stage-(lvl-1) min timestamp
-      state.update(st1.copy(emitted = lvl))
-      Iterator.single(FunnelUpdate(userId, lvl, new Timestamp(st1.mins(lvl - 1))))
-    } else {
-      state.update(st1)
-      Iterator.empty
-    }
+    val out =
+      if (lvl > st1.emitted) {
+        // the level-lvl chain completed at the stage-(lvl-1) min timestamp
+        state.update(st1.copy(emitted = lvl))
+        Iterator.single(FunnelUpdate(userId, lvl, new Timestamp(st1.mins(lvl - 1))))
+      } else if (lvl > 0) {
+        state.update(st1)
+        Iterator.empty
+      } else {
+        // no stage-1 event yet ⇒ all-MaxValue state: nothing worth
+        // remembering (later stages can't chain without a start), so
+        // don't create a store entry for every drive-by user
+        Iterator.empty
+      }
+    if (idleTimeoutMs > 0 && state.exists)
+      state.setTimeoutTimestamp(
+        math.max(evs.map(_.ts.getTime).max, state.getCurrentWatermarkMs()) +
+          idleTimeoutMs)
+    out
   }
 
-  /** One update row per (user, level advance); works on a streaming OR
-    * batch Dataset (batch: each group visited once, final level emitted). */
-  def funnelUpdates(ds: Dataset[FunnelEvent],
-                    stages: Seq[String]): Dataset[FunnelUpdate] = {
+  /** Update feed per the [[FunnelUpdate]] contract; works on a streaming
+    * OR batch Dataset (batch: each group visited once, final level
+    * emitted). `idleTimeoutMs > 0` bounds the state store on unbounded
+    * user populations by evicting users idle past the watermark horizon —
+    * the streaming input must then carry a watermark on `ts`; pass 0 to
+    * keep every user's chain forever (bounded populations / batch). */
+  def funnelUpdates(ds: Dataset[FunnelEvent], stages: Seq[String],
+                    idleTimeoutMs: Long = 0L): Dataset[FunnelUpdate] = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     implicit val enc = Encoders.product[FunnelUpdate]
     implicit val stEnc = Encoders.product[FunnelChainState]
+    val timeout: GroupStateTimeout =
+      if (idleTimeoutMs > 0) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     ds.groupByKey(_.user_id)(Encoders.scalaLong)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        flatMapFn(stages))
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        flatMapFn(stages, idleTimeoutMs))
   }
 }

@@ -72,6 +72,35 @@ class FunnelStreamSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("no state is stored for users without a chain start; idle chains evict") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[FunnelEvent]
+    // watermarked input so EventTimeTimeout can evict
+    val input = ms.toDS().withWatermark("ts", "1 minute").as[FunnelEvent]
+    val q = FunnelStream.funnelUpdates(input, stages,
+        idleTimeoutMs = 60 * 60000) // evict after 1h idle
+      .writeStream.format("memory").queryName("funnel_ttl")
+      .outputMode("append").start()
+
+    // u1 starts a chain; u2 is a drive-by (click only, never signs up)
+    ms.addData(FunnelEvent(1, "signup", ts(0)), FunnelEvent(2, "click", ts(1)))
+    q.processAllAvailable()
+    // event time jumps 3h ahead -> watermark passes u1's idle horizon
+    ms.addData(FunnelEvent(3, "signup", ts(180)))
+    q.processAllAvailable()
+    // u1 returns AFTER eviction: its old signup is forgotten, so this
+    // click cannot chain (no level-2 update); u2's earlier click never
+    // created state, so its signup now is just level 1
+    ms.addData(FunnelEvent(1, "click", ts(185)), FunnelEvent(2, "signup", ts(186)))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("funnel_ttl")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rows == Set((1L, 1), (3L, 1), (2L, 1)))
+  }
+
   test("batch-mode invocation emits each user's final level once") {
     import spark.implicits._
     val ds = Seq(FunnelEvent(7, "signup", ts(0)), FunnelEvent(7, "click", ts(1)),

@@ -1,7 +1,7 @@
 #!/bin/bash
 # Scale-stress the iterative/quadratic-prone operators on synthetic
 # corpora: tools/scale_smoke.sh [multipliers...] (default 1 4 16)
-set -e
+set -eo pipefail
 cd /root/repo
 sbt -batch package > /tmp/sbt_package.log 2>&1 || { tail -30 /tmp/sbt_package.log; exit 1; }
 ADDOPENS=""
@@ -12,4 +12,4 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
 done
 java $ADDOPENS -Xmx48g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/ed_clickhousespark_2.13-0.1.0.jar:/opt/spark/jars/*" \
-  graft.ScaleSmoke "$@" 2>&1 | grep -E "^\[scale\]|Exception|Error" || true
+  graft.ScaleSmoke "$@" 2>&1 | grep -E "^\[scale\]|Exception|Error"

@@ -1,7 +1,7 @@
 #!/bin/bash
 # Time individual catalog queries: tools/time_queries.sh <sfDir> q1 q2 ...
 # (drill-down companion of verify.sh/Bench; uses graft.TimeQueries)
-set -e
+set -eo pipefail
 cd /root/repo
 SF=${1:-/root/testdata/sf0.1}; shift
 sbt -batch package > /tmp/sbt_package.log 2>&1 || { tail -30 /tmp/sbt_package.log; exit 1; }
@@ -13,4 +13,4 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
 done
 java $ADDOPENS -Xmx48g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/ed_clickhousespark_2.13-0.1.0.jar:/opt/spark/jars/*" \
-  graft.TimeQueries "$SF" "$@" 2>&1 | grep -E "^\[timeq\]|Exception|Error" || true
+  graft.TimeQueries "$SF" "$@" 2>&1 | grep -E "^\[timeq\]|Exception|Error"
