@@ -200,6 +200,63 @@ object Retention {
       affectedDates.filterNot(keptDates).map(d => s"event_date=$d"), purged)
   }
 
+  final case class MutationReport(datesRewritten: Seq[String], rowsUpdated: Long)
+
+  /** CH `ALTER TABLE … UPDATE col = expr WHERE cond` analog (the mutation
+    * sibling of [[purgeUser]] — e.g. pseudonymize a user instead of
+    * deleting them): rewrite ONLY the date partitions containing rows
+    * matching `cond`, applying `assignments` to the matching rows and
+    * passing everything else through byte-identical. Same discovery →
+    * staged-write → manifest → metadata-swap machinery and the same
+    * crash-safety argument as purgeUser (an update never empties a
+    * partition, so every manifest action is a swap). Partition columns
+    * cannot be assigned — that would MOVE rows between partitions, which
+    * is a delete+insert, not a mutation. */
+  def updateWhere(spark: SparkSession, tableDir: String,
+                  cond: org.apache.spark.sql.Column,
+                  assignments: Map[String, org.apache.spark.sql.Column])
+      : MutationReport = {
+    require(assignments.nonEmpty, "updateWhere: no assignments")
+    val f = fs(spark, tableDir)
+    resumePurge(f, tableDir)
+    val parts = datePartitions(spark, tableDir)
+    if (parts.isEmpty) return MutationReport(Nil, 0L)
+    def dirName(v: Any): String =
+      Option(v).map(_.toString).getOrElse("__HIVE_DEFAULT_PARTITION__")
+    val affectedDates = spark.read.option("basePath", tableDir)
+      .parquet(parts.map(_._2.toString): _*)
+      .filter(cond)
+      .select("event_date").distinct()
+      .collect().map(r => dirName(r.get(0))).sorted
+    if (affectedDates.isEmpty) return MutationReport(Nil, 0L)
+    val affectedPaths = affectedDates.map(d => s"$tableDir/event_date=$d")
+    val rows = spark.read.option("basePath", tableDir).parquet(affectedPaths: _*)
+    val partCols = Seq("event_date") ++
+      (if (rows.columns.contains("ingest_batch")) Seq("ingest_batch") else Nil)
+    val badAssign = assignments.keySet.intersect(partCols.toSet)
+    require(badAssign.isEmpty,
+      s"updateWhere: cannot assign partition columns ${badAssign.mkString(", ")}")
+    val unknown = assignments.keySet.diff(rows.columns.toSet)
+    require(unknown.isEmpty,
+      s"updateWhere: unknown columns ${unknown.mkString(", ")}")
+    val nUpdated = rows.filter(cond).count()
+    val mutated = rows.select(rows.columns.toSeq.map { c =>
+      assignments.get(c)
+        .map(a => when(cond, a).otherwise(col(c)).as(c))
+        .getOrElse(col(c))
+    }: _*)
+    val staging = new Path(tableDir, StagingName)
+    f.delete(staging, true)
+    mutated.write.mode("overwrite")
+      .partitionBy(partCols: _*).parquet(staging.toString)
+    val manifest = affectedDates.map(d => s"swap\tevent_date=$d")
+    val out = f.create(new Path(staging, ManifestName), true)
+    try out.write((manifest.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    applyPurgeSwap(f, tableDir, staging)
+    MutationReport(affectedDates.map(d => s"event_date=$d"), nUpdated)
+  }
+
   type Q = (SparkSession, String) => org.apache.spark.sql.DataFrame
 
   /** Oracled catalog surface: per-date retention census under the 24h

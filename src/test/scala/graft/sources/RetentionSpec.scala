@@ -119,6 +119,36 @@ class RetentionSpec extends AnyFunSuite {
     assert(multi.rowsPurged == 2L)
   }
 
+  test("updateWhere pseudonymizes in place, touching only affected partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mutate").toString
+    writeTable(dir)
+    // ALTER TABLE UPDATE analog: pseudonymize user 1 (GDPR alternative to
+    // purgeUser when aggregate continuity must survive the erasure)
+    val report = Retention.updateWhere(spark, dir,
+      col("user_id") === 1L, Map("user_id" -> lit(-1L)))
+    assert(report.rowsUpdated == 2L, report)
+    assert(report.datesRewritten ==
+      Seq("event_date=2024-01-01", "event_date=2024-01-02"))
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 6) // a mutation never changes cardinality
+    assert(after.filter(col("user_id") === 1L).count() == 0)
+    assert(after.filter(col("user_id") === -1L).count() == 2)
+    // non-assigned columns of updated rows pass through
+    assert(after.filter(col("user_id") === -1L)
+      .select("event_name").collect().map(_.getString(0)).sorted.toSeq == Seq("a", "c"))
+    // untouched partitions intact
+    assert(dates(dir).size == 4)
+    // idempotent follow-up: predicate matches nothing, zero partitions touched
+    val again = Retention.updateWhere(spark, dir,
+      col("user_id") === 1L, Map("user_id" -> lit(-1L)))
+    assert(again == Retention.MutationReport(Nil, 0L))
+    // partition columns are not assignable
+    intercept[IllegalArgumentException] {
+      Retention.updateWhere(spark, dir, col("user_id") === 2L,
+        Map("event_date" -> lit("2099-01-01")))
+    }
+  }
+
   test("a non-date partition dir neither wedges expiry nor escapes purge") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_nulldate").toString
