@@ -29,15 +29,9 @@ object Compaction {
     val path = new Path(tablePath)
     val fs = path.getFileSystem(hconf)
 
-    def parquetFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
-      val it = fs.listFiles(p, true)
-      val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet")) buf += f
-      }
-      buf.toSeq
-    }
+    // hidden-aware shared walk: _temporary leftovers from a crashed write
+    // must not count toward byte math or file counts
+    def parquetFiles(p: Path) = Parts.visibleParquetFiles(fs, p)
 
     val before = parquetFiles(path)
     val totalBytes = before.map(_.getLen).sum

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** `system.parts` analog — the ops introspection surface every MergeTree
@@ -17,45 +17,67 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (or S3 inventory) implementation would slot in. */
 object Parts {
 
-  final case class PartInfo(partition: String, n_files: Long, bytes: Long)
+  final case class PartInfo(partition: String, path: String,
+                            n_files: Long, bytes: Long)
+
+  /** Recursive walk of the DATA parquet files under `root`, applying
+    * Spark's hidden-path convention: any path segment below `root`
+    * starting with `_` or `.` (a `_temporary` leftover from a crashed
+    * write, a `.purge-tmp` staging dir, metadata sidecars) is invisible
+    * to `spark.read` and must be invisible to the census and compaction
+    * byte math too. Shared by [[Parts]] and [[Compaction]]. */
+  private[sources] def visibleParquetFiles(fs: FileSystem, root: Path)
+      : Seq[FileStatus] = {
+    val rootStr = root.toUri.getPath
+    def hidden(p: Path): Boolean = {
+      val rel = p.toUri.getPath.stripPrefix(rootStr).stripPrefix("/")
+      rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))
+    }
+    val it = fs.listFiles(root, true)
+    val buf = scala.collection.mutable.ArrayBuffer[FileStatus]()
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet") && !hidden(f.getPath))
+        buf += f
+    }
+    buf.toSeq
+  }
 
   /** One row per `event_date=*` partition dir (or per the bare table dir
-    * when unpartitioned): logical partition name, parquet file count,
-    * total bytes. Sorted by partition name. */
+    * when unpartitioned): logical partition name, the dir's absolute
+    * path, parquet file count, total bytes. Sorted by partition name. */
   def forTable(spark: SparkSession, tableDir: String): DataFrame = {
     import spark.implicits._
     val root = new Path(tableDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return Seq.empty[PartInfo].toDF()
     val partDirs = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
     def census(dir: Path): (Long, Long) = {
-      val it = fs.listFiles(dir, true)
-      var n = 0L; var bytes = 0L
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet")) { n += 1; bytes += f.getLen }
-      }
-      (n, bytes)
+      val files = visibleParquetFiles(fs, dir)
+      (files.size.toLong, files.map(_.getLen).sum)
     }
     val rows =
       if (partDirs.isEmpty) {
         val (n, b) = census(root)
-        Seq(PartInfo("<unpartitioned>", n, b))
+        Seq(PartInfo("<unpartitioned>", root.toString, n, b))
       } else partDirs.map { s =>
         val (n, b) = census(s.getPath)
-        PartInfo(s.getPath.getName, n, b)
+        PartInfo(s.getPath.getName, s.getPath.toString, n, b)
       }
     rows.sortBy(_.partition).toDF()
   }
 
-  /** Partitions whose file count exceeds `maxFiles` — the compaction
-    * work queue (`sources.Compaction` consumes dirs like these). */
+  /** Directories whose file count exceeds `maxFiles` — the compaction
+    * work queue, as directly consumable PATHS (the table dir itself for
+    * an unpartitioned table). */
   def needingCompaction(spark: SparkSession, tableDir: String,
                         maxFiles: Int): Seq[String] = {
     import org.apache.spark.sql.functions.col
     forTable(spark, tableDir)
       .filter(col("n_files") > maxFiles)
+      .select("path")
       .collect().map(_.getString(0)).toSeq
   }
 }

@@ -156,48 +156,67 @@ object Retention {
     resumePurge(f, tableDir)
     val parts = datePartitions(spark, tableDir)
     if (parts.isEmpty) return PurgeReport(Nil, Nil, 0L)
-    // a null partition value is Hive's default partition on disk
-    def dirName(v: Any): String =
-      Option(v).map(_.toString).getOrElse("__HIVE_DEFAULT_PARTITION__")
-    // pushdown scan: which dates hold the user? (reads only the user's
-    // row groups thanks to the parquet filter + column pruning)
-    val affectedDates = spark.read.option("basePath", tableDir)
-      .parquet(parts.map(_._2.toString): _*)
-      .filter(col(userCol) === userId)
-      .select("event_date").distinct()
-      .collect().map(r => dirName(r.get(0))).sorted
-    if (affectedDates.isEmpty) return PurgeReport(Nil, Nil, 0L)
+    // pushdown scan: which dates hold the user, and how many rows each
+    // (reads only the user's row groups thanks to filter + pruning)
+    val affected = discoverAffected(spark, tableDir, parts, col(userCol) === userId)
+    if (affected.isEmpty) return PurgeReport(Nil, Nil, 0L)
+    val affectedDates = affected.map(_._1)
+    val purged = affected.map(_._2).sum
     val affectedPaths = affectedDates.map(d => s"$tableDir/event_date=$d")
     val rows = spark.read.option("basePath", tableDir).parquet(affectedPaths: _*)
-    val partCols = Seq("event_date") ++
-      (if (rows.columns.contains("ingest_batch")) Seq("ingest_batch") else Nil)
     val keptCond = col(userCol) =!= userId || col(userCol).isNull
-    // one aggregate pass: exact audit count + which dates stay non-empty
-    val stats = rows.groupBy(col("event_date"))
-      .agg(sum(when(col(userCol) === userId, 1L).otherwise(0L)).as("n_user"),
-        sum(when(keptCond, 1L).otherwise(0L)).as("n_kept"))
-      .collect()
-      .map(r => (dirName(r.get(0)), r.getAs[Long]("n_user"), r.getAs[Long]("n_kept")))
-    val purged = stats.map(_._2).sum
-    val keptDates = stats.filter(_._3 > 0).map(_._1).toSet
-    // phase 1: batched staging write of every kept row (affected dates
-    // only); emptied dates simply have no staged dir
-    val staging = new Path(tableDir, StagingName)
-    f.delete(staging, true)
-    rows.filter(keptCond).write.mode("overwrite")
-      .partitionBy(partCols: _*).parquet(staging.toString)
-    // phase 2: manifest = the point of no return (resume applies it)
-    val manifest = affectedDates.map { d =>
-      val action = if (keptDates(d)) "swap" else "remove"
-      s"$action\tevent_date=$d"
-    }
-    val out = f.create(new Path(staging, ManifestName), true)
-    try out.write((manifest.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    // phase 3: metadata-only swap
-    applyPurgeSwap(f, tableDir, staging)
+    // which affected dates stay non-empty after the purge — the
+    // swap-vs-remove decision per manifest entry
+    val keptDates = rows.filter(keptCond)
+      .groupBy(col("event_date")).count()
+      .collect().map(r => partDirName(r.get(0))).toSet
+    stageAndSwap(f, tableDir, rows.filter(keptCond), partitionCols(rows),
+      affectedDates.map { d =>
+        val action = if (keptDates(d)) "swap" else "remove"
+        s"$action\tevent_date=$d"
+      })
     PurgeReport(affectedDates.filter(keptDates).map(d => s"event_date=$d"),
       affectedDates.filterNot(keptDates).map(d => s"event_date=$d"), purged)
+  }
+
+  /** Hive's on-disk name for a (possibly null) partition value. */
+  private def partDirName(v: Any): String =
+    Option(v).map(_.toString).getOrElse("__HIVE_DEFAULT_PARTITION__")
+
+  private def partitionCols(rows: org.apache.spark.sql.DataFrame): Seq[String] =
+    Seq("event_date") ++
+      (if (rows.columns.contains("ingest_batch")) Seq("ingest_batch") else Nil)
+
+  /** Pushdown discovery shared by the mutation paths: which event_date
+    * partitions hold rows matching `cond`, and how many match in each —
+    * ONE aggregate job over the full-table scan (the filter and the
+    * event_date projection both reach the parquet reader). */
+  private def discoverAffected(spark: SparkSession, tableDir: String,
+                               parts: Seq[(Option[LocalDate], Path)],
+                               cond: org.apache.spark.sql.Column)
+      : Seq[(String, Long)] =
+    spark.read.option("basePath", tableDir)
+      .parquet(parts.map(_._2.toString): _*)
+      .filter(cond)
+      .groupBy(col("event_date")).count()
+      .collect().map(r => (partDirName(r.get(0)), r.getLong(1)))
+      .sortBy(_._1).toSeq
+
+  /** Phases 1-3 shared by the mutation paths: batched staging write of
+    * the affected partitions' replacement rows, manifest (the point of no
+    * return — [[resumePurge]] finishes an interrupted application), then
+    * the metadata-only swap ([[applyPurgeSwap]]). */
+  private def stageAndSwap(f: org.apache.hadoop.fs.FileSystem, tableDir: String,
+                           staged: org.apache.spark.sql.DataFrame,
+                           partCols: Seq[String], actions: Seq[String]): Unit = {
+    val staging = new Path(tableDir, StagingName)
+    f.delete(staging, true)
+    staged.write.mode("overwrite")
+      .partitionBy(partCols: _*).parquet(staging.toString)
+    val out = f.create(new Path(staging, ManifestName), true)
+    try out.write((actions.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    applyPurgeSwap(f, tableDir, staging)
   }
 
   final case class MutationReport(datesRewritten: Seq[String], rowsUpdated: Long)
@@ -211,7 +230,13 @@ object Retention {
     * crash-safety argument as purgeUser (an update never empties a
     * partition, so every manifest action is a swap). Partition columns
     * cannot be assigned — that would MOVE rows between partitions, which
-    * is a delete+insert, not a mutation. */
+    * is a delete+insert, not a mutation — and every assignment must have
+    * the column's exact type (no implicit casts: a widened or mistyped
+    * assignment would commit affected partitions with a parquet schema
+    * that diverges from the untouched ones, leaving the table unreadable;
+    * callers cast explicitly). All validation runs BEFORE any Spark job,
+    * so a typo'd cron mutation fails today, not the day its predicate
+    * first matches data. */
   def updateWhere(spark: SparkSession, tableDir: String,
                   cond: org.apache.spark.sql.Column,
                   assignments: Map[String, org.apache.spark.sql.Column])
@@ -221,39 +246,37 @@ object Retention {
     resumePurge(f, tableDir)
     val parts = datePartitions(spark, tableDir)
     if (parts.isEmpty) return MutationReport(Nil, 0L)
-    def dirName(v: Any): String =
-      Option(v).map(_.toString).getOrElse("__HIVE_DEFAULT_PARTITION__")
-    val affectedDates = spark.read.option("basePath", tableDir)
+    val all = spark.read.option("basePath", tableDir)
       .parquet(parts.map(_._2.toString): _*)
-      .filter(cond)
-      .select("event_date").distinct()
-      .collect().map(r => dirName(r.get(0))).sorted
-    if (affectedDates.isEmpty) return MutationReport(Nil, 0L)
-    val affectedPaths = affectedDates.map(d => s"$tableDir/event_date=$d")
-    val rows = spark.read.option("basePath", tableDir).parquet(affectedPaths: _*)
-    val partCols = Seq("event_date") ++
-      (if (rows.columns.contains("ingest_batch")) Seq("ingest_batch") else Nil)
+    val partCols = partitionCols(all)
     val badAssign = assignments.keySet.intersect(partCols.toSet)
     require(badAssign.isEmpty,
       s"updateWhere: cannot assign partition columns ${badAssign.mkString(", ")}")
-    val unknown = assignments.keySet.diff(rows.columns.toSet)
+    val unknown = assignments.keySet.diff(all.columns.toSet)
     require(unknown.isEmpty,
       s"updateWhere: unknown columns ${unknown.mkString(", ")}")
-    val nUpdated = rows.filter(cond).count()
+    // type check via analysis only — no job runs
+    val assignedSchema =
+      all.select(assignments.map { case (c, a) => a.as(c) }.toSeq: _*).schema
+    assignments.keys.foreach { c =>
+      val got = assignedSchema(c).dataType
+      val want = all.schema(c).dataType
+      require(got == want,
+        s"updateWhere: assignment to $c has type ${got.sql}, column is ${want.sql} (cast explicitly)")
+    }
+    val affected = discoverAffected(spark, tableDir, parts, cond)
+    if (affected.isEmpty) return MutationReport(Nil, 0L)
+    val affectedDates = affected.map(_._1)
+    val nUpdated = affected.map(_._2).sum
+    val rows = spark.read.option("basePath", tableDir)
+      .parquet(affectedDates.map(d => s"$tableDir/event_date=$d"): _*)
     val mutated = rows.select(rows.columns.toSeq.map { c =>
       assignments.get(c)
         .map(a => when(cond, a).otherwise(col(c)).as(c))
         .getOrElse(col(c))
     }: _*)
-    val staging = new Path(tableDir, StagingName)
-    f.delete(staging, true)
-    mutated.write.mode("overwrite")
-      .partitionBy(partCols: _*).parquet(staging.toString)
-    val manifest = affectedDates.map(d => s"swap\tevent_date=$d")
-    val out = f.create(new Path(staging, ManifestName), true)
-    try out.write((manifest.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    applyPurgeSwap(f, tableDir, staging)
+    stageAndSwap(f, tableDir, mutated, partCols,
+      affectedDates.map(d => s"swap\tevent_date=$d"))
     MutationReport(affectedDates.map(d => s"event_date=$d"), nUpdated)
   }
 

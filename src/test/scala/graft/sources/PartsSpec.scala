@@ -19,22 +19,39 @@ class PartsSpec extends AnyFunSuite {
       .write.partitionBy("event_date").mode("append").parquet(dir)
 
     val parts = Parts.forTable(spark, dir).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .map(r => (r.getAs[String]("partition"), r.getAs[Long]("n_files"),
+        r.getAs[Long]("bytes")))
     assert(parts.map(_._1).toSeq ==
       Seq("event_date=2024-01-01", "event_date=2024-01-02"))
     val Array(jan1, jan2) = parts
     assert(jan1._2 == 4 && jan2._2 == 1)
     assert(jan1._3 > 0 && jan2._3 > 0)
-    // census survives the partition census -> compaction round trip
-    assert(Parts.needingCompaction(spark, dir, maxFiles = 2) ==
-      Seq("event_date=2024-01-01"))
+    // the work queue is directly consumable paths
+    val queue = Parts.needingCompaction(spark, dir, maxFiles = 2)
+    assert(queue.size == 1 && queue.head.endsWith("/event_date=2024-01-01"))
+    assert(new java.io.File(new java.net.URI(queue.head).getPath).isDirectory)
     Compaction.compact(spark, dir, sortCols = Seq("v"))
     assert(Parts.needingCompaction(spark, dir, maxFiles = 2).isEmpty)
     // rows intact after compaction, census reflects the merge
     assert(spark.read.parquet(dir).count() == 9)
     val after = Parts.forTable(spark, dir)
       .filter(col("partition") === "event_date=2024-01-01").head()
-    assert(after.getLong(1) == 1)
+    assert(after.getAs[Long]("n_files") == 1)
+  }
+
+  test("census ignores hidden dirs the reader ignores (_temporary leftovers)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_parts_tmp").toString
+    Seq((1L, "2024-01-01")).toDF("v", "event_date").coalesce(1)
+      .write.partitionBy("event_date").mode("append").parquet(dir)
+    // simulate a crashed write: orphaned task file under _temporary
+    val orphanDir = new java.io.File(s"$dir/event_date=2024-01-01/_temporary/0")
+    assert(orphanDir.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$orphanDir/part-orphan.parquet"),
+      Array.fill(128)(0.toByte))
+    val row = Parts.forTable(spark, dir).head()
+    assert(row.getAs[Long]("n_files") == 1, "orphan counted") // not 2
   }
 
   test("empty / missing / unpartitioned tables") {
@@ -43,6 +60,10 @@ class PartsSpec extends AnyFunSuite {
     val flat = java.nio.file.Files.createTempDirectory("graft_parts_flat").toString
     Seq(1L, 2L).toDF("v").coalesce(1).write.mode("overwrite").parquet(flat)
     val row = Parts.forTable(spark, flat).head()
-    assert(row.getString(0) == "<unpartitioned>" && row.getLong(1) == 1)
+    assert(row.getAs[String]("partition") == "<unpartitioned>" &&
+      row.getAs[Long]("n_files") == 1)
+    // unpartitioned work queue points at the table dir itself
+    assert(Parts.needingCompaction(spark, flat, maxFiles = 0)
+      .head.endsWith(new java.io.File(flat).getName))
   }
 }

@@ -147,6 +147,18 @@ class RetentionSpec extends AnyFunSuite {
       Retention.updateWhere(spark, dir, col("user_id") === 2L,
         Map("event_date" -> lit("2099-01-01")))
     }
+    // type-changing assignments are rejected before anything runs — a
+    // silent cast would commit partitions with a divergent parquet schema
+    intercept[IllegalArgumentException] {
+      Retention.updateWhere(spark, dir, col("user_id") === 2L,
+        Map("user_id" -> lit("anon")))
+    }
+    // validation is not data-dependent: a typo'd column fails loudly even
+    // when the predicate matches nothing today
+    intercept[IllegalArgumentException] {
+      Retention.updateWhere(spark, dir, col("user_id") === 999L,
+        Map("user_idd" -> lit(-1L)))
+    }
   }
 
   test("a non-date partition dir neither wedges expiry nor escapes purge") {
