@@ -416,6 +416,20 @@ object Relational {
         .orderBy("event_date")
     }),
 
+    // O-A26: CH statistical aggregates (`stddevSamp`/`varPop`/`corr`/
+    // `covarSamp`) — moment-based, partial+final mergeable like any sum.
+    // round(6) per the SURVEY §5 determinism rule: the merge tree shape
+    // differs between engines, so last-ulp summation order may too.
+    "o_a26_stats" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_pop(col("l_quantity")), 6).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("cov_qp"))
+        .orderBy("l_returnflag")
+    }),
+
     // O-A23: CH `groupBitAnd`/`groupBitOr`/`groupBitXor` — bitwise
     // aggregates over integer columns (permission masks, feature flags).
     // Associative+commutative, so partials combine map-side like any sum.
@@ -894,6 +908,14 @@ object Relational {
       """SELECT CAST(ts AS DATE) AS event_date, event_type,
                 LEAST(COUNT(DISTINCT user_id), 51) AS uniq_upto_50
          FROM events GROUP BY 1, 2 ORDER BY event_date, event_type""",
+
+    "o_a26_stats" ->
+      """SELECT l_returnflag,
+                round(stddev_samp(l_quantity), 6) AS sd_qty,
+                round(var_pop(l_quantity), 6) AS var_qty,
+                round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+                round(covar_samp(l_quantity, l_extendedprice), 6) AS cov_qp
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "o_a23_bitagg" ->
       """SELECT event_type,
