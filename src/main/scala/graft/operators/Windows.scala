@@ -139,7 +139,10 @@ object Windows {
         .rowsBetween(-2, Window.currentRow)
       // value IS NOT NULL both sides: an all-NULL frame makes ms NULL,
       // which collect_list drops but DuckDB's list() keeps (same latent
-      // skew as o_w9; harmless on current fixtures, pinned anyway)
+      // skew as o_w9; harmless on current fixtures, pinned anyway).
+      // The per-user arrays are zipped and posexploded back to
+      // (user_id, ord, ms, ma) scalar rows: the adjudication harness
+      // re-sorts frames in pandas, where a list cell is unhashable.
       Tables.events(s, d)
         .filter(col("value").isNotNull)
         .select(col("user_id"), col("ts"), col("event_id"),
@@ -152,7 +155,11 @@ object Windows {
             col("ms")))), x => x.getField("ms")).as("moving_sums"),
           transform(array_sort(collect_list(struct(col("ts"), col("event_id"),
             col("ma")))), x => x.getField("ma")).as("moving_avgs"))
-        .orderBy("user_id")
+        .select(col("user_id"),
+          posexplode(arrays_zip(col("moving_sums"), col("moving_avgs"))))
+        .select(col("user_id"), col("pos").as("ord"),
+          col("col.moving_sums").as("ms"), col("col.moving_avgs").as("ma"))
+        .orderBy("user_id", "ord")
     }),
 
     // O-W9: CH `exponentialMovingAverage` — per-user EMA over the event
@@ -287,9 +294,10 @@ object Windows {
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
          SELECT user_id,
-                list(ms ORDER BY ts, event_id) AS moving_sums,
-                list(ma ORDER BY ts, event_id) AS moving_avgs
-         FROM p GROUP BY user_id ORDER BY user_id""",
+                CAST(row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) - 1 AS INT) AS ord,
+                ms, ma
+         FROM p ORDER BY user_id, ord""",
 
     "o_t8_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,

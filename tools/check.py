@@ -6,9 +6,35 @@ Usage: check.py <sfDir> <verifyOutDir>
 Reads each <out>/<name> parquet result (Spark side), runs the matching
 oracle SQL from <out>/oracle_sql.json in DuckDB over the sfDir tables,
 sorts columns by name, and compares schema + values row by row.
+
+Mirrors the DRIVER's harness shape (learned the hard way in round 5):
+the driver re-sorts both frames with pandas sort_values before hashing,
+and a list/ndarray-typed cell is unhashable there — so this gate (a) does
+the same pandas re-sort, failing exactly where the driver would, and
+(b) rejects array-typed result columns outright, since the driver can
+never adjudicate them even when a row-order compare would pass.
 """
 import json, sys, glob, os
 import duckdb
+import numpy as np
+
+
+def array_cols(df):
+    """Columns whose cells are list/ndarray — unhashable for the driver."""
+    bad = []
+    for c in df.columns:
+        if df[c].dtype == object:
+            s = df[c].dropna()
+            if len(s) and isinstance(s.iloc[0], (list, np.ndarray)):
+                bad.append(c)
+    return bad
+
+
+def driver_sort(df):
+    """The driver's pandas re-sort; raises like the driver on bad cells."""
+    if len(df.columns) == 0:
+        return df
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -39,6 +65,18 @@ def main(sf_dir, out_dir):
         exp = exp[sorted(exp.columns)]
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: cols {list(got.columns)} != {list(exp.columns)}")
+            n_fail += 1; continue
+        arr = array_cols(got) + [c for c in array_cols(exp) if c not in array_cols(got)]
+        if arr:
+            print(f"FAIL {name}: array-typed result column(s) {arr} — the "
+                  f"driver's pandas sort_values cannot hash these; reshape "
+                  f"to scalar rows (posexplode) or canonical strings")
+            n_fail += 1; continue
+        try:
+            got = driver_sort(got)
+            exp = driver_sort(exp)
+        except Exception as ex:
+            print(f"FAIL {name}: driver-style pandas re-sort crashed: {ex}")
             n_fail += 1; continue
         if got.dtypes.tolist() != exp.dtypes.tolist():
             print(f"WARN {name}: dtypes differ: "
