@@ -1,7 +1,7 @@
 package graft.server
 
 import java.io.OutputStream
-import java.net.InetSocketAddress
+import java.net.{InetAddress, InetSocketAddress}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.sql.Timestamp
 import java.time.format.DateTimeFormatter
@@ -13,6 +13,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.streaming.{EventSchemas, Ingest, ProtoWire}
 
 /** SQL-over-HTTP surface — the analysts' entry point the reference
   * deployment exposes by publishing ClickHouse's HTTP port
@@ -29,6 +30,16 @@ import graft.Tables
   *     A trailing `FORMAT <name>` clause (the CH grammar) is recognized and
   *     stripped before Spark parses the statement; `default_format=` query
   *     parameter is the fallback, mirroring CH precedence.
+  *   - `POST /?query=INSERT INTO [db.]<table> FORMAT Protobuf [SETTINGS
+  *     format_schema='…']` with a BINARY body of concatenated
+  *     varint-length-delimited proto3 messages → decoded via
+  *     [[graft.streaming.ProtoWire]] against the table's wire schema and
+  *     appended through the ingest tail (proto3 default fill, epoch→ts,
+  *     sorted date-partitioned layout). This is the one verb the reference
+  *     itself issues against this interface (`src/click_house.rs:75-84`);
+  *     the inserted rows are immediately SELECTable on the same surface.
+  *     Requires a `dataDir` (tables live at `dataDir/<table>`); servers
+  *     started without one refuse the verb with the permanent class.
   *
   * Scale shape: results are streamed through `toLocalIterator` — one
   * partition resident on the driver at a time, chunked transfer encoding on
@@ -40,15 +51,23 @@ import graft.Tables
   * (`src/handler.rs:206-212`): parse/analysis failures (the "Cannot parse"
   * class) → HTTP 400; execution failures → HTTP 500. The reference
   * classifies exactly those 4xx codes as dead-letter-permanent.
+  *
+  * The server binds LOOPBACK unless an explicit `bindAddress` opts into
+  * wider exposure: this surface executes arbitrary SQL (including eager
+  * commands), so reachable-by-default would hand any network peer the
+  * engine. The reference deployment makes the same call explicitly by
+  * publishing the port in compose; we require the same explicitness.
   */
-final class HttpSql(spark: SparkSession, port: Int = 0) {
+final class HttpSql(spark: SparkSession, port: Int = 0,
+                    dataDir: Option[String] = None,
+                    bindAddress: InetAddress = InetAddress.getLoopbackAddress) {
 
   private var server: HttpServer = _
 
   /** Bind + start; returns the actual port (useful with port = 0). */
   def start(): Int = synchronized {
     require(server == null, "already started")
-    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server = HttpServer.create(new InetSocketAddress(bindAddress, port), 0)
     server.createContext("/ping", PingHandler)
     server.createContext("/", QueryHandler)
     // small fixed pool: the server is an access path, not the engine —
@@ -83,11 +102,21 @@ final class HttpSql(spark: SparkSession, port: Int = 0) {
 
     private def handleInner(x: HttpExchange): Unit = {
       val params = parseQueryString(Option(x.getRequestURI.getRawQuery))
+      val paramQuery = params.get("query").filter(_.nonEmpty).map(_.trim)
+      // INSERT … FORMAT Protobuf carries a BINARY body — it must be
+      // matched on the URL-param query BEFORE the body is read as UTF-8
+      // (the reference's exact request shape, src/click_house.rs:80-84:
+      // query in the URL, raw wire bytes as the body)
+      paramQuery.flatMap(q =>
+          HttpSql.InsertProto.findFirstMatchIn(q).map(_.group(1))) match {
+        case Some(table) => handleInsert(x, table); return
+        case None        => ()
+      }
       val body = new String(x.getRequestBody.readAllBytes(), UTF_8)
       // CH precedence: the `query` URL parameter and the body concatenate
       // (parameterized INSERTs rely on it); for the SELECT surface the
       // practical reading is param-if-present, else body
-      val raw = params.get("query").filter(_.nonEmpty).getOrElse(body).trim
+      val raw = paramQuery.getOrElse(body).trim
       if (raw.isEmpty) { respond(x, 400, "text/plain", "empty query\n"); return }
       val (sqlText, fmtClause) = stripFormatClause(raw)
       val fmt = fmtClause.orElse(params.get("default_format"))
@@ -115,6 +144,42 @@ final class HttpSql(spark: SparkSession, port: Int = 0) {
             respond(x, 500, "text/plain", s"Query failed: ${msg(e)}\n")
           }
       }
+    }
+  }
+
+  /** The reference's own verb against this surface: binary protobuf body,
+    * decoded against the target table's wire schema and appended through
+    * the shared ingest tail. Error classes mirror the dead-letter
+    * classifier (src/handler.rs:206-212): unknown table → 404, malformed
+    * wire bytes → 400 "Cannot parse" (both permanent); write failures →
+    * 500 (transient, retryable). Success is CH-shaped: empty 200. */
+  private def handleInsert(x: HttpExchange, table: String): Unit = {
+    val root = dataDir.getOrElse {
+      respond(x, 400, "text/plain",
+        "INSERT surface disabled: server started without a dataDir\n")
+      return
+    }
+    val schema = EventSchemas.tables.getOrElse(table, {
+      respond(x, 404, "text/plain", s"UNKNOWN_TABLE $table\n")
+      return
+    })
+    val body = x.getRequestBody.readAllBytes()
+    val jsons =
+      try ProtoWire.splitFrames(body).map(ProtoWire.decodeToJson(_, schema))
+      catch { case e: ProtoWire.ProtoParseException =>
+        respond(x, 400, "text/plain", s"Cannot parse Protobuf body: ${msg(e)}\n")
+        return
+      }
+    try {
+      import spark.implicits._
+      val rows = spark.read.schema(schema).json(spark.createDataset(jsons))
+      Ingest.writeTyped(rows, table, schema, root, batchId = -1L)
+      // make the rows SELECTable on this same surface right away (the
+      // nine event-table names never collide with registerTables' views)
+      spark.read.parquet(s"$root/$table").createOrReplaceTempView(table)
+      respond(x, 200, "text/plain", "")
+    } catch { case e: Exception =>
+      respond(x, 500, "text/plain", s"Insert failed: ${msg(e)}\n")
     }
   }
 
@@ -179,6 +244,16 @@ object HttpSql {
 
   private val FormatClause =
     """(?is)\bFORMAT\s+([A-Za-z]\w*)\s*;?\s*$""".r
+
+  /** `INSERT INTO [db.]<table> FORMAT Protobuf`, with the reference's
+    * trailing `SETTINGS format_schema='…'` (src/click_house.rs:75-78)
+    * accepted on either side of the FORMAT clause and otherwise ignored —
+    * the table name alone binds the wire schema here. */
+  private[server] val InsertProto =
+    ("""(?is)^\s*INSERT\s+INTO\s+(?:\w+\.)?(\w+)\s+""" +
+     """(?:SETTINGS\s+format_schema\s*=\s*'[^']*'\s+)?""" +
+     """FORMAT\s+Protobuf\s*""" +
+     """(?:SETTINGS\s+format_schema\s*=\s*'[^']*'\s*)?;?\s*$""").r
 
   /** Register the testdata tables as temp views so HTTP queries address
     * them by name (the CH deployment's `db.table` names play this role). */

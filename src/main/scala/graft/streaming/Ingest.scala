@@ -161,9 +161,11 @@ object Ingest {
     * fields become ""/0/false — FIXTURES.md invariant 4), epoch-seconds →
     * TimestampType, MergeTree-style sorted/date-partitioned layout, and
     * the idempotent batch sink. `rows` carries the table's typed wire
-    * columns (from the envelope decode or the graft-proto source). */
-  private def writeTyped(rows: DataFrame, table: String, schema: StructType,
-                         outDir: String, batchId: Long): Unit = {
+    * columns (from the envelope decode, the graft-proto source, or the
+    * HTTP INSERT surface — [[graft.server.HttpSql]] reuses this tail with
+    * batchId = -1 for a plain ad-hoc append). */
+  def writeTyped(rows: DataFrame, table: String, schema: StructType,
+                 outDir: String, batchId: Long): Unit = {
     val defaults: Map[String, Any] = schema.fields.collect {
       case StructField(n, StringType, _, _) if n != "payload" => n -> ""
       case StructField(n, IntegerType, _, _) => n -> 0

@@ -117,6 +117,18 @@ object ProtoWire {
 
   // ------------------------------ decode ------------------------------
 
+  /** Split a concatenated varint-length-delimited stream into its message
+    * frames — the shape of an HTTP `INSERT … FORMAT Protobuf` body (the
+    * reference concatenates its batched payloads into one body,
+    * src/click_house.rs:70-73). A truncated length or body throws
+    * [[ProtoParseException]] — the permanent "Cannot parse" class. */
+  def splitFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val r = new Reader(bytes)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    while (r.hasMore) out += r.lenDelimited()
+    out.toSeq
+  }
+
   private final class Reader(bytes: Array[Byte]) {
     var pos = 0
     def hasMore: Boolean = pos < bytes.length

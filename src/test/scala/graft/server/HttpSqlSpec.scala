@@ -113,6 +113,90 @@ class HttpSqlSpec extends AnyFunSuite {
     }
   }
 
+  // ------------- INSERT … FORMAT Protobuf (the reference's verb) --------
+
+  private def withInsertServer[A](f: (HttpClient, Int) => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-http-insert").toString
+    val srv = new HttpSql(spark, dataDir = Some(dir))
+    val port = srv.start()
+    try f(HttpClient.newHttpClient(), port) finally srv.stop()
+  }
+
+  private def postBytes(c: HttpClient, port: Int, query: String,
+                        body: Array[Byte]): HttpResponse[String] =
+    c.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/?query=${enc(query)}"))
+        .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  /** One login_events wire message: envelope fields 1-16, epoch seconds. */
+  private def loginMsg(eventId: String, userId: String, epoch: Long): Array[Byte] = {
+    val schema = graft.streaming.EventSchemas.tables("login_events")
+    val values = schema.fieldNames.map {
+      case "event_id"   => eventId
+      case "event_name" => "login"
+      case "user_id"    => userId
+      case "timestamp"  => epoch
+      case "platform"   => "web"
+      case _            => "" // proto3 default: omitted on the wire
+    }.toSeq
+    graft.streaming.ProtoWire.encode(values, schema)
+  }
+
+  private def framed(msgs: Array[Byte]*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    msgs.foreach(graft.streaming.ProtoWire.writeFrame(out, _))
+    out.toByteArray
+  }
+
+  test("INSERT FORMAT Protobuf e2e: wire bytes in, rows SELECTable on the same surface") {
+    withInsertServer { (c, p) =>
+      // the reference's exact query shape, src/click_house.rs:75-78
+      val ins = postBytes(c, p,
+        "INSERT INTO login_events FORMAT Protobuf SETTINGS format_schema='dto.proto:LoginEvent'",
+        framed(loginMsg("e1", "u1", 1726300800L), loginMsg("e2", "u2", 1726304400L)))
+      assert(ins.statusCode() == 200, ins.body())
+
+      val sel = get(c, p, s"/?query=${enc(
+        "SELECT event_id, user_id, timestamp FROM login_events ORDER BY event_id")}")
+      assert(sel.statusCode() == 200, sel.body())
+      assert(sel.body() ==
+        "e1\tu1\t2024-09-14 08:00:00\ne2\tu2\t2024-09-14 09:00:00\n")
+
+      // second insert APPENDS (ad-hoc batches accumulate like CH parts)
+      val again = postBytes(c, p,
+        "INSERT INTO graft.login_events FORMAT Protobuf",
+        framed(loginMsg("e3", "u1", 1726308000L)))
+      assert(again.statusCode() == 200, again.body())
+      val n = get(c, p, s"/?query=${enc("SELECT COUNT(*) AS n FROM login_events")}")
+      assert(n.body() == "3\n")
+    }
+  }
+
+  test("INSERT error classes: unknown table 404, malformed body 400, both permanent") {
+    withInsertServer { (c, p) =>
+      val unk = postBytes(c, p, "INSERT INTO nope FORMAT Protobuf",
+        framed(loginMsg("e1", "u1", 1L)))
+      assert(unk.statusCode() == 404)
+      assert(unk.body().startsWith("UNKNOWN_TABLE"))
+
+      // frame promises 100 bytes, delivers 2 — truncated body
+      val bad = postBytes(c, p, "INSERT INTO login_events FORMAT Protobuf",
+        Array[Byte](100, 1, 2))
+      assert(bad.statusCode() == 400)
+      assert(bad.body().startsWith("Cannot parse Protobuf body"))
+    }
+  }
+
+  test("INSERT without a dataDir is refused with the permanent class") {
+    withServer { (c, p) =>
+      val r = postBytes(c, p, "INSERT INTO login_events FORMAT Protobuf",
+        framed(loginMsg("e1", "u1", 1L)))
+      assert(r.statusCode() == 400)
+      assert(r.body().contains("dataDir"))
+    }
+  }
+
   test("FORMAT stripping is restricted to known format names") {
     withServer { (c, p) =>
       // unknown trailing ident -> treated as SQL, fails analysis as 400
