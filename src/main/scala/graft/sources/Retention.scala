@@ -151,21 +151,34 @@ object Retention {
     * are kept (`=!=` alone evaluates NULL → dropped, which would silently
     * delete rows belonging to no one). */
   def purgeUser(spark: SparkSession, tableDir: String, userId: Long,
-                userCol: String = "user_id"): PurgeReport = {
+                userCol: String = "user_id"): PurgeReport =
+    deleteWhere(spark, tableDir, col(userCol) === userId)
+
+  /** CH `ALTER TABLE … DELETE WHERE cond` analog — the most-used mutation,
+    * completing the triad with [[updateWhere]] and [[expireByAge]]. SQL
+    * DELETE semantics: rows where `cond` is TRUE go; rows where it is
+    * FALSE or NULL stay (a NULL predicate must never silently delete —
+    * same guard purgeUser has always had for NULL user ids). Rewrites
+    * ONLY the date partitions containing matching rows — pushdown
+    * discovery → ONE batched staging write of the kept rows → manifest →
+    * metadata-only swap, with [[resumePurge]] converging an interrupted
+    * run. A partition emptied by the delete is removed outright. */
+  def deleteWhere(spark: SparkSession, tableDir: String,
+                  cond: org.apache.spark.sql.Column): PurgeReport = {
     val f = fs(spark, tableDir)
     resumePurge(f, tableDir)
     val parts = datePartitions(spark, tableDir)
     if (parts.isEmpty) return PurgeReport(Nil, Nil, 0L)
-    // pushdown scan: which dates hold the user, and how many rows each
-    // (reads only the user's row groups thanks to filter + pruning)
-    val affected = discoverAffected(spark, tableDir, parts, col(userCol) === userId)
+    // pushdown scan: which dates hold matching rows, and how many each
+    // (reads only the matching row groups thanks to filter + pruning)
+    val affected = discoverAffected(spark, tableDir, parts, cond)
     if (affected.isEmpty) return PurgeReport(Nil, Nil, 0L)
     val affectedDates = affected.map(_._1)
-    val purged = affected.map(_._2).sum
+    val deleted = affected.map(_._2).sum
     val affectedPaths = affectedDates.map(d => s"$tableDir/event_date=$d")
     val rows = spark.read.option("basePath", tableDir).parquet(affectedPaths: _*)
-    val keptCond = col(userCol) =!= userId || col(userCol).isNull
-    // which affected dates stay non-empty after the purge — the
+    val keptCond = !coalesce(cond, lit(false))
+    // which affected dates stay non-empty after the delete — the
     // swap-vs-remove decision per manifest entry
     val keptDates = rows.filter(keptCond)
       .groupBy(col("event_date")).count()
@@ -176,7 +189,7 @@ object Retention {
         s"$action\tevent_date=$d"
       })
     PurgeReport(affectedDates.filter(keptDates).map(d => s"event_date=$d"),
-      affectedDates.filterNot(keptDates).map(d => s"event_date=$d"), purged)
+      affectedDates.filterNot(keptDates).map(d => s"event_date=$d"), deleted)
   }
 
   /** Hive's on-disk name for a (possibly null) partition value. */
@@ -287,6 +300,26 @@ object Retention {
     * anchor so the result is deterministic at every SF). `expired = 1`
     * rows are exactly the partitions [[expireByAge]] would drop. */
   val queries: Map[String, Q] = Map(
+    // deleteWhere's decision surface as a read-only census: per date, how
+    // many rows a representative `ALTER TABLE … DELETE WHERE` predicate
+    // (error events below value 50) would remove, how many stay, and
+    // whether the partition empties (the manifest's swap-vs-remove call).
+    // The predicate is NULLable through `value` — NULL must count as KEPT,
+    // pinning the SQL DELETE null semantics the mutation implements.
+    "s_mut_delete" -> ((s, d) => {
+      val cond = col("event_type") === "error" && col("value") < 50
+      graft.Tables.events(s, d)
+        .withColumn("event_date", to_date(col("ts")))
+        .groupBy("event_date")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(coalesce(cond, lit(false)), 1)).as("n_deleted"))
+        .select(col("event_date"), col("n_rows"), col("n_deleted"),
+          (col("n_rows") - col("n_deleted")).as("n_kept"),
+          when(col("n_rows") === col("n_deleted"), 1).otherwise(0)
+            .as("removes_partition"))
+        .orderBy("event_date")
+    }),
+
     "s_ttl_prune" -> ((s, d) => {
       val e = graft.Tables.events(s, d).withColumn("event_date", to_date(col("ts")))
       val cutoff = e.agg(max(col("ts")).as("mx"))
@@ -300,6 +333,18 @@ object Retention {
   )
 
   val oracles: Map[String, String] = Map(
+    "s_mut_delete" ->
+      """SELECT CAST(ts AS DATE) AS event_date,
+                COUNT(*) AS n_rows,
+                COUNT(*) FILTER (WHERE COALESCE(event_type = 'error'
+                                                AND value < 50, FALSE)) AS n_deleted,
+                COUNT(*) - COUNT(*) FILTER (WHERE COALESCE(event_type = 'error'
+                                                           AND value < 50, FALSE)) AS n_kept,
+                CASE WHEN COUNT(*) = COUNT(*) FILTER (WHERE COALESCE(event_type = 'error'
+                                                                     AND value < 50, FALSE))
+                     THEN 1 ELSE 0 END AS removes_partition
+         FROM events GROUP BY 1 ORDER BY event_date""",
+
     "s_ttl_prune" ->
       """WITH c AS (SELECT CAST(max(ts) - INTERVAL 24 HOUR AS DATE) AS cutoff FROM events),
             g AS (SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n_rows

@@ -119,6 +119,63 @@ class RetentionSpec extends AnyFunSuite {
     assert(multi.rowsPurged == 2L)
   }
 
+  test("deleteWhere: predicate delete with SQL NULL semantics, partition removal, idempotent re-run") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delete").toString
+    // value is NULLable so the predicate `value < 10` can be NULL —
+    // SQL DELETE must KEEP those rows (NULL is not TRUE)
+    Seq((1L, "a", Some(5L), "2024-03-01"), (2L, "b", None, "2024-03-01"),
+        (3L, "c", Some(50L), "2024-03-01"),
+        (4L, "d", Some(1L), "2024-03-02"), (5L, "e", Some(2L), "2024-03-02"),
+        (6L, "f", Some(99L), "2024-03-03"))
+      .toDF("user_id", "event_name", "value", "event_date")
+      .withColumn("event_date", to_date(col("event_date")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+
+    val r = Retention.deleteWhere(spark, dir, col("value") < 10)
+    // Mar 1: one matching row deleted, NULL-predicate + non-matching kept;
+    // Mar 2: every row matches -> the partition disappears;
+    // Mar 3: untouched (never in the affected set)
+    assert(r.rowsPurged == 3L, r)
+    assert(r.datesRewritten == Seq("event_date=2024-03-01"), r)
+    assert(r.datesRemoved == Seq("event_date=2024-03-02"), r)
+    assert(dates(dir) == Seq("event_date=2024-03-01", "event_date=2024-03-03"))
+    val left = spark.read.parquet(dir).orderBy("user_id")
+    assert(left.select("user_id").as[Long].collect().toSeq == Seq(2L, 3L, 6L),
+      "NULL-predicate row and non-matching rows survive")
+    // idempotent: the same predicate again is a clean no-op
+    val again = Retention.deleteWhere(spark, dir, col("value") < 10)
+    assert(again.rowsPurged == 0L && again.datesRewritten.isEmpty
+      && again.datesRemoved.isEmpty)
+  }
+
+  test("deleteWhere converges after a crash mid-swap (manifest resume)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_delete_crash").toString
+    writeTable(dir)
+    // simulate a crash AFTER staging committed but BEFORE the swap ran:
+    // hand-build the staging dir + manifest exactly as phase 2 leaves them
+    val stagingDir = new java.io.File(dir, ".purge-tmp")
+    // staged kept rows for Jan 1 (drop event 'a'): write via Spark so the
+    // parquet layout matches, then a manifest directing swap + remove
+    spark.read.parquet(s"$dir/event_date=2024-01-01")
+      .filter(col("event_name") =!= "a")
+      .write.partitionBy("ingest_batch")
+      .parquet(s"$stagingDir/event_date=2024-01-01")
+    java.nio.file.Files.write(new java.io.File(stagingDir, "_MANIFEST").toPath,
+      "swap\tevent_date=2024-01-01\nremove\tevent_date=2024-01-04\n"
+        .getBytes("UTF-8"))
+    // ANY retention entry point resumes the interrupted application first;
+    // a deleteWhere matching nothing exercises exactly the resume path
+    val r = Retention.deleteWhere(spark, dir, col("event_name") === "no-such")
+    assert(r.rowsPurged == 0L)
+    assert(!stagingDir.exists, "staging cleaned after resume")
+    assert(dates(dir) == Seq("event_date=2024-01-01", "event_date=2024-01-02",
+      "event_date=2024-01-03"), "Jan 4 removed by the resumed manifest")
+    val left = spark.read.parquet(dir)
+    assert(left.count() == 4, "Jan 1 swapped to the staged kept rows")
+    assert(left.filter(col("event_name") === "a").count() == 0)
+  }
+
   test("updateWhere pseudonymizes in place, touching only affected partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mutate").toString
     writeTable(dir)
