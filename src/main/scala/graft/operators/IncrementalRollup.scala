@@ -136,6 +136,10 @@ object IncrementalRollup {
       // the events scan + bitmap aggregation would execute twice (the
       // broadcast side and the probe side cannot share an exchange)
       val bm = Tables.events(s, d)
+        // bitmap_agg skips NULL ids but would still emit an empty-bitmap
+        // segment for a type whose ids are ALL null, where the oracle's
+        // WHERE drops the type entirely — filter both sides identically
+        .filter(col("user_id").isNotNull)
         .select(col("event_type"), col("user_id"),
           pmod(col("event_id"), lit(4)).as("b"))
         .groupBy("event_type", "b")

@@ -297,7 +297,8 @@ object HttpSql {
 
   private def csvCell(v: Any): String = Option(scalar(v)) match {
     case None => "\\N"
-    case Some(s) if s.exists(c => c == ',' || c == '"' || c == '\n') =>
+    // '\r' must quote too: a bare CR breaks row framing for CRLF parsers
+    case Some(s) if s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r') =>
       "\"" + s.replace("\"", "\"\"") + "\""
     case Some(s) => s
   }

@@ -25,6 +25,22 @@ class IncrementalRollupSpec extends AnyFunSuite {
     assert(rebatched == oneShot) // exact sketch-merge equality, not approx
   }
 
+  test("o_a25 shape: a segment whose ids are ALL NULL vanishes, matching the oracle's WHERE") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    // bitmap_agg skips NULLs, so without a pre-filter an all-NULL type
+    // yields an EMPTY segment row that the oracle (WHERE user_id IS NOT
+    // NULL) never sees — the catalog query filters first; pin that here
+    val df = Seq(("click", Some(1L)), ("click", Some(2L)),
+                 ("ghost", None), ("ghost", None))
+      .toDF("event_type", "user_id")
+    val segs = df.filter(col("user_id").isNotNull)
+      .groupBy("event_type").agg(expr("bitmap_agg(user_id)").as("bm"))
+      .select(col("event_type"), expr("bitmap_count(bm)").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(segs == Map("click" -> 2L), s"ghost segment must not appear: $segs")
+  }
+
   test("rollup estimates track exact distincts; partial table is group-sized") {
     val e = Tables.events(spark, sf).withColumn("event_date", to_date(col("ts")))
     val keys = Seq("event_type")

@@ -78,6 +78,15 @@ class HttpSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("CSV quotes a bare carriage return — CRLF-aware parsers must not split the row") {
+    withServer { (c, p) =>
+      val r = get(c, p, s"/?query=${enc(
+        "SELECT concat('a', char(13), 'b') AS v, 1 AS n FORMAT CSV")}")
+      assert(r.statusCode() == 200)
+      assert(r.body() == "\"a\rb\",1\n", r.body().getBytes(UTF_8).mkString(","))
+    }
+  }
+
   test("error contract: bad SQL is the permanent (400) class, not 500") {
     withServer { (c, p) =>
       val r = get(c, p, s"/?query=${enc("SELEKT 1")}")

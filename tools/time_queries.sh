@@ -3,7 +3,10 @@
 # (drill-down companion of verify.sh/Bench; uses graft.TimeQueries)
 set -eo pipefail
 cd /root/repo
-SF=${1:-/root/testdata/sf0.1}; shift
+# guard BEFORE shift: bare `shift` under set -e exits silently with no
+# args, and a forgotten <sfDir> would eat the first query name as the dir
+[ $# -ge 2 ] || { echo "usage: time_queries.sh <sfDir> q1 [q2 ...]" >&2; exit 1; }
+SF=$1; shift
 sbt -batch package > /tmp/sbt_package.log 2>&1 || { tail -30 /tmp/sbt_package.log; exit 1; }
 ADDOPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
