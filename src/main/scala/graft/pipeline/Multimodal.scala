@@ -31,15 +31,17 @@ case class AudioWindow(doc_id: Long, win_idx: Int, win_off: Int,
 
 /** Multimodal column processing for training-data pipelines.
   *
-  * The decode step is a clearly-marked STUB: image/audio codec libraries
-  * are not in this container, so `decodeStub` computes deterministic
-  * byte-level statistics in place of a real decoder. Everything around
-  * it — the binary column schema, the partition-preserving batched
-  * `mapPartitions` execution (the Scala analog of a Pandas-UDF batch:
-  * decode wants amortized per-batch setup, e.g. a codec context or GPU
-  * handle), and the typed output schema — is the real pipeline and is
-  * what the tests exercise. Swapping in a real decoder changes only the
-  * body of `decodeStub`.
+  * The decode kernel is REAL for the audio path: [[WavCodec]] parses
+  * RIFF/WAVE PCM payloads to samples (pure JVM — WAV needs no codec
+  * library) and decodable audio rows get sample-domain features. Payloads
+  * no in-container codec can decode (png/mp4, or bytes that aren't valid
+  * WAV) take `byteStats`, the clearly-labeled byte-level FALLBACK — the
+  * same route a production pipeline gives undecodable media before
+  * dead-lettering. The plumbing — binary column schema, the
+  * partition-preserving batched `mapPartitions` execution (the Scala
+  * analog of a Pandas-UDF batch: decode wants amortized per-batch setup,
+  * e.g. a codec context or GPU handle), and the typed output schema —
+  * is identical for both routes.
   */
 object Multimodal {
 
@@ -55,9 +57,11 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB decoder — deterministic byte statistics in place of a codec.
-    * A real implementation would decode pixels/samples here. */
-  private[pipeline] def decodeStub(bytes: Array[Byte]): (Double, Double, Array[Float]) = {
+  /** Byte-level FALLBACK features for payloads no available codec can
+    * decode (a real pipeline computes these for routing/QC before
+    * dead-lettering undecodable media). Decodable audio never lands
+    * here — [[WavCodec]] is the real kernel for that path. */
+  private[pipeline] def byteStats(bytes: Array[Byte]): (Double, Double, Array[Float]) = {
     if (bytes.isEmpty) return (0.0, 0.0, Array.fill(4)(0f))
     val hist = new Array[Int](256)
     var sum = 0L
@@ -82,16 +86,43 @@ object Multimodal {
   private def frameCount(mime: String, len: Int, stride: Int = 256): Int =
     if (mime.startsWith("video/")) math.max(1, len / stride) else 1
 
+  /** Per-band normalized RMS over the decoded samples — the real audio
+    * "thumbnail" (energy envelope), full-scale 1.0 at the bit depth. */
+  private[pipeline] def rmsBands(w: WavCodec.Wav, bands: Int = 4): Array[Float] = {
+    val s = w.samples
+    if (s.isEmpty) return Array.fill(bands)(0f)
+    val fullScale = (1 << (w.bitsPerSample - 1)).toDouble
+    val q = math.max(1, s.length / bands)
+    (0 until bands).map { b =>
+      val from = b * q
+      val until = if (b == bands - 1) s.length else math.min((b + 1) * q, s.length)
+      if (from >= until) 0f
+      else {
+        var sumSq = 0L
+        var i = from
+        while (i < until) { sumSq += s(i).toLong * s(i); i += 1 }
+        (math.sqrt(sumSq.toDouble / (until - from)) / fullScale).toFloat
+      }
+    }.toArray
+  }
+
   /** Batched feature extraction. Batches inside each partition mirror
     * the batch shape a real decoder needs (vectorized codec / model
-    * inference); partitioning of the input is preserved — no shuffle. */
+    * inference); partitioning of the input is preserved — no shuffle.
+    * Audio payloads that parse as RIFF/WAVE get the REAL kernel: `thumb`
+    * is the decoded signal's 4-band RMS envelope. Everything else falls
+    * back to byte-quarter means ([[byteStats]]). */
   def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         // per-batch setup would go here (codec context, model handle)
         batch.iterator.map { r =>
-          val (mean, entropy, thumb) = decodeStub(r.media)
+          val (mean, entropy, byteThumb) = byteStats(r.media)
+          val thumb =
+            if (r.mime.startsWith("audio/"))
+              WavCodec.decode(r.media).map(rmsBands(_)).getOrElse(byteThumb)
+            else byteThumb
           MediaFeatures(r.doc_id, r.mime, r.media.length, mean, entropy,
             thumb, frameCount(r.mime, r.media.length))
         }
@@ -160,6 +191,36 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // The REAL audio kernel, fully oracled end to end: per src1 doc a
+    // deterministic PCM16 signal is synthesized, encoded to actual
+    // RIFF/WAVE bytes, decoded back by WavCodec, and featurized —
+    // sample count, peak, RMS, zero crossings. DuckDB recomputes the
+    // same features analytically from the signal formula, so a decoder
+    // that misreads the header, sample width, endianness or sign fails
+    // the hash. RMS goes through an exact integer sum of squares; the
+    // only double ops (one divide, one sqrt) are correctly-rounded IEEE
+    // on both engines.
+    "d_media_wav_features" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).filter(col("source") === "src1")
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = (200 + id % 57).toInt
+          val rate = (8000 + (id % 4) * 4000).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((i.toLong * 37 + id * 11) % 2001) - 1000).toShort)
+          val wav = WavCodec.decode(WavCodec.encodePcm16(samples, rate))
+            .getOrElse(throw new IllegalStateException(s"undecodable synth wav for doc $id"))
+          val f = WavCodec.features(wav)
+          (id, wav.sampleRate, f.nSamples, wav.durationMs, f.peak, f.rms,
+            f.zeroCrossings)
+        }
+        .toDF("doc_id", "sample_rate", "n_samples", "duration_ms", "peak",
+          "rms", "zcr")
+        .withColumn("rms", round(col("rms"), 6))
+        .orderBy("doc_id")
+    }),
+
     "d_media_meta" -> ((s, d) => {
       extractFeatures(asMedia(Tables.documents(s, d)))
         .toDF()
@@ -188,6 +249,32 @@ object Multimodal {
     * row), so character slicing in the oracle equals the byte slicing the
     * Spark side does on the binary payload. */
   val oracles: Map[String, String] = Map(
+    "d_media_wav_features" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE source = 'src1'),
+         s AS (
+           SELECT doc_id, i,
+                  ((i * 37 + doc_id * 11) % 2001) - 1000 AS v
+           FROM d, unnest(generate_series(0, 200 + doc_id % 57 - 1)) AS t(i)),
+         l AS (
+           SELECT doc_id, i, v,
+                  lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+           FROM s),
+         f AS (
+           SELECT doc_id,
+                  COUNT(*) AS n_samples,
+                  MAX(ABS(v)) AS peak,
+                  SUM(v * v) AS sumsq,
+                  COUNT(*) FILTER (WHERE prev * v < 0) AS zcr
+           FROM l GROUP BY doc_id)
+         SELECT doc_id,
+                CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+                CAST(n_samples AS INT) AS n_samples,
+                n_samples * 1000 // (8000 + (doc_id % 4) * 4000) AS duration_ms,
+                CAST(peak AS INT) AS peak,
+                round(sqrt(CAST(sumsq AS DOUBLE) / n_samples), 6) AS rms,
+                CAST(zcr AS INT) AS zcr
+         FROM f ORDER BY doc_id""",
+
     "d_media_meta" ->
       """SELECT doc_id,
                 CASE WHEN source = 'src0' THEN 'image/png'
