@@ -443,6 +443,72 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // O-A27: CH `quantileExactWeighted` — weighted median where each
+    // value carries an integer weight (row = l_quantity units shipped at
+    // that price). Pure ORDER STATISTICS: one keyed window pass builds
+    // the cumulative weight, and the answer is the smallest value whose
+    // cumulative weight reaches half the total — exact picks, no
+    // summation-order hazard (weights are exact BIGINTs). Both window
+    // sums ride one l_returnflag exchange.
+    "o_a27_weighted_median" -> ((s, d) => {
+      val byVal = Window.partitionBy("l_returnflag")
+        .orderBy("val", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy("l_returnflag")
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice").as("val"),
+          col("l_quantity").cast("bigint").as("wt"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("cum", sum("wt").over(byVal))
+        .withColumn("tot", sum("wt").over(whole))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy("l_returnflag")
+        .agg(min("val").as("wmedian"))
+        .orderBy("l_returnflag")
+    }),
+
+    // O-A28: CH `deltaSum` — total of the POSITIVE deltas between
+    // consecutive values in event order (monotone-counter ingestion:
+    // odometer resets contribute nothing; rises sum). Decimal deltas keep
+    // the sum exact and order-independent; one user_id shuffle.
+    "o_a28_delta_sum" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .withColumn("prev", lag("v", 1).over(w))
+        .groupBy("user_id")
+        .agg(sum(when(col("v") > col("prev"), col("v") - col("prev"))
+            .otherwise(lit(0).cast("decimal(18,2)")))
+            .cast("double").as("delta_sum"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id")
+    }),
+
+    // O-A29: CH `boundingRatio` — slope of the bounding box: (value at
+    // the last event - value at the first) / elapsed seconds, per user.
+    // first/last picked by max_by/min_by over the (ts, event_id) struct —
+    // exact order statistics; the single division is the only double op
+    // (rounded per the §5 determinism rule), and a zero time span yields
+    // NULL via nullif. Value rows with NULL are excluded on both sides so
+    // the boundary picks agree.
+    "o_a29_bounding_ratio" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .groupBy("user_id")
+        .agg(
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("v_first"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("v_last"),
+          (max(unix_timestamp(col("ts"))) - min(unix_timestamp(col("ts"))))
+            .as("span_s"))
+        .select(col("user_id"),
+          round((col("v_last") - col("v_first")) /
+            nullif(col("span_s"), lit(0)).cast("double"), 6).as("bounding_ratio"),
+          col("span_s"))
+        .orderBy("user_id")
+    }),
+
     // O-A23: CH `groupBitAnd`/`groupBitOr`/`groupBitXor` — bitwise
     // aggregates over integer columns (permission masks, feature flags).
     // Associative+commutative, so partials combine map-side like any sum.
@@ -938,6 +1004,54 @@ object Relational {
                 round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
                 round(covar_samp(l_quantity, l_extendedprice), 6) AS cov_qp
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "o_a27_weighted_median" ->
+      """WITH t AS (
+           SELECT l_returnflag, l_extendedprice AS val,
+                  SUM(CAST(l_quantity AS BIGINT))
+                    OVER (PARTITION BY l_returnflag
+                          ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                  SUM(CAST(l_quantity AS BIGINT))
+                    OVER (PARTITION BY l_returnflag) AS tot
+           FROM lineitem)
+         SELECT l_returnflag, MIN(val) AS wmedian
+         FROM t WHERE cum * 2 >= tot
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "o_a28_delta_sum" ->
+      """WITH t AS (
+           SELECT user_id,
+                  CAST(value AS DECIMAL(18,2)) AS v,
+                  lag(CAST(value AS DECIMAL(18,2)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events WHERE value IS NOT NULL)
+         SELECT user_id,
+                CAST(SUM(CASE WHEN v > prev THEN v - prev
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS delta_sum,
+                COUNT(*) AS n
+         FROM t GROUP BY user_id ORDER BY user_id""",
+
+    "o_a29_bounding_ratio" ->
+      """WITH f AS (
+           SELECT user_id, ts, event_id, value FROM events
+           WHERE value IS NOT NULL),
+         w AS (
+           SELECT user_id, value, ts,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn_a,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn_d
+           FROM f)
+         SELECT user_id,
+                round((MAX(CASE WHEN rn_d = 1 THEN value END)
+                       - MAX(CASE WHEN rn_a = 1 THEN value END))
+                      / CAST(NULLIF(MAX(CAST(floor(epoch(ts)) AS BIGINT))
+                                    - MIN(CAST(floor(epoch(ts)) AS BIGINT)), 0)
+                             AS DOUBLE), 6) AS bounding_ratio,
+                MAX(CAST(floor(epoch(ts)) AS BIGINT))
+                  - MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS span_s
+         FROM w GROUP BY user_id ORDER BY user_id""",
 
     "o_a23_bitagg" ->
       """SELECT event_type,
