@@ -1,0 +1,77 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** `system.query_log` analog — the other half of the CH ops surface next
+  * to [[Parts]] (`system.parts`): every deployment that exposes a query
+  * port ([ddl] build/docker-compose.yml:8-9) gets per-query telemetry
+  * (duration, status, error class) queryable IN the engine itself.
+  *
+  * Spark-native shape: a [[QueryExecutionListener]] registered on the
+  * session. The listener fires on the driver after each ACTION with the
+  * execution's wall time and outcome; entries accumulate in a bounded
+  * in-memory ring (the newest `capacity` survive — telemetry must never
+  * become the memory leak it is meant to catch) and surface as a
+  * DataFrame via [[toDF]], so the log is queryable through the same SQL
+  * surface as everything else, HTTP included.
+  *
+  * What this deliberately is NOT: per-executor task metrics (Spark's
+  * status store / event log own those) or a persisted audit trail — for
+  * durability, pipe `toDF.write` on a schedule like any other table.
+  */
+final class QueryLog(capacity: Int = 10000) extends QueryExecutionListener {
+  import QueryLog.Entry
+
+  private val seq = new AtomicLong(0L)
+  private val entries = new ConcurrentLinkedQueue[Entry]()
+
+  private def add(e: Entry): Unit = {
+    entries.add(e)
+    // bounded ring: evict oldest past capacity (races can momentarily
+    // overshoot by a handful of entries; the bound re-establishes itself)
+    while (entries.size > capacity) entries.poll()
+  }
+
+  override def onSuccess(funcName: String, qe: QueryExecution,
+                         durationNs: Long): Unit =
+    add(Entry(seq.getAndIncrement(), System.currentTimeMillis(), funcName,
+      durationNs / 1000000L, "OK", ""))
+
+  override def onFailure(funcName: String, qe: QueryExecution,
+                         error: Exception): Unit =
+    add(Entry(seq.getAndIncrement(), System.currentTimeMillis(), funcName,
+      -1L, "FAIL",
+      Option(error.getMessage).getOrElse(error.getClass.getSimpleName)
+        .linesIterator.take(1).mkString))
+
+  /** Snapshot as a DataFrame (one row per completed action, insertion
+    * order by `seq`) — `SELECT * FROM query_log ORDER BY seq DESC` style
+    * ops queries run on it like on any table. */
+  def toDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    entries.iterator().asScala.toSeq.toDF()
+  }
+
+  def size: Int = entries.size
+  def clear(): Unit = entries.clear()
+}
+
+object QueryLog {
+  /** One completed action (top level so Spark can derive its Encoder). */
+  final case class Entry(seq: Long, event_ms: Long, func: String,
+                         duration_ms: Long, status: String, error: String)
+
+  /** Install a log on the session; returns it for [[QueryLog.toDF]] /
+    * uninstall via `spark.listenerManager.unregister`. */
+  def install(spark: SparkSession, capacity: Int = 10000): QueryLog = {
+    val log = new QueryLog(capacity)
+    spark.listenerManager.register(log)
+    log
+  }
+}

@@ -1,0 +1,60 @@
+package graft.sources
+
+import graft.TestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `system.query_log` analog: per-action telemetry queryable in-engine. */
+class QueryLogSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("actions land as OK entries with durations; the log is itself queryable") {
+    val log = QueryLog.install(spark)
+    try {
+      // listener events are delivered asynchronously — wait for them
+      def await(n: Int): Unit = {
+        val deadline = System.nanoTime() + 10_000_000_000L
+        while (log.size < n && System.nanoTime() < deadline) Thread.sleep(20)
+      }
+      spark.range(1000).selectExpr("sum(id)").collect()
+      spark.range(10).count()
+      await(2)
+      val df = log.toDF(spark)
+      val rows = df.filter(col("status") === "OK").count()
+      assert(rows >= 2, s"expected >=2 OK entries, log:\n${df.collect().mkString("\n")}")
+      assert(df.filter(col("duration_ms") < 0 && col("status") === "OK").count() == 0)
+      // the log supports ordinary SQL over it — the ops query shape
+      df.createOrReplaceTempView("query_log")
+      val top = spark.sql(
+        "SELECT func, COUNT(*) AS n FROM query_log GROUP BY func ORDER BY n DESC")
+      assert(top.count() >= 1)
+    } finally spark.listenerManager.unregister(log)
+  }
+
+  test("failures are recorded with the FAIL status and a one-line error") {
+    val log = QueryLog.install(spark)
+    try {
+      intercept[Exception] {
+        spark.range(10).selectExpr("raise_error('qlog boom')").collect()
+      }
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (log.toDF(spark).filter(col("status") === "FAIL").count() == 0 &&
+             System.nanoTime() < deadline) Thread.sleep(20)
+      val fails = log.toDF(spark).filter(col("status") === "FAIL").collect()
+      assert(fails.nonEmpty, "failed action must be logged")
+      val err = fails.head.getAs[String]("error")
+      assert(!err.contains("\n"), "error is collapsed to one line")
+    } finally spark.listenerManager.unregister(log)
+  }
+
+  test("the ring is bounded: only the newest `capacity` entries survive") {
+    val log = new QueryLog(capacity = 5)
+    (0 until 20).foreach { i =>
+      log.onSuccess(s"f$i", null, i * 1000000L)
+    }
+    assert(log.size == 5)
+    val kept = log.toDF(spark).orderBy("seq").collect().map(_.getAs[String]("func"))
+    assert(kept.toSeq == (15 until 20).map(i => s"f$i"),
+      s"newest five must survive, got ${kept.toSeq}")
+  }
+}
