@@ -128,37 +128,26 @@ object Windows {
     }),
 
     // O-W8: CH `groupArrayMovingSum(3)` / `groupArrayMovingAvg(3)` — the
-    // per-group ARRAY of a moving aggregate, in event order. Two layers:
-    // the O-W5 sliding frame computes each element (exact decimal sums),
-    // then collect_list gathers them per user — sorted by (ts, event_id)
-    // struct prefix for a deterministic array, transform() strips the sort
-    // key. Both passes ride the SAME user_id hash partitioning (one
-    // shuffle; Spark reuses the exchange under the window and the agg).
+    // moving aggregate at every position, in event order. Scalar-row
+    // output (the adjudication harness can't sort list cells in pandas),
+    // so ONE window pass computes the sliding decimal sum/avg AND the
+    // ordinal — all three functions share the (user_id | ts, event_id)
+    // sort, one exchange, no collect/posexplode round trip (that detour
+    // only paid for itself when the OUTPUT was the per-user array).
     "o_w8_moving_collect" -> ((s, d) => {
+      // value IS NOT NULL both sides (same latent NULL skew pin as o_w9).
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        .rowsBetween(-2, Window.currentRow)
-      // value IS NOT NULL both sides: an all-NULL frame makes ms NULL,
-      // which collect_list drops but DuckDB's list() keeps (same latent
-      // skew as o_w9; harmless on current fixtures, pinned anyway).
-      // The per-user arrays are zipped and posexploded back to
-      // (user_id, ord, ms, ma) scalar rows: the adjudication harness
-      // re-sorts frames in pandas, where a list cell is unhashable.
+      val frame = w.rowsBetween(-2, Window.currentRow)
       Tables.events(s, d)
         .filter(col("value").isNotNull)
         .select(col("user_id"), col("ts"), col("event_id"),
-          sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("ms"),
-          (sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
-            count(lit(1)).over(w)).as("ma"))
-        .groupBy("user_id")
-        .agg(
-          transform(array_sort(collect_list(struct(col("ts"), col("event_id"),
-            col("ms")))), x => x.getField("ms")).as("moving_sums"),
-          transform(array_sort(collect_list(struct(col("ts"), col("event_id"),
-            col("ma")))), x => x.getField("ma")).as("moving_avgs"))
+          sum(col("value").cast("decimal(18,2)")).over(frame)
+            .cast("double").as("ms"),
+          (sum(col("value").cast("decimal(18,2)")).over(frame).cast("double") /
+            count(lit(1)).over(frame)).as("ma"))
         .select(col("user_id"),
-          posexplode(arrays_zip(col("moving_sums"), col("moving_avgs"))))
-        .select(col("user_id"), col("pos").as("ord"),
-          col("col.moving_sums").as("ms"), col("col.moving_avgs").as("ma"))
+          (row_number().over(w) - 1).cast("int").as("ord"),
+          col("ms"), col("ma"))
         .orderBy("user_id", "ord")
     }),
 
