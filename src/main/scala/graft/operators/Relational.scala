@@ -735,6 +735,25 @@ object Relational {
         .orderBy("l_orderkey", "ord")
     }),
 
+    // O-X10: CH external dictionaries (`dictGet`/`dictGetOrDefault`/
+    // `dictHas`) — enum-like id resolution as a FUNCTION, not a join.
+    // The nation table loads once into a RAM dictionary (bounded collect,
+    // CH dictionary-refresh scale); every probe is then an O(1) hash
+    // lookup inside WholeStageCodegen — the plan has no join node at all.
+    // DictionarySpec pins the no-join plan shape; the oracle is the
+    // equivalent LEFT join.
+    "o_x10_dictget" -> ((s, d) => {
+      val dict = graft.sources.Dictionary.load(
+        Tables.nation(s, d), "nation", "n_nationkey", Seq("n_name", "n_regionkey"))
+      Tables.customer(s, d).select(col("c_custkey"),
+          dict.get("n_name", col("c_nationkey")).as("nation_name"),
+          dict.get("n_regionkey", col("c_nationkey")).as("region_key"),
+          dict.getOrDefault("n_name", col("c_nationkey") + 100, lit("unknown"))
+            .as("missing_name"),
+          dict.has(col("c_nationkey")).as("known"))
+        .orderBy("c_custkey")
+    }),
+
     // S-SCAN1: sort-key-prefix scan — filter + narrow projection must both
     // reach the parquet reader (PushedFilters / ReadSchema in explain).
     "s_scan1_pushdown" -> ((s, d) => {
@@ -1104,6 +1123,17 @@ object Relational {
          FROM lineitem WHERE l_quantity IS NOT NULL
          WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity)
          ORDER BY l_orderkey, ord""",
+
+    "o_x10_dictget" ->
+      """SELECT c_custkey,
+                n.n_name AS nation_name,
+                n.n_regionkey AS region_key,
+                COALESCE(n2.n_name, 'unknown') AS missing_name,
+                n.n_nationkey IS NOT NULL AS known
+         FROM customer c
+         LEFT JOIN nation n  ON c.c_nationkey = n.n_nationkey
+         LEFT JOIN nation n2 ON c.c_nationkey + 100 = n2.n_nationkey
+         ORDER BY c_custkey""",
 
     "o_a9_counts" ->
       """SELECT tbl, n FROM (
