@@ -764,6 +764,46 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // S-PROJ: CH PROJECTION analog — a materialized rollup that covered
+    // aggregates are routed to TRANSPARENTLY by an optimizer rule
+    // (plans.ProjectionRewrite). The entry materializes the rollup,
+    // registers it, PROVES the rewrite fired (the optimized plan must
+    // scan the projection, not the base), executes eagerly, and
+    // deregisters — so no other catalog query rides the rule. The oracle
+    // aggregates the base table directly: answer-preservation is the
+    // whole contract.
+    "s_proj_rewrite" -> ((s, d) => {
+      import graft.plans.{AggSpec, Projection, ProjectionRewrite}
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_projection_" +
+        new java.io.File(d).getName
+      val pd = Projection.materialize(Tables.lineitem(s, d), "lineitem_rollup",
+        Seq("l_returnflag", "l_linestatus"),
+        Seq(AggSpec("sum", "l_quantity"), AggSpec("count", "*"),
+          AggSpec("min", "l_extendedprice"), AggSpec("max", "l_extendedprice")),
+        out)
+      ProjectionRewrite.register(s, pd)
+      try {
+        val q = Tables.lineitem(s, d)
+          .filter(col("l_returnflag") =!= "X")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"),
+            min("l_extendedprice").as("min_price"),
+            max("l_extendedprice").as("max_price"))
+          .orderBy("l_returnflag", "l_linestatus")
+        val scanned = q.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toString)
+              case _ => Nil
+            }
+        }.flatten
+        require(scanned.exists(_.contains("graft_projection_")),
+          s"projection rewrite did not fire; scans=$scanned")
+        q.localCheckpoint(true)
+      } finally ProjectionRewrite.deregister("lineitem_rollup")
+    }),
+
     // S-PING: health check (GET /ping ⇒ "Ok.", src/click_house.rs:46-59).
     "s_ping" -> ((s, _) => {
       import s.implicits._
@@ -1123,6 +1163,14 @@ object Relational {
          FROM lineitem WHERE l_quantity IS NOT NULL
          WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity)
          ORDER BY l_orderkey, ord""",
+
+    "s_proj_rewrite" ->
+      """SELECT l_returnflag, l_linestatus,
+                SUM(l_quantity) AS sum_qty, COUNT(*) AS n,
+                MIN(l_extendedprice) AS min_price,
+                MAX(l_extendedprice) AS max_price
+         FROM lineitem WHERE l_returnflag <> 'X'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "o_x10_dictget" ->
       """SELECT c_custkey,
