@@ -97,6 +97,48 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Bigram language-model quality score — the classic perplexity-style
+    // filter a pretraining pipeline runs over every document: train MLE
+    // bigram stats ON the corpus (C(w1,w2) bigram counts, C(w1) word
+    // counts — two hash aggs, map-side partials), then score each doc by
+    // the mean log-probability of its bigrams. Low avg_logp = improbable
+    // word sequences = boilerplate/garbage candidates. All joins are
+    // key-shuffles on the vocab, never row×row; at 100 TB the count
+    // tables are |vocab|-bounded. Docs under two words carry no bigram
+    // evidence and are excluded (both engines).
+    //
+    // Determinism: ln() may differ between engines in the last ulp, so
+    // each term is rounded to 6 places first (count ratios repeat
+    // heavily, so the tie budget is tiny); the per-doc sum then runs as
+    // the SAME left fold over the same position-ordered list on both
+    // engines (aggregate HOF ≡ list_reduce, the o_w9 device).
+    "d_lm_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      val bg = docs
+        .select(col("doc_id"), posexplode(expr(
+          """CASE WHEN size(w) >= 2
+               THEN transform(sequence(1, size(w) - 1),
+                      i -> struct(element_at(w, i) AS w1,
+                                  element_at(w, i + 1) AS w2))
+               ELSE array() END""")))
+        .select(col("doc_id"), col("pos"),
+          col("col.w1").as("w1"), col("col.w2").as("w2"))
+      val uni = docs.select(explode(col("w")).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("cu"))
+      val big = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      bg.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
+        .withColumn("logp", round(log(col("cb") / col("cu")), 6))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(expr("""aggregate(
+                          transform(array_sort(collect_list(struct(pos, logp))),
+                                    x -> x.logp),
+                          0D, (a, x) -> a + x)""") / count(lit(1)), 6)
+            .as("avg_logp"))
+        .orderBy("doc_id")
+    }),
+
     // Document fingerprint: md5 of the sorted distinct word set (word-
     // order-insensitive near-dup key) + per-fingerprint group size.
     "d_text_fingerprint" -> ((s, d) => {
@@ -161,6 +203,30 @@ object TextAnalysis {
                   WHEN '0' THEN 'val' WHEN '1' THEN 'test'
                   ELSE 'train' END AS split
          FROM documents ORDER BY doc_id""",
+
+    "d_lm_score" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         bg AS (
+           SELECT doc_id, i AS pos, w[i] AS w1, w[i + 1] AS w2
+           FROM (SELECT doc_id, w,
+                        unnest(generate_series(1, len(w) - 1)) AS i
+                 FROM docs WHERE len(w) >= 2)),
+         uni AS (
+           SELECT w1, COUNT(*) AS cu
+           FROM (SELECT unnest(w) AS w1 FROM docs) GROUP BY w1),
+         bgc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+         terms AS (
+           SELECT b.doc_id, b.pos,
+                  round(ln(CAST(cb AS DOUBLE) / cu), 6) AS logp
+           FROM bg b JOIN bgc USING (w1, w2) JOIN uni USING (w1)),
+         g AS (
+           SELECT doc_id, COUNT(*) AS n_bigrams,
+                  list(logp ORDER BY pos) AS ls
+           FROM terms GROUP BY doc_id)
+         SELECT doc_id, n_bigrams,
+                round(list_reduce(ls, (a, x) -> a + x) / n_bigrams, 6) AS avg_logp
+         FROM g ORDER BY doc_id""",
 
     "d_text_fingerprint" ->
       """SELECT doc_id,
