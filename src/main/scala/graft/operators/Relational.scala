@@ -461,6 +461,75 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // O-A27b: CH `quantilesExactWeighted(0.25,0.5,0.75,0.9)` — the
+    // multi-quantile form, emitted as (flag, q_pct, qval) rows (arrays
+    // are unadjudicable). Same single window pass as o_a27; the four
+    // picks are conditional MINs over the same cum/tot columns — no row
+    // multiplication, no extra shuffle — then stack() unpivots 4 columns
+    // into rows. Integer arithmetic (cum*100 >= tot*q) keeps every
+    // comparison exact.
+    "o_a27b_weighted_quantiles" -> ((s, d) => {
+      val byVal = Window.partitionBy("l_returnflag")
+        .orderBy("val", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy("l_returnflag")
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice").as("val"),
+          col("l_quantity").cast("bigint").as("wt"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("cum", sum("wt").over(byVal))
+        .withColumn("tot", sum("wt").over(whole))
+        .groupBy("l_returnflag")
+        .agg(
+          min(when(col("cum") * 100 >= col("tot") * 25, col("val"))).as("q25"),
+          min(when(col("cum") * 100 >= col("tot") * 50, col("val"))).as("q50"),
+          min(when(col("cum") * 100 >= col("tot") * 75, col("val"))).as("q75"),
+          min(when(col("cum") * 100 >= col("tot") * 90, col("val"))).as("q90"))
+        .selectExpr("l_returnflag",
+          "stack(4, 25, q25, 50, q50, 75, q75, 90, q90) AS (q_pct, qval)")
+        .orderBy("l_returnflag", "q_pct")
+    }),
+
+    // O-A30: CH `avgWeighted` + `skewPop`/`kurtPop` — weighted mean and
+    // population shape moments. Engines disagree on skew/kurt DEFINITIONS
+    // (sample vs population, bias correction), so both sides compute the
+    // same raw-moment formula explicitly. Exactness: l_quantity ≤ 50, so
+    // sums of x..x⁴ stay integral doubles < 2^53 (exact under any
+    // order); the weighted mean sums decimal×bigint. The only
+    // non-arithmetic op is sqrt (IEEE correctly rounded — identical),
+    // ^1.5 spelled v*sqrt(v) to avoid pow(); round(6) caps the rest.
+    "o_a30_moments" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_quantity").cast("bigint")).as("swx"),
+          sum(col("l_quantity").cast("bigint")).as("sw"),
+          count(lit(1)).cast("double").as("n"),
+          sum(col("l_quantity")).as("s1"),
+          sum(col("l_quantity") * col("l_quantity")).as("s2"),
+          sum(col("l_quantity") * col("l_quantity") * col("l_quantity")).as("s3"),
+          sum(col("l_quantity") * col("l_quantity") * col("l_quantity") *
+            col("l_quantity")).as("s4"))
+        .select(col("l_returnflag"),
+          round(col("swx").cast("double") / col("sw").cast("double"), 6)
+            .as("avg_weighted"),
+          (col("s1") / col("n")).as("m1"),
+          (col("s2") / col("n")).as("m2"),
+          (col("s3") / col("n")).as("m3"),
+          (col("s4") / col("n")).as("m4"))
+        .withColumn("v", col("m2") - col("m1") * col("m1"))
+        .select(col("l_returnflag"), col("avg_weighted"),
+          round((col("m3") - lit(3.0) * col("m1") * col("m2") +
+            lit(2.0) * col("m1") * col("m1") * col("m1")) /
+            (col("v") * sqrt(col("v"))), 6).as("skew_pop"),
+          round((col("m4") - lit(4.0) * col("m1") * col("m3") +
+            lit(6.0) * col("m1") * col("m1") * col("m2") -
+            lit(3.0) * col("m1") * col("m1") * col("m1") * col("m1")) /
+            (col("v") * col("v")) - lit(3.0), 6).as("kurt_pop"))
+        .orderBy("l_returnflag")
+    }),
+
     // O-A28: CH `deltaSum` — total of the POSITIVE deltas between
     // consecutive values in event order (monotone-counter ingestion:
     // odometer resets contribute nothing; rises sum). Decimal deltas keep
@@ -574,6 +643,21 @@ object Relational {
       spine.join(hourly, Seq("hour"), "left")
         .select(col("hour"), coalesce(col("n"), lit(0L)).as("n"))
         .orderBy("hour")
+    }),
+
+    // O-S6: CH `SAMPLE k` clause — deterministic hash-based sampling (CH
+    // samples by a hash of the sampling key, NOT an RNG), so the same
+    // fraction of the same rows is drawn on every run, every engine,
+    // every cluster size. 1/16 sample = first md5 hex digit of the key
+    // (same device as d_sample_split); a pure pushed-down filter, no
+    // shuffle beyond the aggregate on top proving the statistical use.
+    "o_s6_sample" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(substring(md5(col("event_id").cast("string").cast("binary")),
+          1, 1) === "0")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"))
+        .orderBy("event_type")
     }),
 
     // ========================= §2.7 set ops ============================
@@ -1062,6 +1146,63 @@ object Relational {
          SELECT l_returnflag, MIN(val) AS wmedian
          FROM t WHERE cum * 2 >= tot
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "o_a27b_weighted_quantiles" ->
+      """WITH t AS (
+           SELECT l_returnflag, l_extendedprice AS val,
+                  SUM(CAST(l_quantity AS BIGINT))
+                    OVER (PARTITION BY l_returnflag
+                          ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                  SUM(CAST(l_quantity AS BIGINT))
+                    OVER (PARTITION BY l_returnflag) AS tot
+           FROM lineitem),
+         m AS (
+           SELECT l_returnflag,
+                  MIN(CASE WHEN cum * 100 >= tot * 25 THEN val END) AS q25,
+                  MIN(CASE WHEN cum * 100 >= tot * 50 THEN val END) AS q50,
+                  MIN(CASE WHEN cum * 100 >= tot * 75 THEN val END) AS q75,
+                  MIN(CASE WHEN cum * 100 >= tot * 90 THEN val END) AS q90
+           FROM t GROUP BY l_returnflag)
+         SELECT l_returnflag, q_pct, qval FROM (
+           SELECT l_returnflag, 25 AS q_pct, q25 AS qval FROM m
+           UNION ALL SELECT l_returnflag, 50, q50 FROM m
+           UNION ALL SELECT l_returnflag, 75, q75 FROM m
+           UNION ALL SELECT l_returnflag, 90, q90 FROM m)
+         ORDER BY l_returnflag, q_pct""",
+
+    "o_a30_moments" ->
+      """WITH g AS (
+           SELECT l_returnflag,
+                  SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_quantity AS BIGINT)) AS swx,
+                  SUM(CAST(l_quantity AS BIGINT)) AS sw,
+                  CAST(COUNT(*) AS DOUBLE) AS n,
+                  SUM(l_quantity) AS s1,
+                  SUM(l_quantity * l_quantity) AS s2,
+                  SUM(l_quantity * l_quantity * l_quantity) AS s3,
+                  SUM(l_quantity * l_quantity * l_quantity * l_quantity) AS s4
+           FROM lineitem GROUP BY l_returnflag),
+         mm AS (
+           SELECT l_returnflag,
+                  round(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE), 6) AS avg_weighted,
+                  s1 / n AS m1, s2 / n AS m2, s3 / n AS m3, s4 / n AS m4
+           FROM g),
+         v AS (SELECT *, m2 - m1 * m1 AS var0 FROM mm)
+         SELECT l_returnflag, avg_weighted,
+                round((m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1)
+                      / (var0 * sqrt(var0)), 6) AS skew_pop,
+                round((m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2
+                       - 3.0 * m1 * m1 * m1 * m1)
+                      / (var0 * var0) - 3.0, 6) AS kurt_pop
+         FROM v ORDER BY l_returnflag""",
+
+    "o_s6_sample" ->
+      """SELECT event_type, COUNT(*) AS n,
+                COUNT(DISTINCT user_id) AS users
+         FROM events
+         WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
+         GROUP BY event_type ORDER BY event_type""",
 
     "o_a28_delta_sum" ->
       """WITH t AS (
