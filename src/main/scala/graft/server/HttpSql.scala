@@ -6,7 +6,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 import java.sql.Timestamp
 import java.time.format.DateTimeFormatter
 import java.time.ZoneOffset
-import java.util.concurrent.Executors
+import java.util.concurrent.{ConcurrentHashMap, Executors, ScheduledFuture, TimeUnit}
 
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -52,6 +52,14 @@ import graft.streaming.{EventSchemas, Ingest, ProtoWire}
   * class) → HTTP 400; execution failures → HTTP 500. The reference
   * classifies exactly those 4xx codes as dead-letter-permanent.
   *
+  * Runaway-query controls (CH settings analog): `max_execution_time=<s>`
+  * and `query_id=<id>` URL parameters plus the `KILL QUERY WHERE
+  * query_id='…'` statement. Each query runs in its own Spark job group;
+  * timeout or kill cancels the group and the handler answers with the CH
+  * error class (`TIMEOUT_EXCEEDED` / `QUERY_WAS_CANCELLED`) instead of a
+  * generic failure. See [[startCanceller]] for why cancellation is
+  * re-asserted rather than fired once.
+  *
   * The server binds LOOPBACK unless an explicit `bindAddress` opts into
   * wider exposure: this surface executes arbitrary SQL (including eager
   * commands), so reachable-by-default would hand any network peer the
@@ -63,6 +71,44 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
                     bindAddress: InetAddress = InetAddress.getLoopbackAddress) {
 
   private var server: HttpServer = _
+
+  /** CH `max_execution_time` / `KILL QUERY` analog. Every query runs in
+    * its own Spark JOB GROUP (set on the handler thread, which is the
+    * thread `toLocalIterator` submits jobs from); a timeout or a KILL
+    * cancels the group — Spark interrupts the running stages, the
+    * iterator throws, and the handler maps the failure to the CH error
+    * class (TIMEOUT_EXCEEDED / QUERY_WAS_CANCELLED) instead of a generic
+    * 500. State per in-flight query lives in [[running]] keyed by the
+    * client-supplied (or generated) `query_id` — the same handle CH's
+    * `KILL QUERY WHERE query_id='…'` uses. */
+  private final class QueryCtl(val groupId: String) {
+    @volatile var timedOut = false
+    @volatile var killed = false
+    @volatile var canceller: ScheduledFuture[_] = null
+  }
+  private val running = new ConcurrentHashMap[String, QueryCtl]()
+  private val watchdog = Executors.newSingleThreadScheduledExecutor(r => {
+    val t = new Thread(r, "graft-http-watchdog"); t.setDaemon(true); t
+  })
+
+  /** Cancel the group and KEEP cancelling until the handler's finally
+    * block observes the failure: a single cancelJobGroupAndFutureJobs can
+    * race AQE's first stage submission (a cancel landing in the first
+    * ~100ms of execution is observably lost; re-asserted 2s later it
+    * lands instantly), so the kill is re-asserted until the query exits. */
+  private def startCanceller(ctl: QueryCtl): Unit = {
+    val fut = watchdog.scheduleWithFixedDelay(new Runnable {
+      override def run(): Unit =
+        spark.sparkContext.cancelJobGroupAndFutureJobs(ctl.groupId)
+    }, 0, 2, TimeUnit.SECONDS)
+    ctl.canceller = fut
+  }
+
+  /** In-flight query ids (ops introspection; used by the KILL spec). */
+  def runningQueryIds: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    running.keySet.asScala.toSet
+  }
 
   /** Bind + start; returns the actual port (useful with port = 0). */
   def start(): Int = synchronized {
@@ -119,6 +165,22 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
       val raw = paramQuery.getOrElse(body).trim
       if (raw.isEmpty) { respond(x, 400, "text/plain", "empty query\n"); return }
       val (sqlText, fmtClause) = stripFormatClause(raw)
+      // CH `KILL QUERY WHERE query_id='…'` — cancel a running query's job
+      // group by its client handle; idempotent per CH semantics
+      HttpSql.KillQuery.findFirstMatchIn(sqlText) match {
+        case Some(m) =>
+          val id = m.group(1)
+          Option(running.get(id)) match {
+            case Some(ctl) =>
+              ctl.killed = true
+              startCanceller(ctl)
+              respond(x, 200, "text/plain", "canceled\n")
+            case None =>
+              respond(x, 404, "text/plain", s"no running query with query_id '$id'\n")
+          }
+          return
+        case None => ()
+      }
       val fmt = fmtClause.orElse(params.get("default_format"))
         .getOrElse("TabSeparated")
       HttpSql.formats.get(fmt.toLowerCase) match {
@@ -139,9 +201,45 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
                 respond(x, 500, "text/plain", s"Query failed: ${msg(e)}\n")
                 return
             }
+          val queryId = params.get("query_id").filter(_.nonEmpty)
+            .getOrElse(java.util.UUID.randomUUID().toString)
+          val timeoutMs = params.get("max_execution_time")
+            .flatMap(s => scala.util.Try(s.toDouble).toOption)
+            .filter(_ > 0).map(t => (t * 1000).toLong)
+          val ctl = new QueryCtl(s"graft-http-$queryId")
+          // group FIRST, then publish in `running`: a KILL observed via
+          // runningQueryIds must always find a cancellable group
+          spark.sparkContext.setJobGroup(ctl.groupId,
+            s"graft-http query_id=$queryId", interruptOnCancel = true)
+          if (running.putIfAbsent(queryId, ctl) != null) {
+            spark.sparkContext.clearJobGroup()
+            respond(x, 400, "text/plain",
+              s"query_id '$queryId' is already running\n")
+            return
+          }
+          val timer: Option[ScheduledFuture[_]] = timeoutMs.map(ms =>
+            watchdog.schedule(new Runnable {
+              override def run(): Unit = {
+                ctl.timedOut = true
+                startCanceller(ctl)
+              }
+            }, ms, TimeUnit.MILLISECONDS))
           try streamResult(x, df, render)
-          catch { case e: Exception =>
-            respond(x, 500, "text/plain", s"Query failed: ${msg(e)}\n")
+          catch {
+            case e: Exception if ctl.timedOut =>
+              respond(x, 500, "text/plain",
+                s"TIMEOUT_EXCEEDED: max_execution_time " +
+                  s"${timeoutMs.getOrElse(0L) / 1000.0} s elapsed\n")
+            case e: Exception if ctl.killed =>
+              respond(x, 500, "text/plain",
+                s"QUERY_WAS_CANCELLED: killed via query_id '$queryId'\n")
+            case e: Exception =>
+              respond(x, 500, "text/plain", s"Query failed: ${msg(e)}\n")
+          } finally {
+            timer.foreach(_.cancel(false))
+            Option(ctl.canceller).foreach(_.cancel(false))
+            spark.sparkContext.clearJobGroup()
+            running.remove(queryId)
           }
       }
     }
@@ -244,6 +342,11 @@ object HttpSql {
 
   private val FormatClause =
     """(?is)\bFORMAT\s+([A-Za-z]\w*)\s*;?\s*$""".r
+
+  /** CH `KILL QUERY WHERE query_id = '…'` (the SYNC form; graft cancels
+    * the job group immediately either way). */
+  private[server] val KillQuery =
+    """(?is)^\s*KILL\s+QUERY\s+WHERE\s+query_id\s*=\s*'([^']+)'\s*;?\s*$""".r
 
   /** `INSERT INTO [db.]<table> FORMAT Protobuf`, with the reference's
     * trailing `SETTINGS format_schema='…'` (src/click_house.rs:75-78)

@@ -217,4 +217,79 @@ class HttpSqlSpec extends AnyFunSuite {
       assert(col.statusCode() == 200 && col.body() == "2\n")
     }
   }
+
+  // A query that cannot finish in test time but DIES PROMPTLY when its
+  // job group is cancelled: 2000 small range partitions (~1s of codegen
+  // loop each). A single-partition range would spin uninterruptibly —
+  // whole-stage codegen only notices a kill at batch boundaries — but
+  // with many short tasks, cancellation drops the queued ones and the
+  // job aborts as soon as the handful in flight drain. count, not sum:
+  // sum would ANSI-overflow-abort before any timeout fired.
+  private val slowSql =
+    "SELECT count(*) AS s FROM range(0, 2000000000000, 1, 2000) WHERE id % 7 = 3"
+
+  test("max_execution_time cancels the job group and reports the CH timeout class") {
+    withServer { (c, p) =>
+      val t0 = System.nanoTime()
+      val r = get(c, p, s"/?max_execution_time=1&query=${enc(slowSql)}")
+      val elapsedS = (System.nanoTime() - t0) / 1e9
+      assert(r.statusCode() == 500)
+      assert(r.body().startsWith("TIMEOUT_EXCEEDED"), r.body())
+      assert(elapsedS < 60, s"cancellation must be prompt, took $elapsedS s")
+      // the server (and the shared session) keep working afterwards
+      assert(get(c, p, "/ping").body() == "Ok.\n")
+      assert(get(c, p, s"/?query=${enc("SELECT 1 AS a")}").body() == "1\n")
+    }
+  }
+
+  test("KILL QUERY WHERE query_id cancels a running query; unknown id is 404") {
+    HttpSql.registerTables(spark, "/root/testdata/sf0.001")
+    val srv = new HttpSql(spark)
+    val p = srv.start()
+    val c = HttpClient.newHttpClient()
+    try {
+      import java.util.concurrent.{Executors, TimeUnit}
+      val pool = Executors.newSingleThreadExecutor()
+      val victim = pool.submit(new java.util.concurrent.Callable[HttpResponse[String]] {
+        override def call(): HttpResponse[String] =
+          get(c, p, s"/?query_id=doomed&query=${enc(slowSql)}")
+      })
+      val deadline = System.nanoTime() + 30_000_000_000L
+      while (!srv.runningQueryIds.contains("doomed") && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(srv.runningQueryIds.contains("doomed"), "victim query never registered")
+      val kill = get(c, p, s"/?query=${enc("KILL QUERY WHERE query_id = 'doomed'")}")
+      assert(kill.statusCode() == 200 && kill.body() == "canceled\n")
+      val r = victim.get(60, TimeUnit.SECONDS)
+      assert(r.statusCode() == 500)
+      assert(r.body().startsWith("QUERY_WAS_CANCELLED"), r.body())
+      val gone = get(c, p, s"/?query=${enc("KILL QUERY WHERE query_id = 'doomed'")}")
+      assert(gone.statusCode() == 404)
+      pool.shutdown()
+    } finally { srv.stop() }
+  }
+
+  test("a duplicate in-flight query_id is refused") {
+    HttpSql.registerTables(spark, "/root/testdata/sf0.001")
+    val srv = new HttpSql(spark)
+    val p = srv.start()
+    val c = HttpClient.newHttpClient()
+    try {
+      import java.util.concurrent.{Executors, TimeUnit}
+      val pool = Executors.newSingleThreadExecutor()
+      val first = pool.submit(new java.util.concurrent.Callable[HttpResponse[String]] {
+        override def call(): HttpResponse[String] =
+          get(c, p, s"/?query_id=dup&query=${enc(slowSql)}")
+      })
+      val deadline = System.nanoTime() + 30_000_000_000L
+      while (!srv.runningQueryIds.contains("dup") && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      val second = get(c, p, s"/?query_id=dup&query=${enc("SELECT 1")}")
+      assert(second.statusCode() == 400)
+      assert(second.body().contains("already running"))
+      get(c, p, s"/?query=${enc("KILL QUERY WHERE query_id = 'dup'")}")
+      first.get(60, TimeUnit.SECONDS)
+      pool.shutdown()
+    } finally { srv.stop() }
+  }
 }
