@@ -268,8 +268,20 @@ object Ingest {
   }
 
   /** O-T12: incrementally-maintained exactly-once view over at-least-once
-    * input — streaming dedup by event_id with watermark-bounded state. */
+    * input — streaming dedup by event_id with watermark-bounded state.
+    *
+    * `dropDuplicatesWithinWatermark`, NOT `dropDuplicates`: under a plain
+    * dropDuplicates the state store only evicts when the event-time
+    * column is part of the dedup key, so keying by event_id alone retains
+    * every id ever seen — unbounded state, the 100 TB killer hiding in
+    * the obvious spelling. The WithinWatermark variant dedups ids that
+    * arrive within the watermark delay of each other and evicts beyond
+    * it — exactly the broker redelivery contract this view exists for
+    * (`ack_wait=120s`, `/root/reference/src/nats.rs:71`): a redelivery
+    * lands within the ack window or not at all, and an id older than the
+    * watermark is dropped as late data rather than re-emitted, so the
+    * exactly-once surface is preserved either way. */
   def dedupStream(events: DataFrame, watermark: String = "2 minutes"): DataFrame =
     events.withWatermark("timestamp", watermark)
-      .dropDuplicates(Seq("event_id"))
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
 }

@@ -145,8 +145,22 @@ class IngestSpec extends AnyFunSuite {
     q.processAllAvailable()
     ms.addData(("e-1", new Timestamp(base))) // duplicate across batches
     q.processAllAvailable()
-    q.stop()
     assert(spark.table("dedup_out").count() == 2)
+    // state is EVICTED once the watermark passes: push it 10 min forward
+    // and run a couple of eviction batches — only the new id may remain.
+    // (a plain dropDuplicates(event_id) would retain every id forever)
+    ms.addData(("e-9", new Timestamp(base + 600000L)))
+    q.processAllAvailable()
+    ms.addData(("e-10", new Timestamp(base + 601000L)))
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    assert(stateRows <= 2,
+      s"dedup state must be watermark-bounded, holds $stateRows rows")
+    // an id from before the watermark is late data: dropped, not re-emitted
+    ms.addData(("e-1", new Timestamp(base)))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup_out").count() == 4) // e-1, e-2, e-9, e-10
   }
 
   test("streaming sessionization: flag ends emit immediately, abandoned sessions time out by watermark") {
