@@ -71,6 +71,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.1, s"ivf recall too low: $recall")
   }
 
+  test("ivf-pq ann: exact cosines on survivors, recall beats plain ivf's floor") {
+    val brute = Similarity.queries("d_knn_cosine")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val pq = Similarity.queries("d_ann_ivfpq")(spark, sf).collect()
+    assert(pq.nonEmpty)
+    // survivors are re-ranked EXACTLY: any (q, n) also scored by brute
+    // force must carry the identical rounded cosine
+    pq.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(2)))
+        .foreach(c => assert(c == r.getDouble(3)))
+    }
+    // ADC is lossy but the exact re-rank of 50 recovers most of the
+    // probed-cell truth: same floor as plain IVF (2/8 cells probed)
+    val bruteTop = brute.keySet
+    val hit = pq.count(r => bruteTop.contains((r.getLong(0), r.getLong(2))))
+    val recall = hit.toDouble / bruteTop.size
+    assert(recall >= 0.1, s"ivf-pq recall too low: $recall")
+    // the deterministic seed makes the whole path reproducible
+    val again = Similarity.queries("d_ann_ivfpq")(spark, sf).collect()
+    assert(pq.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("multimodal feature extraction: schema, determinism, batching") {
     val docs = Tables.documents(spark, sf)
     val feats = Multimodal.extractFeatures(Multimodal.asMedia(docs), batchSize = 7)
