@@ -87,6 +87,63 @@ object Projection {
         case _ => Nil
       }
     }.flatten.toSet
+
+  /** Incremental maintenance — CH projections are maintained ON INSERT,
+    * not by re-scanning the base. A DELTA of newly-ingested base rows is
+    * aggregated to the same partials and MERGED group-wise with the
+    * stored projection: sum/count partials add, min/max partials
+    * min/max — mergeability is exactly what [[materialize]] restricted
+    * the aggregate set for. Cost per batch: one shuffle of the delta's
+    * partials plus a rewrite of the (one-row-per-group) projection —
+    * never a base re-scan. The merged frame is eagerly checkpointed
+    * before the overwrite so the self-read-overwrite hazard can't bite. */
+  def merge(delta: DataFrame, pd: ProjectionDef): Unit = {
+    val spark = delta.sparkSession
+    val deltaAgg = {
+      val aggCols = pd.partials.toSeq.sortBy(_._2).map { case ((f, in), cn) =>
+        (f, in) match {
+          case ("sum", c)     => sum(col(c)).as(cn)
+          case ("min", c)     => min(col(c)).as(cn)
+          case ("max", c)     => max(col(c)).as(cn)
+          case ("count", "*") => count(lit(1)).as(cn)
+          case ("count", c)   => count(col(c)).as(cn)
+        }
+      }
+      delta.groupBy(pd.groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    }
+    val mergeCols = pd.partials.toSeq.sortBy(_._2).map { case ((f, _), cn) =>
+      f match {
+        case "sum" | "count" => sum(col(cn)).as(cn)
+        case "min"           => min(col(cn)).as(cn)
+        case "max"           => max(col(cn)).as(cn)
+      }
+    }
+    val merged = spark.read.parquet(pd.path)
+      .unionByName(deltaAgg)
+      .groupBy(pd.groupCols.map(col): _*)
+      .agg(mergeCols.head, mergeCols.tail: _*)
+      .localCheckpoint(true) // materialize BEFORE overwriting our own input
+    merged.write.mode("overwrite").parquet(pd.path)
+    merged.unpersist()
+  }
+
+  /** Streaming maintainer: tail the APPEND directory (where ingest lands
+    * new base files — not the historical base, which [[materialize]]
+    * already folded) and merge every micro-batch of new rows into the
+    * projection via [[merge]] — the insert-time maintenance loop,
+    * exactly-once per batch under the checkpoint. */
+  def maintain(spark: SparkSession, deltaDir: String,
+               schema: org.apache.spark.sql.types.StructType,
+               pd: ProjectionDef, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema).parquet(deltaDir)
+      .writeStream
+      .queryName(s"graft-projection-${pd.name}")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) merge(batch, pd)
+      }
+      .start()
 }
 
 object ProjectionRewrite extends Rule[LogicalPlan] {
