@@ -234,6 +234,55 @@ class PlanSpec extends AnyFunSuite {
       s"tiny theta self-join should broadcast:\n$p")
   }
 
+  test("o_x9/o_a19/o_a22: scalar-row reshapes are one window pass, no re-group") {
+    // the array detour (collect_list + posexplode) is gone: ordinal,
+    // running sum, and lag ride ONE keyed exchange, nothing explodes
+    Seq("o_x9_array_cum", "o_a19_summap", "o_a22_minmaxmap").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Generate"), s"$name should not posexplode:\n$p")
+      assert(!p.contains("collect_list"), s"$name should not collect arrays:\n$p")
+    }
+    assert("Exchange hashpartitioning\\(l_orderkey".r
+      .findAllIn(plan("o_x9_array_cum")).size == 1,
+      "o_x9: one l_orderkey exchange carries all three window functions")
+  }
+
+  test("o_a27/o_a27b: weighted quantiles ride one l_returnflag exchange") {
+    Seq("o_a27_weighted_median", "o_a27b_weighted_quantiles").foreach { name =>
+      val p = plan(name)
+      assert("Exchange hashpartitioning\\(l_returnflag".r.findAllIn(p).size == 1,
+        s"$name: cumulative + total window sums must share one exchange:\n$p")
+      assert(!p.contains("Join"), s"$name should be join-free:\n$p")
+    }
+  }
+
+  test("o_x10: dictGet plans no join and stays inside codegen") {
+    val df = SparkEntry.queries("o_x10_dictget")(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen spans are visible
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("join"), s"dictGet must not plan a join:\n$p")
+    assert(p.contains("dict_get"), s"expected dict_get expression in:\n$p")
+    // "*(n)" prefixes are the WholeStageCodegen stage markers — the
+    // Project carrying dict_get must sit inside one
+    assert("""\*\(\d+\) Project \[.*dict_get""".r.findFirstIn(p).isDefined,
+      s"probe should be codegen'd:\n$p")
+  }
+
+  test("d_pack_sequences: one bucket exchange feeding the streaming fold") {
+    val df = SparkEntry.queries("d_pack_sequences")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(bucket".r.findAllIn(p).size == 1,
+      s"packing shuffles once, on bucket:\n$p")
+    assert(!p.contains("Join") && !p.contains("Generate"),
+      s"packing is a single stateful scan, no joins/explodes:\n$p")
+  }
+
+  test("d_lm_score: count joins are key-shuffles, never row-multiplying") {
+    val p = plan("d_lm_score")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"LM scoring joins must be equi-joins on vocab keys:\n$p")
+  }
+
   test("catalog queries avoid cartesian products except the declared cross joins") {
     val allowed = Set("o_j9_cross", "d_knn_cosine", "d_dedup_cosine", "d_ann_lsh")
     SparkEntry.queries.keys.filterNot(allowed).foreach { name =>
