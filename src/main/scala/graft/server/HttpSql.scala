@@ -110,6 +110,32 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
     running.keySet.asScala.toSet
   }
 
+  /** Ops surface: CH's `system.parts` / `system.query_log` served through
+    * the same SQL door as everything else. `system_parts` unions the
+    * per-table part census over `dataDir`; `system_query_log` snapshots
+    * the in-memory [[graft.sources.QueryLog]] ring installed on this
+    * session. Views refresh whenever a statement references them. */
+  private val queryLog = graft.sources.QueryLog.install(spark)
+
+  private def refreshSystemTables(): Unit = {
+    dataDir.foreach { root =>
+      val dirs = new java.io.File(root).listFiles()
+      val tables = if (dirs == null) Array.empty[java.io.File]
+                   else dirs.filter(_.isDirectory)
+      val parts = tables.map { t =>
+        graft.sources.Parts.forTable(spark, t.getPath)
+          .withColumn("table", org.apache.spark.sql.functions.lit(t.getName))
+      }
+      // an empty dataDir still answers `SELECT … FROM system_parts`
+      parts.reduceOption(_ unionByName _)
+        .getOrElse(spark.emptyDataset(
+            org.apache.spark.sql.Encoders.product[graft.sources.Parts.PartInfo])
+          .toDF().withColumn("table", org.apache.spark.sql.functions.lit("")))
+        .createOrReplaceTempView("system_parts")
+    }
+    queryLog.toDF(spark).createOrReplaceTempView("system_query_log")
+  }
+
   /** Bind + start; returns the actual port (useful with port = 0). */
   def start(): Int = synchronized {
     require(server == null, "already started")
@@ -127,6 +153,7 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
 
   def stop(): Unit = synchronized {
     if (server != null) { server.stop(0); server = null }
+    spark.listenerManager.unregister(queryLog)
   }
 
   private object PingHandler extends HttpHandler {
@@ -181,6 +208,11 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
           return
         case None => ()
       }
+      // system-table analogs are SNAPSHOTS (a DataFrame view captures the
+      // listing / ring state at registration) — re-register on reference
+      // so `SELECT … FROM system_parts` is as live as CH's system.parts
+      if (HttpSql.SystemTable.findFirstIn(sqlText).isDefined)
+        refreshSystemTables()
       val fmt = fmtClause.orElse(params.get("default_format"))
         .getOrElse("TabSeparated")
       HttpSql.formats.get(fmt.toLowerCase) match {
@@ -347,6 +379,9 @@ object HttpSql {
     * the job group immediately either way). */
   private[server] val KillQuery =
     """(?is)^\s*KILL\s+QUERY\s+WHERE\s+query_id\s*=\s*'([^']+)'\s*;?\s*$""".r
+
+  /** Statements referencing the ops views trigger a snapshot refresh. */
+  private[server] val SystemTable = """(?i)\bsystem_(parts|query_log)\b""".r
 
   /** `INSERT INTO [db.]<table> FORMAT Protobuf`, with the reference's
     * trailing `SETTINGS format_schema='…'` (src/click_house.rs:75-78)

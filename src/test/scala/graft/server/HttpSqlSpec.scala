@@ -218,6 +218,30 @@ class HttpSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("system_parts and system_query_log are queryable over HTTP, live") {
+    withInsertServer { (c, p) =>
+      // before any insert: parts view exists but is empty for this dataDir
+      val empty = get(c, p, s"/?query=${enc(
+        "SELECT COUNT(*) AS n FROM system_parts")}")
+      assert(empty.statusCode() == 200 && empty.body() == "0\n")
+      // land rows, then the census must see the new part files LIVE
+      val r = postBytes(c, p, "INSERT INTO login_events FORMAT Protobuf",
+        framed(loginMsg("e-sys-1", "u-1", 1726300800L)))
+      assert(r.statusCode() == 200)
+      val after = get(c, p, s"/?query=${enc(
+        "SELECT table, n_files FROM system_parts ORDER BY table FORMAT TSVWithNames")}")
+      assert(after.statusCode() == 200, after.body())
+      val lines = after.body().linesIterator.toSeq
+      assert(lines.head.startsWith("table"), s"header: ${lines.head}")
+      assert(lines.exists(_.startsWith("login_events")), after.body())
+      // the query log has recorded the earlier statements on this session
+      val qlog = get(c, p, s"/?query=${enc(
+        "SELECT COUNT(*) AS n FROM system_query_log WHERE status = 'OK'")}")
+      assert(qlog.statusCode() == 200)
+      assert(qlog.body().trim.toLong >= 1, qlog.body())
+    }
+  }
+
   // A query that cannot finish in test time but DIES PROMPTLY when its
   // job group is cancelled: 2000 small range partitions (~1s of codegen
   // loop each). A single-partition range would spin uninterruptibly —
