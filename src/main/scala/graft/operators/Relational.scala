@@ -566,8 +566,9 @@ object Relational {
           (max(unix_timestamp(col("ts"))) - min(unix_timestamp(col("ts"))))
             .as("span_s"))
         .select(col("user_id"),
-          round((col("v_last") - col("v_first")) /
-            nullif(col("span_s"), lit(0)).cast("double"), 6).as("bounding_ratio"),
+          (round((col("v_last") - col("v_first")) /
+            nullif(col("span_s"), lit(0)).cast("double"), 6) + lit(0.0))
+            .as("bounding_ratio"),
           col("span_s"))
         .orderBy("user_id")
     }),
@@ -1233,7 +1234,7 @@ object Relational {
                        - MAX(CASE WHEN rn_a = 1 THEN value END))
                       / CAST(NULLIF(MAX(CAST(floor(epoch(ts)) AS BIGINT))
                                     - MIN(CAST(floor(epoch(ts)) AS BIGINT)), 0)
-                             AS DOUBLE), 6) AS bounding_ratio,
+                             AS DOUBLE), 6) + 0.0 AS bounding_ratio,
                 MAX(CAST(floor(epoch(ts)) AS BIGINT))
                   - MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS span_s
          FROM w GROUP BY user_id ORDER BY user_id""",
