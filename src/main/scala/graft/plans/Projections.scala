@@ -46,7 +46,8 @@ final case class ProjectionDef(
     baseRoots: Set[String],
     path: String,
     groupCols: Seq[String],
-    partials: Map[(String, String), String])
+    partials: Map[(String, String), String],
+    partitionCol: Option[String] = None)
 
 object Projection {
   def partialColumn(a: AggSpec): String =
@@ -55,11 +56,22 @@ object Projection {
   /** One-shot batch build of the rollup (refresh = re-run; for streaming
     * maintenance pair with `operators.IncrementalRollup`). Only
     * partial+final mergeable aggregates are allowed in — that is what
-    * makes re-aggregation over the projection sound. */
+    * makes re-aggregation over the projection sound.
+    *
+    * `partitionCol`: align the projection with the base table's partition
+    * axis — the column joins the grouping keys (finer partials only make
+    * the stored rollup larger; every read re-aggregates them away) and
+    * the rollup is WRITTEN partitioned by it, so a mutation that touches
+    * base partitions can refresh exactly those projection partitions
+    * ([[refreshPartitions]]) instead of re-scanning the base. This is how
+    * CH keeps projections inside the mutation: part-scoped rewrite, never
+    * a table re-scan. */
   def materialize(base: DataFrame, name: String, groupCols: Seq[String],
-                  specs: Seq[AggSpec], outPath: String): ProjectionDef = {
+                  specs: Seq[AggSpec], outPath: String,
+                  partitionCol: Option[String] = None): ProjectionDef = {
     require(groupCols.nonEmpty, "projection needs at least one group column")
     require(specs.nonEmpty, "projection needs at least one aggregate")
+    val effGroup = groupCols ++ partitionCol.filterNot(groupCols.contains)
     val aggCols: Seq[Column] = specs.map { sp =>
       val cn = partialColumn(sp)
       sp match {
@@ -72,10 +84,12 @@ object Projection {
           s"projection aggregate must be sum/min/max/count, got: $other")
       }
     }
-    base.groupBy(groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
-      .write.mode("overwrite").parquet(outPath)
-    ProjectionDef(name, baseRootsOf(base), outPath, groupCols,
-      specs.map(sp => (sp.func, sp.input) -> partialColumn(sp)).toMap)
+    val rollup = base.groupBy(effGroup.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    val w = rollup.write.mode("overwrite")
+    partitionCol.fold(w)(c => w.partitionBy(c)).parquet(outPath)
+    ProjectionDef(name, baseRootsOf(base), outPath, effGroup,
+      specs.map(sp => (sp.func, sp.input) -> partialColumn(sp)).toMap,
+      partitionCol)
   }
 
   /** Identity of "the base table" = the file-source root paths of its
@@ -97,20 +111,29 @@ object Projection {
     * partials plus a rewrite of the (one-row-per-group) projection —
     * never a base re-scan. The merged frame is eagerly checkpointed
     * before the overwrite so the self-read-overwrite hazard can't bite. */
-  def merge(delta: DataFrame, pd: ProjectionDef): Unit = {
-    val spark = delta.sparkSession
-    val deltaAgg = {
-      val aggCols = pd.partials.toSeq.sortBy(_._2).map { case ((f, in), cn) =>
-        (f, in) match {
-          case ("sum", c)     => sum(col(c)).as(cn)
-          case ("min", c)     => min(col(c)).as(cn)
-          case ("max", c)     => max(col(c)).as(cn)
-          case ("count", "*") => count(lit(1)).as(cn)
-          case ("count", c)   => count(col(c)).as(cn)
-        }
+  /** The same partial aggregates [[materialize]] built, reconstructed from
+    * the def — shared by delta-merge and the mutation-refresh paths. */
+  private def partialAggregate(rows: DataFrame, pd: ProjectionDef): DataFrame = {
+    val aggCols = pd.partials.toSeq.sortBy(_._2).map { case ((f, in), cn) =>
+      (f, in) match {
+        case ("sum", c)     => sum(col(c)).as(cn)
+        case ("min", c)     => min(col(c)).as(cn)
+        case ("max", c)     => max(col(c)).as(cn)
+        case ("count", "*") => count(lit(1)).as(cn)
+        case ("count", c)   => count(col(c)).as(cn)
       }
-      delta.groupBy(pd.groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
     }
+    rows.groupBy(pd.groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  private def writeRollup(rollup: DataFrame, pd: ProjectionDef): Unit = {
+    val w = rollup.write.mode("overwrite")
+    pd.partitionCol.fold(w)(c => w.partitionBy(c)).parquet(pd.path)
+  }
+
+  def merge(delta: DataFrame, pd: ProjectionDef): Unit = ProjectionRewrite.bypass {
+    val spark = delta.sparkSession
+    val deltaAgg = partialAggregate(delta, pd)
     val mergeCols = pd.partials.toSeq.sortBy(_._2).map { case ((f, _), cn) =>
       f match {
         case "sum" | "count" => sum(col(cn)).as(cn)
@@ -123,8 +146,86 @@ object Projection {
       .groupBy(pd.groupCols.map(col): _*)
       .agg(mergeCols.head, mergeCols.tail: _*)
       .localCheckpoint(true) // materialize BEFORE overwriting our own input
-    merged.write.mode("overwrite").parquet(pd.path)
+    writeRollup(merged, pd)
     merged.unpersist()
+  }
+
+  private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  private def fsFor(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def liveRoots(spark: SparkSession, pd: ProjectionDef): Seq[String] =
+    pd.baseRoots.toSeq.sorted.filter { r =>
+      val p = new org.apache.hadoop.fs.Path(r)
+      fsFor(spark, p).exists(p)
+    }
+
+  /** Full rebuild from the (post-mutation) base — the fallback when the
+    * projection is not partition-aligned with the mutated axis. Returns
+    * false when every base root is gone (nothing to rebuild from; the
+    * caller should deregister — a projection of a dropped table is
+    * meaningless). */
+  def refresh(spark: SparkSession, pd: ProjectionDef): Boolean = ProjectionRewrite.bypass {
+    val roots = liveRoots(spark, pd)
+    if (roots.isEmpty) false
+    else {
+      writeRollup(partialAggregate(spark.read.parquet(roots: _*), pd), pd)
+      true
+    }
+  }
+
+  /** Partition-scoped refresh — the mutation-time maintenance path for a
+    * partition-aligned projection. Recomputes partials ONLY for the base
+    * partitions the mutation touched (partition pruning keeps the re-read
+    * to exactly those directories), dynamic-overwrites the matching
+    * projection partitions, and REMOVES the projection partition of any
+    * affected value that no longer has base rows (the partition the
+    * mutation emptied or expired). Cost scales with the mutation's
+    * partition footprint, never the table — the same bound
+    * `Retention.deleteWhere` itself guarantees. `dirValues` use the
+    * on-disk spelling (`partDirName`), so a null partition arrives as
+    * `__HIVE_DEFAULT_PARTITION__`. */
+  def refreshPartitions(spark: SparkSession, pd: ProjectionDef,
+                        dirValues: Seq[String]): Unit = ProjectionRewrite.bypass {
+    val pc = pd.partitionCol.getOrElse(throw new IllegalArgumentException(
+      s"projection ${pd.name} is not partition-aligned; use refresh()"))
+    if (dirValues.isEmpty) return
+    val (nullDirs, realVals) = dirValues.distinct.partition(_ == HiveDefaultPartition)
+    val roots = liveRoots(spark, pd)
+    val present: Set[String] =
+      if (roots.isEmpty) Set.empty
+      else {
+        val hit = {
+          val in = if (realVals.nonEmpty) col(pc).isin(realVals: _*) else lit(false)
+          if (nullDirs.nonEmpty) in || col(pc).isNull else in
+        }
+        val agg = partialAggregate(spark.read.parquet(roots: _*).filter(hit), pd)
+          .localCheckpoint(true) // one-row-per-group × affected partitions: small
+        agg.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy(pc).parquet(pd.path)
+        val vals = agg.select(col(pc).cast("string")).distinct().collect()
+          .map(r => Option(r.getString(0)).getOrElse(HiveDefaultPartition)).toSet
+        agg.unpersist()
+        vals
+      }
+    val projFs = fsFor(spark, new org.apache.hadoop.fs.Path(pd.path))
+    dirValues.distinct.filterNot(present).foreach { v =>
+      val dir = new org.apache.hadoop.fs.Path(pd.path, s"$pc=$v")
+      if (!projFs.delete(dir, true) && projFs.exists(dir))
+        throw new java.io.IOException(
+          s"projection ${pd.name}: failed to drop emptied partition $dir")
+    }
+  }
+
+  /** Scheme-normalized root path, so a registry root captured from a
+    * `HadoopFsRelation` (`file:/tmp/t`) matches the plain directory
+    * string a mutation was invoked with (`/tmp/t`). */
+  def canonicalRoot(s: String): String = {
+    val u = new org.apache.hadoop.fs.Path(s).toUri
+    val scheme = Option(u.getScheme).getOrElse("file")
+    val auth = Option(u.getAuthority).getOrElse("")
+    s"$scheme://$auth${u.getPath.stripSuffix("/")}"
   }
 
   /** Streaming maintainer: tail the APPEND directory (where ingest lands
@@ -146,6 +247,28 @@ object Projection {
       .start()
 }
 
+/** The mutation→projection link: CH rewrites a table's projections INSIDE
+  * every mutation (`ALTER … DELETE/UPDATE` and TTL drops rewrite
+  * projection parts along with the data parts) — a materialized rollup
+  * must never outlive the rows it summarized, or the transparent rewrite
+  * starts serving deleted data. `Retention`'s mutation paths call
+  * [[onBaseMutated]] after their partition swap commits; for each
+  * registered projection over the mutated table it refreshes exactly the
+  * affected partitions when the projection is aligned with the mutated
+  * axis, falls back to a full rebuild when not, and deregisters when the
+  * base itself is gone. */
+object ProjectionMaintenance {
+  def onBaseMutated(spark: SparkSession, tableDir: String,
+                    partCol: String, affectedDirValues: Seq[String]): Unit = {
+    ProjectionRewrite.registeredForRoot(tableDir).foreach { pd =>
+      if (pd.partitionCol.contains(partCol))
+        Projection.refreshPartitions(spark, pd, affectedDirValues)
+      else if (!Projection.refresh(spark, pd))
+        ProjectionRewrite.deregister(pd.name)
+    }
+  }
+}
+
 object ProjectionRewrite extends Rule[LogicalPlan] {
   private final case class Registered(p: ProjectionDef, spark: SparkSession)
   private val registry = new ConcurrentHashMap[String, Registered]()
@@ -160,13 +283,36 @@ object ProjectionRewrite extends Rule[LogicalPlan] {
   def deregister(name: String): Unit = registry.remove(name)
   def clear(): Unit = registry.clear()
 
+  /** Every registered projection whose base is (rooted at) `root` — the
+    * mutation paths' lookup for which rollups a table rewrite staled. */
+  def registeredForRoot(root: String): Seq[ProjectionDef] = {
+    val c = Projection.canonicalRoot(root)
+    registry.values.asScala.toSeq
+      .filter(_.p.baseRoots.exists(Projection.canonicalRoot(_) == c))
+      .map(_.p)
+  }
+
   def install(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraOptimizations
     if (!cur.exists(_ eq this)) spark.experimental.extraOptimizations = cur :+ this
   }
 
+  /** The maintenance paths' own rebuild aggregates scan the base table;
+    * letting this rule rewrite THOSE onto the (stale) projection would
+    * regenerate the projection from itself. They run under [[bypass]] —
+    * optimization happens on the thread that triggers the action, so a
+    * ThreadLocal is the right scope. */
+  private val bypassGuard = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = false
+  }
+  def bypass[T](f: => T): T = {
+    val prev = bypassGuard.get
+    bypassGuard.set(true)
+    try f finally bypassGuard.set(prev)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (registry.isEmpty) plan
+    if (bypassGuard.get || registry.isEmpty) plan
     else plan.transformUp {
       case agg: Aggregate =>
         unwrap(agg.child).flatMap { case (lr, filters) =>

@@ -68,6 +68,9 @@ object Retention {
       if (!f.delete(p, true) && f.exists(p))
         throw new java.io.IOException(s"retention: failed to delete expired partition $p")
     }
+    if (expired.nonEmpty)
+      graft.plans.ProjectionMaintenance.onBaseMutated(spark, tableDir, "event_date",
+        expired.map(_._2.getName.stripPrefix("event_date=")))
     ExpiryReport(cutoff, expired.map(_._2.getName), retained.map(_._2.getName))
   }
 
@@ -188,6 +191,8 @@ object Retention {
         val action = if (keptDates(d)) "swap" else "remove"
         s"$action\tevent_date=$d"
       })
+    graft.plans.ProjectionMaintenance.onBaseMutated(spark, tableDir, "event_date",
+      affectedDates)
     PurgeReport(affectedDates.filter(keptDates).map(d => s"event_date=$d"),
       affectedDates.filterNot(keptDates).map(d => s"event_date=$d"), deleted)
   }
@@ -290,6 +295,8 @@ object Retention {
     }: _*)
     stageAndSwap(f, tableDir, mutated, partCols,
       affectedDates.map(d => s"swap\tevent_date=$d"))
+    graft.plans.ProjectionMaintenance.onBaseMutated(spark, tableDir, "event_date",
+      affectedDates)
     MutationReport(affectedDates.map(d => s"event_date=$d"), nUpdated)
   }
 
