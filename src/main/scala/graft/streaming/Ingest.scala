@@ -113,7 +113,7 @@ object Ingest {
     * probes: an empty write is cheaper than the extra job. */
   def ingestBatch(batch: DataFrame, outDir: String,
                   decoder: EventDecoder = JsonPayloadDecoder,
-                  batchId: Long = -1L): Unit = {
+                  batchId: Long = -1L, deliveries: Int = 1): Unit = {
     val routable = EventSchemas.routes.keys.toSeq
     val cached = batch.persist()
     // A null struct or null event_id (= malformed under PERMISSIVE) is a
@@ -126,7 +126,8 @@ object Ingest {
     }
     try {
       val asDlq = (reason: String) => Seq(col("subject"), col("payload"),
-        lit(reason).as("reason"), current_timestamp().as("dlq_ts"))
+        lit(reason).as("reason"), current_timestamp().as("dlq_ts"),
+        lit(deliveries).as("deliveries"))
       // Unroutable ⇒ dead-letter (reference terminally drops with Term,
       // src/main.rs:68-72; we keep the rows auditable in _dlq), unioned
       // with per-table decode failures into a single write. This one job
@@ -195,10 +196,32 @@ object Ingest {
   def startFromWire(spark: SparkSession, wireRoot: String, outDir: String,
                     checkpointRoot: String,
                     trigger: Trigger = Trigger.ProcessingTime("1 second"),
-                    subjects: Seq[String] = EventSchemas.routes.keys.toSeq)
+                    subjects: Seq[String] = EventSchemas.routes.keys.toSeq,
+                    maxDeliver: Int = 3)
       : Map[String, StreamingQuery] =
     startFromBroker(spark, FileBroker(wireRoot), outDir, checkpointRoot,
-      trigger, subjects)
+      trigger, subjects, maxDeliver)
+
+  /** Budget-exhausted dead-letter: the batch stops being retried and its
+    * rows land auditable in `_dlq` (reference: past max_deliver NATS stops
+    * delivering and emits a MAX_DELIVERIES advisory; we keep the payload).
+    * `deliveries` = the failed delivery attempts that exhausted the
+    * budget. Rows are re-wrapped to the DLQ envelope — typed wire rows
+    * get their content preserved as a JSON payload. */
+  private def deadLetterExhausted(batch: DataFrame, subject: String,
+                                  outDir: String, batchId: Long,
+                                  deliveries: Int): Unit = {
+    val hasEnvelope = batch.columns.contains("payload")
+    val payloadCol =
+      if (hasEnvelope) col("payload")
+      else to_json(struct(batch.columns.map(col).toSeq: _*))
+    val subjectCol =
+      if (batch.columns.contains("subject")) col("subject") else lit(subject)
+    sink(batch.select(subjectCol.as("subject"), payloadCol.as("payload"),
+      lit("max_deliver_exceeded").as("reason"),
+      current_timestamp().as("dlq_ts"),
+      lit(deliveries).as("deliveries")), DlqTable, outDir, batchId, Nil)
+  }
 
   /** Broker-agnostic form of [[startFromWire]]: one streaming query per
     * subject over any [[BrokerSource]] (directory tailing today, Kafka
@@ -211,18 +234,27 @@ object Ingest {
   def startFromBroker(spark: SparkSession, broker: BrokerSource, outDir: String,
                       checkpointRoot: String,
                       trigger: Trigger = Trigger.ProcessingTime("1 second"),
-                      subjects: Seq[String] = EventSchemas.routes.keys.toSeq)
+                      subjects: Seq[String] = EventSchemas.routes.keys.toSeq,
+                      maxDeliver: Int = 3)
       : Map[String, StreamingQuery] =
     subjects.map { subject =>
       val table = EventSchemas.routes(subject)
       val schema = EventSchemas.tables(table)
+      // max_deliver analog (src/nats.rs:74): checkpoint replay is our
+      // redelivery; the ledger bounds it so a poison batch dead-letters
+      // on delivery maxDeliver+1 instead of wedging the subject forever
+      val budget = new RedeliveryBudget(spark.sessionState.newHadoopConf(),
+        s"$checkpointRoot/$table/_graft_deliveries", maxDeliver)
       val q = broker.load(spark, subject, schema)
         .writeStream
         .queryName(s"graft-wire-$table")
         .option("checkpointLocation", s"$checkpointRoot/$table")
         .trigger(trigger)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          writeTyped(batch, table, schema, outDir, batchId)
+          val n = budget.attempt(batchId)
+          if (n > budget.maxDeliver)
+            deadLetterExhausted(batch, subject, outDir, batchId, n - 1)
+          else writeTyped(batch, table, schema, outDir, batchId)
         }
         .start()
       table -> q
@@ -251,18 +283,24 @@ object Ingest {
             checkpointDir: String,
             decoder: EventDecoder = JsonPayloadDecoder,
             trigger: Trigger = Trigger.ProcessingTime("1 second"),
-            maxBytesPerTrigger: Long = 60L * 1000 * 1000): StreamingQuery = {
+            maxBytesPerTrigger: Long = 60L * 1000 * 1000,
+            maxDeliver: Int = 3): StreamingQuery = {
     val in = spark.readStream
       .schema(StructType(Seq(
         StructField("subject", StringType), StructField("payload", StringType))))
       .option("maxBytesPerTrigger", maxBytesPerTrigger)
       .json(inputDir)
+    val budget = new RedeliveryBudget(spark.sessionState.newHadoopConf(),
+      s"$checkpointDir/_graft_deliveries", maxDeliver)
     in.writeStream
       .queryName("graft-ingest")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(batch, outDir, decoder, batchId)
+        val n = budget.attempt(batchId)
+        if (n > budget.maxDeliver)
+          deadLetterExhausted(batch, subject = "", outDir, batchId, n - 1)
+        else ingestBatch(batch, outDir, decoder, batchId, deliveries = n)
       }
       .start()
   }

@@ -31,6 +31,67 @@ class BrokerSourceSpec extends AnyFunSuite {
     } finally qs.values.foreach(_.stop())
   }
 
+  test("RedeliveryBudget counts attempts per batch and persists across instances") {
+    val dir = java.nio.file.Files.createTempDirectory("budget").toString
+    val conf = spark.sessionState.newHadoopConf()
+    val b = new RedeliveryBudget(conf, s"$dir/ledger", maxDeliver = 3)
+    assert(b.attempt(0L) == 1)
+    assert(b.attempt(0L) == 2)
+    // a driver restart builds a fresh instance over the same ledger file
+    val b2 = new RedeliveryBudget(conf, s"$dir/ledger", maxDeliver = 3)
+    assert(b2.attempt(0L) == 3)
+    // a new batch resets the count — only the in-flight batch is tracked
+    assert(b2.attempt(1L) == 1)
+  }
+
+  test("max_deliver analog: a batch that keeps failing dead-letters with its delivery count") {
+    val wire = java.nio.file.Files.createTempDirectory("budget_wire").toString
+    val out = java.nio.file.Files.createTempDirectory("budget_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("budget_ckpt").toString
+    val t0 = 1726300800L
+    def loginMsg(id: String, user: String, ts: Long): Seq[Any] =
+      Seq(id, "login", user, "s-1", "a-1", ts,
+        "web", "android", "14", "android", "14", "chrome", "128",
+        "mobile", "1080x2400", "UA")
+    new java.io.File(s"$wire/events.login").mkdirs()
+    graft.sources.ProtoFiles.writeLocal(s"$wire/events.login/flush-000001.pbstream",
+      Iterator(loginMsg("b-1", "u-1", t0)), EventSchemas.tables("login_events"))
+    // poison the table path: a regular FILE where the write wants a
+    // directory makes every delivery fail "transiently"
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/login_events"),
+      "blocker".getBytes)
+
+    def deliverOnce(): Option[Throwable] = {
+      val qs = Ingest.startFromBroker(spark, FileBroker(wire), out, ckpt,
+        subjects = Seq("events.login"), maxDeliver = 2)
+      try {
+        qs.values.foreach(_.processAllAvailable()); None
+      } catch { case e: Throwable => Some(e) }
+      finally qs.values.foreach(_.stop())
+    }
+    assert(deliverOnce().isDefined, "delivery 1 must fail on the blocked path")
+    assert(deliverOnce().isDefined, "delivery 2 must fail on the blocked path")
+    // budget (2) exhausted: delivery 3 dead-letters the batch and ACKS it
+    assert(deliverOnce().isEmpty, "past the budget the stream must proceed")
+    val dlq = spark.read.parquet(s"$out/_dlq")
+    assert(dlq.count() == 1)
+    val row = dlq.head()
+    assert(row.getAs[String]("reason") == "max_deliver_exceeded")
+    assert(row.getAs[Int]("deliveries") == 2,
+      "deliveries must record the failed attempts that exhausted the budget")
+    assert(row.getAs[String]("payload").contains("b-1"),
+      "the poison rows stay auditable in the DLQ payload")
+    // the batch is acked: unblocking the path and restarting must NOT
+    // resurrect it, and a new healthy batch flows normally
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$out/login_events"))
+    graft.sources.ProtoFiles.writeLocal(s"$wire/events.login/flush-000002.pbstream",
+      Iterator(loginMsg("b-2", "u-2", t0 + 60)), EventSchemas.tables("login_events"))
+    assert(deliverOnce().isEmpty)
+    val landed = spark.read.parquet(s"$out/login_events")
+    assert(landed.select("event_id").collect().map(_.getString(0)).toSet == Set("b-2"),
+      "dead-lettered rows must not reappear in the table")
+  }
+
   test("KafkaBroker option mapping mirrors the reference consumer config") {
     val kb = KafkaBroker("broker:9092", groupPrefix = "click-consumer",
       maxOffsetsPerTrigger = 100000L)
