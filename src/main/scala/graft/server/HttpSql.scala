@@ -26,10 +26,12 @@ import graft.streaming.{EventSchemas, Ingest, ProtoWire}
   *     reference's readiness check, which string-matches the body)
   *   - `GET /?query=…` or `POST /` body → `spark.sql(query)` streamed back
   *     in the requested ClickHouse output format: `TabSeparated` (default),
-  *     `TabSeparatedWithNames`, `CSV`, `CSVWithNames`, `JSONEachRow`.
+  *     `TabSeparatedWithNames`, `CSV`, `CSVWithNames`, `JSONEachRow`, and
+  *     binary `Parquet` (round-trips what the INSERT path accepts in).
   *     A trailing `FORMAT <name>` clause (the CH grammar) is recognized and
   *     stripped before Spark parses the statement; `default_format=` query
-  *     parameter is the fallback, mirroring CH precedence.
+  *     parameter is the fallback, mirroring CH precedence. Responses are
+  *     gzip-compressed when the client sends `Accept-Encoding: gzip`.
   *   - `POST /?query=INSERT INTO [db.]<table> FORMAT Protobuf [SETTINGS
   *     format_schema='…']` with a BINARY body of concatenated
   *     varint-length-delimited proto3 messages → decoded via
@@ -64,13 +66,31 @@ import graft.streaming.{EventSchemas, Ingest, ProtoWire}
   * wider exposure: this surface executes arbitrary SQL (including eager
   * commands), so reachable-by-default would hand any network peer the
   * engine. The reference deployment makes the same call explicitly by
-  * publishing the port in compose; we require the same explicitness.
+  * publishing the port in compose; we require the same explicitness —
+  * PLUS a `sharedSecret` before any non-loopback bind is accepted at all.
+  * Clients authenticate with the `X-ClickHouse-Key` header (or the
+  * `password` URL parameter), CH's own HTTP credential carriers; a
+  * missing/wrong secret answers 403 `AUTHENTICATION_FAILED`. `/ping`
+  * stays open — it is the readiness probe, answers a constant, and the
+  * reference's own check sends no credentials.
   */
 final class HttpSql(spark: SparkSession, port: Int = 0,
                     dataDir: Option[String] = None,
-                    bindAddress: InetAddress = InetAddress.getLoopbackAddress) {
+                    bindAddress: InetAddress = InetAddress.getLoopbackAddress,
+                    sharedSecret: Option[String] = None) {
+  require(bindAddress.isLoopbackAddress || sharedSecret.exists(_.nonEmpty),
+    "refusing a non-loopback bind without a sharedSecret: this surface " +
+      "executes arbitrary SQL — exposure beyond loopback requires auth")
 
   private var server: HttpServer = _
+
+  /** Constant-time compare — a secret check must not leak prefix length. */
+  private def authorized(x: HttpExchange, params: Map[String, String]): Boolean =
+    sharedSecret.forall { want =>
+      val got = Option(x.getRequestHeaders.getFirst("X-ClickHouse-Key"))
+        .orElse(params.get("password")).getOrElse("")
+      java.security.MessageDigest.isEqual(got.getBytes(UTF_8), want.getBytes(UTF_8))
+    }
 
   /** CH `max_execution_time` / `KILL QUERY` analog. Every query runs in
     * its own Spark JOB GROUP (set on the handler thread, which is the
@@ -175,6 +195,12 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
 
     private def handleInner(x: HttpExchange): Unit = {
       val params = parseQueryString(Option(x.getRequestURI.getRawQuery))
+      if (!authorized(x, params)) {
+        respond(x, 403, "text/plain",
+          "AUTHENTICATION_FAILED: wrong or missing credentials " +
+            "(X-ClickHouse-Key header or password parameter)\n")
+        return
+      }
       val paramQuery = params.get("query").filter(_.nonEmpty).map(_.trim)
       // INSERT … FORMAT Protobuf carries a BINARY body — it must be
       // matched on the URL-param query BEFORE the body is read as UTF-8
@@ -215,9 +241,11 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
         refreshSystemTables()
       val fmt = fmtClause.orElse(params.get("default_format"))
         .getOrElse("TabSeparated")
-      HttpSql.formats.get(fmt.toLowerCase) match {
-        case None => respond(x, 400, "text/plain", s"unknown FORMAT $fmt\n")
-        case Some(render) =>
+      val fmtKey = fmt.toLowerCase
+      if (!HttpSql.formats.contains(fmtKey) &&
+          !HttpSql.binaryFormats.contains(fmtKey))
+        respond(x, 400, "text/plain", s"unknown FORMAT $fmt\n")
+      else {
           // the permanent/transient split the reference's dead-letter
           // classifier keys on (src/handler.rs:206-212): parse/analysis
           // failures are the permanent 400 class; anything at execution
@@ -256,8 +284,11 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
                 startCanceller(ctl)
               }
             }, ms, TimeUnit.MILLISECONDS))
-          try streamResult(x, df, render)
-          catch {
+          try {
+            if (HttpSql.binaryFormats.contains(fmtKey))
+              streamParquet(x, df, acceptsGzip(x))
+            else streamResult(x, df, HttpSql.formats(fmtKey), acceptsGzip(x))
+          } catch {
             case e: Exception if ctl.timedOut =>
               respond(x, 500, "text/plain",
                 s"TIMEOUT_EXCEEDED: max_execution_time " +
@@ -276,6 +307,13 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
       }
     }
   }
+
+  /** `Accept-Encoding: gzip` (with optional q-values) — CH's HTTP surface
+    * honors it via `enable_http_compression`; here it is honored whenever
+    * the client asks. */
+  private def acceptsGzip(x: HttpExchange): Boolean =
+    Option(x.getRequestHeaders.getFirst("Accept-Encoding")).exists(
+      _.toLowerCase.split(',').map(_.trim.takeWhile(_ != ';')).contains("gzip"))
 
   /** The reference's own verb against this surface: binary protobuf body,
     * decoded against the target table's wire schema and appended through
@@ -324,18 +362,54 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
     * a truncated 200). Failures after the first partition can only
     * truncate the chunked stream — inherent to streaming transfer. */
   private def streamResult(x: HttpExchange, df: DataFrame,
-                           render: HttpSql.Format): Unit = {
+                           render: HttpSql.Format, gzip: Boolean): Unit = {
     val schema = df.schema
     val it = df.toLocalIterator()
     val nonEmpty = it.hasNext // first job: throws HERE on execution error
     x.getResponseHeaders.set("Content-Type", render.contentType)
+    if (gzip) x.getResponseHeaders.set("Content-Encoding", "gzip")
     x.sendResponseHeaders(200, 0) // 0 ⇒ chunked
-    val out = x.getResponseBody
+    val out: OutputStream =
+      if (gzip) new java.util.zip.GZIPOutputStream(x.getResponseBody)
+      else x.getResponseBody
     try {
       render.header(schema).foreach(h => out.write(h.getBytes(UTF_8)))
       if (nonEmpty)
         while (it.hasNext) out.write(render.row(it.next(), schema).getBytes(UTF_8))
     } finally { out.close(); x.close() }
+  }
+
+  /** `FORMAT Parquet` — binary out, closing the loop with the INSERT path
+    * that already accepts binary in: a result set round-trips through any
+    * parquet reader (including `spark.read.parquet` on the saved body).
+    * A parquet file is footer-framed, so unlike the text formats it cannot
+    * be streamed row-by-row: the result is written by the CLUSTER
+    * (one-file coalesce — the writer task runs on an executor, the driver
+    * never holds rows) to a scratch file, then streamed to the client and
+    * deleted. Intended for BI-scale result sets, the same envelope CH's
+    * own buffered formats assume; table-scale extraction belongs on the
+    * storage tier, not an HTTP body. */
+  private def streamParquet(x: HttpExchange, df: DataFrame, gzip: Boolean): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_http_pq")
+    try {
+      // executes BEFORE headers: failures surface as the caller's clean 500
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Option(tmp.toFile.listFiles())
+        .flatMap(_.find(_.getName.endsWith(".parquet")))
+        .getOrElse(throw new IllegalStateException("parquet write produced no file"))
+      x.getResponseHeaders.set("Content-Type", "application/vnd.apache.parquet")
+      if (gzip) x.getResponseHeaders.set("Content-Encoding", "gzip")
+      x.sendResponseHeaders(200, 0)
+      val out: OutputStream =
+        if (gzip) new java.util.zip.GZIPOutputStream(x.getResponseBody)
+        else x.getResponseBody
+      try java.nio.file.Files.copy(part.toPath, out)
+      finally { out.close(); x.close() }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   private def respond(x: HttpExchange, code: Int, ct: String, body: String): Unit = {
@@ -353,7 +427,8 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
     * format) is never mangled. */
   private def stripFormatClause(q: String): (String, Option[String]) = {
     HttpSql.FormatClause.findFirstMatchIn(q) match {
-      case Some(g) if HttpSql.formats.contains(g.group(1).toLowerCase) =>
+      case Some(g) if HttpSql.formats.contains(g.group(1).toLowerCase) ||
+                      HttpSql.binaryFormats.contains(g.group(1).toLowerCase) =>
         (q.substring(0, g.start).trim, Some(g.group(1)))
       case _ => (q, None)
     }
@@ -479,6 +554,10 @@ object HttpSql {
 
   private def namesHeader(sep: String)(s: StructType): Option[String] =
     Some(s.fieldNames.mkString("", sep, "\n"))
+
+  /** Binary output formats, dispatched outside the row-renderer pipeline
+    * (a parquet body is footer-framed, not row-framed). */
+  val binaryFormats: Set[String] = Set("parquet")
 
   val formats: Map[String, Format] = Map(
     "tabseparated"          -> Format("text/tab-separated-values", _ => None, tsvRow),

@@ -59,6 +59,87 @@ class HttpSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("FORMAT Parquet round-trips: response bytes re-read equal the DataFrame") {
+    withServer { (c, p) =>
+      val q = "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey FORMAT Parquet"
+      val r = c.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/?query=${enc(q)}"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(r.statusCode() == 200)
+      assert(r.headers().firstValue("Content-Type").orElse("")
+        == "application/vnd.apache.parquet")
+      val tmp = java.nio.file.Files.createTempFile("http_pq", ".parquet")
+      java.nio.file.Files.write(tmp, r.body())
+      val back = spark.read.parquet(tmp.toString)
+        .orderBy("r_regionkey").collect().toSeq
+      val want = spark.sql("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")
+        .collect().toSeq
+      assert(back == want)
+      java.nio.file.Files.delete(tmp)
+    }
+  }
+
+  test("Accept-Encoding gzip compresses text and binary responses") {
+    withServer { (c, p) =>
+      val q = "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+      def gzGet(pathAndQuery: String): HttpResponse[Array[Byte]] =
+        c.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p$pathAndQuery"))
+            .header("Accept-Encoding", "gzip").GET().build(),
+          HttpResponse.BodyHandlers.ofByteArray())
+      val tsv = gzGet(s"/?query=${enc(q)}")
+      assert(tsv.headers().firstValue("Content-Encoding").orElse("") == "gzip")
+      val gunzipped = new String(
+        new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(tsv.body())).readAllBytes(), UTF_8)
+      assert(gunzipped == get(c, p, s"/?query=${enc(q)}").body(),
+        "gzip body must decode to the identity response")
+      // binary path honors it too, and the payload is still valid parquet
+      val pq = gzGet(s"/?query=${enc(q + " FORMAT Parquet")}")
+      assert(pq.headers().firstValue("Content-Encoding").orElse("") == "gzip")
+      val rawPq = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(pq.body())).readAllBytes()
+      val tmp = java.nio.file.Files.createTempFile("http_pqgz", ".parquet")
+      java.nio.file.Files.write(tmp, rawPq)
+      assert(spark.read.parquet(tmp.toString).count() == spark.sql(q).count())
+      java.nio.file.Files.delete(tmp)
+      // a client that does NOT ask for gzip gets identity
+      val plain = get(c, p, s"/?query=${enc(q)}")
+      assert(plain.headers().firstValue("Content-Encoding").isEmpty)
+    }
+  }
+
+  test("auth: non-loopback bind requires a sharedSecret; credentials are enforced") {
+    // exposure beyond loopback without auth must be refused outright
+    intercept[IllegalArgumentException] {
+      new HttpSql(spark, bindAddress = java.net.InetAddress.getByName("0.0.0.0"))
+    }
+    // with a secret configured, queries need the CH credential carriers
+    HttpSql.registerTables(spark, "/root/testdata/sf0.001")
+    val srv = new HttpSql(spark, sharedSecret = Some("s3cret"))
+    val p = srv.start()
+    val c = HttpClient.newHttpClient()
+    try {
+      val denied = get(c, p, s"/?query=${enc("SELECT 1")}")
+      assert(denied.statusCode() == 403)
+      assert(denied.body().contains("AUTHENTICATION_FAILED"))
+      val wrong = c.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/?query=${enc("SELECT 1")}"))
+          .header("X-ClickHouse-Key", "nope").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(wrong.statusCode() == 403)
+      val viaHeader = c.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/?query=${enc("SELECT 1")}"))
+          .header("X-ClickHouse-Key", "s3cret").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(viaHeader.statusCode() == 200 && viaHeader.body() == "1\n")
+      val viaParam = get(c, p, s"/?query=${enc("SELECT 1")}&password=s3cret")
+      assert(viaParam.statusCode() == 200)
+      // the readiness probe stays open (the reference's check is unauthenticated)
+      assert(get(c, p, "/ping").body() == "Ok.\n")
+    } finally srv.stop()
+  }
+
   test("POST body is the query; aggregates over registered tables") {
     withServer { (c, p) =>
       val r = post(c, p,
