@@ -30,6 +30,51 @@ object Similarity {
 
   private def norm(a: String) = expr(s"sqrt(float_dot($a, $a))")
 
+  /** Collect a BOUNDED, seeded sample of embedding vectors to the driver
+    * for quantizer training (coarse IVF cells, PQ codebooks). Centroid
+    * quality saturates long before corpus size, so `cap` rows suffice at
+    * any scale — this is the one deliberate driver materialization in the
+    * ANN stack and it is sample-scale, never corpus-scale. */
+  private[graft] def sampleVectors(e0: DataFrame, cap: Long = 2000L,
+                                   seed: Long = 42): Array[Array[Double]] = {
+    val n = e0.count()
+    val sampled = if (n <= cap) e0
+                  else e0.sample(withReplacement = false, cap.toDouble / n, seed)
+    sampled.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+  }
+
+  /** Literal SQL centroid table: `ARRAY<ARRAY<FLOAT>>` baked into the
+    * plan, so assignment needs no join and no broadcast variable — the
+    * centroids ride inside the codegen'd expression. */
+  private def centersSql(cs: Array[Array[Double]]): String =
+    cs.map(c => s"CAST(array(${c.mkString(",")}) AS ARRAY<FLOAT>)")
+      .mkString("array(", ",", ")")
+
+  /** Per-centroid ranking scores for `vecSql` against a literal centroid
+    * table: score_i = |c_i|² − 2·v·c_i, which orders identically to
+    * |v − c_i|² (the |v|² term is constant per row). One codegen'd
+    * zip_with + the native float_dot per row — no per-row Vector
+    * conversion, no ML-model UDF, the corpus stays inside whole-stage
+    * codegen. */
+  private[graft] def withCentroidScores(df: DataFrame, vecSql: String,
+      centers: Array[Array[Double]], out: String): DataFrame =
+    df.withColumn(out, expr(
+      s"""zip_with(${centersSql(centers)},
+                   CAST(array(${centers.map(_.map(x => x * x).sum).mkString(",")})
+                        AS ARRAY<DOUBLE>),
+                   (c, cc) -> cc - 2.0D * float_dot($vecSql, c))"""))
+
+  /** Nearest-centroid assignment as a single projection: argmin over the
+    * literal centroid scores, ties to the lowest index (deterministic). */
+  private[graft] def withCell(df: DataFrame, vecSql: String,
+      centers: Array[Array[Double]], out: String): DataFrame = {
+    val tmp = s"__scores_$out"
+    withCentroidScores(df, vecSql, centers, tmp)
+      .withColumn(out, expr(s"CAST(array_position($tmp, array_min($tmp)) - 1 AS INT)"))
+      .drop(tmp)
+  }
+
   val queries: Map[String, Q] = Map(
     // Brute-force cosine top-5 neighbors for query vectors vec_id < 10.
     "d_knn_cosine" -> ((s, d) => {
@@ -79,58 +124,41 @@ object Similarity {
     }),
 
     // IVF (inverted-file) ANN: k-means coarse quantizer → search only the
-    // n_probe closest cells. The centroid table is tiny and broadcast;
-    // the big side is scanned once to assign cells (linear), then probed
-    // per query — the standard sub-linear ANN layout at corpus scale.
-    // Rows-only (clustering is engine-internal); SimilaritySpec measures
-    // recall against brute force.
+    // n_probe closest cells. The quantizer trains driver-side on a
+    // bounded sample ([[MiniKMeans]] — centroid quality saturates long
+    // before corpus size); the big side is scanned ONCE to assign cells
+    // via a codegen'd literal-centroid argmin (no ML-model UDF, no
+    // per-row Vector conversion), then probed per query — the standard
+    // sub-linear ANN layout at corpus scale. Rows-only (clustering is
+    // engine-internal); PipelineSpec measures recall against brute force.
     "d_ann_ivf" -> ((s, d) => {
       register(s)
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
       val nCells = 8; val nProbe = 2
-      val e = Tables.embeddings(s, d)
-        .withColumn("features", array_to_vector(col("embedding").cast("array<double>")))
-        .persist()
-      // Coarse quantizer fits on a bounded sample (standard IVF practice:
-      // centroid quality saturates long before corpus size, and the fit is
-      // the only iterative multi-job stage). Assignment below still scans
-      // the full corpus once.
-      val n = e.count()
-      val sampleCap = 2000L
-      val trainSet =
-        if (n <= sampleCap) e.select("features")
-        else e.select("features").sample(withReplacement = false,
-          sampleCap.toDouble / n, seed = 42)
-      val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(10)
-        .fit(trainSet)
-      val assigned = model.transform(e).withColumnRenamed("prediction", "cell")
-      // n_probe nearest cells per query vector, by distance to centroids
-      val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-        (i, c.toArray)
-      }.toSeq
-      val cDf = s.createDataFrame(centroids).toDF("cell", "centroid")
-      val q = assigned.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val e0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val centers = MiniKMeans.fit(sampleVectors(e0), nCells, iters = 10, seed = 42)
+      // one corpus pass: codegen'd literal-centroid argmin, no fit jobs
+      val cand = withCell(e0, "embedding", centers, "cell")
+        .select(col("vec_id").as("n_id"), col("embedding").as("nv"), col("cell"))
+        .withColumn("nn", norm("nv"))
+      // query side: nProbe nearest cells straight from the same literal
+      // scores — sort (score, idx) pairs, take the first nProbe indices
+      val q = withCentroidScores(e0.filter(col("vec_id") < 10),
+          "embedding", centers, "qs")
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("qs"))
         .withColumn("qn", norm("qv"))
-      val qCells = q.crossJoin(broadcast(cDf))
-        .withColumn("dist", expr(
-          """aggregate(zip_with(qv, centroid, (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),
-                       0D, (acc, v) -> acc + v)"""))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("dist"), col("cell"))))
-        .filter(col("rk") <= nProbe)
-        .select(col("q_id"), col("qv"), col("qn"), col("cell"))
-      val cand = assigned.select(col("vec_id").as("n_id"), col("embedding").as("nv"),
-        col("cell")).withColumn("nn", norm("nv"))
+        .withColumn("cell", explode(expr(
+          s"""slice(transform(array_sort(zip_with(qs, sequence(0, ${nCells - 1}),
+                      (v, i) -> named_struct('v', v, 'i', i))), x -> x.i),
+                    1, $nProbe)""")))
+        .drop("qs")
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-      Materialize.drop(cand.join(broadcast(qCells), Seq("cell"))
+      cand.join(broadcast(q), Seq("cell"))
         .filter(col("q_id") =!= col("n_id"))
         .withColumn("cos", round(dot("qv", "nv") / (col("qn") * col("nn")), 4))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
         .select(col("q_id"), col("rnk"), col("n_id"), col("cos"))
-        .orderBy("q_id", "rnk"), e)
+        .orderBy("q_id", "rnk")
     }),
 
     // IVF-PQ ANN: the 100 TB embedding-search layout — coarse IVF cells
@@ -235,41 +263,31 @@ object Similarity {
     * Driver-side work is QUERY-scale only, the ANN contract: the query
     * set (the rows a client would send) and the m×k codebooks are
     * collected/broadcast; corpus rows never leave executors. All k-means
-    * fits run on the same bounded sample as d_ann_ivf. */
+    * fits run driver-side on one bounded sample ([[MiniKMeans]] — m+1
+    * iterative Spark ML jobs on a 2k-row sample were pure scheduling
+    * overhead), and the corpus encode is ONE codegen'd projection
+    * producing cell + m codes per row. */
   def ivfPq(s: SparkSession, embeddings: DataFrame, nCells: Int, nProbe: Int,
             m: Int, k: Int, rerank: Int, topK: Int): DataFrame = {
     register(s)
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     import s.implicits._
     val e0 = embeddings.select(col("vec_id"), col("embedding"))
     val dim = e0.select(size(col("embedding")).as("d")).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m blocks")
     val sub = dim / m
 
-    val e = e0.withColumn("features",
-      array_to_vector(col("embedding").cast("array<double>"))).persist()
-    val n = e.count()
-    val cap = 2000L
-    val train = (if (n <= cap) e
-                 else e.sample(withReplacement = false, cap.toDouble / n, 42))
-      .persist()
-    val coarse = new KMeans().setK(nCells).setSeed(42).setMaxIter(10)
-      .fit(train.select("features"))
-    val blockModels = (0 until m).map { b =>
-      new KMeans().setK(k).setSeed(42 + b).setMaxIter(10)
-        .fit(train.select(array_to_vector(
-          expr(s"CAST(slice(embedding, ${b * sub + 1}, $sub) AS ARRAY<DOUBLE>)"))
-          .as("features")))
+    val sample = sampleVectors(e0)
+    val coarseCenters = MiniKMeans.fit(sample, nCells, iters = 10, seed = 42)
+    val blockCenters = Array.tabulate(m) { b =>
+      MiniKMeans.fit(sample.map(_.slice(b * sub, (b + 1) * sub)), k,
+        iters = 10, seed = 42 + b)
     }
-    // encode the corpus: cell + m codebook ids per vector (one pass,
-    // m+1 broadcast-model transforms fused by the planner)
-    var enc = coarse.transform(e).withColumnRenamed("prediction", "cell")
-    for (b <- 0 until m) {
-      enc = blockModels(b).setFeaturesCol(s"f$b").setPredictionCol(s"c$b")
-        .transform(enc.withColumn(s"f$b", array_to_vector(
-          expr(s"CAST(slice(embedding, ${b * sub + 1}, $sub) AS ARRAY<DOUBLE>)"))))
-    }
+    // encode the corpus: cell + m codebook ids per vector, one pass,
+    // all m+1 argmins fused into a single whole-stage-codegen projection
+    var enc = withCell(e0, "embedding", coarseCenters, "cell")
+    for (b <- 0 until m)
+      enc = withCell(enc, s"slice(embedding, ${b * sub + 1}, $sub)",
+        blockCenters(b), s"c$b")
     val coded = enc.select(col("vec_id").as("n_id"), col("embedding").as("nv"),
       col("cell"), array((0 until m).map(b => col(s"c$b")): _*).as("codes"))
       .withColumn("nn", norm("nv"))
@@ -281,8 +299,6 @@ object Similarity {
       acc
     }
     val qRows = e0.filter(col("vec_id") < 10).collect() // query set, not corpus
-    val blockCenters = blockModels.map(_.clusterCenters.map(_.toArray))
-    val coarseCenters = coarse.clusterCenters.map(_.toArray)
     val qFlat = qRows.toSeq.flatMap { r =>
       val qid = r.getLong(0)
       val qv = r.getSeq[Float](1)
@@ -290,7 +306,7 @@ object Similarity {
       val tabs: Seq[Seq[Double]] = (0 until m).map { b =>
         val qb = qd.slice(b * sub, (b + 1) * sub)
         blockCenters(b).map(c => sqdist(qb, c)).toSeq
-      }
+      }.toSeq
       val cells = coarseCenters.zipWithIndex
         .sortBy { case (c, i) => (sqdist(qd, c), i) }.take(nProbe).map(_._2)
       cells.map(cell => (qid, cell, qv, tabs))
@@ -301,7 +317,7 @@ object Similarity {
 
     val wAdc = Window.partitionBy("q_id").orderBy(col("adc"), col("n_id"))
     val wCos = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    Materialize.drop(coded.join(broadcast(qDf), Seq("cell"))
+    coded.join(broadcast(qDf), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("adc", expr(
         """aggregate(zip_with(codes, tabs, (c, t) -> element_at(t, c + 1)),
@@ -312,7 +328,7 @@ object Similarity {
       .withColumn("rnk", row_number().over(wCos))
       .filter(col("rnk") <= topK)
       .select(col("q_id"), col("rnk"), col("n_id"), col("cos"))
-      .orderBy("q_id", "rnk"), e, train)
+      .orderBy("q_id", "rnk")
   }
 
   val oracles: Map[String, String] = Map(
