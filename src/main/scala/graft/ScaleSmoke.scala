@@ -3,37 +3,40 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-stress main for the iterative/quadratic-prone operators: builds a
-  * synthetic embedding corpus K× the sf0.1 fixture (seeded, clustered so
-  * near-dup structure exists at every scale) and times the semantic-dedup
-  * and ANN paths on it.
+/** Scale-stress main for the iterative/quadratic-prone operators: builds
+  * synthetic document + embedding corpora K× the sf0.1 fixtures (seeded,
+  * clustered so near-dup structure exists at every scale) and measures
+  * BOTH wall-clock and **candidate-pair counts** for every sub-quadratic
+  * claim the dedup/ANN stack makes.
   *
-  * Purpose: the small-SF catalog proves CORRECTNESS; this proves the SHAPE
-  * — that candidate generation stays bucket-local, that component rounds
-  * grow with log(diameter) not corpus size, and that wall-clock grows
-  * ~linearly in rows. Run: `tools/scale_smoke.sh [multipliers...]`.
+  * Purpose: the small-SF catalog proves CORRECTNESS; this proves the
+  * SHAPE — that candidate generation stays bucket-local (candidates grow
+  * ~linearly in corpus size when the knobs follow their documented
+  * sizing rules, vs the n² all-pairs space), that component rounds grow
+  * with log(diameter) not corpus size, and that wall-clock grows
+  * ~linearly in rows. Run: `tools/scale_smoke.sh [multipliers...]`;
+  * measured curves are recorded in SCALE.md.
   *
-  * The corpus is a mixture over FIXED-SIZE clusters (~50 points, the
-  * bounded dup-group shape of real corpora — cluster COUNT grows with n,
-  * not cluster size): each cluster has a seeded ±1.5 sign pattern on the
-  * first 16 dims, so its points agree on every sign-LSH plane (the noise
-  * never flips a ±1.5 signal) and form a same-bucket clique of mutual
-  * near-dups (same-cluster cosine ≈ 0.93, cross-cluster ≈ 0), while
-  * cluster patterns spread uniformly over buckets. The component loop
-  * therefore runs on real cliques, and pair cost stays Σ|bucket|² with
-  * buckets sized by the plane count.
+  * Knob sizing under test (the documented rules):
+  *  - sign-LSH planes: 2^planes ≈ n/30  (Similarity.semanticDedup)
+  *  - IVF cells: ~250 vectors/cell, nProbe fixed  (Similarity ivf paths)
+  *  - minhash bands: fixed 8 hashes × 4 bands; buckets multiply with the
+  *    shingle alphabet, dup-group size stays bounded (TextDedup)
   */
 object ScaleSmoke {
 
-  def synth(spark: SparkSession, n: Int, dims: Int, out: String): Unit = {
+  /** Embedding corpus: mixture over FIXED-SIZE clusters (~50 points, the
+    * bounded dup-group shape of real corpora — cluster COUNT grows with
+    * n, not cluster size): each cluster has a seeded ±1.5 sign pattern on
+    * the first 16 dims, so its points agree on every sign-LSH plane (the
+    * noise never flips a ±1.5 signal) and form a same-bucket clique of
+    * mutual near-dups (same-cluster cosine ≈ 0.93, cross-cluster ≈ 0),
+    * while cluster patterns spread uniformly over buckets. */
+  def synthEmbeddings(spark: SparkSession, n: Int, dims: Int, out: String): Unit = {
     val clusters = math.max(4, n / 50)
     val df = spark.range(n.toLong).select(col("id").as("vec_id"),
         (col("id") % clusters).as("c"))
       .withColumn("embedding", expr(
-        // per-cluster ±1.5 sign pattern (seeded by hash(c, i)) on the
-        // first 16 dims + per-point noise ±0.4 everywhere: the signal
-        // dominates, so the sign bits — and the LSH bucket — are a
-        // cluster property
         s"""transform(sequence(0, ${dims - 1}), i ->
               CAST(IF(i < 16, IF(pmod(hash(c, i), 2) = 0, 1.5, -1.5), 0.0)
                    + (pmod(hash(vec_id, i), 1000) / 1000.0 - 0.5) * 0.8
@@ -42,32 +45,84 @@ object ScaleSmoke {
     df.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
-  def timeIt(label: String, f: => Long): Unit = {
+  /** Document corpus: fixed-size dup FAMILIES of 5 docs sharing a 40-word
+    * template drawn from a 500-word vocabulary (seeded by hash(family,
+    * position)); each doc perturbs ~1/8 of its positions with doc-seeded
+    * replacement words. Within a family the bigram Jaccard lands ≈ 0.6
+    * (above the 0.5 verify threshold); across families the bigram sets
+    * are effectively disjoint (500² possible bigrams). Family SIZE is
+    * constant as n grows — the realistic shape: a bigger crawl has more
+    * dup groups, not bigger ones. */
+  def synthDocuments(spark: SparkSession, n: Int, out: String): Unit = {
+    val df = spark.range(n.toLong).select(col("id").as("doc_id"))
+      .withColumn("text", expr(
+        """concat_ws(' ', transform(sequence(0, 39), p ->
+             IF(pmod(hash(doc_id, p, 99), 8) = 0,
+                concat('x', pmod(hash(doc_id, p), 500)),
+                concat('w', pmod(hash(CAST(doc_id DIV 5 AS INT), p), 500)))))"""))
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("scale-smoke"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    df.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
+
+  def timeIt(label: String, f: => Long): Long = {
     val t0 = System.nanoTime()
     val n = f
-    println(f"[scale] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+    println(f"[scale] $label%-42s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n%,d rows)")
+    n
   }
+
+  /** Σ c·(c−1)/2 over a bucket histogram — the exact candidate-pair count
+    * a bucket-keyed self-join generates. */
+  private def pairSum(hist: DataFrame): Long =
+    hist.agg(sum(expr("n * (n - 1) / 2")).cast("long")).head.getLong(0)
 
   def main(args: Array[String]): Unit = {
     val mults = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = EngineSession.local(appName = "graft-scale-smoke")
-    val base = 2000 // sf0.1 embeddings fixture size
+    val baseVecs = 2000 // sf0.1 embeddings fixture size
+    val baseDocs = 5000 // sf0.1 documents fixture size
     mults.foreach { m =>
-      val n = base * m
       val dir = s"${sys.props("java.io.tmpdir")}/graft_scale_$m"
-      synth(spark, n, 64, dir)
-      // the d_ann_lsh sizing rule: 2^planes ≈ n/30 (floored at 4 planes,
-      // which binds only below n=480 — every reachable scale sizes up);
-      // SPARK_GRAFT_SMOKE_PLANES pins a fixed count to measure what
-      // UNDER-sized buckets cost
+      val nVec = baseVecs * m
+      val nDoc = baseDocs * m
+      synthEmbeddings(spark, nVec, 64, dir)
+      synthDocuments(spark, nDoc, dir)
+
+      // ---- semantic dedup (sign-LSH planes, 2^planes ≈ n/30) ----------
       val planes = sys.env.get("SPARK_GRAFT_SMOKE_PLANES").map(_.toInt)
         .getOrElse(math.max(4, math.min(16,
-          (math.log(n / 30.0) / math.log(2)).round.toInt)))
-      timeIt(s"semanticDedup x$m (n=$n, planes=$planes)",
-        pipeline.Similarity.semanticDedup(spark,
-          Tables.embeddings(spark, dir), planes, 0.3).count())
-      timeIt(s"d_ann_lsh     x$m (n=$n)",
+          (math.log(nVec / 30.0) / math.log(2)).round.toInt)))
+      val e = Tables.embeddings(spark, dir)
+      val bucketed = pipeline.Similarity.signBuckets(spark, e, planes)
+      val semCand = pairSum(bucketed.groupBy("bucket").count()
+        .select(col("count").as("n")))
+      println(f"[scale] semantic candidates x$m (n=$nVec, planes=$planes): " +
+        f"$semCand%,d pairs  (${semCand.toDouble / nVec}%.1f per vec; " +
+        f"all-pairs ${nVec.toLong * (nVec - 1) / 2}%,d)")
+      timeIt(f"semanticDedup x$m (n=$nVec, planes=$planes)",
+        pipeline.Similarity.semanticDedup(spark, e, planes, 0.3).count())
+
+      // ---- ANN probe cost (sign-LSH + IVF, cells ≈ n/250) -------------
+      timeIt(f"d_ann_lsh     x$m (n=$nVec)",
         SparkEntry.queries("d_ann_lsh")(spark, dir).count())
+      val nCells = math.max(8, nVec / 250)
+      val probed = pipeline.Similarity.ivfProbedCandidates(
+        spark, e, nCells = nCells, nProbe = 2, nQueries = 10)
+      println(f"[scale] ivf probed    x$m (n=$nVec, cells=$nCells): " +
+        f"$probed%,d candidates  (${probed * 100.0 / (10L * nVec)}%.1f%% of " +
+        f"10-query brute force)")
+
+      // ---- minhash LSH (fixed 8 hashes × 4 bands) ---------------------
+      val mh = pipeline.TextDedup.minhashPairsPlan(spark, dir)
+      val mhCand = pairSum(mh.bands.groupBy("band", "bkey").count()
+        .select(col("count").as("n")))
+      println(f"[scale] minhash candidates x$m (n=$nDoc): $mhCand%,d pairs  " +
+        f"(${mhCand.toDouble / nDoc}%.1f per doc; " +
+        f"all-pairs ${nDoc.toLong * (nDoc - 1) / 2}%,d)")
+      timeIt(f"minhash verified pairs x$m (n=$nDoc)", mh.pairs.count())
+      mh.caches.foreach(_.unpersist())
     }
     spark.stop()
   }

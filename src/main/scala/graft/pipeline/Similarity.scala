@@ -217,17 +217,48 @@ object Similarity {
     * trades exactly like d_ann_lsh documents (near-dups at threshold
     * 0.9+ almost always share sign bits; a second, rotated plane set
     * OR-ed in would recover the remainder at 2x candidate cost). */
-  def semanticDedup(s: SparkSession, embeddings: DataFrame,
-                    planes: Int, threshold: Double): DataFrame = {
+  /** Sign-LSH bucketing shared by semanticDedup and ScaleSmoke's
+    * candidate-count instrumentation: bucket = the sign bits of the first
+    * `planes` dims. Output columns: vec_id, v, n (norm), bucket. */
+  private[graft] def signBuckets(s: SparkSession, embeddings: DataFrame,
+                                 planes: Int): DataFrame = {
     require(planes >= 1 && planes <= 16, s"planes $planes outside [1,16]")
     register(s)
-    val e = embeddings
+    embeddings
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("n", norm("v"))
       .withColumn("bucket", expr(
         s"""aggregate(zip_with(slice(v, 1, $planes), sequence(0, ${planes - 1}),
                               (x, i) -> IF(x >= 0F, shiftleft(1, i), 0)),
                      0, (acc, v) -> acc + v)"""))
+  }
+
+  /** Candidate count an IVF probe generates: fit the coarse quantizer
+    * exactly as the ivf paths do, then sum the probed cells' sizes over
+    * the first `nQueries` query vectors — the number the scale claim
+    * ("probe cost is nProbe/nCells of the corpus") is about. */
+  private[graft] def ivfProbedCandidates(s: SparkSession, embeddings: DataFrame,
+      nCells: Int, nProbe: Int, nQueries: Int): Long = {
+    register(s)
+    val e0 = embeddings.select(col("vec_id"), col("embedding"))
+    val centers = MiniKMeans.fit(sampleVectors(e0), nCells, iters = 10, seed = 42)
+    val hist = withCell(e0, "embedding", centers, "cell")
+      .groupBy("cell").count()
+    val probe = withCentroidScores(e0.filter(col("vec_id") < nQueries),
+        "embedding", centers, "qs")
+      .withColumn("cell", explode(expr(
+        s"""slice(transform(array_sort(zip_with(qs, sequence(0, ${nCells - 1}),
+                    (v, i) -> named_struct('v', v, 'i', i))), x -> x.i),
+                  1, $nProbe)""")))
+      .select("vec_id", "cell")
+    probe.join(hist, Seq("cell"))
+      .agg(coalesce(sum("count"), lit(0L))).head.getLong(0)
+  }
+
+  def semanticDedup(s: SparkSession, embeddings: DataFrame,
+                    planes: Int, threshold: Double): DataFrame = {
+    register(s)
+    val e = signBuckets(s, embeddings, planes)
     val a = e.select(col("vec_id").as("va"), col("v").as("xa"),
       col("n").as("na"), col("bucket"))
     val b = e.select(col("vec_id").as("vb"), col("v").as("xb"),

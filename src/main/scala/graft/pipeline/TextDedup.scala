@@ -102,7 +102,31 @@ object TextDedup {
         .orderBy("doc_id"), edges +: caches: _*)
     }),
 
-    "d_dedup_simhash" -> ((s, d) => simhashPairs(s, d))
+    "d_dedup_simhash" -> ((s, d) => simhashPairs(s, d)),
+
+    // Repeated n-gram SPAN detection — word-level exact-substring dedup,
+    // the "memorized span" pass a pretraining pipeline runs AFTER
+    // doc-level dedup (cf. Lee et al. 2022, "Deduplicating Training Data
+    // Makes Language Models Better"): any 5-word window that occurs in
+    // more than one document is a removable/flaggable span. Shape: one
+    // explode + one hash agg keyed by the gram — linear in corpus size,
+    // map-side combined; at 100 TB the gram string would be replaced by
+    // its 8-byte hash in the same plan (the count survives collisions
+    // statistically; exact spans re-checked on the flagged tail).
+    "d_dup_spans" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("w", split(lower(col("text")), " "))
+        .filter(size(col("w")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(w) - 4),
+                       i -> concat_ws(' ', slice(w, i, 5)))""")).as("gram"))
+        .groupBy("gram")
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("min_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("gram")
+    })
   )
 
   /** Verification set-table broadcast gate. Below this many documents the
@@ -117,9 +141,16 @@ object TextDedup {
     sys.props.get("graft.dedup.maxBroadcastDocs").map(_.toLong).getOrElse(1000000L)
 
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val (result, caches) = minhashPairsPlan(s, d)
-    Materialize.drop(result, caches: _*)
+    val plan = minhashPairsPlan(s, d)
+    Materialize.drop(plan.pairs, plan.caches: _*)
   }
+
+  /** Un-materialized minhash plan: the verified pair list, the banded
+    * signature table it derives from (exposed so ScaleSmoke can count
+    * band-bucket candidate pairs without re-deriving the pipeline), and
+    * the persisted intermediates the plan rides on. */
+  private[graft] final case class MinhashPlan(
+      pairs: DataFrame, bands: DataFrame, caches: Seq[DataFrame])
 
   /** MinHash+LSH near-dup pairs — shared by d_dedup_minhash (the pair
     * list) and d_dedup_cluster (connected components over the pairs).
@@ -127,7 +158,7 @@ object TextDedup {
     * rides on, so callers (and PlanSpec) can inspect or extend the plan
     * before the lineage cut. */
   private[graft] def minhashPairsPlan(
-      s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+      s: SparkSession, d: String): MinhashPlan = {
       // The exploded token stream feeds the signature agg AND the per-doc
       // set table — cache it rather than re-exploding. (~n_docs × shingles
       // rows; at cluster scale this is a persisted intermediate table.)
@@ -183,7 +214,7 @@ object TextDedup {
           round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy("da", "db")
-      (verified, Seq(t, bands))
+      MinhashPlan(verified, bands, Seq(t, bands))
   }
 
   /** SimHash near-dup pairs via the native codegen'd SimHash64
@@ -244,6 +275,21 @@ object TextDedup {
     "d_dedup_exact" ->
       """SELECT md5(lower(text)) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY fp""",
+
+    "d_dup_spans" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS w
+           FROM documents WHERE len(string_split(lower(text), ' ')) >= 5),
+         g AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(w) - 3),
+                                        i -> array_to_string(w[i:i+4], ' '))) AS gram
+           FROM w)
+         SELECT gram, COUNT(*) AS n_occ,
+                COUNT(DISTINCT doc_id) AS n_docs,
+                MIN(doc_id) AS min_doc
+         FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+         ORDER BY gram""",
 
     "d_dedup_ngram" ->
       s"""WITH $bigramCte,

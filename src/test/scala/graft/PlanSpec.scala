@@ -152,11 +152,12 @@ class PlanSpec extends AnyFunSuite {
   test("d_dedup_minhash: verification joins shuffle by doc_id above the broadcast gate") {
     // Default gate (corpus << 1M docs): the two per-doc set-table joins
     // broadcast — plus the shingle-alphabet dim — so >=3 broadcast joins.
-    val (small, smallCaches) = pipeline.TextDedup.minhashPairsPlan(spark, sf)
+    val smallPlan = pipeline.TextDedup.minhashPairsPlan(spark, sf)
     val broadcasts = "BroadcastHashJoin".r
-    val nSmall = broadcasts.findAllIn(small.queryExecution.executedPlan.toString).size
+    val nSmall = broadcasts.findAllIn(
+      smallPlan.pairs.queryExecution.executedPlan.toString).size
     assert(nSmall >= 3, s"expected alphabet + 2 set-table broadcasts, got $nSmall")
-    smallCaches.foreach(_.unpersist())
+    smallPlan.caches.foreach(_.unpersist())
     // Gate forced to 0 (simulating a >1M-doc corpus): the set-table hint
     // is dropped, both verification joins become doc_id-keyed shuffles,
     // and ONLY the explicitly-hinted alphabet dim still broadcasts. The
@@ -168,13 +169,13 @@ class PlanSpec extends AnyFunSuite {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val (big, bigCaches) = pipeline.TextDedup.minhashPairsPlan(spark, sf)
-      val p = big.queryExecution.executedPlan.toString
+      val bigPlan = pipeline.TextDedup.minhashPairsPlan(spark, sf)
+      val p = bigPlan.pairs.queryExecution.executedPlan.toString
       val nBig = broadcasts.findAllIn(p).size
       assert(nBig < nSmall, s"gate must drop set-table broadcasts: $nBig vs $nSmall\n$p")
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
         s"verification joins must shuffle by doc_id above the gate:\n$p")
-      bigCaches.foreach(_.unpersist())
+      bigPlan.caches.foreach(_.unpersist())
     } finally {
       System.clearProperty("graft.dedup.maxBroadcastDocs")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
