@@ -17,6 +17,9 @@ trait BrokerSource {
   /** Typed streaming DataFrame for one subject. */
   def load(spark: SparkSession, subject: String, schema: StructType): DataFrame
 }
+// Implementations: [[FileBroker]] (directory tail), [[KafkaBroker]]
+// (connector-gated), [[NatsBroker]] + [[NatsBridge]] (from-scratch NATS
+// wire client + JetStream pull relay — the reference's actual broker).
 
 /** Directory-tailing broker stand-in: one graft-proto flush directory per
   * subject (what the reference's micro-batcher writes per subject,

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets.US_ASCII
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import NatsWire.{Conn, ConsumerConfig, JetStream, Msg}
+
+/** NATS JetStream → Spark bridge: the missing real-broker entry point
+  * (`/root/reference/src/nats.rs`), built on the from-scratch protocol
+  * client in [[NatsWire]].
+  *
+  * Architecture: a sequential **fetch → spool → ack** relay per stream.
+  * Pulled messages are appended as graft-proto wire files (one file per
+  * subject per pull, temp-file + atomic rename) into the same spool
+  * directory layout [[FileBroker]] tails, and acked ONLY after the
+  * rename lands — the reference's ack-after-insert contract
+  * (src/handler.rs ack path) moved one durable hop earlier, with
+  * Structured Streaming's checkpoint owning replay from the spool
+  * onward. The delivery chain end-to-end:
+  *
+  *   producer → JetStream (at-least-once, ack_wait redelivery,
+  *   max_deliver budget) → relay spool (acked after fsync+rename)
+  *   → graft-proto stream source (exactly-once per checkpoint)
+  *   → ingest (idempotent batch ids + dedup views → effectively-once)
+  *
+  * A relay crash between rename and ack redelivers the batch → duplicate
+  * spool rows; those collapse in the ingest tier's dedup (O-T4/O-W1),
+  * keyed by the wire event id. Messages that exhaust `max_deliver`
+  * without an ack never reach the spool — that is the server-side twin
+  * of the spool-side [[RedeliveryBudget]] (both exist because each
+  * guards a different failure: poison-before-spool vs poison-in-spool).
+  *
+  * Scale shape: one relay thread per stream shard. JetStream caps a pull
+  * at `max_bytes` (5 MB, src/nats.rs:73), so relay memory is bounded;
+  * spool files rotate per pull, so the stream source's listing stays
+  * proportional to unprocessed backlog, and [[Ingest]]'s `cleanSource`
+  * archival bounds it further.
+  */
+object NatsBridge {
+
+  /** Connect + ensure the stream/consumer exist, mirroring
+    * `Nats::new` + `consume` (src/nats.rs:22-83). */
+  def connect(cfg: graft.EngineConfig): NatsSession = {
+    val b = cfg.broker
+    val nc = new Conn(b.host, b.clientPort,
+      Some(b.username).filter(_.nonEmpty), Some(b.password).filter(_.nonEmpty))
+    val js = new JetStream(nc)
+    js.ensureStream(b.streamConfig.name, b.subjects,
+      retention = b.streamConfig.retention,
+      discard = b.streamConfig.discard,
+      storage = b.streamConfig.storage,
+      maxConsumers = b.streamConfig.maxConsumers)
+    js.ensureConsumer(b.streamConfig.name, b.consumerName, b.subjects,
+      ConsumerConfig(maxBytes = 5000000))
+    NatsSession(nc, js, b.streamConfig.name, b.consumerName)
+  }
+
+  final case class NatsSession(nc: Conn, js: JetStream,
+                               stream: String, durable: String)
+      extends AutoCloseable {
+    override def close(): Unit = nc.close()
+  }
+
+  /** One fetch→spool→ack cycle. Returns the number of messages spooled.
+    * Pure function of the pull result — callers loop it (the relay
+    * thread) or step it deterministically (specs). */
+  def pumpOnce(s: NatsSession, spoolRoot: String, batch: Int = 512,
+               expiresMs: Long = 1000): Int = {
+    val msgs = s.js.fetch(s.stream, s.durable, batch, expiresMs)
+    if (msgs.isEmpty) return 0
+    spool(msgs, spoolRoot)
+    // ack ONLY after every subject file is durably in place; the PING
+    // barrier confirms the server processed the acks before we report
+    // the batch done (acks are fire-and-forget PUBs otherwise)
+    msgs.foreach(s.js.ack)
+    s.nc.ping(5000)
+    msgs.size
+  }
+
+  /** Write pulled messages into the FileBroker spool layout:
+    * `<root>/<subject>/nats-<firstSeq>-<uuid>.pbstream`, one file per
+    * subject per pull, temp + atomic rename so the tailing stream source
+    * never sees a half-written file. Payloads are already proto-encoded
+    * by producers — they re-frame verbatim (no decode on the relay). */
+  private[streaming] def spool(msgs: Seq[Msg], spoolRoot: String): Unit =
+    msgs.groupBy(_.subject).foreach { case (subject, ms) =>
+      val dir = Paths.get(spoolRoot, subject)
+      Files.createDirectories(dir)
+      val firstSeq = ms.map(_.streamSeq).min
+      val name = s"nats-$firstSeq-${java.util.UUID.randomUUID()}.pbstream"
+      val tmp = dir.resolve(s"_$name")
+      val out = new java.io.BufferedOutputStream(
+        Files.newOutputStream(tmp), 64 * 1024)
+      try ms.foreach(m => ProtoWire.writeFrame(out, m.payload))
+      finally out.close()
+      Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+    }
+
+  /** Run the relay until `stop` flips true (daemon-thread loop). */
+  def relayLoop(s: NatsSession, spoolRoot: String, batch: Int,
+                expiresMs: Long, stop: () => Boolean): Unit =
+    while (!stop())
+      if (pumpOnce(s, spoolRoot, batch, expiresMs) == 0)
+        Thread.sleep(expiresMs / 4 + 1) // idle backoff, sub-ack_wait
+}
+
+/** [[BrokerSource]] over a NATS-fed spool: `load` is the same tailing
+  * graft-proto stream [[FileBroker]] provides; the relay (started via
+  * [[NatsBridge.connect]] + `relayLoop`) keeps the spool fed. Kept as a
+  * distinct type so config-driven wiring can say "this subject comes
+  * from NATS" and get the connect/ensure/relay lifecycle. */
+final case class NatsBroker(spoolRoot: String) extends BrokerSource {
+  override def load(spark: SparkSession, subject: String,
+                    schema: StructType): DataFrame =
+    FileBroker(spoolRoot).load(spark, subject, schema)
+}

@@ -1,0 +1,279 @@
+package graft.streaming
+
+import java.io.{BufferedInputStream, BufferedOutputStream, EOFException}
+import java.net.{InetSocketAddress, Socket, SocketTimeoutException}
+import java.nio.charset.StandardCharsets.US_ASCII
+import java.util.concurrent.atomic.AtomicLong
+
+/** Minimal dependency-free NATS client over the PUBLIC wire protocol
+  * (docs.nats.io client protocol: `INFO` / `CONNECT` / `PUB` / `SUB` /
+  * `MSG` / `PING` / `PONG` / `+OK` / `-ERR`) plus the JetStream
+  * pull-consumer API surface the reference uses
+  * (`/root/reference/src/nats.rs:63-83`: durable pull consumer, explicit
+  * ack, ack_wait 120 s, max_deliver 3, max_bytes per pull,
+  * create-stream-if-missing).
+  *
+  * No broker connector jar exists in this offline environment, so the
+  * protocol layer is written against the published spec and driven
+  * end-to-end by the in-process wire-accurate mock in NatsBridgeSpec.
+  * Against a real `nats-server` the same bytes apply.
+  *
+  * Design: a SINGLE-THREADED synchronous client — the JetStream *pull*
+  * shape never needs a background reader (the client asks, then reads
+  * replies); server `PING`s are answered inline during reads. This is
+  * deliberate: the relay that feeds Spark is a sequential
+  * fetch→spool→ack loop, and a one-thread client keeps ack ordering
+  * trivially correct.
+  */
+object NatsWire {
+
+  /** One delivered message. `replyTo` carries the JetStream ack subject
+    * for pulled messages:
+    * `$JS.ACK.<stream>.<consumer>.<delivered>.<sseq>.<cseq>.<ts>.<pending>`. */
+  final case class Msg(subject: String, sid: String, replyTo: Option[String],
+                       payload: Array[Byte]) {
+    private def ackTok(i: Int): Option[String] = replyTo.flatMap { r =>
+      val t = r.split('.')
+      if (t.length >= 9 && t(0) == "$JS" && t(1) == "ACK") Some(t(i)) else None
+    }
+    /** Delivery attempt count (1 = first delivery) from the ack subject —
+      * the counter behind the reference's max_deliver=3 budget. */
+    def deliveries: Int = ackTok(4).map(_.toInt).getOrElse(1)
+    /** Stream sequence — the stable identity for spool-side dedup. */
+    def streamSeq: Long = ackTok(5).map(_.toLong).getOrElse(-1L)
+  }
+
+  private val inboxSeq = new AtomicLong(0)
+
+  /** Blocking protocol connection. Not thread-safe by design (see above). */
+  final class Conn(host: String, port: Int, user: Option[String] = None,
+                   pass: Option[String] = None, connectTimeoutMs: Int = 5000)
+      extends AutoCloseable {
+
+    private val socket = new Socket()
+    socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+    socket.setTcpNoDelay(true)
+    private val in = new BufferedInputStream(socket.getInputStream, 64 * 1024)
+    private val out = new BufferedOutputStream(socket.getOutputStream, 64 * 1024)
+
+    /** Server INFO json (raw) from the handshake. */
+    val serverInfo: String = {
+      val line = readLine(connectTimeoutMs)
+      require(line.startsWith("INFO "), s"expected INFO, got: $line")
+      val auth = (user, pass) match {
+        case (Some(u), Some(p)) => s""","user":${jsonStr(u)},"pass":${jsonStr(p)}"""
+        case _ => ""
+      }
+      // verbose:false => no +OK chatter to interleave with MSG frames
+      write(s"""CONNECT {"verbose":false,"pedantic":false,"name":"graft","lang":"scala","version":"0.1.0"$auth}\r\n""")
+      flush()
+      line.stripPrefix("INFO ").trim
+    }
+
+    private def jsonStr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+
+    private def write(s: String): Unit = out.write(s.getBytes(US_ASCII))
+    private def flush(): Unit = out.flush()
+
+    /** CRLF-terminated ASCII control line. */
+    private def readLine(timeoutMs: Int): String = {
+      socket.setSoTimeout(math.max(1, timeoutMs))
+      val sb = new StringBuilder(64)
+      var prev = -1
+      while (true) {
+        val b = in.read()
+        if (b < 0) throw new EOFException("NATS connection closed")
+        if (prev == '\r' && b == '\n') return sb.dropRight(1).toString
+        sb.append(b.toChar)
+        prev = b
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
+    private def readBytes(n: Int): Array[Byte] = {
+      val buf = new Array[Byte](n)
+      var off = 0
+      while (off < n) {
+        val r = in.read(buf, off, n - off)
+        if (r < 0) throw new EOFException("NATS connection closed mid-payload")
+        off += r
+      }
+      buf
+    }
+
+    def publish(subject: String, payload: Array[Byte],
+                replyTo: Option[String] = None): Unit = {
+      val rt = replyTo.map(r => s" $r").getOrElse("")
+      write(s"PUB $subject$rt ${payload.length}\r\n")
+      out.write(payload)
+      write("\r\n")
+      flush()
+    }
+
+    def subscribe(subject: String, sid: String): Unit = {
+      write(s"SUB $subject $sid\r\n"); flush()
+    }
+
+    def unsubscribe(sid: String): Unit = {
+      write(s"UNSUB $sid\r\n"); flush()
+    }
+
+    /** Next MSG frame within `timeoutMs`; answers server PINGs inline;
+      * returns None on timeout. `-ERR` raises (protocol error is a bug
+      * or an auth failure — never silently dropped). */
+    def nextMsg(timeoutMs: Int): Option[Msg] = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (true) {
+        val left = ((deadline - System.nanoTime()) / 1000000L).toInt
+        if (left <= 0) return None
+        val line =
+          try readLine(left)
+          catch { case _: SocketTimeoutException => return None }
+        val sp = line.split(' ')
+        sp(0) match {
+          case "MSG" =>
+            // MSG <subject> <sid> [reply-to] <#bytes>
+            val (reply, n) =
+              if (sp.length == 5) (Some(sp(3)), sp(4).toInt)
+              else (None, sp(3).toInt)
+            val payload = readBytes(n)
+            readLine(1000) // trailing CRLF
+            return Some(Msg(sp(1), sp(2), reply, payload))
+          case "PING" => write("PONG\r\n"); flush()
+          case "PONG" | "+OK" | "" => // ignore
+          case "-ERR" =>
+            throw new IllegalStateException(s"NATS server error: $line")
+          case "INFO" => // live server reconfig update; ignore
+          case other =>
+            throw new IllegalStateException(s"unexpected NATS frame: $other")
+        }
+      }
+      None
+    }
+
+    /** Flush barrier: PING → wait for PONG. Per the protocol, the server
+      * answers in receive order, so once the PONG is back every prior
+      * PUB/SUB on this connection has been processed. Only call between
+      * demand-driven reads (this client never has unsolicited MSG frames
+      * in flight — pull consumers ask first). */
+    def ping(timeoutMs: Int): Unit = {
+      write("PING\r\n"); flush()
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (true) {
+        val left = ((deadline - System.nanoTime()) / 1000000L).toInt
+        if (left <= 0) throw new SocketTimeoutException("PONG timeout")
+        val line = readLine(left)
+        if (line.startsWith("PONG")) return
+        else if (line.startsWith("PING")) { write("PONG\r\n"); flush() }
+        else if (line.startsWith("-ERR"))
+          throw new IllegalStateException(s"NATS server error: $line")
+        // +OK / INFO: ignore; MSG cannot appear (no outstanding demand)
+      }
+    }
+
+    /** Point-to-point request over a one-shot inbox. */
+    def request(subject: String, payload: Array[Byte],
+                timeoutMs: Int): Option[Msg] = {
+      val inbox = s"_INBOX.graft.${inboxSeq.incrementAndGet()}"
+      val sid = s"rq${inboxSeq.get()}"
+      subscribe(inbox, sid)
+      publish(subject, payload, Some(inbox))
+      val r = nextMsg(timeoutMs)
+      unsubscribe(sid)
+      r
+    }
+
+    override def close(): Unit = socket.close()
+  }
+
+  // ---------------------------------------------------------------------
+  // JetStream layer (public $JS.API request/reply surface)
+  // ---------------------------------------------------------------------
+
+  /** Pull-consumer config — field-for-field the reference's PullConfig
+    * (src/nats.rs:66-76). */
+  final case class ConsumerConfig(
+      ackWaitSec: Long = 120,
+      maxDeliver: Int = 3,
+      maxAckPending: Int = 200000,
+      maxBytes: Int = 5000000)
+
+  final class JetStream(nc: Conn, apiTimeoutMs: Int = 5000) {
+
+    private def apiText(subject: String, body: String): String =
+      nc.request(subject, body.getBytes(US_ASCII), apiTimeoutMs)
+        .map(m => new String(m.payload, US_ASCII))
+        .getOrElse(throw new IllegalStateException(s"JetStream API timeout: $subject"))
+
+    private def isErr(resp: String): Boolean = resp.contains("\"error\"")
+
+    /** Mirror of nats.rs get_stream-else-create (src/nats.rs:28-52). */
+    def ensureStream(name: String, subjects: Seq[String],
+                     retention: String = "workqueue",
+                     discard: String = "old",
+                     storage: String = "memory",
+                     maxConsumers: Int = 100): Unit = {
+      val info = apiText(s"$$JS.API.STREAM.INFO.$name", "")
+      if (isErr(info)) {
+        val subJson = subjects.map(s => s""""$s"""").mkString("[", ",", "]")
+        val create = apiText(s"$$JS.API.STREAM.CREATE.$name",
+          s"""{"name":"$name","subjects":$subJson,"retention":"$retention",""" +
+            s""""discard":"$discard","storage":"$storage","max_consumers":$maxConsumers}""")
+        require(!isErr(create), s"stream create failed: $create")
+      }
+    }
+
+    /** Durable pull consumer with explicit-ack + delivery budget
+      * (src/nats.rs:63-76). Idempotent like the reference's
+      * create_consumer_on_stream. */
+    def ensureConsumer(stream: String, durable: String,
+                       filterSubjects: Seq[String],
+                       cfg: ConsumerConfig = ConsumerConfig()): Unit = {
+      val filt = filterSubjects.map(s => s""""$s"""").mkString("[", ",", "]")
+      val resp = apiText(s"$$JS.API.CONSUMER.DURABLE.CREATE.$stream.$durable",
+        s"""{"stream_name":"$stream","config":{"durable_name":"$durable",""" +
+          s""""ack_policy":"explicit","ack_wait":${cfg.ackWaitSec * 1000000000L},""" +
+          s""""max_deliver":${cfg.maxDeliver},"max_ack_pending":${cfg.maxAckPending},""" +
+          s""""max_bytes":${cfg.maxBytes},"filter_subjects":$filt}}""")
+      require(!isErr(resp) || resp.contains("already"),
+        s"consumer create failed: $resp")
+    }
+
+    /** One pull: request up to `batch` messages, drain until the batch is
+      * full or `expiresMs` passes with the server idle. Messages are NOT
+      * acked here — the caller acks after its durable write lands
+      * (ack-after-insert, src/handler.rs ↔ the relay's ack-after-spool). */
+    def fetch(stream: String, durable: String, batch: Int,
+              expiresMs: Long): Seq[Msg] = {
+      val inbox = s"_INBOX.graft.pull.${inboxSeq.incrementAndGet()}"
+      val sid = s"pl${inboxSeq.get()}"
+      nc.subscribe(inbox, sid)
+      nc.publish(s"$$JS.API.CONSUMER.MSG.NEXT.$stream.$durable",
+        s"""{"batch":$batch,"expires":${expiresMs * 1000000L}}""".getBytes(US_ASCII),
+        Some(inbox))
+      val got = scala.collection.mutable.ArrayBuffer.empty[Msg]
+      val deadline = System.nanoTime() + expiresMs * 1000000L
+      var open = true
+      while (open && got.size < batch && System.nanoTime() < deadline) {
+        val left = math.max(1, (deadline - System.nanoTime()) / 1000000L).toInt
+        nc.nextMsg(left) match {
+          case Some(m) if m.payload.isEmpty && m.replyTo.isEmpty =>
+            open = false // status frame (408 request-timeout / 404 no-msgs)
+          case Some(m) => got += m
+          case None => open = false
+        }
+      }
+      nc.unsubscribe(sid)
+      got.toSeq
+    }
+
+    /** Explicit ack — publish to the message's JetStream ack subject. */
+    def ack(m: Msg): Unit =
+      m.replyTo.foreach(r => nc.publish(r, "+ACK".getBytes(US_ASCII)))
+  }
+}

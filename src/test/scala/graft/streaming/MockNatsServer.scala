@@ -1,0 +1,258 @@
+package graft.streaming
+
+import java.io.{BufferedInputStream, BufferedOutputStream, EOFException}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.US_ASCII
+import scala.collection.mutable
+
+/** Wire-accurate in-process NATS + JetStream mock for driving
+  * [[NatsWire]]/[[NatsBridge]] end-to-end in an offline environment.
+  * Speaks the PUBLIC client protocol subset the client uses — `INFO`
+  * handshake, `CONNECT`, `PING`/`PONG`, `SUB`/`UNSUB`, `PUB` routing,
+  * the `$JS.API` request/reply surface (`STREAM.INFO`, `STREAM.CREATE`,
+  * `CONSUMER.DURABLE.CREATE`, `CONSUMER.MSG.NEXT`) and `$JS.ACK`
+  * explicit acks — with real JetStream semantics for the parts under
+  * test: per-message delivery counting, `ack_wait` redelivery of
+  * unacked messages, and `max_deliver` dead-lettering (the reference's
+  * `max_deliver=3` budget, src/nats.rs:74).
+  *
+  * Simplifications (documented, not load-bearing for the contract):
+  * exact-match subject routing (no wildcards), one pull served per
+  * `MSG.NEXT` request, and "no messages" answered with an immediate
+  * empty status frame instead of holding the request open until
+  * `expires` (the client also enforces its own deadline, so both
+  * behaviors terminate the fetch identically).
+  */
+final class MockNatsServer extends AutoCloseable {
+
+  private case class StoredMsg(seq: Long, subject: String, payload: Array[Byte])
+  private case class Pending(var deliveries: Int, var redeliverAtNanos: Long)
+
+  private final class StreamState(var subjects: Seq[String]) {
+    val msgs = mutable.ArrayBuffer.empty[StoredMsg]
+    var nextSeq = 1L
+  }
+  private final class ConsumerState(val ackWaitNanos: Long, val maxDeliver: Int) {
+    var cursor = 0 // index into stream msgs not yet delivered once
+    val pending = mutable.LinkedHashMap.empty[Long, Pending] // seq → state
+    val acked = mutable.Set.empty[Long]
+    val dead = mutable.ArrayBuffer.empty[Long]
+  }
+
+  private val lock = new Object
+  private val streams = mutable.Map.empty[String, StreamState]
+  private val consumers = mutable.Map.empty[(String, String), ConsumerState]
+
+  private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+  def port: Int = server.getLocalPort
+  def host: String = server.getInetAddress.getHostAddress
+
+  @volatile private var closed = false
+  private val acceptThread = new Thread(() => {
+    while (!closed)
+      try {
+        val s = server.accept()
+        val t = new Thread(() => serve(s), "mock-nats-client")
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Exception if closed => case _: Exception => }
+  }, "mock-nats-accept")
+  acceptThread.setDaemon(true)
+  acceptThread.start()
+
+  // ---- spec-side observability -----------------------------------------
+  def deadSeqs(stream: String, durable: String): Seq[Long] =
+    lock.synchronized(consumers.get((stream, durable)).map(_.dead.toSeq).getOrElse(Nil))
+  def ackedCount(stream: String, durable: String): Int =
+    lock.synchronized(consumers.get((stream, durable)).map(_.acked.size).getOrElse(0))
+  def streamSize(stream: String): Int =
+    lock.synchronized(streams.get(stream).map(_.msgs.size).getOrElse(0))
+
+  // ---- connection handling ---------------------------------------------
+  private def serve(sock: Socket): Unit = {
+    sock.setTcpNoDelay(true)
+    val in = new BufferedInputStream(sock.getInputStream, 64 * 1024)
+    val out = new BufferedOutputStream(sock.getOutputStream, 64 * 1024)
+    val subs = mutable.Map.empty[String, String] // sid → subject
+    def write(s: String): Unit = out.synchronized {
+      out.write(s.getBytes(US_ASCII)); out.flush()
+    }
+    def writeMsg(subject: String, sid: String, replyTo: Option[String],
+                 payload: Array[Byte]): Unit = out.synchronized {
+      val rt = replyTo.map(r => s" $r").getOrElse("")
+      out.write(s"MSG $subject $sid$rt ${payload.length}\r\n".getBytes(US_ASCII))
+      out.write(payload)
+      out.write("\r\n".getBytes(US_ASCII))
+      out.flush()
+    }
+    /** Deliver to this connection if it subscribes to `matchSubject`
+      * (exact). `emitSubject` is the subject written in the MSG frame —
+      * for JetStream pull deliveries the server routes via the inbox
+      * subscription but PRESERVES the stored message's original subject
+      * in the frame (that is how a consumer over many subjects tells
+      * them apart). */
+    def deliver(matchSubject: String, emitSubject: String,
+                replyTo: Option[String], payload: Array[Byte]): Boolean =
+      subs.find(_._2 == matchSubject) match {
+        case Some((sid, _)) => writeMsg(emitSubject, sid, replyTo, payload); true
+        case None => false
+      }
+
+    def readLine(): String = {
+      val sb = new StringBuilder(64)
+      var prev = -1
+      while (true) {
+        val b = in.read()
+        if (b < 0) throw new EOFException
+        if (prev == '\r' && b == '\n') return sb.dropRight(1).toString
+        sb.append(b.toChar); prev = b
+      }
+      ""
+    }
+    def readBytes(n: Int): Array[Byte] = {
+      val buf = new Array[Byte](n); var off = 0
+      while (off < n) {
+        val r = in.read(buf, off, n - off)
+        if (r < 0) throw new EOFException
+        off += r
+      }
+      buf
+    }
+
+    write("""INFO {"server_id":"graft-mock","version":"0.0.0-mock","max_payload":1048576}""" + "\r\n")
+    try while (true) {
+      val line = readLine()
+      val sp = line.split(' ')
+      sp(0) match {
+        case "CONNECT" | "+OK" | "" => // accept any auth — not under test
+        case "PING" => write("PONG\r\n")
+        case "PONG" =>
+        case "SUB" => subs(sp.last) = sp(1)
+        case "UNSUB" => subs.remove(sp(1))
+        case "PUB" =>
+          // PUB <subject> [reply-to] <#bytes>
+          val (subject, replyTo, n) =
+            if (sp.length == 4) (sp(1), Some(sp(2)), sp(3).toInt)
+            else (sp(1), None, sp(2).toInt)
+          val payload = readBytes(n)
+          readLine() // trailing CRLF
+          route(subject, replyTo, payload, deliver)
+        case _ => write(s"-ERR 'Unknown Protocol Operation'\r\n")
+      }
+    } catch { case _: EOFException | _: java.net.SocketException => }
+    finally sock.close()
+  }
+
+  // ---- routing ----------------------------------------------------------
+  private def route(subject: String, replyTo: Option[String], payload: Array[Byte],
+                    deliver: (String, String, Option[String], Array[Byte]) => Boolean): Unit = {
+    if (subject.startsWith("$JS.API."))
+      handleApi(subject.stripPrefix("$JS.API."), replyTo, payload, deliver)
+    else if (subject.startsWith("$JS.ACK."))
+      handleAck(subject)
+    else lock.synchronized {
+      // producer publish: append to the (first) stream owning the subject
+      streams.values.find(_.subjects.contains(subject)).foreach { st =>
+        st.msgs += StoredMsg(st.nextSeq, subject, payload)
+        st.nextSeq += 1
+      }
+    }
+  }
+
+  private def jsonField(body: String, key: String): Option[String] = {
+    val m = ("\"" + key + "\"\\s*:\\s*(\"([^\"]*)\"|\\d+)").r.findFirstMatchIn(body)
+    m.map(g => Option(g.group(2)).getOrElse(g.group(1)))
+  }
+
+  private def handleApi(api: String, replyTo: Option[String], payload: Array[Byte],
+                        deliver: (String, String, Option[String], Array[Byte]) => Boolean): Unit = {
+    val body = new String(payload, US_ASCII)
+    def reply(json: String): Unit =
+      replyTo.foreach(r => deliver(r, r, None, json.getBytes(US_ASCII)))
+    val tok = api.split('.')
+    (tok(0), tok(1)) match {
+      case ("STREAM", "INFO") =>
+        val name = tok(2)
+        lock.synchronized {
+          if (streams.contains(name))
+            reply(s"""{"type":"io.nats.jetstream.api.v1.stream_info_response","config":{"name":"$name"}}""")
+          else
+            reply("""{"error":{"code":404,"description":"stream not found"}}""")
+        }
+      case ("STREAM", "CREATE") =>
+        val name = tok(2)
+        val subjects = "\"([^\"]+)\"".r.findAllMatchIn(
+          body.split("\"subjects\"")(1).split(']')(0)).map(_.group(1)).toSeq
+        lock.synchronized { streams.getOrElseUpdate(name, new StreamState(subjects)) }
+        reply(s"""{"type":"io.nats.jetstream.api.v1.stream_create_response","config":{"name":"$name"}}""")
+      case ("CONSUMER", "DURABLE") => // CONSUMER.DURABLE.CREATE.<stream>.<durable>
+        val (stream, durable) = (tok(3), tok(4))
+        val ackWait = jsonField(body, "ack_wait").map(_.toLong).getOrElse(120000000000L)
+        val maxDeliver = jsonField(body, "max_deliver").map(_.toInt).getOrElse(3)
+        lock.synchronized {
+          consumers.getOrElseUpdate((stream, durable),
+            new ConsumerState(ackWait, maxDeliver))
+        }
+        reply(s"""{"type":"io.nats.jetstream.api.v1.consumer_create_response","name":"$durable"}""")
+      case ("CONSUMER", "MSG") => // CONSUMER.MSG.NEXT.<stream>.<durable>
+        val (stream, durable) = (tok(3), tok(4))
+        val batch = jsonField(body, "batch").map(_.toInt).getOrElse(1)
+        val now = System.nanoTime()
+        val toSend = lock.synchronized {
+          (streams.get(stream), consumers.get((stream, durable))) match {
+            case (Some(st), Some(cs)) =>
+              val out = mutable.ArrayBuffer.empty[(StoredMsg, Int)]
+              // expire exhausted pendings to the dead list
+              cs.pending.filterInPlace { case (seq, p) =>
+                val exhausted = p.redeliverAtNanos <= now && p.deliveries >= cs.maxDeliver
+                if (exhausted) cs.dead += seq
+                !exhausted
+              }
+              // 1) redeliveries past ack_wait, budget permitting
+              cs.pending.iterator
+                .filter { case (_, p) => p.redeliverAtNanos <= now }
+                .take(batch)
+                .foreach { case (seq, p) =>
+                  p.deliveries += 1
+                  p.redeliverAtNanos = now + cs.ackWaitNanos
+                  out += ((st.msgs(seq.toInt - 1), p.deliveries))
+                }
+              // 2) fresh messages from the cursor
+              while (out.size < batch && cs.cursor < st.msgs.size) {
+                val m = st.msgs(cs.cursor)
+                cs.cursor += 1
+                cs.pending(m.seq) = Pending(1, now + cs.ackWaitNanos)
+                out += ((m, 1))
+              }
+              out.toSeq
+            case _ => Nil
+          }
+        }
+        replyTo.foreach { inbox =>
+          if (toSend.isEmpty)
+            deliver(inbox, inbox, None, Array.emptyByteArray) // status frame
+          else toSend.foreach { case (m, deliveries) =>
+            val ackSubj = s"$$JS.ACK.$stream.$durable.$deliveries.${m.seq}.${m.seq}.$now.0"
+            deliver(inbox, m.subject, Some(ackSubj), m.payload)
+          }
+        }
+      case _ =>
+        reply("""{"error":{"code":400,"description":"unknown api"}}""")
+    }
+  }
+
+  private def handleAck(subject: String): Unit = {
+    val tok = subject.split('.') // $JS.ACK.<stream>.<durable>.<del>.<sseq>...
+    if (tok.length >= 6) lock.synchronized {
+      consumers.get((tok(2), tok(3))).foreach { cs =>
+        val seq = tok(5).toLong
+        if (cs.pending.remove(seq).isDefined) cs.acked += seq
+      }
+    }
+  }
+
+  override def close(): Unit = {
+    closed = true
+    server.close()
+  }
+}
