@@ -97,6 +97,22 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Text canonicalization — the normalization pass every curation
+    // pipeline runs before fingerprinting/dedup so that near-identical
+    // byte streams collapse: lowercase, strip non-alphanumerics to
+    // spaces, collapse whitespace runs, trim. Pure per-row projection
+    // (no shuffle); both engines share the same regex semantics, so the
+    // canonical text — and the md5 over it — hash-match exactly.
+    "d_text_normalize" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("norm", trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+        .select(col("doc_id"), col("norm"),
+          length(col("norm")).as("n_norm_chars"),
+          md5(col("norm").cast("binary")).as("norm_fp"))
+        .orderBy("doc_id")
+    }),
+
     // Bigram language-model quality score — the classic perplexity-style
     // filter a pretraining pipeline runs over every document: train MLE
     // bigram stats ON the corpus (C(w1,w2) bigram counts, C(w1) word
@@ -155,6 +171,16 @@ object TextAnalysis {
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    "d_text_normalize" ->
+      """SELECT doc_id,
+                trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                    ' +', ' ', 'g')) AS norm,
+                CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS INT) AS n_norm_chars,
+                md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                        ' +', ' ', 'g'))) AS norm_fp
+         FROM documents ORDER BY doc_id""",
+
     "d_text_quality" ->
       s"""SELECT doc_id, n_chars,
                  CAST(len(w) AS INT) AS n_words,

@@ -126,6 +126,31 @@ object TextDedup {
           min(col("doc_id")).as("min_doc"))
         .filter(col("n_docs") >= 2)
         .orderBy("gram")
+    }),
+
+    // Per-document duplicated-span RATIO — the actionable filter signal
+    // derived from d_dup_spans: what fraction of a doc's 5-gram positions
+    // carry a gram that also appears in another document. Docs above a
+    // threshold get dropped/trimmed in a curation pass. Two shuffles,
+    // both gram-keyed and linear: the dup-gram set, then a left join
+    // back to per-position rows aggregated per doc.
+    "d_dup_span_ratio" -> ((s, d) => {
+      val g = Tables.documents(s, d)
+        .withColumn("w", split(lower(col("text")), " "))
+        .filter(size(col("w")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(w) - 4),
+                       i -> concat_ws(' ', slice(w, i, 5)))""")).as("gram"))
+      val dup = g.groupBy("gram")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("gram"), lit(1L).as("is_dup"))
+      g.join(dup, Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+        .withColumn("dup_ratio", round(col("n_dup") / col("n_grams"), 6))
+        .orderBy("doc_id")
     })
   )
 
@@ -290,6 +315,23 @@ object TextDedup {
                 MIN(doc_id) AS min_doc
          FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
          ORDER BY gram""",
+
+    "d_dup_span_ratio" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS w
+           FROM documents WHERE len(string_split(lower(text), ' ')) >= 5),
+         g AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(w) - 3),
+                                        i -> array_to_string(w[i:i+4], ' '))) AS gram
+           FROM w),
+         d AS (SELECT gram FROM g GROUP BY gram
+               HAVING COUNT(DISTINCT doc_id) >= 2)
+         SELECT g.doc_id, COUNT(*) AS n_grams,
+                COUNT(d.gram) AS n_dup,
+                round(CAST(COUNT(d.gram) AS DOUBLE) / COUNT(*), 6) AS dup_ratio
+         FROM g LEFT JOIN d ON g.gram = d.gram
+         GROUP BY g.doc_id ORDER BY g.doc_id""",
 
     "d_dedup_ngram" ->
       s"""WITH $bigramCte,
