@@ -123,6 +123,16 @@ object ScaleSmoke {
         f"all-pairs ${nDoc.toLong * (nDoc - 1) / 2}%,d)")
       timeIt(f"minhash verified pairs x$m (n=$nDoc)", mh.pairs.count())
       mh.caches.foreach(_.unpersist())
+      // the spurious-collision knob: same bands, r=4 rows per band —
+      // the candidate floor shrinks as J_background^r
+      val mh4 = pipeline.TextDedup.minhashPairsPlan(spark, dir,
+        nBands = 4, rowsPerBand = 4)
+      val mh4Cand = pairSum(mh4.bands.groupBy("band", "bkey").count()
+        .select(col("count").as("n")))
+      println(f"[scale] minhash r=4 candidates x$m (n=$nDoc): $mh4Cand%,d pairs  " +
+        f"(${mh4Cand.toDouble / nDoc}%.2f per doc vs r=2's " +
+        f"${mhCand.toDouble / nDoc}%.2f)")
+      mh4.caches.foreach(_.unpersist())
     }
     spark.stop()
   }

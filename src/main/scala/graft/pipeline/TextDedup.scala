@@ -182,35 +182,48 @@ object TextDedup {
     * Returns the un-materialized plan plus the persisted intermediates it
     * rides on, so callers (and PlanSpec) can inspect or extend the plan
     * before the lineage cut. */
+  /** Band geometry: `nBands` bands of `rowsPerBand` minhash rows each
+    * (nBands·rowsPerBand seeded hashes total). Two docs become candidates
+    * iff some band's rows ALL agree — P(candidate) = 1−(1−J^r)^b — so
+    * `rowsPerBand` (r) is THE spurious-collision knob at corpus scale:
+    * the cross-corpus collision floor shrinks as J_background^r while
+    * near-threshold recall trades off. The catalog default (4×2 = the 8
+    * hashes the DuckDB oracle pins) keeps r=2; tools/scale_smoke.sh
+    * measures r=2 vs r=4 floors side by side (recorded in SCALE.md). */
   private[graft] def minhashPairsPlan(
-      s: SparkSession, d: String): MinhashPlan = {
+      s: SparkSession, d: String,
+      nBands: Int = 4, rowsPerBand: Int = 2): MinhashPlan = {
+      val nh = nBands * rowsPerBand
       // The exploded token stream feeds the signature agg AND the per-doc
       // set table — cache it rather than re-exploding. (~n_docs × shingles
       // rows; at cluster scale this is a persisted intermediate table.)
       val t = rawTokens(s, d).persist()
       // The shingle ALPHABET is tiny (vocab² bigrams ≈ 1k distinct values)
-      // while the token stream is |docs|×|shingles| — so the 8 seeded md5s
+      // while the token stream is |docs|×|shingles| — so the seeded md5s
       // are computed once per DISTINCT shingle into a broadcast dim and
-      // joined back, turning 8·|tokens| md5 calls into 8·|alphabet|.
+      // joined back, turning nh·|tokens| md5 calls into nh·|alphabet|.
       val bgHash = t.select("bg").distinct().select(
-        col("bg") +: (0 until 8).map(i =>
+        col("bg") +: (0 until nh).map(i =>
           substring(md5(concat(lit(s"$i|"), col("bg")).cast("binary")), 1, 16)
             .as(s"bh$i")): _*)
-      // All 8 minhashes in ONE hash aggregate keyed by doc_id: the 8 mins
+      // All minhashes in ONE hash aggregate keyed by doc_id: the mins
       // combine map-side (partial min), so the only shuffle carries one
-      // row per (doc × 8 hashes) instead of 8 exploded rows per token.
-      val hs = (0 until 8).map(i => min(col(s"bh$i")).as(s"h$i"))
+      // row per (doc × nh hashes) instead of nh exploded rows per token.
+      val hs = (0 until nh).map(i => min(col(s"bh$i")).as(s"h$i"))
       val sigs = t.join(broadcast(bgHash), "bg")
         .groupBy("doc_id").agg(hs.head, hs.tail: _*)
-      // band b ⇒ seeds {b, b+4} in seed order (matches the oracle's
-      // string_agg ORDER BY seed). Persisted: it feeds BOTH sides of the
-      // bucket self-join, and without the cache each side would recompute
-      // the whole signature pipeline.
-      val bands = sigs.select(col("doc_id"), explode(expr(
-        """array(struct(0 AS band, concat(h0, h4) AS bkey),
-                 struct(1 AS band, concat(h1, h5) AS bkey),
-                 struct(2 AS band, concat(h2, h6) AS bkey),
-                 struct(3 AS band, concat(h3, h7) AS bkey))""")).as("b"))
+      // band b ⇒ seeds {b, b+nBands, b+2·nBands, …} (stride layout; at the
+      // 4×2 default that is {b, b+4}, matching the oracle's string_agg
+      // ORDER BY seed). Persisted: it feeds BOTH sides of the bucket
+      // self-join, and without the cache each side would recompute the
+      // whole signature pipeline.
+      val bandStructs = (0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          concat((0 until rowsPerBand).map(i => col(s"h${b + i * nBands}")): _*)
+            .as("bkey"))
+      }
+      val bands = sigs.select(col("doc_id"),
+          explode(array(bandStructs: _*)).as("b"))
         .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
         .persist()
       val cands = bands.as("x").join(bands.as("y"),

@@ -284,6 +284,27 @@ class PlanSpec extends AnyFunSuite {
       s"LM scoring joins must be equi-joins on vocab keys:\n$p")
   }
 
+  test("d_dup_spans: one exploded scan into partial->final gram aggregation, no join") {
+    val p = plan("d_dup_spans")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"span counting must be a hash aggregate:\n$p")
+    assert(!p.contains("Join"), s"span detection is agg-only, no join:\n$p")
+  }
+
+  test("d_dup_span_ratio: dup-set join is gram-keyed, never row-multiplying") {
+    val p = plan("d_dup_span_ratio")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"ratio join must be an equi-join on the gram key:\n$p")
+  }
+
+  test("d_text_normalize: pure per-row projection — no aggregate, sort is the only exchange") {
+    val p = plan("d_text_normalize")
+    assert(!p.contains("HashAggregate") && !p.contains("Join"),
+      s"normalization must not shuffle data sideways:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected at most the final sort's exchange, got $exchanges:\n$p")
+  }
+
   test("catalog queries avoid cartesian products except the declared cross joins") {
     val allowed = Set("o_j9_cross", "d_knn_cosine", "d_dedup_cosine", "d_ann_lsh")
     SparkEntry.queries.keys.filterNot(allowed).foreach { name =>
