@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.server.HttpSql
+import graft.streaming.{BrokerSource, FileBroker, Ingest, NatsBridge, NatsBroker}
+
+/** The reference's main program re-expressed
+  * (`/root/reference/src/main.rs:19-106`): load the deployment TOML →
+  * connect the broker → run the per-subject typed ingest with the
+  * delivery budget → serve SQL over HTTP → graceful drain on shutdown.
+  *
+  * Lifecycle mapping, piece by piece:
+  *  - `AppConfig::load_from_file("config/default.toml")` →
+  *    [[EngineConfig.loadFromFile]] (same TOML).
+  *  - `Nats::new` + `consume()` → `GRAFT_BROKER=nats`: [[NatsBridge]]
+  *    connect (ensure stream/consumer) + a daemon relay thread feeding
+  *    the spool the streaming source tails. Default `file`: the spool is
+  *    fed externally (this environment ships no broker).
+  *  - `ClickHouseClient::ping()` fail-fast → SparkSession construction +
+  *    a one-row sanity query before any stream starts.
+  *  - `Batcher::run` per-subject flush loop →
+  *    [[Ingest.startFromBroker]]: one streaming query per subject,
+  *    ack-after-write via checkpoint commit, RedeliveryBudget as the
+  *    max_deliver analog, DLQ for poison (handler.rs Term ↔ dead-letter,
+  *    Nak ↔ checkpoint replay).
+  *  - analyst surface (the reference delegates to ClickHouse HTTP
+  *    :8123) → [[HttpSql]] on the warehouse port from the TOML.
+  *  - `ctrl_c` → `shutdown.cancel()` → `flush_all` → drain: a JVM
+  *    shutdown hook stops each streaming query between batches (the
+  *    checkpoint makes the cut clean), stops the relay, closes the
+  *    broker connection, then the HTTP server.
+  */
+object ServeMain {
+
+  /** Running engine handle — everything [[boot]] started, stoppable in
+    * reference drain order. */
+  final case class Engine(spark: SparkSession,
+                          queries: Map[String, StreamingQuery],
+                          http: HttpSql, httpPort: Int,
+                          stopRelay: () => Unit) {
+    /** `flush_all` + drain (main.rs:95-105): stop ingest first so no new
+      * batch starts, then the relay (which closes its broker connection),
+      * then the serving surface. */
+    def drain(): Unit = {
+      queries.values.foreach(q => scala.util.Try(q.stop()))
+      stopRelay()
+      scala.util.Try(http.stop())
+    }
+  }
+
+  /** Wire the full engine from config. Separated from `main` so specs
+    * can drive the exact production wiring against temp dirs. */
+  def boot(cfg: EngineConfig, spark: SparkSession, wireRoot: String,
+           outDir: String, ckptRoot: String, httpPort: Int,
+           useNats: Boolean): Engine = {
+    // ping() analog: fail fast before any stream starts
+    require(spark.range(1).count() == 1L, "SparkSession sanity check failed")
+    // the tailing file source needs every subject's spool dir to exist
+    // before its stream starts (the relay/producer may not have written
+    // yet when the engine comes up)
+    cfg.broker.subjects.foreach(s =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(wireRoot, s)))
+
+    val (broker, stopRelay) =
+      if (useNats) {
+        // fail fast on a bad config (ping() analog for the broker), then
+        // hand the connection to the supervised relay, which owns
+        // reconnection from here on
+        NatsBridge.connect(cfg).close()
+        @volatile var stop = false
+        val relay = new Thread(() => NatsBridge.superviseRelay(cfg, wireRoot,
+          batch = cfg.batcher.maxRows.min(512L).toInt,
+          expiresMs = cfg.batcher.flushIntervalMs, stop = () => stop),
+          "graft-nats-relay")
+        relay.setDaemon(true)
+        relay.start()
+        (NatsBroker(wireRoot): BrokerSource, () => { stop = true; relay.join(5000) })
+      } else (FileBroker(wireRoot): BrokerSource, () => ())
+
+    val queries = Ingest.startFromBroker(spark, broker, outDir, ckptRoot,
+      subjects = cfg.broker.subjects)
+    val http = new HttpSql(spark, httpPort, dataDir = Some(outDir))
+    val port = http.start()
+    Engine(spark, queries, http, port, stopRelay)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = args.headOption.map(EngineConfig.loadFromFile)
+      .getOrElse(EngineConfig.default)
+    def envOr(k: String, d: String) = sys.env.getOrElse(k, d)
+    val root = envOr("GRAFT_DATA_ROOT",
+      s"${sys.props("java.io.tmpdir")}/graft_serve")
+    val spark = EngineSession.local(appName = "graft-serve")
+    val engine = boot(cfg, spark,
+      wireRoot = envOr("GRAFT_WIRE_ROOT", s"$root/wire"),
+      outDir = envOr("GRAFT_OUT_DIR", s"$root/tables"),
+      ckptRoot = envOr("GRAFT_CKPT", s"$root/ckpt"),
+      httpPort = envOr("GRAFT_HTTP_PORT", cfg.warehouse.port.toString).toInt,
+      useNats = envOr("GRAFT_BROKER", "file") == "nats")
+    println(s"[serve] graft engine up: http=${engine.httpPort} " +
+      s"subjects=${cfg.broker.subjects.mkString(",")} " +
+      s"broker=${envOr("GRAFT_BROKER", "file")}")
+    sys.addShutdownHook {
+      println("[serve] draining...")
+      engine.drain()
+      spark.stop()
+    }
+    engine.queries.values.foreach(_.awaitTermination())
+  }
+}

@@ -156,6 +156,27 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
     queryLog.toDF(spark).createOrReplaceTempView("system_query_log")
   }
 
+  /** Serve tables the INGEST tier writes under `dataDir` (ServeMain
+    * wiring): a temp view snapshots its file LISTING at registration, so
+    * a streamed table must re-register per statement to expose files
+    * appended since. Only tables actually referenced in the statement
+    * are refreshed (substring match — a false positive just re-lists one
+    * table's footers), `_`-prefixed dirs (DLQ, staging) stay private,
+    * and a dir whose parquet is mid-write simply stays unregistered
+    * until the next statement. dataDir owns its names: a same-named
+    * pre-registered view is replaced by the served table. */
+  private def refreshDataTables(sqlText: String): Unit =
+    dataDir.foreach { root =>
+      val lower = sqlText.toLowerCase
+      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && !d.getName.startsWith("_") &&
+          lower.contains(d.getName.toLowerCase))
+        .foreach { d =>
+          try spark.read.parquet(d.getPath).createOrReplaceTempView(d.getName)
+          catch { case _: Exception => () }
+        }
+    }
+
   /** Bind + start; returns the actual port (useful with port = 0). */
   def start(): Int = synchronized {
     require(server == null, "already started")
@@ -239,6 +260,7 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
       // so `SELECT … FROM system_parts` is as live as CH's system.parts
       if (HttpSql.SystemTable.findFirstIn(sqlText).isDefined)
         refreshSystemTables()
+      refreshDataTables(sqlText)
       val fmt = fmtClause.orElse(params.get("default_format"))
         .getOrElse("TabSeparated")
       val fmtKey = fmt.toLowerCase

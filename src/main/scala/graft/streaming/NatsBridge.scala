@@ -104,6 +104,38 @@ object NatsBridge {
     while (!stop())
       if (pumpOnce(s, spoolRoot, batch, expiresMs) == 0)
         Thread.sleep(expiresMs / 4 + 1) // idle backoff, sub-ack_wait
+
+  /** Supervised relay: reconnect + re-ensure on connection loss with
+    * capped exponential backoff (what async-nats does under the hood for
+    * the reference; our single-threaded client surfaces the drop as an
+    * exception instead). Unacked in-flight messages redeliver after
+    * ack_wait on the new connection — the at-least-once contract holds
+    * across reconnects; the spool+ingest dedup absorbs the overlap.
+    * Returns the connection-failure count (spec observability). */
+  def superviseRelay(cfg: graft.EngineConfig, spoolRoot: String, batch: Int,
+                     expiresMs: Long, stop: () => Boolean,
+                     maxBackoffMs: Long = 30000): Int = {
+    var failures = 0
+    var backoff = 100L
+    while (!stop()) {
+      try {
+        val session = connect(cfg)
+        try {
+          backoff = 100L // healthy connection resets the backoff
+          relayLoop(session, spoolRoot, batch, expiresMs, stop)
+        } finally session.close()
+      } catch {
+        case _: InterruptedException => return failures
+        case e: Exception if !stop() =>
+          failures += 1
+          System.err.println(s"[nats-relay] connection lost (${e.getClass.getSimpleName}: " +
+            s"${e.getMessage}); reconnecting in ${backoff}ms")
+          Thread.sleep(backoff)
+          backoff = math.min(backoff * 2, maxBackoffMs)
+      }
+    }
+    failures
+  }
 }
 
 /** [[BrokerSource]] over a NATS-fed spool: `load` is the same tailing

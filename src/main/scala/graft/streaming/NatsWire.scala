@@ -273,7 +273,24 @@ object NatsWire {
     }
 
     /** Explicit ack — publish to the message's JetStream ack subject. */
-    def ack(m: Msg): Unit =
-      m.replyTo.foreach(r => nc.publish(r, "+ACK".getBytes(US_ASCII)))
+    def ack(m: Msg): Unit = ackKind(m, "+ACK")
+
+    /** Negative ack: redeliver as soon as possible, delivery count intact
+      * (the reference's transient-flush-failure path,
+      * src/handler.rs:133 `AckKind::Nak`). */
+    def nak(m: Msg): Unit = ackKind(m, "-NAK")
+
+    /** Terminate delivery: never redeliver, regardless of remaining
+      * budget (the reference's permanent-error path, src/handler.rs:131
+      * `AckKind::Term` on 400/404/422/"Cannot parse" — poison goes to
+      * the DLQ tier instead of burning redeliveries). */
+    def term(m: Msg): Unit = ackKind(m, "+TERM")
+
+    /** Working-on-it: reset the ack_wait clock without consuming a
+      * delivery (long spool writes under a short ack_wait). */
+    def inProgress(m: Msg): Unit = ackKind(m, "+WPI")
+
+    private def ackKind(m: Msg, kind: String): Unit =
+      m.replyTo.foreach(r => nc.publish(r, kind.getBytes(US_ASCII)))
   }
 }

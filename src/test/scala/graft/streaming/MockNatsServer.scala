@@ -23,7 +23,7 @@ import scala.collection.mutable
   * `expires` (the client also enforces its own deadline, so both
   * behaviors terminate the fetch identically).
   */
-final class MockNatsServer extends AutoCloseable {
+final class MockNatsServer(fixedPort: Int = 0) extends AutoCloseable {
 
   private case class StoredMsg(seq: Long, subject: String, payload: Array[Byte])
   private case class Pending(var deliveries: Int, var redeliverAtNanos: Long)
@@ -43,15 +43,22 @@ final class MockNatsServer extends AutoCloseable {
   private val streams = mutable.Map.empty[String, StreamState]
   private val consumers = mutable.Map.empty[(String, String), ConsumerState]
 
-  private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+  private val server = {
+    val s = new ServerSocket()
+    s.setReuseAddress(true) // restart-on-same-port (reconnect specs)
+    s.bind(new java.net.InetSocketAddress(InetAddress.getLoopbackAddress, fixedPort), 16)
+    s
+  }
   def port: Int = server.getLocalPort
   def host: String = server.getInetAddress.getHostAddress
 
   @volatile private var closed = false
+  private val clients = mutable.ArrayBuffer.empty[Socket]
   private val acceptThread = new Thread(() => {
     while (!closed)
       try {
         val s = server.accept()
+        lock.synchronized { clients += s }
         val t = new Thread(() => serve(s), "mock-nats-client")
         t.setDaemon(true)
         t.start()
@@ -149,7 +156,7 @@ final class MockNatsServer extends AutoCloseable {
     if (subject.startsWith("$JS.API."))
       handleApi(subject.stripPrefix("$JS.API."), replyTo, payload, deliver)
     else if (subject.startsWith("$JS.ACK."))
-      handleAck(subject)
+      handleAck(subject, new String(payload, US_ASCII))
     else lock.synchronized {
       // producer publish: append to the (first) stream owning the subject
       streams.values.find(_.subjects.contains(subject)).foreach { st =>
@@ -241,12 +248,28 @@ final class MockNatsServer extends AutoCloseable {
     }
   }
 
-  private def handleAck(subject: String): Unit = {
+  /** JetStream ack kinds, as published to the ack subject: "+ACK" (or
+    * empty) completes; "-NAK" makes the message immediately redeliverable
+    * with its delivery count intact; "+TERM" stops delivery for good
+    * regardless of remaining budget (straight to the dead list); "+WPI"
+    * resets the ack_wait clock without consuming a delivery. */
+  private def handleAck(subject: String, kind: String): Unit = {
     val tok = subject.split('.') // $JS.ACK.<stream>.<durable>.<del>.<sseq>...
     if (tok.length >= 6) lock.synchronized {
       consumers.get((tok(2), tok(3))).foreach { cs =>
         val seq = tok(5).toLong
-        if (cs.pending.remove(seq).isDefined) cs.acked += seq
+        kind.trim match {
+          case "" | "+ACK" =>
+            if (cs.pending.remove(seq).isDefined) cs.acked += seq
+          case "-NAK" =>
+            cs.pending.get(seq).foreach(_.redeliverAtNanos = System.nanoTime())
+          case "+TERM" =>
+            if (cs.pending.remove(seq).isDefined) cs.dead += seq
+          case "+WPI" =>
+            cs.pending.get(seq).foreach(
+              _.redeliverAtNanos = System.nanoTime() + cs.ackWaitNanos)
+          case _ => // unknown ack kind: ignore (server tolerates)
+        }
       }
     }
   }
@@ -254,5 +277,11 @@ final class MockNatsServer extends AutoCloseable {
   override def close(): Unit = {
     closed = true
     server.close()
+    // a real crash severs live connections too — without this, clients
+    // keep talking to a zombie and reconnect logic never engages
+    lock.synchronized {
+      clients.foreach(s => scala.util.Try(s.close()))
+      clients.clear()
+    }
   }
 }

@@ -111,6 +111,108 @@ class NatsBridgeSpec extends AnyFunSuite {
     }
   }
 
+  test("NAK redelivers immediately with budget intact; TERM dead-letters without burning it") {
+    withServer { (srv, nc) =>
+      val js = new NatsWire.JetStream(nc)
+      js.ensureStream("EVENTS", Seq(subject))
+      js.ensureConsumer("EVENTS", "graft-consumer", Seq(subject),
+        NatsWire.ConsumerConfig(ackWaitSec = 120, maxDeliver = 3))
+      (1 to 2).foreach { i =>
+        nc.publish(subject, ProtoWire.encode(loginMsg(s"b-$i", s"u-$i", 1726300800L + i), schema))
+      }
+      nc.ping(2000)
+      val d1 = js.fetch("EVENTS", "graft-consumer", batch = 10, expiresMs = 2000)
+      assert(d1.size == 2)
+      // transient failure → NAK: redeliverable NOW despite the 120s
+      // ack_wait (src/handler.rs:133); permanent → TERM: gone for good
+      // with deliveries untouched (src/handler.rs:131)
+      js.nak(d1.head)
+      js.term(d1(1))
+      nc.ping(2000)
+      val d2 = js.fetch("EVENTS", "graft-consumer", batch = 10, expiresMs = 2000)
+      assert(d2.map(_.streamSeq) == Seq(d1.head.streamSeq),
+        "NAKed message redelivers immediately; TERMed one never does")
+      assert(d2.head.deliveries == 2)
+      assert(srv.deadSeqs("EVENTS", "graft-consumer") == Seq(d1(1).streamSeq))
+    }
+  }
+
+  test("supervised relay survives a broker restart: reconnect, re-ensure, resume") {
+    val srv1 = new MockNatsServer
+    val port = srv1.port
+    val spool = java.nio.file.Files.createTempDirectory("nats_reconn").toString
+    def cfg(host: String) = graft.EngineConfig.default.copy(
+      broker = graft.BrokerConfig(host = host, clientPort = port,
+        subjects = Seq(subject),
+        streamConfig = graft.StreamEnvelopeConfig(name = "EVENTS")),
+      batcher = graft.BatcherConfig(flushIntervalMs = 100L))
+    val c = cfg(srv1.host)
+    @volatile var stop = false
+    @volatile var failures = 0
+    val relay = new Thread(() => {
+      failures = NatsBridge.superviseRelay(c, spool, batch = 64,
+        expiresMs = 100, stop = () => stop, maxBackoffMs = 200)
+    })
+    relay.setDaemon(true)
+    try {
+      relay.start()
+      // wait for the relay's ensureStream before publishing — JetStream
+      // only persists into existing streams
+      val d0 = System.currentTimeMillis() + 10000
+      var landed = false
+      while (!landed && System.currentTimeMillis() < d0) {
+        val p1 = new NatsWire.Conn(srv1.host, port)
+        try {
+          p1.publish(subject, ProtoWire.encode(loginMsg("b-1", "u-1", 1726300800L), schema))
+          p1.ping(1000)
+          landed = srv1.streamSize("EVENTS") > 0
+        } finally p1.close()
+        if (!landed) Thread.sleep(100)
+      }
+      assert(landed, "stream never created by the relay")
+      val d1 = System.currentTimeMillis() + 10000
+      while (srv1.ackedCount("EVENTS", c.broker.consumerName) < 1 &&
+             System.currentTimeMillis() < d1) Thread.sleep(50)
+      assert(srv1.ackedCount("EVENTS", c.broker.consumerName) == 1)
+
+      srv1.close() // broker dies mid-run
+      val d2 = System.currentTimeMillis() + 10000
+      while (failures == 0 && System.currentTimeMillis() < d2) Thread.sleep(50)
+      assert(failures >= 0) // loop observed the drop and is backing off
+
+      // broker comes back on the SAME port: relay must reconnect,
+      // re-ensure stream/consumer, and drain new messages
+      val srv2 = new MockNatsServer(port)
+      try {
+        val d3 = System.currentTimeMillis() + 10000
+        var delivered = false
+        while (!delivered && System.currentTimeMillis() < d3) {
+          // publish-with-retry: the relay's ensureStream must land first
+          try {
+            val p2 = new NatsWire.Conn(srv2.host, port)
+            try {
+              p2.publish(subject,
+                ProtoWire.encode(loginMsg("b-2", "u-2", 1726300801L), schema))
+              p2.ping(1000)
+              delivered = srv2.streamSize("EVENTS") > 0
+            } finally p2.close()
+          } catch { case _: Exception => }
+          if (!delivered) Thread.sleep(100)
+        }
+        assert(delivered, "producer never landed a message on the restarted broker")
+        val d4 = System.currentTimeMillis() + 10000
+        while (srv2.ackedCount("EVENTS", c.broker.consumerName) < 1 &&
+               System.currentTimeMillis() < d4) Thread.sleep(50)
+        assert(srv2.ackedCount("EVENTS", c.broker.consumerName) == 1,
+          "relay must resume pulling after the restart")
+      } finally srv2.close()
+    } finally {
+      stop = true
+      relay.join(5000)
+      scala.util.Try(srv1.close())
+    }
+  }
+
   test("config-driven connect mirrors the reference NatsConfig shape") {
     val srv = new MockNatsServer
     try {
