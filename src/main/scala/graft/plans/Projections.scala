@@ -192,12 +192,19 @@ object Projection {
       s"projection ${pd.name} is not partition-aligned; use refresh()"))
     if (dirValues.isEmpty) return
     val (nullDirs, realVals) = dirValues.distinct.partition(_ == HiveDefaultPartition)
+    // dirValues carry the ON-DISK spelling; the row filter needs the raw
+    // COLUMN value and the `present` bookkeeping needs the dir spelling
+    // back — without the escape round-trip, a value Hive-escapes in dir
+    // names (e.g. `a:b` ⇒ `a%3Ab`) would match no rows and its live
+    // projection partition would be wrongly deleted below
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.{escapePathName, unescapePathName}
+    val rawVals = realVals.map(unescapePathName)
     val roots = liveRoots(spark, pd)
     val present: Set[String] =
       if (roots.isEmpty) Set.empty
       else {
         val hit = {
-          val in = if (realVals.nonEmpty) col(pc).isin(realVals: _*) else lit(false)
+          val in = if (rawVals.nonEmpty) col(pc).isin(rawVals: _*) else lit(false)
           if (nullDirs.nonEmpty) in || col(pc).isNull else in
         }
         val agg = partialAggregate(spark.read.parquet(roots: _*).filter(hit), pd)
@@ -205,7 +212,8 @@ object Projection {
         agg.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy(pc).parquet(pd.path)
         val vals = agg.select(col(pc).cast("string")).distinct().collect()
-          .map(r => Option(r.getString(0)).getOrElse(HiveDefaultPartition)).toSet
+          .map(r => Option(r.getString(0)).map(escapePathName)
+            .getOrElse(HiveDefaultPartition)).toSet
         agg.unpersist()
         vals
       }
@@ -260,6 +268,10 @@ object Projection {
 object ProjectionMaintenance {
   def onBaseMutated(spark: SparkSession, tableDir: String,
                     partCol: String, affectedDirValues: Seq[String]): Unit = {
+    // a mutation that touched zero partitions staled nothing — without
+    // this guard a no-op deleteWhere would still trigger a full rebuild
+    // of every non-aligned projection (a table-scale job)
+    if (affectedDirValues.isEmpty) return
     ProjectionRewrite.registeredForRoot(tableDir).foreach { pd =>
       if (pd.partitionCol.contains(partCol))
         Projection.refreshPartitions(spark, pd, affectedDirValues)

@@ -412,12 +412,22 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
     * own buffered formats assume; table-scale extraction belongs on the
     * storage tier, not an HTTP body. */
   private def streamParquet(x: HttpExchange, df: DataFrame, gzip: Boolean): Unit = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_http_pq")
+    // Stage on storage BOTH driver and executors can reach: a
+    // java.nio.tmpdir path only works in local mode (the writer task runs
+    // on an executor, whose local disk the driver cannot read). Under a
+    // dataDir the stage rides the same shared filesystem the tables live
+    // on; without one (loopback dev server) the JVM temp dir is correct
+    // because no-dataDir implies no distributed deployment to serve.
+    import org.apache.hadoop.fs.Path
+    val stageRoot = dataDir.map(d => s"$d/_http_stage")
+      .getOrElse(sys.props("java.io.tmpdir"))
+    val stage = new Path(s"$stageRoot/pq-${java.util.UUID.randomUUID()}")
+    val fs = stage.getFileSystem(spark.sessionState.newHadoopConf())
     try {
       // executes BEFORE headers: failures surface as the caller's clean 500
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Option(tmp.toFile.listFiles())
-        .flatMap(_.find(_.getName.endsWith(".parquet")))
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = fs.listStatus(stage).map(_.getPath)
+        .find(_.getName.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException("parquet write produced no file"))
       x.getResponseHeaders.set("Content-Type", "application/vnd.apache.parquet")
       if (gzip) x.getResponseHeaders.set("Content-Encoding", "gzip")
@@ -425,13 +435,13 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
       val out: OutputStream =
         if (gzip) new java.util.zip.GZIPOutputStream(x.getResponseBody)
         else x.getResponseBody
-      try java.nio.file.Files.copy(part.toPath, out)
-      finally { out.close(); x.close() }
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+      val in = fs.open(part)
+      try {
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+      } finally { in.close(); out.close(); x.close() }
+    } finally fs.delete(stage, true)
   }
 
   private def respond(x: HttpExchange, code: Int, ct: String, body: String): Unit = {

@@ -71,6 +71,16 @@ object Ingest {
 
   val DlqTable = "_dlq"
 
+  /** Canonical DLQ reader. The DLQ schema has evolved (`deliveries` was
+    * added for the redelivery budget; `subject` moved into the partition
+    * key), so a directory may mix vintages — mergeSchema unions them and
+    * pre-budget rows read `deliveries` as null instead of vanishing or
+    * crashing a consumer that samples an old file's footer. */
+  def readDlq(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .option("basePath", s"$outDir/$DlqTable")
+      .parquet(s"$outDir/$DlqTable")
+
   /** Pool for concurrent per-table writes inside one micro-batch. The 9
     * routed tables are independent outputs; submitting their jobs from
     * one thread serializes ~9 small Spark jobs per 1-second trigger.
@@ -137,7 +147,12 @@ object Ingest {
         .foldLeft(
           cached.filter(!col("subject").isin(routable: _*))
             .select(asDlq("unroutable_subject"): _*))(_ union _)
-      sink(dlq, DlqTable, outDir, batchId, Nil)
+      // DLQ is partitioned by subject: the dynamic ingest_batch overwrite
+      // then only replaces (subject, batch) slices this batch produced —
+      // independent per-subject queries sharing outDir have independent
+      // batchId spaces, and an unpartitioned DLQ would let query A's
+      // batch-3 dead-letters clobber query B's (same partition dir).
+      sink(dlq, DlqTable, outDir, batchId, Seq("subject"))
 
       // Per-table writes are independent outputs over the shared decode
       // caches — submit them concurrently so the scheduler interleaves
@@ -208,7 +223,7 @@ object Ingest {
     * `deliveries` = the failed delivery attempts that exhausted the
     * budget. Rows are re-wrapped to the DLQ envelope — typed wire rows
     * get their content preserved as a JSON payload. */
-  private def deadLetterExhausted(batch: DataFrame, subject: String,
+  private[streaming] def deadLetterExhausted(batch: DataFrame, subject: String,
                                   outDir: String, batchId: Long,
                                   deliveries: Int): Unit = {
     val hasEnvelope = batch.columns.contains("payload")
@@ -217,10 +232,14 @@ object Ingest {
       else to_json(struct(batch.columns.map(col).toSeq: _*))
     val subjectCol =
       if (batch.columns.contains("subject")) col("subject") else lit(subject)
+    // subject-partitioned for the same clobber-safety reason as the
+    // routine DLQ write in ingestBatch: per-subject queries have
+    // overlapping batchId spaces
     sink(batch.select(subjectCol.as("subject"), payloadCol.as("payload"),
       lit("max_deliver_exceeded").as("reason"),
       current_timestamp().as("dlq_ts"),
-      lit(deliveries).as("deliveries")), DlqTable, outDir, batchId, Nil)
+      lit(deliveries).as("deliveries")), DlqTable, outDir, batchId,
+      Seq("subject"))
   }
 
   /** Broker-agnostic form of [[startFromWire]]: one streaming query per

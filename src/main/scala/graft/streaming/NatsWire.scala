@@ -32,15 +32,24 @@ object NatsWire {
     * `$JS.ACK.<stream>.<consumer>.<delivered>.<sseq>.<cseq>.<ts>.<pending>`. */
   final case class Msg(subject: String, sid: String, replyTo: Option[String],
                        payload: Array[Byte]) {
-    private def ackTok(i: Int): Option[String] = replyTo.flatMap { r =>
-      val t = r.split('.')
-      if (t.length >= 9 && t(0) == "$JS" && t(1) == "ACK") Some(t(i)) else None
+    /** Ack-subject numeric fields, indexed FROM THE END — robust across
+      * the v1 9-token form and the domain/account v2 form (which PREPENDS
+      * `<domain>.<account>` and may APPEND a non-numeric random token):
+      * the trailing numeric run is always
+      * `<delivered>.<sseq>.<cseq>.<ts>.<pending>`, so after stripping any
+      * non-numeric tail, pending is 1 from the end, …, delivered 5. */
+    private def ackTok(fromEnd: Int): Option[Long] = replyTo.flatMap { r =>
+      val t0 = r.split('.')
+      if (t0.length >= 9 && t0(0) == "$JS" && t0(1) == "ACK") {
+        val t = t0.reverse.dropWhile(_.toLongOption.isEmpty).reverse
+        if (t.length >= fromEnd) t(t.length - fromEnd).toLongOption else None
+      } else None
     }
     /** Delivery attempt count (1 = first delivery) from the ack subject —
       * the counter behind the reference's max_deliver=3 budget. */
-    def deliveries: Int = ackTok(4).map(_.toInt).getOrElse(1)
+    def deliveries: Int = ackTok(5).map(_.toInt).getOrElse(1)
     /** Stream sequence — the stable identity for spool-side dedup. */
-    def streamSeq: Long = ackTok(5).map(_.toLong).getOrElse(-1L)
+    def streamSeq: Long = ackTok(4).getOrElse(-1L)
   }
 
   private val inboxSeq = new AtomicLong(0)
@@ -123,6 +132,35 @@ object NatsWire {
       write(s"UNSUB $sid\r\n"); flush()
     }
 
+    /** Read ONE protocol frame: a MSG (payload fully consumed) or a bare
+      * control line. Every reader goes through here, so a leftover
+      * in-flight MSG (e.g. from a fetch that hit its client-side deadline)
+      * can never desynchronize the stream — its payload is always
+      * consumed before the next control line is parsed. */
+    private def readFrame(timeoutMs: Int): Either[String, Msg] = {
+      val line = readLine(timeoutMs)
+      val sp = line.split(' ')
+      if (sp(0) == "MSG") {
+        // MSG <subject> <sid> [reply-to] <#bytes>
+        val (reply, n) =
+          if (sp.length == 5) (Some(sp(3)), sp(4).toInt)
+          else (None, sp(3).toInt)
+        val payload = readBytes(n)
+        readLine(1000) // trailing CRLF
+        Right(Msg(sp(1), sp(2), reply, payload))
+      } else Left(line)
+    }
+
+    /** Handle a non-MSG control line; true = keep reading. */
+    private def control(line: String): Unit = line.split(' ')(0) match {
+      case "PING" => write("PONG\r\n"); flush()
+      case "PONG" | "+OK" | "" | "INFO" => // ignore
+      case "-ERR" =>
+        throw new IllegalStateException(s"NATS server error: $line")
+      case other =>
+        throw new IllegalStateException(s"unexpected NATS frame: $other")
+    }
+
     /** Next MSG frame within `timeoutMs`; answers server PINGs inline;
       * returns None on timeout. `-ERR` raises (protocol error is a bug
       * or an auth failure — never silently dropped). */
@@ -131,26 +169,10 @@ object NatsWire {
       while (true) {
         val left = ((deadline - System.nanoTime()) / 1000000L).toInt
         if (left <= 0) return None
-        val line =
-          try readLine(left)
-          catch { case _: SocketTimeoutException => return None }
-        val sp = line.split(' ')
-        sp(0) match {
-          case "MSG" =>
-            // MSG <subject> <sid> [reply-to] <#bytes>
-            val (reply, n) =
-              if (sp.length == 5) (Some(sp(3)), sp(4).toInt)
-              else (None, sp(3).toInt)
-            val payload = readBytes(n)
-            readLine(1000) // trailing CRLF
-            return Some(Msg(sp(1), sp(2), reply, payload))
-          case "PING" => write("PONG\r\n"); flush()
-          case "PONG" | "+OK" | "" => // ignore
-          case "-ERR" =>
-            throw new IllegalStateException(s"NATS server error: $line")
-          case "INFO" => // live server reconfig update; ignore
-          case other =>
-            throw new IllegalStateException(s"unexpected NATS frame: $other")
+        (try readFrame(left)
+         catch { case _: SocketTimeoutException => return None }) match {
+          case Right(m) => return Some(m)
+          case Left(line) => control(line)
         }
       }
       None
@@ -158,32 +180,45 @@ object NatsWire {
 
     /** Flush barrier: PING → wait for PONG. Per the protocol, the server
       * answers in receive order, so once the PONG is back every prior
-      * PUB/SUB on this connection has been processed. Only call between
-      * demand-driven reads (this client never has unsolicited MSG frames
-      * in flight — pull consumers ask first). */
+      * PUB/SUB on this connection has been processed. Stale in-flight MSG
+      * frames (a pull answered after the client-side fetch deadline) are
+      * consumed and discarded. */
     def ping(timeoutMs: Int): Unit = {
       write("PING\r\n"); flush()
       val deadline = System.nanoTime() + timeoutMs * 1000000L
       while (true) {
         val left = ((deadline - System.nanoTime()) / 1000000L).toInt
         if (left <= 0) throw new SocketTimeoutException("PONG timeout")
-        val line = readLine(left)
-        if (line.startsWith("PONG")) return
-        else if (line.startsWith("PING")) { write("PONG\r\n"); flush() }
-        else if (line.startsWith("-ERR"))
-          throw new IllegalStateException(s"NATS server error: $line")
-        // +OK / INFO: ignore; MSG cannot appear (no outstanding demand)
+        readFrame(left) match {
+          case Left(line) if line.startsWith("PONG") => return
+          case Left(line) => control(line)
+          case Right(_) => // stale pull delivery: drained, dropped
+        }
       }
     }
 
-    /** Point-to-point request over a one-shot inbox. */
+    /** Point-to-point request over a one-shot inbox. Frames that are not
+      * the reply (stale deliveries for other sids) are drained and
+      * dropped — without the sid filter a leftover pull message would be
+      * returned as the API response. */
     def request(subject: String, payload: Array[Byte],
                 timeoutMs: Int): Option[Msg] = {
       val inbox = s"_INBOX.graft.${inboxSeq.incrementAndGet()}"
       val sid = s"rq${inboxSeq.get()}"
       subscribe(inbox, sid)
       publish(subject, payload, Some(inbox))
-      val r = nextMsg(timeoutMs)
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      var r: Option[Msg] = None
+      var open = true
+      while (open && r.isEmpty) {
+        val left = ((deadline - System.nanoTime()) / 1000000L).toInt
+        if (left <= 0) open = false
+        else nextMsg(left) match {
+          case Some(m) if m.sid == sid => r = Some(m)
+          case Some(_) => // stale frame for another sid: dropped
+          case None => open = false
+        }
+      }
       unsubscribe(sid)
       r
     }
@@ -262,6 +297,7 @@ object NatsWire {
       while (open && got.size < batch && System.nanoTime() < deadline) {
         val left = math.max(1, (deadline - System.nanoTime()) / 1000000L).toInt
         nc.nextMsg(left) match {
+          case Some(m) if m.sid != sid => // stale frame from a prior pull
           case Some(m) if m.payload.isEmpty && m.replyTo.isEmpty =>
             open = false // status frame (408 request-timeout / 404 no-msgs)
           case Some(m) => got += m

@@ -31,6 +31,23 @@ class BrokerSourceSpec extends AnyFunSuite {
     } finally qs.values.foreach(_.stop())
   }
 
+  test("DLQ writes from different subjects with the same batch id coexist") {
+    val out = java.nio.file.Files.createTempDirectory("dlq_iso").toString
+    import spark.implicits._
+    // two independent per-subject queries, both dead-lettering batch 0 —
+    // without subject partitioning the second dynamic overwrite would
+    // replace the first's ingest_batch=0 partition
+    Ingest.deadLetterExhausted(
+      Seq("p1").toDF("payload"), "events.login", out,
+      batchId = 0L, deliveries = 4)
+    Ingest.deadLetterExhausted(
+      Seq("p2").toDF("payload"), "events.session", out,
+      batchId = 0L, deliveries = 4)
+    val dlq = Ingest.readDlq(spark, out)
+    assert(dlq.count() == 2, "same-batch-id dead letters must not clobber")
+    assert(dlq.select("subject").distinct().count() == 2)
+  }
+
   test("RedeliveryBudget counts attempts per batch and persists across instances") {
     val dir = java.nio.file.Files.createTempDirectory("budget").toString
     val conf = spark.sessionState.newHadoopConf()

@@ -137,6 +137,35 @@ class NatsBridgeSpec extends AnyFunSuite {
     }
   }
 
+  test("binary safety: payloads containing CRLF and protocol keywords round-trip") {
+    withServer { (srv, nc) =>
+      val js = new NatsWire.JetStream(nc)
+      js.ensureStream("EVENTS", Seq(subject))
+      js.ensureConsumer("EVENTS", "graft-consumer", Seq(subject))
+      // adversarial payloads: frame terminators, protocol verbs, -ERR,
+      // NUL bytes, and a seeded random blob — length-prefixed framing
+      // must carry them all verbatim
+      val rng = new scala.util.Random(7)
+      val blob = Array.fill(4096)(rng.nextInt(256).toByte)
+      val payloads: Seq[Array[Byte]] = Seq(
+        "\r\n-ERR 'fake'\r\n".getBytes("UTF-8"),
+        "MSG x 1 5\r\nPING\r\nPONG".getBytes("UTF-8"),
+        Array[Byte](0, 13, 10, 0, 45, 69, 82, 82),
+        blob)
+      payloads.foreach(p => nc.publish(subject, p))
+      nc.ping(2000)
+      val msgs = js.fetch("EVENTS", "graft-consumer", batch = 10, expiresMs = 2000)
+      assert(msgs.size == payloads.size)
+      msgs.zip(payloads).foreach { case (m, p) =>
+        assert(java.util.Arrays.equals(m.payload, p),
+          s"payload corrupted in flight (${p.length} bytes)")
+      }
+      msgs.foreach(js.ack)
+      // the connection is still healthy after hostile payloads
+      nc.ping(2000)
+    }
+  }
+
   test("supervised relay survives a broker restart: reconnect, re-ensure, resume") {
     val srv1 = new MockNatsServer
     val port = srv1.port
