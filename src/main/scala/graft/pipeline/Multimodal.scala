@@ -31,17 +31,20 @@ case class AudioWindow(doc_id: Long, win_idx: Int, win_off: Int,
 
 /** Multimodal column processing for training-data pipelines.
   *
-  * The decode kernel is REAL for the audio path: [[WavCodec]] parses
-  * RIFF/WAVE PCM payloads to samples (pure JVM — WAV needs no codec
-  * library) and decodable audio rows get sample-domain features. Payloads
-  * no in-container codec can decode (png/mp4, or bytes that aren't valid
-  * WAV) take `byteStats`, the clearly-labeled byte-level FALLBACK — the
-  * same route a production pipeline gives undecodable media before
-  * dead-lettering. The plumbing — binary column schema, the
-  * partition-preserving batched `mapPartitions` execution (the Scala
-  * analog of a Pandas-UDF batch: decode wants amortized per-batch setup,
-  * e.g. a codec context or GPU handle), and the typed output schema —
-  * is identical for both routes.
+  * The decode kernels are REAL for the audio AND image paths:
+  * [[WavCodec]] parses RIFF/WAVE PCM payloads to samples and
+  * [[PngCodec]] parses PNG (zlib IDAT, CRC'd chunks, full scanline
+  * filters) to pixels — both pure JVM, since WAV needs no codec library
+  * and PNG's zlib/CRC32 ship in `java.util.zip`. Decodable rows get
+  * sample/pixel-domain features. Payloads no in-container codec can
+  * decode (mp4, or bytes that aren't valid WAV/PNG) take `byteStats`,
+  * the clearly-labeled byte-level FALLBACK — the same route a
+  * production pipeline gives undecodable media before dead-lettering.
+  * The plumbing — binary column schema, the partition-preserving
+  * batched `mapPartitions` execution (the Scala analog of a Pandas-UDF
+  * batch: decode wants amortized per-batch setup, e.g. a codec context
+  * or GPU handle), and the typed output schema — is identical for every
+  * route.
   */
 object Multimodal {
 
@@ -119,9 +122,18 @@ object Multimodal {
         // per-batch setup would go here (codec context, model handle)
         batch.iterator.map { r =>
           val (mean, entropy, byteThumb) = byteStats(r.media)
+          // real-decoder-first routing per modality: WAV and PNG kernels
+          // are real ([[WavCodec]], [[PngCodec]]); undecodable payloads
+          // fall back to byte stats (the pre-dead-letter QC route)
           val thumb =
             if (r.mime.startsWith("audio/"))
               WavCodec.decode(r.media).map(rmsBands(_)).getOrElse(byteThumb)
+            else if (r.mime.startsWith("image/"))
+              PngCodec.decode(r.media).map { img =>
+                val f = PngCodec.features(img)
+                Array(f.meanR.toFloat / 255f, f.meanG.toFloat / 255f,
+                  f.meanB.toFloat / 255f, f.meanLuma.toFloat / 255f)
+              }.getOrElse(byteThumb)
             else byteThumb
           MediaFeatures(r.doc_id, r.mime, r.media.length, mean, entropy,
             thumb, frameCount(r.mime, r.media.length))
@@ -221,6 +233,44 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // The REAL image kernel, fully oracled end to end (WAV's twin): per
+    // src0 doc a deterministic RGB image is synthesized from an integer
+    // pixel formula, encoded to actual PNG bytes (zlib IDAT, CRC'd
+    // chunks), decoded back by PngCodec (full scanline-filter spec), and
+    // featurized with exact integer channel/luma sums. DuckDB recomputes
+    // the same features analytically from the pixel formula — a codec
+    // that misreads the filter bytes, stride, channel order or zlib
+    // framing fails the hash. Only divides + round(…,6) touch doubles.
+    "d_media_png_features" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).filter(col("source") === "src0")
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (16 + id % 9).toInt
+          val h = (12 + id % 7).toInt
+          val rgb = new Array[Int](w * h * 3)
+          var i = 0
+          for (y <- 0 until h; x <- 0 until w) {
+            rgb(i) = ((x * 7 + y * 13 + id) % 256).toInt
+            rgb(i + 1) = ((x * 3 + y * 5 + 2 * id) % 256).toInt
+            rgb(i + 2) = ((x * 11 + y * 2 + 3 * id) % 256).toInt
+            i += 3
+          }
+          val img = PngCodec.decode(PngCodec.encodeRgb8(w, h, rgb))
+            .getOrElse(throw new IllegalStateException(s"undecodable synth png for doc $id"))
+          val f = PngCodec.features(img)
+          (id, img.width, img.height, f.nPixels, f.meanR, f.meanG, f.meanB,
+            f.meanLuma)
+        }
+        .toDF("doc_id", "width", "height", "n_pixels", "mean_r", "mean_g",
+          "mean_b", "mean_luma")
+        .withColumn("mean_r", round(col("mean_r"), 6))
+        .withColumn("mean_g", round(col("mean_g"), 6))
+        .withColumn("mean_b", round(col("mean_b"), 6))
+        .withColumn("mean_luma", round(col("mean_luma"), 6))
+        .orderBy("doc_id")
+    }),
+
     "d_media_meta" -> ((s, d) => {
       extractFeatures(asMedia(Tables.documents(s, d)))
         .toDF()
@@ -249,6 +299,29 @@ object Multimodal {
     * row), so character slicing in the oracle equals the byte slicing the
     * Spark side does on the binary payload. */
   val oracles: Map[String, String] = Map(
+    "d_media_png_features" ->
+      """WITH src AS (
+           SELECT doc_id,
+                  CAST(16 + doc_id % 9 AS INT) AS w,
+                  CAST(12 + doc_id % 7 AS INT) AS h
+           FROM documents WHERE source = 'src0'),
+         px AS (
+           SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM src),
+         c AS (
+           SELECT doc_id, w, h,
+                  ((i % w) * 7 + (i // w) * 13 + doc_id) % 256 AS r,
+                  ((i % w) * 3 + (i // w) * 5 + 2 * doc_id) % 256 AS g,
+                  ((i % w) * 11 + (i // w) * 2 + 3 * doc_id) % 256 AS b
+           FROM px)
+         SELECT doc_id, MIN(w) AS width, MIN(h) AS height,
+                CAST(MIN(w) * MIN(h) AS INT) AS n_pixels,
+                round(SUM(r) / CAST(MIN(w) * MIN(h) AS DOUBLE), 6) AS mean_r,
+                round(SUM(g) / CAST(MIN(w) * MIN(h) AS DOUBLE), 6) AS mean_g,
+                round(SUM(b) / CAST(MIN(w) * MIN(h) AS DOUBLE), 6) AS mean_b,
+                round(SUM(299 * r + 587 * g + 114 * b)
+                      / CAST(1000 * MIN(w) * MIN(h) AS DOUBLE), 6) AS mean_luma
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
+
     "d_media_wav_features" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE source = 'src1'),
          s AS (
