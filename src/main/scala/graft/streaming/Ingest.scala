@@ -71,15 +71,35 @@ object Ingest {
 
   val DlqTable = "_dlq"
 
-  /** Canonical DLQ reader. The DLQ schema has evolved (`deliveries` was
-    * added for the redelivery budget; `subject` moved into the partition
-    * key), so a directory may mix vintages — mergeSchema unions them and
-    * pre-budget rows read `deliveries` as null instead of vanishing or
-    * crashing a consumer that samples an old file's footer. */
-  def readDlq(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.option("mergeSchema", "true")
-      .option("basePath", s"$outDir/$DlqTable")
-      .parquet(s"$outDir/$DlqTable")
+  /** Canonical DLQ reader. The DLQ has evolved twice: `deliveries` was
+    * added for the redelivery budget (mergeSchema reads pre-budget rows
+    * as null), and `subject` moved from a data column into the partition
+    * key — so a pre-move directory holds `ingest_batch=N/...` while
+    * post-move writes land at `subject=X/ingest_batch=N/...`. Spark's
+    * partition discovery rejects mixed-depth layouts under one basePath
+    * ("Conflicting directory structures"), so the two vintages are read
+    * as separate loads and unioned by name; both yield a `subject` column
+    * (data column then, partition column now). */
+  def readDlq(spark: SparkSession, outDir: String): DataFrame = {
+    val root = s"$outDir/$DlqTable"
+    val top = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName)
+    val newDirs = top.filter(_.startsWith("subject=")).sorted.map(d => s"$root/$d")
+    val oldDirs = top.filter(_.startsWith("ingest_batch=")).sorted.map(d => s"$root/$d")
+    def load(paths: Seq[String]) =
+      spark.read.option("mergeSchema", "true").option("basePath", root)
+        .parquet(paths: _*)
+    (newDirs.nonEmpty, oldDirs.nonEmpty) match {
+      case (true, true) =>
+        load(newDirs.toSeq).unionByName(load(oldDirs.toSeq), allowMissingColumns = true)
+      case (false, true) => load(oldDirs.toSeq)
+      // no legacy dirs (or an empty/absent DLQ): the plain read also
+      // covers a root holding bare parquet files from ad-hoc appends
+      case _ =>
+        spark.read.option("mergeSchema", "true").option("basePath", root)
+          .parquet(root)
+    }
+  }
 
   /** Pool for concurrent per-table writes inside one micro-batch. The 9
     * routed tables are independent outputs; submitting their jobs from

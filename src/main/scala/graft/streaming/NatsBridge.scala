@@ -79,24 +79,81 @@ object NatsBridge {
     msgs.size
   }
 
+  /** Per-spool-directory monotonic file counters. [[ProtoFileSource]]'s
+    * offset is the highest file NAME it has seen and it enforces that new
+    * files always sort above it (ProtoFileSource.scala:233-239) — so
+    * spool names must be lexicographically monotonic. A streamSeq-based
+    * name can't be (unpadded 1025 sorts below 513, and redelivery after a
+    * crash replays old seqs), so names come from a zero-padded local
+    * counter instead; redelivered duplicates land in fresh files and
+    * collapse in the ingest dedup keyed by event id. */
+  private val spoolCounters =
+    new java.util.concurrent.ConcurrentHashMap[Path, java.util.concurrent.atomic.AtomicLong]()
+
+  /** Smallest counter whose padded name sorts strictly above every
+    * existing `.pbstream` name in `dir` — restart-safe seeding, including
+    * over legacy `nats-<seq>-<uuid>` names that padded names would
+    * otherwise sort below. */
+  private[streaming] def seedAbove(dir: Path): Long = {
+    val names = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(n => n.endsWith(".pbstream") && !n.startsWith("_"))
+    if (names.isEmpty) 0L
+    else {
+      val max = names.max
+      // spoolName is monotonic in the counter, so binary-search the
+      // smallest k with spoolName(k) > max (legacy unpadded names force
+      // this — numeric max+1 is not enough: pad(514) < "nats-513-uuid").
+      var lo = 0L; var hi = 999999999999L
+      while (lo < hi) {
+        val mid = lo + (hi - lo) / 2
+        if (spoolName(mid) > max) hi = mid else lo = mid + 1
+      }
+      lo
+    }
+  }
+
+  private def spoolName(n: Long): String = f"nats-$n%012d.pbstream"
+
   /** Write pulled messages into the FileBroker spool layout:
-    * `<root>/<subject>/nats-<firstSeq>-<uuid>.pbstream`, one file per
-    * subject per pull, temp + atomic rename so the tailing stream source
-    * never sees a half-written file. Payloads are already proto-encoded
-    * by producers — they re-frame verbatim (no decode on the relay). */
+    * `<root>/<subject>/nats-<counter%012d>.pbstream`, one file per
+    * subject per pull, temp + fsync + atomic rename so the tailing stream
+    * source never sees a half-written file and an acked batch survives
+    * power loss (the ack-after-durable contract in the delivery chain
+    * above requires force-to-disk, not just close-to-page-cache).
+    * Payloads are already proto-encoded by producers — they re-frame
+    * verbatim (no decode on the relay). */
   private[streaming] def spool(msgs: Seq[Msg], spoolRoot: String): Unit =
     msgs.groupBy(_.subject).foreach { case (subject, ms) =>
       val dir = Paths.get(spoolRoot, subject)
       Files.createDirectories(dir)
-      val firstSeq = ms.map(_.streamSeq).min
-      val name = s"nats-$firstSeq-${java.util.UUID.randomUUID()}.pbstream"
+      val ctr = spoolCounters.computeIfAbsent(dir.toAbsolutePath,
+        d => new java.util.concurrent.atomic.AtomicLong(seedAbove(d)))
+      val name = spoolName(ctr.getAndIncrement())
       val tmp = dir.resolve(s"_$name")
-      val out = new java.io.BufferedOutputStream(
-        Files.newOutputStream(tmp), 64 * 1024)
-      try ms.foreach(m => ProtoWire.writeFrame(out, m.payload))
-      finally out.close()
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      try {
+        val out = new java.io.BufferedOutputStream(
+          java.nio.channels.Channels.newOutputStream(ch), 64 * 1024)
+        ms.foreach(m => ProtoWire.writeFrame(out, m.payload))
+        out.flush()
+        ch.force(true) // data durable before the rename makes it visible
+      } finally ch.close()
       Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      fsyncDir(dir) // make the rename itself durable before ack
     }
+
+  /** fsync the directory entry so the rename survives power loss; some
+    * filesystems refuse directory FileChannels — best-effort there (the
+    * process-crash guarantee still holds via ATOMIC_MOVE). */
+  private def fsyncDir(dir: Path): Unit =
+    try {
+      val ch = java.nio.channels.FileChannel.open(dir,
+        java.nio.file.StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    } catch { case _: java.io.IOException => () }
 
   /** Run the relay until `stop` flips true (daemon-thread loop). */
   def relayLoop(s: NatsSession, spoolRoot: String, batch: Int,

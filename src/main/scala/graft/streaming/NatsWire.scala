@@ -29,9 +29,16 @@ object NatsWire {
 
   /** One delivered message. `replyTo` carries the JetStream ack subject
     * for pulled messages:
-    * `$JS.ACK.<stream>.<consumer>.<delivered>.<sseq>.<cseq>.<ts>.<pending>`. */
+    * `$JS.ACK.<stream>.<consumer>.<delivered>.<sseq>.<cseq>.<ts>.<pending>`.
+    * `status`/`statusDesc` come from an HMSG header block's inline status
+    * (`NATS/1.0 <code> <desc>`) — how a headers-aware server signals pull
+    * terminations (404 no-messages, 408 request-timeout, 409 exceeded)
+    * and no-responders (503). */
   final case class Msg(subject: String, sid: String, replyTo: Option[String],
-                       payload: Array[Byte]) {
+                       payload: Array[Byte],
+                       headers: Map[String, String] = Map.empty,
+                       status: Option[Int] = None,
+                       statusDesc: String = "") {
     /** Ack-subject numeric fields, indexed FROM THE END — robust across
       * the v1 9-token form and the domain/account v2 form (which PREPENDS
       * `<domain>.<account>` and may APPEND a non-numeric random token):
@@ -73,8 +80,12 @@ object NatsWire {
         case (Some(u), Some(p)) => s""","user":${jsonStr(u)},"pass":${jsonStr(p)}"""
         case _ => ""
       }
-      // verbose:false => no +OK chatter to interleave with MSG frames
-      write(s"""CONNECT {"verbose":false,"pedantic":false,"name":"graft","lang":"scala","version":"0.1.0"$auth}\r\n""")
+      // verbose:false => no +OK chatter to interleave with MSG frames;
+      // headers:true opts into HMSG delivery (status frames arrive as
+      // proper header blocks instead of the legacy empty-MSG downgrade);
+      // no_responders:true => requests to unserviced subjects come back
+      // immediately as a 503 status instead of timing out
+      write(s"""CONNECT {"verbose":false,"pedantic":false,"headers":true,"no_responders":true,"name":"graft","lang":"scala","version":"0.1.0"$auth}\r\n""")
       flush()
       line.stripPrefix("INFO ").trim
     }
@@ -89,13 +100,32 @@ object NatsWire {
     private def write(s: String): Unit = out.write(s.getBytes(US_ASCII))
     private def flush(): Unit = out.flush()
 
-    /** CRLF-terminated ASCII control line. */
+    /** A timeout after PART of a frame was consumed leaves the stream
+      * desynchronized — the unread remainder would later be parsed as
+      * control lines (payload bytes as protocol!). Unrecoverable on this
+      * connection: close it and raise EOF (NOT SocketTimeoutException,
+      * which callers treat as a clean "no frame yet"), so the supervised
+      * relay reconnects and at-least-once redelivery replays the frame. */
+    private def desync(what: String): Nothing = {
+      try socket.close() catch { case _: java.io.IOException => () }
+      throw new EOFException(s"NATS connection desynchronized ($what); closed")
+    }
+
+    /** CRLF-terminated ASCII control line. Mid-line timeout ⇒ [[desync]];
+      * timeout with zero bytes consumed is a clean frame-boundary timeout
+      * and propagates as SocketTimeoutException. */
     private def readLine(timeoutMs: Int): String = {
       socket.setSoTimeout(math.max(1, timeoutMs))
       val sb = new StringBuilder(64)
       var prev = -1
       while (true) {
-        val b = in.read()
+        val b =
+          try in.read()
+          catch {
+            case e: SocketTimeoutException =>
+              if (sb.nonEmpty) desync(s"timeout mid-line after ${sb.length} bytes")
+              throw e
+          }
         if (b < 0) throw new EOFException("NATS connection closed")
         if (prev == '\r' && b == '\n') return sb.dropRight(1).toString
         sb.append(b.toChar)
@@ -104,11 +134,18 @@ object NatsWire {
       throw new IllegalStateException("unreachable")
     }
 
+    /** Only ever called mid-frame (after a MSG/HMSG control line), so a
+      * timeout here is always a desync, never a clean boundary. */
     private def readBytes(n: Int): Array[Byte] = {
       val buf = new Array[Byte](n)
       var off = 0
       while (off < n) {
-        val r = in.read(buf, off, n - off)
+        val r =
+          try in.read(buf, off, n - off)
+          catch {
+            case _: SocketTimeoutException =>
+              desync(s"timeout mid-payload at $off/$n bytes")
+          }
         if (r < 0) throw new EOFException("NATS connection closed mid-payload")
         off += r
       }
@@ -132,23 +169,66 @@ object NatsWire {
       write(s"UNSUB $sid\r\n"); flush()
     }
 
-    /** Read ONE protocol frame: a MSG (payload fully consumed) or a bare
-      * control line. Every reader goes through here, so a leftover
-      * in-flight MSG (e.g. from a fetch that hit its client-side deadline)
-      * can never desynchronize the stream — its payload is always
-      * consumed before the next control line is parsed. */
+    /** Read ONE protocol frame: a MSG/HMSG (payload fully consumed) or a
+      * bare control line. Every reader goes through here, so a leftover
+      * in-flight message (e.g. from a fetch that hit its client-side
+      * deadline) never desynchronizes the stream — its payload is always
+      * consumed before the next control line is parsed, and a timeout
+      * mid-frame closes the connection ([[desync]]) rather than leaving
+      * half a payload to be misparsed as protocol. */
     private def readFrame(timeoutMs: Int): Either[String, Msg] = {
       val line = readLine(timeoutMs)
       val sp = line.split(' ')
-      if (sp(0) == "MSG") {
-        // MSG <subject> <sid> [reply-to] <#bytes>
-        val (reply, n) =
-          if (sp.length == 5) (Some(sp(3)), sp(4).toInt)
-          else (None, sp(3).toInt)
-        val payload = readBytes(n)
-        readLine(1000) // trailing CRLF
-        Right(Msg(sp(1), sp(2), reply, payload))
-      } else Left(line)
+      sp(0) match {
+        case "MSG" =>
+          // MSG <subject> <sid> [reply-to] <#bytes>
+          val (reply, n) =
+            if (sp.length == 5) (Some(sp(3)), sp(4).toInt)
+            else (None, sp(3).toInt)
+          val payload = readBytes(n)
+          frameCrlf()
+          Right(Msg(sp(1), sp(2), reply, payload))
+        case "HMSG" =>
+          // HMSG <subject> <sid> [reply-to] <#header-bytes> <#total-bytes>
+          val (reply, hdrN, totN) =
+            if (sp.length == 6) (Some(sp(3)), sp(4).toInt, sp(5).toInt)
+            else (None, sp(3).toInt, sp(4).toInt)
+          val hdrBlock = new String(readBytes(hdrN), US_ASCII)
+          val payload = readBytes(totN - hdrN)
+          frameCrlf()
+          val (status, desc, hdrs) = parseHeaders(hdrBlock)
+          Right(Msg(sp(1), sp(2), reply, payload, hdrs, status, desc))
+        case _ => Left(line)
+      }
+    }
+
+    /** Trailing CRLF after a message payload — part of the frame, so a
+      * timeout here is a desync, not a clean boundary. */
+    private def frameCrlf(): Unit =
+      try readLine(1000)
+      catch {
+        case _: SocketTimeoutException => desync("timeout awaiting trailing CRLF")
+      }
+
+    /** Parse an HMSG header block: `NATS/1.0[ <code>[ <desc>]]\r\n` then
+      * `Key: Value` lines, blank-line terminated. */
+    private def parseHeaders(block: String): (Option[Int], String, Map[String, String]) = {
+      val lines = block.split("\r\n").toSeq
+      val ver = lines.headOption.getOrElse("")
+      require(ver.startsWith("NATS/1.0"), s"bad HMSG header version line: $ver")
+      val rest = ver.stripPrefix("NATS/1.0").trim
+      val (status, desc) =
+        if (rest.isEmpty) (None, "")
+        else {
+          val cut = rest.indexOf(' ')
+          if (cut < 0) (rest.toIntOption, "")
+          else (rest.take(cut).toIntOption, rest.drop(cut + 1).trim)
+        }
+      val hdrs = lines.drop(1).takeWhile(_.nonEmpty).flatMap { l =>
+        val c = l.indexOf(':')
+        if (c < 0) None else Some(l.take(c).trim -> l.drop(c + 1).trim)
+      }.toMap
+      (status, desc, hdrs)
     }
 
     /** Handle a non-MSG control line; true = keep reading. */
@@ -203,8 +283,9 @@ object NatsWire {
       * returned as the API response. */
     def request(subject: String, payload: Array[Byte],
                 timeoutMs: Int): Option[Msg] = {
-      val inbox = s"_INBOX.graft.${inboxSeq.incrementAndGet()}"
-      val sid = s"rq${inboxSeq.get()}"
+      val n = inboxSeq.incrementAndGet()
+      val inbox = s"_INBOX.graft.$n"
+      val sid = s"rq$n"
       subscribe(inbox, sid)
       publish(subject, payload, Some(inbox))
       val deadline = System.nanoTime() + timeoutMs * 1000000L
@@ -241,9 +322,17 @@ object NatsWire {
   final class JetStream(nc: Conn, apiTimeoutMs: Int = 5000) {
 
     private def apiText(subject: String, body: String): String =
-      nc.request(subject, body.getBytes(US_ASCII), apiTimeoutMs)
-        .map(m => new String(m.payload, US_ASCII))
-        .getOrElse(throw new IllegalStateException(s"JetStream API timeout: $subject"))
+      nc.request(subject, body.getBytes(US_ASCII), apiTimeoutMs) match {
+        case Some(m) if m.status.contains(503) =>
+          // no_responders:true turns an unserviced API subject into an
+          // immediate 503 instead of a silent timeout — the clearest
+          // "JetStream is not enabled here" signal the protocol offers
+          throw new IllegalStateException(
+            s"no responders (503) on $subject — JetStream not enabled on this server?")
+        case Some(m) => new String(m.payload, US_ASCII)
+        case None =>
+          throw new IllegalStateException(s"JetStream API timeout: $subject")
+      }
 
     private def isErr(resp: String): Boolean = resp.contains("\"error\"")
 
@@ -285,8 +374,9 @@ object NatsWire {
       * (ack-after-insert, src/handler.rs ↔ the relay's ack-after-spool). */
     def fetch(stream: String, durable: String, batch: Int,
               expiresMs: Long): Seq[Msg] = {
-      val inbox = s"_INBOX.graft.pull.${inboxSeq.incrementAndGet()}"
-      val sid = s"pl${inboxSeq.get()}"
+      val n = inboxSeq.incrementAndGet()
+      val inbox = s"_INBOX.graft.pull.$n"
+      val sid = s"pl$n"
       nc.subscribe(inbox, sid)
       nc.publish(s"$$JS.API.CONSUMER.MSG.NEXT.$stream.$durable",
         s"""{"batch":$batch,"expires":${expiresMs * 1000000L}}""".getBytes(US_ASCII),
@@ -298,8 +388,12 @@ object NatsWire {
         val left = math.max(1, (deadline - System.nanoTime()) / 1000000L).toInt
         nc.nextMsg(left) match {
           case Some(m) if m.sid != sid => // stale frame from a prior pull
+          case Some(m) if m.status.isDefined =>
+            // HMSG pull status: 404 no-messages, 408 request-timeout,
+            // 409 budget-exceeded — all terminate this pull cleanly
+            open = false
           case Some(m) if m.payload.isEmpty && m.replyTo.isEmpty =>
-            open = false // status frame (408 request-timeout / 404 no-msgs)
+            open = false // legacy status downgrade from a headers-less server
           case Some(m) => got += m
           case None => open = false
         }

@@ -85,6 +85,37 @@ class IngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/login_events").count() == 4)
   }
 
+  test("readDlq unions the legacy flat layout with the subject-partitioned layout") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_dlq_mix").toString
+    // legacy vintage (pre subject-partitioning): subject was a DATA
+    // column and the layout was _dlq/ingest_batch=N/… — exactly what a
+    // deployment that upgraded mid-stream still has on disk. Note: no
+    // `deliveries` column either (pre redelivery-budget).
+    Seq(("events.legacy", "old payload", "unroutable_subject",
+        new Timestamp(1726300800000L)))
+      .toDF("subject", "payload", "reason", "dlq_ts")
+      .withColumn("ingest_batch", lit(0L))
+      .write.partitionBy("ingest_batch").parquet(s"$out/${Ingest.DlqTable}")
+    // current vintage through the real write path: subject in the
+    // partition key, _dlq/subject=X/ingest_batch=N/…
+    Ingest.ingestBatch(
+      Seq(("events.unknown", "new payload")).toDF("subject", "payload"),
+      out, batchId = 1L)
+    // mixed-depth partition dirs under one root: a naive read throws
+    // "Conflicting directory structures"; readDlq must union both
+    val dlq = Ingest.readDlq(spark, out)
+    val rows = dlq.select("subject", "payload", "reason")
+      .as[(String, String, String)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("events.legacy", "old payload", "unroutable_subject"),
+      ("events.unknown", "new payload", "unroutable_subject")))
+    // schema evolution: pre-budget rows read deliveries as null, not crash
+    val deliveries = dlq.orderBy("subject").select("deliveries")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(deliveries.toSeq == Seq(None, Some(1)))
+  }
+
   test("wire-native ingest: graft-proto flush dirs -> typed sorted tables") {
     val wire = Files.createTempDirectory("graft_wire").toString
     val out = Files.createTempDirectory("graft_wire_out").toString

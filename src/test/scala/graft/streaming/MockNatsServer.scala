@@ -19,9 +19,10 @@ import scala.collection.mutable
   * Simplifications (documented, not load-bearing for the contract):
   * exact-match subject routing (no wildcards), one pull served per
   * `MSG.NEXT` request, and "no messages" answered with an immediate
-  * empty status frame instead of holding the request open until
-  * `expires` (the client also enforces its own deadline, so both
-  * behaviors terminate the fetch identically).
+  * 404 status (HMSG `NATS/1.0 404 No Messages` to a headers client,
+  * the legacy empty-MSG downgrade otherwise) instead of holding the
+  * request open until `expires` (the client also enforces its own
+  * deadline, so both behaviors terminate the fetch identically).
   */
 final class MockNatsServer(fixedPort: Int = 0) extends AutoCloseable {
 
@@ -42,6 +43,11 @@ final class MockNatsServer(fixedPort: Int = 0) extends AutoCloseable {
   private val lock = new Object
   private val streams = mutable.Map.empty[String, StreamState]
   private val consumers = mutable.Map.empty[(String, String), ConsumerState]
+
+  /** Flip false to simulate a core-NATS server without JetStream: API
+    * requests from a no_responders client get an immediate 503 status
+    * (what a real server does when nothing subscribes to $JS.API.>). */
+  @volatile var jetStreamEnabled = true
 
   private val server = {
     val s = new ServerSocket()
@@ -81,6 +87,10 @@ final class MockNatsServer(fixedPort: Int = 0) extends AutoCloseable {
     val in = new BufferedInputStream(sock.getInputStream, 64 * 1024)
     val out = new BufferedOutputStream(sock.getOutputStream, 64 * 1024)
     val subs = mutable.Map.empty[String, String] // sid → subject
+    // does this client speak HMSG? (CONNECT {"headers":true} — NatsWire
+    // always opts in; the flag keeps the mock protocol-faithful for a
+    // legacy client, which gets the empty-MSG status downgrade instead)
+    var headersOk = false
     def write(s: String): Unit = out.synchronized {
       out.write(s.getBytes(US_ASCII)); out.flush()
     }
@@ -92,16 +102,38 @@ final class MockNatsServer(fixedPort: Int = 0) extends AutoCloseable {
       out.write("\r\n".getBytes(US_ASCII))
       out.flush()
     }
+    /** HMSG frame with an inline status line, the headers-aware way a
+      * real server signals pull terminations and no-responders. */
+    def writeHmsg(subject: String, sid: String, replyTo: Option[String],
+                  status: (Int, String), payload: Array[Byte]): Unit =
+      out.synchronized {
+        val rt = replyTo.map(r => s" $r").getOrElse("")
+        val hdr = s"NATS/1.0 ${status._1} ${status._2}\r\n\r\n".getBytes(US_ASCII)
+        out.write(s"HMSG $subject $sid$rt ${hdr.length} ${hdr.length + payload.length}\r\n"
+          .getBytes(US_ASCII))
+        out.write(hdr)
+        out.write(payload)
+        out.write("\r\n".getBytes(US_ASCII))
+        out.flush()
+      }
     /** Deliver to this connection if it subscribes to `matchSubject`
       * (exact). `emitSubject` is the subject written in the MSG frame —
       * for JetStream pull deliveries the server routes via the inbox
       * subscription but PRESERVES the stored message's original subject
       * in the frame (that is how a consumer over many subjects tells
-      * them apart). */
+      * them apart). A `status` delivers as HMSG when the client opted
+      * into headers, else as the legacy empty-MSG downgrade. */
     def deliver(matchSubject: String, emitSubject: String,
-                replyTo: Option[String], payload: Array[Byte]): Boolean =
+                replyTo: Option[String], payload: Array[Byte],
+                status: Option[(Int, String)] = None): Boolean =
       subs.find(_._2 == matchSubject) match {
-        case Some((sid, _)) => writeMsg(emitSubject, sid, replyTo, payload); true
+        case Some((sid, _)) =>
+          status match {
+            case Some(st) if headersOk => writeHmsg(emitSubject, sid, replyTo, st, payload)
+            case Some(_) => writeMsg(emitSubject, sid, None, Array.emptyByteArray)
+            case None => writeMsg(emitSubject, sid, replyTo, payload)
+          }
+          true
         case None => false
       }
 
@@ -126,12 +158,14 @@ final class MockNatsServer(fixedPort: Int = 0) extends AutoCloseable {
       buf
     }
 
-    write("""INFO {"server_id":"graft-mock","version":"0.0.0-mock","max_payload":1048576}""" + "\r\n")
+    write("""INFO {"server_id":"graft-mock","version":"0.0.0-mock","headers":true,"max_payload":1048576}""" + "\r\n")
     try while (true) {
       val line = readLine()
       val sp = line.split(' ')
       sp(0) match {
-        case "CONNECT" | "+OK" | "" => // accept any auth — not under test
+        case "CONNECT" => // accept any auth — not under test
+          headersOk = line.contains("\"headers\":true")
+        case "+OK" | "" =>
         case "PING" => write("PONG\r\n")
         case "PONG" =>
         case "SUB" => subs(sp.last) = sp(1)
@@ -151,9 +185,17 @@ final class MockNatsServer(fixedPort: Int = 0) extends AutoCloseable {
   }
 
   // ---- routing ----------------------------------------------------------
+  private type Deliver =
+    (String, String, Option[String], Array[Byte], Option[(Int, String)]) => Boolean
+
   private def route(subject: String, replyTo: Option[String], payload: Array[Byte],
-                    deliver: (String, String, Option[String], Array[Byte]) => Boolean): Unit = {
-    if (subject.startsWith("$JS.API."))
+                    deliver: Deliver): Unit = {
+    if (subject.startsWith("$JS.") && !jetStreamEnabled)
+      // nothing subscribes to $JS.> on a core-only server: a no_responders
+      // client gets an immediate 503 status on its reply inbox
+      replyTo.foreach(r =>
+        deliver(r, r, None, Array.emptyByteArray, Some((503, "No Responders"))))
+    else if (subject.startsWith("$JS.API."))
       handleApi(subject.stripPrefix("$JS.API."), replyTo, payload, deliver)
     else if (subject.startsWith("$JS.ACK."))
       handleAck(subject, new String(payload, US_ASCII))
@@ -172,10 +214,10 @@ final class MockNatsServer(fixedPort: Int = 0) extends AutoCloseable {
   }
 
   private def handleApi(api: String, replyTo: Option[String], payload: Array[Byte],
-                        deliver: (String, String, Option[String], Array[Byte]) => Boolean): Unit = {
+                        deliver: Deliver): Unit = {
     val body = new String(payload, US_ASCII)
     def reply(json: String): Unit =
-      replyTo.foreach(r => deliver(r, r, None, json.getBytes(US_ASCII)))
+      replyTo.foreach(r => deliver(r, r, None, json.getBytes(US_ASCII), None))
     val tok = api.split('.')
     (tok(0), tok(1)) match {
       case ("STREAM", "INFO") =>
@@ -237,10 +279,13 @@ final class MockNatsServer(fixedPort: Int = 0) extends AutoCloseable {
         }
         replyTo.foreach { inbox =>
           if (toSend.isEmpty)
-            deliver(inbox, inbox, None, Array.emptyByteArray) // status frame
+            // pull status: HMSG `NATS/1.0 404 No Messages` to a headers
+            // client, empty-MSG downgrade otherwise
+            deliver(inbox, inbox, None, Array.emptyByteArray,
+              Some((404, "No Messages")))
           else toSend.foreach { case (m, deliveries) =>
             val ackSubj = s"$$JS.ACK.$stream.$durable.$deliveries.${m.seq}.${m.seq}.$now.0"
-            deliver(inbox, m.subject, Some(ackSubj), m.payload)
+            deliver(inbox, m.subject, Some(ackSubj), m.payload, None)
           }
         }
       case _ =>

@@ -242,6 +242,96 @@ class NatsBridgeSpec extends AnyFunSuite {
     }
   }
 
+  test("spool names: zero-padded monotonic, seeded above legacy seq-uuid names") {
+    val dir = java.nio.file.Files.createTempDirectory("nats_spoolnames")
+    // legacy vintage: unpadded streamSeq + random uuid — the exact shape
+    // that breaks ProtoFileSource's monotonic-name offset contract
+    // (nats-1025… sorts BELOW nats-513…)
+    java.nio.file.Files.createFile(dir.resolve("nats-513-0bb5e390-dead-beef.pbstream"))
+    java.nio.file.Files.createFile(dir.resolve("nats-9-aaaaaaaa.pbstream"))
+    val subj = dir.getFileName.toString
+    val root = dir.getParent.toString
+    def spoolOne(id: String): Unit =
+      NatsBridge.spool(Seq(NatsWire.Msg(subj, "s1",
+        Some(s"$$JS.ACK.EVENTS.c.1.1.1.0.0"),
+        ProtoWire.encode(loginMsg(id, "u", 1726300800L), schema))), root)
+    (1 to 3).foreach(i => spoolOne(s"b-$i"))
+    val names = dir.toFile.listFiles().map(_.getName).filter(_.endsWith(".pbstream")).sorted
+    assert(names.length == 5)
+    // every new file sorts strictly ABOVE both legacy names, and new
+    // names are mutually monotonic — the stream-source offset contract
+    val fresh = names.filterNot(n => n.contains("-0bb5") || n.contains("-aaaa"))
+    assert(fresh.length == 3)
+    assert(fresh.forall(_ > "nats-9-aaaaaaaa.pbstream"))
+    assert(fresh.forall(_ > "nats-513-0bb5e390-dead-beef.pbstream"))
+    assert(fresh.toSeq == fresh.sorted.toSeq && fresh.distinct.length == 3)
+    // restart-safety: a fresh counter (new dir key is cached, so probe
+    // seedAbove directly) seeds above everything now present
+    val seed = NatsBridge.seedAbove(dir)
+    assert(f"nats-$seed%012d.pbstream" > names.max)
+  }
+
+  test("pull status arrives as HMSG 404 and terminates the fetch early") {
+    withServer { (srv, nc) =>
+      val js = new NatsWire.JetStream(nc)
+      js.ensureStream("EVENTS", Seq(subject))
+      js.ensureConsumer("EVENTS", "graft-consumer", Seq(subject))
+      // empty stream: the mock answers the pull with HMSG `NATS/1.0 404
+      // No Messages`; the client must treat it as pull termination and
+      // return well before the 10 s expires deadline
+      val t0 = System.nanoTime()
+      val msgs = js.fetch("EVENTS", "graft-consumer", batch = 10, expiresMs = 10000)
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(msgs.isEmpty)
+      assert(elapsedMs < 5000, s"status frame did not terminate the pull (took ${elapsedMs}ms)")
+    }
+  }
+
+  test("503 no-responders surfaces as a clean API error, not a timeout") {
+    val srv = new MockNatsServer
+    try {
+      srv.jetStreamEnabled = false // core-only server: nothing serves $JS.>
+      val nc = new NatsWire.Conn(srv.host, srv.port)
+      try {
+        val js = new NatsWire.JetStream(nc)
+        val e = intercept[IllegalStateException] {
+          js.ensureStream("EVENTS", Seq(subject))
+        }
+        assert(e.getMessage.contains("503"), s"want 503 in: ${e.getMessage}")
+        assert(e.getMessage.toLowerCase.contains("no responders"))
+      } finally nc.close()
+    } finally srv.close()
+  }
+
+  test("mid-frame stall closes the connection (desync) instead of faking a clean timeout") {
+    // raw socket server: NATS handshake, then a MSG header whose payload
+    // never fully arrives — the wire client must NOT return None (clean
+    // timeout) with half a frame consumed; it must close and raise so the
+    // supervisor reconnects
+    val srv = new java.net.ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+    val stall = new Thread(() => {
+      try {
+        val s = srv.accept()
+        val out = s.getOutputStream
+        out.write("INFO {\"server_id\":\"stall\"}\r\n".getBytes("US-ASCII"))
+        out.flush()
+        Thread.sleep(200) // let CONNECT land (never read — irrelevant)
+        out.write("MSG foo sid1 10\r\nabc".getBytes("US-ASCII")) // 3 of 10 payload bytes
+        out.flush()
+        Thread.sleep(60000) // stall forever; spec closes the socket
+      } catch { case _: Exception => }
+    })
+    stall.setDaemon(true)
+    stall.start()
+    try {
+      val nc = new NatsWire.Conn(
+        srv.getInetAddress.getHostAddress, srv.getLocalPort)
+      intercept[java.io.EOFException] { nc.nextMsg(800) }
+      // the connection was closed by desync — further reads fail fast
+      intercept[Exception] { nc.ping(300) }
+    } finally srv.close()
+  }
+
   test("config-driven connect mirrors the reference NatsConfig shape") {
     val srv = new MockNatsServer
     try {
