@@ -27,7 +27,9 @@ import graft.streaming.{EventSchemas, Ingest, ProtoWire}
   *   - `GET /?query=…` or `POST /` body → `spark.sql(query)` streamed back
   *     in the requested ClickHouse output format: `TabSeparated` (default),
   *     `TabSeparatedWithNames`, `CSV`, `CSVWithNames`, `JSONEachRow`, and
-  *     binary `Parquet` (round-trips what the INSERT path accepts in).
+  *     binary `Parquet` and `Protobuf` (each round-trips what the INSERT
+  *     path accepts in; Protobuf emits the same varint-framed proto3
+  *     stream the reference POSTs, src/click_house.rs:75-84).
   *     A trailing `FORMAT <name>` clause (the CH grammar) is recognized and
   *     stripped before Spark parses the statement; `default_format=` query
   *     parameter is the fallback, mirroring CH precedence. Responses are
@@ -307,8 +309,10 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
               }
             }, ms, TimeUnit.MILLISECONDS))
           try {
-            if (HttpSql.binaryFormats.contains(fmtKey))
+            if (fmtKey == "parquet")
               streamParquet(x, df, acceptsGzip(x))
+            else if (fmtKey == "protobuf")
+              streamProtobuf(x, df, acceptsGzip(x))
             else streamResult(x, df, HttpSql.formats(fmtKey), acceptsGzip(x))
           } catch {
             case e: Exception if ctl.timedOut =>
@@ -442,6 +446,49 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
         while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
       } finally { in.close(); out.close(); x.close() }
     } finally fs.delete(stage, true)
+  }
+
+  /** `FORMAT Protobuf` — varint-framed proto3 messages out, the exact
+    * body shape the INSERT path accepts in (src/click_house.rs:75-84's
+    * concatenated length-delimited messages), closing the last in/out
+    * format asymmetry: `INSERT … FORMAT Protobuf` → `SELECT … FORMAT
+    * Protobuf` round-trips byte-decodable rows. Field numbers are
+    * positional over the RESULT schema (1-based, the dto.proto
+    * convention), so a `SELECT *` over a wire table emits the table's own
+    * field numbering. The wire codec speaks dto.proto's complete type set
+    * (string/int64/int32/bool/repeated string); what the ingest tail
+    * timestamp-ified goes back out as int64 epoch seconds — the symmetric
+    * inverse of the INSERT decode — and any other type is rendered as its
+    * string form. Row-framed, so unlike parquet it streams with
+    * O(partition) driver memory. */
+  private def streamProtobuf(x: HttpExchange, df: DataFrame, gzip: Boolean): Unit = {
+    import org.apache.spark.sql.functions.col
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case StringType | LongType | IntegerType | BooleanType => col(f.name)
+        case ArrayType(StringType, _) => col(f.name)
+        case TimestampType => col(f.name).cast(LongType).as(f.name)
+        case _ => col(f.name).cast(StringType).as(f.name)
+      }
+    }
+    val pdf = df.select(cols.toIndexedSeq: _*)
+    val schema = pdf.schema
+    val it = pdf.toLocalIterator()
+    val nonEmpty = it.hasNext // first job BEFORE headers (clean 500 path)
+    x.getResponseHeaders.set("Content-Type", "application/octet-stream")
+    if (gzip) x.getResponseHeaders.set("Content-Encoding", "gzip")
+    x.sendResponseHeaders(200, 0)
+    val out: OutputStream =
+      if (gzip) new java.util.zip.GZIPOutputStream(x.getResponseBody)
+      else x.getResponseBody
+    try {
+      if (nonEmpty) {
+        val buf = new java.io.BufferedOutputStream(out, 64 * 1024)
+        while (it.hasNext)
+          ProtoWire.writeFrame(buf, ProtoWire.encode(it.next().toSeq, schema))
+        buf.flush()
+      }
+    } finally { out.close(); x.close() }
   }
 
   private def respond(x: HttpExchange, code: Int, ct: String, body: String): Unit = {
@@ -588,8 +635,9 @@ object HttpSql {
     Some(s.fieldNames.mkString("", sep, "\n"))
 
   /** Binary output formats, dispatched outside the row-renderer pipeline
-    * (a parquet body is footer-framed, not row-framed). */
-  val binaryFormats: Set[String] = Set("parquet")
+    * (a parquet body is footer-framed; a protobuf body is varint-framed
+    * binary, not text rows). */
+  val binaryFormats: Set[String] = Set("parquet", "protobuf")
 
   val formats: Map[String, Format] = Map(
     "tabseparated"          -> Format("text/tab-separated-values", _ => None, tsvRow),

@@ -263,6 +263,39 @@ class HttpSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("FORMAT Protobuf round-trips: INSERT wire bytes, SELECT them back byte-decodable") {
+    withInsertServer { (c, p) =>
+      val ins = postBytes(c, p, "INSERT INTO login_events FORMAT Protobuf",
+        framed(loginMsg("e1", "u1", 1726300800L), loginMsg("e2", "u2", 1726304400L)))
+      assert(ins.statusCode() == 200, ins.body())
+
+      // SELECT the wire-shaped columns back out as protobuf
+      val q = "SELECT event_id, user_id, timestamp FROM login_events " +
+        "ORDER BY event_id FORMAT Protobuf"
+      val r = c.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$p/?query=${enc(q)}")).GET().build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(r.statusCode() == 200)
+      assert(r.headers().firstValue("Content-Type").orElse("")
+        == "application/octet-stream")
+      // decode with the same codec against the RESULT schema: timestamp
+      // comes back as the int64 epoch seconds the INSERT sent in
+      val resultSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("timestamp",
+          org.apache.spark.sql.types.LongType)))
+      val frames = graft.streaming.ProtoWire.splitFrames(r.body())
+      assert(frames.size == 2)
+      val rows = frames.map(
+        graft.streaming.ProtoWire.decodeToJson(_, resultSchema))
+      assert(rows(0).contains("\"event_id\":\"e1\"") && rows(0).contains("1726300800"))
+      assert(rows(1).contains("\"event_id\":\"e2\"") && rows(1).contains("1726304400"))
+    }
+  }
+
   test("INSERT error classes: unknown table 404, malformed body 400, both permanent") {
     withInsertServer { (c, p) =>
       val unk = postBytes(c, p, "INSERT INTO nope FORMAT Protobuf",
