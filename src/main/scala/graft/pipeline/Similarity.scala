@@ -97,9 +97,11 @@ object Similarity {
 
     // Sign-bit LSH ANN: 4-bit bucket from the signs of the first 4 dims
     // (bucket count tuned to corpus size: 2^b ≈ n/30); exact cosine
-    // re-rank within the query's bucket only. No oracle (bucketing choice
-    // is engine-internal); SimilaritySpec checks bucket-restricted
-    // agreement with brute force.
+    // re-rank within the query's bucket only. FULLY oracled — the
+    // axis-sign bucketing is deterministic and reproduces in DuckDB SQL
+    // (same trick as the d_dedup_semantic oracle), so the differential
+    // check covers the complete approximate pipeline: bucket assignment,
+    // bucket-restricted candidate join, cosine re-rank, tie-breaks.
     "d_ann_lsh" -> ((s, d) => {
       register(s)
       val e = Tables.embeddings(s, d).withColumn("bucket", expr(
@@ -129,11 +131,20 @@ object Similarity {
     // before corpus size); the big side is scanned ONCE to assign cells
     // via a codegen'd literal-centroid argmin (no ML-model UDF, no
     // per-row Vector conversion), then probed per query — the standard
-    // sub-linear ANN layout at corpus scale. Rows-only (clustering is
-    // engine-internal); PipelineSpec measures recall against brute force.
+    // sub-linear ANN layout at corpus scale.
+    //
+    // Oracled in the DETERMINISTIC EXHAUSTIVE REGIME (nProbe = nCells):
+    // the learned centroids can't reproduce in SQL, but with every cell
+    // probed the machinery — assignment partition, probe explode, cell
+    // equi-join, cosine re-rank — must return EXACTLY the brute-force
+    // top-k (each corpus row lives in one cell, each query probes all of
+    // them once), so any routing/drop/dup bug breaks the hash. Same
+    // deterministic-regime recipe as the sketch aggregates (o_a* rows).
+    // Sub-linear-regime recall is measured in SimilaritySpec and
+    // SCALE.md's probe-cost sweep.
     "d_ann_ivf" -> ((s, d) => {
       register(s)
-      val nCells = 8; val nProbe = 2
+      val nCells = 8; val nProbe = nCells
       val e0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val centers = MiniKMeans.fit(sampleVectors(e0), nCells, iters = 10, seed = 42)
       // one corpus pass: codegen'd literal-centroid argmin, no fit jobs
@@ -166,11 +177,17 @@ object Similarity {
     // encoded as m codebook ids (m bytes vs D floats, a 64x compression
     // here), candidates are scored by ADC table lookups (no float math
     // per pair), and only the rerank-top survivors pay an exact cosine.
-    // Rows-only (quantization is engine-internal); SimilaritySpec
-    // measures recall@5 against brute force.
+    //
+    // Oracled in the DETERMINISTIC EXHAUSTIVE REGIME (nProbe = nCells,
+    // rerank = everything): all cells probed and no ADC pruning ⇒ the
+    // output must equal brute-force top-k exactly, so the oracle pins the
+    // encode/probe/join/re-rank plumbing end-to-end; the ADC path still
+    // executes (codes + table lookups + rank) but its PRUNING quality —
+    // the approximate part — is measured by SimilaritySpec's recall@5
+    // instead (learned codebooks can't reproduce in SQL).
     "d_ann_ivfpq" -> ((s, d) =>
-      ivfPq(s, Tables.embeddings(s, d), nCells = 8, nProbe = 2,
-        m = 4, k = 16, rerank = 50, topK = 5)),
+      ivfPq(s, Tables.embeddings(s, d), nCells = 8, nProbe = 8,
+        m = 4, k = 16, rerank = Int.MaxValue, topK = 5)),
 
     // Semantic dedup END-TO-END: sign-LSH bucketing (the d_ann_lsh planes)
     // → exact cosine edges within bucket → connected components → one
@@ -362,20 +379,51 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** Brute-force cosine top-5 in DuckDB — the oracle for d_knn_cosine and
+    * (exhaustive-regime) d_ann_ivf / d_ann_ivfpq: with every cell probed
+    * and no ADC pruning those pipelines must reproduce this exactly. */
+  private val knnOracleSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+       scored AS (
+         SELECT q_id, e.vec_id AS n_id,
+                round(list_cosine_similarity(qv, e.v), 4) AS cos
+         FROM q JOIN e ON q_id <> e.vec_id)
+       SELECT q_id, rnk, n_id, cos FROM (
+         SELECT q_id, n_id, cos,
+                CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos DESC, n_id) AS INT) AS rnk
+         FROM scored) WHERE rnk <= 5
+       ORDER BY q_id, rnk"""
+
   val oracles: Map[String, String] = Map(
-    "d_knn_cosine" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+    "d_ann_ivf" -> knnOracleSql,
+    "d_ann_ivfpq" -> knnOracleSql,
+
+    // The LSH pipeline reproduces wholesale: axis-sign bucketing (the
+    // d_dedup_semantic trick) + bucket-restricted exact top-5.
+    "d_ann_lsh" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+                + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+                + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+           FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qb
+               FROM e WHERE vec_id < 10),
          scored AS (
-           SELECT q_id, e.vec_id AS n_id,
+           SELECT q_id, e.vec_id AS n_id, e.bucket,
                   round(list_cosine_similarity(qv, e.v), 4) AS cos
-           FROM q JOIN e ON q_id <> e.vec_id)
-         SELECT q_id, rnk, n_id, cos FROM (
-           SELECT q_id, n_id, cos,
+           FROM q JOIN e ON e.bucket = qb AND q_id <> e.vec_id)
+         SELECT q_id, rnk, n_id, cos, bucket FROM (
+           SELECT q_id, n_id, cos, bucket,
                   CAST(row_number() OVER (PARTITION BY q_id
                     ORDER BY cos DESC, n_id) AS INT) AS rnk
            FROM scored) WHERE rnk <= 5
          ORDER BY q_id, rnk""",
+
+    "d_knn_cosine" -> knnOracleSql,
 
     "d_dedup_semantic" ->
       """WITH RECURSIVE

@@ -259,8 +259,12 @@ object TextDedup {
     * expression: 4×16-bit chunk banding (pigeonhole: hamming ≤ 8 pairs
     * share at least one exact chunk at distance ≤ 3·16… conservatively
     * candidates = any shared chunk), verified by bit_count(xor).
-    * Rows-only: the fingerprint function is engine-specific by design;
-    * TextDedupSpec cross-checks against the minhash pairs. */
+    * FULLY oracled: the fingerprint is deterministic FNV-1a + splitmix64
+    * bit-voting (SimHash.scala), and DuckDB recomputes it bit-for-bit in
+    * SQL — 64-bit modular arithmetic via HUGEINT with split multiplies —
+    * so the differential check covers tokenize → hash → vote → band →
+    * hamming end-to-end; TextDedupSpec additionally cross-checks recall
+    * against the minhash pairs. */
   private def simhashPairs(s: SparkSession, d: String): DataFrame = {
       graft.functions.GraftExtensions.register(s)
       // Hash the bigram token stream, not raw words: with this corpus's
@@ -310,6 +314,81 @@ object TextDedup {
            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))"""
 
   val oracles: Map[String, String] = Map(
+    // Bit-for-bit SimHash64 recompute (FNV-1a offset/prime, splitmix64
+    // finalize, per-bit voting) in DuckDB SQL. 64-bit wrap-around lives
+    // in HUGEINT with `% 2^64`; the two splitmix multipliers exceed 64
+    // bits' headroom even in HUGEINT (64×64→128 can overflow signed
+    // 128), so each is split c = ch·2^32 + cl and multiplied as
+    // (a·cl + ((a·ch mod 2^32)·2^32)) mod 2^64. Then the same 4×16-bit
+    // chunk banding + hamming ≤ 8 as the Spark side.
+    "d_dedup_simhash" ->
+      """WITH w0 AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS w
+           FROM documents),
+         bg AS (
+           SELECT doc_id,
+                  CASE WHEN len(w) >= 2
+                       THEN list_transform(range(1, len(w)),
+                              i -> w[i] || '_' || w[i + 1])
+                       ELSE w END AS toks
+           FROM w0),
+         tok AS (SELECT doc_id, unnest(toks) AS t FROM bg),
+         fnv AS (
+           SELECT doc_id,
+                  list_reduce(
+                    list_prepend(CAST(14695981039346656037 AS UBIGINT),
+                      list_transform(range(1, len(t) + 1),
+                        i -> CAST(unicode(t[i]) AS UBIGINT))),
+                    (acc, b) -> CAST((CAST(xor(acc, b) AS HUGEINT) * 1099511628211)
+                                     % CAST(18446744073709551616 AS HUGEINT) AS UBIGINT)) AS h
+           FROM tok),
+         s1 AS (
+           SELECT doc_id,
+                  CAST((CAST(h AS HUGEINT) + 11400714819323198485)
+                       % CAST(18446744073709551616 AS HUGEINT) AS UBIGINT) AS z
+           FROM fnv),
+         s2 AS (SELECT doc_id, xor(z, z >> 30) AS a FROM s1),
+         s3 AS (
+           SELECT doc_id,
+                  CAST(((CAST(a AS HUGEINT) * 484763065
+                         + ((CAST(a AS HUGEINT) * 3210233709) % 4294967296) * 4294967296)
+                        % CAST(18446744073709551616 AS HUGEINT)) AS UBIGINT) AS z
+           FROM s2),
+         s4 AS (SELECT doc_id, xor(z, z >> 27) AS a FROM s3),
+         s5 AS (
+           SELECT doc_id,
+                  CAST(((CAST(a AS HUGEINT) * 321982955
+                         + ((CAST(a AS HUGEINT) * 2496678331) % 4294967296) * 4294967296)
+                        % CAST(18446744073709551616 AS HUGEINT)) AS UBIGINT) AS z
+           FROM s4),
+         th AS (SELECT doc_id, xor(z, z >> 31) AS h FROM s5),
+         votes AS (
+           SELECT doc_id, b.bit,
+                  SUM(CASE WHEN ((h >> CAST(b.bit AS UBIGINT)) & 1) = 1
+                           THEN 1 ELSE -1 END) AS v
+           FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) b
+           GROUP BY 1, 2),
+         shs AS (
+           SELECT doc_id,
+                  SUM(CASE WHEN v > 0
+                           THEN CAST(1 AS HUGEINT) << CAST(bit AS INT)
+                           ELSE 0 END) AS shh
+           FROM votes GROUP BY 1),
+         shx AS (
+           SELECT doc_id,
+                  CAST(shh % CAST(18446744073709551616 AS HUGEINT) AS UBIGINT) AS sh
+           FROM shs),
+         chunks AS (
+           SELECT doc_id, sh, c.ci,
+                  (sh >> CAST(c.ci * 16 AS UBIGINT)) & 65535 AS ck
+           FROM shx CROSS JOIN (SELECT unnest(range(0, 4)) AS ci) c)
+         SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+                CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+         FROM chunks a JOIN chunks b
+           ON a.ci = b.ci AND a.ck = b.ck AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sh, b.sh)) <= 8
+         ORDER BY da, db""",
+
     "d_dedup_exact" ->
       """SELECT md5(lower(text)) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY fp""",
