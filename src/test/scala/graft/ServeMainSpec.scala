@@ -51,6 +51,101 @@ class ServeMainSpec extends AnyFunSuite {
     } finally engine.drain()
   }
 
+  test("soak: relay survives injected connection drops — zero lost, bounded duplicates") {
+    // The at-least-once contract (src/nats.rs:70-74) under sustained
+    // failure: the mock severs the relay's connection right after every
+    // 25th pull delivery (messages out, acks lost), ack_wait=1s
+    // redelivers, and the engine must land EVERY published event at
+    // least once with duplication bounded by the delivery budget —
+    // while the HTTP surface keeps answering mid-run.
+    val srv = new MockNatsServer
+    val wire = tmp("soak_wire"); val out = tmp("soak_out"); val ckpt = tmp("soak_ckpt")
+    val nMsgs = 150
+    try {
+      val cfg = EngineConfig.default.copy(
+        broker = BrokerConfig(host = srv.host, clientPort = srv.port,
+          subjects = Seq(subject),
+          streamConfig = StreamEnvelopeConfig(name = "EVENTS")),
+        batcher = BatcherConfig(flushIntervalMs = 100L))
+      // pre-create the consumer with a soak-friendly config BEFORE the
+      // engine (create is idempotent, first config wins in the mock):
+      // 1s ack_wait so redelivery fits the soak window; a deep
+      // max_deliver so injected drops can't dead-letter a healthy message
+      locally {
+        val nc = new NatsWire.Conn(srv.host, srv.port)
+        try {
+          val js = new NatsWire.JetStream(nc)
+          js.ensureStream("EVENTS", Seq(subject))
+          js.ensureConsumer("EVENTS", cfg.broker.consumerName, Seq(subject),
+            NatsWire.ConsumerConfig(ackWaitSec = 1, maxDeliver = 50))
+        } finally nc.close()
+      }
+      // two fault modes: sever mid-delivery (relay sees a truncated
+      // fetch, nothing spooled, clean redelivery) and drop acks AFTER
+      // the spool landed (the duplicate-producing window)
+      srv.dropEveryNDeliveries = 25
+      srv.dropEveryNAcks = 40
+      val engine = ServeMain.boot(cfg, spark, wire, out, ckpt,
+        httpPort = 0, useNats = true)
+      try {
+        // steady producer: one unique event every ~50ms (~8s of traffic)
+        val prod = new NatsWire.Conn(srv.host, srv.port)
+        try {
+          (1 to nMsgs).foreach { i =>
+            prod.publish(subject,
+              ProtoWire.encode(loginMsg(f"soak-$i%04d", s"u-${i % 7}",
+                1726300800L + i), schema))
+            if (i % 10 == 0) prod.ping(2000)
+            Thread.sleep(50)
+          }
+          prod.ping(2000)
+        } finally prod.close()
+        assert(srv.streamSize("EVENTS") == nMsgs)
+
+        // mid-run HTTP query while redeliveries are still in flight
+        engine.queries.values.foreach(_.processAllAvailable())
+        val mid = httpGet(engine.httpPort,
+          "SELECT count(*) AS n FROM login_events")
+        assert(mid.trim.toLong > 0, s"HTTP surface dead mid-soak: $mid")
+
+        // drain until every unique event landed (redelivery after drops
+        // takes ack_wait rounds) or the deadline passes
+        val deadline = System.currentTimeMillis() + 45000
+        var distinct = 0L
+        while (distinct < nMsgs && System.currentTimeMillis() < deadline) {
+          engine.queries.values.foreach(_.processAllAvailable())
+          distinct = scala.util.Try(
+            spark.read.parquet(s"$out/login_events")
+              .select("event_id").distinct().count()).getOrElse(0L)
+          if (distinct < nMsgs) Thread.sleep(300)
+        }
+        val total = spark.read.parquet(s"$out/login_events").count()
+        assert(distinct == nMsgs,
+          s"LOST events under failure injection: $distinct of $nMsgs landed")
+        // the ack-drop injection guarantees spooled-then-redelivered
+        // messages, so the duplicate path must actually have fired...
+        assert(total > nMsgs,
+          s"ack drops should produce duplicate rows, got $total for $nMsgs")
+        // ...and duplication stays bounded by the redelivery mechanism,
+        // not unbounded replay: every duplicate is one lost-ack delivery
+        assert(total < nMsgs * 3L,
+          s"unbounded duplication: $total rows for $nMsgs events")
+        val redeliveries = srv.deliveredCount - nMsgs
+        info(f"soak: $nMsgs events, $total rows landed, " +
+          f"${total - nMsgs} duplicate rows (${(total - nMsgs) * 100.0 / nMsgs}%.1f%%), " +
+          f"$redeliveries wire redeliveries, " +
+          f"acked=${srv.ackedCount("EVENTS", cfg.broker.consumerName)}")
+        // the dedup view (O-W1) collapses the duplicates for consumers
+        assert(spark.read.parquet(s"$out/login_events")
+          .dropDuplicates(Seq("event_id")).count() == nMsgs)
+      } finally {
+        engine.drain()
+        srv.dropEveryNDeliveries = 0
+        srv.dropEveryNAcks = 0
+      }
+    } finally srv.close()
+  }
+
   test("nats boot: publish -> relay spool -> typed parquet; drain stops the relay") {
     val srv = new MockNatsServer
     val wire = tmp("serve_nwire"); val out = tmp("serve_nout"); val ckpt = tmp("serve_nckpt")

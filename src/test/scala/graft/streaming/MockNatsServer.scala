@@ -49,6 +49,23 @@ final class MockNatsServer(fixedPort: Int = 0) extends AutoCloseable {
     * (what a real server does when nothing subscribes to $JS.API.>). */
   @volatile var jetStreamEnabled = true
 
+  /** Failure injection: when > 0, sever the consumer's connection right
+    * after every Nth pull delivery — AFTER messages went out, BEFORE the
+    * client could ack them. The crash window that produces redelivery
+    * duplicates (server state survives; the connection does not). */
+  @volatile var dropEveryNDeliveries = 0
+  private val deliveredTotal = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Pull deliveries served over the mock's lifetime (spec observability:
+    * total minus published = redeliveries). */
+  def deliveredCount: Long = deliveredTotal.get()
+
+  /** Failure injection: when > 0, DROP every Nth +ACK (sever the
+    * connection instead of processing it). The relay acks AFTER spooling,
+    * so a dropped ack is the exact window that produces duplicate rows:
+    * spooled once, redelivered after ack_wait, spooled again. */
+  @volatile var dropEveryNAcks = 0
+  private val ackTotal = new java.util.concurrent.atomic.AtomicLong(0)
+
   private val server = {
     val s = new ServerSocket()
     s.setReuseAddress(true) // restart-on-same-port (reconnect specs)
@@ -133,6 +150,14 @@ final class MockNatsServer(fixedPort: Int = 0) extends AutoCloseable {
             case Some(_) => writeMsg(emitSubject, sid, None, Array.emptyByteArray)
             case None => writeMsg(emitSubject, sid, replyTo, payload)
           }
+          // failure injection: crash the consumer connection after a pull
+          // delivery landed but before its ack can — the at-least-once
+          // redelivery window (ack subjects mark pull deliveries)
+          if (status.isEmpty && replyTo.exists(_.startsWith("$JS.ACK"))) {
+            val n = deliveredTotal.incrementAndGet()
+            if (dropEveryNDeliveries > 0 && n % dropEveryNDeliveries == 0)
+              scala.util.Try(sock.close())
+          }
           true
         case None => false
       }
@@ -177,7 +202,12 @@ final class MockNatsServer(fixedPort: Int = 0) extends AutoCloseable {
             else (sp(1), None, sp(2).toInt)
           val payload = readBytes(n)
           readLine() // trailing CRLF
-          route(subject, replyTo, payload, deliver)
+          // failure injection: lose this ack entirely — crash before the
+          // server processes it (the message stays pending → redelivery)
+          if (subject.startsWith("$JS.ACK.") && dropEveryNAcks > 0 &&
+              ackTotal.incrementAndGet() % dropEveryNAcks == 0) {
+            scala.util.Try(sock.close())
+          } else route(subject, replyTo, payload, deliver)
         case _ => write(s"-ERR 'Unknown Protocol Operation'\r\n")
       }
     } catch { case _: EOFException | _: java.net.SocketException => }
