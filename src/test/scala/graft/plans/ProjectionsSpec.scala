@@ -106,6 +106,68 @@ class ProjectionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!usesProjection(base.groupBy(upper(col("g"))).agg(sum("v"))))
   }
 
+  /** Decline + answer-preservation check in one: the shape must NOT
+    * rewrite, and its answer must equal the rewrite-disabled run — if a
+    * future relaxation makes any of these fire, a wrong fire shows up as
+    * a wrong answer here, not just a plan-shape diff. */
+  private def assertDeclines(tag: String)(mk: => DataFrame): Unit = {
+    val q = mk
+    assert(!usesProjection(q),
+      s"[$tag] must decline the projection rewrite, scans=${scans(q)}")
+    val got = q.collect().map(_.toString).sorted.toSeq
+    ProjectionRewrite.clear()
+    val want = try mk.collect().map(_.toString).sorted.toSeq
+               finally ProjectionRewrite.register(spark, pd)
+    assert(got == want, s"[$tag] answer drifted from the direct computation")
+  }
+
+  test("decline matrix: every uncoverable shape declines AND answers exactly") {
+    // positive control first — the matrix is meaningless if nothing fires
+    assert(usesProjection(base.groupBy("g").agg(sum("v"))))
+
+    // distinct aggregates (partials can't merge distincts)
+    assertDeclines("countDistinct")(base.groupBy("g").agg(countDistinct("v")))
+    assertDeclines("sum distinct")(
+      base.groupBy("g").agg(sum_distinct(col("v"))))
+    // FILTER clause on the aggregate (partial rows pre-merged both sides)
+    assertDeclines("agg FILTER clause")(
+      base.groupBy("g").agg(expr("sum(v) FILTER (WHERE w > 10) AS s")))
+    // filters touching non-key columns (the projection lost those rows'
+    // identity at materialization)
+    assertDeclines("non-key filter")(
+      base.filter(col("v") > 10).groupBy("g").agg(sum("v")))
+    assertDeclines("mixed key+non-key filter")(
+      base.filter(col("g") =!= "g0" && col("v") > 10).groupBy("g").agg(sum("v")))
+    // expression-wrapped grouping keys (g' ≠ any projection group col)
+    assertDeclines("computed key upper")(
+      base.groupBy(upper(col("g"))).agg(sum("v")))
+    assertDeclines("computed key substring")(
+      base.groupBy(substring(col("g"), 1, 1).as("gp")).agg(sum("v")))
+    assertDeclines("computed key concat")(
+      base.groupBy(concat(col("g"), col("h")).as("gh")).agg(sum("v")))
+    // computed inputs between scan and aggregate
+    assertDeclines("derived agg input")(
+      base.withColumn("v2", col("v") * 2).groupBy("g").agg(sum("v2")))
+    assertDeclines("renamed key")(
+      base.select(col("g").as("gg"), col("v")).groupBy("gg").agg(sum("v")))
+    assertDeclines("agg over expression")(
+      base.groupBy("g").agg(sum(col("v") * 2)))
+    // non-scan children
+    assertDeclines("join below agg")(
+      base.join(base.select(col("g").as("g2")).distinct(),
+          col("g") === col("g2"))
+        .groupBy("g").agg(sum("v")))
+    // aggregate functions without a registered partial
+    assertDeclines("unregistered avg(w)")(base.groupBy("g").agg(avg("w")))
+    assertDeclines("stddev")(base.groupBy("g").agg(stddev(col("v"))))
+    // grouping by a non-projection column / global aggregate
+    assertDeclines("non-projection key")(base.groupBy("v").agg(count(lit(1))))
+    assertDeclines("global agg")(base.agg(sum("v")))
+
+    // and the control still fires after the whole matrix ran
+    assert(usesProjection(base.groupBy("g", "h").agg(sum("v"), max("w"))))
+  }
+
   test("composite expressions over covered aggregates rewrite too") {
     val q = base.groupBy("g").agg((sum("v") + count(lit(1))).as("s_plus_n"))
     assert(usesProjection(q))
