@@ -128,6 +128,44 @@ object TextDedup {
         .orderBy("gram")
     }),
 
+    // Keep-best dedup SELECTION — the policy step after clustering: each
+    // near-dup cluster keeps its highest-quality member (max uniq_ratio,
+    // ties to the lowest doc_id) instead of the arbitrary min-id keeper.
+    // This is what production curation actually ships: dedup should keep
+    // the BEST copy, not the first-crawled one. Shape: the cluster labels
+    // (edge-bounded CC) left-joined onto the corpus, one window keyed by
+    // cluster_id — a single doc-keyed shuffle on top of the pair plan;
+    // skew-safe because near-dup clusters are diameter-bounded and small.
+    "d_dedup_keep_best" -> ((s, d) => {
+      val (keep, caches) = clusterKeepers(s, d)
+      Materialize.drop(keep
+        .select(col("doc_id"), col("cluster_id"), col("keep_id"),
+          (col("doc_id") === col("keep_id")).cast("int").as("kept"))
+        .orderBy("doc_id"), caches: _*)
+    }),
+
+    // End-to-end curation APPLY — the composed keep/drop verdict a
+    // pretraining pipeline materializes before tokenization, with the
+    // standard precedence: exact dup (keep min doc_id per fingerprint) >
+    // near-dup non-keeper (keep-best policy above) > quality gate
+    // (uniq_ratio < 0.3) > kept. One row per doc with its decision, so
+    // the drop set is auditable per reason. Adds only the fingerprint
+    // window (one hash-keyed shuffle) on top of the keep-best plan.
+    "d_curation_apply" -> ((s, d) => {
+      val (keep, caches) = clusterKeepers(s, d)
+      val exact = Tables.documents(s, d).select(col("doc_id"),
+        min("doc_id").over(
+          Window.partitionBy(md5(lower(col("text")).cast("binary"))))
+          .as("exact_keep"))
+      Materialize.drop(keep.join(exact, Seq("doc_id"))
+        .select(col("doc_id"),
+          when(col("doc_id") =!= col("exact_keep"), "drop_exact")
+            .when(col("doc_id") =!= col("keep_id"), "drop_near_dup")
+            .when(col("uniq_ratio") < 0.3, "drop_quality")
+            .otherwise("kept").as("decision"))
+        .orderBy("doc_id"), caches: _*)
+    }),
+
     // Per-document duplicated-span RATIO — the actionable filter signal
     // derived from d_dup_spans: what fraction of a doc's 5-gram positions
     // carry a gram that also appears in another document. Docs above a
