@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
@@ -27,16 +27,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-    * parquet reader rejects; read the raw int64 nanos and truncate to
-    * microsecond TimestampType (same truncation DuckDB applies). Integer
-    * `div` — a double roundtrip would lose precision above 2^53 ns.
-    * At real scale the ingest layer would write micros directly, keeping
-    * ts filters pushdown-eligible. */
+  /** events.parquet has shipped `ts` two ways across data drops:
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — read the
+    * raw int64 nanos and truncate; integer `div`, a double roundtrip
+    * would lose precision above 2^53 ns) and plain TIMESTAMP(MICROS)
+    * (read as-is). Normalize both to session-zoned microsecond
+    * TimestampType so every downstream query sees one type and ts
+    * filters stay pushdown-eligible. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$d/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = s.read.parquet(s"$d/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -208,6 +208,41 @@ object TextDedup {
     Materialize.drop(plan.pairs, plan.caches: _*)
   }
 
+  /** Near-dup cluster labels joined onto the corpus with the keep-best
+    * policy resolved: every document gets (cluster_id, uniq_ratio,
+    * keep_id) where keep_id is the cluster member with the highest
+    * uniq_ratio (ties to the lowest doc_id). Singletons — docs in no
+    * near-dup cluster — are their own cluster (cluster_id = doc_id), so
+    * one window keyed on cluster_id covers the whole corpus uniformly.
+    * A min-label cluster id is always one of its members' ids, so a
+    * singleton's own id can never collide with another cluster's label.
+    *
+    * Scale shape: the CC loop runs over the EDGE list only; the corpus
+    * pays one doc-keyed left join against the (tiny) label table plus
+    * one cluster-keyed window — and near-dup clusters are
+    * diameter-bounded and small, so the window partition is skew-free.
+    * Returns the per-doc frame plus the persisted intermediates for the
+    * caller to release via [[Materialize.drop]] after its action. */
+  private def clusterKeepers(
+      s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val edges = Graph.symmetrize(minhashPairs(s, d), "da", "db").persist()
+    val (labels, caches) = Graph.minLabelComponents(edges)
+    val docs = Tables.documents(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"),
+        round(size(array_distinct(col("words"))) /
+          size(col("words")).cast("double"), 6).as("uniq_ratio"))
+    val labeled = docs
+      .join(labels.select(col("id").as("doc_id"), col("lbl").as("cid")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cid"), col("doc_id")))
+      .drop("cid")
+    val keep = labeled.withColumn("keep_id",
+      first(col("doc_id")).over(Window.partitionBy("cluster_id")
+        .orderBy(col("uniq_ratio").desc, col("doc_id"))))
+    (keep, edges +: caches)
+  }
+
   /** Un-materialized minhash plan: the verified pair list, the banded
     * signature table it derives from (exposed so ScaleSmoke can count
     * band-bucket candidate pairs without re-deriving the pipeline), and
@@ -350,6 +385,65 @@ object TextDedup {
                   unnest(list_transform(generate_series(1, len(w) - 1),
                          i -> w[i] || ' ' || w[i + 1])) AS bg
            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))"""
+
+  /** Shared keep-best tail: corpus quality + cluster labels → per-doc
+    * keeper, mirroring [[clusterKeepers]]. Composes after [[clustersCte]]. */
+  private val keeperCte =
+    """q AS (
+         SELECT doc_id,
+                round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 6) AS uniq_ratio
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+       lab AS (
+         SELECT q.doc_id, COALESCE(c.cluster_id, q.doc_id) AS cluster_id,
+                q.uniq_ratio
+         FROM q LEFT JOIN clusters c ON q.doc_id = c.doc_id),
+       k AS (
+         SELECT doc_id, cluster_id, uniq_ratio,
+                first_value(doc_id) OVER (
+                  PARTITION BY cluster_id
+                  ORDER BY uniq_ratio DESC, doc_id) AS keep_id
+         FROM lab)"""
+
+  /** The minhash-pair → symmetrized-edge → recursive-closure chain that
+    * yields `clusters(doc_id, cluster_id)` — the DuckDB mirror of
+    * Graph.minLabelComponents over minhashPairs. Callers open with
+    * `WITH RECURSIVE` and compose their SELECT after it. */
+  private val clustersCte =
+      s"""$bigramCte,
+          sigs AS (
+            SELECT doc_id, seed,
+                   MIN(substr(md5(CAST(seed AS VARCHAR) || '|' || bg), 1, 16)) AS h
+            FROM toks CROSS JOIN range(0, 8) r(seed)
+            GROUP BY doc_id, seed),
+          bands AS (
+            SELECT doc_id, seed % 4 AS band, string_agg(h, '' ORDER BY seed) AS bkey
+            FROM sigs GROUP BY 1, 2),
+          cands AS (
+            SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+          sz AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+          prs AS (
+            SELECT da, db, COUNT(*) AS inter
+            FROM cands
+            JOIN toks ta ON da = ta.doc_id
+            JOIN toks tb ON db = tb.doc_id AND ta.bg = tb.bg
+            GROUP BY 1, 2),
+          edges0 AS (
+            SELECT da, db FROM prs
+            JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+            WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.5),
+          edges AS (SELECT da AS a, db AS b FROM edges0
+                    UNION SELECT db, da FROM edges0),
+          reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+          members AS (SELECT DISTINCT a AS doc_id FROM edges),
+          clusters AS (
+            SELECT m.doc_id, LEAST(m.doc_id, MIN(r.b)) AS cluster_id
+            FROM members m LEFT JOIN reach r ON r.a = m.doc_id
+            GROUP BY 1)"""
 
   val oracles: Map[String, String] = Map(
     // Bit-for-bit SimHash64 recompute (FNV-1a offset/prime, splitmix64
@@ -509,43 +603,38 @@ object TextDedup {
     // cluster_id = min reachable doc_id (incl. self), matching the
     // min-label-propagation fixpoint on the Spark side.
     "d_dedup_cluster" ->
-      s"""WITH RECURSIVE $bigramCte,
-          sigs AS (
-            SELECT doc_id, seed,
-                   MIN(substr(md5(CAST(seed AS VARCHAR) || '|' || bg), 1, 16)) AS h
-            FROM toks CROSS JOIN range(0, 8) r(seed)
-            GROUP BY doc_id, seed),
-          bands AS (
-            SELECT doc_id, seed % 4 AS band, string_agg(h, '' ORDER BY seed) AS bkey
-            FROM sigs GROUP BY 1, 2),
-          cands AS (
-            SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-            FROM bands x JOIN bands y
-              ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-          sz AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
-          prs AS (
-            SELECT da, db, COUNT(*) AS inter
-            FROM cands
-            JOIN toks ta ON da = ta.doc_id
-            JOIN toks tb ON db = tb.doc_id AND ta.bg = tb.bg
-            GROUP BY 1, 2),
-          edges0 AS (
-            SELECT da, db FROM prs
-            JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
-            WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.5),
-          edges AS (SELECT da AS a, db AS b FROM edges0
-                    UNION SELECT db, da FROM edges0),
-          reach(a, b) AS (
-            SELECT a, b FROM edges
-            UNION
-            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-          members AS (SELECT DISTINCT a AS doc_id FROM edges),
-          clusters AS (
-            SELECT m.doc_id, LEAST(m.doc_id, MIN(r.b)) AS cluster_id
-            FROM members m LEFT JOIN reach r ON r.a = m.doc_id
-            GROUP BY 1)
+      s"""WITH RECURSIVE $clustersCte
           SELECT doc_id, cluster_id,
                  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
-          FROM clusters ORDER BY doc_id"""
+          FROM clusters ORDER BY doc_id""",
+
+    // Keep-best selection: clusters (recursive closure, as above) left-
+    // joined onto the corpus; singletons are their own cluster; keeper =
+    // max uniq_ratio, ties to the lowest doc_id — the same window the
+    // Spark side runs.
+    "d_dedup_keep_best" ->
+      s"""WITH RECURSIVE $clustersCte,
+          $keeperCte
+          SELECT doc_id, cluster_id, keep_id,
+                 CAST(doc_id = keep_id AS INT) AS kept
+          FROM k ORDER BY doc_id""",
+
+    // Composed curation verdict with the standard precedence:
+    // exact dup > near-dup non-keeper > quality gate > kept.
+    "d_curation_apply" ->
+      s"""WITH RECURSIVE $clustersCte,
+          $keeperCte,
+          ex AS (
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS exact_keep
+            FROM documents)
+          SELECT k.doc_id,
+                 CASE WHEN k.doc_id <> e.exact_keep THEN 'drop_exact'
+                      WHEN k.doc_id <> k.keep_id THEN 'drop_near_dup'
+                      WHEN k.uniq_ratio < 0.3 THEN 'drop_quality'
+                      ELSE 'kept' END AS decision
+          FROM k JOIN ex e ON k.doc_id = e.doc_id
+          ORDER BY k.doc_id"""
   )
+
 }
