@@ -138,6 +138,26 @@ class ServeMainSpec extends AnyFunSuite {
         // the dedup view (O-W1) collapses the duplicates for consumers
         assert(spark.read.parquet(s"$out/login_events")
           .dropDuplicates(Seq("event_id")).count() == nMsgs)
+        // at-least-once ≠ at-least-twice: the landed multiset diff must be
+        // EXACTLY explained by wire redeliveries. Publish order pins
+        // stream seq n ↔ event_id soak-%04d, so per id:
+        //   occurrences ≤ wire deliveries of its seq (each landed row is
+        //   a distinct delivery — nothing is spooled twice per delivery),
+        // and every id landing >1 time must have been delivered >1 time.
+        val idCounts = spark.read.parquet(s"$out/login_events")
+          .groupBy("event_id").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val wire = srv.deliveryCounts("EVENTS", cfg.broker.consumerName)
+        val dupIds = idCounts.filter(_._2 > 1).keySet
+        val redeliveredIds = wire.collect {
+          case (seq, n) if n > 1 => f"soak-$seq%04d" }.toSet
+        assert(dupIds.subsetOf(redeliveredIds),
+          s"duplicate rows not explained by redelivery: ${dupIds -- redeliveredIds}")
+        idCounts.foreach { case (id, n) =>
+          val seq = id.stripPrefix("soak-").toLong
+          assert(n <= wire.getOrElse(seq, 0).toLong,
+            s"$id landed $n times but the wire only delivered it ${wire.getOrElse(seq, 0)} times")
+        }
       } finally {
         engine.drain()
         srv.dropEveryNDeliveries = 0

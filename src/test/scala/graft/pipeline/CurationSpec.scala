@@ -110,6 +110,53 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("curation cascade: precedence, keep-best tie-break, null paths") {
+    import spark.implicits._
+    // Planted corpus:
+    //   1,2  identical text (exact dups), near-dups of 3; 3 has a higher
+    //        uniq_ratio than 1/2, so keep-best picks 3 — making 2 BOTH an
+    //        exact dup and a near-dup non-keeper (must resolve drop_exact)
+    //        and 1 a pure near-dup non-keeper.
+    //   4    unclustered low-quality (uniq_ratio 0.2 < 0.3) -> drop_quality.
+    //   5    unclustered clean -> kept.
+    //   6,7  near-dups with EQUAL uniq_ratio -> tie-break keeps lowest id.
+    val dir = java.nio.file.Files.createTempDirectory("curation_corpus").toString
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today", "en"),
+      (2L, "the quick brown fox jumps over the lazy dog today", "en"),
+      (3L, "the quick brown fox jumps over a lazy dog today", "en"),
+      (4L, "spam spam spam spam spam spam spam spam spam eggs", "en"),
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"),
+      (6L, "red green blue yellow purple orange pink black white gray", "en"),
+      (7L, "red green blue yellow purple orange pink black white silver", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // keep-best: clusters {1,2,3} (keeper 3: ratio 1.0 beats 0.9) and
+    // {6,7} (ratio tie at 1.0 -> lowest doc_id 6); singletons keep
+    // themselves with cluster_id = own id.
+    val kb = TextDedup.queries("d_dedup_keep_best")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(kb.keySet == (1L to 7L).toSet)
+    assert(kb(1L) == ((1L, 3L, 0)) && kb(2L) == ((1L, 3L, 0)) && kb(3L) == ((1L, 3L, 1)),
+      s"cluster {1,2,3} must keep 3 (max uniq_ratio): $kb")
+    assert(kb(6L) == ((6L, 6L, 1)) && kb(7L) == ((6L, 6L, 0)),
+      s"equal-ratio tie must keep the lowest doc_id: $kb")
+    assert(kb(4L) == ((4L, 4L, 1)) && kb(5L) == ((5L, 5L, 1)),
+      s"singletons are their own cluster and keeper: $kb")
+
+    val dec = TextDedup.queries("d_curation_apply")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dec == Map(
+      1L -> "drop_near_dup", // exact keeper of {1,2} but not cluster keeper
+      2L -> "drop_exact",    // exact dup AND near-dup non-keeper: exact wins
+      3L -> "kept",
+      4L -> "drop_quality",  // unclustered low-quality null path
+      5L -> "kept",
+      6L -> "kept",
+      7L -> "drop_near_dup"), s"cascade decisions wrong: $dec")
+  }
+
   test("dedup cluster on a clean corpus returns empty, not NPE") {
     import spark.implicits._
     // Single-word docs produce zero bigrams -> zero minhash pairs -> the

@@ -38,6 +38,10 @@ final class MockNatsServer(fixedPort: Int = 0) extends AutoCloseable {
     val pending = mutable.LinkedHashMap.empty[Long, Pending] // seq → state
     val acked = mutable.Set.empty[Long]
     val dead = mutable.ArrayBuffer.empty[Long]
+    // seq → wire deliveries over the consumer's lifetime; unlike
+    // Pending.deliveries this survives the ack, so a spec can diff the
+    // landed multiset against what the wire actually (re)delivered
+    val deliveryLog = mutable.Map.empty[Long, Int]
   }
 
   private val lock = new Object
@@ -91,6 +95,13 @@ final class MockNatsServer(fixedPort: Int = 0) extends AutoCloseable {
   acceptThread.start()
 
   // ---- spec-side observability -----------------------------------------
+  /** Wire deliveries per stream seq over the consumer's lifetime (counts
+    * survive the ack). A seq with count > 1 was redelivered. */
+  def deliveryCounts(stream: String, durable: String): Map[Long, Int] =
+    lock.synchronized {
+      consumers.get((stream, durable)).map(_.deliveryLog.toMap).getOrElse(Map.empty)
+    }
+
   def deadSeqs(stream: String, durable: String): Seq[Long] =
     lock.synchronized(consumers.get((stream, durable)).map(_.dead.toSeq).getOrElse(Nil))
   def ackedCount(stream: String, durable: String): Int =
@@ -294,6 +305,7 @@ final class MockNatsServer(fixedPort: Int = 0) extends AutoCloseable {
                 .foreach { case (seq, p) =>
                   p.deliveries += 1
                   p.redeliverAtNanos = now + cs.ackWaitNanos
+                  cs.deliveryLog(seq) = p.deliveries
                   out += ((st.msgs(seq.toInt - 1), p.deliveries))
                 }
               // 2) fresh messages from the cursor
@@ -301,6 +313,7 @@ final class MockNatsServer(fixedPort: Int = 0) extends AutoCloseable {
                 val m = st.msgs(cs.cursor)
                 cs.cursor += 1
                 cs.pending(m.seq) = Pending(1, now + cs.ackWaitNanos)
+                cs.deliveryLog(m.seq) = 1
                 out += ((m, 1))
               }
               out.toSeq
