@@ -33,7 +33,7 @@ object SparkEntry {
       sources.ProtoSourceQueries.queries ++ sources.Retention.queries ++
       pipeline.TextDedup.queries ++ pipeline.Similarity.queries ++
       pipeline.TextAnalysis.queries ++ pipeline.Multimodal.queries ++
-      pipeline.Packing.queries ++
+      pipeline.Packing.queries ++ pipeline.EndToEnd.queries ++
       pipeline.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -45,6 +45,6 @@ object SparkEntry {
       sources.ProtoSourceQueries.oracles ++ sources.Retention.oracles ++
       pipeline.TextDedup.oracles ++ pipeline.Similarity.oracles ++
       pipeline.TextAnalysis.oracles ++ pipeline.Multimodal.oracles ++
-      pipeline.Packing.oracles ++
+      pipeline.Packing.oracles ++ pipeline.EndToEnd.oracles ++
       pipeline.Curation.oracles
 }

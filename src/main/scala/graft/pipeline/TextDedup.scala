@@ -223,7 +223,7 @@ object TextDedup {
     * diameter-bounded and small, so the window partition is skew-free.
     * Returns the per-doc frame plus the persisted intermediates for the
     * caller to release via [[Materialize.drop]] after its action. */
-  private def clusterKeepers(
+  private[pipeline] def clusterKeepers(
       s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val edges = Graph.symmetrize(minhashPairs(s, d), "da", "db").persist()
     val (labels, caches) = Graph.minLabelComponents(edges)
@@ -388,7 +388,7 @@ object TextDedup {
 
   /** Shared keep-best tail: corpus quality + cluster labels → per-doc
     * keeper, mirroring [[clusterKeepers]]. Composes after [[clustersCte]]. */
-  private val keeperCte =
+  private[pipeline] val keeperCte =
     """q AS (
          SELECT doc_id,
                 round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 6) AS uniq_ratio
@@ -408,7 +408,7 @@ object TextDedup {
     * yields `clusters(doc_id, cluster_id)` — the DuckDB mirror of
     * Graph.minLabelComponents over minhashPairs. Callers open with
     * `WITH RECURSIVE` and compose their SELECT after it. */
-  private val clustersCte =
+  private[pipeline] val clustersCte =
       s"""$bigramCte,
           sigs AS (
             SELECT doc_id, seed,

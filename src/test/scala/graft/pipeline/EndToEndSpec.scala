@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import graft.{Tables, TestSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EndToEndSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  test("e2e pipeline: decisions match curation, pack covers exactly the kept set") {
+    val e2e = EndToEnd.queries("d_pipeline_e2e")(spark, sf).collect()
+    val dec = TextDedup.queries("d_curation_apply")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(e2e.length == dec.size)
+    e2e.foreach { r =>
+      val (id, d) = (r.getLong(0), r.getString(1))
+      // the composed cascade may only differ from d_curation_apply via the
+      // normalized exact fingerprint, which collapses MORE docs (norm is
+      // many-to-one): kept/near-dup/quality can become drop_exact, never
+      // the reverse
+      if (d != dec(id)) assert(d == "drop_exact",
+        s"doc $id: composed=$d vs curation=${dec(id)}")
+      if (d == "kept") {
+        assert(!r.isNullAt(2) && !r.isNullAt(3) && !r.isNullAt(4) && !r.isNullAt(5),
+          s"kept doc $id missing pack assignment")
+        assert(r.getLong(2) == id % 32, s"doc $id packed into wrong bucket")
+      } else {
+        assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5),
+          s"dropped doc $id carries pack columns")
+      }
+    }
+    // capacity respected: no fill beyond budget unless a single oversize doc
+    e2e.filter(_.getString(1) == "kept").groupBy(r => (r.getLong(2), r.getLong(3)))
+      .foreach { case ((b, s), rs) =>
+        val fills = rs.map(_.getLong(5))
+        if (rs.length > 1) assert(fills.max <= 2048,
+          s"bucket $b seq $s overfilled: ${fills.max}")
+      }
+  }
+
+  test("e2e pipeline plan: no shuffle amplification vs the parts") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val (out, caches) = EndToEnd.plan(spark, sf)
+    try {
+      // live nodes = what this query will actually execute: stop at
+      // InMemoryTableScan (the cached decision table computes ONCE; its
+      // subtree is the parts' own cost, not an amplification)
+      def live(p: SparkPlan): Seq[SparkPlan] = p match {
+        case _: InMemoryTableScanExec => Seq(p)
+        case a: AdaptiveSparkPlanExec => p +: live(a.executedPlan)
+        case _ => p +: (p.children ++ p.subqueries).flatMap(live)
+      }
+      val nodes = live(out.queryExecution.executedPlan)
+      val cachedReads = nodes.count(_.isInstanceOf[InMemoryTableScanExec])
+      assert(cachedReads == 2, s"decision table should feed both branches " +
+        s"from cache, found $cachedReads InMemoryTableScans")
+      // composing must add only: the pack bucket repartition, the final
+      // doc-keyed join's two exchanges, and the output sort — anything
+      // more means a stage of the parts got re-planned into the tail
+      val exchanges = nodes.filter(_.nodeName.contains("Exchange"))
+      assert(exchanges.size <= 4,
+        s"shuffle amplification: ${exchanges.size} live exchanges in the " +
+          s"composed tail (expected <= 4):\n${out.queryExecution.executedPlan}")
+      // and the corpus itself is NOT re-scanned in the tail: every parquet
+      // read lives inside the once-computed cached subtree
+      assert(!nodes.exists(_.nodeName.contains("Scan parquet")),
+        "composed tail re-scans the corpus outside the cached decision table")
+    } finally caches.foreach(c => scala.util.Try(c.unpersist()))
+  }
+}
