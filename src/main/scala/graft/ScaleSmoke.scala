@@ -133,6 +133,29 @@ object ScaleSmoke {
         f"(${mh4Cand.toDouble / nDoc}%.2f per doc vs r=2's " +
         f"${mhCand.toDouble / nDoc}%.2f)")
       mh4.caches.foreach(_.unpersist())
+
+      // ---- keep-best / curation tail (cluster window + packing) -------
+      // The keeper window partitions by cluster_id: its worst partition
+      // is the LARGEST near-dup cluster, which tracks dup-group size
+      // (fixed by corpus construction), not n — the skew-safety claim.
+      val (keepDf, kCaches) = pipeline.TextDedup.clusterKeepers(spark, dir)
+      val cs = keepDf.filter(col("cluster_id") =!= col("doc_id"))
+        .groupBy("cluster_id").count()
+        .agg(coalesce(max("count"), lit(0L)), coalesce(avg("count"), lit(0.0)),
+          count(lit(1))).head
+      println(f"[scale] keeper clusters x$m (n=$nDoc): ${cs.getLong(2)}%,d " +
+        f"non-trivial clusters, max size ${cs.getLong(0)}, " +
+        f"mean ${cs.getDouble(1)}%.2f (window partition bound)")
+      kCaches.foreach(_.unpersist())
+      // Packing balance: bucket fan-out is the parallelism knob — per-
+      // bucket row spread must stay tight or one straggler serializes.
+      val pb = pipeline.Packing
+        .packSequences(Tables.documents(spark, dir), 2048, 32)
+        .groupBy("bucket").count().agg(max("count"), min("count")).head
+      println(f"[scale] pack balance  x$m (n=$nDoc): per-bucket rows " +
+        f"[${pb.getLong(1)}%,d .. ${pb.getLong(0)}%,d] over 32 buckets")
+      timeIt(f"d_pipeline_e2e x$m (n=$nDoc)",
+        SparkEntry.queries("d_pipeline_e2e")(spark, dir).count())
     }
     spark.stop()
   }

@@ -223,7 +223,7 @@ object TextDedup {
     * diameter-bounded and small, so the window partition is skew-free.
     * Returns the per-doc frame plus the persisted intermediates for the
     * caller to release via [[Materialize.drop]] after its action. */
-  private[pipeline] def clusterKeepers(
+  private[graft] def clusterKeepers(
       s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val edges = Graph.symmetrize(minhashPairs(s, d), "da", "db").persist()
     val (labels, caches) = Graph.minLabelComponents(edges)
