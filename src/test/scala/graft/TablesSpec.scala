@@ -1,0 +1,46 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+import org.scalatest.funsuite.AnyFunSuite
+
+class TablesSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("events loader normalizes both historical ts schemas to TimestampType") {
+    import spark.implicits._
+    // the driver's testdata has shipped ts as int64 TIMESTAMP(NANOS) and
+    // as TIMESTAMP(MICROS) across data drops; the loader must sniff and
+    // normalize both so downstream queries see one type
+    val micros = 1726300800123456L // 2024-09-14T08:00:00.123456Z
+
+    val microsDir = java.nio.file.Files.createTempDirectory("ev_micros").toString
+    val tsMicros = new Timestamp(micros / 1000)
+    tsMicros.setNanos(((micros % 1000000L) * 1000L).toInt)
+    Seq((1L, tsMicros, 7L, "login", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$microsDir/events.parquet")
+
+    val nanosDir = java.nio.file.Files.createTempDirectory("ev_nanos").toString
+    Seq((1L, micros * 1000L, 7L, "login", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$nanosDir/events.parquet")
+
+    Seq(microsDir, nanosDir).foreach { d =>
+      val df = Tables.events(spark, d)
+      assert(df.schema("ts").dataType == TimestampType, s"dir $d")
+      val got = df.select(unix_micros(col("ts"))).head().getLong(0)
+      assert(got == micros, s"dir $d: $got != $micros")
+    }
+  }
+
+  test("current testdata loads through the events loader at every sf") {
+    Seq("sf0.001", "sf0.01").foreach { sf =>
+      val df = Tables.events(spark, s"/root/testdata/$sf")
+      assert(df.schema("ts").dataType == TimestampType)
+      assert(df.limit(1).count() == 1)
+    }
+  }
+}
