@@ -1,0 +1,132 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+case class DocEvent(doc_id: Long, text: String)
+
+/** One emitted row per (unordered) near-dup candidate pair discovered in
+  * the micro-batch where its second member arrived; `est_jaccard` is the
+  * standard minhash estimator (agreeing hashes / 8). The same pair can
+  * surface from more than one band — consumers `distinct` on (da, db),
+  * exactly like the batch pipeline's candidate stage. */
+case class NearDupPair(da: Long, db: Long, est_jaccard: Double)
+
+/** First-seen-wins exact-dedup verdict for each arriving document. */
+case class ExactDecision(doc_id: Long, keep_id: Long, is_dup: Boolean)
+
+private[streaming] case class BandRow(band_key: String, doc_id: Long,
+                                      sig: Seq[String])
+private[streaming] case class BucketState(members: Seq[(Long, Seq[String])])
+private[streaming] case class FpState(keep_id: Long)
+
+/** Ingest-time deduplication (the streaming form of `d_dedup_exact` /
+  * `d_dedup_minhash`): verdicts as documents ARRIVE, instead of a batch
+  * pass over the corpus at rest. At 100 TB this is the operator that
+  * keeps a crawl's working set clean without re-scanning history — state
+  * carries only fingerprints and band signatures, never text.
+  *
+  * Hash scheme = the batch pipeline's, bit for bit (seeded md5-hex-16
+  * minhashes over word bigrams, 4 bands × 2 rows — `TextDedup
+  * .minhashPairsPlan`; DedupStreamSpec pins streaming band keys ==
+  * batch `bands` rows). Near-dup verification differs by design: batch
+  * verifies candidates with exact Jaccard over shingle sets; the stream
+  * estimates Jaccard from the 8 stored hashes (keeping state O(1) per
+  * doc per band — sets would grow with text size). At 8 hashes the
+  * estimator's granularity is 1/8, so `minAgree` is the knob: 4/8
+  * ≈ the batch 0.5 threshold.
+  *
+  * State boundedness:
+  *  - exact: one long per distinct fingerprint (the keeper id);
+  *  - near-dup: per band bucket, member (id, 8 hashes) tuples — bucket
+  *    occupancy tracks dup-group size plus the collision floor
+  *    (measured ~1.5 pairs/doc, SCALE.md), NOT corpus size. `maxBucket`
+  *    hard-caps a pathological boilerplate bucket: beyond it new members
+  *    are dropped from state (no further emission from that bucket) —
+  *    at that occupancy the bucket is boilerplate, and the batch
+  *    cascade's exact-dedup stage is the right tool for it.
+  * At-least-once inputs are safe: a redelivered doc_id is recognized in
+  * state and neither re-emits nor double-inserts.
+  */
+object DedupStream {
+  private val nHashes = 8
+  private val nBands = 4
+  private val rowsPerBand = 2
+
+  private def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Seeded minhash signature over word bigrams — same tokenization and
+    * seeded-hash layout as the batch plan (`rawTokens` + `bgHash`);
+    * empty for docs with < 2 words (absent from batch bands too). */
+  private[streaming] def signature(text: String): Seq[String] = {
+    val w = text.split(" ")
+    if (w.length < 2) return Seq.empty
+    val bgs = (0 until w.length - 1).map(i => w(i) + " " + w(i + 1)).distinct
+    (0 until nHashes).map(i => bgs.iterator.map(bg => md5Hex(s"$i|$bg").take(16)).min)
+  }
+
+  /** Band keys in the batch plan's stride layout: band b concatenates
+    * hashes {b, b + nBands}. */
+  private[streaming] def bandKeys(sig: Seq[String]): Seq[(Int, String)] =
+    (0 until nBands).map(b =>
+      b -> (0 until rowsPerBand).map(r => sig(b + r * nBands)).mkString)
+
+  private[streaming] def estJaccard(a: Seq[String], b: Seq[String]): Double =
+    a.zip(b).count { case (x, y) => x == y }.toDouble / nHashes
+
+  /** Streaming near-dup candidate pairs. `minAgree` = minimum agreeing
+    * hashes of 8 (4 ≈ jaccard 0.5). */
+  def nearDupPairs(docs: Dataset[DocEvent], minAgree: Int = 4,
+                   maxBucket: Int = 1024): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { d =>
+      val sig = signature(d.text)
+      if (sig.isEmpty) Seq.empty
+      else bandKeys(sig).map { case (b, k) => BandRow(s"$b|$k", d.doc_id, sig) }
+    }
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[BandRow], state: GroupState[BucketState]) => {
+          var members = state.getOption.map(_.members).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[NearDupPair]
+          // doc_id order inside the batch: emission independent of
+          // partition-internal row order (determinism under replay)
+          rows.toSeq.sortBy(_.doc_id).foreach { r =>
+            if (!members.exists(_._1 == r.doc_id) && members.size < maxBucket) {
+              members.foreach { case (mid, msig) =>
+                val est = estJaccard(msig, r.sig)
+                if (est * nHashes >= minAgree)
+                  out += NearDupPair(math.min(mid, r.doc_id),
+                    math.max(mid, r.doc_id), est)
+              }
+              members = members :+ (r.doc_id -> r.sig)
+            }
+          }
+          state.update(BucketState(members))
+          out.result().iterator
+        })
+  }
+
+  /** Streaming exact-dedup verdicts: keeper = first doc seen per
+    * fingerprint (== the batch min-doc_id keeper when the stream arrives
+    * in doc_id order; the general difference is documented — a stream
+    * has no "min over the future"). */
+  def exactDecisions(docs: Dataset[DocEvent]): Dataset[ExactDecision] = {
+    import docs.sparkSession.implicits._
+    docs.map(d => (md5Hex(d.text.toLowerCase), d.doc_id))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[(String, Long)], state: GroupState[FpState]) => {
+          val ids = rows.map(_._2).toSeq.sorted
+          var keep = state.getOption.map(_.keep_id).getOrElse(ids.head)
+          if (!state.exists) state.update(FpState(keep))
+          ids.distinct.map(id => ExactDecision(id, keep, id != keep)).iterator
+        })
+  }
+}

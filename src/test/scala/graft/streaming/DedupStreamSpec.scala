@@ -1,0 +1,126 @@
+package graft.streaming
+
+import graft.{Tables, TestSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  private def corpus: Seq[DocEvent] = {
+    import spark.implicits._
+    Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).map((DocEvent.apply _).tupled).toSeq
+  }
+
+  test("streaming band keys match the batch bands table bit for bit") {
+    val plan = graft.pipeline.TextDedup.minhashPairsPlan(spark, sf)
+    try {
+      val batch = plan.bands.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      val local = corpus.flatMap { d =>
+        val sig = DedupStream.signature(d.text)
+        if (sig.isEmpty) Seq.empty
+        else DedupStream.bandKeys(sig).map { case (b, k) => (d.doc_id, b, k) }
+      }.toSet
+      assert(local == batch,
+        s"streaming hash scheme diverged from batch: ${(local diff batch).take(3)} / ${(batch diff local).take(3)}")
+    } finally plan.caches.foreach(_.unpersist())
+  }
+
+  test("streaming near-dup pairs: batch-consistent, order-robust, redelivery-safe") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    // batch reference: candidate pairs from band collisions with the SAME
+    // estimator the stream applies (>= 4 of 8 hashes agree)
+    val sigs = corpus.map(d => d.doc_id -> DedupStream.signature(d.text))
+      .filter(_._2.nonEmpty).toMap
+    val buckets = corpus.flatMap { d =>
+      val s = sigs.get(d.doc_id)
+      s.toSeq.flatMap(sig =>
+        DedupStream.bandKeys(sig).map { case (b, k) => (s"$b|$k", d.doc_id) })
+    }.groupBy(_._1).values
+    val expected = buckets.flatMap { ms =>
+      val ids = ms.map(_._2).distinct.sorted
+      for {
+        i <- ids.indices; j <- (i + 1) until ids.length
+        if DedupStream.estJaccard(sigs(ids(i)), sigs(ids(j))) >= 0.5
+      } yield (ids(i), ids(j))
+    }.toSet
+
+    def runStream(docs: Seq[Seq[DocEvent]], name: String): Set[(Long, Long)] = {
+      val ms = MemoryStream[DocEvent]
+      val q = DedupStream.nearDupPairs(ms.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        docs.foreach { b => ms.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name).select("da", "db").distinct()
+        .as[(Long, Long)].collect().toSet
+    }
+
+    // two micro-batches, doc_id order
+    val (b1, b2) = corpus.splitAt(corpus.length / 2)
+    val got = runStream(Seq(b1, b2), "neardup_fwd")
+    assert(got == expected, s"streaming pairs != batch-estimator pairs: " +
+      s"extra=${(got diff expected).take(3)} missing=${(expected diff got).take(3)}")
+
+    // reversed arrival order: same pair set (emission is order-normalized)
+    val gotRev = runStream(Seq(b2.reverse, b1.reverse), "neardup_rev")
+    assert(gotRev == expected, "pair set must not depend on arrival order")
+
+    // recall vs the batch EXACT-verified pairs: the 8-hash estimator must
+    // rediscover most true near-dups (deterministic given the corpus)
+    val verified = graft.pipeline.TextDedup.queries("d_dedup_minhash")(spark, sf)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val recall = verified.count(got.contains).toDouble / verified.size
+    assert(recall >= 0.7, s"estimator recall vs batch-verified too low: $recall")
+
+    // at-least-once: redelivering half of batch 1 must add nothing
+    val ms = MemoryStream[DocEvent]
+    val q = DedupStream.nearDupPairs(ms.toDS())
+      .writeStream.format("memory").queryName("neardup_redeliver")
+      .outputMode("append").start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      val before = spark.table("neardup_redeliver").count()
+      ms.addData(b1.take(b1.length / 2)); q.processAllAvailable()
+      assert(spark.table("neardup_redeliver").count() == before,
+        "redelivered docs re-emitted pairs")
+    } finally q.stop()
+  }
+
+  test("streaming exact decisions agree with batch keepers in arrival order") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val batch = graft.pipeline.TextDedup.queries("d_dedup_exact")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // fp -> keeper
+
+    val ms = MemoryStream[DocEvent]
+    val q = DedupStream.exactDecisions(ms.toDS())
+      .writeStream.format("memory").queryName("exact_out")
+      .outputMode("append").start()
+    val (b1, b2) = corpus.splitAt(corpus.length / 3)
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("exact_out")
+      .as[ExactDecision].collect().map(d => d.doc_id -> d).toMap
+    assert(got.size == corpus.length)
+    // doc_id-ordered arrival => first-seen == min-doc_id == batch keeper
+    val fps = corpus.map(d => d.doc_id ->
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(d.text.toLowerCase.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString).toMap
+    corpus.foreach { d =>
+      val expKeep = batch(fps(d.doc_id))
+      assert(got(d.doc_id).keep_id == expKeep, s"doc ${d.doc_id}")
+      assert(got(d.doc_id).is_dup == (d.doc_id != expKeep))
+    }
+  }
+}
