@@ -64,7 +64,7 @@ object DedupStream {
   /** Seeded minhash signature over word bigrams — same tokenization and
     * seeded-hash layout as the batch plan (`rawTokens` + `bgHash`);
     * empty for docs with < 2 words (absent from batch bands too). */
-  private[streaming] def signature(text: String): Seq[String] = {
+  private[graft] def signature(text: String): Seq[String] = {
     val w = text.split(" ")
     if (w.length < 2) return Seq.empty
     val bgs = (0 until w.length - 1).map(i => w(i) + " " + w(i + 1)).distinct
@@ -73,11 +73,11 @@ object DedupStream {
 
   /** Band keys in the batch plan's stride layout: band b concatenates
     * hashes {b, b + nBands}. */
-  private[streaming] def bandKeys(sig: Seq[String]): Seq[(Int, String)] =
+  private[graft] def bandKeys(sig: Seq[String]): Seq[(Int, String)] =
     (0 until nBands).map(b =>
       b -> (0 until rowsPerBand).map(r => sig(b + r * nBands)).mkString)
 
-  private[streaming] def estJaccard(a: Seq[String], b: Seq[String]): Double =
+  private[graft] def estJaccard(a: Seq[String], b: Seq[String]): Double =
     a.zip(b).count { case (x, y) => x == y }.toDouble / nHashes
 
   /** Streaming near-dup candidate pairs. `minAgree` = minimum agreeing

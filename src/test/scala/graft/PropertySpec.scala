@@ -89,6 +89,75 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("packing laws: capacity, greedy-minimality, input-order invariance") {
+    import spark.implicits._
+    forSeeds(Gen.listOfN(80, Gen.choose(1, 140)), 5) { sizes =>
+      // doc_id dense from 0; tokens = ceil(n_chars/4) = sizes, spanning
+      // undersize through singleton-oversize (up to 140 vs capacity 35)
+      val docs = sizes.zipWithIndex
+        .map { case (s, i) => (i.toLong, s.toLong * 4) }
+        .toDF("doc_id", "n_chars")
+      val packed = graft.pipeline.Packing
+        .packSequences(docs, capacity = 35, buckets = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(packed.length == sizes.length)
+      packed.groupBy(p => (p._2, p._3)).foreach { case ((b, s), rs) =>
+        val total = rs.map(_._4).sum
+        // capacity law: a multi-doc sequence never exceeds the budget;
+        // only a singleton may (the oversize doc gets its own sequence)
+        if (rs.length > 1) assert(total <= 35, s"bucket $b seq $s over budget")
+        // fill law: the last row's seq_fill is the sequence total
+        assert(rs.maxBy(_._1)._5 == total)
+      }
+      // greedy-minimality: a new sequence opens only when the previous
+      // could not fit the doc that opened it
+      packed.groupBy(_._2).foreach { case (_, rs) =>
+        val byDoc = rs.sortBy(_._1)
+        byDoc.zip(byDoc.tail).foreach { case (prev, cur) =>
+          if (cur._3 != prev._3)
+            assert(prev._5 + cur._4 > 35,
+              s"doc ${cur._1} opened seq ${cur._3} though it fit in ${prev._3}")
+        }
+      }
+      // determinism: shuffled input packs identically (the fold sorts)
+      val shuffled = graft.pipeline.Packing
+        .packSequences(docs.orderBy(rand(7)), capacity = 35, buckets = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(shuffled.sortBy(_._1).sameElements(packed.sortBy(_._1)),
+        "packing must not depend on input order/partitioning")
+    }
+  }
+
+  test("minhash signature laws: self-identity, symmetry, band-collision floor") {
+    import graft.streaming.DedupStream
+    val wordGen = Gen.choose(0, 25).map(i => s"w$i")
+    val textGen = Gen.listOfN(12, wordGen).map(_.mkString(" "))
+    forSeeds(Gen.listOfN(12, textGen), 5) { texts =>
+      val sigs = texts.map(DedupStream.signature).filter(_.nonEmpty)
+      sigs.foreach { s =>
+        assert(s.length == 8)
+        assert(DedupStream.estJaccard(s, s) == 1.0)
+      }
+      for (a <- sigs; b <- sigs) {
+        val e = DedupStream.estJaccard(a, b)
+        assert(e >= 0.0 && e <= 1.0)
+        assert(e == DedupStream.estJaccard(b, a))
+        // any shared band key forces both of that band's rows to agree
+        val shared = DedupStream.bandKeys(a).toSet
+          .intersect(DedupStream.bandKeys(b).toSet)
+        if (shared.nonEmpty) assert(e >= 2.0 / 8,
+          "band collision implies >= rowsPerBand agreeing hashes")
+      }
+      // a doc whose bigram SET is unchanged keeps its signature: repeating
+      // the full word cycle adds only already-seen bigrams plus the seam
+      val t = "a b c a b c a b"   // bigrams {a b, b c, c a} repeated
+      val u = "a b c a b"         // same bigram set
+      assert(DedupStream.signature(t) == DedupStream.signature(u),
+        "signature must be a function of the bigram set only")
+    }
+  }
+
   test("ddsketch law: merge of any partition == whole; quantile within alpha") {
     import graft.functions.DDSketch
     val valGen = Gen.listOfN(400, Gen.choose(1, 1000000).map(_ / 100.0))
