@@ -2,7 +2,6 @@ package graft.pipeline
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The composed curation pipeline — normalize → dedup → quality gate →
@@ -38,9 +37,14 @@ object EndToEnd {
   private[pipeline] def plan(
       s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val (keep, caches) = TextDedup.clusterKeepers(s, d)
-    val exact = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
-      min("doc_id").over(
-        Window.partitionBy(md5(normCol.cast("binary")))).as("exact_keep"))
+    // agg + join rather than a fingerprint-partitioned window: hot
+    // boilerplate fingerprints stay map-side-combinable and the join is
+    // AQE-skew-splittable (same rationale as d_curation_apply)
+    val fps = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+      md5(normCol.cast("binary")).as("fp"))
+    val exact = fps.join(
+      fps.groupBy("fp").agg(min("doc_id").as("exact_keep")), Seq("fp"))
+      .select(col("doc_id"), col("n_chars"), col("exact_keep"))
     // dec feeds BOTH the output rows and the packing branch; without the
     // persist Spark plans the whole keep/exact subtree twice (two corpus
     // scans, double the exchanges — measured 14 exchanges / 4 scans vs

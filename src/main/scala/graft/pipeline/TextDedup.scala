@@ -153,10 +153,15 @@ object TextDedup {
     // window (one hash-keyed shuffle) on top of the keep-best plan.
     "d_curation_apply" -> ((s, d) => {
       val (keep, caches) = clusterKeepers(s, d)
-      val exact = Tables.documents(s, d).select(col("doc_id"),
-        min("doc_id").over(
-          Window.partitionBy(md5(lower(col("text")).cast("binary"))))
-          .as("exact_keep"))
+      // keeper-per-fingerprint as agg + join, NOT a window: a window
+      // partitioned by fingerprint puts every copy of a hot boilerplate
+      // doc into one task, while the agg absorbs hot keys map-side and
+      // the join back is AQE-skew-splittable
+      val fps = Tables.documents(s, d).select(col("doc_id"),
+        md5(lower(col("text")).cast("binary")).as("fp"))
+      val exact = fps.join(
+        fps.groupBy("fp").agg(min("doc_id").as("exact_keep")), Seq("fp"))
+        .select(col("doc_id"), col("exact_keep"))
       Materialize.drop(keep.join(exact, Seq("doc_id"))
         .select(col("doc_id"),
           when(col("doc_id") =!= col("exact_keep"), "drop_exact")

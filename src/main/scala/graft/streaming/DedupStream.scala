@@ -48,8 +48,10 @@ private[streaming] case class FpState(keep_id: Long)
   *    are dropped from state (no further emission from that bucket) —
   *    at that occupancy the bucket is boilerplate, and the batch
   *    cascade's exact-dedup stage is the right tool for it.
-  * At-least-once inputs are safe: a redelivered doc_id is recognized in
-  * state and neither re-emits nor double-inserts.
+  * At-least-once inputs are safe: near-dup recognizes a redelivered
+  * doc_id in state and neither re-emits nor double-inserts; exact
+  * re-emits the SAME verdict (idempotent for consumers — state stays one
+  * long per fingerprint instead of tracking every seen id).
   */
 object DedupStream {
   private val nHashes = 8
