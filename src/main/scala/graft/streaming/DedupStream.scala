@@ -52,6 +52,13 @@ private[streaming] case class FpState(keep_id: Long)
   * doc_id in state and neither re-emits nor double-inserts; exact
   * re-emits the SAME verdict (idempotent for consumers — state stays one
   * long per fingerprint instead of tracking every seen id).
+  *
+  * Total state grows with DISTINCT corpus content (inherent to dedup:
+  * forgetting a fingerprint re-admits its duplicates). It is sharded by
+  * group key across partitions; at corpus scale run it on the RocksDB
+  * state store (`spark.sql.streaming.stateStore.providerClass` =
+  * RocksDBStateStoreProvider) so state spills off-heap, and size
+  * shuffle partitions to the key cardinality, not the session default.
   */
 object DedupStream {
   private val nHashes = 8
