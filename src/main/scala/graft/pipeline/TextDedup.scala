@@ -104,6 +104,39 @@ object TextDedup {
 
     "d_dedup_simhash" -> ((s, d) => simhashPairs(s, d)),
 
+    // DELTA dedup — the production shape at 100 TB: verdicts for a NEW
+    // batch (doc_id >= 250) against accumulated HISTORY (doc_id < 250),
+    // without re-deduplicating history. Exact = fingerprint join against
+    // the history keeper table; near = minhash cross pairs (history ×
+    // batch only). One row per batch doc: what it duplicates, how many
+    // history near-dups it has, and the admit/drop verdict. In
+    // production history's fingerprint + band-signature tables are
+    // STORED (built incrementally by this same pipeline / DedupStream),
+    // so the daily cost is |batch| signatures plus bucket probes — here
+    // both sides derive from the one corpus and the cross filter selects
+    // the history×batch pairs.
+    "d_dedup_delta" -> ((s, d) => {
+      val split = 250L
+      val fps = Tables.documents(s, d).select(col("doc_id"),
+        md5(lower(col("text")).cast("binary")).as("fp"))
+      val exact = fps.filter(col("doc_id") >= split)
+        .join(fps.filter(col("doc_id") < split)
+          .groupBy("fp").agg(min("doc_id").as("exact_dup_of")), Seq("fp"), "left")
+        .select(col("doc_id"), col("exact_dup_of"))
+      val plan = minhashPairsPlan(s, d)
+      val near = plan.pairs
+        .filter(col("da") < split && col("db") >= split)
+        .groupBy(col("db").as("doc_id"))
+        .agg(min("da").as("near_dup_of"), count(lit(1)).as("n_near"))
+      Materialize.drop(exact.join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("exact_dup_of"), col("near_dup_of"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"),
+          when(col("exact_dup_of").isNotNull, "dup_exact")
+            .when(col("near_dup_of").isNotNull, "dup_near")
+            .otherwise("new").as("verdict"))
+        .orderBy("doc_id"), plan.caches: _*)
+    }),
+
     // Repeated n-gram SPAN detection — word-level exact-substring dedup,
     // the "memorized span" pass a pretraining pipeline runs AFTER
     // doc-level dedup (cf. Lee et al. 2022, "Deduplicating Training Data
@@ -409,11 +442,12 @@ object TextDedup {
                   ORDER BY uniq_ratio DESC, doc_id) AS keep_id
          FROM lab)"""
 
-  /** The minhash-pair → symmetrized-edge → recursive-closure chain that
-    * yields `clusters(doc_id, cluster_id)` — the DuckDB mirror of
-    * Graph.minLabelComponents over minhashPairs. Callers open with
-    * `WITH RECURSIVE` and compose their SELECT after it. */
-  private[pipeline] val clustersCte =
+  /** The shared minhash chain up to VERIFIED pairs `pairsj(da, db,
+    * jaccard)` — tokens → 8 seeded minhashes → 4 banded keys → bucket
+    * candidates → exact-Jaccard verification, the DuckDB mirror of
+    * [[minhashPairsPlan]]. Composed by the minhash, cluster, keep-best,
+    * curation and delta oracles. */
+  private[pipeline] val pairsCte =
       s"""$bigramCte,
           sigs AS (
             SELECT doc_id, seed,
@@ -434,12 +468,20 @@ object TextDedup {
             JOIN toks ta ON da = ta.doc_id
             JOIN toks tb ON db = tb.doc_id AND ta.bg = tb.bg
             GROUP BY 1, 2),
-          edges0 AS (
-            SELECT da, db FROM prs
+          pairsj AS (
+            SELECT da, db, round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+            FROM prs
             JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
-            WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.5),
-          edges AS (SELECT da AS a, db AS b FROM edges0
-                    UNION SELECT db, da FROM edges0),
+            WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.5)"""
+
+  /** The minhash-pair → symmetrized-edge → recursive-closure chain that
+    * yields `clusters(doc_id, cluster_id)` — the DuckDB mirror of
+    * Graph.minLabelComponents over minhashPairs. Callers open with
+    * `WITH RECURSIVE` and compose their SELECT after it. */
+  private[pipeline] val clustersCte =
+      s"""$pairsCte,
+          edges AS (SELECT da AS a, db AS b FROM pairsj
+                    UNION SELECT db, da FROM pairsj),
           reach(a, b) AS (
             SELECT a, b FROM edges
             UNION
@@ -530,6 +572,26 @@ object TextDedup {
       """SELECT md5(lower(text)) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY fp""",
 
+    "d_dedup_delta" ->
+      s"""WITH $pairsCte,
+          near AS (
+            SELECT db AS doc_id, MIN(da) AS near_dup_of, COUNT(*) AS n_near
+            FROM pairsj WHERE da < 250 AND db >= 250 GROUP BY db),
+          fp AS (SELECT doc_id, md5(lower(text)) AS fp FROM documents),
+          exref AS (SELECT fp, MIN(doc_id) AS exact_dup_of
+                    FROM fp WHERE doc_id < 250 GROUP BY fp),
+          batch AS (
+            SELECT f.doc_id, r.exact_dup_of
+            FROM fp f LEFT JOIN exref r ON f.fp = r.fp
+            WHERE f.doc_id >= 250)
+          SELECT b.doc_id, b.exact_dup_of, n.near_dup_of,
+                 COALESCE(n.n_near, 0) AS n_near,
+                 CASE WHEN b.exact_dup_of IS NOT NULL THEN 'dup_exact'
+                      WHEN n.near_dup_of IS NOT NULL THEN 'dup_near'
+                      ELSE 'new' END AS verdict
+          FROM batch b LEFT JOIN near n ON b.doc_id = n.doc_id
+          ORDER BY b.doc_id""",
+
     "d_dup_spans" ->
       """WITH w AS (
            SELECT doc_id, string_split(lower(text), ' ') AS w
@@ -578,31 +640,8 @@ object TextDedup {
           ORDER BY da, db""",
 
     "d_dedup_minhash" ->
-      s"""WITH $bigramCte,
-          sigs AS (
-            SELECT doc_id, seed,
-                   MIN(substr(md5(CAST(seed AS VARCHAR) || '|' || bg), 1, 16)) AS h
-            FROM toks CROSS JOIN range(0, 8) r(seed)
-            GROUP BY doc_id, seed),
-          bands AS (
-            SELECT doc_id, seed % 4 AS band, string_agg(h, '' ORDER BY seed) AS bkey
-            FROM sigs GROUP BY 1, 2),
-          cands AS (
-            SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-            FROM bands x JOIN bands y
-              ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-          sz AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
-          pairs AS (
-            SELECT da, db, COUNT(*) AS inter
-            FROM cands
-            JOIN toks ta ON da = ta.doc_id
-            JOIN toks tb ON db = tb.doc_id AND ta.bg = tb.bg
-            GROUP BY 1, 2)
-          SELECT da, db, round(inter / (sa.n + sb.n - inter), 6) AS jaccard
-          FROM pairs
-          JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
-          WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.5
-          ORDER BY da, db""",
+      s"""WITH $pairsCte
+          SELECT da, db, jaccard FROM pairsj ORDER BY da, db""",
 
     // Transitive closure over the (symmetrized) minhash near-dup pairs;
     // cluster_id = min reachable doc_id (incl. self), matching the
