@@ -147,6 +147,19 @@ object ScaleSmoke {
         f"non-trivial clusters, max size ${cs.getLong(0)}, " +
         f"mean ${cs.getDouble(1)}%.2f (window partition bound)")
       kCaches.foreach(_.unpersist())
+      // Delta dedup probe cost: with history = the corpus's first half,
+      // a new batch's near-dup work is its band-bucket collisions against
+      // history — the quantity that must stay ~constant per batch doc as
+      // history grows for the daily-ingest contract to hold.
+      val mhD = pipeline.TextDedup.minhashPairsPlan(spark, dir)
+      val splitId = nDoc / 2
+      val deltaCand = mhD.bands.as("h").join(mhD.bands.as("b"),
+          col("h.band") === col("b.band") && col("h.bkey") === col("b.bkey") &&
+            col("h.doc_id") < lit(splitId) && col("b.doc_id") >= lit(splitId))
+        .select("h.doc_id", "b.doc_id").distinct().count()
+      println(f"[scale] delta candidates x$m (history=$splitId, batch=${nDoc - splitId}): " +
+        f"$deltaCand%,d cross pairs  (${deltaCand.toDouble / (nDoc - splitId)}%.2f per batch doc)")
+      mhD.caches.foreach(_.unpersist())
       // Packing balance: bucket fan-out is the parallelism knob — per-
       // bucket row spread must stay tight or one straggler serializes.
       val pb = pipeline.Packing

@@ -89,37 +89,68 @@ object DedupStream {
   private[graft] def estJaccard(a: Seq[String], b: Seq[String]): Double =
     a.zip(b).count { case (x, y) => x == y }.toDouble / nHashes
 
+  private def bandRows(d: DocEvent): Seq[BandRow] = {
+    val sig = signature(d.text)
+    if (sig.isEmpty) Seq.empty
+    else bandKeys(sig).map { case (b, k) => BandRow(s"$b|$k", d.doc_id, sig) }
+  }
+
+  private def bucketUpdate(minAgree: Int, maxBucket: Int)(
+      key: String, rows: Iterator[BandRow],
+      state: GroupState[BucketState]): Iterator[NearDupPair] = {
+    var members = state.getOption.map(_.members).getOrElse(Seq.empty)
+    val out = Seq.newBuilder[NearDupPair]
+    // doc_id order inside the batch: emission independent of
+    // partition-internal row order (determinism under replay)
+    rows.toSeq.sortBy(_.doc_id).foreach { r =>
+      if (!members.exists(_._1 == r.doc_id) && members.size < maxBucket) {
+        members.foreach { case (mid, msig) =>
+          val est = estJaccard(msig, r.sig)
+          if (est * nHashes >= minAgree)
+            out += NearDupPair(math.min(mid, r.doc_id),
+              math.max(mid, r.doc_id), est)
+        }
+        members = members :+ (r.doc_id -> r.sig)
+      }
+    }
+    state.update(BucketState(members))
+    out.result().iterator
+  }
+
   /** Streaming near-dup candidate pairs. `minAgree` = minimum agreeing
     * hashes of 8 (4 ≈ jaccard 0.5). */
   def nearDupPairs(docs: Dataset[DocEvent], minAgree: Int = 4,
                    maxBucket: Int = 1024): Dataset[NearDupPair] = {
     import docs.sparkSession.implicits._
-    docs.flatMap { d =>
-      val sig = signature(d.text)
-      if (sig.isEmpty) Seq.empty
-      else bandKeys(sig).map { case (b, k) => BandRow(s"$b|$k", d.doc_id, sig) }
-    }
+    docs.flatMap(bandRows _)
       .groupByKey(_.band_key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: String, rows: Iterator[BandRow], state: GroupState[BucketState]) => {
-          var members = state.getOption.map(_.members).getOrElse(Seq.empty)
-          val out = Seq.newBuilder[NearDupPair]
-          // doc_id order inside the batch: emission independent of
-          // partition-internal row order (determinism under replay)
-          rows.toSeq.sortBy(_.doc_id).foreach { r =>
-            if (!members.exists(_._1 == r.doc_id) && members.size < maxBucket) {
-              members.foreach { case (mid, msig) =>
-                val est = estJaccard(msig, r.sig)
-                if (est * nHashes >= minAgree)
-                  out += NearDupPair(math.min(mid, r.doc_id),
-                    math.max(mid, r.doc_id), est)
-              }
-              members = members :+ (r.doc_id -> r.sig)
-            }
-          }
-          state.update(BucketState(members))
-          out.result().iterator
-        })
+        bucketUpdate(minAgree, maxBucket))
+  }
+
+  /** [[nearDupPairs]] with its bucket state BOOTSTRAPPED from an already-
+    * deduplicated history corpus — the streaming half of the
+    * `d_dedup_delta` contract: new documents are checked against
+    * accumulated history from the first micro-batch on, without
+    * re-streaming history. Seeding emits nothing (history is settled;
+    * only arriving docs produce verdicts), and the daily state build
+    * cost is |history| signatures — in production this reads the stored
+    * signature table the batch pipeline maintains. */
+  def nearDupPairsWithHistory(docs: Dataset[DocEvent],
+                              history: Dataset[DocEvent], minAgree: Int = 4,
+                              maxBucket: Int = 1024): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    val initial = history.flatMap(bandRows _)
+      .groupByKey(_.band_key)
+      .mapGroups { (k, rs) =>
+        k -> BucketState(rs.toSeq.sortBy(_.doc_id)
+          .map(r => r.doc_id -> r.sig).distinct.take(maxBucket))
+      }
+      .groupByKey(_._1).mapValues(_._2)
+    docs.flatMap(bandRows _)
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout,
+        initial)(bucketUpdate(minAgree, maxBucket))
   }
 
   /** Streaming exact-dedup verdicts: keeper = first doc seen per

@@ -143,6 +143,40 @@ class DedupStreamSpec extends AnyFunSuite {
     assert(afterB1 < rows.count(), "cross-restart pairs missing")
   }
 
+  test("history-bootstrapped stream: delta verdicts without re-streaming history") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val (hist, batch) = corpus.splitAt(corpus.length / 2)
+
+    // reference: the full corpus through one stream — every pair emits
+    // when its LATER (max-id, in doc_id-ordered arrival) member arrives,
+    // so the expected delta output is the pairs whose later member
+    // streams in the batch half
+    val msRef = MemoryStream[DocEvent]
+    val qRef = DedupStream.nearDupPairs(msRef.toDS())
+      .writeStream.format("memory").queryName("hist_ref")
+      .outputMode("append").start()
+    try { msRef.addData(hist); qRef.processAllAvailable()
+          msRef.addData(batch); qRef.processAllAvailable() } finally qRef.stop()
+    val split = batch.head.doc_id
+    val expected = spark.table("hist_ref").select("da", "db").distinct()
+      .as[(Long, Long)].collect().toSet[(Long, Long)]
+      .filter { case (a, b) => math.max(a, b) >= split }
+
+    // delta run: history seeds the state; only the batch half streams
+    val ms = MemoryStream[DocEvent]
+    val q = DedupStream.nearDupPairsWithHistory(ms.toDS(), hist.toDS())
+      .writeStream.format("memory").queryName("hist_delta")
+      .outputMode("append").start()
+    try { ms.addData(batch); q.processAllAvailable() } finally q.stop()
+    val got = spark.table("hist_delta").select("da", "db").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(got == expected, s"delta stream diverged from full-stream tail: " +
+      s"extra=${(got diff expected).take(3)} missing=${(expected diff got).take(3)}")
+    assert(got.exists { case (a, b) => math.min(a, b) < split },
+      "expected at least one history x batch cross pair")
+  }
+
   test("streaming exact decisions agree with batch keepers in arrival order") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
