@@ -153,6 +153,14 @@ object DedupStream {
         initial)(bucketUpdate(minAgree, maxBucket))
   }
 
+  private val exactUpdate =
+    (_: String, rows: Iterator[(String, Long)], state: GroupState[FpState]) => {
+      val ids = rows.map(_._2).toSeq.sorted
+      val keep = state.getOption.map(_.keep_id).getOrElse(ids.head)
+      if (!state.exists) state.update(FpState(keep))
+      ids.distinct.map(id => ExactDecision(id, keep, id != keep)).iterator
+    }
+
   /** Streaming exact-dedup verdicts: keeper = first doc seen per
     * fingerprint (== the batch min-doc_id keeper when the stream arrives
     * in doc_id order; the general difference is documented — a stream
@@ -162,11 +170,23 @@ object DedupStream {
     docs.map(d => (md5Hex(d.text.toLowerCase), d.doc_id))
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: String, rows: Iterator[(String, Long)], state: GroupState[FpState]) => {
-          val ids = rows.map(_._2).toSeq.sorted
-          var keep = state.getOption.map(_.keep_id).getOrElse(ids.head)
-          if (!state.exists) state.update(FpState(keep))
-          ids.distinct.map(id => ExactDecision(id, keep, id != keep)).iterator
-        })
+        exactUpdate)
+  }
+
+  /** [[exactDecisions]] with the fingerprint→keeper table BOOTSTRAPPED
+    * from a settled history corpus (min doc_id per fingerprint, the
+    * batch `d_dedup_exact` keeper): arriving docs that duplicate history
+    * are flagged against the HISTORY keeper from the first micro-batch. */
+  def exactDecisionsWithHistory(docs: Dataset[DocEvent],
+                                history: Dataset[DocEvent]): Dataset[ExactDecision] = {
+    import docs.sparkSession.implicits._
+    val initial = history.map(d => (md5Hex(d.text.toLowerCase), d.doc_id))
+      .groupByKey(_._1)
+      .mapGroups((fp, rs) => fp -> FpState(rs.map(_._2).min))
+      .groupByKey(_._1).mapValues(_._2)
+    docs.map(d => (md5Hex(d.text.toLowerCase), d.doc_id))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout,
+        initial)(exactUpdate)
   }
 }

@@ -177,6 +177,36 @@ class DedupStreamSpec extends AnyFunSuite {
       "expected at least one history x batch cross pair")
   }
 
+  test("history-bootstrapped exact decisions flag dups against history keepers") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val (hist, batch0) = corpus.splitAt(2 * corpus.length / 3)
+    // plant a guaranteed history dup: a new id re-submitting history text
+    val batch = batch0 :+ DocEvent(corpus.last.doc_id + 1, hist.head.text)
+    val histKeep = hist.groupBy(d => d.text.toLowerCase)
+      .map { case (_, ds) => ds.map(_.doc_id).min -> ds.map(_.text.toLowerCase).head }
+      .map { case (id, txt) => txt -> id }.toMap
+    val ms = MemoryStream[DocEvent]
+    val q = DedupStream.exactDecisionsWithHistory(ms.toDS(), hist.toDS())
+      .writeStream.format("memory").queryName("exact_hist")
+      .outputMode("append").start()
+    try { ms.addData(batch); q.processAllAvailable() } finally q.stop()
+    val got = spark.table("exact_hist").as[ExactDecision].collect()
+      .map(d => d.doc_id -> d).toMap
+    assert(got.size == batch.length)
+    batch.foreach { d =>
+      histKeep.get(d.text.toLowerCase) match {
+        case Some(hk) => // history holds this text: keeper is history's
+          assert(got(d.doc_id).keep_id == hk && got(d.doc_id).is_dup,
+            s"doc ${d.doc_id} should be a dup of history keeper $hk")
+        case None => // new text: first batch arrival keeps it
+          assert(got(d.doc_id).keep_id >= batch.head.doc_id)
+          assert(got(d.doc_id).is_dup == (got(d.doc_id).keep_id != d.doc_id))
+      }
+    }
+    assert(got.values.exists(_.is_dup), "expected at least one history dup")
+  }
+
   test("streaming exact decisions agree with batch keepers in arrival order") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
