@@ -115,27 +115,14 @@ object TextDedup {
     // so the daily cost is |batch| signatures plus bucket probes — here
     // both sides derive from the one corpus and the cross filter selects
     // the history×batch pairs.
-    "d_dedup_delta" -> ((s, d) => {
-      val split = 250L
-      val fps = Tables.documents(s, d).select(col("doc_id"),
-        md5(lower(col("text")).cast("binary")).as("fp"))
-      val exact = fps.filter(col("doc_id") >= split)
-        .join(fps.filter(col("doc_id") < split)
-          .groupBy("fp").agg(min("doc_id").as("exact_dup_of")), Seq("fp"), "left")
-        .select(col("doc_id"), col("exact_dup_of"))
-      val plan = minhashPairsPlan(s, d)
-      val near = plan.pairs
-        .filter(col("da") < split && col("db") >= split)
-        .groupBy(col("db").as("doc_id"))
-        .agg(min("da").as("near_dup_of"), count(lit(1)).as("n_near"))
-      Materialize.drop(exact.join(near, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("exact_dup_of"), col("near_dup_of"),
-          coalesce(col("n_near"), lit(0L)).as("n_near"),
-          when(col("exact_dup_of").isNotNull, "dup_exact")
-            .when(col("near_dup_of").isNotNull, "dup_near")
-            .otherwise("new").as("verdict"))
-        .orderBy("doc_id"), plan.caches: _*)
-    }),
+    "d_dedup_delta" -> ((s, d) => deltaVerdicts(s, d, rowsPerBand = 2)),
+
+    // The same delta contract at the r=4 operating point (16 hashes,
+    // 4 rows per band) — the knob SCALE.md's sweep prescribes once
+    // history is large: the cross-corpus candidate floor shrinks as
+    // J_background^r (measured 4.4× fewer candidates/doc), trading
+    // recall near the 0.5 threshold. Same plan shape, one constant.
+    "d_dedup_delta_r4" -> ((s, d) => deltaVerdicts(s, d, rowsPerBand = 4)),
 
     // Repeated n-gram SPAN detection — word-level exact-substring dedup,
     // the "memorized span" pass a pretraining pipeline runs AFTER
@@ -244,6 +231,32 @@ object TextDedup {
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val plan = minhashPairsPlan(s, d)
     Materialize.drop(plan.pairs, plan.caches: _*)
+  }
+
+  /** Shared body of the delta queries: verdicts for the batch half
+    * (doc_id >= 250) against history (doc_id < 250) at the given band
+    * geometry. */
+  private def deltaVerdicts(s: SparkSession, d: String,
+                            rowsPerBand: Int): DataFrame = {
+    val split = 250L
+    val fps = Tables.documents(s, d).select(col("doc_id"),
+      md5(lower(col("text")).cast("binary")).as("fp"))
+    val exact = fps.filter(col("doc_id") >= split)
+      .join(fps.filter(col("doc_id") < split)
+        .groupBy("fp").agg(min("doc_id").as("exact_dup_of")), Seq("fp"), "left")
+      .select(col("doc_id"), col("exact_dup_of"))
+    val plan = minhashPairsPlan(s, d, nBands = 4, rowsPerBand = rowsPerBand)
+    val near = plan.pairs
+      .filter(col("da") < split && col("db") >= split)
+      .groupBy(col("db").as("doc_id"))
+      .agg(min("da").as("near_dup_of"), count(lit(1)).as("n_near"))
+    Materialize.drop(exact.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_dup_of"), col("near_dup_of"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        when(col("exact_dup_of").isNotNull, "dup_exact")
+          .when(col("near_dup_of").isNotNull, "dup_near")
+          .otherwise("new").as("verdict"))
+      .orderBy("doc_id"), plan.caches: _*)
   }
 
   /** Near-dup cluster labels joined onto the corpus with the keep-best
@@ -443,16 +456,18 @@ object TextDedup {
          FROM lab)"""
 
   /** The shared minhash chain up to VERIFIED pairs `pairsj(da, db,
-    * jaccard)` — tokens → 8 seeded minhashes → 4 banded keys → bucket
+    * jaccard)` — tokens → `nh` seeded minhashes → 4 banded keys → bucket
     * candidates → exact-Jaccard verification, the DuckDB mirror of
-    * [[minhashPairsPlan]]. Composed by the minhash, cluster, keep-best,
+    * [[minhashPairsPlan]] at `rowsPerBand = nh / 4` (the `seed % 4`
+    * banding with seed-ordered string_agg reproduces the stride layout
+    * at any rows-per-band). Composed by the minhash, cluster, keep-best,
     * curation and delta oracles. */
-  private[pipeline] val pairsCte =
+  private[pipeline] def pairsCteN(nh: Int): String =
       s"""$bigramCte,
           sigs AS (
             SELECT doc_id, seed,
                    MIN(substr(md5(CAST(seed AS VARCHAR) || '|' || bg), 1, 16)) AS h
-            FROM toks CROSS JOIN range(0, 8) r(seed)
+            FROM toks CROSS JOIN range(0, $nh) r(seed)
             GROUP BY doc_id, seed),
           bands AS (
             SELECT doc_id, seed % 4 AS band, string_agg(h, '' ORDER BY seed) AS bkey
@@ -473,6 +488,28 @@ object TextDedup {
             FROM prs
             JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
             WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.5)"""
+
+  private[pipeline] val pairsCte = pairsCteN(8)
+
+  /** Delta-verdict SELECT composed after a pairs chain. */
+  private val deltaTail =
+    """near AS (
+         SELECT db AS doc_id, MIN(da) AS near_dup_of, COUNT(*) AS n_near
+         FROM pairsj WHERE da < 250 AND db >= 250 GROUP BY db),
+       fp AS (SELECT doc_id, md5(lower(text)) AS fp FROM documents),
+       exref AS (SELECT fp, MIN(doc_id) AS exact_dup_of
+                 FROM fp WHERE doc_id < 250 GROUP BY fp),
+       batch AS (
+         SELECT f.doc_id, r.exact_dup_of
+         FROM fp f LEFT JOIN exref r ON f.fp = r.fp
+         WHERE f.doc_id >= 250)
+       SELECT b.doc_id, b.exact_dup_of, n.near_dup_of,
+              COALESCE(n.n_near, 0) AS n_near,
+              CASE WHEN b.exact_dup_of IS NOT NULL THEN 'dup_exact'
+                   WHEN n.near_dup_of IS NOT NULL THEN 'dup_near'
+                   ELSE 'new' END AS verdict
+       FROM batch b LEFT JOIN near n ON b.doc_id = n.doc_id
+       ORDER BY b.doc_id"""
 
   /** The minhash-pair → symmetrized-edge → recursive-closure chain that
     * yields `clusters(doc_id, cluster_id)` — the DuckDB mirror of
@@ -574,23 +611,11 @@ object TextDedup {
 
     "d_dedup_delta" ->
       s"""WITH $pairsCte,
-          near AS (
-            SELECT db AS doc_id, MIN(da) AS near_dup_of, COUNT(*) AS n_near
-            FROM pairsj WHERE da < 250 AND db >= 250 GROUP BY db),
-          fp AS (SELECT doc_id, md5(lower(text)) AS fp FROM documents),
-          exref AS (SELECT fp, MIN(doc_id) AS exact_dup_of
-                    FROM fp WHERE doc_id < 250 GROUP BY fp),
-          batch AS (
-            SELECT f.doc_id, r.exact_dup_of
-            FROM fp f LEFT JOIN exref r ON f.fp = r.fp
-            WHERE f.doc_id >= 250)
-          SELECT b.doc_id, b.exact_dup_of, n.near_dup_of,
-                 COALESCE(n.n_near, 0) AS n_near,
-                 CASE WHEN b.exact_dup_of IS NOT NULL THEN 'dup_exact'
-                      WHEN n.near_dup_of IS NOT NULL THEN 'dup_near'
-                      ELSE 'new' END AS verdict
-          FROM batch b LEFT JOIN near n ON b.doc_id = n.doc_id
-          ORDER BY b.doc_id""",
+          $deltaTail""",
+
+    "d_dedup_delta_r4" ->
+      s"""WITH ${pairsCteN(16)},
+          $deltaTail""",
 
     "d_dup_spans" ->
       """WITH w AS (
