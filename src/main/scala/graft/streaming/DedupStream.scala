@@ -2,9 +2,14 @@ package graft.streaming
 
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
+import java.util.concurrent.ConcurrentHashMap
 
+import scala.concurrent.duration.FiniteDuration
+
+import org.apache.spark.SparkContext
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.util.LongAccumulator
 
 case class DocEvent(doc_id: Long, text: String)
 
@@ -17,6 +22,13 @@ case class NearDupPair(da: Long, db: Long, est_jaccard: Double)
 
 /** First-seen-wins exact-dedup verdict for each arriving document. */
 case class ExactDecision(doc_id: Long, keep_id: Long, is_dup: Boolean)
+
+/** Quality-aware keeper verdict (streaming keep-best). One row per
+  * ARRIVING document plus a retro row for a keeper it dethrones, so
+  * "latest row per doc_id" downstream always reflects the current
+  * keeper assignment. */
+case class KeepBestDecision(doc_id: Long, keep_id: Long, quality: Double,
+                            kept: Boolean)
 
 private[streaming] case class BandRow(band_key: String, doc_id: Long,
                                       sig: Seq[String])
@@ -70,6 +82,23 @@ object DedupStream {
       .digest(s.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
 
+  /** Per-executor memo of the 8 seeded hashes per DISTINCT bigram — the
+    * streaming analog of the batch plan's broadcast alphabet dim
+    * (`bgHash`): the shingle alphabet is far smaller than the token
+    * stream, so at ingest rates the md5s amortize to ~one compute per
+    * distinct bigram instead of 8 per bigram per document. Size-capped;
+    * beyond the cap hashes are computed without inserting (correctness
+    * never depends on a hit). */
+  private val bgMemoCap = 1 << 16
+  private val bgMemo = new ConcurrentHashMap[String, Array[String]]()
+  private def bigramHashes(bg: String): Array[String] = {
+    val hit = bgMemo.get(bg)
+    if (hit != null) return hit
+    val hs = Array.tabulate(nHashes)(i => md5Hex(s"$i|$bg").take(16))
+    if (bgMemo.size < bgMemoCap) bgMemo.putIfAbsent(bg, hs)
+    hs
+  }
+
   /** Seeded minhash signature over word bigrams — same tokenization and
     * seeded-hash layout as the batch plan (`rawTokens` + `bgHash`);
     * empty for docs with < 2 words (absent from batch bands too). */
@@ -77,7 +106,16 @@ object DedupStream {
     val w = text.split(" ")
     if (w.length < 2) return Seq.empty
     val bgs = (0 until w.length - 1).map(i => w(i) + " " + w(i + 1)).distinct
-    (0 until nHashes).map(i => bgs.iterator.map(bg => md5Hex(s"$i|$bg").take(16)).min)
+    val mins = Array.fill(nHashes)("￿")
+    bgs.foreach { bg =>
+      val hs = bigramHashes(bg)
+      var i = 0
+      while (i < nHashes) {
+        if (hs(i) < mins(i)) mins(i) = hs(i)
+        i += 1
+      }
+    }
+    mins.toSeq
   }
 
   /** Band keys in the batch plan's stride layout: band b concatenates

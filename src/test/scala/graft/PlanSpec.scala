@@ -136,17 +136,38 @@ class PlanSpec extends AnyFunSuite {
       s"proto scan should prune props:\n$p")
   }
 
-  test("d_dedup_minhash: result is a distributed lineage cut, never a driver collect") {
+  test("d_dedup_minhash: result reads the stored backbone, never a driver collect") {
     val df = SparkEntry.queries("d_dedup_minhash")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
-    // Materialize.drop = eager localCheckpoint: the returned plan must be
-    // a scan of executor-resident RDD blocks — NOT a LocalTableScan, which
-    // would mean the pair list round-tripped through the driver (the 100 TB
-    // driver-OOM anti-pattern this replaced).
+    // r11: the catalog query is a READ of the materialized backbone pair
+    // table (one LSH+verify evaluation per corpus, shared by the whole
+    // cascade) — the plan must be a parquet scan, and never a
+    // LocalTableScan, which would mean the pair list round-tripped
+    // through the driver (the 100 TB driver-OOM anti-pattern).
     assert(!p.contains("LocalTableScan"),
       s"minhash result must not pass through the driver:\n$p")
-    assert(p.contains("ExistingRDD") || p.contains("Scan rdd"),
-      s"minhash should scan checkpointed executor blocks:\n$p")
+    assert(p.contains("FileScan parquet") && p.contains("graft-backbone"),
+      s"minhash should scan the stored backbone pair table:\n$p")
+  }
+
+  test("cascade consumers share ONE backbone evaluation (plan audit)") {
+    // d_dedup_cluster / keep_best / curation / delta all read the stored
+    // label/pair/fingerprint tables: none of their executed plans may
+    // contain the LSH derivation (no documents-scan + band explode), and
+    // each must scan the backbone store.
+    Seq("d_dedup_cluster", "d_dedup_keep_best", "d_dedup_delta")
+      .foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sf)
+        val p = df.queryExecution.executedPlan.toString
+        assert(p.contains("graft-backbone"),
+          s"$name should read the stored backbone:\n$p")
+      }
+    // the label table itself carries no re-derivation: cluster query scans
+    // ONLY backbone parquet (labels), no documents.parquet at all
+    val pc = SparkEntry.queries("d_dedup_cluster")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!pc.contains("documents.parquet"),
+      s"d_dedup_cluster must not re-scan the corpus:\n$pc")
   }
 
   test("d_dedup_minhash: verification joins shuffle by doc_id above the broadcast gate") {
