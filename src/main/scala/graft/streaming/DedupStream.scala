@@ -23,10 +23,12 @@ case class NearDupPair(da: Long, db: Long, est_jaccard: Double)
 /** First-seen-wins exact-dedup verdict for each arriving document. */
 case class ExactDecision(doc_id: Long, keep_id: Long, is_dup: Boolean)
 
-/** Quality-aware keeper verdict (streaming keep-best). One row per
-  * ARRIVING document plus a retro row for a keeper it dethrones, so
-  * "latest row per doc_id" downstream always reflects the current
-  * keeper assignment. */
+/** Quality-aware keeper verdict (streaming keep-best): the keeper-so-far
+  * for the arriving document's duplicate group at processing time — the
+  * ingest-time decision log. Final attribution after a better copy
+  * arrives later lives in state; redelivering a doc re-emits its CURRENT
+  * verdict, which is also the supported state-readout protocol (see
+  * DedupStreamSpec's probe wave). */
 case class KeepBestDecision(doc_id: Long, keep_id: Long, quality: Double,
                             kept: Boolean)
 
@@ -34,6 +36,7 @@ private[streaming] case class BandRow(band_key: String, doc_id: Long,
                                       sig: Seq[String])
 private[streaming] case class BucketState(members: Seq[(Long, Seq[String])])
 private[streaming] case class FpState(keep_id: Long)
+private[streaming] case class KeepState(keep_id: Long, quality: Double)
 
 /** Ingest-time deduplication (the streaming form of `d_dedup_exact` /
   * `d_dedup_minhash`): verdicts as documents ARRIVE, instead of a batch
@@ -133,37 +136,70 @@ object DedupStream {
     else bandKeys(sig).map { case (b, k) => BandRow(s"$b|$k", d.doc_id, sig) }
   }
 
-  private def bucketUpdate(minAgree: Int, maxBucket: Int)(
+  /** Per-SparkContext recall-loss counter: incremented once per (band,
+    * doc) DROPPED because its bucket hit `maxBucket` — the signal ADVICE
+    * r10 asked for, so operators SEE cap-induced recall loss (a full
+    * bucket silently reads as "no near-dups" downstream) instead of
+    * inferring it. A doc counted here may still be admitted by its
+    * other bands; 4 increments for one doc_id mean it is fully dark. */
+  private val overflowAccs =
+    new ConcurrentHashMap[SparkContext, LongAccumulator]()
+  def bucketOverflows(sc: SparkContext): LongAccumulator =
+    overflowAccs.computeIfAbsent(sc,
+      c => c.longAccumulator("graft.dedupStream.bucketOverflow"))
+
+  private def bucketUpdate(minAgree: Int, maxBucket: Int,
+                           ttl: Option[FiniteDuration],
+                           overflow: LongAccumulator)(
       key: String, rows: Iterator[BandRow],
       state: GroupState[BucketState]): Iterator[NearDupPair] = {
+    // TTL expiry: drop the bucket wholesale. Semantics are documented
+    // recall-trading: a duplicate arriving after the TTL re-admits as
+    // "new" (and re-seeds the bucket) — inherent to any dedup eviction.
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     var members = state.getOption.map(_.members).getOrElse(Seq.empty)
     val out = Seq.newBuilder[NearDupPair]
     // doc_id order inside the batch: emission independent of
     // partition-internal row order (determinism under replay)
     rows.toSeq.sortBy(_.doc_id).foreach { r =>
-      if (!members.exists(_._1 == r.doc_id) && members.size < maxBucket) {
-        members.foreach { case (mid, msig) =>
-          val est = estJaccard(msig, r.sig)
-          if (est * nHashes >= minAgree)
-            out += NearDupPair(math.min(mid, r.doc_id),
-              math.max(mid, r.doc_id), est)
-        }
-        members = members :+ (r.doc_id -> r.sig)
+      if (!members.exists(_._1 == r.doc_id)) {
+        if (members.size < maxBucket) {
+          members.foreach { case (mid, msig) =>
+            val est = estJaccard(msig, r.sig)
+            if (est * nHashes >= minAgree)
+              out += NearDupPair(math.min(mid, r.doc_id),
+                math.max(mid, r.doc_id), est)
+          }
+          members = members :+ (r.doc_id -> r.sig)
+        } else overflow.add(1)
       }
     }
     state.update(BucketState(members))
+    // processing-time TTL, refreshed on every touch: a bucket expires
+    // only after `ttl` of NO traffic, bounding total state by arrival
+    // recency instead of all-time distinct content
+    ttl.foreach(t => state.setTimeoutDuration(t.toMillis))
     out.result().iterator
   }
 
   /** Streaming near-dup candidate pairs. `minAgree` = minimum agreeing
-    * hashes of 8 (4 ≈ jaccard 0.5). */
+    * hashes of 8 (4 ≈ jaccard 0.5). `ttl` (None = keep state forever)
+    * trades recall for bounded state: buckets idle for longer than the
+    * TTL are evicted, so a later duplicate of an evicted doc reads as
+    * new — the knob a 100 TB ingest runs with, sized to the horizon
+    * inside which duplicates actually arrive. Cap overflow is counted
+    * in [[bucketOverflows]]. */
   def nearDupPairs(docs: Dataset[DocEvent], minAgree: Int = 4,
-                   maxBucket: Int = 1024): Dataset[NearDupPair] = {
+                   maxBucket: Int = 1024,
+                   ttl: Option[FiniteDuration] = None): Dataset[NearDupPair] = {
     import docs.sparkSession.implicits._
+    val overflow = bucketOverflows(docs.sparkSession.sparkContext)
+    val timeout = if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
     docs.flatMap(bandRows _)
       .groupByKey(_.band_key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        bucketUpdate(minAgree, maxBucket))
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        bucketUpdate(minAgree, maxBucket, ttl, overflow))
   }
 
   /** [[nearDupPairs]] with its bucket state BOOTSTRAPPED from an already-
@@ -176,8 +212,13 @@ object DedupStream {
     * signature table the batch pipeline maintains. */
   def nearDupPairsWithHistory(docs: Dataset[DocEvent],
                               history: Dataset[DocEvent], minAgree: Int = 4,
-                              maxBucket: Int = 1024): Dataset[NearDupPair] = {
+                              maxBucket: Int = 1024,
+                              ttl: Option[FiniteDuration] = None)
+      : Dataset[NearDupPair] = {
     import docs.sparkSession.implicits._
+    val overflow = bucketOverflows(docs.sparkSession.sparkContext)
+    val timeout = if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
     val initial = history.flatMap(bandRows _)
       .groupByKey(_.band_key)
       .mapGroups { (k, rs) =>
@@ -187,8 +228,8 @@ object DedupStream {
       .groupByKey(_._1).mapValues(_._2)
     docs.flatMap(bandRows _)
       .groupByKey(_.band_key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout,
-        initial)(bucketUpdate(minAgree, maxBucket))
+      .flatMapGroupsWithState(OutputMode.Append, timeout,
+        initial)(bucketUpdate(minAgree, maxBucket, ttl, overflow))
   }
 
   private val exactUpdate =
@@ -209,6 +250,51 @@ object DedupStream {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         exactUpdate)
+  }
+
+  /** uniq_ratio quality, the batch keep-best policy's score (share of
+    * distinct words, rounded to 6 places with the same HALF_UP rule as
+    * Spark's round()). */
+  private[graft] def uniqRatio(text: String): Double = {
+    val w = text.split(" ")
+    BigDecimal(w.distinct.length.toDouble / w.length)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  private val keepBestUpdate =
+    (_: String, rows: Iterator[(String, Long, Double)],
+     state: GroupState[KeepState]) => {
+      // doc_id order inside the batch: determinism under replay
+      val arrivals = rows.toSeq.sortBy(_._2)
+      var cur = state.getOption
+      val out = arrivals.map { case (_, id, q) =>
+        val better = cur.forall(c =>
+          q > c.quality || (q == c.quality && id < c.keep_id))
+        if (better) cur = Some(KeepState(id, q))
+        val c = cur.get
+        KeepBestDecision(id, c.keep_id, q, c.keep_id == id)
+      }
+      cur.foreach(state.update)
+      out.iterator
+    }
+
+  /** Streaming KEEP-BEST — the `d_dedup_keep_best` policy at ingest
+    * time, per exact-duplicate group: state keeps the best-so-far member
+    * (max uniq_ratio, ties to the lowest doc_id) per fingerprint, and
+    * every arriving doc gets the keeper-so-far verdict. After a full
+    * corpus replay the state keeper per group equals the batch
+    * per-fingerprint keep-best exactly (order-independent: "best of all
+    * seen" is associative). Near-dup CLUSTER-level keep-best at ingest
+    * additionally needs the nightly cluster labels the batch backbone
+    * maintains (a cluster is a CC fixpoint, not a streamable per-key
+    * fold) — that composition is the delta contract's job, not this
+    * operator's. */
+  def keepBestDecisions(docs: Dataset[DocEvent]): Dataset[KeepBestDecision] = {
+    import docs.sparkSession.implicits._
+    docs.map(d => (md5Hex(d.text.toLowerCase), d.doc_id, uniqRatio(d.text)))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        keepBestUpdate)
   }
 
   /** [[exactDecisions]] with the fingerprint→keeper table BOOTSTRAPPED
