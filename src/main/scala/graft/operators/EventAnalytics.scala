@@ -20,11 +20,12 @@ import org.apache.spark.sql.functions._
   *  - retention: per cohort (first-signup date), the share of users with
   *    a follow-up event inside a fixed horizon after their first signup.
   *
-  * Scale shape: every join is keyed on user_id (hash-shuffle once per
-  * side, AQE-coalesced), chains verified with left-semi joins — no
-  * row-multiplying output, no window over the full event stream. The
-  * per-stage event slices are narrow (ts, user_id) projections that
-  * push down to the parquet scan.
+  * Scale shape: every operator here runs on ONE user_id-keyed shuffle —
+  * the funnels and sequence ops as stacked running-window passes over
+  * the per-user event stream (see [[funnelLevels]]'s max-chain-start
+  * reduction), retention as a user-keyed aggregate. No joins, no
+  * row-multiplying output. The stage-predicate slices are narrow
+  * (ts, user_id, event_type) projections that push down to the scan.
   */
 object EventAnalytics {
   type Q = (SparkSession, String) => DataFrame
@@ -72,18 +73,25 @@ object EventAnalytics {
     * ek.ts <= e1.ts + window (EXISTS-chain semantics; `window = None` ⇒
     * unbounded, i.e. CH `sequenceMatch('(?1).*(?2)…')` reach).
     *
-    * Scale shape: chain state is reduced to ONE row per (user, chain
-    * start) at every level — for a fixed start t1, the feasibility of
-    * extending a chain only improves as the intermediate timestamp
-    * decreases (`ts > t_k` loosens; `ts <= t1 + w` doesn't depend on
-    * t_k), so min(t_k) per (user, t1) dominates every sibling chain.
-    * (A per-GAP time constraint would break that dominance — o_a17
-    * uses the window formulation instead.) Each level is one user-keyed
-    * join + aggregate, capped at |stage-1 events| rows. Level caches are
-    * persisted only for the duration of the call (each level feeds both
-    * its flag and the next join), then released after the final result is
-    * lineage-cut to executor-resident blocks — the catalog cache
-    * discipline (see pipeline.Materialize); nothing rides the driver.
+    * Reduction (ONE shuffle, zero joins): for an event e at stage k, the
+    * set of chain starts whose chains reach e is characterized by its
+    * MAXIMUM — if a chain with start t1 reaches e, any larger valid
+    * start t1' also reaches it (the same chain events work; the window
+    * check `ts <= t1' + w` only loosens as t1' grows). So each event
+    * carries one value,
+    *   best_k(e) = max over stage-(k-1) events e' with e'.ts < e.ts
+    *               of best_{k-1}(e'), admitted iff e.ts <= best + w,
+    * a running `max(...)` over a RANGE frame (unboundedPreceding, -1)
+    * on unix_micros(ts) — range (not rows) framing yields the strict
+    * `<` the chain definition demands even under timestamp ties. The
+    * N-1 chained window columns share one partitioning + one sort
+    * (Spark stacks the Window execs with no re-exchange/re-sort), and
+    * the per-user flag aggregate reuses the same user_id partitioning —
+    * one exchange end to end, vs the prior per-level-join formulation's
+    * N shuffled joins (BENCH_NOTES "funnel one-shuffle rewrite"; the
+    * EventAnalyticsSpec brute-force greedy oracle pins equivalence).
+    * (A per-GAP time constraint would break the max-start dominance —
+    * o_a17 uses the explicit window formulation instead.)
     *
     * Returns (user_id, funnel_level) for every user with a stage-1 event.
     */
@@ -92,42 +100,33 @@ object EventAnalytics {
                    userCol: String = "user_id",
                    tsCol: String = "ts"): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    val caches = scala.collection.mutable.Buffer[DataFrame]()
-    // finally-released: a failed level join or checkpoint must not leave
-    // N persisted DataFrames in the session cache for the rest of a
-    // 90-query catalog pass
-    try {
-      val starts = events.filter(stages.head)
-        .select(col(userCol).as("user_id"), col(tsCol).as("t1"))
-        .distinct()
-        .withColumn("tk", col("t1"))
-        .persist()
-      caches += starts
-      var chains = starts
-      val reached = Seq.newBuilder[DataFrame] // level-k user sets, k >= 2
-      stages.drop(1).foreach { cond =>
-        val stageEv = events.filter(cond)
-          .select(col(userCol).as("user_id"), col(tsCol).as("ts"))
-        chains = chains.as("c").join(stageEv.as("e"),
-            col("e.user_id") === col("c.user_id") && col("e.ts") > col("c.tk") &&
-              window.map(w => col("e.ts") <= col("c.t1") + w).getOrElse(lit(true)))
-          .groupBy(col("c.user_id").as("user_id"), col("c.t1").as("t1"))
-          .agg(min(col("e.ts")).as("tk"))
-          .persist()
-        caches += chains
-        reached += chains.select("user_id").distinct()
-      }
-      // levels are monotone (reached(k) ⊆ reached(k-1)): level = 1 + Σ flags
-      val levels = reached.result().zipWithIndex.foldLeft(
-        starts.select("user_id").distinct().withColumn("funnel_level", lit(1))) {
-        case (acc, (r, i)) =>
-          acc.join(r.withColumn(s"f$i", lit(1)), Seq("user_id"), "left")
-            .withColumn("funnel_level",
-              col("funnel_level") + coalesce(col(s"f$i"), lit(0)))
-            .drop(s"f$i")
-      }
-      levels.localCheckpoint(true)
-    } finally caches.foreach(_.unpersist())
+    val n = stages.size
+    val tagged = events
+      .select(col(userCol).as("user_id") +: col(tsCol).as("_ts") +:
+        stages.zipWithIndex.map { case (p, i) => p.as(s"_s$i") }: _*)
+      .filter((0 until n).map(i => col(s"_s$i")).reduce(_ || _))
+      .withColumn("_us", unix_micros(col("_ts")))
+    val pre = Window.partitionBy("user_id").orderBy(col("_us"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    // _c1 = the chain start a stage-1 event offers (its own ts); _ck =
+    // max chain start among level-k chains ending at this stage-k event
+    var cur = tagged.withColumn("_c1", when(col("_s0"), col("_ts")))
+    for (k <- 2 to n) {
+      val best = max(col(s"_c${k - 1}")).over(pre)
+      val admit = window.map(w => col("_ts") <= best + w).getOrElse(lit(true))
+      cur = cur.withColumn(s"_c$k",
+        when(col(s"_s${k - 1}") && best.isNotNull && admit, best))
+    }
+    // levels are monotone (a level-k chain contains a level-(k-1) one):
+    // level = 1 + Σ has-a-level-k-event flags
+    val flags = (2 to n).map(k =>
+      max(when(col(s"_c$k").isNotNull, 1).otherwise(0)).as(s"_h$k"))
+    cur.groupBy("user_id")
+      .agg(max(when(col("_s0"), 1).otherwise(0)).as("_h1"), flags: _*)
+      .filter(col("_h1") === 1)
+      .select(col("user_id"),
+        (2 to n).foldLeft(lit(1): Column)((acc, k) => acc + col(s"_h$k"))
+          .cast("int").as("funnel_level"))
   }
 
   val queries: Map[String, Q] = Map(

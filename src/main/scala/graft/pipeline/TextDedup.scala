@@ -210,15 +210,11 @@ object TextDedup {
     // window (one hash-keyed shuffle) on top of the keep-best plan.
     "d_curation_apply" -> ((s, d) => {
       val (keep, _) = clusterKeepers(s, d)
-      // keeper-per-fingerprint as agg + join, NOT a window: a window
-      // partitioned by fingerprint puts every copy of a hot boilerplate
-      // doc into one task, while the agg absorbs hot keys map-side and
-      // the join back is AQE-skew-splittable. Fingerprints come from the
-      // stored backbone table, not a fresh corpus scan.
-      val fps = Backbone.fingerprints(s, d)
-      val exact = fps.join(
-        fps.groupBy("fp").agg(min("doc_id").as("exact_keep")), Seq("fp"))
-        .select(col("doc_id"), col("exact_keep"))
+      // keeper-per-fingerprint as agg + join, NOT a window — see
+      // [[exactKeeperDecisions]] (the `3440f12` skew fix, pinned by
+      // DedupSkewSpec). Fingerprints come from the stored backbone
+      // table, not a fresh corpus scan.
+      val exact = exactKeeperDecisions(Backbone.fingerprints(s, d))
       keep.join(exact, Seq("doc_id"))
         .select(col("doc_id"),
           when(col("doc_id") =!= col("exact_keep"), "drop_exact")
@@ -338,6 +334,36 @@ object TextDedup {
       first(col("doc_id")).over(Window.partitionBy("cluster_id")
         .orderBy(col("uniq_ratio").desc, col("doc_id"))))
     (keep, Seq.empty)
+  }
+
+  /** Exact-dup keeper per fingerprint as AGGREGATE + JOIN, deliberately
+    * NOT a fingerprint-partitioned window (the `3440f12` skew fix): a
+    * window puts every copy of a hot boilerplate document into ONE task
+    * and AQE cannot split a window partition, while here the partial
+    * aggregate absorbs the hot key map-side (one row per map partition
+    * reaches the reducer) and the join back is AQE-skew-splittable.
+    * DedupSkewSpec plants a 50%-boilerplate corpus and pins both halves
+    * of that claim with task-level shuffle-read measurements.
+    *
+    * The round-robin `repartition(n)` on the aggregated side is load-
+    * bearing: AQE's OptimizeSkewedJoin only matches a sort-merge join
+    * whose children are Sort DIRECTLY over a shuffle stage — with the
+    * final HashAggregate planned between the keeper side's Sort and its
+    * fp-exchange, the rule never fires and the hot fingerprint lands
+    * whole on one probe task (measured before the fix: max task read =
+    * all hot copies; a same-key `repartition(col("fp"))` is pruned as
+    * redundant and does not help). Deliberately BREAKING the keeper
+    * table's fp-alignment forces the join to plan its own bare
+    * fp-exchange on that child, restoring the splittable shape. The
+    * price — one extra all-to-all pass over the keeper table — is paid
+    * on the DEDUPED side (one row per distinct fingerprint) and buys
+    * adaptive skew protection on the corpus-sized probe side.
+    * Input: (doc_id, fp); output: (doc_id, exact_keep). */
+  private[graft] def exactKeeperDecisions(fps: DataFrame): DataFrame = {
+    val n = fps.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val keeper = fps.groupBy("fp").agg(min("doc_id").as("exact_keep"))
+      .repartition(n)
+    fps.join(keeper, Seq("fp")).select(col("doc_id"), col("exact_keep"))
   }
 
   /** Un-materialized minhash plan: the verified pair list, the banded
