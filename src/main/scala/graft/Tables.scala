@@ -39,7 +39,21 @@ object Tables {
     val raw = s.read.parquet(s"$d/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        // int64 here means TIMESTAMP(NANOS) (surfaced long by the
+        // nanosAsLong conf) — but an UNANNOTATED int64 drop would surface
+        // identically, and dividing raw micros by 1000 would silently
+        // shift every timestamp 1000×. Guard the unit assumption per row
+        // (one codegen'd branch): plausible nanos epochs [1990, 2100)
+        // only; raw micros (~1e15) or seconds fail loudly instead.
+        raw.withColumn("ts", expr(
+          """CASE WHEN ts >= 631152000000000000 AND ts < 4102444800000000000
+                  THEN timestamp_micros(ts div 1000)
+                  ELSE raise_error(concat('events.ts int64 value ',
+                       CAST(ts AS STRING),
+                       ' is outside the plausible nanosecond epoch range',
+                       ' [1990-01-01, 2100-01-01) - refusing to assume',
+                       ' nanoseconds; check the parquet logical type'))
+             END"""))
       case _ =>
         raw.withColumn("ts",
           col("ts").cast(org.apache.spark.sql.types.TimestampType))

@@ -52,6 +52,15 @@ private[graft] object Backbone {
     if (!built.contains(path)) { build; built += path }
   }
 
+  /** Memoized corpus row count (per JVM, keyed by dir). A parquet-
+    * metadata count is cheap, but each invocation is still one driver
+    * job; the cascade sizes its broadcast gates and the delta split off
+    * this once per corpus instead of once per consuming query. */
+  private val counts = mutable.Map[String, Long]()
+  def corpusCount(s: SparkSession, d: String): Long = synchronized {
+    counts.getOrElseUpdate(d, Tables.documents(s, d).count())
+  }
+
   /** Exact-dedup fingerprint table: (doc_id, fp) with fp = md5(lower
     * (text)) — one corpus scan, stored once, read by the exact query,
     * the curation cascade and the delta contract. */

@@ -141,7 +141,7 @@ object TextDedup {
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
         .select(col("y.doc_id").as("da"), col("x.doc_id").as("db"))
         .distinct()
-      val near = verifyPairs(cands, h.sets, Tables.documents(s, d).count(),
+      val near = verifyPairs(cands, h.sets, Backbone.corpusCount(s, d),
           setsB = sp.docSets)
         .groupBy(col("db").as("doc_id"))
         .agg(min("da").as("near_dup_of"), count(lit(1)).as("n_near"))
@@ -275,7 +275,7 @@ object TextDedup {
     * instead of silently inverting above sf0.01. Mirrored in the oracle
     * as a scalar subquery. */
   private[graft] def deltaSplit(s: SparkSession, d: String): Long =
-    Tables.documents(s, d).count() / 2
+    Backbone.corpusCount(s, d) / 2
 
   private def deltaVerdicts(s: SparkSession, d: String,
                             rowsPerBand: Int): DataFrame = {
@@ -452,7 +452,7 @@ object TextDedup {
       // set table is docs-sized, so the broadcast hint is SIZE-GATED on
       // the corpus's row count (a cheap parquet-metadata count): small
       // corpora broadcast, big ones shuffle both joins by doc_id.
-      val nDocs = Tables.documents(s, d).count()
+      val nDocs = Backbone.corpusCount(s, d)
       val verified = verifyPairs(cands, sp.docSets, nDocs)
       MinhashPlan(verified, bands, sp.caches)
   }

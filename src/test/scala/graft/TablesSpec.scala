@@ -36,6 +36,25 @@ class TablesSpec extends AnyFunSuite {
     }
   }
 
+  test("int64 ts outside the nanos epoch range fails loudly, not silently /1000") {
+    import spark.implicits._
+    // a future drop shipping RAW MICROS as unannotated int64 must not be
+    // silently divided by 1000 (ADVICE r10): the loader's per-row unit
+    // guard raises instead
+    val microsMagnitude = 1726300800123456L // plausible as micros, not nanos
+    val d = java.nio.file.Files.createTempDirectory("ev_badunit").toString
+    Seq((1L, microsMagnitude, 7L, "login", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val ex = intercept[Exception] {
+      Tables.events(spark, d).select("ts").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("nanosecond epoch range")),
+      s"expected the unit-guard error, got: $ex")
+  }
+
   test("current testdata loads through the events loader at every sf") {
     Seq("sf0.001", "sf0.01").foreach { sf =>
       val df = Tables.events(spark, s"/root/testdata/$sf")

@@ -55,7 +55,10 @@ class EndToEndSpec extends AnyFunSuite {
       }
       val nodes = live(out.queryExecution.executedPlan)
       val cachedReads = nodes.count(_.isInstanceOf[InMemoryTableScanExec])
-      assert(cachedReads == 2, s"decision table should feed both branches " +
+      // >= 2, not == 2 (ADVICE r10): the invariant is "both branches read
+      // the decision table from cache"; an AQE/Spark-version change that
+      // adds a cosmetic extra cached read must not red the suite
+      assert(cachedReads >= 2, s"decision table should feed both branches " +
         s"from cache, found $cachedReads InMemoryTableScans")
       // composing must add only: the pack bucket repartition, the final
       // doc-keyed join's two exchanges, and the output sort — anything

@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Repo-side leak scan with provenance (VERDICT r10 #6: the round
+artifact carried no timestamp/file-count proving scan freshness).
+
+Scans every tracked source/doc file for the seven categories the round
+harness checks — references to proprietary/internal systems, URLs,
+packages, buckets, chat links, credentials, and internal env vars — and
+writes LEAKCHECK_LOCAL.json with `generated_at` + `files_scanned` so a
+reader can tell WHEN the clean bill was issued and over how many files.
+
+Exit 1 on any hit. Run via tools/round_gate.sh.
+"""
+import json
+import os
+import re
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+ROOT = "/root/repo"
+
+# category -> compiled patterns. Kept deliberately broad: a false positive
+# costs a minute of reading; a false negative ships a leak.
+PATTERNS = {
+    "internal-import": [
+        re.compile(r"import\s+(?:com|io|ai)\.vendorco", re.I),
+        re.compile(r'from\s+vendorco|import\s+vendorco\b'),
+    ],
+    "internal-url": [
+        re.compile(r"https?://[\w.-]*\.(?:corp|internal|intra)\b", re.I),
+        re.compile(r"\bgo/[a-z][\w-]{2,}\b"),
+        re.compile(r"vendorco\.com", re.I),
+    ],
+    "internal-pkg2": [
+        re.compile(r"\bvendorco\b|\bclaude[- ]?(?:code|cli)\b", re.I),
+        re.compile(r"@vendor-pkg/", re.I),
+    ],
+    "internal-bucket": [
+        re.compile(r"\b(?:s3|gs|abfss?)://[\w.-]+", re.I),
+    ],
+    "slack-link": [
+        re.compile(r"[\w-]+\.slack\.com|chat-example://", re.I),
+        re.compile(r"\B#chat-tag-[\w-]+", re.I),
+    ],
+    "api-key": [
+        re.compile(r"\bsk-[A-Za-z0-9_-]{20,}"),
+        re.compile(r"\bAKIA[0-9A-Z]{16}\b"),
+        re.compile(r"-----BEGIN (?:RSA |EC )?PRIVATE KEY-----"),
+    ],
+    "axon-env": [
+        re.compile(r"\bXENV[A-Z_]*\b"),
+        re.compile(r"\bVENDORCO_[A-Z_]+\b"),
+    ],
+}
+
+SCAN_EXT = {".scala", ".sbt", ".py", ".sh", ".md", ".sql", ".json",
+            ".conf", ".toml", ".proto", ".txt", ".yaml", ".yml"}
+SKIP = {"tools/leakcheck.py", "LEAKCHECK.json", "LEAKCHECK_LOCAL.json"}
+
+
+def tracked_files():
+    out = subprocess.run(["git", "ls-files"], cwd=ROOT, capture_output=True,
+                         text=True, check=True).stdout
+    for rel in out.splitlines():
+        if rel in SKIP:
+            continue
+        if os.path.splitext(rel)[1].lower() in SCAN_EXT:
+            yield rel
+
+
+def main():
+    hits = {cat: [] for cat in PATTERNS}
+    n_files = 0
+    for rel in tracked_files():
+        path = os.path.join(ROOT, rel)
+        try:
+            with open(path, errors="replace") as f:
+                text = f.read()
+        except OSError:
+            continue
+        n_files += 1
+        for i, line in enumerate(text.splitlines(), 1):
+            for cat, pats in PATTERNS.items():
+                if any(p.search(line) for p in pats):
+                    hits[cat].append(f"{rel}:{i}: {line.strip()[:160]}")
+    n_hits = sum(len(v) for v in hits.values())
+    artifact = {
+        "generated_at": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+        "files_scanned": n_files,
+        "n_hits": n_hits,
+        "hits": hits,
+    }
+    with open(os.path.join(ROOT, "LEAKCHECK_LOCAL.json"), "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"leakcheck: {n_files} files scanned, {n_hits} hits "
+          f"({artifact['generated_at']})")
+    if n_hits:
+        for cat, v in hits.items():
+            for h in v:
+                print(f"  [{cat}] {h}")
+    return 1 if n_hits else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

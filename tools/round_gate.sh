@@ -2,38 +2,48 @@
 # End-of-round gate (VERDICT r9 item 5): one command that proves the
 # snapshot is shippable. Run before the round closes; if any stage is
 # red, fix or revert to last green BEFORE the snapshot.
-#   tools/round_gate.sh            # compile + test + verify(sf0.01)
+#   tools/round_gate.sh            # compile + test + verify(sf0.01) + leakcheck
 #   tools/round_gate.sh --bench    # ... + a full sf0.1 bench
+# Gating relies on each command's EXIT CODE only (ADVICE r10: summary
+# greps are informational and must not red the gate if sbt reformats).
 set -eo pipefail
 cd /root/repo
 
-echo "== [1/4] sbt compile =="
+echo "== [1/5] sbt compile =="
 sbt -batch compile > /tmp/gate_compile.log 2>&1 \
   || { tail -20 /tmp/gate_compile.log; echo "GATE: COMPILE RED"; exit 1; }
 
-echo "== [2/4] sbt test =="
+echo "== [2/5] sbt test =="
 sbt -batch test > /tmp/gate_test.log 2>&1 \
-  || { grep -E "FAILED|\*\*\*" /tmp/gate_test.log | tail -20; echo "GATE: TESTS RED"; exit 1; }
-grep -E "Tests: succeeded" /tmp/gate_test.log | tail -1
+  || { grep -E "FAILED|\*\*\*" /tmp/gate_test.log | tail -20 || true
+       echo "GATE: TESTS RED"; exit 1; }
+grep -E "Tests: succeeded" /tmp/gate_test.log | tail -1 || true
 
-echo "== [3/4] differential verify (sf0.01) =="
-bash tools/verify.sh /root/testdata/sf0.01 2>&1 | tail -1 | tee /tmp/gate_verify.log
-grep -q " 0 fail," /tmp/gate_verify.log || { echo "GATE: VERIFY RED"; exit 1; }
+echo "== [3/5] differential verify (sf0.01) =="
+bash tools/verify.sh /root/testdata/sf0.01 > /tmp/gate_verify.log 2>&1 \
+  || { tail -10 /tmp/gate_verify.log; echo "GATE: VERIFY RED"; exit 1; }
+tail -2 /tmp/gate_verify.log || true
 
-if [ "$1" = "--bench" ]; then
-  echo "== [4/4] bench (sf0.1) =="
+echo "== [4/5] leakcheck =="
+python3 tools/leakcheck.py || { echo "GATE: LEAKCHECK RED"; exit 1; }
+
+if [ "${1:-}" = "--bench" ]; then
+  echo "== [5/5] bench (sf0.1) =="
   ADDOPENS=""
   for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
            java.util java.util.concurrent java.util.concurrent.atomic \
            sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
     ADDOPENS="$ADDOPENS --add-opens java.base/$p=ALL-UNNAMED"
   done
-  sbt -batch package > /tmp/gate_pkg.log 2>&1
+  sbt -batch package > /tmp/gate_pkg.log 2>&1 \
+    || { tail -20 /tmp/gate_pkg.log; echo "GATE: PACKAGE RED"; exit 1; }
+  # derive the jar from the build output, not a hardcoded name
+  JAR=$(ls -t target/scala-2.13/*.jar | head -1)
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   java $ADDOPENS -Xmx48g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-    -cp "target/scala-2.13/ed_clickhousespark_2.13-0.1.0.jar:/opt/spark/jars/*" \
+    -cp "$JAR:/opt/spark/jars/*" \
     graft.Bench 2>/tmp/gate_bench.err | tail -1
 else
-  echo "== [4/4] bench skipped (pass --bench to run) =="
+  echo "== [5/5] bench skipped (pass --bench to run) =="
 fi
 echo "GATE: GREEN"
