@@ -37,7 +37,8 @@ object Bench {
           "d_dedup_cosine", "d_knn_cosine", "d_ann_lsh", "d_ann_ivf",
           "o_j6b_asof_native", "o_j6c_asof_forward", "o_a12_sketch_merge",
           "d_dedup_cluster", "d_emb_outlier", "d_decontam",
-          "d_dedup_keep_best", "d_curation_apply", "d_pipeline_e2e")
+          "d_dedup_keep_best", "d_curation_apply", "d_pipeline_e2e",
+          "d_backbone_incr")
         .foreach { q =>
           try SparkEntry.queries(q)(spark, warmSf).count()
           catch { case _: Throwable => () }

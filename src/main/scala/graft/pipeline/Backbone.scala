@@ -116,13 +116,16 @@ private[graft] object Backbone {
   }
 
   /** Separately-persisted HISTORY tables for the stored-delta contract
-    * (`d_dedup_delta_stored`): keeper-per-fingerprint, banded signatures
-    * and shingle sets for documents below `split` ONLY. In production
-    * these are yesterday's warehouse tables, maintained incrementally;
-    * the nightly delta probes them with batch-only signatures and never
-    * scans history text again. */
+    * (`d_dedup_delta_stored`) and the incremental-advance contract
+    * (`d_backbone_incr`): keeper-per-fingerprint, banded signatures,
+    * shingle sets, verified near-dup pairs and cluster labels for
+    * documents below `split` ONLY. In production these are yesterday's
+    * warehouse tables, maintained incrementally; the nightly delta
+    * probes them with batch-only signatures and never scans history
+    * text again. */
   final case class HistoryTables(keepers: DataFrame, bands: DataFrame,
-                                 sets: DataFrame)
+                                 sets: DataFrame, pairs: DataFrame,
+                                 labels: DataFrame)
 
   def history(s: SparkSession, d: String, split: Long): HistoryTables = {
     val base = s"$rootDir/${token(d)}/hist$split"
@@ -134,12 +137,107 @@ private[graft] object Backbone {
       hist.select(col("doc_id"), md5(lower(col("text")).cast("binary")).as("fp"))
         .groupBy("fp").agg(min("doc_id").as("keep_id"))
         .write.mode("overwrite").parquet(s"$base/keepers")
+      // yesterday's pair graph + cluster labels — the state the
+      // incremental advance starts from (derived from the written
+      // band/set parquet, so the signature plan is not re-evaluated)
+      val hb = s.read.parquet(s"$base/bands")
+      val cands = hb.as("x").join(hb.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .distinct()
+      TextDedup.verifyPairs(cands, s.read.parquet(s"$base/sets"),
+          corpusCount(s, d))
+        .write.mode("overwrite").parquet(s"$base/pairs")
+      val edges = Graph.symmetrize(
+        s.read.parquet(s"$base/pairs"), "da", "db").persist()
+      val (lbl, caches) = Graph.minLabelComponents(edges)
+      lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+        .write.mode("overwrite").parquet(s"$base/labels")
+      (edges +: caches).foreach(_.unpersist())
       sp.caches.foreach(_.unpersist())
     }
     HistoryTables(
       s.read.parquet(s"$base/keepers"),
       s.read.parquet(s"$base/bands"),
-      s.read.parquet(s"$base/sets"))
+      s.read.parquet(s"$base/sets"),
+      s.read.parquet(s"$base/pairs"),
+      s.read.parquet(s"$base/labels"))
+  }
+
+  /** Incrementally ADVANCE the stored backbone from history (docs below
+    * the delta split) to the full corpus — the warehouse maintenance
+    * step a daily curation run executes. Daily cost is sized by the
+    * BATCH, never the history:
+    *
+    *  - sign the arriving batch only (|batch| text scans — the plan's
+    *    only `documents` read, filter pushed to the parquet scan);
+    *  - new candidate pairs = intra-batch band self-join + batch bands
+    *    probed against the STORED history band table (equi-join on the
+    *    bucket key; history text/signatures are never recomputed);
+    *  - verified new pairs union the STORED history pair table — a
+    *    history×history candidate cannot newly arise (history bands are
+    *    unchanged), so the merged table equals a full-corpus rebuild;
+    *  - cluster labels update INCREMENTALLY: components touched by no
+    *    new edge pass through from the stored label table verbatim;
+    *    touched components are contracted to star edges
+    *    (member → cluster_id) and re-solved together with the new edges
+    *    — CC work is O(|new pairs| + |touched members|), independent of
+    *    corpus size. Min-label ids survive contraction (every member,
+    *    including the min, rides a star edge), so labels — not just the
+    *    partition — match the full rebuild exactly.
+    *
+    * Returns (doc_id, cluster_id) for every doc in a near-dup pair —
+    * bit-for-bit the full-rebuild [[labels]] (BackboneAdvanceSpec and
+    * the shared `d_dedup_cluster` oracle both pin this). */
+  def advance(s: SparkSession, d: String): DataFrame = {
+    val (advanced, caches) = advancePlan(s, d)
+    Materialize.drop(advanced, caches: _*)
+  }
+
+  /** The un-materialized advance plan plus its persisted intermediates —
+    * exposed so BackboneAdvanceSpec can assert the plan property that IS
+    * the contract (the only `documents` scan is the batch-filtered one)
+    * before the lineage cut hides it. */
+  private[graft] def advancePlan(
+      s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val split = TextDedup.deltaSplit(s, d)
+    val h = history(s, d, split)
+    val nDocs = corpusCount(s, d)
+    val batch = Tables.documents(s, d).filter(col("doc_id") >= split)
+    val sp = TextDedup.signaturePlan(batch, nBands = 4, rowsPerBand = 2)
+    val intraCands = sp.bands.as("x").join(sp.bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    val intra = TextDedup.verifyPairs(intraCands, sp.docSets, nDocs,
+      ordered = false)
+    val crossCands = sp.bands.as("x").join(h.bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("y.doc_id").as("da"), col("x.doc_id").as("db"))
+      .distinct()
+    val cross = TextDedup.verifyPairs(crossCands, h.sets, nDocs,
+      setsB = sp.docSets, ordered = false)
+    // new edges feed endpoint extraction AND the CC loop's every round —
+    // persist, release after the caller's action
+    val newPairs = cross.unionByName(intra).persist()
+    val eps = newPairs.select(col("da").as("doc_id"))
+      .unionByName(newPairs.select(col("db").as("doc_id"))).distinct()
+    val touchedClusters = h.labels.join(eps, Seq("doc_id"))
+      .select("cluster_id").distinct()
+    val stars = h.labels.join(touchedClusters, Seq("cluster_id"))
+      .select(col("doc_id").as("da"), col("cluster_id").as("db"))
+    val edges = Graph.symmetrize(
+        newPairs.select("da", "db").unionByName(stars), "da", "db")
+      .persist()
+    val (lbl, ccCaches) = Graph.minLabelComponents(edges)
+    val untouched = h.labels
+      .join(touchedClusters, Seq("cluster_id"), "left_anti")
+      .select("doc_id", "cluster_id")
+    val advanced = untouched.unionByName(
+      lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id")))
+    (advanced, (sp.caches :+ newPairs :+ edges) ++ ccCaches)
   }
 
   /** Build every table the catalog's cascade reads (both delta

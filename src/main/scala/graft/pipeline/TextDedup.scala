@@ -104,6 +104,21 @@ object TextDedup {
 
     "d_dedup_simhash" -> ((s, d) => simhashPairs(s, d)),
 
+    // INCREMENTAL backbone maintenance — the warehouse step that keeps
+    // the stored cluster labels current as batches land, without ever
+    // re-clustering history: sign the batch, probe the stored band
+    // table, union the stored pair table, re-solve ONLY the touched
+    // components (contracted to stars) together with the new edges.
+    // Output shape and oracle are shared with d_dedup_cluster — the
+    // incrementally-advanced labels must equal the full rebuild
+    // bit-for-bit, which is the whole contract.
+    "d_backbone_incr" -> ((s, d) => {
+      Backbone.advance(s, d)
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .orderBy("doc_id")
+    }),
+
     // DELTA dedup — the production shape at 100 TB: verdicts for a NEW
     // batch (the upper half of the corpus by doc_id) against accumulated
     // HISTORY (the lower half), without re-deduplicating history. Exact =
@@ -266,9 +281,6 @@ object TextDedup {
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
     Backbone.pairs(s, d).orderBy("da", "db")
 
-  /** Shared body of the delta queries: verdicts for the batch half
-    * (doc_id >= 250) against history (doc_id < 250) at the given band
-    * geometry. */
   /** History/batch split point: half the corpus by doc_id, derived from
     * the row count so the modeled scenario (an accumulated history of
     * comparable size to the arriving batch) holds at every scale factor
@@ -277,6 +289,9 @@ object TextDedup {
   private[graft] def deltaSplit(s: SparkSession, d: String): Long =
     Backbone.corpusCount(s, d) / 2
 
+  /** Shared body of the delta queries: verdicts for the batch half
+    * (doc_id >= deltaSplit) against history (doc_id < deltaSplit) at the
+    * given band geometry. */
   private def deltaVerdicts(s: SparkSession, d: String,
                             rowsPerBand: Int): DataFrame = {
     val split = deltaSplit(s, d)
@@ -460,14 +475,17 @@ object TextDedup {
   /** Exact-Jaccard verification of an LSH candidate list against per-doc
     * shingle-set tables (broadcast-gated on corpus size) — shared by the
     * full-corpus plan and the stored-delta probe. `setsB` defaults to
-    * `setsA` for the within-corpus self-join case. */
+    * `setsA` for the within-corpus self-join case. `ordered = false`
+    * skips the output sort for callers that feed the pairs into a union
+    * or the CC loop, where a per-side range exchange buys nothing. */
   private[graft] def verifyPairs(cands: DataFrame, setsA: DataFrame,
                                  nDocs: Long,
-                                 setsB: DataFrame = null): DataFrame = {
+                                 setsB: DataFrame = null,
+                                 ordered: Boolean = true): DataFrame = {
       val gated = (df: DataFrame) =>
         if (nDocs <= maxBroadcastDocs) broadcast(df) else df
       val sb = Option(setsB).getOrElse(setsA)
-      cands
+      val verified = cands
         .join(gated(setsA).as("sa"), col("da") === col("sa.doc_id"))
         .join(gated(sb).as("sb"), col("db") === col("sb.doc_id"))
         .select(col("da"), col("db"),
@@ -477,7 +495,7 @@ object TextDedup {
         .select(col("da"), col("db"),
           round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
-        .orderBy("da", "db")
+      if (ordered) verified.orderBy("da", "db") else verified
   }
 
   /** SimHash near-dup pairs via the native codegen'd SimHash64
@@ -784,6 +802,14 @@ object TextDedup {
     // cluster_id = min reachable doc_id (incl. self), matching the
     // min-label-propagation fixpoint on the Spark side.
     "d_dedup_cluster" ->
+      s"""WITH RECURSIVE $clustersCte
+          SELECT doc_id, cluster_id,
+                 COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+          FROM clusters ORDER BY doc_id""",
+
+    // Same oracle as d_dedup_cluster BY DESIGN: the incremental advance
+    // must reproduce the full-rebuild clustering exactly.
+    "d_backbone_incr" ->
       s"""WITH RECURSIVE $clustersCte
           SELECT doc_id, cluster_id,
                  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
