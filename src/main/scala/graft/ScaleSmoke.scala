@@ -160,6 +160,30 @@ object ScaleSmoke {
       println(f"[scale] delta candidates x$m (history=$splitId, batch=${nDoc - splitId}): " +
         f"$deltaCand%,d cross pairs  (${deltaCand.toDouble / (nDoc - splitId)}%.2f per batch doc)")
       mhD.caches.foreach(_.unpersist())
+      // ---- incremental advance vs full rebuild ------------------------
+      // The maintenance contract: with a FIXED daily batch and a history
+      // that grows with m, `Backbone.advance` must stay ~flat (its work
+      // is |batch| signing + band probes + touched-component repair)
+      // while a from-scratch rebuild grows with the corpus. History
+      // tables are yesterday's state — built untimed before the clock
+      // starts; both sides end in a label-table count.
+      val batchN = baseDocs / 2
+      val advSplit = (nDoc - batchN).toLong
+      pipeline.Backbone.history(spark, dir, advSplit)
+      timeIt(f"backbone advance x$m (hist=$advSplit%,d, batch=$batchN%,d)", {
+        val (adv, aCaches) = pipeline.Backbone.advancePlan(spark, dir, advSplit)
+        val n = adv.count()
+        aCaches.foreach(_.unpersist())
+        n
+      })
+      timeIt(f"backbone rebuild x$m (n=$nDoc%,d)", {
+        val mhR = pipeline.TextDedup.minhashPairsPlan(spark, dir)
+        val edges = pipeline.Graph.symmetrize(mhR.pairs, "da", "db").persist()
+        val (lbl, lCaches) = pipeline.Graph.minLabelComponents(edges)
+        val n = lbl.count()
+        ((edges +: lCaches) ++ mhR.caches).foreach(_.unpersist())
+        n
+      })
       // Packing balance: bucket fan-out is the parallelism knob — per-
       // bucket row spread must stay tight or one straggler serializes.
       val pb = pipeline.Packing

@@ -68,7 +68,7 @@ private[graft] object Backbone {
     val path = s"$rootDir/${token(d)}/fps"
     ensure(path) {
       Tables.documents(s, d)
-        .select(col("doc_id"), md5(lower(col("text")).cast("binary")).as("fp"))
+        .select(col("doc_id"), TextDedup.fpCol.as("fp"))
         .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
@@ -134,7 +134,7 @@ private[graft] object Backbone {
       val sp = TextDedup.signaturePlan(hist, nBands = 4, rowsPerBand = 2)
       sp.bands.write.mode("overwrite").parquet(s"$base/bands")
       sp.docSets.write.mode("overwrite").parquet(s"$base/sets")
-      hist.select(col("doc_id"), md5(lower(col("text")).cast("binary")).as("fp"))
+      hist.select(col("doc_id"), TextDedup.fpCol.as("fp"))
         .groupBy("fp").agg(min("doc_id").as("keep_id"))
         .write.mode("overwrite").parquet(s"$base/keepers")
       // yesterday's pair graph + cluster labels — the state the
@@ -198,10 +198,14 @@ private[graft] object Backbone {
   /** The un-materialized advance plan plus its persisted intermediates —
     * exposed so BackboneAdvanceSpec can assert the plan property that IS
     * the contract (the only `documents` scan is the batch-filtered one)
-    * before the lineage cut hides it. */
+    * before the lineage cut hides it, and so ScaleSmoke can sweep the
+    * history/batch split independently of the catalog's halfway default
+    * (`splitOverride` < 0 → [[TextDedup.deltaSplit]]). */
   private[graft] def advancePlan(
-      s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
-    val split = TextDedup.deltaSplit(s, d)
+      s: SparkSession, d: String,
+      splitOverride: Long = -1L): (DataFrame, Seq[DataFrame]) = {
+    val split =
+      if (splitOverride >= 0) splitOverride else TextDedup.deltaSplit(s, d)
     val h = history(s, d, split)
     val nDocs = corpusCount(s, d)
     val batch = Tables.documents(s, d).filter(col("doc_id") >= split)

@@ -161,7 +161,7 @@ object TextDedup {
         .groupBy(col("db").as("doc_id"))
         .agg(min("da").as("near_dup_of"), count(lit(1)).as("n_near"))
       val exact = batch
-        .select(col("doc_id"), md5(lower(col("text")).cast("binary")).as("fp"))
+        .select(col("doc_id"), fpCol.as("fp"))
         .join(h.keepers.withColumnRenamed("keep_id", "exact_dup_of"),
           Seq("fp"), "left")
         .select(col("doc_id"), col("exact_dup_of"))
@@ -288,6 +288,13 @@ object TextDedup {
     * as a scalar subquery. */
   private[graft] def deltaSplit(s: SparkSession, d: String): Long =
     Backbone.corpusCount(s, d) / 2
+
+  /** THE exact-dedup fingerprint — md5 over the lowercased text. One
+    * definition shared by the backbone builder, the delta queries and
+    * the streaming history writer, so stored fingerprint tables are
+    * comparable across all three producers. */
+  private[graft] def fpCol: Column =
+    md5(lower(col("text")).cast("binary"))
 
   /** Shared body of the delta queries: verdicts for the batch half
     * (doc_id >= deltaSplit) against history (doc_id < deltaSplit) at the

@@ -7,8 +7,8 @@ import java.util.concurrent.ConcurrentHashMap
 import scala.concurrent.duration.FiniteDuration
 
 import org.apache.spark.SparkContext
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, functions => F}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.util.LongAccumulator
 
 case class DocEvent(doc_id: Long, text: String)
@@ -312,5 +312,54 @@ object DedupStream {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout,
         initial)(exactUpdate)
+  }
+
+  /** Streaming HISTORY WRITER — the ingest half of the warehouse loop
+    * the backbone documents: as documents arrive, persist the raw
+    * fingerprint / banded-signature / shingle-set tables that the
+    * stored-delta probe (`d_dedup_delta_stored`) and the incremental
+    * advance (`Backbone.advance`) consume. The batch pipeline never
+    * re-scans ingested text: the stream already paid that scan once.
+    *
+    * Layout: `baseDir/{fps,bands,sets}/batch=<id>/…` — one overwritten
+    * partition directory per micro-batch, so a replayed batch (the
+    * at-least-once case foreachBatch exposes) rewrites its own partition
+    * instead of appending duplicates; readers get exactly-once tables by
+    * construction. Derivations (signature plan, fingerprint column) are
+    * the batch pipeline's own, so stream-written tables equal
+    * `Backbone.history`'s bit-for-bit (HistoryWriterSpec pins all
+    * three). Keepers/pairs/labels are AGGREGATED state — derived at
+    * read/compaction time ([[readHistoryTables]], `Backbone.advance`),
+    * not appended by the stream. */
+  private[graft] def writeHistoryBatch(batch: DataFrame, batchId: Long,
+                                       baseDir: String): Unit = {
+    val sp = graft.pipeline.TextDedup.signaturePlan(
+      batch, nBands = nBands, rowsPerBand = rowsPerBand)
+    sp.bands.write.mode("overwrite").parquet(s"$baseDir/bands/batch=$batchId")
+    sp.docSets.write.mode("overwrite").parquet(s"$baseDir/sets/batch=$batchId")
+    batch.select(F.col("doc_id"), graft.pipeline.TextDedup.fpCol.as("fp"))
+      .write.mode("overwrite").parquet(s"$baseDir/fps/batch=$batchId")
+    sp.caches.foreach(_.unpersist())
+  }
+
+  /** The streaming query writer for [[writeHistoryBatch]]; caller sets
+    * checkpointLocation/trigger and starts it. */
+  def historyWriter(docs: Dataset[DocEvent],
+                    baseDir: String): DataStreamWriter[DocEvent] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[DocEvent], batchId: Long) =>
+        writeHistoryBatch(batch.toDF(), batchId, baseDir)
+      }
+
+  /** Read stream-written history back as the probe-ready tables
+    * (keepers derived from raw fingerprints; `batch` partition column
+    * dropped — it is write-side bookkeeping, not data). */
+  def readHistoryTables(s: SparkSession, baseDir: String):
+      (DataFrame, DataFrame, DataFrame) = {
+    val fps = s.read.parquet(s"$baseDir/fps").drop("batch")
+    val keepers = fps.groupBy("fp").agg(F.min("doc_id").as("keep_id"))
+    val bands = s.read.parquet(s"$baseDir/bands").drop("batch")
+    val sets = s.read.parquet(s"$baseDir/sets").drop("batch")
+    (keepers, bands, sets)
   }
 }
