@@ -42,6 +42,51 @@ class BackboneAdvanceSpec extends AnyFunSuite {
         s"${newOnes.filter { case (a, b) => a < split && b < split }.take(5)}")
   }
 
+  test("advance == rebuild on randomized corpora, splits cutting through dup families") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1107)
+    val vocab = (0 until 20).map(i => s"w$i")
+    def doc(): String =
+      Seq.fill(10 + rnd.nextInt(7))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    def mutate(t: String): String = {
+      val w = t.split(" ")
+      w(rnd.nextInt(w.length)) = vocab(rnd.nextInt(vocab.size))
+      w.mkString(" ")
+    }
+    (0 until 2).foreach { c =>
+      // ~10 families of exact + near copies, ids SHUFFLED so every split
+      // point cuts through families (cross edges + batch-new clusters)
+      val texts = scala.collection.mutable.Buffer[String]()
+      (0 until 10).foreach { _ =>
+        val base = doc()
+        texts += base
+        (0 until 1 + rnd.nextInt(2)).foreach(_ => texts += base)     // exact
+        (0 until 1 + rnd.nextInt(2)).foreach(_ => texts += mutate(base)) // near
+      }
+      (0 until 30).foreach(_ => texts += doc()) // background singletons
+      val shuffled = rnd.shuffle(texts.toSeq).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_adv_prop$c").toString
+      shuffled.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+      val full = Backbone.labels(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(full.nonEmpty, s"corpus $c: planted families produced no clusters")
+      val n = shuffled.size
+      Seq(n / 4, n / 2, 3 * n / 4).foreach { split =>
+        val (adv, caches) = Backbone.advancePlan(spark, dir, split.toLong)
+        val incr = adv.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        caches.foreach(_.unpersist())
+        assert(incr == full,
+          s"corpus $c split $split diverged: " +
+            s"only-incr ${(incr -- full).toSeq.sorted.take(5)}, " +
+            s"only-full ${(full -- incr).toSeq.sorted.take(5)}")
+      }
+    }
+  }
+
   test("advance scans documents only for the batch (filter pushed)") {
     val (advanced, caches) = Backbone.advancePlan(spark, sf)
     try {

@@ -16,4 +16,4 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
 done
 java $ADDOPENS -Xmx48g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/ed_clickhousespark_2.13-0.1.0.jar:/opt/spark/jars/*" \
-  graft.TimeQueries "$SF" "$@" 2>&1 | grep -E "^\[timeq\]|Exception|Error"
+  graft.TimeQueries "$SF" "$@" 2>&1 | grep -E "^\[timeq\]|^\[graph\]|Exception|Error"
