@@ -66,6 +66,43 @@ private[graft] object Graph {
     // sized from the graph, not the session's shuffle default
     val p = math.max(1L, math.min(sc.defaultParallelism.toLong,
       nEdges / 2000000L + 1L)).toInt
+    // single-partition regime: the whole graph fits one task by
+    // construction (< ~2M edges) — a partition-local union-find computes
+    // the identical min-label fixpoint in ONE stage instead of
+    // O(log diameter) rounds of multi-stage jobs. This is the common
+    // case for verified near-dup graphs (pairs collapse the corpus by
+    // orders of magnitude); the loop below is the >2M-edge path.
+    // `-Dgraft.graph.forceLoop=true` pins the loop for differential
+    // testing (GraphSpec asserts path equality on random graphs).
+    if (p == 1 && nEdges > 0 &&
+        !sys.props.get("graft.graph.forceLoop").contains("true")) {
+      val lbl = raw.coalesce(1).mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x // path compression
+          while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val (ra, rb) = (find(a), find(b))
+          // union by MIN root: the root IS the component's min id
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        parent.keySet().forEach(k => out += ((k, find(k))))
+        out.iterator
+      }
+      val out = lbl.toDF("id", "lbl").localCheckpoint(true)
+      raw.unpersist(blocking = false)
+      System.err.println(
+        s"[graph] cc converged: $nEdges edges, 1 partition (union-find)")
+      return (out, Seq.empty)
+    }
     val part = new HashPartitioner(p)
     val e = raw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
     e.foreachPartition(_ => ()) // materialize before dropping raw

@@ -40,4 +40,27 @@ class GraphSpec extends AnyFunSuite {
     val got = components(Seq((9L, 7L), (7L, 8L), (100L, 50L)))
     assert(got == Map(9L -> 7L, 7L -> 7L, 8L -> 7L, 100L -> 50L, 50L -> 50L))
   }
+
+  test("union-find fast path == propagation loop on random graphs") {
+    // the single-partition regime takes the union-find path by default;
+    // -Dgraft.graph.forceLoop pins the multi-partition loop — both must
+    // produce the identical min-label fixpoint
+    val rnd = new scala.util.Random(42)
+    (0 until 3).foreach { trial =>
+      val n = 60 + trial * 40
+      val pairs = Seq.fill(n) {
+        (rnd.nextInt(n / 2).toLong, rnd.nextInt(n / 2).toLong)
+      }.filter { case (a, b) => a != b }
+      val fast = components(pairs)
+      assert(!sys.props.contains("graft.graph.forceLoop"))
+      sys.props("graft.graph.forceLoop") = "true"
+      val loop =
+        try components(pairs)
+        finally sys.props.remove("graft.graph.forceLoop")
+      assert(fast == loop,
+        s"trial $trial: paths diverge on ${pairs.size} edges: " +
+          s"${(fast.toSet diff loop.toSet).take(5)} / " +
+          s"${(loop.toSet diff fast.toSet).take(5)}")
+    }
+  }
 }
