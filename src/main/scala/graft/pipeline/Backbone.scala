@@ -204,6 +204,21 @@ private[graft] object Backbone {
   private[graft] def advancePlan(
       s: SparkSession, d: String,
       splitOverride: Long = -1L): (DataFrame, Seq[DataFrame]) = {
+    val p = advanceParts(s, d, splitOverride)
+    (p.labels, p.caches)
+  }
+
+  /** Everything a committed advance produces, un-materialized:
+    * the advanced label table plus the NEW-state ingredients
+    * ([[advanceAndStore]] writes them as tomorrow's history). */
+  private[graft] final case class AdvanceParts(
+      labels: DataFrame, newPairs: DataFrame, batchBands: DataFrame,
+      batchSets: DataFrame, batchFps: DataFrame, h: HistoryTables,
+      caches: Seq[DataFrame])
+
+  private def advanceParts(
+      s: SparkSession, d: String,
+      splitOverride: Long = -1L): AdvanceParts = {
     val split =
       if (splitOverride >= 0) splitOverride else TextDedup.deltaSplit(s, d)
     val h = history(s, d, split)
@@ -241,7 +256,49 @@ private[graft] object Backbone {
       .select("doc_id", "cluster_id")
     val advanced = untouched.unionByName(
       lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id")))
-    (advanced, (sp.caches :+ newPairs :+ edges) ++ ccCaches)
+    AdvanceParts(advanced, newPairs, sp.bands, sp.docSets,
+      batch.select(col("doc_id"), TextDedup.fpCol.as("fp")), h,
+      (sp.caches :+ newPairs :+ edges) ++ ccCaches)
+  }
+
+  /** COMMIT the advance: write the advanced state as tomorrow's stored
+    * history — band/set/fingerprint-keeper/pair/label tables for the
+    * full corpus, derived incrementally (history text untouched; only
+    * the batch was scanned). The closure property that makes the daily
+    * loop sound: the committed tables equal what a from-scratch
+    * [[history]] build over the whole corpus would store, bit-for-bit
+    * (BackboneAdvanceSpec pins all five) — so day N+1's delta/advance
+    * reads state indistinguishable from a full rebuild, and drift can
+    * never accumulate across days. Returns the committed tables. */
+  private[graft] def advanceAndStore(
+      s: SparkSession, d: String,
+      splitOverride: Long = -1L): HistoryTables = {
+    val split =
+      if (splitOverride >= 0) splitOverride else TextDedup.deltaSplit(s, d)
+    val base = s"$rootDir/${token(d)}/adv$split"
+    ensure(base) {
+      val p = advanceParts(s, d, split)
+      p.h.bands.unionByName(p.batchBands)
+        .write.mode("overwrite").parquet(s"$base/bands")
+      p.h.sets.unionByName(p.batchSets)
+        .write.mode("overwrite").parquet(s"$base/sets")
+      // merged keeper: min over {history keeper} ∪ {batch members} per
+      // fingerprint — the history keeper already is the history min
+      p.h.keepers.select(col("fp"), col("keep_id").as("doc_id"))
+        .unionByName(p.batchFps.select(col("fp"), col("doc_id")))
+        .groupBy("fp").agg(min("doc_id").as("keep_id"))
+        .write.mode("overwrite").parquet(s"$base/keepers")
+      p.h.pairs.unionByName(p.newPairs)
+        .write.mode("overwrite").parquet(s"$base/pairs")
+      p.labels.write.mode("overwrite").parquet(s"$base/labels")
+      p.caches.foreach(_.unpersist())
+    }
+    HistoryTables(
+      s.read.parquet(s"$base/keepers"),
+      s.read.parquet(s"$base/bands"),
+      s.read.parquet(s"$base/sets"),
+      s.read.parquet(s"$base/pairs"),
+      s.read.parquet(s"$base/labels"))
   }
 
   /** Build every table the catalog's cascade reads (both delta

@@ -42,6 +42,33 @@ class BackboneAdvanceSpec extends AnyFunSuite {
         s"${newOnes.filter { case (a, b) => a < split && b < split }.take(5)}")
   }
 
+  test("advanceAndStore: committed tables == a fresh full-corpus history build") {
+    val n = Backbone.corpusCount(spark, sf)
+    val stored = Backbone.advanceAndStore(spark, sf)
+    val fresh = Backbone.history(spark, sf, n) // split = whole corpus
+
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def twoLongs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def keepersOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    def bandsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // shingle-set rows: collect_set order is nondeterministic — compare as sets
+    def setRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        (r.getLong(r.fieldIndex("doc_id")),
+          r.getSeq[String](r.fieldIndex("bgs")).toSet)
+      }.toSet
+
+    assert(keepersOf(stored.keepers) == keepersOf(fresh.keepers), "keepers")
+    assert(bandsOf(stored.bands) == bandsOf(fresh.bands), "bands")
+    assert(setRows(stored.sets) == setRows(fresh.sets), "sets")
+    assert(pairsOf(stored.pairs) == pairsOf(fresh.pairs), "pairs")
+    assert(twoLongs(stored.labels) == twoLongs(fresh.labels), "labels")
+  }
+
   test("advance == rebuild on randomized corpora, splits cutting through dup families") {
     import spark.implicits._
     val rnd = new scala.util.Random(1107)
