@@ -160,6 +160,24 @@ object ScaleSmoke {
       println(f"[scale] delta candidates x$m (history=$splitId, batch=${nDoc - splitId}): " +
         f"$deltaCand%,d cross pairs  (${deltaCand.toDouble / (nDoc - splitId)}%.2f per batch doc)")
       mhD.caches.foreach(_.unpersist())
+      // ---- DedupStream ingest CPU: signature throughput ---------------
+      // The streaming hot path is per-doc minhash signing; the
+      // per-executor bigram-hash memo amortizes the 8 seeded md5s to
+      // ~one per DISTINCT bigram. Measured here as single-thread
+      // docs/sec over the corpus texts (state/shuffle excluded — this
+      // is the CPU term an executor core pays per arriving doc).
+      locally {
+        import spark.implicits._
+        val texts = Tables.documents(spark, dir).select("text")
+          .as[String].collect()
+        texts.take(1000).foreach(graft.streaming.DedupStream.signature)
+        val t0 = System.nanoTime()
+        texts.foreach(graft.streaming.DedupStream.signature)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] stream signature x$m (n=${texts.length}%,d): " +
+          f"${texts.length / sec}%,.0f docs/s/core")
+      }
+
       // ---- incremental advance vs full rebuild ------------------------
       // The maintenance contract: with a FIXED daily batch and a history
       // that grows with m, `Backbone.advance` must stay ~flat (its work

@@ -216,14 +216,22 @@ private[graft] object Backbone {
       batchSets: DataFrame, batchFps: DataFrame, h: HistoryTables,
       caches: Seq[DataFrame])
 
+  /** `histOverride` lets a caller advance FROM PREVIOUSLY COMMITTED
+    * state (an [[advanceAndStore]] result) instead of a fresh-built
+    * history, and `batchEnd` bounds the batch's upper doc_id — together
+    * they express the real multi-day chain: day N's committed tables are
+    * day N+1's history (BackboneAdvanceSpec's two-day test). */
   private def advanceParts(
       s: SparkSession, d: String,
-      splitOverride: Long = -1L): AdvanceParts = {
+      splitOverride: Long = -1L,
+      histOverride: Option[HistoryTables] = None,
+      batchEnd: Long = Long.MaxValue): AdvanceParts = {
     val split =
       if (splitOverride >= 0) splitOverride else TextDedup.deltaSplit(s, d)
-    val h = history(s, d, split)
+    val h = histOverride.getOrElse(history(s, d, split))
     val nDocs = corpusCount(s, d)
-    val batch = Tables.documents(s, d).filter(col("doc_id") >= split)
+    val batch = Tables.documents(s, d)
+      .filter(col("doc_id") >= split && col("doc_id") < batchEnd)
     val sp = TextDedup.signaturePlan(batch, nBands = 4, rowsPerBand = 2)
     val intraCands = sp.bands.as("x").join(sp.bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -272,12 +280,14 @@ private[graft] object Backbone {
     * never accumulate across days. Returns the committed tables. */
   private[graft] def advanceAndStore(
       s: SparkSession, d: String,
-      splitOverride: Long = -1L): HistoryTables = {
+      splitOverride: Long = -1L,
+      histOverride: Option[HistoryTables] = None,
+      batchEnd: Long = Long.MaxValue): HistoryTables = {
     val split =
       if (splitOverride >= 0) splitOverride else TextDedup.deltaSplit(s, d)
-    val base = s"$rootDir/${token(d)}/adv$split"
+    val base = s"$rootDir/${token(d)}/adv${split}e$batchEnd"
     ensure(base) {
-      val p = advanceParts(s, d, split)
+      val p = advanceParts(s, d, split, histOverride, batchEnd)
       p.h.bands.unionByName(p.batchBands)
         .write.mode("overwrite").parquet(s"$base/bands")
       p.h.sets.unionByName(p.batchSets)

@@ -80,25 +80,51 @@ object DedupStream {
   private val nBands = 4
   private val rowsPerBand = 2
 
-  private def md5Hex(s: String): String =
-    MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
+  // MessageDigest is not thread-safe and getInstance is a per-call JCA
+  // lookup — one reused instance per executor thread instead
+  private val mdLocal: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  /** Lowercase hex of the first `nBytes` digest bytes — identical to the
+    * matching prefix of the batch plan's `md5()` hex (DedupStreamSpec
+    * pins band-key equality bit-for-bit). Table-driven: the former
+    * per-byte `"%02x".format` ran the whole Formatter machinery 32
+    * times per hash on the memo-miss path. */
+  private def md5Hex(s: String, nBytes: Int = 16): String = {
+    val md = mdLocal.get(); md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    val out = new Array[Char](nBytes * 2)
+    var i = 0
+    while (i < nBytes) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
 
   /** Per-executor memo of the 8 seeded hashes per DISTINCT bigram — the
     * streaming analog of the batch plan's broadcast alphabet dim
-    * (`bgHash`): the shingle alphabet is far smaller than the token
-    * stream, so at ingest rates the md5s amortize to ~one compute per
-    * distinct bigram instead of 8 per bigram per document. Size-capped;
-    * beyond the cap hashes are computed without inserting (correctness
-    * never depends on a hit). */
-  private val bgMemoCap = 1 << 16
+    * (`bgHash`): real text is Zipf-distributed, so the hot alphabet is
+    * far smaller than the token stream and hashes amortize to ~one
+    * compute per distinct hot bigram. Capped by
+    * `-Dgraft.stream.bgMemoCap` (default 2^16 entries ≈ 50 MB/executor;
+    * size to the corpus' hot alphabet). At the cap the memo CLEARS and
+    * refills — under drift or an oversized alphabet the hot set
+    * re-establishes in one pass, where the previous fill-once policy
+    * degraded to a permanent miss for every late-arriving bigram
+    * (measured as the x1→x4 throughput cliff in SCALE.md). Correctness
+    * never depends on a hit. */
+  private val bgMemoCap =
+    sys.props.get("graft.stream.bgMemoCap").map(_.toInt).getOrElse(1 << 16)
   private val bgMemo = new ConcurrentHashMap[String, Array[String]]()
   private def bigramHashes(bg: String): Array[String] = {
     val hit = bgMemo.get(bg)
     if (hit != null) return hit
-    val hs = Array.tabulate(nHashes)(i => md5Hex(s"$i|$bg").take(16))
-    if (bgMemo.size < bgMemoCap) bgMemo.putIfAbsent(bg, hs)
+    val hs = Array.tabulate(nHashes)(i => md5Hex(s"$i|$bg", 8))
+    if (bgMemo.size >= bgMemoCap) bgMemo.clear()
+    bgMemo.putIfAbsent(bg, hs)
     hs
   }
 

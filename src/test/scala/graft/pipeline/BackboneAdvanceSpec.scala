@@ -69,6 +69,26 @@ class BackboneAdvanceSpec extends AnyFunSuite {
     assert(twoLongs(stored.labels) == twoLongs(fresh.labels), "labels")
   }
 
+  test("two-day chain: advance from COMMITTED state ends at the full rebuild") {
+    // day 1: history = first third, batch = second third, COMMIT;
+    // day 2: history = day 1's committed tables (no fresh build), batch =
+    // final third. The end state's labels must equal the one-shot rebuild
+    // — the induction step of the daily loop run for real.
+    val n = Backbone.corpusCount(spark, sf)
+    val (t1, t2) = (n / 3, 2 * n / 3)
+    val day1 = Backbone.advanceAndStore(spark, sf, t1, batchEnd = t2)
+    val day2 = Backbone.advanceAndStore(spark, sf, t2,
+      histOverride = Some(day1))
+    val chained = day2.labels
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Backbone.labels(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(chained == full,
+      s"two-day chain diverged from rebuild: " +
+        s"only-chain ${(chained -- full).toSeq.sorted.take(5)}, " +
+        s"only-full ${(full -- chained).toSeq.sorted.take(5)}")
+  }
+
   test("advance == rebuild on randomized corpora, splits cutting through dup families") {
     import spark.implicits._
     val rnd = new scala.util.Random(1107)
