@@ -140,29 +140,63 @@ private[graft] object Backbone {
       // yesterday's pair graph + cluster labels — the state the
       // incremental advance starts from (derived from the written
       // band/set parquet, so the signature plan is not re-evaluated)
-      val hb = s.read.parquet(s"$base/bands")
-      val cands = hb.as("x").join(hb.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-        .distinct()
-      TextDedup.verifyPairs(cands, s.read.parquet(s"$base/sets"),
-          corpusCount(s, d))
-        .write.mode("overwrite").parquet(s"$base/pairs")
-      val edges = Graph.symmetrize(
-        s.read.parquet(s"$base/pairs"), "da", "db").persist()
-      val (lbl, caches) = Graph.minLabelComponents(edges)
-      lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
-        .write.mode("overwrite").parquet(s"$base/labels")
-      (edges +: caches).foreach(_.unpersist())
+      derivePairsAndLabels(s, base, corpusCount(s, d))
       sp.caches.foreach(_.unpersist())
     }
+    readHistory(s, base)
+  }
+
+  /** The COMPACTION step shared by [[history]]'s fresh build and
+    * [[compact]]'s stream-written intake: band-bucket candidate
+    * self-join → exact-Jaccard verification against the set table →
+    * CC labels, written next to the inputs. */
+  private def derivePairsAndLabels(s: SparkSession, base: String,
+                                   nDocs: Long): Unit = {
+    val hb = s.read.parquet(s"$base/bands")
+    val cands = hb.as("x").join(hb.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    TextDedup.verifyPairs(cands, s.read.parquet(s"$base/sets"), nDocs)
+      .write.mode("overwrite").parquet(s"$base/pairs")
+    val edges = Graph.symmetrize(
+      s.read.parquet(s"$base/pairs"), "da", "db").persist()
+    val (lbl, caches) = Graph.minLabelComponents(edges)
+    lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      .write.mode("overwrite").parquet(s"$base/labels")
+    (edges +: caches).foreach(_.unpersist())
+  }
+
+  private def readHistory(s: SparkSession, base: String): HistoryTables =
     HistoryTables(
       s.read.parquet(s"$base/keepers"),
       s.read.parquet(s"$base/bands"),
       s.read.parquet(s"$base/sets"),
       s.read.parquet(s"$base/pairs"),
       s.read.parquet(s"$base/labels"))
+
+  /** Compact EXTERNALLY-PRODUCED raw history tables (keepers, bands,
+    * shingle sets — e.g. `DedupStream.historyWriter`'s ingest-time
+    * output) into full [[HistoryTables]] by deriving the pair graph and
+    * cluster labels. This is the nightly step between the streaming
+    * writer and the batch advance: ingest persists raw signatures as
+    * documents arrive; compaction turns them into the probe-ready state
+    * `advance`/`d_dedup_delta_stored` read. HistoryWriterSpec runs the
+    * whole chain: stream → compact → advance == full rebuild. */
+  private[graft] def compact(s: SparkSession, keepers: DataFrame,
+                             bands: DataFrame, sets: DataFrame,
+                             tag: String): HistoryTables = {
+    val base = s"$rootDir/compact_${token(tag)}"
+    ensure(base) {
+      keepers.write.mode("overwrite").parquet(s"$base/keepers")
+      bands.write.mode("overwrite").parquet(s"$base/bands")
+      sets.write.mode("overwrite").parquet(s"$base/sets")
+      // the broadcast gate sizes off the history's own row count here
+      // (an external intake has no corpus dir to consult)
+      derivePairsAndLabels(s, base, s.read.parquet(s"$base/sets").count())
+    }
+    readHistory(s, base)
   }
 
   /** Incrementally ADVANCE the stored backbone from history (docs below
@@ -203,8 +237,9 @@ private[graft] object Backbone {
     * (`splitOverride` < 0 → [[TextDedup.deltaSplit]]). */
   private[graft] def advancePlan(
       s: SparkSession, d: String,
-      splitOverride: Long = -1L): (DataFrame, Seq[DataFrame]) = {
-    val p = advanceParts(s, d, splitOverride)
+      splitOverride: Long = -1L,
+      histOverride: Option[HistoryTables] = None): (DataFrame, Seq[DataFrame]) = {
+    val p = advanceParts(s, d, splitOverride, histOverride)
     (p.labels, p.caches)
   }
 

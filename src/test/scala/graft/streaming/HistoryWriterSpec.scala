@@ -68,6 +68,36 @@ class HistoryWriterSpec extends AnyFunSuite {
     assert(setRows(sets) == setRows(ref.sets), "shingle sets diverge")
   }
 
+  test("full chain: stream-written history → compact → advance == rebuild") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val split = TextDedup.deltaSplit(spark, sf)
+    val docs = histDocs(split)
+    val base = Files.createTempDirectory("graft_hist_chain").toString
+    val ckpt = Files.createTempDirectory("graft_chain_ckpt").toString
+    val ms = MemoryStream[DocEvent]
+    val q = DedupStream.historyWriter(ms.toDS(), base)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      docs.grouped(math.max(1, docs.size / 2 + 1)).foreach { g =>
+        ms.addData(g: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val (keepers, bands, sets) = DedupStream.readHistoryTables(spark, base)
+    val hist = Backbone.compact(spark, keepers, bands, sets, tag = base)
+    val (adv, caches) = Backbone.advancePlan(spark, sf,
+      splitOverride = split, histOverride = Some(hist))
+    val chained = adv.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    caches.foreach(_.unpersist())
+    val full = Backbone.labels(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(chained == full,
+      s"stream→compact→advance diverged from rebuild: " +
+        s"${(chained -- full).toSeq.sorted.take(5)} / " +
+        s"${(full -- chained).toSeq.sorted.take(5)}")
+  }
+
   test("replayed micro-batch overwrites its own partition: no duplicate rows") {
     val split = TextDedup.deltaSplit(spark, sf)
     val docs = histDocs(split).take(10)
