@@ -323,6 +323,30 @@ object DedupStream {
         keepBestUpdate)
   }
 
+  /** [[keepBestDecisions]] with the per-fingerprint best BOOTSTRAPPED
+    * from a settled history corpus (max uniq_ratio, ties to the lowest
+    * doc_id — the batch keep-best policy): an arriving duplicate of a
+    * high-quality history copy is marked non-keeper from its first
+    * micro-batch, and a better batch copy takes the keeper over —
+    * exactly the keep-best delta contract at ingest time. */
+  def keepBestDecisionsWithHistory(
+      docs: Dataset[DocEvent],
+      history: Dataset[DocEvent]): Dataset[KeepBestDecision] = {
+    import docs.sparkSession.implicits._
+    val initial = history
+      .map(d => (md5Hex(d.text.toLowerCase), d.doc_id, uniqRatio(d.text)))
+      .groupByKey(_._1)
+      .mapGroups { (fp, rs) =>
+        val best = rs.minBy { case (_, id, q) => (-q, id) }
+        fp -> KeepState(best._2, best._3)
+      }
+      .groupByKey(_._1).mapValues(_._2)
+    docs.map(d => (md5Hex(d.text.toLowerCase), d.doc_id, uniqRatio(d.text)))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout,
+        initial)(keepBestUpdate)
+  }
+
   /** [[exactDecisions]] with the fingerprint→keeper table BOOTSTRAPPED
     * from a settled history corpus (min doc_id per fingerprint, the
     * batch `d_dedup_exact` keeper): arriving docs that duplicate history

@@ -377,6 +377,34 @@ class DedupStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("keep-best with history bootstrap: history keeper holds, better batch copy takes over") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // history: id 1 high-quality, id 2 low-quality ("a a" uniq 0.5).
+    // Case variants share the lowercase fingerprint but differ in
+    // uniq_ratio — the only way an exact-dup group has quality spread.
+    val history = Seq(
+      DocEvent(1, "w x y z"), // uniq 1.0
+      DocEvent(2, "a a")      // uniq 0.5
+    ).toDS()
+    val ms = MemoryStream[DocEvent]
+    val q = DedupStream.keepBestDecisionsWithHistory(ms.toDS(), history)
+      .writeStream.format("memory").queryName("kb_hist").start()
+    try {
+      ms.addData(
+        DocEvent(10, "w x y z"), // dup of 1, tie on quality -> 1 keeps
+        DocEvent(12, "a A"),     // dup of 2's fp, uniq 1.0 -> takes over
+        DocEvent(13, "fresh doc here")) // new group, keeper itself
+      q.processAllAvailable()
+      val got = spark.table("kb_hist")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSet
+      assert(got == Set(
+        (10L, 1L, false),  // history keeper 1 holds against the tie
+        (12L, 12L, true),  // better copy displaces history keeper 2
+        (13L, 13L, true)), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming exact decisions agree with batch keepers in arrival order") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
