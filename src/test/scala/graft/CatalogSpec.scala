@@ -35,6 +35,18 @@ class CatalogSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("the no-oracle set is exactly the four documented rows-only queries") {
+    // Each omission is a deliberate, documented decision (approximate
+    // sketches DuckDB can't reproduce; binary feature extraction) —
+    // pinning the set means silently LOSING an oracle (a paste error, a
+    // renamed key) reds the suite instead of quietly downgrading a
+    // hash-checked query to rows-only.
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == Set("o_a3_approx_distinct", "o_a4b_quantile_approx",
+      "o_a12_sketch_merge", "d_media_features"),
+      s"no-oracle set drifted: $noOracle")
+  }
+
   test("all queries execute and are non-empty at sf0.001") {
     val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).count()
