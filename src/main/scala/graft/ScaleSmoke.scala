@@ -78,6 +78,12 @@ object ScaleSmoke {
   private def pairSum(hist: DataFrame): Long =
     hist.agg(sum(expr("n * (n - 1) / 2")).cast("long")).head.getLong(0)
 
+  /** Section gate: `SPARK_GRAFT_SMOKE_ONLY=<name>` runs one sweep alone
+    * (drill-down); unset runs everything. */
+  private val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
+  private def section(name: String)(body: => Unit): Unit =
+    if (only.forall(_ == name)) body
+
   def main(args: Array[String]): Unit = {
     val mults = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = EngineSession.local(appName = "graft-scale-smoke")
@@ -87,6 +93,40 @@ object ScaleSmoke {
       val dir = s"${sys.props("java.io.tmpdir")}/graft_scale_$m"
       val nVec = baseVecs * m
       val nDoc = baseDocs * m
+
+      // ---- exact weighted CDF: 3-task window vs distributed prefix sum
+      // The o_a27 scale question isolated: same totally-ordered weighted
+      // rows (3-value group key, near-unique values — the lineitem
+      // shape), cumulated by (a) the naive window partitioned by the
+      // 3-value key (parallelism 3 forever) and (b) OrderStats
+      // .weightedCdf (parallelism = shuffle partitions). The distributed
+      // form pays ~3 extra stages of fixed scheduling latency — the
+      // crossover is where data outgrows 3 cores, and the GAP above it
+      // is the number that multiplies with corpus size.
+      section("orderstats") {
+        val nRows = 600000L * m // sf0.1 lineitem size × m
+        val src = spark.range(nRows).select(
+            expr("element_at(array('A','N','R'), CAST(pmod(hash(id), 3) AS INT) + 1)").as("k"),
+            expr("pmod(hash(id, 7), 1000000)").cast("long").as("v"),
+            col("id"),
+            expr("1 + pmod(hash(id, 13), 50)").cast("long").as("wt"))
+        def medianCount(cdf: DataFrame): Long = cdf
+          .filter(col("cum") * 2 >= col("tot"))
+          .groupBy("k").agg(min("v").as("m")).count()
+        val byVal = org.apache.spark.sql.expressions.Window
+          .partitionBy("k").orderBy("v", "id")
+          .rowsBetween(Long.MinValue, 0)
+        val whole = org.apache.spark.sql.expressions.Window.partitionBy("k")
+        timeIt(f"wcdf naive 3-task window x$m (n=$nRows%,d)",
+          medianCount(src.withColumn("cum", sum("wt").over(byVal))
+            .withColumn("tot", sum("wt").over(whole))))
+        timeIt(f"wcdf distributed         x$m (n=$nRows%,d)",
+          medianCount(operators.OrderStats.weightedCdf(
+            src, "k", Seq("v", "id"), "wt")))
+      }
+      // the corpus sweeps below have no individual section names: they
+      // run as one block unless a drill-down section was requested
+      if (only.isEmpty) {
       synthEmbeddings(spark, nVec, 64, dir)
       synthDocuments(spark, nDoc, dir)
 
@@ -211,6 +251,7 @@ object ScaleSmoke {
         f"[${pb.getLong(1)}%,d .. ${pb.getLong(0)}%,d] over 32 buckets")
       timeIt(f"d_pipeline_e2e x$m (n=$nDoc)",
         SparkEntry.queries("d_pipeline_e2e")(spark, dir).count())
+      }
     }
     spark.stop()
   }

@@ -439,22 +439,20 @@ object Relational {
 
     // O-A27: CH `quantileExactWeighted` — weighted median where each
     // value carries an integer weight (row = l_quantity units shipped at
-    // that price). Pure ORDER STATISTICS: one keyed window pass builds
-    // the cumulative weight, and the answer is the smallest value whose
-    // cumulative weight reaches half the total — exact picks, no
-    // summation-order hazard (weights are exact BIGINTs). Both window
-    // sums ride one l_returnflag exchange.
+    // that price). Pure ORDER STATISTICS: the answer is the smallest
+    // value whose cumulative weight reaches half the total — exact
+    // picks, no summation-order hazard (weights are exact BIGINTs).
+    // The cumulative column comes from OrderStats.weightedCdf — the
+    // two-phase distributed prefix sum — NOT a window partitioned by
+    // l_returnflag: 3 distinct flags would serialize the whole corpus
+    // into 3 sort tasks, the plan that dies at 100x.
     "o_a27_weighted_median" -> ((s, d) => {
-      val byVal = Window.partitionBy("l_returnflag")
-        .orderBy("val", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val whole = Window.partitionBy("l_returnflag")
-      Tables.lineitem(s, d)
+      val src = Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_extendedprice").as("val"),
-          col("l_quantity").cast("bigint").as("wt"),
-          col("l_orderkey"), col("l_linenumber"))
-        .withColumn("cum", sum("wt").over(byVal))
-        .withColumn("tot", sum("wt").over(whole))
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("bigint").as("wt"))
+      OrderStats.weightedCdf(src, "l_returnflag",
+          Seq("val", "l_orderkey", "l_linenumber"), "wt")
         .filter(col("cum") * 2 >= col("tot"))
         .groupBy("l_returnflag")
         .agg(min("val").as("wmedian"))
@@ -463,22 +461,18 @@ object Relational {
 
     // O-A27b: CH `quantilesExactWeighted(0.25,0.5,0.75,0.9)` — the
     // multi-quantile form, emitted as (flag, q_pct, qval) rows (arrays
-    // are unadjudicable). Same single window pass as o_a27; the four
+    // are unadjudicable). Same distributed CDF as o_a27; the four
     // picks are conditional MINs over the same cum/tot columns — no row
     // multiplication, no extra shuffle — then stack() unpivots 4 columns
     // into rows. Integer arithmetic (cum*100 >= tot*q) keeps every
     // comparison exact.
     "o_a27b_weighted_quantiles" -> ((s, d) => {
-      val byVal = Window.partitionBy("l_returnflag")
-        .orderBy("val", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val whole = Window.partitionBy("l_returnflag")
-      Tables.lineitem(s, d)
+      val src = Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_extendedprice").as("val"),
-          col("l_quantity").cast("bigint").as("wt"),
-          col("l_orderkey"), col("l_linenumber"))
-        .withColumn("cum", sum("wt").over(byVal))
-        .withColumn("tot", sum("wt").over(whole))
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("bigint").as("wt"))
+      OrderStats.weightedCdf(src, "l_returnflag",
+          Seq("val", "l_orderkey", "l_linenumber"), "wt")
         .groupBy("l_returnflag")
         .agg(
           min(when(col("cum") * 100 >= col("tot") * 25, col("val"))).as("q25"),
