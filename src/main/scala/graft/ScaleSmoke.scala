@@ -79,10 +79,17 @@ object ScaleSmoke {
     hist.agg(sum(expr("n * (n - 1) / 2")).cast("long")).head.getLong(0)
 
   /** Section gate: `SPARK_GRAFT_SMOKE_ONLY=<name>` runs one sweep alone
-    * (drill-down); unset runs everything. */
+    * (drill-down); unset runs everything. Unknown names fail fast — a
+    * typo must not masquerade as a sweep that produced no output. */
+  private val knownSections = Set("orderstats")
   private val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
-  private def section(name: String)(body: => Unit): Unit =
+  only.foreach(o => require(knownSections(o),
+    s"unknown SPARK_GRAFT_SMOKE_ONLY section '$o'; known: " +
+      knownSections.mkString(", ")))
+  private def section(name: String)(body: => Unit): Unit = {
+    require(knownSections(name), s"section '$name' not registered")
     if (only.forall(_ == name)) body
+  }
 
   def main(args: Array[String]): Unit = {
     val mults = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 16)

@@ -46,7 +46,8 @@ object Tables {
         // (one codegen'd branch): plausible nanos epochs [1990, 2100)
         // only; raw micros (~1e15) or seconds fail loudly instead.
         raw.withColumn("ts", expr(
-          """CASE WHEN ts >= 631152000000000000 AND ts < 4102444800000000000
+          """CASE WHEN ts IS NULL THEN CAST(NULL AS TIMESTAMP)
+                  WHEN ts >= 631152000000000000 AND ts < 4102444800000000000
                   THEN timestamp_micros(ts div 1000)
                   ELSE raise_error(concat('events.ts int64 value ',
                        CAST(ts AS STRING),

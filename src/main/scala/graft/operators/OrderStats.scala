@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed EXACT order statistics over a weighted, totally-ordered
   * column — the scale shape behind `quantileExactWeighted` /
@@ -27,9 +28,11 @@ import org.apache.spark.sql.types.LongType
   *     running sum would avoid this hash exchange but leaves Tungsten:
   *     measured 2-4x slower through the Row encoder than the extra
   *     codegen'd shuffle — the window form wins on both axes.)
-  *  3. Per-(slice, key) weight totals — a SECOND consumer of the
-  *     same range exchange (ReusedExchange: the shuffle is written
-  *     once), aggregated map-side to exactly one row per slice per
+  *  3. Per-(slice, key) weight totals — a second consumer of the
+  *     same PERSISTED slice table (one physical instantiation of the
+  *     range shuffle, so both consumers share one boundary sampling and
+  *     one slice-id space by construction, not by ReuseExchange),
+  *     aggregated map-side to exactly one row per slice per
   *     key — give a table of `numShufflePartitions x |keys|` rows.
   *     Prefix-summing THAT tiny table (a window over <=1e5 rows at any
   *     corpus size) yields each slice's global offset, broadcast
@@ -56,16 +59,31 @@ object OrderStats {
     */
   def weightedCdf(df: DataFrame, key: String, ord: Seq[String],
                   wt: String): DataFrame = {
+    val (out, _) = weightedCdfPlan(df, key, ord, wt)
+    out
+  }
+
+  /** [[weightedCdf]] plus its persisted intermediate (the range-split
+    * slice table), for callers that want to release it after their
+    * action (`Materialize.drop(result, caches: _*)`). */
+  def weightedCdfPlan(df: DataFrame, key: String, ord: Seq[String],
+                      wt: String): (DataFrame, Seq[DataFrame]) = {
     val spark = df.sparkSession
     val orderCols = (key +: ord).map(col)
     val src = df.select((key +: ord).map(col) :+ col(wt): _*)
     require(src.schema(wt).dataType == LongType,
       s"weight column '$wt' must be LongType, got ${src.schema(wt).dataType}")
     val n = spark.sessionState.conf.numShufflePartitions
-    // explicit partition count: AQE must not re-split the exchange, the
-    // two consumers below rely on a shared, stable slice-id space
+    // explicit partition count (AQE must not re-split the exchange) AND
+    // persisted: the two consumers below must see the SAME slice-id
+    // space. The cache pins ONE physical instantiation of the range
+    // shuffle — one boundary sampling, one pid mapping — so correctness
+    // never rides on ReuseExchange being enabled; even a partition
+    // evicted and recomputed re-runs the same RDD against the same
+    // registered map outputs, keeping pids stable.
     val ranged = src.repartitionByRange(n, orderCols: _*)
       .withColumn("pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // branch 1 (no sort needed): per-(slice, key) weight totals ->
     // global offsets. One row per (pid, key) after map-side combine.
@@ -86,8 +104,9 @@ object OrderStats {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withLocal = ranged.withColumn("lcum", sum(col(wt)).over(localW))
 
-    withLocal.join(broadcast(offsets), Seq("pid", key))
+    val out = withLocal.join(broadcast(offsets), Seq("pid", key))
       .withColumn("cum", col("lcum") + col("cum_off"))
       .drop("pid", "lcum", "cum_off")
+    (out, Seq(ranged))
   }
 }

@@ -451,12 +451,13 @@ object Relational {
         .select(col("l_returnflag"), col("l_extendedprice").as("val"),
           col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("bigint").as("wt"))
-      OrderStats.weightedCdf(src, "l_returnflag",
-          Seq("val", "l_orderkey", "l_linenumber"), "wt")
-        .filter(col("cum") * 2 >= col("tot"))
-        .groupBy("l_returnflag")
-        .agg(min("val").as("wmedian"))
-        .orderBy("l_returnflag")
+      val (cdf, caches) = OrderStats.weightedCdfPlan(src, "l_returnflag",
+        Seq("val", "l_orderkey", "l_linenumber"), "wt")
+      graft.pipeline.Materialize.drop(
+        cdf.filter(col("cum") * 2 >= col("tot"))
+          .groupBy("l_returnflag")
+          .agg(min("val").as("wmedian"))
+          .orderBy("l_returnflag"), caches: _*)
     }),
 
     // O-A27b: CH `quantilesExactWeighted(0.25,0.5,0.75,0.9)` — the
@@ -471,17 +472,18 @@ object Relational {
         .select(col("l_returnflag"), col("l_extendedprice").as("val"),
           col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("bigint").as("wt"))
-      OrderStats.weightedCdf(src, "l_returnflag",
-          Seq("val", "l_orderkey", "l_linenumber"), "wt")
-        .groupBy("l_returnflag")
-        .agg(
-          min(when(col("cum") * 100 >= col("tot") * 25, col("val"))).as("q25"),
-          min(when(col("cum") * 100 >= col("tot") * 50, col("val"))).as("q50"),
-          min(when(col("cum") * 100 >= col("tot") * 75, col("val"))).as("q75"),
-          min(when(col("cum") * 100 >= col("tot") * 90, col("val"))).as("q90"))
-        .selectExpr("l_returnflag",
-          "stack(4, 25, q25, 50, q50, 75, q75, 90, q90) AS (q_pct, qval)")
-        .orderBy("l_returnflag", "q_pct")
+      val (cdf, caches) = OrderStats.weightedCdfPlan(src, "l_returnflag",
+        Seq("val", "l_orderkey", "l_linenumber"), "wt")
+      graft.pipeline.Materialize.drop(
+        cdf.groupBy("l_returnflag")
+          .agg(
+            min(when(col("cum") * 100 >= col("tot") * 25, col("val"))).as("q25"),
+            min(when(col("cum") * 100 >= col("tot") * 50, col("val"))).as("q50"),
+            min(when(col("cum") * 100 >= col("tot") * 75, col("val"))).as("q75"),
+            min(when(col("cum") * 100 >= col("tot") * 90, col("val"))).as("q90"))
+          .selectExpr("l_returnflag",
+            "stack(4, 25, q25, 50, q50, 75, q75, 90, q90) AS (q_pct, qval)")
+          .orderBy("l_returnflag", "q_pct"), caches: _*)
     }),
 
     // O-A30: CH `avgWeighted` + `skewPop`/`kurtPop` — weighted mean and

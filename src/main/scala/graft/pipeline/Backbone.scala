@@ -42,6 +42,24 @@ private[graft] object Backbone {
     s"$base/$runId"
   }
 
+  // derived data under the DEFAULT tmp base is scoped to this JVM run —
+  // reclaim it on exit so repeated bench/test JVMs don't accumulate
+  // corpus-scale parquet in /tmp until the disk fills. An explicit
+  // `graft.backbone.dir` opts out: that's a warehouse path the operator
+  // wants kept.
+  locally {
+    if (!sys.props.contains("graft.backbone.dir")) {
+      val dir = new java.io.File(rootDir)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(dir)
+      }, "graft-backbone-cleanup"))
+    }
+  }
+
   private def token(d: String): String = d.replaceAll("[^A-Za-z0-9.]", "_")
 
   /** Tables already written this JVM (paths). All mutation is under the
@@ -187,7 +205,12 @@ private[graft] object Backbone {
   private[graft] def compact(s: SparkSession, keepers: DataFrame,
                              bands: DataFrame, sets: DataFrame,
                              tag: String): HistoryTables = {
-    val base = s"$rootDir/compact_${token(tag)}"
+    // belt-and-braces beyond the caller-supplied tag: key the memo by
+    // the input INSTANCES too, so two different intakes reusing a tag
+    // rebuild (safe) instead of silently returning the first compaction
+    val inId = s"${System.identityHashCode(keepers)}_" +
+      s"${System.identityHashCode(bands)}_${System.identityHashCode(sets)}"
+    val base = s"$rootDir/compact_${token(tag)}_$inId"
     ensure(base) {
       keepers.write.mode("overwrite").parquet(s"$base/keepers")
       bands.write.mode("overwrite").parquet(s"$base/bands")
@@ -320,7 +343,14 @@ private[graft] object Backbone {
       batchEnd: Long = Long.MaxValue): HistoryTables = {
     val split =
       if (splitOverride >= 0) splitOverride else TextDedup.deltaSplit(s, d)
-    val base = s"$rootDir/${token(d)}/adv${split}e$batchEnd"
+    // the memo key must distinguish WHICH history the advance started
+    // from — two calls with the same split/batchEnd but different
+    // histOverride tables are different commits (identityHashCode keys
+    // the in-JVM instance; a miss rebuilds, which is safe — a stale hit
+    // would silently return day-1 state)
+    val histId = histOverride
+      .map(h => s"h${System.identityHashCode(h)}").getOrElse("fresh")
+    val base = s"$rootDir/${token(d)}/adv${split}e${batchEnd}_$histId"
     ensure(base) {
       val p = advanceParts(s, d, split, histOverride, batchEnd)
       p.h.bands.unionByName(p.batchBands)

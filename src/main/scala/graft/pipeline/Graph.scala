@@ -66,15 +66,18 @@ private[graft] object Graph {
     // sized from the graph, not the session's shuffle default
     val p = math.max(1L, math.min(sc.defaultParallelism.toLong,
       nEdges / 2000000L + 1L)).toInt
-    // single-partition regime: the whole graph fits one task by
-    // construction (< ~2M edges) — a partition-local union-find computes
+    // single-task regime: the whole graph fits one task BY SIZE
+    // (< ~2M edges — the gate is the edge count itself, NOT the derived
+    // partition count: on a 1-core session p collapses to 1 for any
+    // graph, and a 100M-edge HashMap in one task would OOM where the
+    // loop spills via shuffle) — a partition-local union-find computes
     // the identical min-label fixpoint in ONE stage instead of
     // O(log diameter) rounds of multi-stage jobs. This is the common
     // case for verified near-dup graphs (pairs collapse the corpus by
     // orders of magnitude); the loop below is the >2M-edge path.
     // `-Dgraft.graph.forceLoop=true` pins the loop for differential
     // testing (GraphSpec asserts path equality on random graphs).
-    if (p == 1 && nEdges > 0 &&
+    if (nEdges > 0 && nEdges <= 2000000L &&
         !sys.props.get("graft.graph.forceLoop").contains("true")) {
       val lbl = raw.coalesce(1).mapPartitions { it =>
         val parent = new java.util.HashMap[Long, Long]()

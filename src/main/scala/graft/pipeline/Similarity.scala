@@ -354,7 +354,9 @@ object Similarity {
              pts: => Array[Array[Double]]): Array[Array[Double]] =
       if (cacheKey != null) fitCached(s"$cacheKey|$tag", kk, 10, seed)(pts)
       else MiniKMeans.fit(pts, kk, iters = 10, seed = seed)
-    val coarseCenters = fitK("coarse", nCells, 42, sample)
+    // tag "ivf", not "coarse": this is the SAME fit (same sample, k,
+    // iters, seed) d_ann_ivf trains — one memo key means one training
+    val coarseCenters = fitK("ivf", nCells, 42, sample)
     val blockCenters = Array.tabulate(m) { b =>
       fitK(s"pq$b", k, 42 + b, sample.map(_.slice(b * sub, (b + 1) * sub)))
     }

@@ -156,8 +156,10 @@ object TextDedup {
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
         .select(col("y.doc_id").as("da"), col("x.doc_id").as("db"))
         .distinct()
+      // ordered=false: the groupBy below destroys order — the default's
+      // orderBy(da, db) would be a wasted range exchange + sort
       val near = verifyPairs(cands, h.sets, Backbone.corpusCount(s, d),
-          setsB = sp.docSets)
+          setsB = sp.docSets, ordered = false)
         .groupBy(col("db").as("doc_id"))
         .agg(min("da").as("near_dup_of"), count(lit(1)).as("n_near"))
       val exact = batch
@@ -382,7 +384,7 @@ object TextDedup {
     * adaptive skew protection on the corpus-sized probe side.
     * Input: (doc_id, fp); output: (doc_id, exact_keep). */
   private[graft] def exactKeeperDecisions(fps: DataFrame): DataFrame = {
-    val n = fps.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = fps.sparkSession.sessionState.conf.numShufflePartitions
     val keeper = fps.groupBy("fp").agg(min("doc_id").as("exact_keep"))
       .repartition(n)
     fps.join(keeper, Seq("fp")).select(col("doc_id"), col("exact_keep"))

@@ -269,13 +269,37 @@ class PlanSpec extends AnyFunSuite {
       "o_x9: one l_orderkey exchange carries all three window functions")
   }
 
-  test("o_a27/o_a27b: weighted quantiles ride one l_returnflag exchange") {
-    Seq("o_a27_weighted_median", "o_a27b_weighted_quantiles").foreach { name =>
-      val p = plan(name)
-      assert("Exchange hashpartitioning\\(l_returnflag".r.findAllIn(p).size == 1,
-        s"$name: cumulative + total window sums must share one exchange:\n$p")
-      assert(!p.contains("Join"), s"$name should be join-free:\n$p")
-    }
+  test("o_a27/o_a27b: weighted CDF parallelizes by slice, not by the 3-value flag") {
+    // the catalog entries Materialize.drop their tiny results (plan
+    // hidden behind ExistingRDD), so the contract is pinned on the
+    // un-materialized CDF plan over the same lineitem projection
+    import org.apache.spark.sql.functions.{col => c}
+    val src = graft.Tables.lineitem(spark, sf)
+      .select(c("l_returnflag"), c("l_extendedprice").as("val"),
+        c("l_orderkey"), c("l_linenumber"),
+        c("l_quantity").cast("bigint").as("wt"))
+    val (cdf, caches) = graft.operators.OrderStats.weightedCdfPlan(
+      src, "l_returnflag", Seq("val", "l_orderkey", "l_linenumber"), "wt")
+    val agg = cdf.filter(c("cum") * 2 >= c("tot"))
+      .groupBy("l_returnflag").agg(
+        org.apache.spark.sql.functions.min("val").as("wmedian"))
+    agg.collect()
+    val p = agg.queryExecution.executedPlan.toString
+    // the corpus-sized cumulative window shuffles by (pid, flag) — the
+    // slice space — never by the 3-value flag alone
+    assert(p.contains("hashpartitioning(pid"),
+      s"local cum must partition by the slice id:\n$p")
+    // the old hazard's signature is gone: no sort keyed (flag, val) —
+    // that was the corpus sorting inside 3 flag partitions. Flag-keyed
+    // exchanges still exist, but only over aggregated rows (the offset
+    // table and the final 3-row pick), never the corpus.
+    assert("Sort \\[l_returnflag#\\d+ ASC NULLS FIRST, val#".r
+      .findFirstIn(p).isEmpty,
+      s"corpus must never sort inside bare-flag partitions:\n$p")
+    // both CDF consumers read the one persisted slice table
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"offset + local-cum branches must share the cached slices:\n$p")
+    caches.foreach(_.unpersist())
   }
 
   test("o_x10: dictGet plans no join and stays inside codegen") {

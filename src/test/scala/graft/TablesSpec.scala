@@ -55,6 +55,24 @@ class TablesSpec extends AnyFunSuite {
       s"expected the unit-guard error, got: $ex")
   }
 
+  test("null int64 ts rows pass through as null, not a unit-guard crash") {
+    import spark.implicits._
+    // the guard must only fire on NON-NULL out-of-range values: a
+    // nullable ts column with null rows loaded fine before the guard
+    // existed and must keep doing so
+    val micros = 1726300800123456L
+    val d = java.nio.file.Files.createTempDirectory("ev_nullts").toString
+    Seq((1L, Some(micros * 1000L), 7L, "login", 1.0, "{}"),
+        (2L, None: Option[Long], 8L, "login", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = Tables.events(spark, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toMap
+    assert(rows == Map(1L -> Some(micros), 2L -> None))
+  }
+
   test("current testdata loads through the events loader at every sf") {
     Seq("sf0.001", "sf0.01").foreach { sf =>
       val df = Tables.events(spark, s"/root/testdata/$sf")

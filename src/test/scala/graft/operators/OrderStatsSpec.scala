@@ -75,14 +75,32 @@ class OrderStatsSpec extends AnyFunSuite {
     assert(med == Map("A" -> 1L, "B" -> 10L))
   }
 
-  test("the range exchange is shared by both consumers (ReusedExchange)") {
+  test("both consumers read ONE persisted instantiation of the range shuffle") {
     import spark.implicits._
     val df = randomRows(2000, seed = 11).toDF("k", "v", "id", "wt")
-    val out = OrderStats.weightedCdf(df, "k", Seq("v", "id"), "wt")
+    val (out, caches) = OrderStats.weightedCdfPlan(df, "k", Seq("v", "id"), "wt")
     out.collect() // materialize so AQE finalizes the plan
+    // correctness contract: the slice table (range shuffle + pid) is
+    // CACHED, so the offsets branch and the local-cum branch share one
+    // boundary sampling / pid space regardless of exchange-reuse conf
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedExchange") || plan.contains("ReusedShuffle"),
-      s"offset branch should reuse the range shuffle, plan:\n$plan")
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
+      s"both consumers should scan the persisted slice table, plan:\n$plan")
+    caches.foreach(_.unpersist())
+  }
+
+  test("cdf stays correct with exchange reuse disabled") {
+    import spark.implicits._
+    val old = spark.conf.get("spark.sql.exchange.reuse", "true")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val df = randomRows(3000, seed = 99).toDF("k", "v", "id", "wt")
+      val fast = OrderStats.weightedCdf(df, "k", Seq("v", "id"), "wt")
+        .select("k", "v", "id", "wt", "cum", "tot")
+        .collect().map(_.toString).sorted
+      val slow = naiveCdf(df).collect().map(_.toString).sorted
+      assert(fast.sameElements(slow))
+    } finally spark.conf.set("spark.sql.exchange.reuse", old)
   }
 
   test("rejects non-long weights (summation-order hazard)") {
