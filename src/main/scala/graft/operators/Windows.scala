@@ -96,12 +96,23 @@ object Windows {
         .groupBy(col("a.n_orders").as("n_orders"))
         .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("rows_above"),
           count(col("b.n_orders")).as("vals_above"))
-      val totals = vals.agg(sum("cnt").as("total"))
-      val perValue = Window.partitionBy("n_orders").orderBy("o_custkey")
-      base
+      // global position = unit-weight distributed CDF over the total
+      // order (n_orders, o_custkey) — NOT row_number() over a window
+      // partitioned by n_orders: that key's small domain (~40 values)
+      // would cap parallelism at 40 tasks forever (the o_a27 hazard,
+      // one notch milder). cum == rows_above + per-value row_number by
+      // construction; tot == the row total, replacing the totals cross
+      // join as well.
+      // the leaderboard ranks DESC by n_orders; weightedCdf orders asc,
+      // so the sort column is the negation (n_orders restored after)
+      val (cdf, caches) = OrderStats.weightedCdfPlan(
+        base.withColumn("g", lit(1)).withColumn("one", lit(1L))
+          .withColumn("neg_orders", -col("n_orders")),
+        "g", Seq("neg_orders", "o_custkey"), "one")
+      graft.pipeline.Materialize.drop(cdf
+        .withColumn("n_orders", -col("neg_orders"))
+        .withColumnRenamed("cum", "pos").withColumnRenamed("tot", "total")
         .join(broadcast(dim), "n_orders")
-        .withColumn("pos", col("rows_above") + row_number().over(perValue))
-        .crossJoin(broadcast(totals))
         .select(col("o_custkey"), col("n_orders"),
           (col("rows_above") + 1).cast("int").as("rnk"),
           (col("vals_above") + 1).cast("int").as("drnk"),
@@ -112,7 +123,7 @@ object Windows {
                             (pos - (total DIV 4 + 1) * (total % 4) - 1)
                               DIV (total DIV 4) + 1
                   END AS INT)""").as("quartile"))
-        .orderBy("o_custkey")
+        .orderBy("o_custkey"), caches: _*)
     }),
 
     // O-W7: first/last value per key (first-touch attribution).

@@ -53,21 +53,39 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$p")
   }
 
-  test("o_w6: leaderboard ranks with no single-partition window") {
+  test("o_w6: leaderboard position rides the slice CDF, not an n_orders window") {
+    // the catalog entry Materialize.drops its (small) result, hiding the
+    // plan — so the shape that REPLACED the hazard (row_number over a
+    // ~40-value n_orders partition) is pinned on the same building
+    // block the query uses: the unit-weight CDF over (neg_orders,
+    // o_custkey). Every window over the corpus-sized side must key on
+    // the slice id, never the bounded value domain alone.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.window.WindowExec
-    val df = SparkEntry.queries("o_w6_rank")(spark, sf)
-    df.collect()
+    import org.apache.spark.sql.functions.{col => c, count => cnt, lit}
+    val base = graft.Tables.orders(spark, sf).groupBy("o_custkey")
+      .agg(cnt(lit(1)).as("n_orders"))
+    val (cdf, caches) = graft.operators.OrderStats.weightedCdfPlan(
+      base.withColumn("g", lit(1)).withColumn("one", lit(1L))
+        .withColumn("neg_orders", -c("n_orders")),
+      "g", Seq("neg_orders", "o_custkey"), "one")
+    cdf.collect()
     def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
       case q: QueryStageExec => q +: nodes(q.plan)
       case _ => p +: p.children.flatMap(nodes)
     }
-    val wins = nodes(df.queryExecution.executedPlan).collect { case w: WindowExec => w }
-    assert(wins.nonEmpty, "expected the per-value row_number window")
+    val wins = nodes(cdf.queryExecution.executedPlan).collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected the slice-local cumulative window")
+    // the corpus-sized cumulative window keys on (pid, g); the offset
+    // branch's windows run over the slices x keys table (tiny). None may
+    // be empty-partitioned (single task at scale).
     assert(wins.forall(_.partitionSpec.nonEmpty),
       s"global-order window found — single-partition at scale:\n${wins.mkString("\n")}")
+    assert(wins.exists(_.partitionSpec.exists(_.toString.contains("pid"))),
+      s"the cumulative window must be slice-keyed:\n${wins.mkString("\n")}")
+    caches.foreach(_.unpersist())
   }
 
   test("o_s3: top-k fuses to TakeOrderedAndProject (no global sort)") {
