@@ -194,6 +194,37 @@ private[graft] object Backbone {
       s.read.parquet(s"$base/pairs"),
       s.read.parquet(s"$base/labels"))
 
+  /** Stored BATCH-side signature tables — banded signatures, shingle
+    * sets and fingerprints for documents in [split, batchEnd) — signed
+    * ONCE per batch and shared by every consumer that probes history
+    * with them (the stored-delta query and the incremental advance both
+    * need exactly these). In production the ingest signer writes them as
+    * documents arrive (DedupStream.historyWriter is that shape); a
+    * nightly run then probes/commits WITHOUT rescanning batch text.
+    * The build is the only `documents` scan, batch-filtered and pushed
+    * to parquet (BackboneAdvanceSpec pins both halves). */
+  final case class BatchTables(bands: DataFrame, sets: DataFrame,
+                               fps: DataFrame)
+
+  def batchSignature(s: SparkSession, d: String, split: Long,
+                     batchEnd: Long = Long.MaxValue): BatchTables = {
+    val base = s"$rootDir/${token(d)}/batch${split}e$batchEnd"
+    ensure(base) {
+      val batch = Tables.documents(s, d)
+        .filter(col("doc_id") >= split && col("doc_id") < batchEnd)
+      val sp = TextDedup.signaturePlan(batch, nBands = 4, rowsPerBand = 2)
+      sp.bands.write.mode("overwrite").parquet(s"$base/bands")
+      sp.docSets.write.mode("overwrite").parquet(s"$base/sets")
+      batch.select(col("doc_id"), TextDedup.fpCol.as("fp"))
+        .write.mode("overwrite").parquet(s"$base/fps")
+      sp.caches.foreach(_.unpersist())
+    }
+    BatchTables(
+      s.read.parquet(s"$base/bands"),
+      s.read.parquet(s"$base/sets"),
+      s.read.parquet(s"$base/fps"))
+  }
+
   /** Compact EXTERNALLY-PRODUCED raw history tables (keepers, bands,
     * shingle sets — e.g. `DedupStream.historyWriter`'s ingest-time
     * output) into full [[HistoryTables]] by deriving the pair graph and
@@ -227,8 +258,10 @@ private[graft] object Backbone {
     * step a daily curation run executes. Daily cost is sized by the
     * BATCH, never the history:
     *
-    *  - sign the arriving batch only (|batch| text scans — the plan's
-    *    only `documents` read, filter pushed to the parquet scan);
+    *  - batch signatures come from the [[batchSignature]] STORE, signed
+    *    once per batch (|batch| text scans in the build, filter pushed
+    *    to the parquet scan) and shared with the stored-delta probe —
+    *    the advance plan itself rescans no document text at all;
     *  - new candidate pairs = intra-batch band self-join + batch bands
     *    probed against the STORED history band table (equi-join on the
     *    bucket key; history text/signatures are never recomputed);
@@ -288,22 +321,23 @@ private[graft] object Backbone {
       if (splitOverride >= 0) splitOverride else TextDedup.deltaSplit(s, d)
     val h = histOverride.getOrElse(history(s, d, split))
     val nDocs = corpusCount(s, d)
-    val batch = Tables.documents(s, d)
-      .filter(col("doc_id") >= split && col("doc_id") < batchEnd)
-    val sp = TextDedup.signaturePlan(batch, nBands = 4, rowsPerBand = 2)
-    val intraCands = sp.bands.as("x").join(sp.bands.as("y"),
+    // batch signatures come from the STORE (signed once per batch by
+    // batchSignature — shared with d_dedup_delta_stored): the advance
+    // plan itself never rescans batch text
+    val bt = batchSignature(s, d, split, batchEnd)
+    val intraCands = bt.bands.as("x").join(bt.bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-    val intra = TextDedup.verifyPairs(intraCands, sp.docSets, nDocs,
+    val intra = TextDedup.verifyPairs(intraCands, bt.sets, nDocs,
       ordered = false)
-    val crossCands = sp.bands.as("x").join(h.bands.as("y"),
+    val crossCands = bt.bands.as("x").join(h.bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
       .select(col("y.doc_id").as("da"), col("x.doc_id").as("db"))
       .distinct()
     val cross = TextDedup.verifyPairs(crossCands, h.sets, nDocs,
-      setsB = sp.docSets, ordered = false)
+      setsB = bt.sets, ordered = false)
     // new edges feed endpoint extraction AND the CC loop's every round —
     // persist, release after the caller's action
     val newPairs = cross.unionByName(intra).persist()
@@ -322,9 +356,8 @@ private[graft] object Backbone {
       .select("doc_id", "cluster_id")
     val advanced = untouched.unionByName(
       lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id")))
-    AdvanceParts(advanced, newPairs, sp.bands, sp.docSets,
-      batch.select(col("doc_id"), TextDedup.fpCol.as("fp")), h,
-      (sp.caches :+ newPairs :+ edges) ++ ccCaches)
+    AdvanceParts(advanced, newPairs, bt.bands, bt.sets, bt.fps, h,
+      (newPairs +: edges +: ccCaches))
   }
 
   /** COMMIT the advance: write the advanced state as tomorrow's stored
@@ -386,5 +419,6 @@ private[graft] object Backbone {
     labels(s, d) // builds the 4x2 bands/pairs en route
     pairs(s, d, nBands = 4, rowsPerBand = 4)
     history(s, d, TextDedup.deltaSplit(s, d))
+    batchSignature(s, d, TextDedup.deltaSplit(s, d))
   }
 }

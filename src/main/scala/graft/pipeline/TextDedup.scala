@@ -140,8 +140,9 @@ object TextDedup {
     // The delta contract with history storage REAL: the history half's
     // keeper/band/shingle-set tables are PERSISTED parquet (Backbone
     // .history — in production, yesterday's warehouse state), and this
-    // query touches history ONLY through them. The batch side signs its
-    // own documents (|batch| scans, the daily cost), probes the stored
+    // query touches history ONLY through them. The batch side reads the
+    // batchSignature STORE (signed once per batch — |batch| scans at
+    // build, shared with the incremental advance), probes the stored
     // band table for candidates, verifies against the stored set table,
     // and joins the stored keeper table for exact verdicts. Agrees row-
     // for-row with d_dedup_delta (same oracle), proving the stored probe
@@ -149,31 +150,32 @@ object TextDedup {
     "d_dedup_delta_stored" -> ((s, d) => {
       val split = deltaSplit(s, d)
       val h = Backbone.history(s, d, split)
-      val batch = Tables.documents(s, d).filter(col("doc_id") >= split)
-      val sp = signaturePlan(batch, nBands = 4, rowsPerBand = 2)
+      // batch signatures from the STORE — signed once per batch
+      // (Backbone.batchSignature), shared with the incremental advance:
+      // the probe itself rescans no document text on either side
+      val bt = Backbone.batchSignature(s, d, split)
       // candidate = stored history bucket × arriving batch bucket
-      val cands = sp.bands.as("x").join(h.bands.as("y"),
+      val cands = bt.bands.as("x").join(h.bands.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
         .select(col("y.doc_id").as("da"), col("x.doc_id").as("db"))
         .distinct()
       // ordered=false: the groupBy below destroys order — the default's
       // orderBy(da, db) would be a wasted range exchange + sort
       val near = verifyPairs(cands, h.sets, Backbone.corpusCount(s, d),
-          setsB = sp.docSets, ordered = false)
+          setsB = bt.sets, ordered = false)
         .groupBy(col("db").as("doc_id"))
         .agg(min("da").as("near_dup_of"), count(lit(1)).as("n_near"))
-      val exact = batch
-        .select(col("doc_id"), fpCol.as("fp"))
+      val exact = bt.fps
         .join(h.keepers.withColumnRenamed("keep_id", "exact_dup_of"),
           Seq("fp"), "left")
         .select(col("doc_id"), col("exact_dup_of"))
-      Materialize.drop(exact.join(near, Seq("doc_id"), "left")
+      exact.join(near, Seq("doc_id"), "left")
         .select(col("doc_id"), col("exact_dup_of"), col("near_dup_of"),
           coalesce(col("n_near"), lit(0L)).as("n_near"),
           when(col("exact_dup_of").isNotNull, "dup_exact")
             .when(col("near_dup_of").isNotNull, "dup_near")
             .otherwise("new").as("verdict"))
-        .orderBy("doc_id"), sp.caches: _*)
+        .orderBy("doc_id")
     }),
 
     // Repeated n-gram SPAN detection — word-level exact-substring dedup,

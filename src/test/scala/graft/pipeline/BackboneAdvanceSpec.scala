@@ -134,17 +134,34 @@ class BackboneAdvanceSpec extends AnyFunSuite {
     }
   }
 
-  test("advance scans documents only for the batch (filter pushed)") {
+  test("advance rescans no document text: batch signatures come from the store") {
+    // since the batchSignature store landed, the advance plan reads
+    // parquet signature tables on BOTH sides — the only documents scan
+    // (batch-filtered, pushed) happens once inside the store's build
     val (advanced, caches) = Backbone.advancePlan(spark, sf)
     try {
       val p = advanced.queryExecution.executedPlan.toString
-      val docScans = p.linesIterator
-        .filter(l => l.contains("documents.parquet")).toSeq
-      assert(docScans.nonEmpty, s"expected a documents scan in:\n$p")
-      val split = TextDedup.deltaSplit(spark, sf)
-      assert(docScans.forall(_.contains(s"GreaterThanOrEqual(doc_id,$split)")),
-        s"documents scan without the batch filter pushed:\n" +
-          docScans.mkString("\n"))
+      assert(!p.contains("documents.parquet"),
+        s"advance must not rescan document text:\n$p")
     } finally caches.foreach(_.unpersist())
+  }
+
+  test("batch signature store: tables cover exactly the batch, signed like the plan") {
+    val split = TextDedup.deltaSplit(spark, sf)
+    val bt = Backbone.batchSignature(spark, sf, split)
+    val batch = graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= split)
+    val nBatch = batch.count()
+    assert(bt.fps.count() == nBatch)
+    assert(bt.sets.count() == nBatch)
+    // 4 bands per doc
+    assert(bt.bands.count() == 4 * nBatch)
+    // stored bands == a fresh signature-plan evaluation, bit for bit
+    val sp = TextDedup.signaturePlan(batch, nBands = 4, rowsPerBand = 2)
+    try {
+      assert(bt.bands.except(sp.bands).isEmpty &&
+        sp.bands.except(bt.bands).isEmpty,
+        "stored batch bands diverge from a fresh signing")
+    } finally sp.caches.foreach(_.unpersist())
   }
 }
