@@ -106,7 +106,13 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
   private final class QueryCtl(val groupId: String) {
     @volatile var timedOut = false
     @volatile var killed = false
-    @volatile var canceller: ScheduledFuture[_] = null
+    // both guarded by `this`: the canceller may be started from the
+    // timeout timer or the KILL handler while the query thread is
+    // finishing — an unsynchronized handoff leaked the ScheduledFuture
+    // (assigned after the finally block read null), which then re-
+    // cancelled a dead group every 2s forever
+    var canceller: ScheduledFuture[_] = null
+    var done = false
   }
   private val running = new ConcurrentHashMap[String, QueryCtl]()
   private val watchdog = Executors.newSingleThreadScheduledExecutor(r => {
@@ -118,12 +124,15 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
     * race AQE's first stage submission (a cancel landing in the first
     * ~100ms of execution is observably lost; re-asserted 2s later it
     * lands instantly), so the kill is re-asserted until the query exits. */
-  private def startCanceller(ctl: QueryCtl): Unit = {
-    val fut = watchdog.scheduleWithFixedDelay(new Runnable {
+  private def startCanceller(ctl: QueryCtl): Unit = ctl.synchronized {
+    // no-op when the query already exited (its finally ran) or a
+    // canceller is already asserting the kill — a second one would
+    // orphan the first ScheduledFuture
+    if (ctl.done || ctl.canceller != null) return
+    ctl.canceller = watchdog.scheduleWithFixedDelay(new Runnable {
       override def run(): Unit =
         spark.sparkContext.cancelJobGroupAndFutureJobs(ctl.groupId)
     }, 0, 2, TimeUnit.SECONDS)
-    ctl.canceller = fut
   }
 
   /** In-flight query ids (ops introspection; used by the KILL spec). */
@@ -142,8 +151,12 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
   private def refreshSystemTables(): Unit = {
     dataDir.foreach { root =>
       val dirs = new java.io.File(root).listFiles()
+      // same privacy rule as refreshDataTables: underscore/dot dirs
+      // (_dlq, _http_stage, metadata) are not tables and must not leak
+      // their file/byte census to HTTP clients
       val tables = if (dirs == null) Array.empty[java.io.File]
-                   else dirs.filter(_.isDirectory)
+                   else dirs.filter(d => d.isDirectory &&
+                     !d.getName.startsWith("_") && !d.getName.startsWith("."))
       val parts = tables.map { t =>
         graft.sources.Parts.forTable(spark, t.getPath)
           .withColumn("table", org.apache.spark.sql.functions.lit(t.getName))
@@ -290,7 +303,14 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
           val timeoutMs = params.get("max_execution_time")
             .flatMap(s => scala.util.Try(s.toDouble).toOption)
             .filter(_ > 0).map(t => (t * 1000).toLong)
-          val ctl = new QueryCtl(s"graft-http-$queryId")
+          // the group id carries a per-execution nonce: Spark 4's
+          // cancelJobGroupAndFutureJobs remembers cancelled group ids
+          // (bounded FIFO, no unmark API), so reusing the bare query_id
+          // after a kill/timeout would fail the NEXT query under that id
+          // at submission. CH permits id reuse after a kill; the nonce
+          // keeps the cancel scoped to this execution only.
+          val ctl = new QueryCtl(s"graft-http-$queryId-" +
+            java.util.UUID.randomUUID().toString.take(8))
           // group FIRST, then publish in `running`: a KILL observed via
           // runningQueryIds must always find a cancellable group
           spark.sparkContext.setJobGroup(ctl.groupId,
@@ -326,7 +346,13 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
               respond(x, 500, "text/plain", s"Query failed: ${msg(e)}\n")
           } finally {
             timer.foreach(_.cancel(false))
-            Option(ctl.canceller).foreach(_.cancel(false))
+            // done-first under the ctl lock: a canceller started after
+            // this point sees done and never schedules; one started
+            // before is cancelled here — no leaked watchdog task
+            ctl.synchronized {
+              ctl.done = true
+              Option(ctl.canceller).foreach(_.cancel(false))
+            }
             spark.sparkContext.clearJobGroup()
             running.remove(queryId)
           }

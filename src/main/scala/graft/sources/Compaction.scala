@@ -21,6 +21,32 @@ object Compaction {
   case class Stats(filesBefore: Long, filesAfter: Long,
                    bytes: Long, rows: Long)
 
+  /** Partition columns as laid out ON DISK, in directory order — walked
+    * from `name=value` dir levels, so compaction preserves EVERY level
+    * the table actually has (an ingest table is (event_date,
+    * ingest_batch); writing back only event_date would flatten the
+    * second level into a data column and leave a mixed-depth layout the
+    * next replayed batch cannot coexist with). */
+  private[sources] def discoverPartitionCols(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path): Seq[String] = {
+    val out = scala.collection.mutable.Buffer[String]()
+    var cur = root
+    var descend = fs.exists(cur)
+    while (descend) {
+      val kids = fs.listStatus(cur).filter { s =>
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      kids.find(k => k.isDirectory && k.getPath.getName.contains("=")) match {
+        case Some(k) =>
+          out += k.getPath.getName.split("=", 2)(0)
+          cur = k.getPath
+        case None => descend = false
+      }
+    }
+    out.toSeq
+  }
+
   def compact(spark: SparkSession, tablePath: String,
               sortCols: Seq[String] = Seq("timestamp", "event_name"),
               partitionCol: Option[String] = Some("event_date"),
@@ -28,6 +54,20 @@ object Compaction {
     val hconf = spark.sparkContext.hadoopConfiguration
     val path = new Path(tablePath)
     val fs = path.getFileSystem(hconf)
+    val tmp = new Path(path.getParent, s".${path.getName}_compact_tmp")
+    val bak = new Path(path.getParent, s".${path.getName}_compact_bak")
+
+    // crash recovery BEFORE touching anything: a previous run that died
+    // between the two swap renames leaves the table missing and the data
+    // in .bak — restore it; one that died after the swap but before
+    // cleanup leaves a stale .bak next to a healthy table — drop it.
+    if (!fs.exists(path) && fs.exists(bak)) {
+      if (!fs.rename(bak, path))
+        throw new IllegalStateException(
+          s"cannot restore $path from interrupted compaction backup $bak")
+    } else if (fs.exists(bak)) {
+      fs.delete(bak, true)
+    }
 
     // hidden-aware shared walk: _temporary leftovers from a crashed write
     // must not count toward byte math or file counts
@@ -39,34 +79,34 @@ object Compaction {
 
     val df = spark.read.parquet(tablePath)
     val rows = df.count()
-    val tmp = new Path(path.getParent, s".${path.getName}_compact_tmp")
     fs.delete(tmp, true)
 
-    // Range-partition over (partition col ++ sort cols): output splits are
+    // Partition layout: whatever the table has ON DISK wins (all levels
+    // preserved); `partitionCol` is the fallback for a layout-less dir
+    // whose caller wants one introduced.
+    val pcs = {
+      val discovered = discoverPartitionCols(fs, path)
+      if (discovered.nonEmpty) discovered
+      else partitionCol.toSeq.filter(df.columns.contains)
+    }
+
+    // Range-partition over (partition cols ++ sort cols): output splits are
     // bounded by nFiles regardless of how many rows share one date — a
     // hash-by-date repartition would cap non-empty outputs at the number of
     // distinct dates and ignore targetBytes within a hot date. Ranges also
     // cluster each date's rows contiguously, so per-date file counts stay
     // proportional to per-date bytes and the within-partition sort keeps
     // row-group min/max stats tight.
-    val writer = partitionCol match {
-      case Some(pc) if df.columns.contains(pc) =>
-        val keys = (pc +: sortCols.filter(df.columns.contains)).map(col)
-        df.repartitionByRange(nFiles, keys: _*)
-          .sortWithinPartitions(keys: _*)
-          .write.partitionBy(pc)
-      case _ =>
-        val keys = sortCols.filter(df.columns.contains).map(col)
-        (if (keys.nonEmpty) df.repartitionByRange(nFiles, keys: _*)
-         else df.repartition(nFiles))
-          .sortWithinPartitions(keys: _*)
-          .write
-    }
+    val keys = (pcs ++ sortCols.filter(df.columns.contains)).map(col)
+    val shaped =
+      if (keys.nonEmpty)
+        df.repartitionByRange(nFiles, keys: _*).sortWithinPartitions(keys: _*)
+      else df.repartition(nFiles)
+    val writer =
+      if (pcs.nonEmpty) shaped.write.partitionBy(pcs: _*) else shaped.write
     writer.mode("overwrite").parquet(tmp.toString)
 
     // swap: old → .bak, tmp → table, drop .bak
-    val bak = new Path(path.getParent, s".${path.getName}_compact_bak")
-    fs.delete(bak, true)
     if (!fs.rename(path, bak)) throw new IllegalStateException(s"cannot move $path aside")
     if (!fs.rename(tmp, path)) {
       fs.rename(bak, path) // restore

@@ -43,13 +43,16 @@ final class Dictionary private (
   def size: Int = present.size
 
   /** `dictGet`: attribute value for the key, NULL when absent. The key is
-    * cast to the dictionary's key type so e.g. an INT column probes a
-    * BIGINT-keyed table correctly. */
+    * try_cast to the dictionary's key type: an INT column probes a
+    * BIGINT-keyed table correctly, and a probe value that does not FIT
+    * the key type (e.g. a BIGINT 2^32+5 against an INT-keyed table) is
+    * simply absent → NULL — a plain cast would either fail the query
+    * (ANSI, the Spark 4 default) or wrap to a false match. */
   def get(attr: String, key: Column): Column = {
     val (dt, table) = attrs.getOrElse(attr,
       throw new IllegalArgumentException(
         s"dictionary '$name' has no attribute '$attr' (has: ${attributes.mkString(", ")})"))
-    Bridge.column(DictLookup(Bridge.expression(key.cast(keyType)), table, dt, name, attr))
+    Bridge.column(DictLookup(Bridge.expression(key.try_cast(keyType)), table, dt, name, attr))
   }
 
   /** `dictGetOrDefault`: the default replaces an absent (or NULL-keyed)
@@ -61,7 +64,7 @@ final class Dictionary private (
   /** `dictHas`: true iff the key is present (false for NULL keys). */
   def has(key: Column): Column =
     coalesce(
-      Bridge.column(DictLookup(Bridge.expression(key.cast(keyType)), present,
+      Bridge.column(DictLookup(Bridge.expression(key.try_cast(keyType)), present,
         BooleanType, name, "__present")),
       lit(false))
 }

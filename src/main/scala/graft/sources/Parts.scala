@@ -28,7 +28,11 @@ object Parts {
     * byte math too. Shared by [[Parts]] and [[Compaction]]. */
   private[sources] def visibleParquetFiles(fs: FileSystem, root: Path)
       : Seq[FileStatus] = {
-    val rootStr = root.toUri.getPath
+    // qualify the root first: listFiles returns fully-qualified paths, so
+    // a RELATIVE root would strip nothing and the hidden test would run
+    // against absolute segments (a cwd under /root/.cache would classify
+    // every file hidden and zero out the census)
+    val rootStr = fs.makeQualified(root).toUri.getPath
     def hidden(p: Path): Boolean = {
       val rel = p.toUri.getPath.stripPrefix(rootStr).stripPrefix("/")
       rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))

@@ -488,7 +488,13 @@ private[sources] class ProtoDataWriter(
   extends DataWriter[InternalRow] {
 
   private val staged = new Path(path, s".staged-$finalName-$taskId")
-  private val fs = staged.getFileSystem(conf)
+  // a PRIVATE FileSystem instance: FileSystem.get/getFileSystem returns
+  // the JVM-cached shared object, and setWriteChecksum on it would turn
+  // off .crc sidecars for EVERY writer in the process (parquet
+  // committers, checkpoints) — newInstance scopes the mutation to this
+  // writer and is closed with it
+  private val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+    staged.getFileSystem(conf).getUri, conf)
   private lazy val out = {
     fs.mkdirs(new Path(path))
     fs.setWriteChecksum(false) // no .crc sidecars next to wire files
@@ -506,7 +512,8 @@ private[sources] class ProtoDataWriter(
     try out.close() catch { case _: Exception => () }
     fs.delete(staged, false)
   }
-  override def close(): Unit = ()
+  override def close(): Unit =
+    try fs.close() catch { case _: Exception => () }
 }
 
 /** Catalog surface for the DSv2 source: a distributed round trip over the

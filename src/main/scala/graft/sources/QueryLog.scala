@@ -29,12 +29,19 @@ final class QueryLog(capacity: Int = 10000) extends QueryExecutionListener {
 
   private val seq = new AtomicLong(0L)
   private val entries = new ConcurrentLinkedQueue[Entry]()
+  // ConcurrentLinkedQueue.size is an O(n) traversal — track the count
+  // alongside so the eviction check is O(1) on the listener-bus thread
+  private val count = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def add(e: Entry): Unit = {
     entries.add(e)
+    count.incrementAndGet()
     // bounded ring: evict oldest past capacity (races can momentarily
     // overshoot by a handful of entries; the bound re-establishes itself)
-    while (entries.size > capacity) entries.poll()
+    while (count.get > capacity) {
+      if (entries.poll() != null) count.decrementAndGet()
+      else return // raced with another evictor draining the queue
+    }
   }
 
   override def onSuccess(funcName: String, qe: QueryExecution,

@@ -37,9 +37,12 @@ object ZOrder {
     require(bits * cols.size <= 60, "curve value must fit a long")
     val nBuckets = 1 << bits
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    cols.map { name =>
-      val cuts = df.stat.approxQuantile(name, probs, 0.001)
-      bucketCol(col(name), cuts).cast("long")
+    // the multi-column overload computes every column's cut points in
+    // ONE aggregate job — per-column calls would scan the table once per
+    // column before the layout shuffle even starts
+    val cuts = df.stat.approxQuantile(cols.toArray, probs, 0.001)
+    cols.zip(cuts).map { case (name, c) =>
+      bucketCol(col(name), c).cast("long")
     }
   }
 

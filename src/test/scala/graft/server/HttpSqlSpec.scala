@@ -356,6 +356,25 @@ class HttpSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("system_parts hides private underscore dirs (_dlq census must not leak)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-http-priv").toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/real_table")
+    Seq((2L, "poison")).toDF("id", "err").write.parquet(s"$dir/_dlq")
+    val srv = new HttpSql(spark, dataDir = Some(dir))
+    val p = srv.start()
+    val c = HttpClient.newHttpClient()
+    try {
+      val r = get(c, p, s"/?query=${enc(
+        "SELECT DISTINCT table FROM system_parts ORDER BY table")}")
+      assert(r.statusCode() == 200, r.body())
+      val tables = r.body().linesIterator.toSeq
+      assert(tables.contains("real_table"), r.body())
+      assert(!tables.exists(_.startsWith("_")),
+        s"private dirs leaked into system_parts: ${tables.mkString(",")}")
+    } finally srv.stop()
+  }
+
   // A query that cannot finish in test time but DIES PROMPTLY when its
   // job group is cancelled: 2000 small range partitions (~1s of codegen
   // loop each). A single-partition range would spin uninterruptibly —
@@ -403,6 +422,13 @@ class HttpSqlSpec extends AnyFunSuite {
       assert(r.body().startsWith("QUERY_WAS_CANCELLED"), r.body())
       val gone = get(c, p, s"/?query=${enc("KILL QUERY WHERE query_id = 'doomed'")}")
       assert(gone.statusCode() == 404)
+      // CH permits reusing a query_id after its kill: the job-group id
+      // carries a per-execution nonce, so Spark's cancelled-group memory
+      // (cancelJobGroupAndFutureJobs has no unmark) must not poison the
+      // NEXT query under the same id
+      val reuse = get(c, p, s"/?query_id=doomed&query=${enc("SELECT 41 + 1")}")
+      assert(reuse.statusCode() == 200 && reuse.body() == "42\n",
+        s"killed query_id not reusable: ${reuse.statusCode()} ${reuse.body()}")
       pool.shutdown()
     } finally { srv.stop() }
   }

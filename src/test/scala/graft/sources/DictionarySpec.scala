@@ -44,6 +44,23 @@ class DictionarySpec extends AnyFunSuite {
       Seq("alpha", null))
   }
 
+  test("a probe value that does not fit the key type is absent, not a false match") {
+    import spark.implicits._
+    // INT-keyed dictionary probed with BIGINTs: 2^32+5 would wrap to 5
+    // under a narrowing cast (or abort the query under ANSI) — the
+    // documented semantics require NULL-for-absent instead
+    val intDims = Seq((5, "five"), (7, "seven")).toDF("id", "label")
+    val dict = Dictionary.load(intDims, "int_dims", "id", Seq("label"))
+    val q = Seq(5L, (1L << 32) + 5L).toDF("k")
+      .select(col("k"), dict.get("label", col("k")).as("label"),
+        dict.has(col("k")).as("present"))
+      .orderBy("k").collect()
+    assert(q(0).getAs[String]("label") == "five" && q(0).getAs[Boolean]("present"))
+    assert(q(1).getAs[String]("label") == null,
+      s"out-of-range probe matched: ${q(1)}")
+    assert(!q(1).getAs[Boolean]("present"))
+  }
+
   test("NULL key probes to NULL / default / false, never matches") {
     val dict = Dictionary.load(dims, "dims", "id", Seq("label"))
     val r = Seq(Some(2L), None).toDF("k")
