@@ -40,6 +40,13 @@ case class ProtoDecode(child: Expression, schemaDdl: Expression)
 
   override def dataType: DataType = schema
   override def nullIntolerant: Boolean = true
+  // always nullable: a MALFORMED payload decodes to null even when the
+  // bytes column itself is non-nullable. Inheriting child nullability
+  // would (a) let NullPropagation fold `decoded IS NULL` to false,
+  // silently disabling the DLQ routing of poison payloads, and (b) make
+  // nullSafeCodeGen emit `false = ...` for the isNull assignment below —
+  // a Janino compile failure and codegen fallback.
+  override def nullable: Boolean = true
   override def prettyName: String = "proto_decode"
 
   protected override def nullSafeEval(bytes: Any, ddl: Any): Any =

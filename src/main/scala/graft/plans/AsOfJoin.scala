@@ -196,7 +196,14 @@ case class AsOfJoinByName(
   override lazy val resolved: Boolean = childrenResolved &&
     (leftKeys :+ leftTime).forall(find(left, _).isDefined) &&
     (rightKeys ++ (rightTime +: tieBreak)).forall(find(right, _).isDefined) &&
-    find(left, leftTime).get.dataType == find(right, rightTime).get.dataType
+    find(left, leftTime).get.dataType == find(right, rightTime).get.dataType &&
+    // key dtypes pairwise too: the exec compares keys with an ordering
+    // built from the LEFT types — a 4-byte right key read by an 8-byte
+    // accessor would mis-compare silently, so a mismatch must fail
+    // analysis instead
+    leftKeys.zip(rightKeys).forall { case (lk, rk) =>
+      find(left, lk).get.dataType == find(right, rk).get.dataType
+    }
 
   /** The key/time columns are strings, not Expressions, so the default
     * (expression-derived) references are empty — ColumnPruning would prune
@@ -261,6 +268,14 @@ object AsOfJoin {
         throw new IllegalArgumentException(s"column $n not in ${p.output.map(_.name)}"))
     require(attr(lp, leftTime).dataType == attr(rp, rightTime).dataType,
       "as-of time columns must share a data type (cast first)")
+    // key dtypes must match pairwise too: the exec's key ordering is
+    // built from the LEFT key types, and reading a 4-byte right key with
+    // an 8-byte accessor would silently mis-compare instead of erroring
+    leftKeys.zip(rightKeys).foreach { case (lk, rk) =>
+      require(attr(lp, lk).dataType == attr(rp, rk).dataType,
+        s"as-of key columns $lk/$rk must share a data type " +
+          s"(${attr(lp, lk).dataType} vs ${attr(rp, rk).dataType} — cast first)")
+    }
     org.apache.spark.sql.graft.Bridge.ofRows(spark, AsOfJoinPlan(
       leftKeys.map(attr(lp, _)), rightKeys.map(attr(rp, _)),
       attr(lp, leftTime), attr(rp, rightTime), tieBreak.map(attr(rp, _)),

@@ -368,7 +368,13 @@ object ProjectionRewrite extends Rule[LogicalPlan] {
     }
     if (groupAttrs.isEmpty) return None // empty-base global agg differs
     if (!groupAttrs.forall(a => p.groupCols.contains(a.name))) return None
-    if (!filters.forall(_.references.forall(r => p.groupCols.contains(r.name))))
+    // every filter must be DETERMINISTIC and reference only projection
+    // keys: the references test alone is vacuously true for a
+    // reference-free predicate like rand() < 0.5, which applied above
+    // the one-row-per-group scan would sample GROUPS where the base
+    // query samples ROWS — silently different aggregates
+    if (!filters.forall(f => f.deterministic &&
+        f.references.forall(r => p.groupCols.contains(r.name))))
       return None
 
     // fresh scan per rewrite: fresh exprIds, so two rewrites in one plan

@@ -132,7 +132,10 @@ object DedupStream {
     * seeded-hash layout as the batch plan (`rawTokens` + `bgHash`);
     * empty for docs with < 2 words (absent from batch bands too). */
   private[graft] def signature(text: String): Seq[String] = {
-    val w = text.split(" ")
+    // limit -1: Spark's split() keeps trailing empty tokens; Java's
+    // default drops them — "a b " must tokenize identically on both
+    // sides or its band keys diverge from the batch table
+    val w = text.split(" ", -1)
     if (w.length < 2) return Seq.empty
     val bgs = (0 until w.length - 1).map(i => w(i) + " " + w(i + 1)).distinct
     val mins = Array.fill(nHashes)("￿")
@@ -187,7 +190,8 @@ object DedupStream {
     val out = Seq.newBuilder[NearDupPair]
     // doc_id order inside the batch: emission independent of
     // partition-internal row order (determinism under replay)
-    rows.toSeq.sortBy(_.doc_id).foreach { r =>
+    val arrivals = rows.toSeq
+    arrivals.sortBy(_.doc_id).foreach { r =>
       if (!members.exists(_._1 == r.doc_id)) {
         if (members.size < maxBucket) {
           members.foreach { case (mid, msig) =>
@@ -203,8 +207,13 @@ object DedupStream {
     state.update(BucketState(members))
     // processing-time TTL, refreshed on every touch: a bucket expires
     // only after `ttl` of NO traffic, bounding total state by arrival
-    // recency instead of all-time distinct content
-    ttl.foreach(t => state.setTimeoutDuration(t.toMillis))
+    // recency instead of all-time distinct content. NOT armed on the
+    // history-seeding invocation (batch 1 calls the function with no
+    // rows for initial-state keys): seeded history is the authoritative
+    // dedup base — idle-evicting it would turn known duplicates into
+    // false "new" verdicts mid-stream. A seeded bucket joins the TTL
+    // regime on first touch (see nearDupPairsWithHistory's scaladoc).
+    if (arrivals.nonEmpty) ttl.foreach(t => state.setTimeoutDuration(t.toMillis))
     out.result().iterator
   }
 
@@ -235,7 +244,20 @@ object DedupStream {
     * re-streaming history. Seeding emits nothing (history is settled;
     * only arriving docs produce verdicts), and the daily state build
     * cost is |history| signatures — in production this reads the stored
-    * signature table the batch pipeline maintains. */
+    * signature table the batch pipeline maintains.
+    *
+    * TTL scope (deliberate, spec-pinned): `ttl` bounds STREAM-accreted
+    * and stream-touched state only. Seeded history buckets that receive
+    * no traffic persist — the seeding invocation (batch 1, no rows)
+    * deliberately skips arming the timeout, because history is the
+    * authoritative dedup base and idle-evicting it would silently
+    * un-know settled documents (an idle history doc is still a
+    * duplicate source — eviction would yield false "new" verdicts, a
+    * correctness hazard, not just recall). State bound under TTL =
+    * |history| + O(buckets touched within the TTL horizon); to shrink
+    * the history term, compact the history corpus itself (the batch
+    * keep-best pass), don't wait for eviction. A seeded bucket once
+    * TOUCHED joins the TTL regime like any other. */
   def nearDupPairsWithHistory(docs: Dataset[DocEvent],
                               history: Dataset[DocEvent], minAgree: Int = 4,
                               maxBucket: Int = 1024,
@@ -282,7 +304,7 @@ object DedupStream {
     * distinct words, rounded to 6 places with the same HALF_UP rule as
     * Spark's round()). */
   private[graft] def uniqRatio(text: String): Double = {
-    val w = text.split(" ")
+    val w = text.split(" ", -1) // keep trailing empties — Spark split parity
     BigDecimal(w.distinct.length.toDouble / w.length)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }

@@ -82,8 +82,15 @@ object Ingest {
     * (data column then, partition column now). */
   def readDlq(spark: SparkSession, outDir: String): DataFrame = {
     val root = s"$outDir/$DlqTable"
-    val top = Option(new java.io.File(root).listFiles())
-      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName)
+    // Hadoop FS, not java.io.File: outDir may be hdfs://, s3a://, … —
+    // a local-only listing came back empty there and silently skipped
+    // the mixed-vintage handling this reader exists for
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val top =
+      if (fs.exists(rootPath))
+        fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath.getName)
+      else Array.empty[String]
     val newDirs = top.filter(_.startsWith("subject=")).sorted.map(d => s"$root/$d")
     val oldDirs = top.filter(_.startsWith("ingest_batch=")).sorted.map(d => s"$root/$d")
     def load(paths: Seq[String]) =
@@ -165,7 +172,11 @@ object Ingest {
       val dlq = decodedSlices
         .map { case (_, _, d) => d.filter(invalid).select(asDlq("decode_error"): _*) }
         .foldLeft(
-          cached.filter(!col("subject").isin(routable: _*))
+          // null-safe: a NULL subject makes isin() NULL, and !NULL is
+          // NULL → the row would match NO filter (not routed, not
+          // dead-lettered) and vanish without audit. coalesce pins the
+          // unroutable verdict for NULL subjects.
+          cached.filter(!coalesce(col("subject").isin(routable: _*), lit(false)))
             .select(asDlq("unroutable_subject"): _*))(_ union _)
       // DLQ is partitioned by subject: the dynamic ingest_batch overwrite
       // then only replaces (subject, batch) slices this batch produced —

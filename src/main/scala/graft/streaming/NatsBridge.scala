@@ -183,7 +183,13 @@ object NatsBridge {
         } finally session.close()
       } catch {
         case _: InterruptedException => return failures
-        case e: Exception if !stop() =>
+        case e: Exception =>
+          // a disconnect RACING shutdown must not escape: once stop()
+          // is true the loop condition ends the relay on the next check,
+          // and the documented contract is 'returns the failure count' —
+          // an unguarded rethrow here crashed the relay thread on every
+          // shutdown that coincided with a dying connection
+          if (stop()) return failures
           failures += 1
           System.err.println(s"[nats-relay] connection lost (${e.getClass.getSimpleName}: " +
             s"${e.getMessage}); reconnecting in ${backoff}ms")

@@ -29,7 +29,9 @@ object ProtoWire {
 
   // ------------------------------ encode ------------------------------
 
-  private def writeVarint(out: ByteArrayOutputStream, v0: Long): Unit = {
+  // OutputStream-typed so writeFrame shares it — two inline copies of
+  // the framing-critical encoder could drift independently
+  private def writeVarint(out: java.io.OutputStream, v0: Long): Unit = {
     var v = v0
     while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
     out.write(v.toInt)
@@ -39,9 +41,7 @@ object ProtoWire {
     * shared by every wire-file writer and the [[graft.sources]] readers.
     * Works on any OutputStream (frames are written through buffers). */
   def writeFrame(out: java.io.OutputStream, msg: Array[Byte]): Unit = {
-    var v = msg.length.toLong
-    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
-    out.write(v.toInt)
+    writeVarint(out, msg.length.toLong)
     out.write(msg)
   }
 

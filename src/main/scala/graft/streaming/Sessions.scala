@@ -66,8 +66,14 @@ object Sessions {
           Iterator.single(summary.copy(session_id = sessionId))
         case None =>
           state.update(st)
-          // abandoned when the watermark passes last-seen + timeout
-          if (timeoutMs > 0) state.setTimeoutTimestamp(st.last + timeoutMs)
+          // abandoned when the watermark passes last-seen + timeout.
+          // Clamped to the CURRENT watermark (the FunnelStream guard):
+          // late-event admission uses the previous batch's watermark, so
+          // a watermark jump larger than the timeout would otherwise ask
+          // for a timestamp already below the eviction watermark and
+          // crash the query with IllegalArgumentException
+          if (timeoutMs > 0) state.setTimeoutTimestamp(
+            math.max(st.last, state.getCurrentWatermarkMs()) + timeoutMs)
           Iterator.empty
       }
     }

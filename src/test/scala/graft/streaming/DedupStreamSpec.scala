@@ -30,6 +30,32 @@ class DedupStreamSpec extends AnyFunSuite {
     } finally plan.caches.foreach(_.unpersist())
   }
 
+  test("tokenizer parity on trailing/odd whitespace (Spark split keeps empties)") {
+    import spark.implicits._
+    // Java's String.split(" ") drops trailing empty tokens; Spark's
+    // split() keeps them — a divergence here silently changes band keys
+    // for whitespace-suffixed text (recall loss, not an error)
+    val texts = Seq("alpha beta ", "alpha  beta", " alpha beta", "a b c  ")
+    val batchBigrams = texts.toDF("text")
+      .selectExpr("text",
+        """transform(sequence(1, size(split(text, ' ')) - 1),
+             i -> concat(element_at(split(text, ' '), i), ' ',
+                         element_at(split(text, ' '), i + 1))) AS bgs""")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    texts.foreach { t =>
+      val w = t.split(" ", -1)
+      val streamBigrams =
+        (0 until math.max(0, w.length - 1)).map(i => w(i) + " " + w(i + 1)).toSet
+      assert(streamBigrams == batchBigrams(t),
+        s"tokenizer divergence on '$t': $streamBigrams vs ${batchBigrams(t)}")
+      // and the signatures themselves agree for whitespace-suffixed twins
+      assert(DedupStream.signature(t).nonEmpty)
+    }
+    assert(DedupStream.signature("alpha beta") !=
+      DedupStream.signature("alpha beta "),
+      "batch split distinguishes the trailing-space twin; streaming must too")
+  }
+
   test("streaming near-dup pairs: batch-consistent, order-robust, redelivery-safe") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
@@ -307,6 +333,45 @@ class DedupStreamSpec extends AnyFunSuite {
         rows.exists(n => n > 0 && n <= 4)
       }, s"TTL state not bounded: ${Option(q.lastProgress)
         .flatMap(_.stateOperators.headOption).map(_.numRowsTotal)} rows")
+    } finally q.stop()
+  }
+
+  test("TTL scope: untouched history-seeded buckets persist past the TTL") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import scala.concurrent.duration._
+    // the documented contract: ttl bounds stream-touched state only;
+    // seeded history is the authoritative dedup base and must not
+    // idle-evict (Spark arms per-key timeouts only when the update
+    // function runs for the key — and that is the semantics we WANT)
+    val h1 = DocEvent(1, "alpha beta gamma delta epsilon zeta")
+    val x = DocEvent(9, "omicron sigma tau upsilon phi chi")
+    val dup = DocEvent(21, h1.text)
+    val ms = MemoryStream[DocEvent]
+    val q = DedupStream.nearDupPairsWithHistory(
+        ms.toDS(), Seq(h1).toDS(), ttl = Some(1.second))
+      .writeStream.format("memory").queryName("ttl_hist")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+      .outputMode("append").start()
+    def pollUntil(deadlineMs: Long)(cond: => Boolean): Boolean = {
+      val end = System.currentTimeMillis() + deadlineMs
+      while (!cond && System.currentTimeMillis() < end) Thread.sleep(100)
+      cond
+    }
+    try {
+      // traffic to an UNRELATED bucket keeps batches flowing while h1's
+      // seeded bucket stays untouched across the TTL horizon
+      ms.addData(Seq(x))
+      assert(pollUntil(20000)(q.recentProgress.exists(_.numInputRows > 0)),
+        "x batch never processed")
+      Thread.sleep(2500) // well past ttl with h1's bucket idle
+      ms.addData(Seq(dup))
+      assert(pollUntil(20000)(spark.table("ttl_hist").count() >= 1),
+        "seeded history bucket was evicted while idle — the documented " +
+          "TTL scope (stream-touched state only) is broken")
+      val pairs = spark.table("ttl_hist").select("da", "db")
+        .as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 21L)), s"history pair missing: $pairs")
     } finally q.stop()
   }
 
