@@ -127,9 +127,13 @@ object ScaleSmoke {
         timeIt(f"wcdf naive 3-task window x$m (n=$nRows%,d)",
           medianCount(src.withColumn("cum", sum("wt").over(byVal))
             .withColumn("tot", sum("wt").over(whole))))
-        timeIt(f"wcdf distributed         x$m (n=$nRows%,d)",
-          medianCount(operators.OrderStats.weightedCdf(
-            src, "k", Seq("v", "id"), "wt")))
+        timeIt(f"wcdf distributed         x$m (n=$nRows%,d)", {
+          val (cdf, caches) = operators.OrderStats.weightedCdfPlan(
+            src, "k", Seq("v", "id"), "wt")
+          val n = medianCount(cdf)
+          caches.foreach(_.unpersist())
+          n
+        })
       }
       // the corpus sweeps below have no individual section names: they
       // run as one block unless a drill-down section was requested

@@ -177,7 +177,8 @@ object EventAnalytics {
       val e = Tables.events(s, d)
         .filter(col("event_type").isin("signup", "click", "purchase"))
         .select("user_id", "event_type", "ts", "event_id")
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc_nulls_last, col("event_id")) // DuckDB NULLS LAST parity
       val pre = w.rowsBetween(Window.unboundedPreceding, -1)
       val winH = expr("INTERVAL 12 HOURS")
       // invalid-chain sentinel: far enough in the past that `ts <= lc + w`
@@ -222,7 +223,8 @@ object EventAnalytics {
     // funnel mode of the three (plain / strict_dedup / strict_order).
     "o_a15d_funnel_strict" -> ((s, d) => {
       val e = Tables.events(s, d).select("user_id", "event_type", "ts", "event_id")
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc_nulls_last, col("event_id")) // DuckDB NULLS LAST parity
       val winH = expr("INTERVAL 12 HOURS")
       val l2 = lead(col("event_type"), 1).over(w) === "click" &&
         lead(col("ts"), 1).over(w) <= col("ts") + winH
@@ -244,7 +246,8 @@ object EventAnalytics {
     // lead()-prefix technique as strict_order: one shuffle, no joins.
     "o_a21_seq_next_node" -> ((s, d) => {
       val e = Tables.events(s, d).select("user_id", "event_type", "ts", "event_id")
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc_nulls_last, col("event_id")) // DuckDB NULLS LAST parity
       e.withColumn("n1", lead(col("event_type"), 1).over(w))
         .withColumn("n2", lead(col("event_type"), 2).over(w))
         .filter(col("event_type") === "signup" && col("n1") === "click")
@@ -266,14 +269,22 @@ object EventAnalytics {
       val e = Tables.events(s, d)
         .filter(col("event_type").isin("signup", "click", "purchase"))
         .select("user_id", "event_type", "ts", "event_id")
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc_nulls_last, col("event_id")) // DuckDB NULLS LAST parity
+      // "last signup STRICTLY before" is a value-based RANGE frame, not
+      // a ROWS frame: with ROWS, a signup TIED to the click's ts (and
+      // sorted earlier) becomes the frame max and fails `< ts`, masking
+      // an older in-window signup that satisfies the EXISTS chain.
+      // RANGE(…, -1) over unix_micros admits exactly the strictly-earlier
+      // rows, so the frame max IS the latest strict predecessor.
+      val wRange = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")).asc_nulls_last)
       val lastSignup = max(when(col("event_type") === "signup", col("ts")))
-        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .over(wRange.rangeBetween(Window.unboundedPreceding, -1))
       val purchaseAfter = max(when(col("event_type") === "purchase", col("ts")))
         .over(w.rowsBetween(1, Window.unboundedFollowing))
       e.withColumn("mid", when(col("event_type") === "click" &&
           lastSignup >= col("ts") - expr("INTERVAL 1 HOUR") &&
-          lastSignup < col("ts") &&
           purchaseAfter > col("ts"), 1).otherwise(0))
         .groupBy("user_id")
         .agg(max(when(col("event_type") === "signup", 1).otherwise(0)).as("has_signup"),
@@ -455,12 +466,9 @@ object EventAnalytics {
            SELECT user_id, event_type,
                   CASE WHEN event_type = 'click'
                          AND max(CASE WHEN event_type = 'signup' THEN ts END)
-                             OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                             OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                              >= ts - INTERVAL 1 HOUR
-                         AND max(CASE WHEN event_type = 'signup' THEN ts END)
-                             OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) < ts
                          AND max(CASE WHEN event_type = 'purchase' THEN ts END)
                              OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) > ts

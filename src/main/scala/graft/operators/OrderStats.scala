@@ -57,15 +57,12 @@ object OrderStats {
     * (exact integer weights — no summation-order hazard); `ord` must be
     * a total order within `key` (include tiebreak columns).
     */
-  def weightedCdf(df: DataFrame, key: String, ord: Seq[String],
-                  wt: String): DataFrame = {
-    val (out, _) = weightedCdfPlan(df, key, ord, wt)
-    out
-  }
-
-  /** [[weightedCdf]] plus its persisted intermediate (the range-split
-    * slice table), for callers that want to release it after their
-    * action (`Materialize.drop(result, caches: _*)`). */
+  /** Returns (cdf, persisted-intermediates): the slice table is CACHED
+    * (correctness depends on one physical instantiation — see below),
+    * so callers must release it after their action
+    * (`Materialize.drop(result, caches: _*)` or `_.unpersist()`).
+    * There is deliberately no cache-discarding convenience overload —
+    * it leaked a corpus-sized cached block per call. */
   def weightedCdfPlan(df: DataFrame, key: String, ord: Seq[String],
                       wt: String): (DataFrame, Seq[DataFrame]) = {
     val spark = df.sparkSession

@@ -287,11 +287,18 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
-    // O-A5: argMax (ClickHouse argMax) via built-in max_by/min_by.
+    // O-A5: argMax (ClickHouse argMax). Spelled max(struct(ts,
+    // event_id)).event_id rather than max_by(event_id, ts): a user with
+    // two DIFFERENT events at the same extreme ts makes bare max_by
+    // nondeterministic (whichever row a partition feeds first wins,
+    // flaking across runs and engines); the struct's lexicographic
+    // ordering pins ties to the larger/smaller event_id on both sides.
     "o_a5_argmax" -> ((s, d) => {
       Tables.events(s, d).groupBy("user_id").agg(
-          expr("max_by(event_id, ts)").as("last_event_id"),
-          expr("min_by(event_id, ts)").as("first_event_id"),
+          max(struct(col("ts"), col("event_id")))
+            .getField("event_id").as("last_event_id"),
+          min(struct(col("ts"), col("event_id")))
+            .getField("event_id").as("first_event_id"),
           max("ts").as("last_ts"))
         .orderBy("user_id")
     }),
@@ -531,7 +538,8 @@ object Relational {
     // odometer resets contribute nothing; rises sum). Decimal deltas keep
     // the sum exact and order-independent; one user_id shuffle.
     "o_a28_delta_sum" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc_nulls_last, col("event_id")) // DuckDB NULLS LAST parity
       Tables.events(s, d)
         .filter(col("value").isNotNull)
         .select(col("user_id"), col("ts"), col("event_id"),
@@ -1058,8 +1066,10 @@ object Relational {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "o_a5_argmax" ->
-      """SELECT user_id, arg_max(event_id, ts) AS last_event_id,
-                arg_min(event_id, ts) AS first_event_id, MAX(ts) AS last_ts
+      """SELECT user_id,
+                (max(struct_pack(ts := ts, eid := event_id))).eid AS last_event_id,
+                (min(struct_pack(ts := ts, eid := event_id))).eid AS first_event_id,
+                MAX(ts) AS last_ts
          FROM events GROUP BY user_id ORDER BY user_id""",
 
     "o_a6_collect" ->

@@ -20,7 +20,8 @@ object Windows {
     // (reference delivers duplicates by design: src/nats.rs:74,
     // src/handler.rs:132; SURVEY §1.4 "duplicate semantics").
     "o_w1_dedup" -> ((s, d) => {
-      val w = Window.partitionBy("event_id").orderBy("ts", "user_id")
+      val w = Window.partitionBy("event_id")
+        .orderBy(col("ts").asc_nulls_last, col("user_id")) // DuckDB NULLS LAST parity
       Tables.events(s, d)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -42,7 +43,8 @@ object Windows {
     // O-W3: lag — inter-event gap per user in microseconds (sessionization
     // input; integer math so the oracle compare is exact).
     "o_w3_lag" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc_nulls_last, col("event_id")) // DuckDB NULLS LAST parity
       Tables.events(s, d)
         .select(col("user_id"), col("event_id"),
           (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
@@ -52,7 +54,8 @@ object Windows {
     // O-W4: running/cumulative aggregate with an explicit frame; the sum
     // runs over DECIMAL so prefix sums are exact and order-independent.
     "o_w4_running" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc_nulls_last, col("event_id")) // DuckDB NULLS LAST parity
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"),
@@ -64,7 +67,8 @@ object Windows {
     // O-W5: sliding frame — moving average over the last 4 rows, computed
     // as exact decimal sum / count so both engines agree bit-for-bit.
     "o_w5_moving" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc_nulls_last, col("event_id")) // DuckDB NULLS LAST parity
         .rowsBetween(-3, Window.currentRow)
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"),
@@ -128,7 +132,8 @@ object Windows {
 
     // O-W7: first/last value per key (first-touch attribution).
     "o_w7_firstlast" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc_nulls_last, col("event_id")) // DuckDB NULLS LAST parity
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       Tables.events(s, d)
         .select(col("user_id"),
@@ -147,7 +152,8 @@ object Windows {
     // only paid for itself when the OUTPUT was the per-user array).
     "o_w8_moving_collect" -> ((s, d) => {
       // value IS NOT NULL both sides (same latent NULL skew pin as o_w9).
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc_nulls_last, col("event_id")) // DuckDB NULLS LAST parity
       val frame = w.rowsBetween(-2, Window.currentRow)
       Tables.events(s, d)
         .filter(col("value").isNotNull)

@@ -106,8 +106,12 @@ object Curation {
         .select(col("doc_id"),
           size(col("bgs")).as("n_bg"),
           size(array_distinct(col("bgs"))).as("n_uniq_bg"),
-          round(lit(1) - size(array_distinct(col("bgs"))) /
-            size(col("bgs")).cast("double"), 6).as("dup_frac"))
+          // guarded: a sub-2-word doc has n_bg = 0, where Spark's x/0.0
+          // yields NULL but DuckDB's yields NaN — pin 0.0 on BOTH sides
+          // (no bigrams = nothing repeated)
+          when(size(col("bgs")) === 0, lit(0.0))
+            .otherwise(round(lit(1) - size(array_distinct(col("bgs"))) /
+              size(col("bgs")).cast("double"), 6)).as("dup_frac"))
         .orderBy("doc_id")
     }),
 
@@ -188,7 +192,9 @@ object Curation {
            FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents))
          SELECT doc_id, CAST(len(bgs) AS INT) AS n_bg,
                 CAST(len(list_distinct(bgs)) AS INT) AS n_uniq_bg,
-                round(1 - len(list_distinct(bgs)) / CAST(len(bgs) AS DOUBLE), 6) AS dup_frac
+                CASE WHEN len(bgs) = 0 THEN 0.0
+                     ELSE round(1 - len(list_distinct(bgs)) / CAST(len(bgs) AS DOUBLE), 6)
+                END AS dup_frac
          FROM b ORDER BY doc_id""",
 
     "d_emb_outlier" ->

@@ -37,14 +37,15 @@ object EndToEnd {
   private[pipeline] def plan(
       s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val (keep, caches) = TextDedup.clusterKeepers(s, d)
-    // agg + join rather than a fingerprint-partitioned window: hot
-    // boilerplate fingerprints stay map-side-combinable and the join is
-    // AQE-skew-splittable (same rationale as d_curation_apply)
+    // THE shared exact-keeper shape (TextDedup.exactKeeperDecisions —
+    // the `3440f12` skew fix): agg + join with a round-robin
+    // repartition of the keeper side, so hot boilerplate fingerprints
+    // stay map-side-combinable AND the join is AQE-skew-splittable. An
+    // earlier inline copy here omitted the repartition and kept the
+    // single-task hot-key shape the helper exists to prevent.
     val fps = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
       md5(normCol.cast("binary")).as("fp"))
-    val exact = fps.join(
-      fps.groupBy("fp").agg(min("doc_id").as("exact_keep")), Seq("fp"))
-      .select(col("doc_id"), col("n_chars"), col("exact_keep"))
+    val exact = TextDedup.exactKeeperDecisions(fps)
     // dec feeds BOTH the output rows and the packing branch; without the
     // persist Spark plans the whole keep/exact subtree twice (two corpus
     // scans, double the exchanges — measured 14 exchanges / 4 scans vs

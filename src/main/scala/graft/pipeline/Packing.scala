@@ -48,13 +48,18 @@ object Packing {
       .sortWithinPartitions("bucket", "doc_id")
       .mapPartitions { it =>
         // one sequential pass per partition; buckets never span partitions
-        // (hash-partitioned on bucket), so resets at boundaries suffice
+        // (hash-partitioned on bucket), so resets at boundaries suffice.
+        // Split condition matches the oracle's recursive fold EXACTLY:
+        // every non-first row splits when fill + t > capacity — including
+        // from fill == 0 (a zero-token doc followed by an oversize one
+        // must open a new sequence, as the recursion does); only the
+        // bucket's first row is split-exempt.
         var curBucket = Long.MinValue
         var seqNo = 0L
         var fill = 0L
         it.map { case (bucket, docId, t) =>
-          if (bucket != curBucket) { curBucket = bucket; seqNo = 0L; fill = 0L }
-          if (fill > 0L && fill + t > capacity) { seqNo += 1L; fill = t }
+          if (bucket != curBucket) { curBucket = bucket; seqNo = 0L; fill = t }
+          else if (fill + t > capacity) { seqNo += 1L; fill = t }
           else fill += t
           (docId, bucket, seqNo, t, fill)
         }

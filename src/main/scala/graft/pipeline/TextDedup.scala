@@ -384,12 +384,14 @@ object TextDedup {
     * price — one extra all-to-all pass over the keeper table — is paid
     * on the DEDUPED side (one row per distinct fingerprint) and buys
     * adaptive skew protection on the corpus-sized probe side.
-    * Input: (doc_id, fp); output: (doc_id, exact_keep). */
+    * Input: needs (doc_id, fp); output: the input columns minus fp,
+    * plus exact_keep — passthrough columns let callers carry payload
+    * (e.g. n_chars) without a second doc-keyed join. */
   private[graft] def exactKeeperDecisions(fps: DataFrame): DataFrame = {
     val n = fps.sparkSession.sessionState.conf.numShufflePartitions
     val keeper = fps.groupBy("fp").agg(min("doc_id").as("exact_keep"))
       .repartition(n)
-    fps.join(keeper, Seq("fp")).select(col("doc_id"), col("exact_keep"))
+    fps.join(keeper, Seq("fp")).drop("fp")
   }
 
   /** Un-materialized minhash plan: the verified pair list, the banded

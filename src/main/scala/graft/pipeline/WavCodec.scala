@@ -84,6 +84,12 @@ object WavCodec {
       val t = tag()
       val size = buf.getInt
       if (size < 0 || size > buf.remaining()) return None // truncated
+      // pad-to-even skips are CLAMPED to the limit: a final odd-sized
+      // chunk may legitimately omit its pad byte at EOF, and an
+      // unclamped position(pos + size + 1) would throw
+      // IllegalArgumentException instead of the contract's None/parse
+      def skipTo(target: Int): Unit =
+        buf.position(math.min(target, buf.limit()))
       t match {
         case "fmt " =>
           if (size < 16) return None
@@ -97,11 +103,11 @@ object WavCodec {
           if (audioFormat != 1 || channels == 0 || rate <= 0 ||
               (bits != 8 && bits != 16)) return None
           fmt = Some((channels, rate, bits))
-          buf.position(p + size + (size & 1))
+          skipTo(p + size + (size & 1))
         case "data" =>
           data = Some((buf.position(), size))
         case _ =>
-          buf.position(buf.position() + size + (size & 1)) // skip chunk
+          skipTo(buf.position() + size + (size & 1)) // skip chunk
       }
     }
     for ((channels, rate, bits) <- fmt; (off, len) <- data) yield {

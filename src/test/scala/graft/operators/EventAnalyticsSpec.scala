@@ -103,6 +103,26 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(matched.values.sum > 0, "fixture should contain full matches")
   }
 
+  test("o_a17: a signup TIED to the click's ts must not mask an earlier in-window one") {
+    import spark.implicits._
+    // user 1: signup 10:00, signup 10:30 (same ts as the click, earlier
+    // event_id), click 10:30, purchase 11:00. The EXISTS chain holds via
+    // the 10:00 signup; a ROWS-frame max would see 10:30, fail the
+    // strict-before check, and wrongly report no match.
+    def t(m: Int) = new java.sql.Timestamp(1726300800000L + m * 60000L)
+    val rows = Seq(
+      (1L, "signup", t(0), 1L, 0.0, "{}"),
+      (1L, "signup", t(30), 2L, 0.0, "{}"),
+      (1L, "click", t(30), 3L, 0.0, "{}"),
+      (1L, "purchase", t(60), 4L, 0.0, "{}"))
+      .toDF("user_id", "event_type", "ts", "event_id", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("seqtie").toString
+    rows.write.parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("o_a17_seqmatch")(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(1 -> 1L), s"tie-masked match: $out")
+  }
+
   test("single-stage funnel degenerates to the stage-1 user set at level 1") {
     val lv = EventAnalytics.funnelLevels(graft.Tables.events(spark, sf),
       Seq(col("event_type") === "signup"), None).collect()

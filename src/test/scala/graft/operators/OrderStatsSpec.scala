@@ -21,6 +21,15 @@ class OrderStatsSpec extends AnyFunSuite {
     }
   }
 
+  /** Plan variant + immediate release — the spec's convenience stand-in
+    * for the removed cache-discarding overload. */
+  private def cdf(df: org.apache.spark.sql.DataFrame, key: String,
+                  ord: Seq[String], wt: String)(
+      use: org.apache.spark.sql.DataFrame => Array[String]): Array[String] = {
+    val (out, caches) = OrderStats.weightedCdfPlan(df, key, ord, wt)
+    try use(out) finally caches.foreach(_.unpersist())
+  }
+
   private def naiveCdf(df: org.apache.spark.sql.DataFrame) = {
     val byVal = Window.partitionBy("k").orderBy("v", "id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -33,9 +42,9 @@ class OrderStatsSpec extends AnyFunSuite {
     import spark.implicits._
     val df = randomRows(5000, seed = 42).toDF("k", "v", "id", "wt")
       .repartition(16) // arbitrary incoming layout
-    val fast = OrderStats.weightedCdf(df, "k", Seq("v", "id"), "wt")
-      .select("k", "v", "id", "wt", "cum", "tot")
-      .collect().map(_.toString).sorted
+    val fast = cdf(df, "k", Seq("v", "id"), "wt")(
+      _.select("k", "v", "id", "wt", "cum", "tot")
+        .collect().map(_.toString).sorted)
     val slow = naiveCdf(df).collect().map(_.toString).sorted
     assert(fast.sameElements(slow))
   }
@@ -50,15 +59,14 @@ class OrderStatsSpec extends AnyFunSuite {
         i.toLong, 1L + rnd.nextInt(9).toLong)
     }
     val df = rows.toDF("k", "v", "id", "wt")
-    val fast = OrderStats.weightedCdf(df, "k", Seq("v", "id"), "wt")
-      .select("k", "v", "id", "wt", "cum", "tot")
-      .collect().map(_.toString).sorted
+    val fast = cdf(df, "k", Seq("v", "id"), "wt")(
+      _.select("k", "v", "id", "wt", "cum", "tot")
+        .collect().map(_.toString).sorted)
     val slow = naiveCdf(df).collect().map(_.toString).sorted
     assert(fast.sameElements(slow))
     // and the dominant key really did land on >1 range partition (i.e.
     // the test exercised what it claims: cross-partition offsets)
-    val parts = OrderStats.weightedCdf(df, "k", Seq("v", "id"), "wt")
-      .sparkSession.sessionState.conf.numShufflePartitions
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     assert(parts > 1)
   }
 
@@ -68,10 +76,12 @@ class OrderStatsSpec extends AnyFunSuite {
     // val 1 is 5 >= 3.5 -> median 1. B -> 10(w1), 20(w1): tot 2 -> val 10.
     val df = Seq(("A", 1L, 1L, 5L), ("A", 2L, 2L, 1L), ("A", 3L, 3L, 1L),
       ("B", 10L, 4L, 1L), ("B", 20L, 5L, 1L)).toDF("k", "v", "id", "wt")
-    val med = OrderStats.weightedCdf(df, "k", Seq("v", "id"), "wt")
-      .filter(col("cum") * 2 >= col("tot"))
-      .groupBy("k").agg(min("v").as("m"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (out, caches) = OrderStats.weightedCdfPlan(df, "k", Seq("v", "id"), "wt")
+    val med =
+      try out.filter(col("cum") * 2 >= col("tot"))
+        .groupBy("k").agg(min("v").as("m"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      finally caches.foreach(_.unpersist())
     assert(med == Map("A" -> 1L, "B" -> 10L))
   }
 
@@ -95,9 +105,9 @@ class OrderStatsSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.exchange.reuse", "false")
     try {
       val df = randomRows(3000, seed = 99).toDF("k", "v", "id", "wt")
-      val fast = OrderStats.weightedCdf(df, "k", Seq("v", "id"), "wt")
-        .select("k", "v", "id", "wt", "cum", "tot")
-        .collect().map(_.toString).sorted
+      val fast = cdf(df, "k", Seq("v", "id"), "wt")(
+        _.select("k", "v", "id", "wt", "cum", "tot")
+          .collect().map(_.toString).sorted)
       val slow = naiveCdf(df).collect().map(_.toString).sorted
       assert(fast.sameElements(slow))
     } finally spark.conf.set("spark.sql.exchange.reuse", old)
@@ -107,7 +117,7 @@ class OrderStatsSpec extends AnyFunSuite {
     import spark.implicits._
     val df = Seq(("A", 1L, 1L, 0.5)).toDF("k", "v", "id", "wt")
     assertThrows[IllegalArgumentException] {
-      OrderStats.weightedCdf(df, "k", Seq("v", "id"), "wt")
+      OrderStats.weightedCdfPlan(df, "k", Seq("v", "id"), "wt")
     }
   }
 }

@@ -26,6 +26,18 @@ class PackingSpec extends AnyFunSuite {
       (5L, 3L, 1L)))
   }
 
+  test("zero-token doc followed by an oversize doc splits like the oracle fold") {
+    // the recursion p.seq_fill + o.t > capacity has no fill>0 guard: a
+    // 0-token doc leaves fill 0, and the oversize doc after it must
+    // still open ITS OWN sequence (an earlier guard kept it in seq 0,
+    // diverging from the pinned DuckDB recursive-CTE oracle)
+    val df = docsOf(Seq(0, 12, 1))
+    val got = Packing.packSequences(df, capacity = 10, buckets = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "seq_no", "seq_fill").as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((0L, 0L, 0L), (1L, 1L, 12L), (2L, 2L, 1L)))
+  }
+
   test("every doc packed exactly once; no multi-doc sequence exceeds capacity") {
     val df = docsOf((1 to 500).map(i => (i * 37 % 90 + 1).toLong))
     val packed = Packing.packSequences(df, capacity = 128, buckets = 8).cache()

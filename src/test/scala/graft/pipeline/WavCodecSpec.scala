@@ -50,6 +50,29 @@ class WavCodecSpec extends AnyFunSuite {
     val lenOff = 40 // data size field of the canonical 44-byte header
     ByteBuffer.wrap(overrun).order(ByteOrder.LITTLE_ENDIAN).putInt(lenOff, 1 << 20)
     assert(WavCodec.decode(overrun).isEmpty)
+    // a trailing ODD-sized unknown chunk whose size exactly fills the
+    // buffer: the pad-to-even skip lands one byte past the limit and
+    // must clamp (contract: None), not throw IllegalArgumentException
+    val oddTail = ByteBuffer.allocate(12 + 8 + 45).order(ByteOrder.LITTLE_ENDIAN)
+    oddTail.put("RIFF".getBytes("US-ASCII")).putInt(4 + 8 + 45)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("LIST".getBytes("US-ASCII")).putInt(45)
+      .put(Array.fill[Byte](45)(7))
+    assert(WavCodec.decode(oddTail.array()).isEmpty)
+    // same shape inside a valid file: odd LIST chunk between fmt and
+    // data, pad byte present — must still decode
+    val samples = Array.tabulate(16)(_.toShort)
+    val base = WavCodec.encodePcm16(samples, 8000)
+    val withOdd = ByteBuffer.allocate(base.length + 8 + 5 + 1)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    withOdd.put(base, 0, 36) // RIFF..WAVE + fmt chunk
+      .put("LIST".getBytes("US-ASCII")).putInt(5)
+      .put(Array.fill[Byte](5)(3)).put(0.toByte) // odd payload + pad
+      .put(base, 36, base.length - 36) // data chunk
+    ByteBuffer.wrap(withOdd.array()).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, withOdd.array().length - 8)
+    val decoded = WavCodec.decode(withOdd.array())
+    assert(decoded.exists(_.samples.sameElements(samples.map(_.toInt))))
   }
 
   test("features are analytic: square wave has RMS = A, ZCR = flips, peak = A") {
