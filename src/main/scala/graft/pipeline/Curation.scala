@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.Tables
+import graft.operators.OrderStats
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -142,6 +143,62 @@ object Curation {
           Window.partitionBy("label").orderBy(col("dist").desc, col("vec_id"))))
         .filter(col("rnk") <= 3)
         .orderBy("label", "rnk")
+    }),
+
+    // Token-budget SELECTION — "the best B tokens out of the corpus", the
+    // data-selection step between quality scoring and tokenization: rank
+    // docs by quality (uniq_ratio, ties to doc_id), admit in rank order
+    // until the cumulative token count exhausts the budget. The budget is
+    // half the corpus' total tokens (scale-invariant — a fixed constant
+    // would silently model a different fraction at every SF). The
+    // cumulative count is a GLOBAL prefix sum over a corpus-sized total
+    // order — exactly the shape that dies as a single-task window — so it
+    // rides OrderStats.weightedCdf (token counts as weights, negated
+    // quality as the ascending sort key): parallelism-unbounded, and
+    // `tot` doubles as the corpus total, making the budget threshold one
+    // exact integer comparison (cum*2 <= tot), no second pass.
+    "d_token_budget" -> ((s, d) => {
+      val scored = Tables.documents(s, d)
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_tokens"),
+          round(size(array_distinct(col("w"))) /
+            size(col("w")).cast("double"), 6).as("quality"))
+        .withColumn("g", lit(1))
+        .withColumn("neg_q", -col("quality"))
+      val (cdf, caches) = OrderStats.weightedCdfPlan(
+        scored, "g", Seq("neg_q", "doc_id"), "n_tokens")
+      Materialize.drop(cdf
+        .select(col("doc_id"), col("n_tokens"),
+          (-col("neg_q")).as("quality"),
+          col("cum").as("cum_tokens"),
+          (col("cum") * 2 <= col("tot")).cast("int").as("selected"))
+        .orderBy("doc_id"), caches: _*)
+    }),
+
+    // Domain MIXING weights — per-source sampling weights for training-
+    // mix construction: token share per source, temperature-flattened as
+    // share^alpha (alpha=0.7, the standard multinomial-temperature
+    // resampling that upweights small domains), renormalized to sum 1.
+    // One hash agg on source; the windows below run over the ALREADY
+    // AGGREGATED |sources|-row table (a bounded dimension, not the
+    // corpus), so the single-partition window is a no-op cost — the
+    // o_a27/o_w6 low-cardinality-window hazard applies to corpus-sized
+    // inputs, not to post-aggregate dimension tables.
+    "d_domain_mix" -> ((s, d) => {
+      val per = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      val all = Window.partitionBy(lit(1))
+      per
+        .withColumn("share",
+          col("n_tokens").cast("double") / sum("n_tokens").over(all))
+        .withColumn("pw", pow(col("share"), lit(0.7)))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("share"), 6).as("token_share"),
+          round(col("pw") / sum("pw").over(all), 6).as("mix_weight"))
+        .orderBy("source")
     })
   )
 
@@ -216,6 +273,36 @@ object Curation {
                       CAST(row_number() OVER (PARTITION BY label
                         ORDER BY round(sqrt(CAST(s2 AS DOUBLE)), 6) DESC, vec_id) AS INT) AS rnk
                FROM dist)
-         WHERE rnk <= 3 ORDER BY label, rnk"""
+         WHERE rnk <= 3 ORDER BY label, rnk""",
+
+    "d_token_budget" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(len(w) AS BIGINT) AS n_tokens,
+                  round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 6) AS quality
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         c AS (
+           SELECT doc_id, n_tokens, quality,
+                  CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+                  CAST(SUM(n_tokens) OVER () AS BIGINT) AS tot
+           FROM t)
+         SELECT doc_id, n_tokens, quality, cum_tokens,
+                CAST(CASE WHEN cum_tokens * 2 <= tot THEN 1 ELSE 0 END AS INT) AS selected
+         FROM c ORDER BY doc_id""",
+
+    "d_domain_mix" ->
+      """WITH s AS (
+           SELECT source, COUNT(*) AS n_docs,
+                  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+         t AS (
+           SELECT source, n_docs, n_tokens,
+                  n_tokens / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS share
+           FROM s)
+         SELECT source, n_docs, n_tokens,
+                round(share, 6) AS token_share,
+                round(pow(share, 0.7) / SUM(pow(share, 0.7)) OVER (), 6) AS mix_weight
+         FROM t ORDER BY source"""
   )
 }

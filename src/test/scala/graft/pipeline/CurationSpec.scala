@@ -170,4 +170,51 @@ class CurationSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("doc_id", "cluster_id", "cluster_size"))
     assert(out.count() == 0)
   }
+
+  test("token budget: distributed CDF equals the brute prefix sum; budget is tight") {
+    val rows = Curation.queries("d_token_budget")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    // brute: sort by (quality desc, doc_id), running token sum
+    val ranked = rows.sortBy { case (id, _, q, _, _) => (-q, id) }
+    var cum = 0L
+    ranked.foreach { case (id, n, _, gotCum, _) =>
+      cum += n
+      assert(gotCum == cum, s"doc $id cum mismatch: $gotCum vs $cum")
+    }
+    val tot = rows.map(_._2).sum
+    rows.foreach { case (id, _, _, c, sel) =>
+      assert(sel == (if (c * 2 <= tot) 1 else 0), s"doc $id selected flag")
+    }
+    // the budget is tight: selected tokens <= tot/2 < selected + next doc
+    val sel = ranked.filter(_._5 == 1)
+    assert(sel.nonEmpty && sel.length < rows.length)
+    val selTokens = sel.map(_._2).sum
+    assert(selTokens * 2 <= tot)
+    val firstDropped = ranked(sel.length)
+    assert((selTokens + firstDropped._2) * 2 > tot,
+      "first doc past the cut must overflow the budget")
+    // selection is a prefix of the quality ranking
+    assert(ranked.takeWhile(_._5 == 1).length == sel.length,
+      "selected set must be a rank prefix")
+  }
+
+  test("domain mix: shares and weights normalize; temperature flattens the mix") {
+    val rows = Curation.queries("d_domain_mix")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length >= 2, "documents must span several sources")
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4, "token shares sum to 1")
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-4, "mix weights sum to 1")
+    // alpha < 1 flattens: below-average domains get upweighted, above-average
+    // domains downweighted (share^0.7 crosses share at the normalization point)
+    val byShare = rows.sortBy(_._4)
+    assert(byShare.map(_._5).zip(byShare.map(_._4)).forall { case (w, s) => w > 0 && s > 0 })
+    assert(byShare.head._5 >= byShare.head._4 - 1e-9,
+      "smallest domain must not lose mass under temperature 0.7")
+    assert(byShare.last._5 <= byShare.last._4 + 1e-9,
+      "largest domain must not gain mass under temperature 0.7")
+    // order by weight preserves order by share (monotone transform)
+    assert(byShare.map(_._5).sameElements(byShare.map(_._5).sorted),
+      "mix weight must be monotone in share")
+  }
 }
