@@ -101,9 +101,15 @@ object OrderStats {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withLocal = ranged.withColumn("lcum", sum(col(wt)).over(localW))
 
-    val out = withLocal.join(broadcast(offsets), Seq("pid", key))
+    // <=> on the group key: a NULL key is a legal group (the naive
+    // window this is bit-equal to keeps NULL as its own partition); a
+    // null-unsafe equi-join would silently drop every NULL-key row
+    val offs = offsets.withColumnRenamed("pid", "__opid")
+      .withColumnRenamed(key, "__okey")
+    val out = withLocal.join(broadcast(offs),
+        col("pid") === col("__opid") && col(key) <=> col("__okey"))
       .withColumn("cum", col("lcum") + col("cum_off"))
-      .drop("pid", "lcum", "cum_off")
+      .drop("pid", "lcum", "cum_off", "__opid", "__okey")
     (out, Seq(ranged))
   }
 }

@@ -293,11 +293,15 @@ object Relational {
     // nondeterministic (whichever row a partition feeds first wins,
     // flaking across runs and engines); the struct's lexicographic
     // ordering pins ties to the larger/smaller event_id on both sides.
+    // NULL-ts rows are excluded from the struct (min/max skip NULL
+    // inputs on both engines): a bare struct would rank NULL ts lowest
+    // in Spark but highest in DuckDB nested comparisons, and argMax over
+    // a NULL ordering value is meaningless anyway (CH argMax skips them).
     "o_a5_argmax" -> ((s, d) => {
       Tables.events(s, d).groupBy("user_id").agg(
-          max(struct(col("ts"), col("event_id")))
+          max(when(col("ts").isNotNull, struct(col("ts"), col("event_id"))))
             .getField("event_id").as("last_event_id"),
-          min(struct(col("ts"), col("event_id")))
+          min(when(col("ts").isNotNull, struct(col("ts"), col("event_id"))))
             .getField("event_id").as("first_event_id"),
           max("ts").as("last_ts"))
         .orderBy("user_id")
@@ -618,8 +622,12 @@ object Relational {
 
     // ===================== §2.6 sort / limit / topk ====================
 
+    // NULLS LAST on ts: Spark's default asc puts NULLs first, DuckDB's
+    // puts them last — this is the one ORDER-SENSITIVE ts sort in the
+    // catalog, reachable since Tables.events admits NULL int64 ts.
     "o_s1_sort" -> ((s, d) =>
-      Tables.events(s, d).select("event_id", "ts").orderBy("ts", "event_id")),
+      Tables.events(s, d).select("event_id", "ts")
+        .orderBy(col("ts").asc_nulls_last, col("event_id"))),
 
     "o_s2_limit_offset" -> ((s, d) =>
       Tables.orders(s, d).select("o_orderkey", "o_totalprice")
@@ -1067,8 +1075,10 @@ object Relational {
 
     "o_a5_argmax" ->
       """SELECT user_id,
-                (max(struct_pack(ts := ts, eid := event_id))).eid AS last_event_id,
-                (min(struct_pack(ts := ts, eid := event_id))).eid AS first_event_id,
+                (max(CASE WHEN ts IS NOT NULL
+                     THEN struct_pack(ts := ts, eid := event_id) END)).eid AS last_event_id,
+                (min(CASE WHEN ts IS NOT NULL
+                     THEN struct_pack(ts := ts, eid := event_id) END)).eid AS first_event_id,
                 MAX(ts) AS last_ts
          FROM events GROUP BY user_id ORDER BY user_id""",
 

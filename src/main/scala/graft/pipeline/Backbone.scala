@@ -70,6 +70,21 @@ private[graft] object Backbone {
     if (!built.contains(path)) { build; built += path }
   }
 
+  /** Stable per-JVM id for a DataFrame INSTANCE, used to key memo paths
+    * by which in-memory table a caller passed. Not identityHashCode:
+    * that is address-derived, so a collected object's hash can be
+    * REUSED by a new one, turning a should-miss into a silent stale hit
+    * of the first compaction's data. The IdentityHashMap pins a strong
+    * ref per distinct instance — bounded by the handful of intakes a
+    * JVM ever compacts, and exact forever. */
+  private val instanceIds = new java.util.IdentityHashMap[AnyRef, java.lang.Long]()
+  private val instanceSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def instanceId(o: AnyRef): Long = instanceIds.synchronized {
+    val got = instanceIds.get(o)
+    if (got != null) got.longValue
+    else { val id = instanceSeq.incrementAndGet(); instanceIds.put(o, id); id }
+  }
+
   /** Memoized corpus row count (per JVM, keyed by dir). A parquet-
     * metadata count is cheap, but each invocation is still one driver
     * job; the cascade sizes its broadcast gates and the delta split off
@@ -239,8 +254,7 @@ private[graft] object Backbone {
     // belt-and-braces beyond the caller-supplied tag: key the memo by
     // the input INSTANCES too, so two different intakes reusing a tag
     // rebuild (safe) instead of silently returning the first compaction
-    val inId = s"${System.identityHashCode(keepers)}_" +
-      s"${System.identityHashCode(bands)}_${System.identityHashCode(sets)}"
+    val inId = s"${instanceId(keepers)}_${instanceId(bands)}_${instanceId(sets)}"
     val base = s"$rootDir/compact_${token(tag)}_$inId"
     ensure(base) {
       keepers.write.mode("overwrite").parquet(s"$base/keepers")
@@ -378,11 +392,11 @@ private[graft] object Backbone {
       if (splitOverride >= 0) splitOverride else TextDedup.deltaSplit(s, d)
     // the memo key must distinguish WHICH history the advance started
     // from — two calls with the same split/batchEnd but different
-    // histOverride tables are different commits (identityHashCode keys
-    // the in-JVM instance; a miss rebuilds, which is safe — a stale hit
-    // would silently return day-1 state)
+    // histOverride tables are different commits (instanceId keys the
+    // in-JVM instance stably; a miss rebuilds, which is safe — a stale
+    // hit would silently return day-1 state)
     val histId = histOverride
-      .map(h => s"h${System.identityHashCode(h)}").getOrElse("fresh")
+      .map(h => s"h${instanceId(h)}").getOrElse("fresh")
     val base = s"$rootDir/${token(d)}/adv${split}e${batchEnd}_$histId"
     ensure(base) {
       val p = advanceParts(s, d, split, histOverride, batchEnd)

@@ -49,7 +49,10 @@ object Similarity {
     * training sample and k-means fits are derived artifacts exactly like
     * the dedup backbone's tables (same memo discipline as
     * `Backbone.corpusCount`). First call pays the bounded sample collect
-    * + driver fit; subsequent queries of the same corpus reuse it. */
+    * + driver fit; subsequent queries of the same corpus reuse it.
+    * Catalog callers key by [[corpusKey]] (path + file-metadata version),
+    * so overwriting the parquet at the same path retrains instead of
+    * serving centroids fitted to the replaced data. */
   private val sampleMemo =
     scala.collection.concurrent.TrieMap[String, Array[Array[Double]]]()
   private[graft] def sampleCached(key: String,
@@ -61,6 +64,23 @@ object Similarity {
       sample: => Array[Array[Double]]): Array[Array[Double]] =
     fitMemo.getOrElseUpdate(s"$key|$k|$iters|$seed",
       MiniKMeans.fit(sample, k, iters, seed))
+
+  /** Memo key for a corpus dir: the path plus a file-metadata version
+    * stamp (file count, total bytes, max mtime) of the embeddings
+    * parquet. One driver FS listing per call — negligible next to the
+    * query it guards, and it makes a data drop at the SAME path a memo
+    * MISS (retrain) instead of a stale centroid hit. */
+  private[graft] def corpusKey(s: SparkSession, d: String): String = {
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    val p = new Path(s"$d/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def walk(st: FileStatus): Seq[FileStatus] =
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(walk)
+      else Seq(st)
+    val files = walk(fs.getFileStatus(p))
+    s"$d@${files.length}_${files.map(_.getLen).sum}_" +
+      s"${files.map(_.getModificationTime).max}"
+  }
 
   /** Literal SQL centroid table: `ARRAY<ARRAY<FLOAT>>` baked into the
     * plan, so assignment needs no join and no broadcast variable — the
@@ -165,8 +185,10 @@ object Similarity {
       val nCells = 8; val nProbe = nCells
       val e0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       // trained-once index artifact: sample + fit memoized per corpus
+      // VERSION (path + file metadata), not bare path
+      val ck = corpusKey(s, d)
       val centers =
-        fitCached(s"$d|ivf", nCells, 10, 42)(sampleCached(d, e0))
+        fitCached(s"$ck|ivf", nCells, 10, 42)(sampleCached(ck, e0))
       // one corpus pass: codegen'd literal-centroid argmin, no fit jobs
       val cand = withCell(e0, "embedding", centers, "cell")
         .select(col("vec_id").as("n_id"), col("embedding").as("nv"), col("cell"))
@@ -207,7 +229,8 @@ object Similarity {
     // instead (learned codebooks can't reproduce in SQL).
     "d_ann_ivfpq" -> ((s, d) =>
       ivfPq(s, Tables.embeddings(s, d), nCells = 8, nProbe = 8,
-        m = 4, k = 16, rerank = Int.MaxValue, topK = 5, cacheKey = d)),
+        m = 4, k = 16, rerank = Int.MaxValue, topK = 5,
+        cacheKey = corpusKey(s, d))),
 
     // Semantic dedup END-TO-END: sign-LSH bucketing (the d_ann_lsh planes)
     // → exact cosine edges within bucket → connected components → one

@@ -73,6 +73,31 @@ class TablesSpec extends AnyFunSuite {
     assert(rows == Map(1L -> Some(micros), 2L -> None))
   }
 
+  test("NULL-ts rows: argmax skips them, sort emits them last (DuckDB parity)") {
+    import spark.implicits._
+    // NULL ts is now a legal input (passthrough above); the two queries
+    // whose semantics it can flip must behave like the DuckDB oracle:
+    // o_a5 must never pick a NULL-ts event as first/last (Spark struct
+    // ordering ranks a NULL field LOWEST, DuckDB ranks it HIGHEST — both
+    // are wrong answers; the fix excludes NULL-ts rows from the struct),
+    // and o_s1's ORDER BY ts must put NULL rows last like DuckDB does.
+    val base = 1726300800000000L // micros
+    val d = java.nio.file.Files.createTempDirectory("ev_nullsem").toString
+    Seq((1L, None: Option[Long], 7L, "a", 1.0, "{}"),
+        (2L, Some(base * 1000L), 7L, "b", 1.0, "{}"),
+        (3L, Some((base + 5000000L) * 1000L), 7L, "c", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+
+    val am = operators.Relational.queries("o_a5_argmax")(spark, d).head()
+    assert(am.getLong(1) == 3L, s"last_event_id must skip NULL ts: $am")
+    assert(am.getLong(2) == 2L, s"first_event_id must skip NULL ts: $am")
+
+    val ids = operators.Relational.queries("o_s1_sort")(spark, d)
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(2L, 3L, 1L), s"NULL-ts row must sort last: $ids")
+  }
+
   test("current testdata loads through the events loader at every sf") {
     Seq("sf0.001", "sf0.01").foreach { sf =>
       val df = Tables.events(spark, s"/root/testdata/$sf")

@@ -120,4 +120,23 @@ class OrderStatsSpec extends AnyFunSuite {
       OrderStats.weightedCdfPlan(df, "k", Seq("v", "id"), "wt")
     }
   }
+
+  test("NULL group key is a group, not a dropped row") {
+    import spark.implicits._
+    // a NULL key is a legal window partition in the naive form; the
+    // distributed form's offset join must be null-safe or every
+    // NULL-key row silently vanishes (regression: null-unsafe Seq join)
+    val rnd = new Random(23)
+    val rows = (1 to 1000).map { i =>
+      (if (i % 5 == 0) null else Seq("A", "N")(rnd.nextInt(2)),
+        rnd.nextInt(40).toLong, i.toLong, 1L + rnd.nextInt(9).toLong)
+    }
+    val df = rows.toDF("k", "v", "id", "wt")
+    val fast = cdf(df, "k", Seq("v", "id"), "wt")(
+      _.select("k", "v", "id", "wt", "cum", "tot")
+        .collect().map(_.toString).sorted)
+    val slow = naiveCdf(df).collect().map(_.toString).sorted
+    assert(fast.length == rows.length, "no row may be dropped")
+    assert(fast.sameElements(slow))
+  }
 }
