@@ -38,7 +38,7 @@ object Bench {
           "o_j6b_asof_native", "o_j6c_asof_forward", "o_a12_sketch_merge",
           "d_dedup_cluster", "d_emb_outlier", "d_decontam",
           "d_dedup_keep_best", "d_curation_apply", "d_pipeline_e2e",
-          "d_backbone_incr")
+          "d_backbone_incr", "d_token_budget")
         .foreach { q =>
           try SparkEntry.queries(q)(spark, warmSf).count()
           catch { case _: Throwable => () }
