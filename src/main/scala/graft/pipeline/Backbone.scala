@@ -415,12 +415,7 @@ private[graft] object Backbone {
       p.labels.write.mode("overwrite").parquet(s"$base/labels")
       p.caches.foreach(_.unpersist())
     }
-    HistoryTables(
-      s.read.parquet(s"$base/keepers"),
-      s.read.parquet(s"$base/bands"),
-      s.read.parquet(s"$base/sets"),
-      s.read.parquet(s"$base/pairs"),
-      s.read.parquet(s"$base/labels"))
+    readHistory(s, base)
   }
 
   /** Build every table the catalog's cascade reads (both delta

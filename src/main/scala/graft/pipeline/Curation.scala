@@ -49,15 +49,19 @@ object Curation {
       val w = Tables.documents(s, d)
         .withColumn("h", splitHash)
         .withColumn("w", split(lower(col("text")), " "))
+      // persisted: the gram stream feeds BOTH the broadcast bench side
+      // and the probe side — without the cache the corpus is scanned and
+      // re-exploded twice (the signaturePlan/d_dedup_ngram discipline)
       val grams = w.filter(size(col("w")) >= 5)
         .select(col("doc_id"), col("h"), explode(expr(
           "transform(sequence(1, size(w) - 4), i -> array_join(slice(w, i, 5), ' '))"))
           .as("g"))
+        .persist()
       val bench = grams.filter(col("h") === "1").select("g").distinct()
-      grams.filter(!col("h").isin("0", "1"))
+      Materialize.drop(grams.filter(!col("h").isin("0", "1"))
         .join(broadcast(bench), "g")
         .groupBy("doc_id").agg(countDistinct(col("g")).as("n_shared"))
-        .orderBy("doc_id")
+        .orderBy("doc_id"), grams)
     }),
 
     // PII scrubbing: redact emails, IPv4s, then any residual digit runs;

@@ -29,8 +29,10 @@ import org.apache.spark.sql.functions._
   */
 object EndToEnd {
 
-  private[pipeline] def normCol = trim(regexp_replace(
-    regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+  /** The d_text_normalize canonicalization — shared single definition
+    * (TextAnalysis.normCol), so the composed pipeline's fingerprint can
+    * never drift from the standalone operator's. */
+  private[pipeline] def normCol = TextAnalysis.normCol
 
   /** The un-materialized composed plan (exposed for the plan-audit spec:
     * Materialize.drop cuts lineage, so the audit needs the raw tree). */

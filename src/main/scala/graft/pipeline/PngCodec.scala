@@ -105,6 +105,11 @@ object PngCodec {
       if (crc.getValue.toInt != readIntBE(pos + 8 + len)) return None
       typ match {
         case "IHDR" =>
+          // spec-fixed 13-byte payload: a shorter chunk would make the
+          // field reads below fall OUTSIDE the CRC-covered region (e.g.
+          // len=0 reads the chunk's own CRC as width) — strict decode
+          // means no header byte escapes its checksum
+          if (len != 13) return None
           w = readIntBE(pos + 8); h = readIntBE(pos + 12)
           val bitDepth = bytes(pos + 16) & 0xff
           colorType = bytes(pos + 17) & 0xff

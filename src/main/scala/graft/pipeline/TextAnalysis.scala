@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data curation over `documents`: quality
@@ -20,6 +20,15 @@ object TextAnalysis {
   private val stopFr = Seq("le", "la", "et", "est", "les")
 
   private def arrayLit(xs: Seq[String]) = array(xs.map(lit): _*)
+
+  /** THE canonicalization chain (lowercase → non-alnum to space →
+    * collapse runs → trim) — single definition shared by
+    * `d_text_normalize` and the e2e pipeline's fingerprint stage: the
+    * composed pipeline is only equivalent to the standalone operator
+    * while both apply the byte-identical expression, so there is
+    * deliberately one copy (the SQL oracles mirror it textually). */
+  private[pipeline] def normCol: Column = trim(regexp_replace(
+    regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
 
   val queries: Map[String, Q] = Map(
     // Quality scoring: length/word/uniqueness/stopword ratios.
@@ -105,8 +114,7 @@ object TextAnalysis {
     // canonical text — and the md5 over it — hash-match exactly.
     "d_text_normalize" -> ((s, d) => {
       Tables.documents(s, d)
-        .withColumn("norm", trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+        .withColumn("norm", normCol)
         .select(col("doc_id"), col("norm"),
           length(col("norm")).as("n_norm_chars"),
           md5(col("norm").cast("binary")).as("norm_fp"))

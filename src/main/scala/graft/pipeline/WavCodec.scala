@@ -127,18 +127,23 @@ object WavCodec {
     * 25h of 48 kHz stereo — guarded anyway by widening to Long), so the
     * double math is one division + one sqrt: order-independent,
     * engine-reproducible. Zero crossings are strict sign flips
-    * (s[i-1]·s[i] < 0), the standard ZCR numerator. */
+    * (s[i-1]·s[i] < 0) WITHIN each channel — the sample array is
+    * channel-interleaved, so the predecessor of sample i is i−channels;
+    * comparing adjacent interleaved samples would count L↔R polarity
+    * differences as crossings (constant L=+x, R=−x has ZCR 0, not n−1).
+    * The reported count sums the per-channel temporal crossings. */
   def features(w: Wav): WavFeatures = {
     var sumSq = 0L
     var peak = 0
     var zc = 0
     var i = 0
     val s = w.samples
+    val ch = math.max(1, w.channels)
     while (i < s.length) {
       val v = s(i)
       sumSq += v.toLong * v
       if (math.abs(v) > peak) peak = math.abs(v)
-      if (i > 0 && s(i - 1).toLong * v < 0) zc += 1
+      if (i >= ch && s(i - ch).toLong * v < 0) zc += 1
       i += 1
     }
     val rms = if (s.isEmpty) 0.0 else math.sqrt(sumSq.toDouble / s.length)

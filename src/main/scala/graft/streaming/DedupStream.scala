@@ -294,7 +294,7 @@ object DedupStream {
     * has no "min over the future"). */
   def exactDecisions(docs: Dataset[DocEvent]): Dataset[ExactDecision] = {
     import docs.sparkSession.implicits._
-    docs.map(d => (md5Hex(d.text.toLowerCase), d.doc_id))
+    docs.map(d => (md5Hex(d.text.toLowerCase(java.util.Locale.ROOT)), d.doc_id))
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         exactUpdate)
@@ -339,7 +339,7 @@ object DedupStream {
     * operator's. */
   def keepBestDecisions(docs: Dataset[DocEvent]): Dataset[KeepBestDecision] = {
     import docs.sparkSession.implicits._
-    docs.map(d => (md5Hex(d.text.toLowerCase), d.doc_id, uniqRatio(d.text)))
+    docs.map(d => (md5Hex(d.text.toLowerCase(java.util.Locale.ROOT)), d.doc_id, uniqRatio(d.text)))
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         keepBestUpdate)
@@ -356,14 +356,14 @@ object DedupStream {
       history: Dataset[DocEvent]): Dataset[KeepBestDecision] = {
     import docs.sparkSession.implicits._
     val initial = history
-      .map(d => (md5Hex(d.text.toLowerCase), d.doc_id, uniqRatio(d.text)))
+      .map(d => (md5Hex(d.text.toLowerCase(java.util.Locale.ROOT)), d.doc_id, uniqRatio(d.text)))
       .groupByKey(_._1)
       .mapGroups { (fp, rs) =>
         val best = rs.minBy { case (_, id, q) => (-q, id) }
         fp -> KeepState(best._2, best._3)
       }
       .groupByKey(_._1).mapValues(_._2)
-    docs.map(d => (md5Hex(d.text.toLowerCase), d.doc_id, uniqRatio(d.text)))
+    docs.map(d => (md5Hex(d.text.toLowerCase(java.util.Locale.ROOT)), d.doc_id, uniqRatio(d.text)))
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout,
         initial)(keepBestUpdate)
@@ -376,11 +376,11 @@ object DedupStream {
   def exactDecisionsWithHistory(docs: Dataset[DocEvent],
                                 history: Dataset[DocEvent]): Dataset[ExactDecision] = {
     import docs.sparkSession.implicits._
-    val initial = history.map(d => (md5Hex(d.text.toLowerCase), d.doc_id))
+    val initial = history.map(d => (md5Hex(d.text.toLowerCase(java.util.Locale.ROOT)), d.doc_id))
       .groupByKey(_._1)
       .mapGroups((fp, rs) => fp -> FpState(rs.map(_._2).min))
       .groupByKey(_._1).mapValues(_._2)
-    docs.map(d => (md5Hex(d.text.toLowerCase), d.doc_id))
+    docs.map(d => (md5Hex(d.text.toLowerCase(java.util.Locale.ROOT)), d.doc_id))
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout,
         initial)(exactUpdate)

@@ -223,7 +223,15 @@ object Ingest {
       .na.fill(defaults)
       .withColumn("timestamp", timestamp_seconds(col("timestamp")))
       .withColumn("event_date", to_date(col("timestamp")))
-      .repartition(col("event_date"))
+      // RANGE on (date, ts), not hash on date alone: a micro-batch is
+      // typically ONE calendar date, which a hash repartition collapses
+      // into a single sort+write task no matter the cluster size. The
+      // range split keeps the partitionBy(event_date) layout and the
+      // per-file time ordering (min/max skipping) while a hot date
+      // spreads across tasks; with no explicit partition count AQE
+      // coalesces a small batch back to few tasks, so file counts stay
+      // compaction-friendly.
+      .repartitionByRange(col("event_date"), col("timestamp"))
       .sortWithinPartitions("event_date", "timestamp", "event_name")
     sink(out, table, outDir, batchId, Seq("event_date"))
   }

@@ -39,24 +39,26 @@ object NatsWire {
                        headers: Map[String, String] = Map.empty,
                        status: Option[Int] = None,
                        statusDesc: String = "") {
-    /** Ack-subject numeric fields, indexed FROM THE END — robust across
-      * the v1 9-token form and the domain/account v2 form (which PREPENDS
-      * `<domain>.<account>` and may APPEND a non-numeric random token):
-      * the trailing numeric run is always
-      * `<delivered>.<sseq>.<cseq>.<ts>.<pending>`, so after stripping any
-      * non-numeric tail, pending is 1 from the end, …, delivered 5. */
-    private def ackTok(fromEnd: Int): Option[Long] = replyTo.flatMap { r =>
-      val t0 = r.split('.')
-      if (t0.length >= 9 && t0(0) == "$JS" && t0(1) == "ACK") {
-        val t = t0.reverse.dropWhile(_.toLongOption.isEmpty).reverse
-        if (t.length >= fromEnd) t(t.length - fromEnd).toLongOption else None
+    /** Ack-subject numeric fields, indexed FROM THE FRONT per form:
+      * v1 is the 9-token
+      * `$JS.ACK.<stream>.<consumer>.<delivered>.<sseq>.<cseq>.<ts>.<pending>`
+      * (numeric run starts at 4); the domain/account v2 form PREPENDS
+      * `<domain>.<account>` and APPENDS a random token (run starts at 6).
+      * The offset is fixed by token COUNT, never inferred by stripping a
+      * non-numeric tail — a v2 random token that happens to be all
+      * digits must not shift the field indexing. */
+    private def ackTok(offset: Int): Option[Long] = replyTo.flatMap { r =>
+      val t = r.split('.')
+      if (t.length >= 9 && t(0) == "$JS" && t(1) == "ACK") {
+        val base = if (t.length == 9) 4 else 6
+        if (base + offset < t.length) t(base + offset).toLongOption else None
       } else None
     }
     /** Delivery attempt count (1 = first delivery) from the ack subject —
       * the counter behind the reference's max_deliver=3 budget. */
-    def deliveries: Int = ackTok(5).map(_.toInt).getOrElse(1)
+    def deliveries: Int = ackTok(0).map(_.toInt).getOrElse(1)
     /** Stream sequence — the stable identity for spool-side dedup. */
-    def streamSeq: Long = ackTok(4).getOrElse(-1L)
+    def streamSeq: Long = ackTok(1).getOrElse(-1L)
   }
 
   private val inboxSeq = new AtomicLong(0)

@@ -116,4 +116,32 @@ class WavCodecSpec extends AnyFunSuite {
     assert(feats(3L).thumb.toSeq == Multimodal.byteStats(wavBytes)._3.toSeq)
     assert(feats(3L).thumb.toSeq != bands.toSeq)
   }
+
+  test("stereo ZCR is per-channel temporal, not interleave polarity flips") {
+    def stereo(frames: Int, l: Int => Short, r: Int => Short): WavCodec.Wav = {
+      val buf = ByteBuffer.allocate(44 + frames * 4).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + frames * 4)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(2).putInt(8000).putInt(8000 * 4)
+        .putShort(4).putShort(16)
+      buf.put("data".getBytes("US-ASCII")).putInt(frames * 4)
+      (0 until frames).foreach(i => buf.putShort(l(i)).putShort(r(i)))
+      WavCodec.decode(buf.array()).get
+    }
+    // constant L=+1000 / R=-1000: per-channel ZCR is 0 — counting
+    // adjacent INTERLEAVED samples would report every L↔R transition
+    val flat = stereo(100, _ => 1000, _ => -1000)
+    assert(flat.channels == 2 && flat.nFrames == 100)
+    assert(WavCodec.features(flat).zeroCrossings == 0,
+      "interleave polarity flips are not crossings")
+    // both channels alternate sign per frame: 99 crossings each, 198 total
+    val alt = stereo(100, i => (if (i % 2 == 0) 1000 else -1000).toShort,
+      i => (if (i % 2 == 0) -1000 else 1000).toShort)
+    assert(WavCodec.features(alt).zeroCrossings == 198)
+    // mono is unchanged by the channel-stride fix (the oracle regime)
+    val mono = WavCodec.decode(WavCodec.encodePcm16(
+      Array.tabulate(100)(i => (if (i % 2 == 0) 500 else -500).toShort), 8000)).get
+    assert(WavCodec.features(mono).zeroCrossings == 99)
+  }
 }

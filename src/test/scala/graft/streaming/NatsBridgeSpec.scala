@@ -271,6 +271,23 @@ class NatsBridgeSpec extends AnyFunSuite {
     assert(f"nats-$seed%012d.pbstream" > names.max)
   }
 
+  test("ack-subject fields parse by form offset, not tail stripping") {
+    def msg(reply: String) = NatsWire.Msg("s", "sid", Some(reply), Array.empty)
+    // v1 9-token form
+    val v1 = msg("$JS.ACK.EVENTS.c.2.77.5.1726300800.0")
+    assert(v1.deliveries == 2 && v1.streamSeq == 77L)
+    // v2 domain/account form with a NON-numeric random token
+    val v2 = msg("$JS.ACK.dom.acct.EVENTS.c.3.88.6.1726300800.0.Xy9z")
+    assert(v2.deliveries == 3 && v2.streamSeq == 88L)
+    // v2 with an ALL-DIGIT random token — tail-stripping heuristics shift
+    // every field by one here (deliveries would read cseq, streamSeq ts)
+    val v2num = msg("$JS.ACK.dom.acct.EVENTS.c.3.88.6.1726300800.0.73912648")
+    assert(v2num.deliveries == 3 && v2num.streamSeq == 88L)
+    // non-ack reply subjects fall back to defaults
+    val plain = msg("INBOX.abc")
+    assert(plain.deliveries == 1 && plain.streamSeq == -1L)
+  }
+
   test("pull status arrives as HMSG 404 and terminates the fetch early") {
     withServer { (srv, nc) =>
       val js = new NatsWire.JetStream(nc)
