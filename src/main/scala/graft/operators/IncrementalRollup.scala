@@ -131,32 +131,43 @@ object IncrementalRollup {
     // handful of rows — broadcast nested-loop on the explicit hint; the
     // only data-sized work is the one partial-agg shuffle.
     "o_a25_bitmap_segments" -> ((s, d) => {
-      graft.functions.GraftExtensions.register(s)
-      // lineage-cut: bm feeds BOTH sides of the pair join; without the cut
-      // the events scan + bitmap aggregation would execute twice (the
-      // broadcast side and the probe side cannot share an exchange)
-      val bm = Tables.events(s, d)
-        // bitmap_agg skips NULL ids but would still emit an empty-bitmap
-        // segment for a type whose ids are ALL null, where the oracle's
-        // WHERE drops the type entirely — filter both sides identically
-        .filter(col("user_id").isNotNull)
-        .select(col("event_type"), col("user_id"),
-          pmod(col("event_id"), lit(4)).as("b"))
-        .groupBy("event_type", "b")
-        .agg(expr("bitmap_agg(user_id)").as("pb"))
-        .groupBy("event_type").agg(expr("bitmap_merge(pb)").as("bm"))
-        .localCheckpoint(true)
-      bm.as("x").join(broadcast(bm.as("y")),
-          col("x.event_type") < col("y.event_type"))
-        .select(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"),
-          expr("bitmap_count(x.bm)").as("users_a"),
-          expr("bitmap_count(y.bm)").as("users_b"),
-          expr("bitmap_and_count(x.bm, y.bm)").as("n_and"),
-          expr("bitmap_or_count(x.bm, y.bm)").as("n_or"),
-          expr("bitmap_andnot_count(x.bm, y.bm)").as("n_andnot"))
-        .orderBy("type_a", "type_b")
+      val (r, caches) = bitmapSegmentsPlan(s, d)
+      graft.pipeline.Materialize.drop(r, caches: _*)
     })
   )
+
+  /** Un-materialized o_a25 plan + its persisted intermediate (exposed so
+    * PlanSpec audits the join strategy before the lineage cut hides it).
+    * bm is persisted because it feeds BOTH sides of the pair join —
+    * without it the events scan + bitmap aggregation execute twice (the
+    * broadcast side and the probe side cannot share an exchange); the
+    * catalog entry routes it through Materialize.drop so the blocks
+    * release when the query returns instead of lingering until driver GC
+    * (catalog runs execute 130+ queries per session). */
+  private[graft] def bitmapSegmentsPlan(
+      s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    graft.functions.GraftExtensions.register(s)
+    val bm = Tables.events(s, d)
+      // bitmap_agg skips NULL ids but would still emit an empty-bitmap
+      // segment for a type whose ids are ALL null, where the oracle's
+      // WHERE drops the type entirely — filter both sides identically
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        pmod(col("event_id"), lit(4)).as("b"))
+      .groupBy("event_type", "b")
+      .agg(expr("bitmap_agg(user_id)").as("pb"))
+      .groupBy("event_type").agg(expr("bitmap_merge(pb)").as("bm"))
+      .persist()
+    (bm.as("x").join(broadcast(bm.as("y")),
+        col("x.event_type") < col("y.event_type"))
+      .select(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"),
+        expr("bitmap_count(x.bm)").as("users_a"),
+        expr("bitmap_count(y.bm)").as("users_b"),
+        expr("bitmap_and_count(x.bm, y.bm)").as("n_and"),
+        expr("bitmap_or_count(x.bm, y.bm)").as("n_or"),
+        expr("bitmap_andnot_count(x.bm, y.bm)").as("n_andnot"))
+      .orderBy("type_a", "type_b"), Seq(bm))
+  }
 
   /** DuckDB oracle for the DDSketch rollup: same bin function, same rank
     * rule (smallest k with cumulative count >= max(1, ceil(q*N))). gamma

@@ -605,7 +605,10 @@ object Relational {
     "o_a24_interval_union" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("s", "event_id")
       val prevMaxEnd = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
-      Tables.events(s, d)
+      // ts IS NOT NULL on both sides: an interval needs a start time, and
+      // a NULL s sorts first in Spark's window but last in DuckDB's —
+      // island segmentation would diverge on the same rows
+      Tables.events(s, d).filter(col("ts").isNotNull)
         .select(col("user_id"), col("event_id"),
           unix_timestamp(col("ts")).as("s"),
           (unix_timestamp(col("ts")) + 300).as("e"))
@@ -1269,7 +1272,7 @@ object Relational {
                   -- and DuckDB CAST rounds; Spark unix_timestamp truncates
                   CAST(floor(epoch(ts)) AS BIGINT) AS s,
                   CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
-           FROM events),
+           FROM events WHERE ts IS NOT NULL),
          marked AS (
            SELECT user_id, s, e,
                   CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id

@@ -90,10 +90,12 @@ object Windows {
     // n_orders or o_custkey; nothing single-partition.
     "o_w6_rank" -> ((s, d) => {
       // base feeds the main rows, the value dim, and the totals — one
-      // executor-resident materialization instead of three orders scans
+      // executor-resident materialization instead of three orders scans.
+      // persist (released via the drop list below), not localCheckpoint:
+      // checkpoint blocks outlive the query until driver GC
       val base = Tables.orders(s, d).groupBy("o_custkey")
         .agg(count(lit(1)).as("n_orders"))
-        .localCheckpoint(true)
+        .persist()
       val vals = base.groupBy("n_orders").agg(count(lit(1)).as("cnt"))
       val dim = vals.as("a")
         .join(vals.as("b"), col("b.n_orders") > col("a.n_orders"), "left")
@@ -127,7 +129,7 @@ object Windows {
                             (pos - (total DIV 4 + 1) * (total % 4) - 1)
                               DIV (total DIV 4) + 1
                   END AS INT)""").as("quartile"))
-        .orderBy("o_custkey"), caches: _*)
+        .orderBy("o_custkey"), (base +: caches): _*)
     }),
 
     // O-W7: first/last value per key (first-touch attribution).
@@ -180,9 +182,13 @@ object Windows {
     "o_w9_ema" -> ((s, d) => {
       // value IS NOT NULL on both sides: collect_list skips NULLs while
       // DuckDB's list() keeps them — pin identical element lists so the
-      // bit-exactness argument below holds for any fixture
+      // bit-exactness argument below holds for any fixture. ts IS NOT
+      // NULL too: the EMA is an order-dependent fold over the time
+      // order, and the engines disagree where a NULL ts sorts (Spark
+      // struct ordering: first; DuckDB ORDER BY: last) — an event with
+      // no event time has no place in a time-ordered recursion.
       Tables.events(s, d)
-        .filter(col("value").isNotNull)
+        .filter(col("value").isNotNull && col("ts").isNotNull)
         .groupBy("user_id")
         .agg(transform(array_sort(collect_list(struct(col("ts"),
           col("event_id"), col("value")))), x => x.getField("value")).as("vs"))
@@ -195,8 +201,12 @@ object Windows {
 
     // O-T8: event-time tumbling window (batch form; streaming form in
     // graft.streaming). window() starts are epoch-aligned == date_trunc.
+    // ts IS NOT NULL on all three o_t* forms, explicit on BOTH sides: an
+    // event with no event time belongs to no event-time bucket. Spark's
+    // window()/session_window rewrite already drops such rows silently;
+    // the oracles must drop them too, not emit a NULL bucket.
     "o_t8_tumbling" -> ((s, d) => {
-      Tables.events(s, d)
+      Tables.events(s, d).filter(col("ts").isNotNull)
         .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"))
@@ -206,7 +216,7 @@ object Windows {
     // O-T9: sliding window — 6h window sliding 1h; each event lands in 6
     // windows. At scale this is the "rolling active users" query.
     "o_t9_sliding" -> ((s, d) => {
-      Tables.events(s, d)
+      Tables.events(s, d).filter(col("ts").isNotNull)
         .groupBy(window(col("ts"), "6 hours", "1 hour").getField("start").as("win_start"))
         .agg(count(lit(1)).as("n"))
         .orderBy("win_start")
@@ -215,7 +225,7 @@ object Windows {
     // O-T10: session window, 30-minute gap (batch session_window; the
     // is_ended-flag-driven variant lives in graft.streaming per SURVEY §7).
     "o_t10_session" -> ((s, d) => {
-      Tables.events(s, d)
+      Tables.events(s, d).filter(col("ts").isNotNull)
         .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
         .agg(count(lit(1)).as("n"))
         .groupBy("user_id")
@@ -284,7 +294,8 @@ object Windows {
     "o_w9_ema" ->
       """WITH g AS (
            SELECT user_id, list(value ORDER BY ts, event_id) AS vs
-           FROM events WHERE value IS NOT NULL GROUP BY user_id)
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+           GROUP BY user_id)
          SELECT user_id, CAST(len(vs) AS INT) AS n,
                 list_reduce(vs, (acc, x) -> acc * 0.5e0 + x * 0.5e0) AS ema
          FROM g ORDER BY user_id""",
@@ -308,11 +319,12 @@ object Windows {
     "o_t8_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
                 COUNT(*) AS n, COUNT(DISTINCT user_id) AS users
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+         FROM events WHERE ts IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "o_t9_sliding" ->
       """SELECT date_trunc('hour', ts) - h * INTERVAL 1 HOUR AS win_start, COUNT(*) AS n
          FROM events, range(0, 6) t(h)
+         WHERE ts IS NOT NULL
          GROUP BY 1 ORDER BY 1""",
 
     "o_t10_session" ->
@@ -322,7 +334,7 @@ object Windows {
                          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                             >= INTERVAL 30 MINUTE
                        THEN 1 ELSE 0 END AS is_new
-           FROM events),
+           FROM events WHERE ts IS NOT NULL),
          sess AS (
            SELECT user_id,
                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts

@@ -36,6 +36,29 @@ object Curation {
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
   private val ipRe = "(?:[0-9]{1,3}\\.){3}[0-9]{1,3}"
 
+  /** Un-materialized decontamination plan + its persisted intermediates
+    * (exposed so PlanSpec can audit the join strategy before the lineage
+    * cut hides it; the catalog entry wraps it in Materialize.drop). The
+    * gram stream is persisted because it feeds BOTH the broadcast bench
+    * side and the probe side — without the cache the corpus is scanned
+    * and re-exploded twice (the signaturePlan/d_dedup_ngram discipline). */
+  private[graft] def decontamPlan(s: SparkSession,
+                                  d: String): (DataFrame, Seq[DataFrame]) = {
+    val w = Tables.documents(s, d)
+      .withColumn("h", splitHash)
+      .withColumn("w", split(lower(col("text")), " "))
+    val grams = w.filter(size(col("w")) >= 5)
+      .select(col("doc_id"), col("h"), explode(expr(
+        "transform(sequence(1, size(w) - 4), i -> array_join(slice(w, i, 5), ' '))"))
+        .as("g"))
+      .persist()
+    val bench = grams.filter(col("h") === "1").select("g").distinct()
+    (grams.filter(!col("h").isin("0", "1"))
+      .join(broadcast(bench), "g")
+      .groupBy("doc_id").agg(countDistinct(col("g")).as("n_shared"))
+      .orderBy("doc_id"), Seq(grams))
+  }
+
   val queries: Map[String, Q] = Map(
     // Benchmark decontamination: train docs sharing any word-5-gram with
     // the held-out test split (the standard n-gram overlap contamination
@@ -46,22 +69,8 @@ object Curation {
     // the broadcast holds; against a large split, drop the broadcast hint
     // and let AQE pick the join — the corpus side then shuffles on g once.
     "d_decontam" -> ((s, d) => {
-      val w = Tables.documents(s, d)
-        .withColumn("h", splitHash)
-        .withColumn("w", split(lower(col("text")), " "))
-      // persisted: the gram stream feeds BOTH the broadcast bench side
-      // and the probe side — without the cache the corpus is scanned and
-      // re-exploded twice (the signaturePlan/d_dedup_ngram discipline)
-      val grams = w.filter(size(col("w")) >= 5)
-        .select(col("doc_id"), col("h"), explode(expr(
-          "transform(sequence(1, size(w) - 4), i -> array_join(slice(w, i, 5), ' '))"))
-          .as("g"))
-        .persist()
-      val bench = grams.filter(col("h") === "1").select("g").distinct()
-      Materialize.drop(grams.filter(!col("h").isin("0", "1"))
-        .join(broadcast(bench), "g")
-        .groupBy("doc_id").agg(countDistinct(col("g")).as("n_shared"))
-        .orderBy("doc_id"), grams)
+      val (r, caches) = decontamPlan(s, d)
+      Materialize.drop(r, caches: _*)
     }),
 
     // PII scrubbing: redact emails, IPv4s, then any residual digit runs;

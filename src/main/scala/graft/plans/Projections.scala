@@ -131,8 +131,58 @@ object Projection {
     pd.partitionCol.fold(w)(c => w.partitionBy(c)).parquet(pd.path)
   }
 
-  def merge(delta: DataFrame, pd: ProjectionDef): Unit = ProjectionRewrite.bypass {
+  private val MergeMarker = "_graft_merge_commit"
+  private def mergeStaging(pd: ProjectionDef) =
+    new org.apache.hadoop.fs.Path(pd.path + ".merge-tmp")
+
+  /** Highest batch id folded into the stored rollup (-1 = none/unknown).
+    * The marker file lives INSIDE the rollup dir (underscore-prefixed, so
+    * parquet reads never see it) and arrives via the same directory
+    * rename that publishes the data — marker and rollup commit together,
+    * there is no window where one is true and the other is not. */
+  private[plans] def committedBatch(spark: SparkSession, pd: ProjectionDef): Long = {
+    val p = new org.apache.hadoop.fs.Path(pd.path, MergeMarker)
+    val f = fsFor(spark, p)
+    if (!f.exists(p)) -1L
+    else {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Finish (or discard) a merge a previous run left mid-swap: a staging
+    * dir WITH the marker holds a complete merged rollup — publish it; one
+    * without is an incomplete phase-1 write (the live rollup untouched) —
+    * discard it. The [[Retention]] purge-swap recovery argument, one dir. */
+  private def resumeMergeSwap(spark: SparkSession, pd: ProjectionDef): Unit = {
+    val staging = mergeStaging(pd)
+    val f = fsFor(spark, staging)
+    if (!f.exists(staging)) return
+    if (f.exists(new org.apache.hadoop.fs.Path(staging, MergeMarker))) {
+      val live = new org.apache.hadoop.fs.Path(pd.path)
+      if (f.exists(live) && !f.delete(live, true))
+        throw new java.io.IOException(s"projection ${pd.name}: failed to clear $live")
+      if (!f.rename(staging, live))
+        throw new java.io.IOException(s"projection ${pd.name}: failed to publish $staging")
+    } else if (!f.delete(staging, true) && f.exists(staging))
+      throw new java.io.IOException(s"projection ${pd.name}: failed to discard $staging")
+  }
+
+  /** Fold a delta of base rows into the stored rollup. `batchId >= 0`
+    * makes the fold IDEMPOTENT per batch (the streaming maintainer's
+    * replay contract): the merged rollup is staged together with a
+    * `batchId` marker and published by one directory rename, and a
+    * replayed batch at or below the committed marker is a no-op — a
+    * crash after publish but before the streaming checkpoint commits can
+    * therefore no longer double-count the batch partials on restart.
+    * `batchId < 0` (ad-hoc callers) stays additive per call. */
+  def merge(delta: DataFrame, pd: ProjectionDef,
+            batchId: Long = -1L): Unit = ProjectionRewrite.bypass {
     val spark = delta.sparkSession
+    resumeMergeSwap(spark, pd)
+    val committed = committedBatch(spark, pd)
+    if (batchId >= 0 && committed >= batchId) return // replayed batch
     val deltaAgg = partialAggregate(delta, pd)
     val mergeCols = pd.partials.toSeq.sortBy(_._2).map { case ((f, _), cn) =>
       f match {
@@ -145,8 +195,16 @@ object Projection {
       .unionByName(deltaAgg)
       .groupBy(pd.groupCols.map(col): _*)
       .agg(mergeCols.head, mergeCols.tail: _*)
-      .localCheckpoint(true) // materialize BEFORE overwriting our own input
-    writeRollup(merged, pd)
+      .localCheckpoint(true) // materialize BEFORE replacing our own input
+    val staging = mergeStaging(pd)
+    val f = fsFor(spark, staging)
+    f.delete(staging, true)
+    val w = merged.write.mode("overwrite")
+    pd.partitionCol.fold(w)(c => w.partitionBy(c)).parquet(staging.toString)
+    val out = f.create(new org.apache.hadoop.fs.Path(staging, MergeMarker), true)
+    try out.write(s"${math.max(batchId, committed)}\n".getBytes("UTF-8"))
+    finally out.close()
+    resumeMergeSwap(spark, pd) // staging now carries the marker: publish
     merged.unpersist()
   }
 
@@ -249,8 +307,11 @@ object Projection {
       .writeStream
       .queryName(s"graft-projection-${pd.name}")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) merge(batch, pd)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batchId threads through so a replayed micro-batch (crash after
+        // the rollup published, before the checkpoint committed) is
+        // skipped by the marker, not merged twice
+        if (!batch.isEmpty) merge(batch, pd, batchId)
       }
       .start()
 }
@@ -389,7 +450,15 @@ object ProjectionRewrite extends Rule[LogicalPlan] {
       def asSum(pa: Attribute): Expression =
         ae.copy(aggregateFunction = Sum(pa), resultId = NamedExpression.newExprId)
       ae.aggregateFunction match {
-        case f: Sum => attrName(f.child).flatMap(partialAttr("sum", _)).map(asSum)
+        case f: Sum => attrName(f.child).flatMap(partialAttr("sum", _)).map { pa =>
+          // Sum over a DECIMAL sum-partial widens precision AGAIN (+10)
+          // while the parent operators keep attributes typed from the
+          // base sum — same exprId, different UnsafeRow format. Cast
+          // back to the original result type: bounds (and overflow
+          // behavior) then match the un-rewritten plan exactly.
+          val s = asSum(pa)
+          if (s.dataType == ae.dataType) s else Cast(s, ae.dataType)
+        }
         case f: Min => attrName(f.child).flatMap(partialAttr("min", _)).map(pa =>
           ae.copy(aggregateFunction = Min(pa), resultId = NamedExpression.newExprId))
         case f: Max => attrName(f.child).flatMap(partialAttr("max", _)).map(pa =>

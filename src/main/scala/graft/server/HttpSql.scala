@@ -85,6 +85,7 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
       "executes arbitrary SQL — exposure beyond loopback requires auth")
 
   private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
 
   /** Constant-time compare — a secret check must not leak prefix length. */
   private def authorized(x: HttpExchange, params: Map[String, String]): Boolean =
@@ -195,20 +196,28 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
   /** Bind + start; returns the actual port (useful with port = 0). */
   def start(): Int = synchronized {
     require(server == null, "already started")
+    require(!watchdog.isShutdown,
+      "HttpSql is one-shot: construct a new instance after stop()")
     server = HttpServer.create(new InetSocketAddress(bindAddress, port), 0)
     server.createContext("/ping", PingHandler)
     server.createContext("/", QueryHandler)
     // small fixed pool: the server is an access path, not the engine —
     // concurrency of heavy queries belongs to the Spark scheduler
-    server.setExecutor(Executors.newFixedThreadPool(4, r => {
+    pool = Executors.newFixedThreadPool(4, r => {
       val t = new Thread(r, "graft-http"); t.setDaemon(true); t
-    }))
+    })
+    server.setExecutor(pool)
     server.start()
     server.getAddress.getPort
   }
 
   def stop(): Unit = synchronized {
     if (server != null) { server.stop(0); server = null }
+    // release BOTH executors: daemon status only hides the threads at
+    // JVM exit — a long-lived process starting/stopping servers would
+    // otherwise accumulate a watchdog + 4 pool threads per instance
+    if (pool != null) { pool.shutdownNow(); pool = null }
+    watchdog.shutdownNow()
     spark.listenerManager.unregister(queryLog)
   }
 

@@ -77,8 +77,14 @@ object Compaction {
     val totalBytes = before.map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
 
+    // row count rides the rewrite job as an observed metric — a separate
+    // df.count() would read the whole table a second time just to fill
+    // Stats.rows, doubling the maintenance path's I/O
+    val obs = new org.apache.spark.sql.Observation(
+      s"compact-${path.getName}-${System.nanoTime()}")
     val df = spark.read.parquet(tablePath)
-    val rows = df.count()
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
     fs.delete(tmp, true)
 
     // Partition layout: whatever the table has ON DISK wins (all levels
@@ -114,6 +120,7 @@ object Compaction {
     }
     fs.delete(bak, true)
 
+    val rows = obs.get("rows").asInstanceOf[Long]
     Stats(before.size.toLong, parquetFiles(path).size.toLong, totalBytes, rows)
   }
 }

@@ -66,7 +66,13 @@ final class QueryLog(capacity: Int = 10000) extends QueryExecutionListener {
   }
 
   def size: Int = entries.size
-  def clear(): Unit = entries.clear()
+
+  /** Drain and re-zero. The counter must follow the queue: clearing only
+    * `entries` would leave `count` at capacity, making every later add
+    * evict itself immediately (a permanently empty log). Drain via poll
+    * so adds racing the clear stay consistent with the counter. */
+  def clear(): Unit =
+    while (entries.poll() != null) count.decrementAndGet()
 }
 
 object QueryLog {

@@ -181,20 +181,16 @@ object Retention {
     val affectedPaths = affectedDates.map(d => s"$tableDir/event_date=$d")
     val rows = spark.read.option("basePath", tableDir).parquet(affectedPaths: _*)
     val keptCond = !coalesce(cond, lit(false))
-    // which affected dates stay non-empty after the delete — the
-    // swap-vs-remove decision per manifest entry
-    val keptDates = rows.filter(keptCond)
-      .groupBy(col("event_date")).count()
-      .collect().map(r => partDirName(r.get(0))).toSet
-    stageAndSwap(f, tableDir, rows.filter(keptCond), partitionCols(rows),
-      affectedDates.map { d =>
-        val action = if (keptDates(d)) "swap" else "remove"
-        s"$action\tevent_date=$d"
-      })
+    // ONE filtered job: the staging write is also the census — which
+    // dates stayed non-empty comes back from stageAndSwap's staged
+    // output, not a second filtered scan of the affected partitions
+    val keptDirs = stageAndSwap(f, tableDir, rows.filter(keptCond),
+      partitionCols(rows), affectedDates.map(d => s"event_date=$d"))
     graft.plans.ProjectionMaintenance.onBaseMutated(spark, tableDir, "event_date",
       affectedDates)
-    PurgeReport(affectedDates.filter(keptDates).map(d => s"event_date=$d"),
-      affectedDates.filterNot(keptDates).map(d => s"event_date=$d"), deleted)
+    val (kept, removed) = affectedDates.map(d => s"event_date=$d")
+      .partition(keptDirs)
+    PurgeReport(kept, removed, deleted)
   }
 
   /** Hive's on-disk name for a (possibly null) partition value. */
@@ -224,17 +220,28 @@ object Retention {
     * the affected partitions' replacement rows, manifest (the point of no
     * return — [[resumePurge]] finishes an interrupted application), then
     * the metadata-only swap ([[applyPurgeSwap]]). */
+  /** The swap-vs-remove decision per manifest entry derives from the
+    * STAGED OUTPUT — a partition the filter emptied writes no staging
+    * dir — so the caller needs no second filtered scan of the originals
+    * just to learn which dates survive. Returns the affected dir names
+    * that stayed non-empty. */
   private def stageAndSwap(f: org.apache.hadoop.fs.FileSystem, tableDir: String,
                            staged: org.apache.spark.sql.DataFrame,
-                           partCols: Seq[String], actions: Seq[String]): Unit = {
+                           partCols: Seq[String],
+                           affectedDirs: Seq[String]): Set[String] = {
     val staging = new Path(tableDir, StagingName)
     f.delete(staging, true)
     staged.write.mode("overwrite")
       .partitionBy(partCols: _*).parquet(staging.toString)
+    val present = f.listStatus(staging)
+      .map(_.getPath.getName).filter(_.contains("=")).toSet
+    val actions = affectedDirs.map(d =>
+      s"${if (present(d)) "swap" else "remove"}\t$d")
     val out = f.create(new Path(staging, ManifestName), true)
     try out.write((actions.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     applyPurgeSwap(f, tableDir, staging)
+    affectedDirs.toSet.intersect(present)
   }
 
   final case class MutationReport(datesRewritten: Seq[String], rowsUpdated: Long)
@@ -293,8 +300,10 @@ object Retention {
         .map(a => when(cond, a).otherwise(col(c)).as(c))
         .getOrElse(col(c))
     }: _*)
+    // an update passes every row through, so every affected dir stays
+    // present and the derived action is always "swap"
     stageAndSwap(f, tableDir, mutated, partCols,
-      affectedDates.map(d => s"swap\tevent_date=$d"))
+      affectedDates.map(d => s"event_date=$d"))
     graft.plans.ProjectionMaintenance.onBaseMutated(spark, tableDir, "event_date",
       affectedDates)
     MutationReport(affectedDates.map(d => s"event_date=$d"), nUpdated)

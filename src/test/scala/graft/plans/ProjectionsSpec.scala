@@ -203,6 +203,32 @@ class ProjectionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(twice == 4, "second delta batch must add again")
   }
 
+  test("batch-tagged merge is replay-idempotent, additive across batch ids") {
+    val p4 = s"$tmp/proj_replay"
+    val pd4 = Projection.materialize(base, "replay_rollup", Seq("g"),
+      Seq(AggSpec("sum", "v"), AggSpec("count", "*")), p4)
+    def cnt(g: String) = spark.read.parquet(p4)
+      .filter(col("g") === g).select("count_all").head().getLong(0)
+    val delta = Seq(("gR", "h0", 1.0, 1L), ("gR", "h1", 2.0, 2L))
+      .toDF("g", "h", "v", "w")
+    Projection.merge(delta, pd4, batchId = 0)
+    assert(cnt("gR") == 2)
+    // a replayed micro-batch (crash after publish, before the streaming
+    // checkpoint committed) must be a no-op, not a double count
+    Projection.merge(delta, pd4, batchId = 0)
+    assert(cnt("gR") == 2, "replay of batch 0 must not re-merge")
+    assert(Projection.committedBatch(spark, pd4) == 0L)
+    // the next batch id folds normally
+    Projection.merge(delta, pd4, batchId = 1)
+    assert(cnt("gR") == 4)
+    // and an out-of-order stale id (already covered) is also skipped
+    Projection.merge(delta, pd4, batchId = 0)
+    assert(cnt("gR") == 4)
+    // the marker never leaks into reads: schema stays partials-only
+    assert(spark.read.parquet(p4).columns.sorted.toSeq ==
+      Seq("count_all", "g", "sum_v"))
+  }
+
   test("streaming maintainer folds appended delta files into the projection") {
     val baseDir = s"$tmp/stream_base"
     val deltaDir = s"$tmp/stream_delta"

@@ -57,4 +57,18 @@ class QueryLogSpec extends AnyFunSuite {
     assert(kept.toSeq == (15 until 20).map(i => s"f$i"),
       s"newest five must survive, got ${kept.toSeq}")
   }
+
+  test("clear resets the eviction counter: the log keeps accepting entries") {
+    // regression: clear() emptied the queue but left `count` at capacity,
+    // so every later add evicted itself and the log stayed empty forever
+    val log = new QueryLog(capacity = 5)
+    (0 until 7).foreach(i => log.onSuccess(s"f$i", null, 0L))
+    assert(log.size == 5)
+    log.clear()
+    assert(log.size == 0)
+    (0 until 3).foreach(i => log.onSuccess(s"g$i", null, 0L))
+    assert(log.size == 3, "post-clear adds must survive")
+    (0 until 7).foreach(i => log.onSuccess(s"h$i", null, 0L))
+    assert(log.size == 5, "the bound re-establishes after refill")
+  }
 }
