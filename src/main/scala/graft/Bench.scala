@@ -13,37 +13,35 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the canonical engine session — benchmarked plans must be the plans
+    // the engine ships (extensions/CollapseDedup installed at build
+    // time), not a drifted hand-rolled config
+    val spark = EngineSession.local(
+      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,
+      appName = "graft-bench")
 
     // Warmup: JIT the scan/agg/join/window paths once, untimed. The
     // complex pipelines additionally warm at sf0.001 — whole-stage
     // codegen caches by generated source, so running the same plan shape
     // on toy data compiles the classes the timed run will hit (one-time
     // compiler cost, not steady-state throughput, stays out of timings).
-    try {
-      SparkEntry.entry(spark).count()
-      SparkEntry.queries("o_a1_hashagg")(spark, sfDir).count()
-      SparkEntry.queries("o_j1_inner")(spark, sfDir).count()
-      val warmSf = "/root/testdata/sf0.001"
-      Seq("d_dedup_minhash", "d_dedup_simhash", "d_dedup_ngram",
-          "d_dedup_cosine", "d_knn_cosine", "d_ann_lsh", "d_ann_ivf",
-          "o_j6b_asof_native", "o_j6c_asof_forward", "o_a12_sketch_merge",
-          "d_dedup_cluster", "d_emb_outlier", "d_decontam",
-          "d_dedup_keep_best", "d_curation_apply", "d_pipeline_e2e",
-          "d_backbone_incr", "d_token_budget")
-        .foreach { q =>
-          try SparkEntry.queries(q)(spark, warmSf).count()
-          catch { case _: Throwable => () }
-        }
-    } catch { case _: Throwable => () }
+    // per-step try (NonFatal only): one failed warm (e.g. a missing toy
+    // SF dir) must not silently skip the REST of the warmup — losing it
+    // shifts all the JIT cost into pass 1 and fakes pass disagreement
+    import scala.util.control.NonFatal
+    def warm(step: => Unit): Unit =
+      try step catch { case NonFatal(_) => () }
+    warm(SparkEntry.entry(spark).count())
+    warm(SparkEntry.queries("o_a1_hashagg")(spark, sfDir).count())
+    warm(SparkEntry.queries("o_j1_inner")(spark, sfDir).count())
+    val warmSf = "/root/testdata/sf0.001"
+    Seq("d_dedup_minhash", "d_dedup_simhash", "d_dedup_ngram",
+        "d_dedup_cosine", "d_knn_cosine", "d_ann_lsh", "d_ann_ivf",
+        "o_j6b_asof_native", "o_j6c_asof_forward", "o_a12_sketch_merge",
+        "d_dedup_cluster", "d_emb_outlier", "d_decontam",
+        "d_dedup_keep_best", "d_curation_apply", "d_pipeline_e2e",
+        "d_backbone_incr", "d_token_budget")
+      .foreach(q => warm(SparkEntry.queries(q)(spark, warmSf).count()))
 
     // The dedup cascade reads the STORED backbone tables (fingerprints,
     // banded signatures, verified pairs, cluster labels — pipeline
@@ -56,15 +54,17 @@ object Bench {
       try {
         pipeline.Backbone.prebuild(spark, sfDir)
         (System.nanoTime() - tBackbone0) / 1e9
-      } catch { case _: Throwable => -1.0 }
+      } catch { case NonFatal(_) => -1.0 }
 
     // A failed query must not masquerade as a fast one: its timing is
-    // reported as -1 and its name lands in "errors".
+    // reported as -1 and its name lands in "errors". NonFatal only: an
+    // OOM'd or interrupted JVM must abort the bench, not keep publishing
+    // timings measured inside a corrupted heap.
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
+               catch { case NonFatal(_) => false }
       (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
     }
     // This box shares hardware with noisy co-tenants: a single timing can
@@ -125,8 +125,14 @@ object Bench {
     val passTotals = passes.map(p => f"${passTotal(p)}%.3f").mkString("[", ",", "]")
     val passLoadsJson = passLoads.take(passes.length)
       .map(l => f"$l%.2f").mkString("[", ",", "]")
+    // sfDir is environment-controlled: escape it so a quote/backslash in
+    // the path cannot break the one-line JSON contract
+    val sfJson = "\"" + sfDir.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min-of-${passes.length}-passes","pass_totals":$passTotals,"pass_load_avg":$passLoadsJson,"backbone_build_sec":$backboneSec,"queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min-of-${passes.length}-passes","pass_totals":$passTotals,"pass_load_avg":$passLoadsJson,"backbone_build_sec":$backboneSec,"queries":$qs,"errors":$errors,"sf":$sfJson}"""
     println(line)
     // The driver captures stdout with a tail that can truncate the JSON
     // head on long runs — persist the full line to a file as well so
@@ -134,7 +140,7 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")),
       line + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    catch { case NonFatal(e) => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
   }
 }

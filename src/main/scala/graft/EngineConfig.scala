@@ -192,6 +192,16 @@ object EngineConfig {
       case Some(other) => throw new IllegalArgumentException(s"$sec.$key: expected int, got $other")
       case None => dflt
     }
+    // Int-ranged fields (ports, connection counts): a bare .toInt would
+    // BIT-TRUNCATE an out-of-range TOML value to some unrelated number —
+    // "type mismatches fail loudly" must include range
+    def int32(sec: String, key: String, dflt: Long): Int = {
+      val v = int(sec, key, dflt)
+      if (v < Int.MinValue || v > Int.MaxValue)
+        throw new IllegalArgumentException(
+          s"$sec.$key: $v is outside the 32-bit int range")
+      v.toInt
+    }
     def bool(sec: String, key: String, dflt: Boolean): Boolean = t.get(sec).flatMap(_.get(key)) match {
       case Some(TBool(v)) => v
       case Some(other) => throw new IllegalArgumentException(s"$sec.$key: expected bool, got $other")
@@ -214,8 +224,8 @@ object EngineConfig {
         withLineNumber = bool("tracing", "with_line_number", d.tracing.withLineNumber),
         withFile = bool("tracing", "with_file", d.tracing.withFile)),
       broker = BrokerConfig(
-        clientPort = int("nats", "client_port", d.broker.clientPort).toInt,
-        serverPort = int("nats", "server_port", d.broker.serverPort).toInt,
+        clientPort = int32("nats", "client_port", d.broker.clientPort),
+        serverPort = int32("nats", "server_port", d.broker.serverPort),
         username = str("nats", "username", d.broker.username),
         password = str("nats", "password", d.broker.password),
         host = str("nats", "host", d.broker.host),
@@ -228,19 +238,19 @@ object EngineConfig {
           discard = str("nats.stream_config", "discard", d.broker.streamConfig.discard),
           storage = str("nats.stream_config", "storage", d.broker.streamConfig.storage),
           noAck = bool("nats.stream_config", "no_ack", d.broker.streamConfig.noAck),
-          maxConsumers = int("nats.stream_config", "max_consumers",
-            d.broker.streamConfig.maxConsumers).toInt,
+          maxConsumers = int32("nats.stream_config", "max_consumers",
+            d.broker.streamConfig.maxConsumers),
           maxAge = str("nats.stream_config", "max_age", d.broker.streamConfig.maxAge),
           needCreate = bool("nats.stream_config", "need_create",
             d.broker.streamConfig.needCreate))),
       warehouse = WarehouseConfig(
         host = str("clickhouse", "host", d.warehouse.host),
-        port = int("clickhouse", "port", d.warehouse.port).toInt,
+        port = int32("clickhouse", "port", d.warehouse.port),
         user = str("clickhouse", "user", d.warehouse.user),
         password = str("clickhouse", "password", d.warehouse.password),
         database = str("clickhouse", "database", d.warehouse.database),
-        maxOpenConns = int("clickhouse", "max_open_conns", d.warehouse.maxOpenConns).toInt,
-        maxIdleConns = int("clickhouse", "max_idle_conns", d.warehouse.maxIdleConns).toInt,
+        maxOpenConns = int32("clickhouse", "max_open_conns", d.warehouse.maxOpenConns),
+        maxIdleConns = int32("clickhouse", "max_idle_conns", d.warehouse.maxIdleConns),
         debug = bool("clickhouse", "debug", d.warehouse.debug)),
       batcher = BatcherConfig(
         maxRows = int("batcher", "max_rows", d.batcher.maxRows),

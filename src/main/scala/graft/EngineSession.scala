@@ -16,6 +16,12 @@ object EngineSession {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // ENGINE-WIDE default, set at build time rather than sneaked in by
+      // the first Tables.events call: TIMESTAMP(NANOS) parquet columns
+      // surface as raw int64 (the events loader normalizes them with a
+      // unit guard). Restoring the conf per-read is NOT safe — the scan
+      // re-reads it at execution, after the schema was already inferred.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -76,7 +76,10 @@ object ScaleSmoke {
   /** Σ c·(c−1)/2 over a bucket histogram — the exact candidate-pair count
     * a bucket-keyed self-join generates. */
   private def pairSum(hist: DataFrame): Long =
-    hist.agg(sum(expr("n * (n - 1) / 2")).cast("long")).head.getLong(0)
+    // coalesce: sum over an empty histogram is NULL, and getLong on a
+    // NULL cell NPEs — an empty corpus sweep must print 0, not crash
+    hist.agg(coalesce(sum(expr("n * (n - 1) / 2")), lit(0L)).cast("long"))
+      .head.getLong(0)
 
   /** Section gate: `SPARK_GRAFT_SMOKE_ONLY=<name>` runs one sweep alone
     * (drill-down); unset runs everything. Unknown names fail fast — a
@@ -190,8 +193,12 @@ object ScaleSmoke {
       // is the LARGEST near-dup cluster, which tracks dup-group size
       // (fixed by corpus construction), not n — the skew-safety claim.
       val (keepDf, kCaches) = pipeline.TextDedup.clusterKeepers(spark, dir)
-      val cs = keepDf.filter(col("cluster_id") =!= col("doc_id"))
-        .groupBy("cluster_id").count()
+      // size counts EVERY member including the representative (whose
+      // label equals its own id) — filtering it out first understated
+      // each cluster, and this number IS the window partition bound;
+      // singletons drop via count >= 2, not via the representative filter
+      val cs = keepDf.groupBy("cluster_id").count()
+        .filter(col("count") >= 2)
         .agg(coalesce(max("count"), lit(0L)), coalesce(avg("count"), lit(0.0)),
           count(lit(1))).head
       println(f"[scale] keeper clusters x$m (n=$nDoc): ${cs.getLong(2)}%,d " +

@@ -79,11 +79,29 @@ object ServeMain {
         (NatsBroker(wireRoot): BrokerSource, () => { stop = true; relay.join(5000) })
       } else (FileBroker(wireRoot): BrokerSource, () => ())
 
+    // the TOML batcher envelope reaches the streaming queries: the
+    // trigger is flush_interval_ms (the reference's flush cadence). The
+    // byte cap (max_bytes) governs the relay's pull batch above; the
+    // graft-proto tail has no per-trigger byte knob — the documented
+    // O-T2 approximation (SURVEY §2.9).
     val queries = Ingest.startFromBroker(spark, broker, outDir, ckptRoot,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+        s"${cfg.batcher.flushIntervalMs} milliseconds"),
       subjects = cfg.broker.subjects)
-    val http = new HttpSql(spark, httpPort, dataDir = Some(outDir))
-    val port = http.start()
-    Engine(spark, queries, http, port, stopRelay)
+    // no leak on a failed boot: if the HTTP server cannot start (port
+    // bound), the just-started streaming queries and the relay must not
+    // keep running with no handle to stop them
+    try {
+      val http = new HttpSql(spark, httpPort, dataDir = Some(outDir))
+      val port = http.start()
+      Engine(spark, queries, http, port, stopRelay)
+    } catch {
+      case e: Throwable =>
+        queries.values.foreach(q =>
+          try q.stop() catch { case scala.util.control.NonFatal(_) => () })
+        try stopRelay() catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
   }
 
   def main(args: Array[String]): Unit = {

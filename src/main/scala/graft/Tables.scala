@@ -35,6 +35,12 @@ object Tables {
     * TimestampType so every downstream query sees one type and ts
     * filters stay pushdown-eligible. */
   def events(s: SparkSession, d: String): DataFrame = {
+    // DELIBERATELY session-global (EngineSession sets it at build time;
+    // this covers hand-rolled sessions): the flag cannot be restored
+    // after the read — the scan re-reads it at EXECUTION, so a restore
+    // would flip behavior between schema inference and row decode. Under
+    // this engine every nanos-typed parquet surfaces as raw int64; only
+    // events carries one, and this loader normalizes it.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$d/events.parquet")
     raw.schema("ts").dataType match {

@@ -57,6 +57,12 @@ class EngineConfigSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       EngineConfig.parse("just nonsense here")
     }
+    // range is part of "fails loudly": an Int-ranged field past 2^31
+    // must reject, not bit-truncate to an unrelated port number
+    val ex = intercept[IllegalArgumentException] {
+      EngineConfig.parse("[nats]\nclient_port = 4294971518")
+    }
+    assert(ex.getMessage.contains("32-bit"))
   }
 
   test("escaped quotes survive comment stripping and are unescaped") {
