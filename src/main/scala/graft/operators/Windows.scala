@@ -91,11 +91,13 @@ object Windows {
     "o_w6_rank" -> ((s, d) => {
       // base feeds the main rows, the value dim, and the totals — one
       // executor-resident materialization instead of three orders scans.
-      // persist (released via the drop list below), not localCheckpoint:
-      // checkpoint blocks outlive the query until driver GC
+      // localCheckpoint, not persist-and-release: base is a ≤|customers|
+      // aggregate (15k rows at sf0.1), so the unreleased checkpoint
+      // blocks are negligible, and the eager cut measured faster than a
+      // lazy cache whose fill the three consumers' stages race
       val base = Tables.orders(s, d).groupBy("o_custkey")
         .agg(count(lit(1)).as("n_orders"))
-        .persist()
+        .localCheckpoint(true)
       val vals = base.groupBy("n_orders").agg(count(lit(1)).as("cnt"))
       val dim = vals.as("a")
         .join(vals.as("b"), col("b.n_orders") > col("a.n_orders"), "left")
@@ -129,7 +131,7 @@ object Windows {
                             (pos - (total DIV 4 + 1) * (total % 4) - 1)
                               DIV (total DIV 4) + 1
                   END AS INT)""").as("quartile"))
-        .orderBy("o_custkey"), (base +: caches): _*)
+        .orderBy("o_custkey"), caches: _*)
     }),
 
     // O-W7: first/last value per key (first-touch attribution).

