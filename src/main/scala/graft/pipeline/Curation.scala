@@ -192,6 +192,53 @@ object Curation {
         .orderBy("doc_id"), caches: _*)
     }),
 
+    // Domain mix APPLY — the step that turns d_domain_mix's weights into
+    // an actual training-mix manifest: a corpus-sized mix where source s
+    // contributes floor(N * w_s) documents (N = corpus size). Within a
+    // source, docs are taken in md5-rank order (the d_strat_sample
+    // determinism discipline); a source whose target exceeds its size
+    // repeats docs epoch-wise — n_copies = full epochs + 1 for the
+    // rank-prefix covering the remainder, exactly how data-mixing
+    // pipelines upsample small domains. Per-source rank rides
+    // OrderStats.weightedCdf (source is a ~|domains|-cardinality key
+    // over a corpus-sized input — the regime where a plain window
+    // serializes into |domains| tasks); the weight table is the same
+    // |sources|-row aggregate d_domain_mix builds, broadcast onto the
+    // ranked stream. Output: one row per doc IN the mix with its copy
+    // count — an auditable manifest, not an exploded row set.
+    "d_mix_apply" -> ((s, d) => {
+      val ranked0 = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+        .withColumn("hk", md5(col("doc_id").cast("string").cast("binary")))
+        .withColumn("one", lit(1L))
+      val (cdf, caches) = OrderStats.weightedCdfPlan(
+        ranked0, "source", Seq("hk", "doc_id"), "one")
+      val all = Window.partitionBy(lit(1))
+      // weights rounded to 6 on BOTH sides before the floor — the same
+      // rounded doubles the d_domain_mix oracle already certifies equal,
+      // so floor(N*w) cannot split on an engine ulp
+      val wts = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .withColumn("share",
+          col("n_tokens").cast("double") / sum("n_tokens").over(all))
+        .withColumn("pw", pow(col("share"), lit(0.7)))
+        .withColumn("mw", round(col("pw") / sum("pw").over(all), 6))
+        .withColumn("total_docs", sum("n_docs").over(all))
+        .withColumn("target", floor(col("total_docs") * col("mw")).cast("long"))
+        .select(col("source"), col("n_docs"), col("target"))
+      Materialize.drop(cdf
+        .join(broadcast(wts), "source")
+        .withColumn("n_copies",
+          (col("target") / col("n_docs")).cast("long") +
+            when(col("cum") <= col("target") % col("n_docs"), 1L).otherwise(0L))
+        .filter(col("n_copies") >= 1)
+        .select(col("doc_id"), col("source"),
+          col("cum").as("rank_in_source"), col("n_copies"))
+        .orderBy("doc_id"), caches: _*)
+    }),
+
     // Domain MIXING weights — per-source sampling weights for training-
     // mix construction: token share per source, temperature-flattened as
     // share^alpha (alpha=0.7, the standard multinomial-temperature
@@ -306,6 +353,35 @@ object Curation {
          SELECT doc_id, n_tokens, quality, cum_tokens,
                 CAST(CASE WHEN cum_tokens * 2 <= tot THEN 1 ELSE 0 END AS INT) AS selected
          FROM c ORDER BY doc_id""",
+
+    "d_mix_apply" ->
+      """WITH per AS (
+           SELECT source, COUNT(*) AS n_docs,
+                  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+         w AS (
+           SELECT source, n_docs,
+                  n_tokens / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS share,
+                  CAST(SUM(n_docs) OVER () AS BIGINT) AS total_docs
+           FROM per),
+         t AS (
+           SELECT source, n_docs, total_docs,
+                  CAST(FLOOR(total_docs *
+                    round(pow(share, 0.7) / SUM(pow(share, 0.7)) OVER (), 6))
+                    AS BIGINT) AS target
+           FROM w),
+         r AS (
+           SELECT doc_id, source,
+                  CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk
+           FROM documents)
+         SELECT r.doc_id, r.source, r.rnk AS rank_in_source,
+                CAST(target // n_docs +
+                     CASE WHEN rnk <= target % n_docs THEN 1 ELSE 0 END
+                     AS BIGINT) AS n_copies
+         FROM r JOIN t USING (source)
+         WHERE target // n_docs + CASE WHEN rnk <= target % n_docs THEN 1 ELSE 0 END >= 1
+         ORDER BY doc_id""",
 
     "d_domain_mix" ->
       """WITH s AS (

@@ -199,6 +199,41 @@ class CurationSpec extends AnyFunSuite {
       "selected set must be a rank prefix")
   }
 
+  test("mix apply: per-source copies hit floor(N*w) exactly; prefix is rank-deterministic") {
+    import org.apache.spark.sql.functions.{col => c}
+    val mix = Curation.queries("d_mix_apply")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(mix.nonEmpty)
+    val weights = Curation.queries("d_domain_mix")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val perSource = Tables.documents(spark, sf).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = perSource.values.sum
+    // law 1: source s contributes EXACTLY floor(total * w_s) copies
+    val copies = mix.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    perSource.keys.foreach { s =>
+      val target = math.floor(total * weights(s)).toLong
+      assert(copies.getOrElse(s, 0L) == target,
+        s"source $s: ${copies.getOrElse(s, 0L)} copies != target $target")
+    }
+    // law 2: within a source, extra (epoch+1) copies go to the md5-rank
+    // prefix — n_copies is non-increasing in rank_in_source
+    mix.groupBy(_._2).values.foreach { rows =>
+      val byRank = rows.sortBy(_._3)
+      assert(byRank.map(_._4).sameElements(byRank.map(_._4).sorted.reverse),
+        "copies must be non-increasing in rank")
+      assert(byRank.map(_._4).toSet.size <= 2, "epochs differ by at most 1")
+    }
+    // law 3: an upweighted-small-source corpus really exercises the
+    // epoch path somewhere OR every source downsamples — assert the
+    // manifest is a strict mix: not every doc kept once
+    assert(mix.exists(_._4 != 1L) || mix.length < total)
+    // determinism
+    val again = Curation.queries("d_mix_apply")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(mix.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
   test("domain mix: shares and weights normalize; temperature flattens the mix") {
     val rows = Curation.queries("d_domain_mix")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
