@@ -85,8 +85,7 @@ object ServeMain {
     // graft-proto tail has no per-trigger byte knob — the documented
     // O-T2 approximation (SURVEY §2.9).
     val queries = Ingest.startFromBroker(spark, broker, outDir, ckptRoot,
-      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(
-        s"${cfg.batcher.flushIntervalMs} milliseconds"),
+      trigger = Ingest.batcherParams(cfg)._1,
       subjects = cfg.broker.subjects)
     // no leak on a failed boot: if the HTTP server cannot start (port
     // bound), the just-started streaming queries and the relay must not

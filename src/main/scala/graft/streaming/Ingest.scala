@@ -322,11 +322,20 @@ object Ingest {
     * — config/default.toml:40-43 via [[graft.EngineConfig]]) drives the
     * source rate cap and trigger, so a reference deployment's TOML drops
     * in unchanged. */
+  /** The batcher envelope → streaming knobs, as a pure derivation so the
+    * config seam is testable in isolation (and ServeMain shares the same
+    * trigger construction instead of re-deriving it). */
+  private[graft] def batcherParams(
+      cfg: graft.EngineConfig): (Trigger, Long) =
+    (Trigger.ProcessingTime(s"${cfg.batcher.flushIntervalMs} milliseconds"),
+      cfg.batcher.maxBytes)
+
   def start(spark: SparkSession, inputDir: String, outDir: String,
-            checkpointDir: String, cfg: graft.EngineConfig): StreamingQuery =
+            checkpointDir: String, cfg: graft.EngineConfig): StreamingQuery = {
+    val (trigger, maxBytes) = batcherParams(cfg)
     start(spark, inputDir, outDir, checkpointDir,
-      trigger = Trigger.ProcessingTime(s"${cfg.batcher.flushIntervalMs} milliseconds"),
-      maxBytesPerTrigger = cfg.batcher.maxBytes)
+      trigger = trigger, maxBytesPerTrigger = maxBytes)
+  }
 
   /** Start the streaming pipeline over a JSON-lines directory source
     * (this env has no Kafka/NATS connector; the source swap is one line).

@@ -74,12 +74,22 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
-  test("dedup is idempotent (O-W1 law)") {
+  test("o_w1 dedup view matches an independent driver-side recount") {
     import org.apache.spark.sql.functions._
-    val e = Tables.events(spark, sf)
-    val d1 = e.dropDuplicates(Seq("event_id"))
-    val d2 = d1.dropDuplicates(Seq("event_id"))
-    assert(d1.count() == d2.count())
+    // independent oracle, not Spark-vs-itself: collect the raw rows and
+    // re-apply the O-W1 rule (first row per event_id by (ts, user_id))
+    // in plain Scala, then compare per-type counts with the catalog view
+    val raw = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = raw.groupBy(_._1).values
+      .map(_.minBy(t => (t._2, t._3)))
+      .toSeq.groupBy(_._4).view.mapValues(_.size.toLong).toMap
+    val got = SparkEntry.queries("o_w1_dedup")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"o_w1 per-type counts diverge: $got vs $expected")
   }
 
   test("union of routed fanout partitions the table (S-ROUTE law)") {

@@ -83,12 +83,14 @@ class EngineConfigSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { parseDuration("soon") }
   }
 
-  test("config-driven ingest wiring compiles against the batcher envelope") {
-    // signature-level check: the typed overload exists and derives its
-    // trigger/rate from the config (behavioral ingest coverage lives in
-    // IngestSpec; this pins the seam).
+  test("batcher envelope reaches the streaming knobs (Ingest.batcherParams)") {
+    // the actual config→trigger/rate seam, not just TOML parsing: the
+    // derivation ServeMain and the typed Ingest.start overload both use
     val cfg = EngineConfig.parse("[batcher]\nmax_bytes = 1234\nflush_interval_ms = 42")
-    assert(cfg.batcher.maxBytes == 1234L)
-    assert(cfg.batcher.flushInterval.toMillis == 42L)
+    val (trigger, maxBytes) = graft.streaming.Ingest.batcherParams(cfg)
+    assert(maxBytes == 1234L, "max_bytes must become the source byte cap")
+    assert(trigger ==
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("42 milliseconds"),
+      s"flush_interval_ms must become the processing-time trigger: $trigger")
   }
 }

@@ -47,6 +47,12 @@ class PipelineSpec extends AnyFunSuite {
       (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
     val top1 = lsh.filter(col("rnk") === 1).collect()
     assert(top1.nonEmpty)
+    // recall floor: the conditional cosine check below is vacuous if NO
+    // lsh top-1 lands in the brute top-5 (e.g. a bucket-bit regression
+    // returning arbitrary same-bucket neighbors) — require a majority hit
+    val hits = top1.count(r => bmap.contains((r.getLong(0), r.getLong(2))))
+    assert(hits.toDouble / top1.length >= 0.5,
+      s"lsh top-1 recall vs brute top-5 too low: $hits/${top1.length}")
     top1.foreach { r =>
       val key = (r.getLong(0), r.getLong(2))
       bmap.get(key).foreach(c => assert(c == r.getDouble(3)))

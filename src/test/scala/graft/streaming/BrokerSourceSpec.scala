@@ -12,9 +12,7 @@ class BrokerSourceSpec extends AnyFunSuite {
     val ckpt = java.nio.file.Files.createTempDirectory("broker_ckpt").toString
     val t0 = 1726300800L
     def loginMsg(id: String, user: String, ts: Long): Seq[Any] =
-      Seq(id, "login", user, "s-1", "a-1", ts,
-        "web", "android", "14", "android", "14", "chrome", "128",
-        "mobile", "1080x2400", "UA")
+      WireFixtures.loginMsg(id, user, ts)
     new java.io.File(s"$wire/events.login").mkdirs()
     graft.sources.ProtoFiles.writeLocal(s"$wire/events.login/flush-000001.pbstream",
       Iterator(loginMsg("b-1", "u-1", t0)), EventSchemas.tables("login_events"))
@@ -67,9 +65,7 @@ class BrokerSourceSpec extends AnyFunSuite {
     val ckpt = java.nio.file.Files.createTempDirectory("budget_ckpt").toString
     val t0 = 1726300800L
     def loginMsg(id: String, user: String, ts: Long): Seq[Any] =
-      Seq(id, "login", user, "s-1", "a-1", ts,
-        "web", "android", "14", "android", "14", "chrome", "128",
-        "mobile", "1080x2400", "UA")
+      WireFixtures.loginMsg(id, user, ts)
     new java.io.File(s"$wire/events.login").mkdirs()
     graft.sources.ProtoFiles.writeLocal(s"$wire/events.login/flush-000001.pbstream",
       Iterator(loginMsg("b-1", "u-1", t0)), EventSchemas.tables("login_events"))

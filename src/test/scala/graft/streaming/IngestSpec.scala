@@ -123,9 +123,7 @@ class IngestSpec extends AnyFunSuite {
     val t0 = 1726300800L
 
     def loginMsg(id: String, user: String, ts: Long): Seq[Any] =
-      Seq(id, "login", user, "s-1", "a-1", ts,
-        "web", "android", "14", "android", "14", "chrome", "128",
-        "mobile", "1080x2400", "UA")
+      WireFixtures.loginMsg(id, user, ts)
     def sessionMsg(id: String, ts: Long, ended: Boolean): Seq[Any] =
       Seq(id, "session", "u-1", "s-1", "a-1", ts,
         "web", "android", "14", "android", "14", "chrome", "128",

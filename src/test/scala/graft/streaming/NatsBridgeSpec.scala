@@ -14,9 +14,7 @@ class NatsBridgeSpec extends AnyFunSuite {
   private val schema = EventSchemas.tables("login_events")
 
   private def loginMsg(id: String, user: String, ts: Long): Seq[Any] =
-    Seq(id, "login", user, "s-1", "a-1", ts,
-      "web", "android", "14", "android", "14", "chrome", "128",
-      "mobile", "1080x2400", "UA")
+    WireFixtures.loginMsg(id, user, ts)
 
   private def withServer(f: (MockNatsServer, NatsWire.Conn) => Unit): Unit = {
     val srv = new MockNatsServer
@@ -204,10 +202,9 @@ class NatsBridgeSpec extends AnyFunSuite {
              System.currentTimeMillis() < d1) Thread.sleep(50)
       assert(srv1.ackedCount("EVENTS", c.broker.consumerName) == 1)
 
-      srv1.close() // broker dies mid-run
-      val d2 = System.currentTimeMillis() + 10000
-      while (failures == 0 && System.currentTimeMillis() < d2) Thread.sleep(50)
-      assert(failures >= 0) // loop observed the drop and is backing off
+      srv1.close() // broker dies mid-run; the failure count is the
+      // relay's RETURN value, asserted >= 1 after the join below —
+      // polling the var here could never observe it mid-run
 
       // broker comes back on the SAME port: relay must reconnect,
       // re-ensure stream/consumer, and drain new messages
@@ -235,6 +232,15 @@ class NatsBridgeSpec extends AnyFunSuite {
         assert(srv2.ackedCount("EVENTS", c.broker.consumerName) == 1,
           "relay must resume pulling after the restart")
       } finally srv2.close()
+      // superviseRelay's documented contract: it RETURNS the failure
+      // count. The broker died mid-run above, so the supervisor must
+      // have counted at least one connection failure — a catch block
+      // that swallowed without counting would zero this.
+      stop = true
+      relay.join(5000)
+      assert(!relay.isAlive, "relay must honor stop()")
+      assert(failures >= 1,
+        s"mid-run broker death must be counted (got $failures)")
     } finally {
       stop = true
       relay.join(5000)

@@ -45,6 +45,12 @@ class StreamingAggSpec extends AnyFunSuite {
     // NOT counted (would be n=3 logins otherwise)
     assert(out.contains((h0, "login", 2L)), s"unexpected: $out")
     assert(out.contains((h0, "watch", 1L)))
+    // the NEGATIVE half must be asserted too: if the late event
+    // re-created hour-0 state, it would surface as an ADDITIONAL
+    // (h0, login, 1) append row when the final event advanced the
+    // watermark — contains() alone would still pass
+    assert(out.count { case (h, n, _) => h == h0 && n == "login" } == 1,
+      s"late hour-0 login must not emit a second hour-0 row: $out")
   }
 
   test("query progress is observable and stop() drains cleanly (O-T7)") {
