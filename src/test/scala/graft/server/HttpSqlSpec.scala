@@ -456,4 +456,22 @@ class HttpSqlSpec extends AnyFunSuite {
       pool.shutdown()
     } finally { srv.stop() }
   }
+
+  test("stop releases the pools; the instance is one-shot") {
+    val srv = new HttpSql(spark)
+    val p = srv.start()
+    val c = HttpClient.newHttpClient()
+    assert(get(c, p, "/ping").statusCode() == 200)
+    srv.stop()
+    // the watchdog/handler pools are shut down with the server — a
+    // restart on the same instance would schedule onto a dead executor,
+    // so it must refuse up front
+    val ex = intercept[IllegalArgumentException] { srv.start() }
+    assert(ex.getMessage.contains("one-shot"))
+    // a fresh instance binds fine (no port/thread leak from the stop)
+    val srv2 = new HttpSql(spark)
+    val p2 = srv2.start()
+    try assert(get(c, p2, "/ping").statusCode() == 200)
+    finally srv2.stop()
+  }
 }
