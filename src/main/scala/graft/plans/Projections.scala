@@ -140,26 +140,34 @@ object Projection {
     * parquet reads never see it) and arrives via the same directory
     * rename that publishes the data — marker and rollup commit together,
     * there is no window where one is true and the other is not. */
-  private[plans] def committedBatch(spark: SparkSession, pd: ProjectionDef): Long = {
-    val p = new org.apache.hadoop.fs.Path(pd.path, MergeMarker)
-    val f = fsFor(spark, p)
-    if (!f.exists(p)) -1L
+  /** Marker content as a Long, or None when absent OR unparseable — a
+    * crash mid-marker-write leaves a partial file, which must read as
+    * "no marker" (phase-1 incomplete), never as a crash at read time. */
+  private def readMarker(f: org.apache.hadoop.fs.FileSystem,
+                         p: org.apache.hadoop.fs.Path): Option[Long] =
+    if (!f.exists(p)) None
     else {
       val in = f.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-      finally in.close()
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+      txt.trim.toLongOption
     }
+
+  private[plans] def committedBatch(spark: SparkSession, pd: ProjectionDef): Long = {
+    val p = new org.apache.hadoop.fs.Path(pd.path, MergeMarker)
+    readMarker(fsFor(spark, p), p).getOrElse(-1L)
   }
 
   /** Finish (or discard) a merge a previous run left mid-swap: a staging
-    * dir WITH the marker holds a complete merged rollup — publish it; one
-    * without is an incomplete phase-1 write (the live rollup untouched) —
-    * discard it. The [[Retention]] purge-swap recovery argument, one dir. */
+    * dir with a COMPLETE (parseable) marker holds a complete merged
+    * rollup — publish it; one without is an incomplete phase-1 write
+    * (the live rollup untouched) — discard it. The [[Retention]]
+    * purge-swap recovery argument, one dir. */
   private def resumeMergeSwap(spark: SparkSession, pd: ProjectionDef): Unit = {
     val staging = mergeStaging(pd)
     val f = fsFor(spark, staging)
     if (!f.exists(staging)) return
-    if (f.exists(new org.apache.hadoop.fs.Path(staging, MergeMarker))) {
+    if (readMarker(f, new org.apache.hadoop.fs.Path(staging, MergeMarker)).isDefined) {
       val live = new org.apache.hadoop.fs.Path(pd.path)
       if (f.exists(live) && !f.delete(live, true))
         throw new java.io.IOException(s"projection ${pd.name}: failed to clear $live")
@@ -298,7 +306,11 @@ object Projection {
     * new base files — not the historical base, which [[materialize]]
     * already folded) and merge every micro-batch of new rows into the
     * projection via [[merge]] — the insert-time maintenance loop,
-    * exactly-once per batch under the checkpoint. */
+    * exactly-once per batch (the batch-id marker makes a replayed
+    * micro-batch a no-op). Mutation-path rebuilds ([[refresh]] /
+    * [[refreshPartitions]]) overwrite the rollup WITHOUT a marker,
+    * resetting the replay ledger — run them with the maintainer stopped,
+    * the same quiesce rule every swap in `sources.Retention` carries. */
   def maintain(spark: SparkSession, deltaDir: String,
                schema: org.apache.spark.sql.types.StructType,
                pd: ProjectionDef, checkpointDir: String)
