@@ -229,6 +229,43 @@ class ProjectionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("count_all", "g", "sum_v"))
   }
 
+  test("merge-swap crash recovery: complete staging publishes, torn staging discards") {
+    val p5 = s"$tmp/proj_crash"
+    val pd5 = Projection.materialize(base, "crash_rollup", Seq("g"),
+      Seq(AggSpec("sum", "v"), AggSpec("count", "*")), p5)
+    val fs = new java.io.File(p5 + ".merge-tmp")
+    def plant(marker: Option[String]): Unit = {
+      // simulate a run that died after phase-1: staging holds a DISTINCT
+      // rollup (count doubled via self-union) so publication is observable
+      val doubled = spark.read.parquet(p5).unionByName(spark.read.parquet(p5))
+        .groupBy("g").agg(sum("sum_v").as("sum_v"), sum("count_all").as("count_all"))
+        .localCheckpoint(true)
+      doubled.write.mode("overwrite").parquet(fs.getPath)
+      doubled.unpersist()
+      marker.foreach(m => java.nio.file.Files.writeString(
+        new java.io.File(fs, "_graft_merge_commit").toPath, m))
+    }
+    val origCount = spark.read.parquet(p5)
+      .agg(sum("count_all")).head().getLong(0)
+
+    // torn write (unparseable marker): discard, originals untouched
+    plant(Some("")) // empty marker = crash mid-marker-write
+    Projection.merge(base.limit(0), pd5, batchId = 5)
+    assert(!fs.exists(), "torn staging must be discarded")
+    assert(spark.read.parquet(p5).agg(sum("count_all")).head().getLong(0)
+      == origCount, "a torn staging must not publish")
+
+    // complete staging (valid marker): recovery publishes it, and its
+    // marker becomes the committed batch — a replay of that batch skips
+    plant(Some("7\n"))
+    assert(Projection.committedBatch(spark, pd5) < 7)
+    Projection.merge(base.limit(0), pd5, batchId = 7) // 7 <= published marker: no-op merge
+    assert(!fs.exists(), "recovered staging must be gone after publish")
+    assert(Projection.committedBatch(spark, pd5) == 7L)
+    assert(spark.read.parquet(p5).agg(sum("count_all")).head().getLong(0)
+      == origCount * 2, "the complete staged rollup must have published")
+  }
+
   test("streaming maintainer folds appended delta files into the projection") {
     val baseDir = s"$tmp/stream_base"
     val deltaDir = s"$tmp/stream_delta"
