@@ -24,21 +24,31 @@ import org.apache.spark.sql.functions._
   * shape); batch queries never recompute them.
   *
   * Storage: parquet under `graft.backbone.dir` (default: a per-JVM
-  * scratch dir — each run derives fresh tables, so cross-run staleness
-  * is impossible; point it at a warehouse path to keep them). Keyed by
-  * corpus dir + band geometry. Build is all-Spark (the existing
-  * [[TextDedup.minhashPairsPlan]] / [[Graph.minLabelComponents]]
-  * plans); the only driver traffic is the CC loop's convergence scalar.
+  * scratch dir reclaimed on exit). An explicit warehouse path is used
+  * AS-IS and REUSED across JVMs — a completed build leaves a
+  * `_graft_built` marker, and the corpus token embeds the documents
+  * parquet's file-metadata version, so a data drop at the same path
+  * gets a fresh subtree (staleness-by-construction without per-JVM
+  * scoping). Keyed by corpus token + band geometry. Build is all-Spark
+  * (the existing [[TextDedup.minhashPairsPlan]] /
+  * [[Graph.minLabelComponents]] plans); the only driver traffic is the
+  * CC loop's convergence scalar.
   */
 private[graft] object Backbone {
 
-  /** Per-JVM run token: backbone tables are derived data; scoping them
-    * to the JVM run makes stale reads across data drops impossible. */
+  /** Per-JVM run token for the DEFAULT scratch root only. An EXPLICIT
+    * `graft.backbone.dir` is a warehouse path used AS-IS (no per-JVM
+    * suffix): committed advance state must be findable by the next
+    * night's JVM or the O(|batch|) maintenance contract is dead weight.
+    * Staleness across data drops is prevented by the corpus token
+    * instead, which embeds the documents parquet's file-metadata
+    * version — a drop at the same path gets a fresh subtree. */
   private val runId = UUID.randomUUID().toString.take(8)
 
-  private def rootDir: String = {
-    val base = sys.props.getOrElse("graft.backbone.dir",
-      new java.io.File(sys.props("java.io.tmpdir"), "graft-backbone").getPath)
+  private def explicitDir: Option[String] = sys.props.get("graft.backbone.dir")
+
+  private def rootDir: String = explicitDir.getOrElse {
+    val base = new java.io.File(sys.props("java.io.tmpdir"), "graft-backbone").getPath
     s"$base/$runId"
   }
 
@@ -60,15 +70,60 @@ private[graft] object Backbone {
     }
   }
 
-  private def token(d: String): String = d.replaceAll("[^A-Za-z0-9.]", "_")
+  /** Lossy sanitize for USER-SUPPLIED tags only (compact's tag) — never
+    * for corpus dirs, whose token must be injective (see [[token]]). */
+  private def sanitize(t: String): String = t.replaceAll("[^A-Za-z0-9.]", "_")
 
-  /** Tables already written this JVM (paths). All mutation is under the
-    * object lock; reads after the barrier are plain parquet scans. */
+  /** Corpus storage/memo token: readable sanitized path + an md5 of the
+    * RAW path (injectivity — `/a/my-corpus` and `/a/my_corpus` must not
+    * share a subtree; the bare sanitize served corpus A's tables for
+    * corpus B) + the documents parquet's file-metadata version (count,
+    * total bytes, max mtime — a data drop at the same path gets a fresh
+    * subtree instead of a stale memo hit; this is what makes the
+    * warehouse root safe without per-JVM scoping). One driver FS listing
+    * per accessor call — negligible next to the query it guards. */
+  private def token(s: SparkSession, d: String): String = {
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    val p = new Path(s"$d/documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def walk(st: FileStatus): Seq[FileStatus] =
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(walk)
+      else Seq(st)
+    val files = walk(fs.getFileStatus(p))
+    val ver = s"${files.length}_${files.map(_.getLen).sum}_" +
+      s"${files.map(_.getModificationTime).max}"
+    val id = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d|$ver".getBytes("UTF-8"))
+      .take(5).map("%02x".format(_)).mkString
+    s"${sanitize(d)}_$id"
+  }
+
+  /** Tables already confirmed built (paths) — per JVM, backed by an
+    * on-disk `_graft_built` marker written when a build completes, so a
+    * warehouse root REUSES state committed by previous JVMs (the
+    * incremental-maintenance contract) instead of rebuilding nightly.
+    * A crash mid-build leaves no marker → the next run rebuilds over
+    * the partial output (all writes are overwrite-mode). */
   private val built = mutable.Set[String]()
 
-  private def ensure(path: String)(build: => Unit): Unit = synchronized {
-    if (!built.contains(path)) { build; built += path }
+  /** TEST HOOK: drop the in-JVM built/count memos so a spec can exercise
+    * the cross-JVM path (the on-disk `_graft_built` marker) without
+    * forking a JVM. Production code never calls this. */
+  private[graft] def resetMemoForTest(): Unit = synchronized {
+    built.clear(); counts.clear()
   }
+
+  private def ensure(s: SparkSession, path: String)(build: => Unit): Unit =
+    synchronized {
+      if (built.contains(path)) return
+      val marker = new org.apache.hadoop.fs.Path(path, "_graft_built")
+      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) {
+        build
+        fs.create(marker, true).close()
+      }
+      built += path
+    }
 
   /** Stable per-JVM id for a DataFrame INSTANCE, used to key memo paths
     * by which in-memory table a caller passed. Not identityHashCode:
@@ -91,15 +146,15 @@ private[graft] object Backbone {
     * this once per corpus instead of once per consuming query. */
   private val counts = mutable.Map[String, Long]()
   def corpusCount(s: SparkSession, d: String): Long = synchronized {
-    counts.getOrElseUpdate(d, Tables.documents(s, d).count())
+    counts.getOrElseUpdate(token(s, d), Tables.documents(s, d).count())
   }
 
   /** Exact-dedup fingerprint table: (doc_id, fp) with fp = md5(lower
     * (text)) — one corpus scan, stored once, read by the exact query,
     * the curation cascade and the delta contract. */
   def fingerprints(s: SparkSession, d: String): DataFrame = {
-    val path = s"$rootDir/${token(d)}/fps"
-    ensure(path) {
+    val path = s"$rootDir/${token(s, d)}/fps"
+    ensure(s, path) {
       Tables.documents(s, d)
         .select(col("doc_id"), TextDedup.fpCol.as("fp"))
         .write.mode("overwrite").parquet(path)
@@ -112,8 +167,8 @@ private[graft] object Backbone {
     * pair derivation; both land as parquet). */
   private def ensureMinhash(s: SparkSession, d: String,
                             nBands: Int, rowsPerBand: Int): String = {
-    val base = s"$rootDir/${token(d)}/mh${nBands}x$rowsPerBand"
-    ensure(base) {
+    val base = s"$rootDir/${token(s, d)}/mh${nBands}x$rowsPerBand"
+    ensure(s, base) {
       val plan = TextDedup.minhashPairsPlan(s, d, nBands, rowsPerBand)
       plan.bands.write.mode("overwrite").parquet(s"$base/bands")
       plan.pairs.write.mode("overwrite").parquet(s"$base/pairs")
@@ -137,8 +192,8 @@ private[graft] object Backbone {
     * over the default-geometry pair graph; docs in no near-dup pair are
     * absent (callers coalesce to doc_id for singleton semantics). */
   def labels(s: SparkSession, d: String): DataFrame = {
-    val path = s"$rootDir/${token(d)}/labels"
-    ensure(path) {
+    val path = s"$rootDir/${token(s, d)}/labels"
+    ensure(s, path) {
       val edges = Graph.symmetrize(pairs(s, d), "da", "db").persist()
       val (lbl, caches) = Graph.minLabelComponents(edges)
       lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
@@ -161,8 +216,8 @@ private[graft] object Backbone {
                                  labels: DataFrame)
 
   def history(s: SparkSession, d: String, split: Long): HistoryTables = {
-    val base = s"$rootDir/${token(d)}/hist$split"
-    ensure(base) {
+    val base = s"$rootDir/${token(s, d)}/hist$split"
+    ensure(s, base) {
       val hist = Tables.documents(s, d).filter(col("doc_id") < split)
       val sp = TextDedup.signaturePlan(hist, nBands = 4, rowsPerBand = 2)
       sp.bands.write.mode("overwrite").parquet(s"$base/bands")
@@ -223,8 +278,8 @@ private[graft] object Backbone {
 
   def batchSignature(s: SparkSession, d: String, split: Long,
                      batchEnd: Long = Long.MaxValue): BatchTables = {
-    val base = s"$rootDir/${token(d)}/batch${split}e$batchEnd"
-    ensure(base) {
+    val base = s"$rootDir/${token(s, d)}/batch${split}e$batchEnd"
+    ensure(s, base) {
       val batch = Tables.documents(s, d)
         .filter(col("doc_id") >= split && col("doc_id") < batchEnd)
       val sp = TextDedup.signaturePlan(batch, nBands = 4, rowsPerBand = 2)
@@ -255,8 +310,8 @@ private[graft] object Backbone {
     // the input INSTANCES too, so two different intakes reusing a tag
     // rebuild (safe) instead of silently returning the first compaction
     val inId = s"${instanceId(keepers)}_${instanceId(bands)}_${instanceId(sets)}"
-    val base = s"$rootDir/compact_${token(tag)}_$inId"
-    ensure(base) {
+    val base = s"$rootDir/compact_${sanitize(tag)}_$inId"
+    ensure(s, base) {
       keepers.write.mode("overwrite").parquet(s"$base/keepers")
       bands.write.mode("overwrite").parquet(s"$base/bands")
       sets.write.mode("overwrite").parquet(s"$base/sets")
@@ -397,8 +452,8 @@ private[graft] object Backbone {
     // hit would silently return day-1 state)
     val histId = histOverride
       .map(h => s"h${instanceId(h)}").getOrElse("fresh")
-    val base = s"$rootDir/${token(d)}/adv${split}e${batchEnd}_$histId"
-    ensure(base) {
+    val base = s"$rootDir/${token(s, d)}/adv${split}e${batchEnd}_$histId"
+    ensure(s, base) {
       val p = advanceParts(s, d, split, histOverride, batchEnd)
       p.h.bands.unionByName(p.batchBands)
         .write.mode("overwrite").parquet(s"$base/bands")

@@ -164,4 +164,50 @@ class BackboneAdvanceSpec extends AnyFunSuite {
         "stored batch bands diverge from a fresh signing")
     } finally sp.caches.foreach(_.unpersist())
   }
+
+  test("corpus token is injective and data-versioned; warehouse state is reusable") {
+    import spark.implicits._
+    def writeCorpus(dir: String, texts: Seq[(Long, String)]): Unit =
+      texts.toDF("doc_id", "text").withColumn("lang",
+        org.apache.spark.sql.functions.lit("en"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val root = java.nio.file.Files.createTempDirectory("bb_tok").toString
+    // two dirs whose SANITIZED names collide ('-' and '_' both map to '_')
+    val dA = s"$root/my-corpus"; val dB = s"$root/my_corpus"
+    writeCorpus(dA, Seq((1L, "alpha beta gamma")))
+    writeCorpus(dB, Seq((9L, "delta epsilon zeta")))
+    val fpA = Backbone.fingerprints(spark, dA).collect().map(_.getLong(0)).toSet
+    val fpB = Backbone.fingerprints(spark, dB).collect().map(_.getLong(0)).toSet
+    assert(fpA == Set(1L) && fpB == Set(9L),
+      s"colliding sanitized dirs must not share a backbone subtree: $fpA / $fpB")
+
+    // warehouse mode: an explicit dir is used AS-IS and the on-disk
+    // marker lets a "new JVM" (memo reset) reuse the committed build
+    val wh = java.nio.file.Files.createTempDirectory("bb_wh").toString
+    val prev = sys.props.get("graft.backbone.dir")
+    sys.props("graft.backbone.dir") = wh
+    try {
+      Backbone.fingerprints(spark, dA).count()
+      val subtree = new java.io.File(wh).listFiles().filter(_.isDirectory)
+      assert(subtree.nonEmpty, "warehouse root must hold the subtree directly (no per-JVM runId)")
+      val fpsDir = subtree.flatMap(_.listFiles()).find(_.getName == "fps").get
+      val mtime0 = fpsDir.lastModified()
+      Thread.sleep(20)
+      Backbone.resetMemoForTest() // simulate the next night's JVM
+      Backbone.fingerprints(spark, dA).count()
+      assert(fpsDir.lastModified() == mtime0,
+        "a marker-complete build must be REUSED, not rebuilt, after a JVM restart")
+      // a data drop at the same path gets a FRESH subtree (new token)
+      writeCorpus(dA, Seq((1L, "alpha beta gamma"), (2L, "eta theta iota")))
+      val fpA2 = Backbone.fingerprints(spark, dA).collect().map(_.getLong(0)).toSet
+      assert(fpA2 == Set(1L, 2L),
+        s"data drop at the same path must re-derive, got $fpA2")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.backbone.dir") = v
+        case None => sys.props -= "graft.backbone.dir"
+      }
+      Backbone.resetMemoForTest() // paths under the temp warehouse are dead
+    }
+  }
 }
