@@ -137,8 +137,12 @@ object NatsWire {
     }
 
     /** Only ever called mid-frame (after a MSG/HMSG control line), so a
-      * timeout here is always a desync, never a clean boundary. */
+      * timeout here is always a desync, never a clean boundary. Sets its
+      * OWN generous timeout: inheriting the control line's remaining
+      * deadline (as low as 1 ms near a fetch deadline) would kill the
+      * connection mid-payload for a frame that arrived in time. */
     private def readBytes(n: Int): Array[Byte] = {
+      socket.setSoTimeout(10000)
       val buf = new Array[Byte](n)
       var off = 0
       while (off < n) {
@@ -180,21 +184,36 @@ object NatsWire {
       * half a payload to be misparsed as protocol. */
     private def readFrame(timeoutMs: Int): Either[String, Msg] = {
       val line = readLine(timeoutMs)
-      val sp = line.split(' ')
+      // whitespace-RUN split: the protocol permits multi-space/tab
+      // delimiters; split(' ') would fabricate empty tokens that shift
+      // every argument (a phantom empty reply-to, sizes in the wrong slot)
+      val sp = line.trim.split("\\s+")
+      // a malformed size/arity after the control line was consumed is a
+      // DESYNC (declared payload length unusable — the remainder of the
+      // stream cannot be framed), never a raw NumberFormat/ArrayIndex
+      // escape that leaves the connection open and misaligned
+      def num(tok: String, what: String): Int =
+        tok.toIntOption.filter(_ >= 0)
+          .getOrElse(desync(s"malformed $what in control line '$line'"))
       sp(0) match {
         case "MSG" =>
           // MSG <subject> <sid> [reply-to] <#bytes>
+          if (sp.length < 4 || sp.length > 5)
+            desync(s"malformed MSG control line '$line'")
           val (reply, n) =
-            if (sp.length == 5) (Some(sp(3)), sp(4).toInt)
-            else (None, sp(3).toInt)
+            if (sp.length == 5) (Some(sp(3)), num(sp(4), "#bytes"))
+            else (None, num(sp(3), "#bytes"))
           val payload = readBytes(n)
           frameCrlf()
           Right(Msg(sp(1), sp(2), reply, payload))
         case "HMSG" =>
           // HMSG <subject> <sid> [reply-to] <#header-bytes> <#total-bytes>
+          if (sp.length < 5 || sp.length > 6)
+            desync(s"malformed HMSG control line '$line'")
           val (reply, hdrN, totN) =
-            if (sp.length == 6) (Some(sp(3)), sp(4).toInt, sp(5).toInt)
-            else (None, sp(3).toInt, sp(4).toInt)
+            if (sp.length == 6) (Some(sp(3)), num(sp(4), "#header-bytes"), num(sp(5), "#total-bytes"))
+            else (None, num(sp(3), "#header-bytes"), num(sp(4), "#total-bytes"))
+          if (hdrN > totN) desync(s"HMSG header bytes $hdrN > total $totN")
           val hdrBlock = new String(readBytes(hdrN), US_ASCII)
           val payload = readBytes(totN - hdrN)
           frameCrlf()
@@ -205,12 +224,19 @@ object NatsWire {
     }
 
     /** Trailing CRLF after a message payload — part of the frame, so a
-      * timeout here is a desync, not a clean boundary. */
-    private def frameCrlf(): Unit =
-      try readLine(1000)
-      catch {
-        case _: SocketTimeoutException => desync("timeout awaiting trailing CRLF")
-      }
+      * timeout here is a desync, not a clean boundary. The line must be
+      * EMPTY: stray bytes here mean the declared #bytes undercounted the
+      * payload, and silently consuming them would deliver (and ack) a
+      * TRUNCATED message while hiding the length mismatch. */
+    private def frameCrlf(): Unit = {
+      val line =
+        try readLine(1000)
+        catch {
+          case _: SocketTimeoutException => desync("timeout awaiting trailing CRLF")
+        }
+      if (line.nonEmpty)
+        desync(s"expected frame-terminating CRLF, got ${line.length} stray bytes")
+    }
 
     /** Parse an HMSG header block: `NATS/1.0[ <code>[ <desc>]]\r\n` then
       * `Key: Value` lines, blank-line terminated. */

@@ -72,7 +72,11 @@ object ProtoWire {
           writeVarint(out, (field.toLong << 3)); writeVarint(out, 1L)
         case (BooleanType, _) => ()
         case (ArrayType(StringType, _), xs: Seq[_]) =>
-          xs.foreach(x => writeLen(out, field, x.toString.getBytes(StandardCharsets.UTF_8)))
+          xs.foreach { x =>
+            if (x == null) throw new ProtoParseException(
+              s"null array element in field $field: the wire format has no null elements")
+            writeLen(out, field, x.toString.getBytes(StandardCharsets.UTF_8))
+          }
         case (dt, v) =>
           throw new ProtoParseException(s"unsupported encode type $dt for value $v")
       }
@@ -106,7 +110,10 @@ object ProtoWire {
           val arr = row.getArray(i)
           var j = 0
           while (j < arr.numElements()) {
-            writeLen(out, field, arr.getUTF8String(j).getBytes); j += 1
+            val e = arr.getUTF8String(j)
+            if (e == null) throw new ProtoParseException(
+              s"null array element in field $field: the wire format has no null elements")
+            writeLen(out, field, e.getBytes); j += 1
           }
         case dt => throw new ProtoParseException(s"unsupported encode type $dt")
       }
@@ -144,9 +151,13 @@ object ProtoWire {
       }
       res
     }
+    // bounds form `n > bytes.length - pos`, never `pos + n > length`:
+    // a crafted huge varint overflows pos + n negative, slipping past
+    // the check into copyOfRange/backward-cursor chaos OUTSIDE the
+    // ProtoParseException class the DLQ/400 classifiers key on
     def lenDelimited(): Array[Byte] = {
       val n = varint()
-      if (n < 0 || pos + n > bytes.length) throw new ProtoParseException("truncated body")
+      if (n < 0 || n > bytes.length - pos) throw new ProtoParseException("truncated body")
       val r = java.util.Arrays.copyOfRange(bytes, pos, pos + n.toInt)
       pos += n.toInt
       r
@@ -155,7 +166,7 @@ object ProtoWire {
       * column-pruning fast path (skipped fields cost zero allocation). */
     def skipLenDelimited(): Unit = {
       val n = varint()
-      if (n < 0 || pos + n > bytes.length) throw new ProtoParseException("truncated body")
+      if (n < 0 || n > bytes.length - pos) throw new ProtoParseException("truncated body")
       pos += n.toInt
     }
   }
@@ -202,10 +213,14 @@ object ProtoWire {
     val repeated = new Array[scala.collection.mutable.ArrayBuffer[Any]](projection.length)
     while (r.hasMore) {
       val tag = r.varint()
-      val field = (tag >>> 3).toInt
+      // range-check as Long BEFORE narrowing: (tag >>> 3).toInt would
+      // alias a field number >= 2^32 onto a real small field, silently
+      // decoding bogus payload into a live column
+      val fieldL = tag >>> 3
+      if (fieldL < 1 || fieldL > schema.length)
+        throw new ProtoParseException(s"unknown field number $fieldL")
+      val field = fieldL.toInt
       val wire = (tag & 7).toInt
-      if (field < 1 || field > schema.length)
-        throw new ProtoParseException(s"unknown field number $field")
       val out = outPos(field - 1)
       (schema.fields(field - 1).dataType, wire) match {
         case (StringType, 2) =>
@@ -243,10 +258,11 @@ object ProtoWire {
     val repeated = Array.fill(schema.length)(List.empty[String])
     while (r.hasMore) {
       val tag = r.varint()
-      val field = (tag >>> 3).toInt
+      val fieldL = tag >>> 3 // Long range-check before narrowing (see above)
+      if (fieldL < 1 || fieldL > schema.length)
+        throw new ProtoParseException(s"unknown field number $fieldL")
+      val field = fieldL.toInt
       val wire = (tag & 7).toInt
-      if (field < 1 || field > schema.length)
-        throw new ProtoParseException(s"unknown field number $field")
       val f = schema.fields(field - 1)
       (f.dataType, wire) match {
         case (StringType, 2) =>

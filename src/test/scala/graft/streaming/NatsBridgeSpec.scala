@@ -355,6 +355,63 @@ class NatsBridgeSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("malformed control lines and undercounted payloads desync, never misparse") {
+    // each case: a raw server emits one hostile frame; the client must
+    // CLOSE (EOFException desync) — a raw NumberFormat/ArrayIndex escape
+    // would leave the socket open with the stream misaligned
+    def hostileCase(frame: String): Unit = {
+      val srv = new java.net.ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+      val t = new Thread(() => {
+        try {
+          val s = srv.accept()
+          val out = s.getOutputStream
+          out.write("INFO {\"server_id\":\"hostile\"}\r\n".getBytes("US-ASCII"))
+          out.flush()
+          Thread.sleep(150)
+          out.write(frame.getBytes("US-ASCII"))
+          out.flush()
+          Thread.sleep(60000)
+        } catch { case _: Exception => }
+      })
+      t.setDaemon(true); t.start()
+      try {
+        val nc = new NatsWire.Conn(
+          srv.getInetAddress.getHostAddress, srv.getLocalPort)
+        intercept[java.io.EOFException] { nc.nextMsg(800) }
+      } finally srv.close()
+    }
+    hostileCase("MSG subj sid abc\r\n")            // non-numeric #bytes
+    hostileCase("MSG subj sid\r\n")                // missing #bytes
+    hostileCase("HMSG s i 10 5\r\nNATS/1.0\r\n\r\n") // header bytes > total
+    // declared #bytes UNDERCOUNTS: stray payload bytes sit where the
+    // frame-terminating CRLF belongs — must desync, not silently deliver
+    // a truncated message and realign
+    hostileCase("MSG subj sid 3\r\nabcdef\r\n")
+    // multi-space delimiters are protocol-legal and must NOT fabricate a
+    // phantom empty reply-to (parse succeeds, payload intact)
+    val srv2 = new java.net.ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+    val t2 = new Thread(() => {
+      try {
+        val s = srv2.accept()
+        val out = s.getOutputStream
+        out.write("INFO {\"server_id\":\"sp\"}\r\n".getBytes("US-ASCII"))
+        out.flush()
+        Thread.sleep(150)
+        out.write("MSG subj  sid1   3\r\nxyz\r\n".getBytes("US-ASCII"))
+        out.flush()
+        Thread.sleep(60000)
+      } catch { case _: Exception => }
+    })
+    t2.setDaemon(true); t2.start()
+    try {
+      val nc = new NatsWire.Conn(
+        srv2.getInetAddress.getHostAddress, srv2.getLocalPort)
+      val m = nc.nextMsg(2000).get
+      assert(m.subject == "subj" && m.sid == "sid1" && m.replyTo.isEmpty)
+      assert(new String(m.payload, "US-ASCII") == "xyz")
+    } finally srv2.close()
+  }
+
   test("config-driven connect mirrors the reference NatsConfig shape") {
     val srv = new MockNatsServer
     try {

@@ -85,6 +85,33 @@ class ProtoWireSpec extends AnyFunSuite {
     }
   }
 
+  test("crafted adversarial bytes stay inside the permanent-error class") {
+    // length varint = Long.MaxValue: a naive `pos + n > length` bounds
+    // check overflows negative and the failure escapes as IAE/AIOOBE —
+    // outside the class the 400/DLQ classifiers key on
+    val hugeLen = Array[Byte](
+      0x0A, // field 1, wire 2
+      0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte,
+      0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0x7F)
+    intercept[ProtoWire.ProtoParseException] {
+      ProtoWire.decodeToJson(hugeLen, watchSchema)
+    }
+    intercept[ProtoWire.ProtoParseException] {
+      ProtoWire.splitFrames(hugeLen.drop(1)) // same varint as a frame length
+    }
+    // field number >= 2^32: Int truncation would alias it onto a real
+    // small field and silently decode garbage INTO a live column
+    def varint(v: Long): Array[Byte] = {
+      var x = v; val b = scala.collection.mutable.ArrayBuffer[Byte]()
+      while ((x & ~0x7fL) != 0) { b += ((x & 0x7f) | 0x80).toByte; x >>>= 7 }
+      b += x.toByte; b.toArray
+    }
+    val aliasTag = varint(((1L << 32) + 3L) << 3 | 0) ++ varint(7)
+    intercept[ProtoWire.ProtoParseException] {
+      ProtoWire.decodeToJson(aliasTag, watchSchema)
+    }
+  }
+
   test("end-to-end ingest in protobuf mode with DLQ") {
     import spark.implicits._
     val in = Files.createTempDirectory("proto_in").toString
