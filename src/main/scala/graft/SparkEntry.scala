@@ -34,7 +34,7 @@ object SparkEntry {
       pipeline.TextDedup.queries ++ pipeline.Similarity.queries ++
       pipeline.TextAnalysis.queries ++ pipeline.Multimodal.queries ++
       pipeline.Packing.queries ++ pipeline.EndToEnd.queries ++
-      pipeline.Curation.queries
+      pipeline.Curation.queries ++ pipeline.Shards.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -46,5 +46,5 @@ object SparkEntry {
       pipeline.TextDedup.oracles ++ pipeline.Similarity.oracles ++
       pipeline.TextAnalysis.oracles ++ pipeline.Multimodal.oracles ++
       pipeline.Packing.oracles ++ pipeline.EndToEnd.oracles ++
-      pipeline.Curation.oracles
+      pipeline.Curation.oracles ++ pipeline.Shards.oracles
 }

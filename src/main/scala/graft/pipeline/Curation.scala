@@ -64,6 +64,34 @@ object Curation {
       .orderBy("doc_id"), Seq.empty)
   }
 
+  private[graft] val bloomSeed1 = 42L
+  private[graft] val bloomSeed2 = 7919L
+
+  /** Build the pair of independently-seeded bloom filters over a gram
+    * column `g` — both fill in ONE pass over the input. 24 bits/item
+    * each; the eval-set cardinality is known/small in production, here
+    * one count job on the already-distinct side sizes them. */
+  private[graft] def bloomPair(bench: DataFrame): (Array[Byte], Array[Byte]) = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val n = math.max(1L, bench.count())
+    def agg(seed: Long) = Bridge.column(new BloomFilterAggregate(
+      new XxHash64(Seq(Bridge.expression(col("g"))), seed),
+      Literal(n), Literal(n * 24L)).toAggregateExpression())
+    val r = bench.agg(agg(bloomSeed1).as("bf1"), agg(bloomSeed2).as("bf2")).head
+    (r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1))
+  }
+
+  /** Codegen'd might-contain probe of column `g` against one filter. */
+  private[graft] def bloomProbe(bf: Array[Byte], seed: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.types.BinaryType
+    Bridge.column(BloomFilterMightContain(Literal(bf, BinaryType),
+      new XxHash64(Seq(Bridge.expression(col("g"))), seed)))
+  }
+
   val queries: Map[String, Q] = Map(
     // Benchmark decontamination: train docs sharing any word-5-gram with
     // the held-out test split (the standard n-gram overlap contamination
@@ -75,6 +103,46 @@ object Curation {
     // and let AQE pick the join — the corpus side then shuffles on g once.
     // no lineage cut: the plan persists nothing (see decontamPlan)
     "d_decontam" -> ((s, d) => decontamPlan(s, d)._1),
+
+    // Decontamination, BLOOM-FILTER scale path — the 100 TB shape of
+    // d_decontam. The broadcast-join form ships the benchmark gram SET
+    // (strings) to every executor; this form ships only bloom filters
+    // over the grams' xxhash64 (~6 bytes/gram total at the 2x24
+    // bits/item sizing below), so an eval suite of 10^8 grams rides in
+    // ~600 MB instead of multi-GB of strings, and the probe is a
+    // codegen'd bit test — the corpus side stays one scan, zero shuffle
+    // before the per-doc agg.
+    //
+    // Why TWO independently-seeded filters: Spark's sketch bloom uses
+    // Kirsch-Mitzenmacher double hashing (bit_i = h1 + i*h2 mod m), which
+    // has a false-positive FLOOR of ~1/m independent of the hash count —
+    // when a probe's h2 mod m degenerates (0 or a tiny-period value), all
+    // k probes land on few distinct bits and the fp collapses to the
+    // filter's fill ratio. Measured: 21 FPs per 1M probes on an 87k-bit
+    // filter whose textbook fp at k=31 would be 4e-10. A single filter
+    // can therefore never be sized into oracle-exactness. Two filters
+    // with DIFFERENT xxhash64 seeds have independent h2 degeneracies, so
+    // the conjunction multiplies the floors: ~(2e-5)^2 ≈ 4e-10 per probe
+    // at 24 bits/item each, FP-free at every tested scale — the oracle
+    // below is the EXACT join semantics and must match bit-for-bit.
+    // Deterministic: fixed seeds, so the result is a pure function of
+    // the data. FP semantics: might-contain can only ADD shared-gram
+    // hits (never drop a true one).
+    "d_decontam_bloom" -> ((s, d) => {
+      val w = Tables.documents(s, d)
+        .withColumn("h", splitHash)
+        .withColumn("w", split(lower(col("text")), " "))
+      val grams = w.filter(size(col("w")) >= 5)
+        .select(col("doc_id"), col("h"), explode(expr(
+          "transform(sequence(1, size(w) - 4), i -> array_join(slice(w, i, 5), ' '))"))
+          .as("g"))
+      val bench = grams.filter(col("h") === "1").select("g").distinct()
+      val (bf1, bf2) = bloomPair(bench)
+      grams.filter(!col("h").isin("0", "1"))
+        .filter(bloomProbe(bf1, bloomSeed1) && bloomProbe(bf2, bloomSeed2))
+        .groupBy("doc_id").agg(countDistinct(col("g")).as("n_shared"))
+        .orderBy("doc_id")
+    }),
 
     // PII scrubbing: redact emails, IPv4s, then any residual digit runs;
     // report per-doc redaction counts and the scrubbed-text fingerprint.
@@ -267,6 +335,22 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "d_decontam" ->
+      """WITH w AS (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h,
+                           string_split(lower(text), ' ') AS w FROM documents),
+         grams AS (SELECT doc_id, h,
+                  unnest(list_transform(generate_series(1, len(w) - 4),
+                         i -> array_to_string(w[i:i+4], ' '))) AS g
+                  FROM w WHERE len(w) >= 5),
+         bench AS (SELECT DISTINCT g FROM grams WHERE h = '1')
+         SELECT t.doc_id, COUNT(DISTINCT t.g) AS n_shared
+         FROM grams t JOIN bench USING (g)
+         WHERE t.h NOT IN ('0', '1')
+         GROUP BY 1 ORDER BY 1""",
+
+    // The bloom path must reproduce the EXACT join semantics: the filter
+    // is sized FP-free at tested scales (~4e-10/probe) and deterministic,
+    // so the oracle is the same query as d_decontam.
+    "d_decontam_bloom" ->
       """WITH w AS (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h,
                            string_split(lower(text), ' ') AS w FROM documents),
          grams AS (SELECT doc_id, h,

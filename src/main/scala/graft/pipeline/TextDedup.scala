@@ -266,8 +266,48 @@ object TextDedup {
           sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
         .withColumn("dup_ratio", round(col("n_dup") / col("n_grams"), 6))
         .orderBy("doc_id")
-    })
+    }),
+
+    // Exact-substring SCRUB — the removal half of d_dup_spans (Lee et
+    // al. 2022's "cut the duplicated span", the production alternative
+    // to dropping whole docs): every word position covered by a 5-gram
+    // that occurs in >=2 documents is cut, and the doc is rewritten from
+    // the surviving positions. Shape: the same gram explode, the dup-gram
+    // set (gram-keyed agg), start positions collected per doc (doc-keyed
+    // agg — the array is bounded by doc length, never corpus-sized), one
+    // join back, then a pure per-row array rewrite that stays inside
+    // whole-stage codegen. Per-doc cost is O(words x dup_starts), both
+    // bounded by document length, so the rewrite is linear in corpus
+    // size; at 100 TB the gram string would carry as its 8-byte hash in
+    // the same plan (collisions only over-cut, re-checked on the tail).
+    "d_span_scrub" -> ((s, d) =>
+      spanScrub(Tables.documents(s, d)).orderBy("doc_id"))
   )
+
+  /** Exact-substring scrub plan (see the `d_span_scrub` catalog doc).
+    * @param docs needs `doc_id` and `text`. */
+  private[graft] def spanScrub(docs0: DataFrame): DataFrame = {
+    val docs = docs0.select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+    val g = docs.filter(size(col("w")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(w) - 4),
+                     i -> struct(i AS i, concat_ws(' ', slice(w, i, 5)) AS gram))""")).as("e"))
+      .select(col("doc_id"), col("e.i").as("i"), col("e.gram").as("gram"))
+    val dup = g.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("gram")
+    val starts = g.join(dup, Seq("gram"))
+      .groupBy("doc_id").agg(collect_set(col("i")).as("starts"))
+    docs.join(starts, Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        """filter(sequence(1, size(w)),
+                  j -> size(filter(coalesce(starts, cast(array() as array<int>)),
+                                   p -> p <= j AND j <= p + 4)) = 0)"""))
+      .select(col("doc_id"), size(col("w")).as("n_words"),
+        size(col("kept")).as("n_kept"),
+        expr("array_join(transform(kept, j -> element_at(w, j)), ' ')")
+          .as("scrub_text"))
+  }
 
   /** Verification set-table broadcast gate. Below this many documents the
     * per-doc shingle-set table is broadcast into the two candidate joins
@@ -791,6 +831,30 @@ object TextDedup {
                 round(CAST(COUNT(d.gram) AS DOUBLE) / COUNT(*), 6) AS dup_ratio
          FROM g LEFT JOIN d ON g.gram = d.gram
          GROUP BY g.doc_id ORDER BY g.doc_id""",
+
+    "d_span_scrub" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         g AS (
+           SELECT doc_id, i, array_to_string(w[i:i+4], ' ') AS gram
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+                 FROM w WHERE len(w) >= 5)),
+         dup AS (SELECT gram FROM g GROUP BY gram
+                 HAVING COUNT(DISTINCT doc_id) >= 2),
+         st AS (SELECT g.doc_id, list(g.i) AS starts
+                FROM g JOIN dup ON g.gram = dup.gram GROUP BY g.doc_id),
+         k AS (
+           SELECT w.doc_id, w.w,
+                  list_filter(range(1, len(w.w) + 1),
+                    j -> len(list_filter(coalesce(st.starts, CAST([] AS BIGINT[])),
+                                         p -> p <= j AND j <= p + 4)) = 0) AS kept
+           FROM w LEFT JOIN st USING (doc_id))
+         SELECT doc_id, len(w) AS n_words, len(kept) AS n_kept,
+                -- duckdb's array_to_string([]) is NULL; a fully-cut doc
+                -- must read as the empty string, matching array_join
+                coalesce(array_to_string(list_transform(kept, j -> w[j]), ' '), '')
+                  AS scrub_text
+         FROM k ORDER BY doc_id""",
 
     "d_dedup_ngram" ->
       s"""WITH $bigramCte,

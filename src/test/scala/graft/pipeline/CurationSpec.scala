@@ -40,6 +40,40 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("decontam bloom path: bit-for-bit agreement with the exact join") {
+    val exact = Curation.queries("d_decontam")(spark, sf).collect().map(_.toString)
+    val bloom = Curation.queries("d_decontam_bloom")(spark, sf).collect().map(_.toString)
+    assert(bloom.sameElements(exact),
+      "the 2x24-bit seeded-pair sizing must be fp-free at test scale")
+  }
+
+  test("KM double-hashing fp floor is real; the seed pair kills it") {
+    // Spark's sketch bloom probes bit_i = h1 + i*h2 mod m: when a probe's
+    // h2 mod m degenerates, all hash functions land on few distinct bits
+    // and the per-probe fp collapses to ~the fill ratio — a floor of
+    // O(1/m) that NO bits/item sizing can push below. This pins (a) the
+    // floor exists (single filter admits synthetic junk), and (b) two
+    // filters with different xxhash64 seeds have independent degeneracies
+    // (the conjunction admits none) — the d_decontam_bloom design.
+    val bench = Tables.documents(spark, sf)
+      .withColumn("h", substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1))
+      .withColumn("w", split(lower(col("text")), " "))
+      .filter(size(col("w")) >= 5).filter(col("h") === "1")
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 4), i -> array_join(slice(w, i, 5), ' '))"))
+        .as("g"))
+      .distinct()
+    val (bf1, bf2) = Curation.bloomPair(bench)
+    val probes = spark.range(2000000)
+      .select(concat(lit("not-a-gram-"), col("id").cast("string")).as("g"))
+    val p1 = Curation.bloomProbe(bf1, Curation.bloomSeed1)
+    val p2 = Curation.bloomProbe(bf2, Curation.bloomSeed2)
+    val single = probes.filter(p1).count()
+    val conj = probes.filter(p1 && p2).count()
+    assert(single > 0, s"fp floor should surface within 2M probes (got $single)")
+    assert(conj == 0, s"seed-pair conjunction must be fp-free (got $conj)")
+  }
+
   test("pii scrub: every synthetic PII token is redacted") {
     val rows = Curation.queries("d_pii_scrub")(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count())
