@@ -40,7 +40,8 @@ object Bench {
         "o_j6b_asof_native", "o_j6c_asof_forward", "o_a12_sketch_merge",
         "d_dedup_cluster", "d_emb_outlier", "d_decontam",
         "d_dedup_keep_best", "d_curation_apply", "d_pipeline_e2e",
-        "d_backbone_incr", "d_token_budget")
+        "d_backbone_incr", "d_token_budget",
+        "d_span_scrub", "d_decontam_bloom")
       .foreach(q => warm(SparkEntry.queries(q)(spark, warmSf).count()))
 
     // The dedup cascade reads the STORED backbone tables (fingerprints,

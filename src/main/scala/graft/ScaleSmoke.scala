@@ -269,6 +269,14 @@ object ScaleSmoke {
         f"[${pb.getLong(1)}%,d .. ${pb.getLong(0)}%,d] over 32 buckets")
       timeIt(f"d_pipeline_e2e x$m (n=$nDoc)",
         SparkEntry.queries("d_pipeline_e2e")(spark, dir).count())
+      // Span scrub + bloom decontam: both are explode-then-agg shapes
+      // whose work is ∝ total gram count — wall-clock must track n, and
+      // the bloom side's filter stays |bench-grams|-sized (the broadcast
+      // payload, NOT ∝ corpus) while its probe is a per-row bit test.
+      timeIt(f"span scrub x$m (n=$nDoc)",
+        pipeline.TextDedup.spanScrub(Tables.documents(spark, dir)).count())
+      timeIt(f"bloom decontam x$m (n=$nDoc)",
+        SparkEntry.queries("d_decontam_bloom")(spark, dir).count())
       }
     }
     spark.stop()

@@ -83,13 +83,39 @@ object Curation {
     (r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1))
   }
 
-  /** Codegen'd might-contain probe of column `g` against one filter. */
-  private[graft] def bloomProbe(bf: Array[Byte], seed: Long): org.apache.spark.sql.Column = {
+  /** Codegen'd might-contain probe of `v` against one filter. Works on
+    * plain columns AND on higher-order-function lambda variables (the
+    * expression resolves like any builtin), so it can ride inside
+    * `functions.filter` for the per-row streaming shape below. */
+  private[graft] def bloomProbeOn(v: org.apache.spark.sql.Column, bf: Array[Byte],
+                                  seed: Long): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graft.Bridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
     import org.apache.spark.sql.types.BinaryType
     Bridge.column(BloomFilterMightContain(Literal(bf, BinaryType),
-      new XxHash64(Seq(Bridge.expression(col("g"))), seed)))
+      new XxHash64(Seq(Bridge.expression(v)), seed)))
+  }
+
+  private[graft] def bloomProbe(bf: Array[Byte], seed: Long): org.apache.spark.sql.Column =
+    bloomProbeOn(col("g"), bf, seed)
+
+  /** STATELESS per-row contamination score: how many distinct 5-grams of
+    * `text` hit the eval-set filter pair. Pure expression — no explode,
+    * no shuffle, no state — so it is the ingest-time decontam shape: run
+    * it in a streaming select (append mode) with filters built once from
+    * the settled eval corpus, and every arriving doc carries its
+    * contamination verdict. Equals the batch `d_decontam` n_shared per
+    * doc whenever the filters are fp-free (the seeded-pair sizing). */
+  def contaminationScore(text: org.apache.spark.sql.Column,
+                         bf1: Array[Byte], bf2: Array[Byte]): org.apache.spark.sql.Column = {
+    val w = split(lower(text), " ")
+    val n = size(w) - lit(4)
+    val grams = when(n >= 1, array_distinct(
+      transform(sequence(lit(1), n),
+        i => concat_ws(" ", slice(w, i, lit(5))))))
+      .otherwise(lit(Array.empty[String]))
+    size(filter(grams, g =>
+      bloomProbeOn(g, bf1, bloomSeed1) && bloomProbeOn(g, bf2, bloomSeed2)))
   }
 
   val queries: Map[String, Q] = Map(

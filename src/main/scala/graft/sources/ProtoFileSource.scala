@@ -546,7 +546,10 @@ object ProtoSourceQueries {
     f.delete()
   }
   private val deadPidSweepDone = new java.util.concurrent.atomic.AtomicBoolean(false)
-  private val cleanupRegistered = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  // value type must be java.lang.Boolean: with scala.Boolean the compiler
+  // UNBOXES putIfAbsent's null-when-absent to false, `== null` is then
+  // always false, and the hook would never register
+  private val cleanupRegistered = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
   private def stagingDir(dataset: String): String = {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     if (deadPidSweepDone.compareAndSet(false, true)) {

@@ -74,6 +74,56 @@ class CurationSpec extends AnyFunSuite {
     assert(conj == 0, s"seed-pair conjunction must be fp-free (got $conj)")
   }
 
+  test("contaminationScore: per-row stateless form == the agg-based d_decontam") {
+    val splitH = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+    val bench = Tables.documents(spark, sf)
+      .withColumn("h", splitH)
+      .withColumn("w", split(lower(col("text")), " "))
+      .filter(size(col("w")) >= 5).filter(col("h") === "1")
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 4), i -> array_join(slice(w, i, 5), ' '))"))
+        .as("g"))
+      .distinct()
+    val (bf1, bf2) = Curation.bloomPair(bench)
+    val perRow = Tables.documents(spark, sf)
+      .withColumn("h", splitH)
+      .filter(!col("h").isin("0", "1"))
+      .select(col("doc_id"),
+        Curation.contaminationScore(col("text"), bf1, bf2).as("n_shared"))
+      .filter(col("n_shared") > 0)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(1).toLong))
+    val agg = Curation.queries("d_decontam")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(perRow.sameElements(agg))
+  }
+
+  test("contaminationScore runs stateless in a streaming append select") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_decontam_stream").toString
+    val bench = Seq("e1 e2 e3 e4 e5 e6").toDF("text")
+      .withColumn("w", split(lower(col("text")), " "))
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 4), i -> array_join(slice(w, i, 5), ' '))"))
+        .as("g")).distinct()
+    val (bf1, bf2) = Curation.bloomPair(bench)
+    Seq((1L, "e1 e2 e3 e4 e5 x"),       // shares gram e1..e5
+        (2L, "a b c d e f"),            // clean
+        (3L, "e1 e2 e3 e4 e5 e6 y"))    // shares both bench grams
+      .toDF("doc_id", "text").repartition(1).write.parquet(s"$dir/in")
+    val q = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(s"$dir/in")
+      .select(col("doc_id"),
+        Curation.contaminationScore(col("text"), bf1, bf2).as("n_shared"))
+      .writeStream.format("parquet").option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append") // stateless: append needs no watermark/state
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$dir/out")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.sameElements(Array((1L, 1), (2L, 0), (3L, 2))))
+  }
+
   test("pii scrub: every synthetic PII token is redacted") {
     val rows = Curation.queries("d_pii_scrub")(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count())
