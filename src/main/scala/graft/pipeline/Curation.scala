@@ -99,6 +99,22 @@ object Curation {
   private[graft] def bloomProbe(bf: Array[Byte], seed: Long): org.apache.spark.sql.Column =
     bloomProbeOn(col("g"), bf, seed)
 
+  /** Persist the eval-set filter pair (one tiny parquet row) so streams
+    * and later runs probe WITHOUT rebuilding — production builds the
+    * filters once per eval-suite release and every ingest job loads
+    * them; the artifact is KBs-to-MBs regardless of corpus size. */
+  def writeBloomPair(s: SparkSession, bench: DataFrame, dir: String): Unit = {
+    val (bf1, bf2) = bloomPair(bench)
+    import s.implicits._
+    Seq((bf1, bf2)).toDF("bf1", "bf2")
+      .repartition(1).write.mode("overwrite").parquet(dir)
+  }
+
+  def readBloomPair(s: SparkSession, dir: String): (Array[Byte], Array[Byte]) = {
+    val r = s.read.parquet(dir).head
+    (r.getAs[Array[Byte]]("bf1"), r.getAs[Array[Byte]]("bf2"))
+  }
+
   /** STATELESS per-row contamination score: how many distinct 5-grams of
     * `text` hit the eval-set filter pair. Pure expression — no explode,
     * no shuffle, no state — so it is the ingest-time decontam shape: run

@@ -97,6 +97,25 @@ class CurationSpec extends AnyFunSuite {
     assert(perRow.sameElements(agg))
   }
 
+  test("bloom pair persists and reloads byte-identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    val bench = Seq("b1 b2 b3 b4 b5 b6", "c1 c2 c3 c4 c5").toDF("text")
+      .withColumn("w", split(lower(col("text")), " "))
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 4), i -> array_join(slice(w, i, 5), ' '))"))
+        .as("g")).distinct()
+    val (f1, f2) = Curation.bloomPair(bench)
+    Curation.writeBloomPair(spark, bench, dir)
+    val (l1, l2) = Curation.readBloomPair(spark, dir)
+    assert(java.util.Arrays.equals(f1, l1) && java.util.Arrays.equals(f2, l2),
+      "stored filters must probe identically to freshly built ones")
+    val score = Seq("x b1 b2 b3 b4 b5 y").toDF("text")
+      .select(Curation.contaminationScore(col("text"), l1, l2).as("s"))
+      .head.getInt(0)
+    assert(score == 1)
+  }
+
   test("contaminationScore runs stateless in a streaming append select") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_decontam_stream").toString
