@@ -199,4 +199,92 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("span scrub law: equals an independent in-memory oracle on random corpora") {
+    import spark.implicits._
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docGen: Gen[String] = for {
+      n <- Gen.choose(0, 14)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    forSeeds(Gen.listOfN(12, docGen), 8) { texts0 =>
+      // every 3rd doc gets a fixed 6-word prefix so cross-doc grams are
+      // guaranteed (random small-vocab collisions add more variety)
+      val texts = texts0.zipWithIndex.map { case (t, i) =>
+        if (i % 3 == 0) ("aa bb cc dd ee ff " + t).trim else t
+      }
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val wordSeqs = docs.map { case (id, t) =>
+        id -> t.toLowerCase.split(" ", -1).toVector
+      }.toMap
+      val grams = docs.flatMap { case (id, _) =>
+        val w = wordSeqs(id)
+        if (w.length >= 5)
+          (0 to w.length - 5).map(i => (w.slice(i, i + 5).mkString(" "), id, i + 1))
+        else Nil
+      }
+      val dup = grams.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+      val expected = docs.map { case (id, _) =>
+        val w = wordSeqs(id)
+        val starts = grams.collect { case (g, d, i) if d == id && dup(g) => i }
+        val kept = (1 to w.length)
+          .filterNot(j => starts.exists(p => p <= j && j <= p + 4))
+        (id, w.length, kept.length, kept.map(i => w(i - 1)).mkString(" "))
+      }
+      val got = pipeline.TextDedup.spanScrub(docs.toDF("doc_id", "text"))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      assert(got.sameElements(expected))
+    }
+  }
+
+  test("shard manifest law: shards PARTITION the corpus; envelope matches md5 oracle") {
+    import spark.implicits._
+    val docGen: Gen[(String, Long)] = for {
+      n <- Gen.choose(1, 10)
+      ws <- Gen.listOfN(n, Gen.oneOf("tok1", "tok2", "tok3", "tok4"))
+    } yield (ws.mkString(" "), ws.mkString(" ").length.toLong)
+    forSeeds(Gen.listOfN(40, docGen), 6) { rows =>
+      val docs = rows.zipWithIndex.map { case ((t, nc), i) => (i.toLong, t, nc) }
+      val df = docs.toDF("doc_id", "text", "n_chars")
+      val got = pipeline.Shards.manifest(df, 1).orderBy("shard_id").collect()
+      def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val byShard = docs.groupBy { case (id, _, _) => md5hex(id.toString).substring(0, 1) }
+      assert(got.map(_.getLong(1)).sum == docs.length, "n_docs partitions the corpus")
+      got.foreach { r =>
+        val sh = byShard(r.getString(0))
+        assert(r.getLong(1) == sh.length)
+        assert(r.getLong(2) == sh.map(_._2.split(" ", -1).length.toLong).sum)
+        assert(r.getLong(3) == sh.map(_._3).sum)
+        val fps = sh.map { case (_, t, _) => md5hex(t.toLowerCase) }
+        assert(r.getString(4) == fps.min && r.getString(5) == fps.max)
+      }
+    }
+  }
+
+  test("contamination score law: equals the distinct gram-set intersection") {
+    import spark.implicits._
+    val vocab = Vector("q1", "q2", "q3", "q4", "q5", "q6")
+    val docGen: Gen[String] = for {
+      n <- Gen.choose(3, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    def grams5(t: String): Set[String] =
+      t.toLowerCase.split(" ", -1).toSeq.sliding(5)
+        .filter(_.length == 5).map(_.mkString(" ")).toSet
+    forSeeds(Gen.zip(Gen.listOfN(6, docGen), Gen.listOfN(10, docGen)), 6) {
+      case (benchTexts, corpusTexts) =>
+        val benchGrams = benchTexts.flatMap(grams5).toSet
+        val bench = benchGrams.toSeq.toDF("g")
+        val (bf1, bf2) = pipeline.Curation.bloomPair(bench)
+        val got = corpusTexts.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+          .select(col("doc_id"),
+            pipeline.Curation.contaminationScore(col("text"), bf1, bf2).as("s"))
+          .orderBy("doc_id").collect().map(_.getInt(1))
+        val expected = corpusTexts.map(t => grams5(t).intersect(benchGrams).size)
+        assert(got.sameElements(expected))
+    }
+  }
 }
