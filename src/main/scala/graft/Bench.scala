@@ -41,7 +41,7 @@ object Bench {
         "d_dedup_cluster", "d_emb_outlier", "d_decontam",
         "d_dedup_keep_best", "d_curation_apply", "d_pipeline_e2e",
         "d_backbone_incr", "d_token_budget",
-        "d_span_scrub", "d_decontam_bloom")
+        "d_span_scrub", "d_decontam_bloom", "d_pipeline_scrubbed")
       .foreach(q => warm(SparkEntry.queries(q)(spark, warmSf).count()))
 
     // The dedup cascade reads the STORED backbone tables (fingerprints,

@@ -70,9 +70,70 @@ object EndToEnd {
     (out, caches :+ dec)
   }
 
+  /** The curation → decontamination → exact-substring-scrub composition
+    * (`d_pipeline_scrubbed`): the `d_curation_apply` cascade decides
+    * keep/drop per TRAIN doc, bloom-pair decontamination
+    * (`d_decontam_bloom`'s filters, probed by the STATELESS per-row
+    * `contaminationScore` — no gram explode, no shuffle) adds
+    * `drop_contaminated`, and the SURVIVORS are span-scrubbed.
+    *
+    * The scrub runs over survivors ONLY — deliberately: a near-dup
+    * cluster's kept member shares most of its 5-grams with the members
+    * that were just dropped, so scrubbing against the full corpus would
+    * gut every kept doc's text with spans whose duplicates no longer
+    * exist. Dup spans must be recounted among what actually ships
+    * (EndToEndSpec pins that full-corpus scrubbing would cut strictly
+    * more). Scale shape: the cascade's own exchanges + one narrow
+    * decision cache + the scrub's two gram-keyed shuffles over the
+    * (smaller) survivor set; the bloom probe is a per-row bit test. */
+  private[pipeline] def scrubbedPlan(
+      s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val (keep, caches) = TextDedup.clusterKeepers(s, d)
+    val exact = TextDedup.exactKeeperDecisions(Backbone.fingerprints(s, d))
+    val dec0 = keep.join(exact, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("exact_keep"), "drop_exact")
+          .when(col("doc_id") =!= col("keep_id"), "drop_near_dup")
+          .when(col("uniq_ratio") < 0.3, "drop_quality")
+          .otherwise("kept").as("decision0"))
+    val docs = Tables.documents(s, d).withColumn("h",
+      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1))
+    val bench = docs.filter(col("h") === "1")
+      .withColumn("w", split(lower(col("text")), " "))
+      .filter(size(col("w")) >= 5)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 4), i -> array_join(slice(w, i, 5), ' '))"))
+        .as("g"))
+      .distinct()
+    val (bf1, bf2) = Curation.bloomPair(bench)
+    // contaminationScore sits in a CaseWhen branch: it only evaluates for
+    // rows the cascade kept, and the cache stays two narrow columns
+    val dec = docs.filter(!col("h").isin("0", "1"))
+      .join(dec0, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("decision0") =!= "kept", col("decision0"))
+          .when(Curation.contaminationScore(col("text"), bf1, bf2) > 0,
+            "drop_contaminated")
+          .otherwise("kept").as("decision"))
+      .persist()
+    val survivors = docs.select("doc_id", "text")
+      .join(dec.filter(col("decision") === "kept").select("doc_id"), Seq("doc_id"))
+    val scrub = TextDedup.spanScrub(survivors)
+    val out = dec
+      .join(scrub.select(col("doc_id"), col("n_kept").as("n_words_scrubbed")),
+        Seq("doc_id"), "left")
+      .orderBy("doc_id")
+    (out, caches :+ dec)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_pipeline_e2e" -> ((s, d) => {
       val (out, caches) = plan(s, d)
+      Materialize.drop(out, caches: _*)
+    }),
+
+    "d_pipeline_scrubbed" -> ((s, d) => {
+      val (out, caches) = scrubbedPlan(s, d)
       Materialize.drop(out, caches: _*)
     })
   )
@@ -118,6 +179,67 @@ object EndToEnd {
           SELECT d.doc_id, d.decision,
                  p.bucket, p.seq_no, p.t AS n_tokens, p.seq_fill
           FROM dec d LEFT JOIN pack p ON d.doc_id = p.doc_id
-          ORDER BY d.doc_id"""
+          ORDER BY d.doc_id""",
+
+    // Curation cascade (d_curation_apply's exact fingerprint) + bloom
+    // decontam (exact-join semantics — the filters are fp-free by the
+    // seeded-pair sizing) + span scrub recomputed among SURVIVORS only.
+    "d_pipeline_scrubbed" ->
+      s"""WITH RECURSIVE ${TextDedup.clustersCte},
+          ${TextDedup.keeperCte},
+          ex AS (
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS exact_keep
+            FROM documents),
+          dec0 AS (
+            SELECT k.doc_id,
+                   CASE WHEN k.doc_id <> e.exact_keep THEN 'drop_exact'
+                        WHEN k.doc_id <> k.keep_id THEN 'drop_near_dup'
+                        WHEN k.uniq_ratio < 0.3 THEN 'drop_quality'
+                        ELSE 'kept' END AS decision0
+            FROM k JOIN ex e ON k.doc_id = e.doc_id),
+          w2 AS (
+            SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h,
+                   string_split(lower(text), ' ') AS w
+            FROM documents),
+          tg AS (
+            SELECT doc_id, h,
+                   unnest(list_transform(range(1, len(w) - 3),
+                          i -> array_to_string(w[i:i+4], ' '))) AS g
+            FROM w2 WHERE len(w) >= 5),
+          bench AS (SELECT DISTINCT g FROM tg WHERE h = '1'),
+          cont AS (
+            SELECT DISTINCT t.doc_id FROM tg t JOIN bench USING (g)
+            WHERE t.h NOT IN ('0', '1')),
+          dec AS (
+            SELECT w2.doc_id,
+                   CASE WHEN d0.decision0 <> 'kept' THEN d0.decision0
+                        WHEN c.doc_id IS NOT NULL THEN 'drop_contaminated'
+                        ELSE 'kept' END AS decision
+            FROM w2 JOIN dec0 d0 ON w2.doc_id = d0.doc_id
+            LEFT JOIN cont c ON w2.doc_id = c.doc_id
+            WHERE w2.h NOT IN ('0', '1')),
+          sw AS (
+            SELECT w2.doc_id, w2.w FROM w2
+            JOIN dec ON w2.doc_id = dec.doc_id
+            WHERE dec.decision = 'kept'),
+          sg AS (
+            SELECT doc_id, i, array_to_string(w[i:i+4], ' ') AS gram
+            FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+                  FROM sw WHERE len(w) >= 5)),
+          sdup AS (SELECT gram FROM sg GROUP BY gram
+                   HAVING COUNT(DISTINCT doc_id) >= 2),
+          sst AS (SELECT sg.doc_id, list(sg.i) AS starts
+                  FROM sg JOIN sdup ON sg.gram = sdup.gram GROUP BY sg.doc_id),
+          scr AS (
+            SELECT sw.doc_id,
+                   len(list_filter(range(1, len(sw.w) + 1),
+                     j -> len(list_filter(coalesce(sst.starts, CAST([] AS BIGINT[])),
+                                          p -> p <= j AND j <= p + 4)) = 0))
+                     AS n_words_scrubbed
+            FROM sw LEFT JOIN sst ON sw.doc_id = sst.doc_id)
+          SELECT dec.doc_id, dec.decision, scr.n_words_scrubbed
+          FROM dec LEFT JOIN scr ON dec.doc_id = scr.doc_id
+          ORDER BY dec.doc_id"""
   )
 }

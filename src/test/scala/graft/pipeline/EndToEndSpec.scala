@@ -73,4 +73,51 @@ class EndToEndSpec extends AnyFunSuite {
         "composed tail re-scans the corpus outside the cached decision table")
     } finally caches.foreach(c => scala.util.Try(c.unpersist()))
   }
+
+  test("scrubbed pipeline: cascade + contamination precedence, survivor-only scrub") {
+    import org.apache.spark.sql.functions._
+    val out = EndToEnd.queries("d_pipeline_scrubbed")(spark, sf).collect()
+    // kept docs carry a scrub count; every dropped doc is NULL
+    out.foreach { r =>
+      if (r.getString(1) == "kept") assert(!r.isNullAt(2), s"kept ${r.getLong(0)}")
+      else assert(r.isNullAt(2), s"dropped ${r.getLong(0)}")
+    }
+    // contamination only demotes docs the cascade would have KEPT, and
+    // exactly the d_decontam-flagged ones among them
+    val cascade = graft.pipeline.TextDedup.queries("d_curation_apply")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val flagged = Curation.queries("d_decontam")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    out.foreach { r =>
+      val (id, d) = (r.getLong(0), r.getString(1))
+      if (d == "drop_contaminated") assert(cascade(id) == "kept" && flagged(id))
+      else if (d == "kept") assert(cascade(id) == "kept" && !flagged(id))
+      else assert(cascade(id) == d, s"doc $id: $d vs cascade ${cascade(id)}")
+    }
+    // drop_contaminated appears exactly when some flagged doc survives
+    // the cascade (at sf0.001 the one flagged doc is already an exact
+    // dup — the per-row set-equality loop above is the real contract)
+    val expectContaminated = flagged.exists(id => cascade.get(id).contains("kept"))
+    assert(out.exists(_.getString(1) == "drop_contaminated") == expectContaminated)
+    // survivor-only semantics: scrub counts equal a fresh spanScrub over
+    // exactly the kept set, and scrubbing against the FULL train corpus
+    // (dropped near-dups included) would cut strictly more
+    val keptIds = out.filter(_.getString(1) == "kept").map(_.getLong(0)).toSet
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val survivorScrub = TextDedup
+      .spanScrub(docs.filter(col("doc_id").isInCollection(keptIds)))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    out.filter(_.getString(1) == "kept").foreach { r =>
+      assert(r.getInt(2) == survivorScrub(r.getLong(0)))
+    }
+    val trainIds = out.map(_.getLong(0)).toSet
+    val fullScrub = TextDedup
+      .spanScrub(docs.filter(col("doc_id").isInCollection(trainIds)))
+      .collect().filter(r => keptIds(r.getLong(0)))
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val keptWords = survivorScrub.filterKeys(keptIds).values.sum
+    val keptWordsUnderFull = fullScrub.values.sum
+    assert(keptWordsUnderFull < keptWords,
+      s"full-corpus scrub should cut strictly more ($keptWordsUnderFull !< $keptWords)")
+  }
 }
