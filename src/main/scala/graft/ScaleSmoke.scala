@@ -275,6 +275,8 @@ object ScaleSmoke {
       // payload, NOT ∝ corpus) while its probe is a per-row bit test.
       timeIt(f"span scrub x$m (n=$nDoc)",
         pipeline.TextDedup.spanScrub(Tables.documents(spark, dir)).count())
+      timeIt(f"span scrub hashed x$m (n=$nDoc)",
+        pipeline.TextDedup.spanScrubHashed(Tables.documents(spark, dir)).count())
       timeIt(f"bloom decontam x$m (n=$nDoc)",
         SparkEntry.queries("d_decontam_bloom")(spark, dir).count())
       }

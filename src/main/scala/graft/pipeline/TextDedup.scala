@@ -281,7 +281,13 @@ object TextDedup {
     // size; at 100 TB the gram string would carry as its 8-byte hash in
     // the same plan (collisions only over-cut, re-checked on the tail).
     "d_span_scrub" -> ((s, d) =>
-      spanScrub(Tables.documents(s, d)).orderBy("doc_id"))
+      spanScrub(Tables.documents(s, d)).orderBy("doc_id")),
+
+    // The at-scale geometry of the same operator (see [[spanScrubHashed]])
+    // — oracled against the SAME exact-string SQL: the hash substitution
+    // must be output-invisible at every tested corpus.
+    "d_span_scrub_hashed" -> ((s, d) =>
+      spanScrubHashed(Tables.documents(s, d)).orderBy("doc_id"))
   )
 
   /** Exact-substring scrub plan (see the `d_span_scrub` catalog doc).
@@ -297,6 +303,40 @@ object TextDedup {
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select("gram")
     val starts = g.join(dup, Seq("gram"))
+      .groupBy("doc_id").agg(collect_set(col("i")).as("starts"))
+    docs.join(starts, Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        """filter(sequence(1, size(w)),
+                  j -> size(filter(coalesce(starts, cast(array() as array<int>)),
+                                   p -> p <= j AND j <= p + 4)) = 0)"""))
+      .select(col("doc_id"), size(col("w")).as("n_words"),
+        size(col("kept")).as("n_kept"),
+        expr("array_join(transform(kept, j -> element_at(w, j)), ' ')")
+          .as("scrub_text"))
+  }
+
+  /** [[spanScrub]] with the gram STRING replaced by `xxhash64(gram)` in
+    * the dup-set aggregation and the join back — the 100 TB geometry:
+    * every gram-keyed shuffle row carries 8 bytes instead of a ~40-byte
+    * string, and the hot-path comparisons are long-equality. A hash
+    * collision can only OVER-cut (two distinct grams reading as one),
+    * never under-cut; at 2^64 key space the expected collision count
+    * over even 10^12 distinct grams is ~0.03, and on every tested corpus
+    * the output is bit-identical to the exact-string form (the catalog
+    * entry shares d_span_scrub's oracle; SpanScrubSpec pins equality on
+    * random corpora). */
+  private[graft] def spanScrubHashed(docs0: DataFrame): DataFrame = {
+    val docs = docs0.select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+    val g = docs.filter(size(col("w")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(w) - 4),
+                     i -> struct(i AS i,
+                                 xxhash64(concat_ws(' ', slice(w, i, 5))) AS gh))""")).as("e"))
+      .select(col("doc_id"), col("e.i").as("i"), col("e.gh").as("gh"))
+    val dup = g.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("gh")
+    val starts = g.join(dup, Seq("gh"))
       .groupBy("doc_id").agg(collect_set(col("i")).as("starts"))
     docs.join(starts, Seq("doc_id"), "left")
       .withColumn("kept", expr(
@@ -852,6 +892,31 @@ object TextDedup {
          SELECT doc_id, len(w) AS n_words, len(kept) AS n_kept,
                 -- duckdb's array_to_string([]) is NULL; a fully-cut doc
                 -- must read as the empty string, matching array_join
+                coalesce(array_to_string(list_transform(kept, j -> w[j]), ' '), '')
+                  AS scrub_text
+         FROM k ORDER BY doc_id""",
+
+    // The hashed geometry must be output-INVISIBLE: same exact-string
+    // oracle as d_span_scrub, so any hash-collision over-cut at test
+    // scale would fail the hash compare.
+    "d_span_scrub_hashed" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         g AS (
+           SELECT doc_id, i, array_to_string(w[i:i+4], ' ') AS gram
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+                 FROM w WHERE len(w) >= 5)),
+         dup AS (SELECT gram FROM g GROUP BY gram
+                 HAVING COUNT(DISTINCT doc_id) >= 2),
+         st AS (SELECT g.doc_id, list(g.i) AS starts
+                FROM g JOIN dup ON g.gram = dup.gram GROUP BY g.doc_id),
+         k AS (
+           SELECT w.doc_id, w.w,
+                  list_filter(range(1, len(w.w) + 1),
+                    j -> len(list_filter(coalesce(st.starts, CAST([] AS BIGINT[])),
+                                         p -> p <= j AND j <= p + 4)) = 0) AS kept
+           FROM w LEFT JOIN st USING (doc_id))
+         SELECT doc_id, len(w) AS n_words, len(kept) AS n_kept,
                 coalesce(array_to_string(list_transform(kept, j -> w[j]), ' '), '')
                   AS scrub_text
          FROM k ORDER BY doc_id""",

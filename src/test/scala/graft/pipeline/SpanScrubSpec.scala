@@ -47,4 +47,22 @@ class SpanScrubSpec extends AnyFunSuite {
     assert(out(0).getString(3) == "m n o p q m n o p q")
     assert(out(0).getInt(2) == 10)
   }
+
+  test("hashed geometry is output-identical to the exact-string form") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, graft.TestSession.sf)
+      .select("doc_id", "text")
+    val a = TextDedup.spanScrub(docs).orderBy("doc_id")
+      .collect().map(_.toString)
+    val b = TextDedup.spanScrubHashed(docs).orderBy("doc_id")
+      .collect().map(_.toString)
+    assert(a.sameElements(b))
+    // and on a planted corpus with shared + unique grams
+    val planted = Seq(
+      (1L, "a b c d e f"), (2L, "z a b c d e q"), (3L, "x y"),
+      (4L, "p q r s t"), (5L, "p q r s t")).toDF("doc_id", "text")
+    val pa = TextDedup.spanScrub(planted).orderBy("doc_id").collect().map(_.toString)
+    val pb = TextDedup.spanScrubHashed(planted).orderBy("doc_id").collect().map(_.toString)
+    assert(pa.sameElements(pb))
+  }
 }
