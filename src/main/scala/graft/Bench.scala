@@ -41,7 +41,8 @@ object Bench {
         "d_dedup_cluster", "d_emb_outlier", "d_decontam",
         "d_dedup_keep_best", "d_curation_apply", "d_pipeline_e2e",
         "d_backbone_incr", "d_token_budget",
-        "d_span_scrub", "d_decontam_bloom", "d_pipeline_scrubbed")
+        "d_span_scrub", "d_decontam_bloom", "d_pipeline_scrubbed",
+        "d_semantic_delta_stored", "d_semantic_incr")
       .foreach(q => warm(SparkEntry.queries(q)(spark, warmSf).count()))
 
     // The dedup cascade reads the STORED backbone tables (fingerprints,
@@ -54,6 +55,7 @@ object Bench {
     val backboneSec =
       try {
         pipeline.Backbone.prebuild(spark, sfDir)
+        pipeline.VecBackbone.prebuild(spark, sfDir) // embedding-side index
         (System.nanoTime() - tBackbone0) / 1e9
       } catch { case NonFatal(_) => -1.0 }
 

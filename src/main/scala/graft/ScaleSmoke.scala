@@ -84,7 +84,7 @@ object ScaleSmoke {
   /** Section gate: `SPARK_GRAFT_SMOKE_ONLY=<name>` runs one sweep alone
     * (drill-down); unset runs everything. Unknown names fail fast — a
     * typo must not masquerade as a sweep that produced no output. */
-  private val knownSections = Set("orderstats")
+  private val knownSections = Set("orderstats", "vec-advance", "advance-soak")
   private val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
   only.foreach(o => require(knownSections(o),
     s"unknown SPARK_GRAFT_SMOKE_ONLY section '$o'; known: " +
@@ -228,9 +228,9 @@ object ScaleSmoke {
         import spark.implicits._
         val texts = Tables.documents(spark, dir).select("text")
           .as[String].collect()
-        texts.take(1000).foreach(graft.streaming.DedupStream.signature)
+        texts.take(1000).foreach(t => graft.streaming.DedupStream.signature(t))
         val t0 = System.nanoTime()
-        texts.foreach(graft.streaming.DedupStream.signature)
+        texts.foreach(t => graft.streaming.DedupStream.signature(t))
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"[scale] stream signature x$m (n=${texts.length}%,d): " +
           f"${texts.length / sec}%,.0f docs/s/core")
@@ -260,6 +260,62 @@ object ScaleSmoke {
         ((edges +: lCaches) ++ mhR.caches).foreach(_.unpersist())
         n
       })
+
+      // ---- embedding-side advance vs rebuild (VecBackbone) ------------
+      // The same maintenance contract on the VECTOR side: with a FIXED
+      // arriving embedding batch and history growing with m, the
+      // advance (batch bucket/code assignment + stored-bucket probes +
+      // touched-component repair) must stay ~flat while a full
+      // re-clustering grows with the corpus. Planes scale with n (the
+      // 2^b ≈ n/30 rule) so bucket sizes stay bounded — the production
+      // geometry, exercised through the same entry points the catalog
+      // pins at planes=4 for the oracle.
+      section("vec-advance") {
+        val vPlanes = math.min(16, math.max(4,
+          (math.log(nVec / 30.0) / math.log(2)).round.toInt))
+        val vecBatchN = baseVecs / 2
+        val vecSplit = (nVec - vecBatchN).toLong
+        pipeline.VecBackbone.history(spark, dir, vecSplit, vPlanes) // untimed: yesterday's state
+        timeIt(f"vec advance x$m (hist=$vecSplit%,d, batch=$vecBatchN%,d, p=$vPlanes)", {
+          val p = pipeline.VecBackbone.advanceParts(spark, dir, vecSplit,
+            batchEnd = Long.MaxValue, planes = vPlanes)
+          val n = p.labels.count()
+          p.caches.foreach(_.unpersist())
+          n
+        })
+        timeIt(f"vec rebuild x$m (n=$nVec%,d, p=$vPlanes)",
+          pipeline.Similarity.semanticDedup(spark, Tables.embeddings(spark, dir),
+            planes = vPlanes, threshold = pipeline.VecBackbone.Threshold).count())
+      }
+
+      // ---- multi-day committed-advance soak (text side) ---------------
+      // The nightly loop run for REAL across 4 committed days: day 1
+      // commits (history build + first batch, untimed here), days 2..4
+      // each advance FROM THE PREVIOUS COMMIT with a fresh corpus slice
+      // — per-day cost must stay ~flat (each day's work is one batch
+      // against stored state), and EVERY day's committed labels must
+      // equal a from-scratch build over the same prefix (the induction
+      // step of the daily loop, verified at every link).
+      section("advance-soak") {
+        val slices = 5
+        def cut(i: Int): Long = (nDoc.toLong * i) / slices
+        var state = pipeline.Backbone.advanceAndStore(spark, dir, cut(1),
+          batchEnd = cut(2))
+        (2 until slices).foreach { i =>
+          val prev = state
+          timeIt(f"soak day $i x$m (hist=${cut(i)}%,d, batch=${cut(i + 1) - cut(i)}%,d)", {
+            state = pipeline.Backbone.advanceAndStore(spark, dir, cut(i),
+              histOverride = Some(prev), batchEnd = cut(i + 1))
+            state.labels.count()
+          })
+          val fresh = pipeline.Backbone.history(spark, dir, cut(i + 1)).labels
+          val diff = state.labels.except(fresh).count() +
+            fresh.except(state.labels).count()
+          require(diff == 0,
+            s"soak day $i diverged from the fresh build over the same prefix ($diff rows)")
+          println(f"[scale] soak day $i x$m: committed labels == fresh prefix build ✓")
+        }
+      }
       // Packing balance: bucket fan-out is the parallelism knob — per-
       // bucket row spread must stay tight or one straggler serializes.
       val pb = pipeline.Packing

@@ -23,7 +23,7 @@ object Similarity {
     * the composable `aggregate(zip_with(...))` fold it replaced (the
     * DuckDB oracles hash-match either way), minus the per-pair
     * intermediate array. Queries call [[register]] before using these. */
-  private def register(s: SparkSession): Unit =
+  private[pipeline] def register(s: SparkSession): Unit =
     graft.functions.GraftExtensions.register(s)
 
   private def dot(a: String, b: String) = expr(s"float_dot($a, $b)")
@@ -60,10 +60,20 @@ object Similarity {
     sampleMemo.getOrElseUpdate(key, sampleVectors(e0))
   private val fitMemo =
     scala.collection.concurrent.TrieMap[String, Array[Array[Double]]]()
-  private def fitCached(key: String, k: Int, iters: Int, seed: Long)(
+  private[pipeline] def fitCached(key: String, k: Int, iters: Int, seed: Long)(
       sample: => Array[Array[Double]]): Array[Array[Double]] =
     fitMemo.getOrElseUpdate(s"$key|$k|$iters|$seed",
       MiniKMeans.fit(sample, k, iters, seed))
+
+  /** Seed the fit memo from a PERSISTED quantizer table
+    * ([[VecBackbone.quantizer]]): a fresh JVM that loads the stored
+    * index reuses its training instead of refitting — putIfAbsent, so
+    * an already-fitted key (same composite key ⇒ same deterministic
+    * fit) is never clobbered. */
+  private[pipeline] def seedFit(key: String, k: Int, iters: Int, seed: Long,
+                                centers: Array[Array[Double]]): Unit = {
+    fitMemo.putIfAbsent(s"$key|$k|$iters|$seed", centers); ()
+  }
 
   /** Memo key for a corpus dir: the path plus a file-metadata version
     * stamp (file count, total bytes, max mtime) of the embeddings
@@ -245,6 +255,27 @@ object Similarity {
     // across buckets exactly like d_ann_lsh documents.
     "d_dedup_semantic" -> ((s, d) =>
       semanticDedup(s, Tables.embeddings(s, d), planes = 4, threshold = 0.3)),
+
+    // The semantic-delta contract with index storage REAL: verdicts for
+    // a NEW embedding batch (upper half by vec_id) against accumulated
+    // HISTORY, probing ONLY the persisted bucket inverted list with
+    // persisted batch assignments ([[VecBackbone]]) — the vector twin
+    // of d_dedup_delta_stored. At 100 TB the history side is the stored
+    // ANN index growing nightly; neither side's embeddings rescan.
+    "d_semantic_delta_stored" -> ((s, d) => VecBackbone.deltaVerdicts(s, d)),
+
+    // INCREMENTAL semantic-cluster maintenance — the vector twin of
+    // d_backbone_incr: batch buckets probe the STORED bucket table, new
+    // verified edges union the STORED pair table, and only touched
+    // components re-solve (star contraction). Output shape and oracle
+    // are shared with d_dedup_semantic — advanced labels must equal the
+    // full re-clustering bit-for-bit, which is the whole contract.
+    "d_semantic_incr" -> ((s, d) => {
+      VecBackbone.advance(s, d)
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .orderBy("vec_id")
+    }),
 
     // Embedding-cosine near-duplicate pairs (the "semantic dedup" shape):
     // all pairs above a cosine threshold, via the same broadcast pattern
@@ -449,6 +480,37 @@ object Similarity {
          FROM scored) WHERE rnk <= 5
        ORDER BY q_id, rnk"""
 
+  /** Full semantic re-clustering (axis-sign buckets, cosine >= 0.3,
+    * min-label CC) — shared by d_dedup_semantic AND d_semantic_incr:
+    * the incremental advance must reproduce the full rebuild exactly. */
+  private val semanticClustersSql =
+    """WITH RECURSIVE
+       e AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+              + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+              + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+         FROM embeddings),
+       edges0 AS (
+         SELECT a.vec_id AS va, b.vec_id AS vb
+         FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3),
+       edges AS (SELECT va AS a, vb AS b FROM edges0
+                 UNION SELECT vb, va FROM edges0),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+       members AS (SELECT DISTINCT a AS vec_id FROM edges),
+       clusters AS (
+         SELECT m.vec_id, LEAST(m.vec_id, MIN(r.b)) AS cluster_id
+         FROM members m LEFT JOIN reach r ON r.a = m.vec_id
+         GROUP BY 1)
+       SELECT vec_id, cluster_id,
+              COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       FROM clusters ORDER BY vec_id"""
+
   val oracles: Map[String, String] = Map(
     "d_ann_ivf" -> knnOracleSql,
     "d_ann_ivfpq" -> knnOracleSql,
@@ -478,33 +540,37 @@ object Similarity {
 
     "d_knn_cosine" -> knnOracleSql,
 
-    "d_dedup_semantic" ->
-      """WITH RECURSIVE
-         e AS (
+    "d_dedup_semantic" -> semanticClustersSql,
+
+    // Shared contract: the incrementally-advanced labels must equal the
+    // full re-clustering bit-for-bit.
+    "d_semantic_incr" -> semanticClustersSql,
+
+    // Exhaustive form of the stored-delta probe: batch x history within
+    // axis-sign buckets at cosine >= 0.3 — the stored-tables-only plan
+    // must agree row-for-row with this full cross derivation.
+    "d_semantic_delta_stored" ->
+      """WITH e AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                   (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
                 + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
                 + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
                 + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
            FROM embeddings),
-         edges0 AS (
-           SELECT a.vec_id AS va, b.vec_id AS vb
-           FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-           WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3),
-         edges AS (SELECT va AS a, vb AS b FROM edges0
-                   UNION SELECT vb, va FROM edges0),
-         reach(a, b) AS (
-           SELECT a, b FROM edges
-           UNION
-           SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
-         members AS (SELECT DISTINCT a AS vec_id FROM edges),
-         clusters AS (
-           SELECT m.vec_id, LEAST(m.vec_id, MIN(r.b)) AS cluster_id
-           FROM members m LEFT JOIN reach r ON r.a = m.vec_id
-           GROUP BY 1)
-         SELECT vec_id, cluster_id,
-                COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
-         FROM clusters ORDER BY vec_id""",
+         spl AS (SELECT COUNT(*) // 2 AS v FROM embeddings),
+         h AS (SELECT * FROM e WHERE vec_id < (SELECT v FROM spl)),
+         b AS (SELECT * FROM e WHERE vec_id >= (SELECT v FROM spl)),
+         near AS (
+           SELECT b.vec_id, MIN(h.vec_id) AS near_dup_of,
+                  COUNT(*) AS n_near
+           FROM b JOIN h ON b.bucket = h.bucket
+           WHERE round(list_cosine_similarity(b.v, h.v), 4) >= 0.3
+           GROUP BY b.vec_id)
+         SELECT b.vec_id, n.near_dup_of, COALESCE(n.n_near, 0) AS n_near,
+                CASE WHEN n.near_dup_of IS NOT NULL THEN 'dup_near'
+                     ELSE 'new' END AS verdict
+         FROM b LEFT JOIN near n ON b.vec_id = n.vec_id
+         ORDER BY b.vec_id""",
 
     "d_dedup_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

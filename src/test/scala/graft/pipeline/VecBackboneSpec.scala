@@ -1,0 +1,174 @@
+package graft.pipeline
+
+import graft.TestSession
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The embedding-side stored backbone ([[VecBackbone]]): persisted
+  * bucket/cell/code/quantizer tables, the stored-delta probe, and the
+  * incremental advance — the vector twins of the text contracts
+  * BackboneAdvanceSpec pins. Core properties:
+  *
+  *  (a) the stored-delta verdicts equal the exhaustive cross
+  *      derivation (storage changes cost, never answers);
+  *  (b) advanced cluster labels equal the full re-clustering
+  *      bit-for-bit, including chained multi-day commits;
+  *  (c) the delta/advance plans rescan NO embeddings — both sides ride
+  *      stored parquet;
+  *  (d) the quantizer is a persisted, pinned artifact: a "restarted
+  *      JVM" (memo reset) reloads it instead of refitting, and the
+  *      incremental code append equals a full re-encode under it.
+  */
+class VecBackboneSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  private def twoLongs(df: DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("stored-delta verdicts equal the exhaustive cross derivation") {
+    import org.apache.spark.sql.functions._
+    Similarity.register(spark)
+    val split = VecBackbone.deltaSplit(spark, sf)
+    val e = graft.Tables.embeddings(spark, sf)
+    val stored = VecBackbone.deltaVerdicts(spark, sf)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2),
+        r.getString(3))).toSet
+    // exhaustive: every batch x history pair within the sign buckets
+    val b = Similarity.signBuckets(spark, e.filter(col("vec_id") >= split), 4)
+    val h = Similarity.signBuckets(spark, e.filter(col("vec_id") < split), 4)
+    val near = b.as("x").join(h.as("y"), col("x.bucket") === col("y.bucket"))
+      .filter(round(expr("float_dot(x.v, y.v)") / (col("x.n") * col("y.n")), 4)
+        >= VecBackbone.Threshold)
+      .groupBy(col("x.vec_id").as("vec_id"))
+      .agg(min(col("y.vec_id")).as("near_dup_of"), count(lit(1)).as("n_near"))
+    val exhaustive = b.select(col("vec_id")).join(near, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("near_dup_of"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        when(col("near_dup_of").isNotNull, "dup_near")
+          .otherwise("new").as("verdict"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2),
+        r.getString(3))).toSet
+    assert(stored.exists(_._4 == "dup_near"),
+      "fixture regression: no cross near-dups at the halfway split")
+    assert(stored == exhaustive)
+  }
+
+  test("advanced labels equal the full semantic re-clustering bit-for-bit") {
+    val full = twoLongs(Similarity
+      .semanticDedup(spark, graft.Tables.embeddings(spark, sf),
+        planes = VecBackbone.Planes, threshold = VecBackbone.Threshold)
+      .select("vec_id", "cluster_id"))
+    val incr = twoLongs(VecBackbone.advance(spark, sf))
+    assert(full.nonEmpty, "fixture regression: full re-clustering empty")
+    assert(incr == full,
+      s"incremental advance diverged:\n" +
+        s"  only-incr: ${(incr -- full).toSeq.sorted.take(10)}\n" +
+        s"  only-full: ${(full -- incr).toSeq.sorted.take(10)}")
+  }
+
+  test("advanceAndStore: committed tables == a fresh full-corpus build") {
+    val n = VecBackbone.vecCount(spark, sf)
+    val stored = VecBackbone.advanceAndStore(spark, sf)
+    val fresh = VecBackbone.history(spark, sf, n) // split = whole corpus
+
+    def bucketRows(df: DataFrame) = df.collect().map { r =>
+      (r.getLong(r.fieldIndex("vec_id")),
+        r.getInt(r.fieldIndex("bucket")),
+        r.getSeq[Float](r.fieldIndex("v")))
+    }.toSet
+    def codeRows(df: DataFrame) = df.collect().map { r =>
+      (r.getLong(r.fieldIndex("vec_id")),
+        r.getInt(r.fieldIndex("cell")),
+        r.getSeq[Int](r.fieldIndex("codes")))
+    }.toSet
+    assert(bucketRows(stored.buckets) == bucketRows(fresh.buckets), "buckets")
+    assert(codeRows(stored.codes) == codeRows(fresh.codes), "codes")
+    assert(twoLongs(stored.pairs.select("va", "vb")) ==
+      twoLongs(fresh.pairs.select("va", "vb")), "pairs")
+    assert(twoLongs(stored.labels) == twoLongs(fresh.labels), "labels")
+  }
+
+  test("two-day chain: advance from COMMITTED state ends at the full rebuild") {
+    val n = VecBackbone.vecCount(spark, sf)
+    val (t1, t2) = (n / 3, 2 * n / 3)
+    val day1 = VecBackbone.advanceAndStore(spark, sf, t1, batchEnd = t2)
+    val day2 = VecBackbone.advanceAndStore(spark, sf, t2,
+      histOverride = Some(day1))
+    val chained = twoLongs(day2.labels)
+    val full = twoLongs(Similarity
+      .semanticDedup(spark, graft.Tables.embeddings(spark, sf),
+        planes = VecBackbone.Planes, threshold = VecBackbone.Threshold)
+      .select("vec_id", "cluster_id"))
+    assert(chained == full,
+      s"two-day chain diverged: " +
+        s"only-chain ${(chained -- full).toSeq.sorted.take(5)}, " +
+        s"only-full ${(full -- chained).toSeq.sorted.take(5)}")
+  }
+
+  test("delta probe and advance rescan no embeddings: both sides ride stored tables") {
+    // building the tables scans embeddings ONCE (inside ensure); the
+    // probe/advance plans afterwards read warehouse parquet only
+    val delta = VecBackbone.deltaVerdicts(spark, sf)
+    val dp = delta.queryExecution.executedPlan.toString
+    assert(!dp.contains("embeddings.parquet"),
+      s"stored-delta must not rescan embeddings:\n$dp")
+    val p = VecBackbone.advanceParts(spark, sf)
+    try {
+      val ap = p.labels.queryExecution.executedPlan.toString
+      assert(!ap.contains("embeddings.parquet"),
+        s"advance must not rescan embeddings:\n$ap")
+    } finally p.caches.foreach(_.unpersist())
+  }
+
+  test("quantizer is persisted: a restarted JVM reloads instead of refitting") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // isolated corpus + explicit warehouse, so this test controls both
+    val root = java.nio.file.Files.createTempDirectory("vecbb_wh").toString
+    val corpus = java.nio.file.Files.createTempDirectory("vecbb_c").toString
+    val rnd = new scala.util.Random(7)
+    (0L until 64L).map(i => (i, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    val prev = sys.props.get("graft.backbone.dir")
+    sys.props("graft.backbone.dir") = root
+    try {
+      val (coarse0, books0) = VecBackbone.quantizer(spark, corpus)
+      val qDir = new java.io.File(root).listFiles()
+        .filter(_.isDirectory).flatMap(_.listFiles())
+        .find(_.getName == "quantizer").get
+      val mtime0 = qDir.lastModified()
+      Thread.sleep(20)
+      VecBackbone.resetMemoForTest() // simulate the next night's JVM
+      val (coarse1, books1) = VecBackbone.quantizer(spark, corpus)
+      assert(qDir.lastModified() == mtime0,
+        "a marker-complete quantizer must be reloaded, not retrained")
+      assert(coarse0.map(_.toSeq).toSeq == coarse1.map(_.toSeq).toSeq)
+      assert(books0.map(_.map(_.toSeq).toSeq).toSeq ==
+        books1.map(_.map(_.toSeq).toSeq).toSeq)
+      // and the stored full-corpus code table equals the incremental
+      // append (history codes ∪ batch codes) under that pinned quantizer
+      val full = VecBackbone.codes(spark, corpus)
+        .select("vec_id", "cell", "codes")
+      val h = VecBackbone.history(spark, corpus, 32L)
+      val bt = VecBackbone.batch(spark, corpus, 32L)
+      val app = h.codes.unionByName(bt.codes).select("vec_id", "cell", "codes")
+      assert(full.except(app).isEmpty && app.except(full).isEmpty,
+        "incremental code append diverged from the full encode")
+      // a data drop at the same path retrains (fresh token subtree)
+      (0L until 64L).map(i => (i, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+        .toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+      val (coarse2, _) = VecBackbone.quantizer(spark, corpus)
+      assert(coarse2.map(_.toSeq).toSeq != coarse0.map(_.toSeq).toSeq,
+        "data drop at the same path must retrain the quantizer")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.backbone.dir") = v
+        case None => sys.props -= "graft.backbone.dir"
+      }
+      VecBackbone.resetMemoForTest()
+    }
+  }
+}
