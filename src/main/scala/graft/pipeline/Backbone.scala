@@ -1,7 +1,5 @@
 package graft.pipeline
 
-import java.util.UUID
-
 import scala.collection.mutable
 
 import graft.Tables
@@ -36,121 +34,23 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object Backbone {
 
-  /** Per-JVM run token for the DEFAULT scratch root only. An EXPLICIT
-    * `graft.backbone.dir` is a warehouse path used AS-IS (no per-JVM
-    * suffix): committed advance state must be findable by the next
-    * night's JVM or the O(|batch|) maintenance contract is dead weight.
-    * Staleness across data drops is prevented by the corpus token
-    * instead, which embeds the documents parquet's file-metadata
-    * version — a drop at the same path gets a fresh subtree. */
-  private val runId = UUID.randomUUID().toString.take(8)
-
-  private def explicitDir: Option[String] = sys.props.get("graft.backbone.dir")
-
-  private def rootDir: String = explicitDir.getOrElse {
-    val base = new java.io.File(sys.props("java.io.tmpdir"), "graft-backbone").getPath
-    s"$base/$runId"
-  }
-
-  // derived data under the DEFAULT tmp base is scoped to this JVM run —
-  // reclaim it on exit so repeated bench/test JVMs don't accumulate
-  // corpus-scale parquet in /tmp until the disk fills. An explicit
-  // `graft.backbone.dir` opts out: that's a warehouse path the operator
-  // wants kept.
-  locally {
-    if (!sys.props.contains("graft.backbone.dir")) {
-      val dir = new java.io.File(rootDir)
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(dir)
-      }, "graft-backbone-cleanup"))
-    }
-  }
-
-  /** Root for INSTANCE-keyed memo paths (compact's input ids, advance's
-    * histOverride id). Instance identity is meaningless across JVMs: a
-    * restarted JVM's first override instance also gets id 1, so under a
-    * shared warehouse root it would resolve to a path a PREVIOUS JVM
-    * committed for different in-memory inputs and silently serve stale
-    * state through the `_graft_built` marker. Instance-keyed paths
-    * therefore always live in a per-JVM subtree; cross-JVM marker reuse
-    * is reserved for token-versioned corpus-derived paths, whose keys
-    * are content-addressed by [[token]]. (Default rootDir is already
-    * runId-scoped, so no extra nesting there.) */
-  private def instanceRoot: String =
-    if (explicitDir.isDefined) s"$rootDir/jvm_$runId" else rootDir
-
-  /** Lossy sanitize for USER-SUPPLIED tags only (compact's tag) — never
-    * for corpus dirs, whose token must be injective (see [[token]]). */
-  private def sanitize(t: String): String = t.replaceAll("[^A-Za-z0-9.]", "_")
-
-  /** Corpus storage/memo token: readable sanitized path + an md5 of the
-    * RAW path (injectivity — `/a/my-corpus` and `/a/my_corpus` must not
-    * share a subtree; the bare sanitize served corpus A's tables for
-    * corpus B) + the documents parquet's file-metadata version (count,
-    * total bytes, max mtime — a data drop at the same path gets a fresh
-    * subtree instead of a stale memo hit; this is what makes the
-    * warehouse root safe without per-JVM scoping). One driver FS listing
-    * per accessor call — negligible next to the query it guards. */
-  private def token(s: SparkSession, d: String): String = {
-    import org.apache.hadoop.fs.{FileStatus, Path}
-    val p = new Path(s"$d/documents.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    def walk(st: FileStatus): Seq[FileStatus] =
-      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(walk)
-      else Seq(st)
-    val files = walk(fs.getFileStatus(p))
-    val ver = s"${files.length}_${files.map(_.getLen).sum}_" +
-      s"${files.map(_.getModificationTime).max}"
-    val id = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$d|$ver".getBytes("UTF-8"))
-      .take(5).map("%02x".format(_)).mkString
-    s"${sanitize(d)}_$id"
-  }
-
-  /** Tables already confirmed built (paths) — per JVM, backed by an
-    * on-disk `_graft_built` marker written when a build completes, so a
-    * warehouse root REUSES state committed by previous JVMs (the
-    * incremental-maintenance contract) instead of rebuilding nightly.
-    * A crash mid-build leaves no marker → the next run rebuilds over
-    * the partial output (all writes are overwrite-mode). */
-  private val built = mutable.Set[String]()
+  // Storage mechanics (root resolution, build-once markers, corpus
+  // tokens, instance ids) are shared with the embedding-side
+  // [[VecBackbone]] — see [[Warehouse]] for the discipline.
+  private def rootDir: String = Warehouse.rootDir
+  private def instanceRoot: String = Warehouse.instanceRoot
+  private def sanitize(t: String): String = Warehouse.sanitize(t)
+  private def token(s: SparkSession, d: String): String =
+    Warehouse.token(s, d, "documents.parquet")
+  private def ensure(s: SparkSession, path: String)(build: => Unit): Unit =
+    Warehouse.ensure(s, path)(build)
+  private def instanceId(o: AnyRef): Long = Warehouse.instanceId(o)
 
   /** TEST HOOK: drop the in-JVM built/count memos so a spec can exercise
     * the cross-JVM path (the on-disk `_graft_built` marker) without
     * forking a JVM. Production code never calls this. */
   private[graft] def resetMemoForTest(): Unit = synchronized {
-    built.clear(); counts.clear()
-  }
-
-  private def ensure(s: SparkSession, path: String)(build: => Unit): Unit =
-    synchronized {
-      if (built.contains(path)) return
-      val marker = new org.apache.hadoop.fs.Path(path, "_graft_built")
-      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(marker)) {
-        build
-        fs.create(marker, true).close()
-      }
-      built += path
-    }
-
-  /** Stable per-JVM id for a DataFrame INSTANCE, used to key memo paths
-    * by which in-memory table a caller passed. Not identityHashCode:
-    * that is address-derived, so a collected object's hash can be
-    * REUSED by a new one, turning a should-miss into a silent stale hit
-    * of the first compaction's data. The IdentityHashMap pins a strong
-    * ref per distinct instance — bounded by the handful of intakes a
-    * JVM ever compacts, and exact forever. */
-  private val instanceIds = new java.util.IdentityHashMap[AnyRef, java.lang.Long]()
-  private val instanceSeq = new java.util.concurrent.atomic.AtomicLong()
-  private def instanceId(o: AnyRef): Long = instanceIds.synchronized {
-    val got = instanceIds.get(o)
-    if (got != null) got.longValue
-    else { val id = instanceSeq.incrementAndGet(); instanceIds.put(o, id); id }
+    Warehouse.resetBuiltForTest(); counts.clear()
   }
 
   /** Memoized corpus row count (per JVM, keyed by dir). A parquet-
@@ -228,11 +128,19 @@ private[graft] object Backbone {
                                  sets: DataFrame, pairs: DataFrame,
                                  labels: DataFrame)
 
-  def history(s: SparkSession, d: String, split: Long): HistoryTables = {
-    val base = s"$rootDir/${token(s, d)}/hist$split"
+  /** Geometry suffix for stored-path keys — empty at the 4x2 default so
+    * existing warehouse layouts stay addressable; the r=4 operating
+    * point (`d_dedup_delta_r4`, VERDICT r11 #4) gets its own subtree. */
+  private def gSuffix(nBands: Int, rowsPerBand: Int): String =
+    if (nBands == 4 && rowsPerBand == 2) "" else s"_g${nBands}x$rowsPerBand"
+
+  def history(s: SparkSession, d: String, split: Long,
+              nBands: Int = 4, rowsPerBand: Int = 2): HistoryTables = {
+    val base =
+      s"$rootDir/${token(s, d)}/hist$split${gSuffix(nBands, rowsPerBand)}"
     ensure(s, base) {
       val hist = Tables.documents(s, d).filter(col("doc_id") < split)
-      val sp = TextDedup.signaturePlan(hist, nBands = 4, rowsPerBand = 2)
+      val sp = TextDedup.signaturePlan(hist, nBands, rowsPerBand)
       sp.bands.write.mode("overwrite").parquet(s"$base/bands")
       sp.docSets.write.mode("overwrite").parquet(s"$base/sets")
       hist.select(col("doc_id"), TextDedup.fpCol.as("fp"))
@@ -290,12 +198,14 @@ private[graft] object Backbone {
                                fps: DataFrame)
 
   def batchSignature(s: SparkSession, d: String, split: Long,
-                     batchEnd: Long = Long.MaxValue): BatchTables = {
-    val base = s"$rootDir/${token(s, d)}/batch${split}e$batchEnd"
+                     batchEnd: Long = Long.MaxValue,
+                     nBands: Int = 4, rowsPerBand: Int = 2): BatchTables = {
+    val base = s"$rootDir/${token(s, d)}/batch${split}e$batchEnd" +
+      gSuffix(nBands, rowsPerBand)
     ensure(s, base) {
       val batch = Tables.documents(s, d)
         .filter(col("doc_id") >= split && col("doc_id") < batchEnd)
-      val sp = TextDedup.signaturePlan(batch, nBands = 4, rowsPerBand = 2)
+      val sp = TextDedup.signaturePlan(batch, nBands, rowsPerBand)
       sp.bands.write.mode("overwrite").parquet(s"$base/bands")
       sp.docSets.write.mode("overwrite").parquet(s"$base/sets")
       batch.select(col("doc_id"), TextDedup.fpCol.as("fp"))
@@ -376,8 +286,10 @@ private[graft] object Backbone {
   private[graft] def advancePlan(
       s: SparkSession, d: String,
       splitOverride: Long = -1L,
-      histOverride: Option[HistoryTables] = None): (DataFrame, Seq[DataFrame]) = {
-    val p = advanceParts(s, d, splitOverride, histOverride)
+      histOverride: Option[HistoryTables] = None,
+      nBands: Int = 4, rowsPerBand: Int = 2): (DataFrame, Seq[DataFrame]) = {
+    val p = advanceParts(s, d, splitOverride, histOverride,
+      nBands = nBands, rowsPerBand = rowsPerBand)
     (p.labels, p.caches)
   }
 
@@ -398,15 +310,16 @@ private[graft] object Backbone {
       s: SparkSession, d: String,
       splitOverride: Long = -1L,
       histOverride: Option[HistoryTables] = None,
-      batchEnd: Long = Long.MaxValue): AdvanceParts = {
+      batchEnd: Long = Long.MaxValue,
+      nBands: Int = 4, rowsPerBand: Int = 2): AdvanceParts = {
     val split =
       if (splitOverride >= 0) splitOverride else TextDedup.deltaSplit(s, d)
-    val h = histOverride.getOrElse(history(s, d, split))
+    val h = histOverride.getOrElse(history(s, d, split, nBands, rowsPerBand))
     val nDocs = corpusCount(s, d)
     // batch signatures come from the STORE (signed once per batch by
     // batchSignature — shared with d_dedup_delta_stored): the advance
     // plan itself never rescans batch text
-    val bt = batchSignature(s, d, split, batchEnd)
+    val bt = batchSignature(s, d, split, batchEnd, nBands, rowsPerBand)
     val intraCands = bt.bands.as("x").join(bt.bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -75,10 +75,25 @@ private[streaming] case class KeepState(keep_id: Long, quality: Double)
   * RocksDBStateStoreProvider) so state spills off-heap, and size
   * shuffle partitions to the key cardinality, not the session default.
   */
+/** Minhash band geometry: `nBands` bands of `rowsPerBand` hashes over
+  * nBands*rowsPerBand seeded minhashes, in the batch plan's stride
+  * layout. [[BandGeometry.Default]] (4x2) is the catalog operating
+  * point; [[BandGeometry.R4]] (4x4, 16 hashes) is the floor-suppressing
+  * geometry `d_dedup_delta_r4` / SCALE.md prescribe once history is
+  * large — parameterizing the stream (VERDICT r11 #4) lets the
+  * streaming history writer maintain EITHER geometry's tables, matching
+  * whatever the batch delta probes. */
+final case class BandGeometry(nBands: Int, rowsPerBand: Int) {
+  require(nBands >= 1 && rowsPerBand >= 1, s"bad geometry ${nBands}x$rowsPerBand")
+  val nHashes: Int = nBands * rowsPerBand
+}
+
+object BandGeometry {
+  val Default: BandGeometry = BandGeometry(4, 2)
+  val R4: BandGeometry = BandGeometry(4, 4)
+}
+
 object DedupStream {
-  private val nHashes = 8
-  private val nBands = 4
-  private val rowsPerBand = 2
 
   // MessageDigest is not thread-safe and getInstance is a per-call JCA
   // lookup — one reused instance per executor thread instead
@@ -119,30 +134,34 @@ object DedupStream {
   private val bgMemoCap =
     sys.props.get("graft.stream.bgMemoCap").map(_.toInt).getOrElse(1 << 16)
   private val bgMemo = new ConcurrentHashMap[String, Array[String]]()
-  private def bigramHashes(bg: String): Array[String] = {
-    val hit = bgMemo.get(bg)
+  // memo key carries the hash count: a JVM serving both geometries must
+  // not hand a 4x2 stream an 8-hash array when 16 were asked for
+  private def bigramHashes(bg: String, nHashes: Int): Array[String] = {
+    val key = s"$nHashes|$bg"
+    val hit = bgMemo.get(key)
     if (hit != null) return hit
     val hs = Array.tabulate(nHashes)(i => md5Hex(s"$i|$bg", 8))
     if (bgMemo.size >= bgMemoCap) bgMemo.clear()
-    bgMemo.putIfAbsent(bg, hs)
+    bgMemo.putIfAbsent(key, hs)
     hs
   }
 
   /** Seeded minhash signature over word bigrams — same tokenization and
     * seeded-hash layout as the batch plan (`rawTokens` + `bgHash`);
     * empty for docs with < 2 words (absent from batch bands too). */
-  private[graft] def signature(text: String): Seq[String] = {
+  private[graft] def signature(text: String,
+      g: BandGeometry = BandGeometry.Default): Seq[String] = {
     // limit -1: Spark's split() keeps trailing empty tokens; Java's
     // default drops them — "a b " must tokenize identically on both
     // sides or its band keys diverge from the batch table
     val w = text.split(" ", -1)
     if (w.length < 2) return Seq.empty
     val bgs = (0 until w.length - 1).map(i => w(i) + " " + w(i + 1)).distinct
-    val mins = Array.fill(nHashes)("￿")
+    val mins = Array.fill(g.nHashes)("￿")
     bgs.foreach { bg =>
-      val hs = bigramHashes(bg)
+      val hs = bigramHashes(bg, g.nHashes)
       var i = 0
-      while (i < nHashes) {
+      while (i < g.nHashes) {
         if (hs(i) < mins(i)) mins(i) = hs(i)
         i += 1
       }
@@ -151,18 +170,19 @@ object DedupStream {
   }
 
   /** Band keys in the batch plan's stride layout: band b concatenates
-    * hashes {b, b + nBands}. */
-  private[graft] def bandKeys(sig: Seq[String]): Seq[(Int, String)] =
-    (0 until nBands).map(b =>
-      b -> (0 until rowsPerBand).map(r => sig(b + r * nBands)).mkString)
+    * hashes {b, b + nBands, b + 2*nBands, ...}. */
+  private[graft] def bandKeys(sig: Seq[String],
+      g: BandGeometry = BandGeometry.Default): Seq[(Int, String)] =
+    (0 until g.nBands).map(b =>
+      b -> (0 until g.rowsPerBand).map(r => sig(b + r * g.nBands)).mkString)
 
   private[graft] def estJaccard(a: Seq[String], b: Seq[String]): Double =
-    a.zip(b).count { case (x, y) => x == y }.toDouble / nHashes
+    a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
 
-  private def bandRows(d: DocEvent): Seq[BandRow] = {
-    val sig = signature(d.text)
+  private def bandRows(d: DocEvent, g: BandGeometry): Seq[BandRow] = {
+    val sig = signature(d.text, g)
     if (sig.isEmpty) Seq.empty
-    else bandKeys(sig).map { case (b, k) => BandRow(s"$b|$k", d.doc_id, sig) }
+    else bandKeys(sig, g).map { case (b, k) => BandRow(s"$b|$k", d.doc_id, sig) }
   }
 
   /** Per-SparkContext recall-loss counter: incremented once per (band,
@@ -196,7 +216,7 @@ object DedupStream {
         if (members.size < maxBucket) {
           members.foreach { case (mid, msig) =>
             val est = estJaccard(msig, r.sig)
-            if (est * nHashes >= minAgree)
+            if (est * msig.length >= minAgree)
               out += NearDupPair(math.min(mid, r.doc_id),
                 math.max(mid, r.doc_id), est)
           }
@@ -226,12 +246,14 @@ object DedupStream {
     * in [[bucketOverflows]]. */
   def nearDupPairs(docs: Dataset[DocEvent], minAgree: Int = 4,
                    maxBucket: Int = 1024,
-                   ttl: Option[FiniteDuration] = None): Dataset[NearDupPair] = {
+                   ttl: Option[FiniteDuration] = None,
+                   geometry: BandGeometry = BandGeometry.Default)
+      : Dataset[NearDupPair] = {
     import docs.sparkSession.implicits._
     val overflow = bucketOverflows(docs.sparkSession.sparkContext)
     val timeout = if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
                   else GroupStateTimeout.NoTimeout
-    docs.flatMap(bandRows _)
+    docs.flatMap(d => bandRows(d, geometry))
       .groupByKey(_.band_key)
       .flatMapGroupsWithState(OutputMode.Append, timeout)(
         bucketUpdate(minAgree, maxBucket, ttl, overflow))
@@ -261,20 +283,21 @@ object DedupStream {
   def nearDupPairsWithHistory(docs: Dataset[DocEvent],
                               history: Dataset[DocEvent], minAgree: Int = 4,
                               maxBucket: Int = 1024,
-                              ttl: Option[FiniteDuration] = None)
+                              ttl: Option[FiniteDuration] = None,
+                              geometry: BandGeometry = BandGeometry.Default)
       : Dataset[NearDupPair] = {
     import docs.sparkSession.implicits._
     val overflow = bucketOverflows(docs.sparkSession.sparkContext)
     val timeout = if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
                   else GroupStateTimeout.NoTimeout
-    val initial = history.flatMap(bandRows _)
+    val initial = history.flatMap(d => bandRows(d, geometry))
       .groupByKey(_.band_key)
       .mapGroups { (k, rs) =>
         k -> BucketState(rs.toSeq.sortBy(_.doc_id)
           .map(r => r.doc_id -> r.sig).distinct.take(maxBucket))
       }
       .groupByKey(_._1).mapValues(_._2)
-    docs.flatMap(bandRows _)
+    docs.flatMap(d => bandRows(d, geometry))
       .groupByKey(_.band_key)
       .flatMapGroupsWithState(OutputMode.Append, timeout,
         initial)(bucketUpdate(minAgree, maxBucket, ttl, overflow))
@@ -404,9 +427,11 @@ object DedupStream {
     * read/compaction time ([[readHistoryTables]], `Backbone.advance`),
     * not appended by the stream. */
   private[graft] def writeHistoryBatch(batch: DataFrame, batchId: Long,
-                                       baseDir: String): Unit = {
+                                       baseDir: String,
+                                       g: BandGeometry = BandGeometry.Default)
+      : Unit = {
     val sp = graft.pipeline.TextDedup.signaturePlan(
-      batch, nBands = nBands, rowsPerBand = rowsPerBand)
+      batch, nBands = g.nBands, rowsPerBand = g.rowsPerBand)
     sp.bands.write.mode("overwrite").parquet(s"$baseDir/bands/batch=$batchId")
     sp.docSets.write.mode("overwrite").parquet(s"$baseDir/sets/batch=$batchId")
     batch.select(F.col("doc_id"), graft.pipeline.TextDedup.fpCol.as("fp"))
@@ -416,11 +441,12 @@ object DedupStream {
 
   /** The streaming query writer for [[writeHistoryBatch]]; caller sets
     * checkpointLocation/trigger and starts it. */
-  def historyWriter(docs: Dataset[DocEvent],
-                    baseDir: String): DataStreamWriter[DocEvent] =
+  def historyWriter(docs: Dataset[DocEvent], baseDir: String,
+                    geometry: BandGeometry = BandGeometry.Default)
+      : DataStreamWriter[DocEvent] =
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[DocEvent], batchId: Long) =>
-        writeHistoryBatch(batch.toDF(), batchId, baseDir)
+        writeHistoryBatch(batch.toDF(), batchId, baseDir, geometry)
       }
 
   /** Read stream-written history back as the probe-ready tables

@@ -134,7 +134,7 @@ class PropertySpec extends AnyFunSuite {
     val wordGen = Gen.choose(0, 25).map(i => s"w$i")
     val textGen = Gen.listOfN(12, wordGen).map(_.mkString(" "))
     forSeeds(Gen.listOfN(12, textGen), 5) { texts =>
-      val sigs = texts.map(DedupStream.signature).filter(_.nonEmpty)
+      val sigs = texts.map(t => DedupStream.signature(t)).filter(_.nonEmpty)
       sigs.foreach { s =>
         assert(s.length == 8)
         assert(DedupStream.estJaccard(s, s) == 1.0)

@@ -30,6 +30,26 @@ class DedupStreamSpec extends AnyFunSuite {
     } finally plan.caches.foreach(_.unpersist())
   }
 
+  test("streaming band keys match the batch r=4 bands table bit for bit") {
+    // the floor-suppressing 4x4 geometry (d_dedup_delta_r4's operating
+    // point) — the stream must be able to maintain ITS tables too
+    val plan = graft.pipeline.TextDedup.minhashPairsPlan(spark, sf,
+      nBands = 4, rowsPerBand = 4)
+    try {
+      val batch = plan.bands.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      val g = BandGeometry.R4
+      val local = corpus.flatMap { d =>
+        val sig = DedupStream.signature(d.text, g)
+        if (sig.isEmpty) Seq.empty
+        else DedupStream.bandKeys(sig, g).map { case (b, k) => (d.doc_id, b, k) }
+      }.toSet
+      assert(local == batch,
+        s"r=4 streaming hash scheme diverged from batch: " +
+          s"${(local diff batch).take(3)} / ${(batch diff local).take(3)}")
+    } finally plan.caches.foreach(_.unpersist())
+  }
+
   test("tokenizer parity on trailing/odd whitespace (Spark split keeps empties)") {
     import spark.implicits._
     // Java's String.split(" ") drops trailing empty tokens; Spark's

@@ -98,6 +98,54 @@ class HistoryWriterSpec extends AnyFunSuite {
         s"${(full -- chained).toSeq.sorted.take(5)}")
   }
 
+  test("r=4 geometry: stream-written tables == 4x4 batch signing; chain == r=4 rebuild") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val split = TextDedup.deltaSplit(spark, sf)
+    val docs = histDocs(split)
+    val base = Files.createTempDirectory("graft_hist_r4").toString
+    val ckpt = Files.createTempDirectory("graft_r4_ckpt").toString
+    val ms = MemoryStream[DocEvent]
+    val q = DedupStream.historyWriter(ms.toDS(), base, BandGeometry.R4)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      docs.grouped(math.max(1, docs.size / 2 + 1)).foreach { g =>
+        ms.addData(g: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val (keepers, bands, sets) = DedupStream.readHistoryTables(spark, base)
+    // stream-written bands equal a fresh 4x4 signing of the same slice
+    val hist = Tables.documents(spark, sf).filter(col("doc_id") < split)
+    val sp = TextDedup.signaturePlan(hist, nBands = 4, rowsPerBand = 4)
+    try {
+      val sb = bands.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      val rb = sp.bands.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(sb == rb, s"stream-written r=4 bands diverge from batch " +
+        s"signing: ${(sb diff rb).take(3)} / ${(rb diff sb).take(3)}")
+    } finally sp.caches.foreach(_.unpersist())
+    // full chain at the r=4 geometry: compact the stream intake, advance
+    // with r=4 batch signatures, compare against the r=4 full rebuild
+    val histT = Backbone.compact(spark, keepers, bands, sets, tag = base)
+    val (adv, caches) = Backbone.advancePlan(spark, sf, splitOverride = split,
+      histOverride = Some(histT), nBands = 4, rowsPerBand = 4)
+    val chained = adv.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    caches.foreach(_.unpersist())
+    val edgesF = graft.pipeline.Graph.symmetrize(
+      Backbone.pairs(spark, sf, nBands = 4, rowsPerBand = 4), "da", "db")
+      .persist()
+    val (lblF, cF) = graft.pipeline.Graph.minLabelComponents(edgesF)
+    val full = lblF.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (edgesF +: cF).foreach(_.unpersist())
+    assert(full.nonEmpty, "fixture regression: r=4 rebuild found no clusters")
+    assert(chained == full,
+      s"r=4 stream→compact→advance diverged from the r=4 rebuild: " +
+        s"${(chained -- full).toSeq.sorted.take(5)} / " +
+        s"${(full -- chained).toSeq.sorted.take(5)}")
+  }
+
   test("replayed micro-batch overwrites its own partition: no duplicate rows") {
     val split = TextDedup.deltaSplit(spark, sf)
     val docs = histDocs(split).take(10)
