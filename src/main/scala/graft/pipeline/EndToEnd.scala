@@ -88,6 +88,20 @@ object EndToEnd {
     * (smaller) survivor set; the bloom probe is a per-row bit test. */
   private[pipeline] def scrubbedPlan(
       s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val (dec, scrub, caches) = scrubbedParts(s, d)
+    val out = dec
+      .join(scrub.select(col("doc_id"), col("n_kept").as("n_words_scrubbed")),
+        Seq("doc_id"), "left")
+      .orderBy("doc_id")
+    (out, caches)
+  }
+
+  /** Shared middle of the scrubbed pipeline: (decision table,
+    * survivor-only span-scrub output incl. the scrubbed TEXT, caches).
+    * `scrubbedPlan` reports per-doc decisions; `shardedPlan` ships the
+    * surviving bytes to the trainer. */
+  private[pipeline] def scrubbedParts(
+      s: SparkSession, d: String): (DataFrame, DataFrame, Seq[DataFrame]) = {
     val (keep, caches) = TextDedup.clusterKeepers(s, d)
     val exact = TextDedup.exactKeeperDecisions(Backbone.fingerprints(s, d))
     val dec0 = keep.join(exact, Seq("doc_id"))
@@ -119,11 +133,25 @@ object EndToEnd {
     val survivors = docs.select("doc_id", "text")
       .join(dec.filter(col("decision") === "kept").select("doc_id"), Seq("doc_id"))
     val scrub = TextDedup.spanScrub(survivors)
-    val out = dec
-      .join(scrub.select(col("doc_id"), col("n_kept").as("n_words_scrubbed")),
-        Seq("doc_id"), "left")
-      .orderBy("doc_id")
-    (out, caches :+ dec)
+    (dec, scrub, caches :+ dec)
+  }
+
+  /** Trainer HANDOFF on the composed pipeline (`d_pipeline_sharded`):
+    * the scrubbed survivors — the bytes that actually ship — hashed into
+    * training shards and summarized as the [[Shards.manifest]] table, so
+    * the catalog-visible artifact is the audit a trainer consumes.
+    * (`d_shard_manifest` manifests the RAW corpus; this entry manifests
+    * the pipeline's actual output.) Adds only the manifest's one
+    * shard-keyed hash agg on top of the scrubbed plan; the fingerprints
+    * cover the SCRUBBED text, so the content envelope certifies exactly
+    * the shipped bytes. */
+  private[pipeline] def shardedPlan(
+      s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val (_, scrub, caches) = scrubbedParts(s, d)
+    val shipped = scrub.select(col("doc_id"),
+      col("scrub_text").as("text"),
+      length(col("scrub_text")).cast("long").as("n_chars"))
+    (Shards.manifest(shipped, hexChars = 1).orderBy("shard_id"), caches)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -134,6 +162,11 @@ object EndToEnd {
 
     "d_pipeline_scrubbed" -> ((s, d) => {
       val (out, caches) = scrubbedPlan(s, d)
+      Materialize.drop(out, caches: _*)
+    }),
+
+    "d_pipeline_sharded" -> ((s, d) => {
+      val (out, caches) = shardedPlan(s, d)
       Materialize.drop(out, caches: _*)
     })
   )
@@ -185,7 +218,47 @@ object EndToEnd {
     // decontam (exact-join semantics — the filters are fp-free by the
     // seeded-pair sizing) + span scrub recomputed among SURVIVORS only.
     "d_pipeline_scrubbed" ->
-      s"""WITH RECURSIVE ${TextDedup.clustersCte},
+      s"""$scrubChainCtes,
+          scr AS (
+            SELECT sw.doc_id,
+                   len(list_filter(range(1, len(sw.w) + 1),
+                     j -> len(list_filter(coalesce(sst.starts, CAST([] AS BIGINT[])),
+                                          p -> p <= j AND j <= p + 4)) = 0))
+                     AS n_words_scrubbed
+            FROM sw LEFT JOIN sst ON sw.doc_id = sst.doc_id)
+          SELECT dec.doc_id, dec.decision, scr.n_words_scrubbed
+          FROM dec LEFT JOIN scr ON dec.doc_id = scr.doc_id
+          ORDER BY dec.doc_id""",
+
+    // The same chain, ending at the trainer handoff: the scrubbed
+    // survivor TEXT is materialized, shard-hashed, and manifested —
+    // fingerprints cover the shipped (scrubbed) bytes.
+    "d_pipeline_sharded" ->
+      s"""$scrubChainCtes,
+          scr AS (
+            SELECT sw.doc_id,
+                   array_to_string(
+                     list_transform(
+                       list_filter(range(1, len(sw.w) + 1),
+                         j -> len(list_filter(coalesce(sst.starts, CAST([] AS BIGINT[])),
+                                              p -> p <= j AND j <= p + 4)) = 0),
+                       j -> sw.w[j]), ' ') AS stext
+            FROM sw LEFT JOIN sst ON sw.doc_id = sst.doc_id)
+          SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard_id,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(len(string_split(stext, ' '))) AS BIGINT) AS n_tokens,
+                 CAST(SUM(len(stext)) AS BIGINT) AS n_chars,
+                 MIN(md5(lower(stext))) AS min_fp,
+                 MAX(md5(lower(stext))) AS max_fp
+          FROM scr GROUP BY 1 ORDER BY 1"""
+  )
+
+  /** The cascade → decontam → survivor-gram CTE chain shared by the
+    * d_pipeline_scrubbed and d_pipeline_sharded oracles (they diverge
+    * only in what they derive from the scrub: a word count vs the
+    * shipped text + manifest). */
+  private def scrubChainCtes: String =
+    s"""WITH RECURSIVE ${TextDedup.clustersCte},
           ${TextDedup.keeperCte},
           ex AS (
             SELECT doc_id,
@@ -230,16 +303,5 @@ object EndToEnd {
           sdup AS (SELECT gram FROM sg GROUP BY gram
                    HAVING COUNT(DISTINCT doc_id) >= 2),
           sst AS (SELECT sg.doc_id, list(sg.i) AS starts
-                  FROM sg JOIN sdup ON sg.gram = sdup.gram GROUP BY sg.doc_id),
-          scr AS (
-            SELECT sw.doc_id,
-                   len(list_filter(range(1, len(sw.w) + 1),
-                     j -> len(list_filter(coalesce(sst.starts, CAST([] AS BIGINT[])),
-                                          p -> p <= j AND j <= p + 4)) = 0))
-                     AS n_words_scrubbed
-            FROM sw LEFT JOIN sst ON sw.doc_id = sst.doc_id)
-          SELECT dec.doc_id, dec.decision, scr.n_words_scrubbed
-          FROM dec LEFT JOIN scr ON dec.doc_id = scr.doc_id
-          ORDER BY dec.doc_id"""
-  )
+                  FROM sg JOIN sdup ON sg.gram = sdup.gram GROUP BY sg.doc_id)"""
 }

@@ -120,4 +120,24 @@ class EndToEndSpec extends AnyFunSuite {
     assert(keptWordsUnderFull < keptWords,
       s"full-corpus scrub should cut strictly more ($keptWordsUnderFull !< $keptWords)")
   }
+
+  test("sharded handoff: manifest partitions exactly the scrubbed survivors") {
+    val scrubbed = EndToEnd.queries("d_pipeline_scrubbed")(spark, sf).collect()
+    val kept = scrubbed.filter(_.getString(1) == "kept")
+    val manifest = EndToEnd.queries("d_pipeline_sharded")(spark, sf).collect()
+    // every kept doc lands in exactly one shard; nothing else ships
+    assert(manifest.map(_.getLong(1)).sum == kept.length,
+      "manifest doc total != scrubbed survivor count")
+    // token totals cover the SCRUBBED text: each survivor contributes
+    // max(n_words_scrubbed, 1) split-tokens (an empty scrub still splits
+    // to one empty token — the d_shard_manifest convention)
+    val expectTokens = kept.map(r => math.max(r.getInt(2).toLong, 1L)).sum
+    assert(manifest.map(_.getLong(2)).sum == expectTokens,
+      "manifest token total != scrubbed word totals")
+    // envelope fields are present and ordered per shard
+    manifest.foreach { r =>
+      assert(r.getString(4) <= r.getString(5),
+        s"shard ${r.getString(0)}: min_fp > max_fp")
+    }
+  }
 }
