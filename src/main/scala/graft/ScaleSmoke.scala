@@ -131,8 +131,10 @@ object ScaleSmoke {
           medianCount(src.withColumn("cum", sum("wt").over(byVal))
             .withColumn("tot", sum("wt").over(whole))))
         timeIt(f"wcdf distributed         x$m (n=$nRows%,d)", {
-          val (cdf, caches) = operators.OrderStats.weightedCdfPlan(
-            src, "k", Seq("v", "id"), "wt")
+          // gate pinned to 0: this A/B measures the distributed form
+          // itself — the adaptive gate would reroute small multipliers
+          val (cdf, caches) = operators.OrderStats.withGateBytes(0)(
+            operators.OrderStats.weightedCdfPlan(src, "k", Seq("v", "id"), "wt"))
           val n = medianCount(cdf)
           caches.foreach(_.unpersist())
           n

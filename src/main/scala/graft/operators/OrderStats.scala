@@ -63,6 +63,34 @@ object OrderStats {
     * (`Materialize.drop(result, caches: _*)` or `_.unpersist()`).
     * There is deliberately no cache-discarding convenience overload —
     * it leaked a corpus-sized cached block per call. */
+  /** Adaptive-gate threshold (plan-stats bytes). The distributed form
+    * pays ~3 extra stages of fixed scheduling latency plus the range
+    * boundary sampling (~0.45 s measured at sf0.1, BENCH_NOTES) — pure
+    * win at corpus scale, pure tax when the input fits a handful of
+    * tasks anyway. Below this estimated input size the SAME cum/tot
+    * columns come from the naive one-window plan (bit-equal by
+    * construction — OrderStatsSpec pins equality across the gate).
+    * Plan-statistics-driven, so the decision costs no extra job; 32 MB
+    * ≈ a few million narrow rows, comfortably inside one-task-per-key
+    * territory on any executor. Tunable per deployment. */
+  private def gateBytes: Long =
+    sys.props.get("graft.orderstats.gateBytes").map(_.toLong)
+      .getOrElse(32L << 20)
+
+  /** TEST/SWEEP HOOK: run `body` with the adaptive gate pinned to
+    * `bytes` (0 = always the distributed form), restoring the previous
+    * setting — the plan-shape specs and ScaleSmoke's naive-vs-
+    * distributed A/B must exercise the scale path regardless of how
+    * small their fixtures are. */
+  def withGateBytes[T](bytes: Long)(body: => T): T = {
+    val prev = sys.props.get("graft.orderstats.gateBytes")
+    sys.props("graft.orderstats.gateBytes") = bytes.toString
+    try body finally prev match {
+      case Some(v) => sys.props("graft.orderstats.gateBytes") = v
+      case None => sys.props -= "graft.orderstats.gateBytes"
+    }
+  }
+
   def weightedCdfPlan(df: DataFrame, key: String, ord: Seq[String],
                       wt: String): (DataFrame, Seq[DataFrame]) = {
     val spark = df.sparkSession
@@ -70,6 +98,18 @@ object OrderStats {
     val src = df.select((key +: ord).map(col) :+ col(wt): _*)
     require(src.schema(wt).dataType == LongType,
       s"weight column '$wt' must be LongType, got ${src.schema(wt).dataType}")
+    val est = src.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= BigInt(gateBytes)) {
+      // small-input fast path: the textbook window — bounded parallelism
+      // is irrelevant at this size, and it skips the range sampling and
+      // the extra exchanges. Column order matches the distributed branch.
+      val byVal = Window.partitionBy(key).orderBy(ord.map(col): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val out = src
+        .withColumn("tot", sum(col(wt)).over(Window.partitionBy(key)))
+        .withColumn("cum", sum(col(wt)).over(byVal))
+      return (out, Seq.empty)
+    }
     val n = spark.sessionState.conf.numShufflePartitions
     // explicit partition count (AQE must not re-split the exchange) AND
     // persisted: the two consumers below must see the SAME slice-id

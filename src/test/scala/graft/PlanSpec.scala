@@ -66,10 +66,11 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.{col => c, count => cnt, lit}
     val base = graft.Tables.orders(spark, sf).groupBy("o_custkey")
       .agg(cnt(lit(1)).as("n_orders"))
-    val (cdf, caches) = graft.operators.OrderStats.weightedCdfPlan(
-      base.withColumn("g", lit(1)).withColumn("one", lit(1L))
-        .withColumn("neg_orders", -c("n_orders")),
-      "g", Seq("neg_orders", "o_custkey"), "one")
+    val (cdf, caches) = graft.operators.OrderStats.withGateBytes(0)(
+      graft.operators.OrderStats.weightedCdfPlan(
+        base.withColumn("g", lit(1)).withColumn("one", lit(1L))
+          .withColumn("neg_orders", -c("n_orders")),
+        "g", Seq("neg_orders", "o_custkey"), "one"))
     cdf.collect()
     def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
@@ -309,8 +310,9 @@ class PlanSpec extends AnyFunSuite {
       .select(c("l_returnflag"), c("l_extendedprice").as("val"),
         c("l_orderkey"), c("l_linenumber"),
         c("l_quantity").cast("bigint").as("wt"))
-    val (cdf, caches) = graft.operators.OrderStats.weightedCdfPlan(
-      src, "l_returnflag", Seq("val", "l_orderkey", "l_linenumber"), "wt")
+    val (cdf, caches) = graft.operators.OrderStats.withGateBytes(0)(
+      graft.operators.OrderStats.weightedCdfPlan(
+        src, "l_returnflag", Seq("val", "l_orderkey", "l_linenumber"), "wt"))
     val agg = cdf.filter(c("cum") * 2 >= c("tot"))
       .groupBy("l_returnflag").agg(
         org.apache.spark.sql.functions.min("val").as("wmedian"))

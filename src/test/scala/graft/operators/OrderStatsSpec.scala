@@ -25,10 +25,13 @@ class OrderStatsSpec extends AnyFunSuite {
     * for the removed cache-discarding overload. */
   private def cdf(df: org.apache.spark.sql.DataFrame, key: String,
                   ord: Seq[String], wt: String)(
-      use: org.apache.spark.sql.DataFrame => Array[String]): Array[String] = {
-    val (out, caches) = OrderStats.weightedCdfPlan(df, key, ord, wt)
-    try use(out) finally caches.foreach(_.unpersist())
-  }
+      use: org.apache.spark.sql.DataFrame => Array[String]): Array[String] =
+    // gate pinned to 0: these tests exercise the DISTRIBUTED machinery
+    // (tiny fixtures would otherwise take the gate's one-window branch)
+    OrderStats.withGateBytes(0) {
+      val (out, caches) = OrderStats.weightedCdfPlan(df, key, ord, wt)
+      try use(out) finally caches.foreach(_.unpersist())
+    }
 
   private def naiveCdf(df: org.apache.spark.sql.DataFrame) = {
     val byVal = Window.partitionBy("k").orderBy("v", "id")
@@ -76,7 +79,8 @@ class OrderStatsSpec extends AnyFunSuite {
     // val 1 is 5 >= 3.5 -> median 1. B -> 10(w1), 20(w1): tot 2 -> val 10.
     val df = Seq(("A", 1L, 1L, 5L), ("A", 2L, 2L, 1L), ("A", 3L, 3L, 1L),
       ("B", 10L, 4L, 1L), ("B", 20L, 5L, 1L)).toDF("k", "v", "id", "wt")
-    val (out, caches) = OrderStats.weightedCdfPlan(df, "k", Seq("v", "id"), "wt")
+    val (out, caches) = OrderStats.withGateBytes(0)(
+      OrderStats.weightedCdfPlan(df, "k", Seq("v", "id"), "wt"))
     val med =
       try out.filter(col("cum") * 2 >= col("tot"))
         .groupBy("k").agg(min("v").as("m"))
@@ -88,7 +92,8 @@ class OrderStatsSpec extends AnyFunSuite {
   test("both consumers read ONE persisted instantiation of the range shuffle") {
     import spark.implicits._
     val df = randomRows(2000, seed = 11).toDF("k", "v", "id", "wt")
-    val (out, caches) = OrderStats.weightedCdfPlan(df, "k", Seq("v", "id"), "wt")
+    val (out, caches) = OrderStats.withGateBytes(0)(
+      OrderStats.weightedCdfPlan(df, "k", Seq("v", "id"), "wt"))
     out.collect() // materialize so AQE finalizes the plan
     // correctness contract: the slice table (range shuffle + pid) is
     // CACHED, so the offsets branch and the local-cum branch share one
@@ -119,6 +124,25 @@ class OrderStatsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       OrderStats.weightedCdfPlan(df, "k", Seq("v", "id"), "wt")
     }
+  }
+
+  test("adaptive gate: small inputs take the one-window plan, bit-equal across the gate") {
+    import spark.implicits._
+    val df = randomRows(3000, seed = 9).toDF("k", "v", "id", "wt")
+    // default gate: the plan-stats estimate for this tiny input is far
+    // below the threshold -> naive branch (no persisted slice table)
+    val (small, smallCaches) = OrderStats.weightedCdfPlan(df, "k", Seq("v", "id"), "wt")
+    assert(smallCaches.isEmpty, "small input should take the gate's naive branch")
+    val a = small.select("k", "v", "id", "wt", "cum", "tot")
+      .collect().map(_.toString).sorted
+    val b = OrderStats.withGateBytes(0) {
+      val (out, caches) = OrderStats.weightedCdfPlan(df, "k", Seq("v", "id"), "wt")
+      assert(caches.nonEmpty, "gate 0 must take the distributed branch")
+      try out.select("k", "v", "id", "wt", "cum", "tot")
+        .collect().map(_.toString).sorted
+      finally caches.foreach(_.unpersist())
+    }
+    assert(a.sameElements(b), "gate branches disagree")
   }
 
   test("NULL group key is a group, not a dropped row") {

@@ -1,35 +1,43 @@
 package graft.pipeline
 
-/** Diagnostic A/B for the d_ann_ivf / d_ann_ivfpq bench regression
-  * (VERDICT r11 #2): times each query over 3 warm passes at sf0.1,
-  * splitting PLAN BUILD (catalog fn call: corpusKey listing, memoized
-  * sample+fit, expr parsing/analysis of the literal-centroid SQL) from
-  * EXECUTION (count job), plus the memo components individually.
-  * Run: sbt "Test/runMain graft.pipeline.AnnAb [sfDir]".
+/** Warm per-query A/B diagnostic: times each named catalog query over 3
+  * passes, splitting PLAN BUILD (catalog fn call: memo lookups, expr
+  * parsing/analysis) from EXECUTION (count job). Born for the
+  * d_ann_ivf/d_ann_ivfpq regression adjudication (VERDICT r11 #2 —
+  * BENCH_NOTES round-12 entry); reusable for any before/after measure.
+  * Run: sbt "Test/runMain graft.pipeline.AnnAb [query ...]"
+  * (SPARK_GRAFT_SF_DIR overrides the sf0.1 default).
   */
 object AnnAb {
   def main(args: Array[String]): Unit = {
-    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // SPARK_GRAFT_GATE pins the OrderStats adaptive gate (bytes; 0 =
+    // always distributed) for before/after gate measurements
+    sys.env.get("SPARK_GRAFT_GATE")
+      .foreach(v => sys.props("graft.orderstats.gateBytes") = v)
+    val qs = if (args.nonEmpty) args.toSeq else Seq("d_ann_ivf", "d_ann_ivfpq")
     val spark = graft.EngineSession.local(32, "ann-ab")
     def t[A](body: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = body
       (a, (System.nanoTime() - t0) / 1e9)
     }
     // warm exactly like Bench: same plan shapes at sf0.001
-    Seq("d_ann_ivf", "d_ann_ivfpq").foreach(q =>
-      graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count())
+    qs.foreach(q => scala.util.Try(
+      graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()))
 
-    // memo components, cold then warm
-    val (ck, ckSec) = t(Similarity.corpusKey(spark, sf))
-    val e0 = graft.Tables.embeddings(spark, sf)
-      .select(org.apache.spark.sql.functions.col("vec_id"),
-        org.apache.spark.sql.functions.col("embedding"))
-    val (_, sampCold) = t(Similarity.sampleCached(ck, e0))
-    val (_, sampWarm) = t(Similarity.sampleCached(ck, e0))
-    println(f"[ann-ab] corpusKey=$ckSec%.3f sampleCold=$sampCold%.3f " +
-      f"sampleWarm=$sampWarm%.3f")
+    if (qs.exists(_.startsWith("d_ann"))) {
+      // ANN memo components, cold then warm
+      val (ck, ckSec) = t(Similarity.corpusKey(spark, sf))
+      val e0 = graft.Tables.embeddings(spark, sf)
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding"))
+      val (_, sampCold) = t(Similarity.sampleCached(ck, e0))
+      val (_, sampWarm) = t(Similarity.sampleCached(ck, e0))
+      println(f"[ann-ab] corpusKey=$ckSec%.3f sampleCold=$sampCold%.3f " +
+        f"sampleWarm=$sampWarm%.3f")
+    }
 
-    for (q <- Seq("d_ann_ivf", "d_ann_ivfpq"); pass <- 1 to 3) {
+    for (q <- qs; pass <- 1 to 3) {
       val (df, buildSec) = t(graft.SparkEntry.queries(q)(spark, sf))
       val (_, execSec) = t(df.count())
       println(f"[ann-ab] $q pass$pass build=$buildSec%.3f exec=$execSec%.3f " +
