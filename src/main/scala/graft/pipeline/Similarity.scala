@@ -152,17 +152,16 @@ object Similarity {
     // bucket-restricted candidate join, cosine re-rank, tie-breaks.
     "d_ann_lsh" -> ((s, d) => {
       register(s)
-      val e = Tables.embeddings(s, d).withColumn("bucket", expr(
-        """aggregate(zip_with(slice(embedding, 1, 4), sequence(0, 3),
-                              (x, i) -> IF(x >= 0F, shiftleft(1, i), 0)),
-                     0, (acc, v) -> acc + v)"""))
+      // the STORED bucket inverted list (vec_id, v, n, bucket) — the
+      // production read path: bucketing + norms were paid once at index
+      // build ([[VecBackbone.buckets]], same axis-sign expression), the
+      // query reads the index instead of re-deriving it per call
+      val e = VecBackbone.buckets(s, d)
       val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-          col("bucket").as("qb"))
-        .withColumn("qn", norm("qv"))
-      val cand = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"),
-        col("bucket"))
-        .withColumn("nn", norm("nv"))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("n").as("qn"), col("bucket").as("qb"))
+      val cand = e.select(col("vec_id").as("n_id"), col("v").as("nv"),
+        col("n").as("nn"), col("bucket"))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
       cand.join(broadcast(q), col("bucket") === col("qb"))
         .filter(col("q_id") =!= col("n_id"))
@@ -199,10 +198,13 @@ object Similarity {
       val ck = corpusKey(s, d)
       val centers =
         fitCached(s"$ck|ivf", nCells, 10, 42)(sampleCached(ck, e0))
-      // one corpus pass: codegen'd literal-centroid argmin, no fit jobs
-      val cand = withCell(e0, "embedding", centers, "cell")
-        .select(col("vec_id").as("n_id"), col("embedding").as("nv"), col("cell"))
-        .withColumn("nn", norm("nv"))
+      // corpus side = the STORED cell table ([[VecBackbone.codes]] —
+      // same quantizer by memo key, same argmin expression, so
+      // assignments are bit-identical to an inline encode): the
+      // production read path scans the index, not the embeddings
+      val cand = VecBackbone.codes(s, d)
+        .select(col("vec_id").as("n_id"), col("v").as("nv"), col("cell"),
+          col("n").as("nn"))
       // query side: nProbe nearest cells straight from the same literal
       // scores — sort (score, idx) pairs, take the first nProbe indices
       val q = withCentroidScores(e0.filter(col("vec_id") < 10),
@@ -240,7 +242,11 @@ object Similarity {
     "d_ann_ivfpq" -> ((s, d) =>
       ivfPq(s, Tables.embeddings(s, d), nCells = 8, nProbe = 8,
         m = 4, k = 16, rerank = Int.MaxValue, topK = 5,
-        cacheKey = corpusKey(s, d))),
+        cacheKey = corpusKey(s, d),
+        // production read path: candidates come from the stored index
+        codedOverride = VecBackbone.codes(s, d)
+          .select(col("vec_id").as("n_id"), col("v").as("nv"),
+            col("cell"), col("codes"), col("n").as("nn")))),
 
     // Semantic dedup END-TO-END: sign-LSH bucketing (the d_ann_lsh planes)
     // → exact cosine edges within bucket → connected components → one
@@ -391,7 +397,8 @@ object Similarity {
     * producing cell + m codes per row. */
   def ivfPq(s: SparkSession, embeddings: DataFrame, nCells: Int, nProbe: Int,
             m: Int, k: Int, rerank: Int, topK: Int,
-            cacheKey: String = null): DataFrame = {
+            cacheKey: String = null,
+            codedOverride: DataFrame = null): DataFrame = {
     register(s)
     import s.implicits._
     val e0 = embeddings.select(col("vec_id"), col("embedding"))
@@ -414,15 +421,22 @@ object Similarity {
     val blockCenters = Array.tabulate(m) { b =>
       fitK(s"pq$b", k, 42 + b, sample.map(_.slice(b * sub, (b + 1) * sub)))
     }
-    // encode the corpus: cell + m codebook ids per vector, one pass,
-    // all m+1 argmins fused into a single whole-stage-codegen projection
-    var enc = withCell(e0, "embedding", coarseCenters, "cell")
-    for (b <- 0 until m)
-      enc = withCell(enc, s"slice(embedding, ${b * sub + 1}, $sub)",
-        blockCenters(b), s"c$b")
-    val coded = enc.select(col("vec_id").as("n_id"), col("embedding").as("nv"),
-      col("cell"), array((0 until m).map(b => col(s"c$b")): _*).as("codes"))
-      .withColumn("nn", norm("nv"))
+    // corpus side: the STORED code table when the caller has one
+    // (columns n_id, nv, cell, codes, nn — VecBackbone's index, same
+    // quantizer by memo key so assignments are bit-identical); else
+    // encode inline — cell + m codebook ids per vector, one pass, all
+    // m+1 argmins fused into a single whole-stage-codegen projection
+    val coded =
+      if (codedOverride != null) codedOverride
+      else {
+        var enc = withCell(e0, "embedding", coarseCenters, "cell")
+        for (b <- 0 until m)
+          enc = withCell(enc, s"slice(embedding, ${b * sub + 1}, $sub)",
+            blockCenters(b), s"c$b")
+        enc.select(col("vec_id").as("n_id"), col("embedding").as("nv"),
+          col("cell"), array((0 until m).map(b => col(s"c$b")): _*).as("codes"))
+          .withColumn("nn", norm("nv"))
+      }
 
     // query-side: ADC tables + probe cells, computed at query scale
     def sqdist(a: Array[Double], b: Array[Double]): Double = {
