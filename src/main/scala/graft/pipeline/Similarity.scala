@@ -23,7 +23,7 @@ object Similarity {
     * the composable `aggregate(zip_with(...))` fold it replaced (the
     * DuckDB oracles hash-match either way), minus the per-pair
     * intermediate array. Queries call [[register]] before using these. */
-  private[pipeline] def register(s: SparkSession): Unit =
+  private[graft] def register(s: SparkSession): Unit =
     graft.functions.GraftExtensions.register(s)
 
   private def dot(a: String, b: String) = expr(s"float_dot($a, $b)")

@@ -94,8 +94,12 @@ private[graft] object VecBackbone {
     * JVM — reads the table back and seeds the in-JVM fit memo, so the
     * ANN queries skip refitting too. Quantizer bytes are tiny
     * (NCells+M·K centers); the collect is index-metadata-scale. */
-  def quantizer(s: SparkSession, d: String)
-      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+  /** The pinned trained quantizer: coarse IVF centers + M PQ codebooks
+    * — the index artifact ingest writers and batch encoders share. */
+  final case class Quantizer(coarse: Array[Array[Double]],
+                             books: Array[Array[Array[Double]]])
+
+  def quantizer(s: SparkSession, d: String): Quantizer = {
     import s.implicits._
     Similarity.register(s)
     val path = s"${root(s, d)}/quantizer"
@@ -124,15 +128,14 @@ private[graft] object VecBackbone {
     Similarity.seedFit(s"$ck|ivf", NCells, 10, 42, coarse)
     (0 until M).foreach(b =>
       Similarity.seedFit(s"$ck|pq$b", K, 10, 42 + b, books(b)))
-    (coarse, books)
+    Quantizer(coarse, books)
   }
 
   /** One-pass encode of an embedding slice against a pinned quantizer:
     * (vec_id, cell, codes[M], v, n) — all M+1 argmins fused into a
     * single codegen'd projection (the d_ann_ivfpq encode shape). */
-  private def encode(e: DataFrame,
-      q: (Array[Array[Double]], Array[Array[Array[Double]]])): DataFrame = {
-    val (coarse, books) = q
+  private[graft] def encode(e: DataFrame, q: Quantizer): DataFrame = {
+    val Quantizer(coarse, books) = q
     val sub = coarse.head.length / M
     var enc = Similarity.withCell(
       e.select(col("vec_id"), col("embedding")), "embedding", coarse, "cell")
@@ -245,6 +248,29 @@ private[graft] object VecBackbone {
     VecBatch(
       s.read.parquet(s"$base/buckets"),
       s.read.parquet(s"$base/codes"))
+  }
+
+  /** Compact EXTERNALLY-PRODUCED raw index tables (bucket + code rows —
+    * e.g. `VecIndexStream.indexWriter`'s ingest-time output) into full
+    * [[VecHistory]] by deriving the pair graph and cluster labels. This
+    * is the nightly step between the streaming vector-index writer and
+    * the batch advance: ingest persists assignments as embeddings
+    * arrive; compaction turns them into the probe-ready state the
+    * stored-delta and the advance read. Instance-keyed memo (per-JVM
+    * subtree — see Warehouse.instanceRoot): two different intakes
+    * reusing a tag rebuild instead of silently sharing. */
+  private[graft] def compact(s: SparkSession, buckets: DataFrame,
+                             codes: DataFrame, tag: String): VecHistory = {
+    val inId =
+      s"${Warehouse.instanceId(buckets)}_${Warehouse.instanceId(codes)}"
+    val base = s"${Warehouse.instanceRoot}/vec_compact_" +
+      s"${Warehouse.sanitize(tag)}_$inId"
+    Warehouse.ensure(s, base) {
+      buckets.write.mode("overwrite").parquet(s"$base/buckets")
+      codes.write.mode("overwrite").parquet(s"$base/codes")
+      derivePairsAndLabels(s, base)
+    }
+    readHistory(s, base)
   }
 
   /** Stored-delta verdicts (`d_semantic_delta_stored`): one row per

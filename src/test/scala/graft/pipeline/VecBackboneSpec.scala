@@ -134,14 +134,14 @@ class VecBackboneSpec extends AnyFunSuite {
     val prev = sys.props.get("graft.backbone.dir")
     sys.props("graft.backbone.dir") = root
     try {
-      val (coarse0, books0) = VecBackbone.quantizer(spark, corpus)
+      val VecBackbone.Quantizer(coarse0, books0) = VecBackbone.quantizer(spark, corpus)
       val qDir = new java.io.File(root).listFiles()
         .filter(_.isDirectory).flatMap(_.listFiles())
         .find(_.getName == "quantizer").get
       val mtime0 = qDir.lastModified()
       Thread.sleep(20)
       VecBackbone.resetMemoForTest() // simulate the next night's JVM
-      val (coarse1, books1) = VecBackbone.quantizer(spark, corpus)
+      val VecBackbone.Quantizer(coarse1, books1) = VecBackbone.quantizer(spark, corpus)
       assert(qDir.lastModified() == mtime0,
         "a marker-complete quantizer must be reloaded, not retrained")
       assert(coarse0.map(_.toSeq).toSeq == coarse1.map(_.toSeq).toSeq)
@@ -160,7 +160,7 @@ class VecBackboneSpec extends AnyFunSuite {
       (0L until 64L).map(i => (i, Array.fill(8)(rnd.nextFloat() - 0.5f)))
         .toDF("vec_id", "embedding")
         .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
-      val (coarse2, _) = VecBackbone.quantizer(spark, corpus)
+      val VecBackbone.Quantizer(coarse2, _) = VecBackbone.quantizer(spark, corpus)
       assert(coarse2.map(_.toSeq).toSeq != coarse0.map(_.toSeq).toSeq,
         "data drop at the same path must retrain the quantizer")
     } finally {
