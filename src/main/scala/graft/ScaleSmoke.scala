@@ -141,10 +141,15 @@ object ScaleSmoke {
         })
       }
       // the corpus sweeps below have no individual section names: they
-      // run as one block unless a drill-down section was requested
+      // run as one block unless a drill-down section was requested; the
+      // sectioned corpus sweeps (vec-advance, advance-soak) synthesize
+      // on their own when drilled into
+      val corpusSections = Set("vec-advance", "advance-soak")
+      if (only.isEmpty || only.exists(corpusSections)) {
+        synthEmbeddings(spark, nVec, 64, dir)
+        synthDocuments(spark, nDoc, dir)
+      }
       if (only.isEmpty) {
-      synthEmbeddings(spark, nVec, 64, dir)
-      synthDocuments(spark, nDoc, dir)
 
       // ---- semantic dedup (sign-LSH planes, 2^planes ≈ n/30) ----------
       val planes = sys.env.get("SPARK_GRAFT_SMOKE_PLANES").map(_.toInt)
@@ -263,6 +268,30 @@ object ScaleSmoke {
         n
       })
 
+
+
+
+      // Packing balance: bucket fan-out is the parallelism knob — per-
+      // bucket row spread must stay tight or one straggler serializes.
+      val pb = pipeline.Packing
+        .packSequences(Tables.documents(spark, dir), 2048, 32)
+        .groupBy("bucket").count().agg(max("count"), min("count")).head
+      println(f"[scale] pack balance  x$m (n=$nDoc): per-bucket rows " +
+        f"[${pb.getLong(1)}%,d .. ${pb.getLong(0)}%,d] over 32 buckets")
+      timeIt(f"d_pipeline_e2e x$m (n=$nDoc)",
+        SparkEntry.queries("d_pipeline_e2e")(spark, dir).count())
+      // Span scrub + bloom decontam: both are explode-then-agg shapes
+      // whose work is ∝ total gram count — wall-clock must track n, and
+      // the bloom side's filter stays |bench-grams|-sized (the broadcast
+      // payload, NOT ∝ corpus) while its probe is a per-row bit test.
+      timeIt(f"span scrub x$m (n=$nDoc)",
+        pipeline.TextDedup.spanScrub(Tables.documents(spark, dir)).count())
+      timeIt(f"span scrub hashed x$m (n=$nDoc)",
+        pipeline.TextDedup.spanScrubHashed(Tables.documents(spark, dir)).count())
+      timeIt(f"bloom decontam x$m (n=$nDoc)",
+        SparkEntry.queries("d_decontam_bloom")(spark, dir).count())
+      }
+
       // ---- embedding-side advance vs rebuild (VecBackbone) ------------
       // The same maintenance contract on the VECTOR side: with a FIXED
       // arriving embedding batch and history growing with m, the
@@ -288,6 +317,33 @@ object ScaleSmoke {
         timeIt(f"vec rebuild x$m (n=$nVec%,d, p=$vPlanes)",
           pipeline.Similarity.semanticDedup(spark, Tables.embeddings(spark, dir),
             planes = vPlanes, threshold = pipeline.VecBackbone.Threshold).count())
+
+        // multi-day committed-advance soak, vector side: 3 committed
+        // advances chained from the day-1 commit (same scaled planes),
+        // each day's cost printed, final state checked equal to the
+        // full re-clustering (per-day equality is VecBackboneSpec's
+        // job — here the question is per-day COST as history grows)
+        val slices = 5
+        def vcut(i: Int): Long = (nVec.toLong * i) / slices
+        var vstate = pipeline.VecBackbone.advanceAndStore(spark, dir, vcut(1),
+          batchEnd = vcut(2), planes = vPlanes)
+        (2 until slices).foreach { i =>
+          val prev = vstate
+          timeIt(f"vec soak day $i x$m (hist=${vcut(i)}%,d, batch=${vcut(i + 1) - vcut(i)}%,d)", {
+            vstate = pipeline.VecBackbone.advanceAndStore(spark, dir, vcut(i),
+              histOverride = Some(prev), batchEnd = vcut(i + 1), planes = vPlanes)
+            vstate.labels.count()
+          })
+        }
+        val vfull = pipeline.Similarity.semanticDedup(
+            spark, Tables.embeddings(spark, dir),
+            planes = vPlanes, threshold = pipeline.VecBackbone.Threshold)
+          .select("vec_id", "cluster_id")
+        val vdiff = vstate.labels.except(vfull).count() +
+          vfull.except(vstate.labels).count()
+        require(vdiff == 0,
+          s"vec soak day ${slices - 1} diverged from the full re-clustering ($vdiff rows)")
+        println(f"[scale] vec soak day ${slices - 1} x$m: committed labels == full re-clustering ✓")
       }
 
       // ---- multi-day committed-advance soak (text side) ---------------
@@ -317,26 +373,6 @@ object ScaleSmoke {
             s"soak day $i diverged from the fresh build over the same prefix ($diff rows)")
           println(f"[scale] soak day $i x$m: committed labels == fresh prefix build ✓")
         }
-      }
-      // Packing balance: bucket fan-out is the parallelism knob — per-
-      // bucket row spread must stay tight or one straggler serializes.
-      val pb = pipeline.Packing
-        .packSequences(Tables.documents(spark, dir), 2048, 32)
-        .groupBy("bucket").count().agg(max("count"), min("count")).head
-      println(f"[scale] pack balance  x$m (n=$nDoc): per-bucket rows " +
-        f"[${pb.getLong(1)}%,d .. ${pb.getLong(0)}%,d] over 32 buckets")
-      timeIt(f"d_pipeline_e2e x$m (n=$nDoc)",
-        SparkEntry.queries("d_pipeline_e2e")(spark, dir).count())
-      // Span scrub + bloom decontam: both are explode-then-agg shapes
-      // whose work is ∝ total gram count — wall-clock must track n, and
-      // the bloom side's filter stays |bench-grams|-sized (the broadcast
-      // payload, NOT ∝ corpus) while its probe is a per-row bit test.
-      timeIt(f"span scrub x$m (n=$nDoc)",
-        pipeline.TextDedup.spanScrub(Tables.documents(spark, dir)).count())
-      timeIt(f"span scrub hashed x$m (n=$nDoc)",
-        pipeline.TextDedup.spanScrubHashed(Tables.documents(spark, dir)).count())
-      timeIt(f"bloom decontam x$m (n=$nDoc)",
-        SparkEntry.queries("d_decontam_bloom")(spark, dir).count())
       }
     }
     spark.stop()

@@ -369,7 +369,8 @@ private[graft] object VecBackbone {
       s: SparkSession, d: String,
       splitOverride: Long = -1L,
       histOverride: Option[VecHistory] = None,
-      batchEnd: Long = Long.MaxValue): VecHistory = {
+      batchEnd: Long = Long.MaxValue,
+      planes: Int = Planes): VecHistory = {
     val split = if (splitOverride >= 0) splitOverride else deltaSplit(s, d)
     val histId = histOverride
       .map(h => s"h${Warehouse.instanceId(h)}").getOrElse("fresh")
@@ -378,9 +379,9 @@ private[graft] object VecBackbone {
     val advRoot =
       if (histOverride.isDefined) s"${Warehouse.instanceRoot}/vec_${token(s, d)}"
       else root(s, d)
-    val base = s"$advRoot/adv${split}e${batchEnd}_$histId"
+    val base = s"$advRoot/adv${split}e${batchEnd}_p${planes}_$histId"
     Warehouse.ensure(s, base) {
-      val p = advanceParts(s, d, split, histOverride, batchEnd)
+      val p = advanceParts(s, d, split, histOverride, batchEnd, planes)
       p.h.buckets.unionByName(p.bt.buckets)
         .write.mode("overwrite").parquet(s"$base/buckets")
       p.h.codes.unionByName(p.bt.codes)
