@@ -55,8 +55,16 @@ object Bench {
     val backboneSec =
       try {
         pipeline.Backbone.prebuild(spark, sfDir)
-        pipeline.VecBackbone.prebuild(spark, sfDir) // embedding-side index
         (System.nanoTime() - tBackbone0) / 1e9
+      } catch { case NonFatal(_) => -1.0 }
+    // embedding-side index build timed SEPARATELY: a vec failure must
+    // not discard the text timing, and a -1 here tells the reader the
+    // first d_ann_*/d_semantic_* timing below paid the index build
+    val tVec0 = System.nanoTime()
+    val vecIndexSec =
+      try {
+        pipeline.VecBackbone.prebuild(spark, sfDir)
+        (System.nanoTime() - tVec0) / 1e9
       } catch { case NonFatal(_) => -1.0 }
 
     // A failed query must not masquerade as a fast one: its timing is
@@ -135,7 +143,7 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min-of-${passes.length}-passes","pass_totals":$passTotals,"pass_load_avg":$passLoadsJson,"backbone_build_sec":$backboneSec,"queries":$qs,"errors":$errors,"sf":$sfJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min-of-${passes.length}-passes","pass_totals":$passTotals,"pass_load_avg":$passLoadsJson,"backbone_build_sec":$backboneSec,"vec_index_build_sec":$vecIndexSec,"queries":$qs,"errors":$errors,"sf":$sfJson}"""
     println(line)
     // The driver captures stdout with a tail that can truncate the JSON
     // head on long runs — persist the full line to a file as well so

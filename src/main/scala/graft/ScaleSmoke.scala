@@ -144,11 +144,12 @@ object ScaleSmoke {
       // run as one block unless a drill-down section was requested; the
       // sectioned corpus sweeps (vec-advance, advance-soak) synthesize
       // on their own when drilled into
-      val corpusSections = Set("vec-advance", "advance-soak")
-      if (only.isEmpty || only.exists(corpusSections)) {
+      // each drill-down synthesizes only what it reads: vec-advance
+      // consumes embeddings, advance-soak consumes documents
+      if (only.isEmpty || only.contains("vec-advance"))
         synthEmbeddings(spark, nVec, 64, dir)
+      if (only.isEmpty || only.contains("advance-soak"))
         synthDocuments(spark, nDoc, dir)
-      }
       if (only.isEmpty) {
 
       // ---- semantic dedup (sign-LSH planes, 2^planes ≈ n/30) ----------
@@ -267,9 +268,6 @@ object ScaleSmoke {
         ((edges +: lCaches) ++ mhR.caches).foreach(_.unpersist())
         n
       })
-
-
-
 
       // Packing balance: bucket fan-out is the parallelism knob — per-
       // bucket row spread must stay tight or one straggler serializes.

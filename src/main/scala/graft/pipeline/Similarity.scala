@@ -195,13 +195,14 @@ object Similarity {
       val e0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       // trained-once index artifact: sample + fit memoized per corpus
       // VERSION (path + file metadata), not bare path
-      val ck = corpusKey(s, d)
-      val centers =
-        fitCached(s"$ck|ivf", nCells, 10, 42)(sampleCached(ck, e0))
+      // STORED quantizer first: a fresh JVM over a committed warehouse
+      // loads the persisted centers (and seeds the fit memo) instead of
+      // re-sampling + refitting — the trained-once contract end to end
+      val centers = VecBackbone.quantizer(s, d).coarse
       // corpus side = the STORED cell table ([[VecBackbone.codes]] —
-      // same quantizer by memo key, same argmin expression, so
-      // assignments are bit-identical to an inline encode): the
-      // production read path scans the index, not the embeddings
+      // same quantizer, same argmin expression, so assignments are
+      // bit-identical to an inline encode): the production read path
+      // scans the index, not the embeddings
       val cand = VecBackbone.codes(s, d)
         .select(col("vec_id").as("n_id"), col("v").as("nv"), col("cell"),
           col("n").as("nn"))

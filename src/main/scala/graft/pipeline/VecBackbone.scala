@@ -86,19 +86,19 @@ private[graft] object VecBackbone {
   // loads instead of refitting)
   // ---------------------------------------------------------------------
 
-  /** The coarse IVF centers and the M PQ codebooks, as a stored parquet
-    * table (kind, idx, center) — rows: "ivf" × NCells, "pq$b" × K. The
-    * first build trains driver-side on the bounded seeded sample (same
-    * fits, same memo keys as d_ann_ivf/d_ann_ivfpq — one training per
-    * corpus version, shared); every later call — INCLUDING in a fresh
-    * JVM — reads the table back and seeds the in-JVM fit memo, so the
-    * ANN queries skip refitting too. Quantizer bytes are tiny
-    * (NCells+M·K centers); the collect is index-metadata-scale. */
   /** The pinned trained quantizer: coarse IVF centers + M PQ codebooks
     * — the index artifact ingest writers and batch encoders share. */
   final case class Quantizer(coarse: Array[Array[Double]],
                              books: Array[Array[Array[Double]]])
 
+  /** The quantizer as a stored parquet table (kind, idx, center) —
+    * rows: "ivf" × NCells, "pq$b" × K. The first build trains
+    * driver-side on the bounded seeded sample (same fits, same memo
+    * keys as d_ann_ivf/d_ann_ivfpq — one training per corpus version,
+    * shared); every later call — INCLUDING in a fresh JVM — reads the
+    * table back and seeds the in-JVM fit memo, so the ANN queries skip
+    * refitting too. Quantizer bytes are tiny (NCells+M·K centers); the
+    * collect is index-metadata-scale. */
   def quantizer(s: SparkSession, d: String): Quantizer = {
     import s.implicits._
     Similarity.register(s)

@@ -67,7 +67,29 @@ private[pipeline] object Warehouse {
     * corpus-derived paths. (Default rootDir is already runId-scoped, so
     * no extra nesting there.) */
   def instanceRoot: String =
-    if (explicitDir.isDefined) s"$rootDir/jvm_$runId" else rootDir
+    if (explicitDir.isDefined) {
+      val p = s"$rootDir/jvm_$runId"
+      registerCleanup(p) // meaningless to any later JVM — reclaim on exit
+      p
+    } else rootDir
+
+  // jvm_<runId> subtrees under an EXPLICIT warehouse root hold
+  // instance-keyed state no later JVM can address (fresh runId, fresh
+  // instance ids) — without cleanup every nightly-chain run would leave
+  // corpus-scale parquet behind until the warehouse disk fills.
+  private val cleanupRegistered = mutable.Set[String]()
+  private def registerCleanup(path: String): Unit = synchronized {
+    if (cleanupRegistered.add(path)) {
+      val dir = new java.io.File(path)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(dir)
+      }, s"graft-warehouse-jvm-cleanup"))
+    }
+  }
 
   /** Lossy sanitize for USER-SUPPLIED tags only — never for corpus
     * dirs, whose token must be injective (see [[token]]). */

@@ -238,25 +238,29 @@ object DedupStream {
   }
 
   /** Streaming near-dup candidate pairs. `minAgree` = minimum agreeing
-    * hashes of 8 (4 ≈ jaccard 0.5). `ttl` (None = keep state forever)
+    * hashes of `geometry.nHashes` (-1, the default, resolves to
+    * nHashes/2 ≈ jaccard 0.5 at ANY geometry — a fixed count would
+    * silently halve the admit threshold when a caller switches to the
+    * 16-hash R4 geometry). `ttl` (None = keep state forever)
     * trades recall for bounded state: buckets idle for longer than the
     * TTL are evicted, so a later duplicate of an evicted doc reads as
     * new — the knob a 100 TB ingest runs with, sized to the horizon
     * inside which duplicates actually arrive. Cap overflow is counted
     * in [[bucketOverflows]]. */
-  def nearDupPairs(docs: Dataset[DocEvent], minAgree: Int = 4,
+  def nearDupPairs(docs: Dataset[DocEvent], minAgree: Int = -1,
                    maxBucket: Int = 1024,
                    ttl: Option[FiniteDuration] = None,
                    geometry: BandGeometry = BandGeometry.Default)
       : Dataset[NearDupPair] = {
     import docs.sparkSession.implicits._
+    val agree = if (minAgree < 0) geometry.nHashes / 2 else minAgree
     val overflow = bucketOverflows(docs.sparkSession.sparkContext)
     val timeout = if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
                   else GroupStateTimeout.NoTimeout
     docs.flatMap(d => bandRows(d, geometry))
       .groupByKey(_.band_key)
       .flatMapGroupsWithState(OutputMode.Append, timeout)(
-        bucketUpdate(minAgree, maxBucket, ttl, overflow))
+        bucketUpdate(agree, maxBucket, ttl, overflow))
   }
 
   /** [[nearDupPairs]] with its bucket state BOOTSTRAPPED from an already-
@@ -281,12 +285,13 @@ object DedupStream {
     * keep-best pass), don't wait for eviction. A seeded bucket once
     * TOUCHED joins the TTL regime like any other. */
   def nearDupPairsWithHistory(docs: Dataset[DocEvent],
-                              history: Dataset[DocEvent], minAgree: Int = 4,
+                              history: Dataset[DocEvent], minAgree: Int = -1,
                               maxBucket: Int = 1024,
                               ttl: Option[FiniteDuration] = None,
                               geometry: BandGeometry = BandGeometry.Default)
       : Dataset[NearDupPair] = {
     import docs.sparkSession.implicits._
+    val agree = if (minAgree < 0) geometry.nHashes / 2 else minAgree
     val overflow = bucketOverflows(docs.sparkSession.sparkContext)
     val timeout = if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
                   else GroupStateTimeout.NoTimeout
@@ -300,7 +305,7 @@ object DedupStream {
     docs.flatMap(d => bandRows(d, geometry))
       .groupByKey(_.band_key)
       .flatMapGroupsWithState(OutputMode.Append, timeout,
-        initial)(bucketUpdate(minAgree, maxBucket, ttl, overflow))
+        initial)(bucketUpdate(agree, maxBucket, ttl, overflow))
   }
 
   private val exactUpdate =

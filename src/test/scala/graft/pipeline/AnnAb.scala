@@ -21,9 +21,16 @@ object AnnAb {
       val t0 = System.nanoTime(); val a = body
       (a, (System.nanoTime() - t0) / 1e9)
     }
-    // warm exactly like Bench: same plan shapes at sf0.001
-    qs.foreach(q => scala.util.Try(
-      graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()))
+    // warm exactly like Bench: same plan shapes at the toy SF (a warm
+    // failure is PRINTED, not swallowed — silently-cold pass-1 numbers
+    // would skew exactly the adjudications this tool exists for)
+    val warmSf = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
+    qs.foreach { q =>
+      scala.util.Try(graft.SparkEntry.queries(q)(spark, warmSf).count())
+        .failed.foreach(e =>
+          println(s"[ann-ab] WARM FAILED for $q at $warmSf: $e — pass 1 is cold"))
+    }
 
     if (qs.exists(_.startsWith("d_ann"))) {
       // ANN memo components, cold then warm
