@@ -140,6 +140,41 @@ class DedupStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("default minAgree tracks the geometry: jaccard 0.5 at R4, not a fixed count") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the same batch-estimator reference as above, at the R4 geometry —
+    // a fixed minAgree=4 of 16 hashes would admit est >= 0.25 pairs the
+    // batch r=4 verify contract (jaccard >= 0.5) rejects
+    val g = BandGeometry.R4
+    val sigs = corpus.map(d => d.doc_id -> DedupStream.signature(d.text, g))
+      .filter(_._2.nonEmpty).toMap
+    val buckets = corpus.flatMap { d =>
+      sigs.get(d.doc_id).toSeq.flatMap(sig =>
+        DedupStream.bandKeys(sig, g).map { case (b, k) => (s"$b|$k", d.doc_id) })
+    }.groupBy(_._1).values
+    val expected = buckets.flatMap { ms =>
+      val ids = ms.map(_._2).distinct.sorted
+      for {
+        i <- ids.indices; j <- (i + 1) until ids.length
+        if DedupStream.estJaccard(sigs(ids(i)), sigs(ids(j))) >= 0.5
+      } yield (ids(i), ids(j))
+    }.toSet
+    val ms = MemoryStream[DocEvent]
+    val q = DedupStream.nearDupPairs(ms.toDS(), geometry = g)
+      .writeStream.format("memory").queryName("neardup_r4")
+      .outputMode("append").start()
+    try {
+      ms.addData(corpus); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("neardup_r4").select("da", "db").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(got == expected,
+      s"R4 default threshold diverged from jaccard>=0.5: " +
+        s"extra=${(got diff expected).take(3)} " +
+        s"missing=${(expected diff got).take(3)}")
+  }
+
   test("near-dup state survives a checkpointed restart: no loss, no re-emission") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
