@@ -121,6 +121,46 @@ class VecBackboneSpec extends AnyFunSuite {
     } finally p.caches.foreach(_.unpersist())
   }
 
+  test("advance == rebuild on randomized corpora, splits cutting through clusters") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2203)
+    (0 until 2).foreach { c =>
+      // ~12 near-dup cliques of 3-6 vectors (shared base + small noise,
+      // cosine >> threshold) over 8 dims, plus isotropic background;
+      // ids SHUFFLED so every split cuts through cliques (cross edges +
+      // batch-new clusters)
+      val vecs = scala.collection.mutable.Buffer[Array[Float]]()
+      (0 until 12).foreach { _ =>
+        val base = Array.fill(8)((rnd.nextFloat() - 0.5f) * 2f)
+        (0 until 3 + rnd.nextInt(4)).foreach { _ =>
+          vecs += base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)
+        }
+      }
+      (0 until 40).foreach(_ => vecs += Array.fill(8)(rnd.nextFloat() - 0.5f))
+      val shuffled = rnd.shuffle(vecs.toSeq).zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toSeq) }
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_vadv_prop$c").toString
+      shuffled.toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val full = twoLongs(Similarity
+        .semanticDedup(spark, graft.Tables.embeddings(spark, dir),
+          planes = VecBackbone.Planes, threshold = VecBackbone.Threshold)
+        .select("vec_id", "cluster_id"))
+      assert(full.nonEmpty, s"corpus $c: planted cliques produced no clusters")
+      val n = shuffled.size
+      Seq(n / 4, n / 2, 3 * n / 4).foreach { split =>
+        val p = VecBackbone.advanceParts(spark, dir, split.toLong)
+        val incr = twoLongs(p.labels)
+        p.caches.foreach(_.unpersist())
+        assert(incr == full,
+          s"corpus $c split $split diverged: " +
+            s"only-incr ${(incr -- full).toSeq.sorted.take(5)}, " +
+            s"only-full ${(full -- incr).toSeq.sorted.take(5)}")
+      }
+    }
+  }
+
   test("quantizer is persisted: a restarted JVM reloads instead of refitting") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
