@@ -155,6 +155,82 @@ object NatsBridge {
       try ch.force(true) finally ch.close()
     } catch { case _: java.io.IOException => () }
 
+  /** The reference Batcher's flush envelope made real on the relay path
+    * — closing the carried O-T2 gap (src/handler.rs:96-160 `Batcher {
+    * max_rows, max_bytes, flush_interval_ms }` + `flush_due`/
+    * `flush_all`): fetched messages accumulate PER SUBJECT, a subject's
+    * spool file is cut as soon as its rows OR payload bytes cross the
+    * caps, and everything flushes on the interval tick. Acks ride the
+    * flush (the ack-after-durable contract is per spool file), so
+    * `ack_wait` must exceed `flushIntervalMs` — the same deployment
+    * constraint the reference's insert-then-ack loop carries. A crash
+    * before a flush loses nothing: unacked messages redeliver after
+    * ack_wait and the spool+ingest dedup absorbs the overlap. Memory is
+    * bounded by maxBytes per subject + one in-flight fetch (itself
+    * byte-capped at the consumer's 5 MB).
+    *
+    * Not thread-safe (one batcher per relay thread, like the wire
+    * Conn). Defaults mirror config/default.toml:41-43. */
+  final class SpoolBatcher(s: NatsSession, spoolRoot: String,
+                           maxRows: Int = 100000,
+                           maxBytes: Long = 60000000L,
+                           flushIntervalMs: Long = 1000L) {
+    private val pend =
+      scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.Buffer[Msg]]()
+    private val pendBytes = scala.collection.mutable.Map[String, Long]()
+    private var lastTick = System.nanoTime()
+
+    /** Rows waiting, all subjects (spec observability). */
+    def pendingRows: Int = pend.valuesIterator.map(_.size).sum
+
+    /** Accumulate fetched messages, checking the caps after EACH row —
+      * the reference inserts one message per channel recv and runs
+      * `flush_due` after it, so a subject flushes the moment it REACHES
+      * a cap (exactly max_rows rows in the file), never arbitrarily
+      * past it. Returns rows flushed. */
+    def offer(msgs: Seq[Msg]): Int = {
+      var n = 0
+      msgs.foreach { m =>
+        pend.getOrElseUpdate(m.subject,
+          scala.collection.mutable.Buffer.empty) += m
+        pendBytes(m.subject) =
+          pendBytes.getOrElse(m.subject, 0L) + m.payload.length
+        if (pend(m.subject).size >= maxRows ||
+            pendBytes(m.subject) >= maxBytes)
+          n += flushSubject(m.subject)
+      }
+      n
+    }
+
+    /** Interval tick: flush EVERYTHING (handler.rs `flush_all`). */
+    def flushAll(): Int = pend.keys.toSeq.map(flushSubject).sum
+
+    private def flushSubject(subject: String): Int =
+      pend.remove(subject) match {
+        case None => 0
+        case Some(ms) if ms.isEmpty => 0
+        case Some(ms) =>
+          pendBytes.remove(subject)
+          spool(ms.toSeq, spoolRoot)
+          ms.foreach(s.js.ack)
+          s.nc.ping(5000) // ack barrier, as in pumpOnce
+          ms.size
+      }
+
+    /** One relay cycle under the envelope: fetch, accumulate, cap-flush;
+      * interval-flush the remainder when the tick elapsed. Returns rows
+      * flushed this cycle. */
+    def pumpOnce(batch: Int = 512, expiresMs: Long = 1000): Int = {
+      val msgs = s.js.fetch(s.stream, s.durable, batch, expiresMs)
+      var n = if (msgs.nonEmpty) offer(msgs) else 0
+      if ((System.nanoTime() - lastTick) / 1000000L >= flushIntervalMs) {
+        n += flushAll()
+        lastTick = System.nanoTime()
+      }
+      n
+    }
+  }
+
   /** Run the relay until `stop` flips true (daemon-thread loop). */
   def relayLoop(s: NatsSession, spoolRoot: String, batch: Int,
                 expiresMs: Long, stop: () => Boolean): Unit =

@@ -51,6 +51,57 @@ class NatsBridgeSpec extends AnyFunSuite {
     }
   }
 
+  test("spool batcher: rows/bytes caps cut files, interval flushes the rest, acks ride the flush") {
+    withServer { (srv, nc) =>
+      val js = new NatsWire.JetStream(nc)
+      js.ensureStream("EVENTS", Seq(subject, "events.session"))
+      js.ensureConsumer("EVENTS", "graft-consumer", Seq(subject, "events.session"))
+      val spool = java.nio.file.Files.createTempDirectory("graft_batcher").toString
+      val session = NatsBridge.NatsSession(nc, js, "EVENTS", "graft-consumer")
+      def spoolFiles(sub: String): Int =
+        Option(new java.io.File(spool, sub).listFiles())
+          .getOrElse(Array.empty).count(_.getName.endsWith(".pbstream"))
+
+      // ROWS cap: 5 published, maxRows=3 → exactly one 3-row flush; the
+      // 2 remaining rows stay pending and UNACKED (ack rides the flush)
+      (1 to 5).foreach { i =>
+        nc.publish(subject, ProtoWire.encode(loginMsg(s"b-$i", s"u-$i", 1726300800L + i), schema))
+      }
+      nc.ping(2000)
+      val b = new NatsBridge.SpoolBatcher(session, spool,
+        maxRows = 3, maxBytes = Long.MaxValue, flushIntervalMs = Long.MaxValue / 2)
+      val flushed = b.offer(js.fetch("EVENTS", "graft-consumer", 10, 2000))
+      assert(flushed == 3, s"rows cap should flush exactly maxRows, got $flushed")
+      assert(b.pendingRows == 2)
+      assert(spoolFiles(subject) == 1)
+      nc.ping(2000)
+      assert(srv.ackedCount("EVENTS", "graft-consumer") == 3,
+        "only flushed rows may be acked")
+
+      // interval tick: flushAll drains the remainder and acks it
+      assert(b.flushAll() == 2)
+      assert(b.pendingRows == 0)
+      assert(spoolFiles(subject) == 2)
+      nc.ping(2000)
+      assert(srv.ackedCount("EVENTS", "graft-consumer") == 5)
+
+      // BYTES cap: per-subject accounting — a small subject stays
+      // pending while the loud one crosses the byte budget and flushes
+      val payload = ProtoWire.encode(loginMsg("c-1", "u-9", 1726300900L), schema)
+      (1 to 4).foreach(_ => nc.publish(subject, payload))
+      nc.publish("events.session", payload)
+      nc.ping(2000)
+      val b2 = new NatsBridge.SpoolBatcher(session, spool,
+        maxRows = Int.MaxValue, maxBytes = 3L * payload.length,
+        flushIntervalMs = Long.MaxValue / 2)
+      val f2 = b2.offer(js.fetch("EVENTS", "graft-consumer", 10, 2000))
+      assert(f2 == 3, s"byte cap should flush AT the boundary, got $f2")
+      assert(b2.pendingRows == 2,
+        "the quiet subject and the post-flush tail must stay pending")
+      assert(b2.flushAll() == 2)
+    }
+  }
+
   test("relay: fetch -> graft-proto spool -> ack; Spark reads the spool typed") {
     withServer { (srv, nc) =>
       val js = new NatsWire.JetStream(nc)
