@@ -231,6 +231,17 @@ object NatsBridge {
     }
   }
 
+  object SpoolBatcher {
+    /** Config-driven construction — the `[batcher]` TOML section is the
+      * reference's BatchConfig (src/config.rs:113-118) verbatim. */
+    def apply(s: NatsSession, spoolRoot: String,
+              cfg: graft.EngineConfig): SpoolBatcher =
+      new SpoolBatcher(s, spoolRoot,
+        maxRows = math.min(cfg.batcher.maxRows, Int.MaxValue.toLong).toInt,
+        maxBytes = cfg.batcher.maxBytes,
+        flushIntervalMs = cfg.batcher.flushIntervalMs)
+  }
+
   /** Run the relay until `stop` flips true (daemon-thread loop). */
   def relayLoop(s: NatsSession, spoolRoot: String, batch: Int,
                 expiresMs: Long, stop: () => Boolean): Unit =

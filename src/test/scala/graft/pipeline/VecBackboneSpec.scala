@@ -161,6 +161,41 @@ class VecBackboneSpec extends AnyFunSuite {
     }
   }
 
+  test("warehouse mode: a committed fresh advance is REUSED across a JVM restart") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("vecbb_adv_wh").toString
+    val corpus = java.nio.file.Files.createTempDirectory("vecbb_adv_c").toString
+    val rnd = new scala.util.Random(31)
+    (0L until 48L).map(i => (i, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    val prev = sys.props.get("graft.backbone.dir")
+    sys.props("graft.backbone.dir") = root
+    try {
+      // night 1: the stored-history ("fresh") commit — corpus-token
+      // keyed, so it must be findable by the NEXT JVM
+      val day1 = VecBackbone.advanceAndStore(spark, corpus, 24L)
+      val labels1 = twoLongs(day1.labels)
+      val advDirs = new java.io.File(root).listFiles()
+        .filter(_.isDirectory).flatMap(_.listFiles())
+        .filter(_.getName.startsWith("adv"))
+      assert(advDirs.nonEmpty, "fresh advance must commit under the corpus subtree")
+      val mtime0 = advDirs.map(_.lastModified()).max
+      Thread.sleep(20)
+      VecBackbone.resetMemoForTest() // the next night's JVM
+      val day1Again = VecBackbone.advanceAndStore(spark, corpus, 24L)
+      assert(advDirs.map(_.lastModified()).max == mtime0,
+        "a marker-complete fresh advance must be REUSED, not recommitted")
+      assert(twoLongs(day1Again.labels) == labels1)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.backbone.dir") = v
+        case None => sys.props -= "graft.backbone.dir"
+      }
+      VecBackbone.resetMemoForTest()
+    }
+  }
+
   test("quantizer is persisted: a restarted JVM reloads instead of refitting") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
