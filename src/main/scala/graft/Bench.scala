@@ -66,6 +66,14 @@ object Bench {
         pipeline.VecBackbone.prebuild(spark, sfDir)
         (System.nanoTime() - tVec0) / 1e9
       } catch { case NonFatal(_) => -1.0 }
+    // curated-pipeline artifact (decision + scrubbed-text tables) — its
+    // own line item like the two index builds above
+    val tPipe0 = System.nanoTime()
+    val pipelineSec =
+      try {
+        pipeline.EndToEnd.prebuild(spark, sfDir)
+        (System.nanoTime() - tPipe0) / 1e9
+      } catch { case NonFatal(_) => -1.0 }
 
     // A failed query must not masquerade as a fast one: its timing is
     // reported as -1 and its name lands in "errors". NonFatal only: an
@@ -143,7 +151,7 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min-of-${passes.length}-passes","pass_totals":$passTotals,"pass_load_avg":$passLoadsJson,"backbone_build_sec":$backboneSec,"vec_index_build_sec":$vecIndexSec,"queries":$qs,"errors":$errors,"sf":$sfJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min-of-${passes.length}-passes","pass_totals":$passTotals,"pass_load_avg":$passLoadsJson,"backbone_build_sec":$backboneSec,"vec_index_build_sec":$vecIndexSec,"pipeline_build_sec":$pipelineSec,"queries":$qs,"errors":$errors,"sf":$sfJson}"""
     println(line)
     // The driver captures stdout with a tail that can truncate the JSON
     // head on long runs — persist the full line to a file as well so
