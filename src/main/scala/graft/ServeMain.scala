@@ -79,11 +79,12 @@ object ServeMain {
         (NatsBroker(wireRoot): BrokerSource, () => { stop = true; relay.join(5000) })
       } else (FileBroker(wireRoot): BrokerSource, () => ())
 
-    // the TOML batcher envelope reaches the streaming queries: the
-    // trigger is flush_interval_ms (the reference's flush cadence). The
-    // byte cap (max_bytes) governs the relay's pull batch above; the
-    // graft-proto tail has no per-trigger byte knob — the documented
-    // O-T2 approximation (SURVEY §2.9).
+    // the TOML batcher envelope applies at the relay: superviseRelay
+    // runs each connection through NatsBridge.SpoolBatcher, which cuts
+    // spool files on max_rows/max_bytes and drains on flush_interval_ms
+    // (the reference's Batcher, src/handler.rs:96-160 — SURVEY §2.9
+    // O-T2). Downstream, the streaming queries trigger on the same
+    // flush_interval_ms so the ingest cadence matches the flush cadence.
     val queries = Ingest.startFromBroker(spark, broker, outDir, ckptRoot,
       trigger = Ingest.batcherParams(cfg)._1,
       subjects = cfg.broker.subjects)

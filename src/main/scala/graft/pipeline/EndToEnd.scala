@@ -112,9 +112,13 @@ object EndToEnd {
       s"${Warehouse.token(s, d, "documents.parquet")}/scrubbed"
     Warehouse.ensure(s, base) {
       val (dec, scrub, caches) = scrubbedParts(s, d)
-      dec.write.mode("overwrite").parquet(s"$base/dec")
-      scrub.write.mode("overwrite").parquet(s"$base/scrub")
-      caches.foreach(_.unpersist())
+      // unpersist in finally: a failed write (disk full, killed stage)
+      // must not leak the persisted decision/keeper blocks for the rest
+      // of the JVM — every retry would stack another set
+      try {
+        dec.write.mode("overwrite").parquet(s"$base/dec")
+        scrub.write.mode("overwrite").parquet(s"$base/scrub")
+      } finally caches.foreach(_.unpersist())
     }
     (s.read.parquet(s"$base/dec"), s.read.parquet(s"$base/scrub"))
   }

@@ -199,11 +199,20 @@ object NatsBridge {
             pendBytes(m.subject) >= maxBytes)
           n += flushSubject(m.subject)
       }
+      if (n > 0) s.nc.ping(5000) // one ack barrier per cycle, not per file
       n
     }
 
-    /** Interval tick: flush EVERYTHING (handler.rs `flush_all`). */
-    def flushAll(): Int = pend.keys.toSeq.map(flushSubject).sum
+    /** Interval tick: flush EVERYTHING (handler.rs `flush_all`). One
+      * ping barrier for the whole drain — acks only need to be SENT
+      * after each file's durable rename; a per-subject round trip would
+      * stall a 9-subject tick for up to 9 × the ping timeout on a
+      * degraded link. */
+    def flushAll(): Int = {
+      val n = pend.keys.toSeq.map(flushSubject).sum
+      if (n > 0) s.nc.ping(5000)
+      n
+    }
 
     private def flushSubject(subject: String): Int =
       pend.remove(subject) match {
@@ -212,22 +221,23 @@ object NatsBridge {
         case Some(ms) =>
           pendBytes.remove(subject)
           spool(ms.toSeq, spoolRoot)
-          ms.foreach(s.js.ack)
-          s.nc.ping(5000) // ack barrier, as in pumpOnce
+          ms.foreach(s.js.ack) // sent post-rename; caller barriers once
           ms.size
       }
 
     /** One relay cycle under the envelope: fetch, accumulate, cap-flush;
-      * interval-flush the remainder when the tick elapsed. Returns rows
-      * flushed this cycle. */
+      * interval-flush the remainder when the tick elapsed. Returns the
+      * number of messages FETCHED — the relay's activity signal (rows
+      * may stay pending under the envelope, so "flushed" would read 0
+      * on a busy cycle and stall the loop's backoff logic). */
     def pumpOnce(batch: Int = 512, expiresMs: Long = 1000): Int = {
       val msgs = s.js.fetch(s.stream, s.durable, batch, expiresMs)
-      var n = if (msgs.nonEmpty) offer(msgs) else 0
+      if (msgs.nonEmpty) offer(msgs)
       if ((System.nanoTime() - lastTick) / 1000000L >= flushIntervalMs) {
-        n += flushAll()
+        flushAll()
         lastTick = System.nanoTime()
       }
-      n
+      msgs.size
     }
   }
 
@@ -242,11 +252,15 @@ object NatsBridge {
         flushIntervalMs = cfg.batcher.flushIntervalMs)
   }
 
-  /** Run the relay until `stop` flips true (daemon-thread loop). */
-  def relayLoop(s: NatsSession, spoolRoot: String, batch: Int,
+  /** Run the relay under the batcher envelope until `stop` flips true
+    * (daemon-thread loop). Idle backoff only when the broker had
+    * nothing AND nothing is pending — with rows pending the loop must
+    * keep cycling so the interval flush fires on schedule (the fetch
+    * itself blocks up to `expiresMs`, bounding the spin). */
+  def relayLoop(b: SpoolBatcher, batch: Int,
                 expiresMs: Long, stop: () => Boolean): Unit =
     while (!stop())
-      if (pumpOnce(s, spoolRoot, batch, expiresMs) == 0)
+      if (b.pumpOnce(batch, expiresMs) == 0 && b.pendingRows == 0)
         Thread.sleep(expiresMs / 4 + 1) // idle backoff, sub-ack_wait
 
   /** Supervised relay: reconnect + re-ensure on connection loss with
@@ -266,7 +280,11 @@ object NatsBridge {
         val session = connect(cfg)
         try {
           backoff = 100L // healthy connection resets the backoff
-          relayLoop(session, spoolRoot, batch, expiresMs, stop)
+          // one batcher per connection: its pending rows die with the
+          // session unacked and redeliver after ack_wait — the
+          // at-least-once contract needs no flush-on-disconnect
+          relayLoop(SpoolBatcher(session, spoolRoot, cfg),
+            batch, expiresMs, stop)
         } finally session.close()
       } catch {
         case _: InterruptedException => return failures
