@@ -42,6 +42,31 @@ object TextDedup {
   private def tokens(s: SparkSession, d: String): DataFrame =
     rawTokens(s, d).distinct()
 
+  /** Audit-window bound shared by the exact verifier and the recall
+    * audit. Covers the planted near-dup pairs at every SF (pairs like
+    * 8↔245 straddle 200); keeps the quadratic bounded at sf0.1+. */
+  private val auditWindow = 500
+
+  /** Exact ground-truth near-dup pairs within the audit window: shared-
+    * bigram equi-join + COUNT(*) intersection, Jaccard ≥ 0.5 (the
+    * cascade's θ). Returns (truth pairs UNORDERED, the token cache to
+    * drop after materialization). */
+  private def exactPairsWindow(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val t = tokens(s, d).filter(col("doc_id") < auditWindow).persist()
+    val sz = t.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = t.as("a").join(t.as("b"),
+        col("a.bg") === col("b.bg") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    val truth = inter
+      .join(broadcast(sz).as("sa"), col("da") === col("sa.doc_id"))
+      .join(broadcast(sz).as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"),
+        round(col("inter") / (col("sa.n") + col("sb.n") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+    (truth, t)
+  }
+
 
   val queries: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy on the STORED fingerprint table (built
@@ -59,20 +84,33 @@ object TextDedup {
     // all-pairs array_intersect 2x at sf0.1 — per-pair set construction
     // costs more than the narrow join rows it avoids.)
     "d_dedup_ngram" -> ((s, d) => {
-      // Slice bound covers the planted near-dup pairs at every SF (pairs
-      // like 8↔245 straddle 200); stays quadratic-bounded at sf0.1+.
-      val t = tokens(s, d).filter(col("doc_id") < 500).persist()
-      val sz = t.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = t.as("a").join(t.as("b"),
-          col("a.bg") === col("b.bg") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .agg(count(lit(1)).as("inter"))
-      Materialize.drop(inter
-        .join(broadcast(sz).as("sa"), col("da") === col("sa.doc_id"))
-        .join(broadcast(sz).as("sb"), col("db") === col("sb.doc_id"))
-        .select(col("da"), col("db"),
-          round(col("inter") / (col("sa.n") + col("sb.n") - col("inter")), 6).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
+      val (truth, t) = exactPairsWindow(s, d)
+      Materialize.drop(truth.orderBy("da", "db"), t)
+    }),
+
+    // LSH RECALL AUDIT — production observability for the band geometry.
+    // At 100 TB nobody can verify dedup exhaustively; instead an audit
+    // window (the same bounded slice as the exact verifier) computes the
+    // exact ground-truth near-dup pairs and checks each one against the
+    // STORED band table's bucket collisions (pushed-down doc_id filter —
+    // a metadata-pruned read, never a re-sign). recall = avg(caught); a
+    // window recall materially below the S-curve bound 1-(1-θ^r)^b says
+    // the geometry under-catches at its threshold and bands/rows need
+    // retuning — measured on live data, not assumed from the formula.
+    // Cost: O(window²) verification + one filtered band-table read;
+    // corpus-scale work never happens.
+    "d_dedup_recall" -> ((s, d) => {
+      val (truth, t) = exactPairsWindow(s, d)
+      val b = Backbone.bands(s, d).filter(col("doc_id") < auditWindow)
+      val caught = b.as("x").join(b.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .distinct().withColumn("caught", lit(1))
+      Materialize.drop(truth
+        .join(caught, Seq("da", "db"), "left")
+        .select(col("da"), col("db"), col("jaccard"),
+          coalesce(col("caught"), lit(0)).as("caught"))
         .orderBy("da", "db"), t)
     }),
 
@@ -939,6 +977,40 @@ object TextDedup {
     "d_dedup_minhash" ->
       s"""WITH $pairsCte
           SELECT da, db, jaccard FROM pairsj ORDER BY da, db""",
+
+    // Recall audit: exact truth within the window vs band-bucket catches.
+    // The sigs/bands CTEs recompute the window docs' signatures with the
+    // same seeded-md5 chain as pairsCte — a doc's band keys depend only
+    // on its own text, so the window-local recompute equals the stored
+    // full-corpus band table the Spark side reads.
+    "d_dedup_recall" ->
+      s"""WITH $bigramCte,
+          t AS (SELECT * FROM toks WHERE doc_id < 500),
+          sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY 1),
+          tp AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+            FROM t a JOIN t b ON a.bg = b.bg AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          truth AS (
+            SELECT da, db, round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+            FROM tp JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+            WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.5),
+          sigs AS (
+            SELECT doc_id, seed,
+                   MIN(substr(md5(CAST(seed AS VARCHAR) || '|' || bg), 1, 16)) AS h
+            FROM t CROSS JOIN range(0, 8) r(seed)
+            GROUP BY doc_id, seed),
+          bands AS (
+            SELECT doc_id, seed % 4 AS band, string_agg(h, '' ORDER BY seed) AS bkey
+            FROM sigs GROUP BY 1, 2),
+          cands AS (
+            SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+          SELECT truth.da, truth.db, truth.jaccard,
+                 CAST(c.da IS NOT NULL AS INT) AS caught
+          FROM truth LEFT JOIN cands c ON truth.da = c.da AND truth.db = c.db
+          ORDER BY truth.da, truth.db""",
 
     // Transitive closure over the (symmetrized) minhash near-dup pairs;
     // cluster_id = min reachable doc_id (incl. self), matching the

@@ -38,6 +38,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(overlap >= 0.5, s"simhash recall vs minhash too low: $overlap ($sh vs $mh)")
   }
 
+  test("recall audit: exact dups always caught; caught pairs are stored verified pairs") {
+    val rows = TextDedup.queries("d_dedup_recall")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty, "audit window must contain planted near-dup truth pairs")
+    // LAW: jaccard == 1 means identical shingle sets, hence identical
+    // minhash signatures and band keys — banding can NEVER miss them
+    val exact = rows.filter(_._3 == 1.0)
+    assert(exact.nonEmpty && exact.forall(_._4 == 1),
+      s"an exact-duplicate pair escaped the banding: ${exact.filter(_._4 == 0)}")
+    // LAW: a caught truth pair (jaccard >= theta, shares a bucket) is by
+    // definition an LSH candidate that verification keeps — it must
+    // appear in the stored verified-pairs table
+    val stored = Backbone.pairs(spark, sf)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val caught = rows.filter(_._4 == 1).map(t => (t._1, t._2))
+    assert(caught.forall(stored.contains),
+      s"caught pairs missing from the stored pair table: ${caught.filterNot(stored.contains)}")
+    // the audit's point: measured recall is reported, and for the planted
+    // corpus it should be healthily above the theta-floor S-curve value
+    val recall = rows.count(_._4 == 1).toDouble / rows.size
+    assert(recall >= 0.5, s"window recall implausibly low: $recall")
+  }
+
   test("ann lsh results agree with brute force within the same bucket") {
     val brute = Similarity.queries("d_knn_cosine")(spark, sf)
     val lsh = Similarity.queries("d_ann_lsh")(spark, sf)

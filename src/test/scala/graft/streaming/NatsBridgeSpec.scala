@@ -215,6 +215,54 @@ class NatsBridgeSpec extends AnyFunSuite {
     }
   }
 
+  test("relayLoop applies the envelope: rows cap cuts a file mid-stream, the tick drains the rest") {
+    withServer { (srv, nc) =>
+      val js = new NatsWire.JetStream(nc)
+      js.ensureStream("EVENTS", Seq(subject))
+      js.ensureConsumer("EVENTS", "graft-consumer", Seq(subject))
+      val spool = java.nio.file.Files.createTempDirectory("relay_env").toString
+      def spoolFiles: Int =
+        Option(new java.io.File(spool, subject).listFiles())
+          .getOrElse(Array.empty).count(_.getName.endsWith(".pbstream"))
+      (1 to 5).foreach { i =>
+        nc.publish(subject, ProtoWire.encode(loginMsg(s"r-$i", s"u-$i", 1726300800L + i), schema))
+      }
+      nc.ping(2000)
+      // the relay thread owns its own Conn (the wire client is single-
+      // threaded); the test Conn only publishes and reads server state
+      val ncRelay = new NatsWire.Conn(srv.host, srv.port, Some("user"), Some("password"))
+      try {
+        val session = NatsBridge.NatsSession(ncRelay,
+          new NatsWire.JetStream(ncRelay), "EVENTS", "graft-consumer")
+        val b = new NatsBridge.SpoolBatcher(session, spool,
+          maxRows = 3, maxBytes = Long.MaxValue, flushIntervalMs = 3000L)
+        @volatile var stop = false
+        val t = new Thread(() =>
+          NatsBridge.relayLoop(b, batch = 10, expiresMs = 100, stop = () => stop))
+        t.setDaemon(true)
+        try {
+          t.start()
+          // phase 1 — the rows cap fires inside the loop: exactly one
+          // 3-row file cut and acked, 2 rows pending UNACKED until the tick
+          val d1 = System.currentTimeMillis() + 5000
+          while (srv.ackedCount("EVENTS", "graft-consumer") < 3 &&
+                 System.currentTimeMillis() < d1) Thread.sleep(20)
+          assert(srv.ackedCount("EVENTS", "graft-consumer") == 3,
+            "cap flush must ack exactly the cut file before the tick")
+          assert(spoolFiles == 1)
+          // phase 2 — the interval tick drains the pending remainder
+          val d2 = System.currentTimeMillis() + 8000
+          while (srv.ackedCount("EVENTS", "graft-consumer") < 5 &&
+                 System.currentTimeMillis() < d2) Thread.sleep(50)
+          assert(srv.ackedCount("EVENTS", "graft-consumer") == 5,
+            "interval tick must flush+ack the sub-cap remainder")
+          assert(spoolFiles == 2)
+        } finally { stop = true; t.join(5000) }
+        assert(!t.isAlive, "relay loop must honor stop()")
+      } finally ncRelay.close()
+    }
+  }
+
   test("supervised relay survives a broker restart: reconnect, re-ensure, resume") {
     val srv1 = new MockNatsServer
     val port = srv1.port
