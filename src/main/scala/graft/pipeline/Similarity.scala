@@ -289,20 +289,48 @@ object Similarity {
     // over a bounded probe slice.
     "d_dedup_cosine" -> ((s, d) => {
       register(s)
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").as("v"))
-        .withColumn("n", norm("v"))
-      val a = e.select(col("vec_id").as("va"), col("v").as("xa"), col("n").as("na"))
-        .filter(col("va") < 200)
-      val b = e.select(col("vec_id").as("vb"), col("v").as("xb"), col("n").as("nb"))
-      b.crossJoin(broadcast(a))
-        .filter(col("va") < col("vb"))
-        .withColumn("cos", round(dot("xa", "xb") / (col("na") * col("nb")), 4))
-        .filter(col("cos") >= 0.3)
-        .select(col("va"), col("vb"), col("cos"))
+      exactCosineWindow(s, d).orderBy("va", "vb")
+    }),
+
+    // ANN RECALL AUDIT — the vector twin of d_dedup_recall. Exact ground
+    // truth (the bounded probe slice against the FULL corpus, cosine ≥
+    // the semantic-dedup θ) is checked against the STORED bucket inverted
+    // list: caught = both endpoints share a sign-LSH bucket, read from
+    // [[VecBackbone.buckets]] with two narrow vec_id-keyed joins (the
+    // truth side is audit-sized, so AQE broadcasts it; the index is
+    // never re-derived). Measured recall on live data is the knob the
+    // 2^planes ≈ n/30 rule gets tuned BY — cross-bucket misses are the
+    // price of sub-quadratic candidates, and this entry reports the
+    // actual price instead of assuming the hyperplane model.
+    "d_ann_recall" -> ((s, d) => {
+      register(s)
+      val truth = exactCosineWindow(s, d)
+      val bk = VecBackbone.buckets(s, d).select(col("vec_id"), col("bucket"))
+      truth
+        .join(bk.select(col("vec_id").as("va"), col("bucket").as("ba")), "va")
+        .join(bk.select(col("vec_id").as("vb"), col("bucket").as("bb")), "vb")
+        .select(col("va"), col("vb"), col("cos"),
+          (col("ba") === col("bb")).cast("int").as("caught"))
         .orderBy("va", "vb")
     })
   )
+
+  /** Exact cosine ground truth on the bounded probe slice (va < 200)
+    * against the full corpus — shared by the exhaustive pair query and
+    * the recall audit. Unordered. */
+  private def exactCosineWindow(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("n", norm("v"))
+    val a = e.select(col("vec_id").as("va"), col("v").as("xa"), col("n").as("na"))
+      .filter(col("va") < 200)
+    val b = e.select(col("vec_id").as("vb"), col("v").as("xb"), col("n").as("nb"))
+    b.crossJoin(broadcast(a))
+      .filter(col("va") < col("vb"))
+      .withColumn("cos", round(dot("xa", "xb") / (col("na") * col("nb")), 4))
+      .filter(col("cos") >= 0.3)
+      .select(col("va"), col("vb"), col("cos"))
+  }
 
   /** Semantic dedup library form behind `d_dedup_semantic`: sign-LSH
     * bucketing over the first `planes` dims → exact cosine edges within
@@ -591,6 +619,25 @@ object Similarity {
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          SELECT a.vec_id AS va, b.vec_id AS vb,
                 round(list_cosine_similarity(a.v, b.v), 4) AS cos
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE a.vec_id < 200
+           AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
+         ORDER BY va, vb""",
+
+    // Recall audit: the exhaustive truth above, each pair flagged with
+    // whether the axis-sign buckets (the stored inverted list's keys,
+    // recomputed here — a vector's bucket depends only on itself) agree.
+    "d_ann_recall" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+                + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+                + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+           FROM embeddings)
+         SELECT a.vec_id AS va, b.vec_id AS vb,
+                round(list_cosine_similarity(a.v, b.v), 4) AS cos,
+                CAST(a.bucket = b.bucket AS INT) AS caught
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE a.vec_id < 200
            AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.3

@@ -61,6 +61,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"window recall implausibly low: $recall")
   }
 
+  test("ann recall audit: caught flag == recomputed sign buckets, window nonempty") {
+    val rows = Similarity.queries("d_ann_recall")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty, "probe window must contain cosine-truth pairs")
+    // LAW: the stored inverted list must carry exactly the axis-sign
+    // buckets — recompute them from the embeddings and require the
+    // caught flag to match pair by pair
+    val b = Similarity.signBuckets(spark, graft.Tables.embeddings(spark, sf), 4)
+      .select("vec_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    rows.foreach { case (va, vb, _, caught) =>
+      assert((b(va) == b(vb)) == (caught == 1),
+        s"stored-bucket catch disagrees with recomputed signs for ($va,$vb)")
+    }
+    val recall = rows.count(_._4 == 1).toDouble / rows.size
+    assert(recall > 0.0, "planted duplicate embeddings must share buckets")
+  }
+
   test("ann lsh results agree with brute force within the same bucket") {
     val brute = Similarity.queries("d_knn_cosine")(spark, sf)
     val lsh = Similarity.queries("d_ann_lsh")(spark, sf)
