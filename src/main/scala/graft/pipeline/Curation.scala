@@ -106,6 +106,23 @@ object Curation {
   private[graft] def bloomProbe(bf: Array[Byte], seed: Long): org.apache.spark.sql.Column =
     bloomProbeOn(col("g"), bf, seed)
 
+  /** The eval-suite filter pair built ONCE per corpus version under the
+    * warehouse discipline and memoized in-JVM — the production shape:
+    * filters are cut when the eval suite is released, and every
+    * consumer (the catalog query, the composed pipeline, streams) loads
+    * the KB-scale artifact instead of re-scanning the suite. */
+  private val bloomMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Byte], Array[Byte])]()
+  private[pipeline] def bloomPairStored(s: SparkSession, d: String,
+      bench: => DataFrame): (Array[Byte], Array[Byte]) = {
+    val dir = s"${Warehouse.rootDir}/" +
+      s"${Warehouse.token(s, d, "documents.parquet")}/eval_bloom"
+    bloomMemo.computeIfAbsent(dir, _ => {
+      Warehouse.ensure(s, dir) { writeBloomPair(s, bench, dir) }
+      readBloomPair(s, dir)
+    })
+  }
+
   /** Persist the eval-set filter pair (one tiny parquet row) so streams
     * and later runs probe WITHOUT rebuilding — production builds the
     * filters once per eval-suite release and every ingest job loads
@@ -192,7 +209,7 @@ object Curation {
           "transform(sequence(1, size(w) - 4), i -> array_join(slice(w, i, 5), ' '))"))
           .as("g"))
       val bench = grams.filter(col("h") === "1").select("g").distinct()
-      val (bf1, bf2) = bloomPair(bench)
+      val (bf1, bf2) = bloomPairStored(s, d, bench)
       grams.filter(!col("h").isin("0", "1"))
         .filter(bloomProbe(bf1, bloomSeed1) && bloomProbe(bf2, bloomSeed2))
         .groupBy("doc_id").agg(countDistinct(col("g")).as("n_shared"))

@@ -150,7 +150,9 @@ object EndToEnd {
         "transform(sequence(1, size(w) - 4), i -> array_join(slice(w, i, 5), ' '))"))
         .as("g"))
       .distinct()
-    val (bf1, bf2) = Curation.bloomPair(bench)
+    // the same eval-suite pair the catalog query uses — loaded from the
+    // once-per-corpus-version stored artifact, not rebuilt here
+    val (bf1, bf2) = Curation.bloomPairStored(s, d, bench)
     // contaminationScore sits in a CaseWhen branch: it only evaluates for
     // rows the cascade kept, and the cache stays two narrow columns
     val dec = docs.filter(!col("h").isin("0", "1"))
