@@ -30,6 +30,39 @@ object TextAnalysis {
   private[pipeline] def normCol: Column = trim(regexp_replace(
     regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** Per-position bigram stream (doc_id, pos, w1, w2) — the scoring
+    * input, recomputed per call (linear, no shuffle before the join). */
+  private def lmBigrams(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        """CASE WHEN size(w) >= 2
+             THEN transform(sequence(1, size(w) - 1),
+                    i -> struct(element_at(w, i) AS w1,
+                                element_at(w, i + 1) AS w2))
+             ELSE array() END""")))
+      .select(col("doc_id"), col("pos"),
+        col("col.w1").as("w1"), col("col.w2").as("w2"))
+
+  /** The TRAINED bigram LM — C(w1) and C(w1,w2) count tables — built
+    * once per corpus version and stored (vocabulary-bounded artifacts;
+    * production trains the filter LM at corpus release and every scoring
+    * job loads it, exactly like the dedup backbone and the eval blooms). */
+  private def lmModelStore(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val base = s"${Warehouse.rootDir}/" +
+      s"${Warehouse.token(s, d, "documents.parquet")}/lm"
+    Warehouse.ensure(s, base) {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      docs.select(explode(col("w")).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("cu"))
+        .write.mode("overwrite").parquet(s"$base/uni")
+      lmBigrams(s, d).groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+        .write.mode("overwrite").parquet(s"$base/big")
+    }
+    (s.read.parquet(s"$base/uni"), s.read.parquet(s"$base/big"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Quality scoring: length/word/uniqueness/stopword ratios.
     "d_text_quality" -> ((s, d) => {
@@ -137,20 +170,11 @@ object TextAnalysis {
     // the SAME left fold over the same position-ordered list on both
     // engines (aggregate HOF ≡ list_reduce, the o_w9 device).
     "d_lm_score" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-      val bg = docs
-        .select(col("doc_id"), posexplode(expr(
-          """CASE WHEN size(w) >= 2
-               THEN transform(sequence(1, size(w) - 1),
-                      i -> struct(element_at(w, i) AS w1,
-                                  element_at(w, i + 1) AS w2))
-               ELSE array() END""")))
-        .select(col("doc_id"), col("pos"),
-          col("col.w1").as("w1"), col("col.w2").as("w2"))
-      val uni = docs.select(explode(col("w")).as("w1"))
-        .groupBy("w1").agg(count(lit(1)).as("cu"))
-      val big = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val bg = lmBigrams(s, d)
+      val (uni, big) = lmModelStore(s, d)
+      // no broadcast hint: the model is VOCABULARY-bounded, which is
+      // small here but can be tens of millions of bigrams on a real
+      // corpus — AQE broadcasts when the actual size allows
       bg.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
         .withColumn("logp", round(log(col("cb") / col("cu")), 6))
         .groupBy("doc_id")

@@ -239,15 +239,20 @@ object TextDedup {
     // its 8-byte hash in the same plan (the count survives collisions
     // statistically; exact spans re-checked on the flagged tail).
     "d_dup_spans" -> ((s, d) => {
+      // two-level agg instead of countDistinct-next-to-plain-aggs: the
+      // mixed form plans an Expand that doubles the corpus-scale gram
+      // stream before the shuffle; (gram, doc) partials combine map-side
+      // and the second agg runs on the already-collapsed pairs
       Tables.documents(s, d)
         .withColumn("w", split(lower(col("text")), " "))
         .filter(size(col("w")) >= 5)
         .select(col("doc_id"), explode(expr(
           """transform(sequence(1, size(w) - 4),
                        i -> concat_ws(' ', slice(w, i, 5)))""")).as("gram"))
+        .groupBy("gram", "doc_id").agg(count(lit(1)).as("n"))
         .groupBy("gram")
-        .agg(count(lit(1)).as("n_occ"),
-          countDistinct(col("doc_id")).as("n_docs"),
+        .agg(sum(col("n")).as("n_occ"),
+          count(lit(1)).as("n_docs"),
           min(col("doc_id")).as("min_doc"))
         .filter(col("n_docs") >= 2)
         .orderBy("gram")
