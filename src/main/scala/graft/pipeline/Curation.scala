@@ -281,8 +281,11 @@ object Curation {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v"))
+      // cached: BOTH the centroid agg and the distance agg consume the
+      // exploded stream — without the persist each side re-scans the
+      // embeddings and re-explodes |vecs| × dims rows
       val pos = e.select(col("vec_id"), col("label"),
-        posexplode(col("v")).as(Seq("p", "x")))
+        posexplode(col("v")).as(Seq("p", "x"))).persist()
       // 640-row centroid table (|labels| × 64 dims): broadcast dimension.
       val cent = pos
         .groupBy(col("label").as("cl"), (col("p") + 1).as("i"))
@@ -295,10 +298,10 @@ object Curation {
           .cast("decimal(20,14)")).as("s2"))
         .select(col("vec_id"), col("label"),
           round(sqrt(col("s2").cast("double")), 6).as("dist"))
-      dist.withColumn("rnk", row_number().over(
+      Materialize.drop(dist.withColumn("rnk", row_number().over(
           Window.partitionBy("label").orderBy(col("dist").desc, col("vec_id"))))
         .filter(col("rnk") <= 3)
-        .orderBy("label", "rnk")
+        .orderBy("label", "rnk"), pos)
     }),
 
     // Token-budget SELECTION — "the best B tokens out of the corpus", the
