@@ -283,19 +283,51 @@ object TextDedup {
     // (uniq_ratio < 0.3) > kept. One row per doc with its decision, so
     // the drop set is auditable per reason. Adds only the fingerprint
     // window (one hash-keyed shuffle) on top of the keep-best plan.
-    "d_curation_apply" -> ((s, d) => {
-      val (keep, _) = clusterKeepers(s, d)
-      // keeper-per-fingerprint as agg + join, NOT a window — see
-      // [[exactKeeperDecisions]] (the `3440f12` skew fix, pinned by
-      // DedupSkewSpec). Fingerprints come from the stored backbone
-      // table, not a fresh corpus scan.
-      val exact = exactKeeperDecisions(Backbone.fingerprints(s, d))
-      keep.join(exact, Seq("doc_id"))
+    "d_curation_apply" -> ((s, d) =>
+      curationDecisions(s, d).orderBy("doc_id")),
+
+    // Curation DRIFT report — the cross-version audit a production
+    // pipeline runs when a corpus advances: for every doc, yesterday's
+    // decision (the cascade evaluated over the STORED history state —
+    // labels and exact keepers for the previous version, the same tables
+    // the delta queries probe) next to today's decision (the cascade
+    // over the current backbone), with a changed flag. New docs read
+    // 'absent'. The interesting rows are decisions that FLIP without
+    // the doc changing — a new batch member can steal a keeper slot or
+    // bridge two clusters, demoting previously-kept history docs; this
+    // is the table that makes those flips auditable before a trainer
+    // consumes the corpus. Cost: stored-table reads + one cluster
+    // window + two fp/doc-keyed joins — no signature or CC work.
+    "d_curation_drift" -> ((s, d) => {
+      val spl = deltaSplit(s, d)
+      val cur = curationDecisions(s, d)
+      val h = Backbone.history(s, d, spl)
+      val prevDocs = Tables.documents(s, d).filter(col("doc_id") < spl)
+        .withColumn("words", split(col("text"), " "))
+        .select(col("doc_id"), fpCol.as("fp"),
+          round(size(array_distinct(col("words"))) /
+            size(col("words")).cast("double"), 6).as("uniq_ratio"))
+      val labeled = prevDocs
+        .join(h.labels.select(col("doc_id"), col("cluster_id").as("cid")),
+          Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cid"), col("doc_id")))
+      val keepPrev = labeled.withColumn("keep_id",
+        first(col("doc_id")).over(Window.partitionBy("cluster_id")
+          .orderBy(col("uniq_ratio").desc, col("doc_id"))))
+      val prev = keepPrev
+        .join(h.keepers.select(col("fp"), col("keep_id").as("exact_keep")),
+          Seq("fp"))
         .select(col("doc_id"),
           when(col("doc_id") =!= col("exact_keep"), "drop_exact")
             .when(col("doc_id") =!= col("keep_id"), "drop_near_dup")
             .when(col("uniq_ratio") < 0.3, "drop_quality")
-            .otherwise("kept").as("decision"))
+            .otherwise("kept").as("decision_prev"))
+      cur.join(prev, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("decision_prev"), lit("absent")).as("decision_prev"),
+          col("decision"))
+        .withColumn("changed",
+          (col("decision_prev") =!= col("decision")).cast("int"))
         .orderBy("doc_id")
     }),
 
@@ -428,6 +460,22 @@ object TextDedup {
     * as a scalar subquery. */
   private[graft] def deltaSplit(s: SparkSession, d: String): Long =
     Backbone.corpusCount(s, d) / 2
+
+  /** The composed curation verdict over the CURRENT corpus — shared by
+    * `d_curation_apply` and the drift report. Keeper-per-fingerprint as
+    * agg + join, NOT a window — see [[exactKeeperDecisions]] (the
+    * `3440f12` skew fix, pinned by DedupSkewSpec). Fingerprints come
+    * from the stored backbone table, not a fresh corpus scan. */
+  private def curationDecisions(s: SparkSession, d: String): DataFrame = {
+    val (keep, _) = clusterKeepers(s, d)
+    val exact = exactKeeperDecisions(Backbone.fingerprints(s, d))
+    keep.join(exact, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("exact_keep"), "drop_exact")
+          .when(col("doc_id") =!= col("keep_id"), "drop_near_dup")
+          .when(col("uniq_ratio") < 0.3, "drop_quality")
+          .otherwise("kept").as("decision"))
+  }
 
   /** THE exact-dedup fingerprint — md5 over the lowercased text. One
     * definition shared by the backbone builder, the delta queries and
@@ -697,31 +745,39 @@ object TextDedup {
         .orderBy("da", "db"), docs)
   }
 
-  private val bigramCte =
-    """toks AS (
+  /** CTE builders are parameterized by a name SUFFIX and a doc-filter
+    * WHERE clause so one query can compose the cascade over TWO corpus
+    * versions (the drift oracle); the un-suffixed, unfiltered instances
+    * reproduce the original single-version chains. */
+  private def bigramCteFor(x: String, where: String) =
+    s"""toks$x AS (
          SELECT DISTINCT doc_id, bg FROM (
            SELECT doc_id,
                   unnest(list_transform(generate_series(1, len(w) - 1),
                          i -> w[i] || ' ' || w[i + 1])) AS bg
-           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))"""
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents $where)))"""
+
+  private val bigramCte = bigramCteFor("", "")
 
   /** Shared keep-best tail: corpus quality + cluster labels → per-doc
     * keeper, mirroring [[clusterKeepers]]. Composes after [[clustersCte]]. */
-  private[pipeline] val keeperCte =
-    """q AS (
+  private def keeperCteFor(x: String, where: String) =
+    s"""q$x AS (
          SELECT doc_id,
                 round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 6) AS uniq_ratio
-         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-       lab AS (
-         SELECT q.doc_id, COALESCE(c.cluster_id, q.doc_id) AS cluster_id,
-                q.uniq_ratio
-         FROM q LEFT JOIN clusters c ON q.doc_id = c.doc_id),
-       k AS (
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents $where)),
+       lab$x AS (
+         SELECT q$x.doc_id, COALESCE(c.cluster_id, q$x.doc_id) AS cluster_id,
+                q$x.uniq_ratio
+         FROM q$x LEFT JOIN clusters$x c ON q$x.doc_id = c.doc_id),
+       k$x AS (
          SELECT doc_id, cluster_id, uniq_ratio,
                 first_value(doc_id) OVER (
                   PARTITION BY cluster_id
                   ORDER BY uniq_ratio DESC, doc_id) AS keep_id
-         FROM lab)"""
+         FROM lab$x)"""
+
+  private[pipeline] val keeperCte = keeperCteFor("", "")
 
   /** The shared minhash chain up to VERIFIED pairs `pairsj(da, db,
     * jaccard)` — tokens → `nh` seeded minhashes → 4 banded keys → bucket
@@ -730,32 +786,34 @@ object TextDedup {
     * banding with seed-ordered string_agg reproduces the stride layout
     * at any rows-per-band). Composed by the minhash, cluster, keep-best,
     * curation and delta oracles. */
-  private[pipeline] def pairsCteN(nh: Int): String =
-      s"""$bigramCte,
-          sigs AS (
+  private def pairsCteNFor(nh: Int, x: String, where: String): String =
+      s"""${bigramCteFor(x, where)},
+          sigs$x AS (
             SELECT doc_id, seed,
                    MIN(substr(md5(CAST(seed AS VARCHAR) || '|' || bg), 1, 16)) AS h
-            FROM toks CROSS JOIN range(0, $nh) r(seed)
+            FROM toks$x CROSS JOIN range(0, $nh) r(seed)
             GROUP BY doc_id, seed),
-          bands AS (
+          bands$x AS (
             SELECT doc_id, seed % 4 AS band, string_agg(h, '' ORDER BY seed) AS bkey
-            FROM sigs GROUP BY 1, 2),
-          cands AS (
-            SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-            FROM bands x JOIN bands y
-              ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-          sz AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
-          prs AS (
+            FROM sigs$x GROUP BY 1, 2),
+          cands$x AS (
+            SELECT DISTINCT bx.doc_id AS da, by_.doc_id AS db
+            FROM bands$x bx JOIN bands$x by_
+              ON bx.band = by_.band AND bx.bkey = by_.bkey AND bx.doc_id < by_.doc_id),
+          sz$x AS (SELECT doc_id, COUNT(*) AS n FROM toks$x GROUP BY 1),
+          prs$x AS (
             SELECT da, db, COUNT(*) AS inter
-            FROM cands
-            JOIN toks ta ON da = ta.doc_id
-            JOIN toks tb ON db = tb.doc_id AND ta.bg = tb.bg
+            FROM cands$x
+            JOIN toks$x ta ON da = ta.doc_id
+            JOIN toks$x tb ON db = tb.doc_id AND ta.bg = tb.bg
             GROUP BY 1, 2),
-          pairsj AS (
+          pairsj$x AS (
             SELECT da, db, round(inter / (sa.n + sb.n - inter), 6) AS jaccard
-            FROM prs
-            JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+            FROM prs$x
+            JOIN sz$x sa ON da = sa.doc_id JOIN sz$x sb ON db = sb.doc_id
             WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.5)"""
+
+  private[pipeline] def pairsCteN(nh: Int): String = pairsCteNFor(nh, "", "")
 
   private[pipeline] val pairsCte = pairsCteN(8)
 
@@ -788,19 +846,21 @@ object TextDedup {
     * yields `clusters(doc_id, cluster_id)` — the DuckDB mirror of
     * Graph.minLabelComponents over minhashPairs. Callers open with
     * `WITH RECURSIVE` and compose their SELECT after it. */
-  private[pipeline] val clustersCte =
-      s"""$pairsCte,
-          edges AS (SELECT da AS a, db AS b FROM pairsj
-                    UNION SELECT db, da FROM pairsj),
-          reach(a, b) AS (
-            SELECT a, b FROM edges
+  private def clustersCteFor(x: String, where: String): String =
+      s"""${pairsCteNFor(8, x, where)},
+          edges$x AS (SELECT da AS a, db AS b FROM pairsj$x
+                    UNION SELECT db, da FROM pairsj$x),
+          reach$x(a, b) AS (
+            SELECT a, b FROM edges$x
             UNION
-            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-          members AS (SELECT DISTINCT a AS doc_id FROM edges),
-          clusters AS (
+            SELECT r.a, e.b FROM reach$x r JOIN edges$x e ON r.b = e.a),
+          members$x AS (SELECT DISTINCT a AS doc_id FROM edges$x),
+          clusters$x AS (
             SELECT m.doc_id, LEAST(m.doc_id, MIN(r.b)) AS cluster_id
-            FROM members m LEFT JOIN reach r ON r.a = m.doc_id
+            FROM members$x m LEFT JOIN reach$x r ON r.a = m.doc_id
             GROUP BY 1)"""
+
+  private[pipeline] val clustersCte = clustersCteFor("", "")
 
   val oracles: Map[String, String] = Map(
     // Bit-for-bit SimHash64 recompute (FNV-1a offset/prime, splitmix64
@@ -1057,6 +1117,45 @@ object TextDedup {
           SELECT doc_id, cluster_id, keep_id,
                  CAST(doc_id = keep_id AS INT) AS kept
           FROM k ORDER BY doc_id""",
+
+    // Drift: the current cascade (unsuffixed CTEs) and the previous-
+    // version cascade (suffix `p`, docs below the half-split) composed
+    // in one statement; prev decisions left-joined onto current.
+    "d_curation_drift" ->
+      s"""WITH RECURSIVE ${clustersCteFor("", "")},
+          ${keeperCteFor("", "")},
+          ex AS (
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS exact_keep
+            FROM documents),
+          cur AS (
+            SELECT k.doc_id,
+                   CASE WHEN k.doc_id <> e.exact_keep THEN 'drop_exact'
+                        WHEN k.doc_id <> k.keep_id THEN 'drop_near_dup'
+                        WHEN k.uniq_ratio < 0.3 THEN 'drop_quality'
+                        ELSE 'kept' END AS decision
+            FROM k JOIN ex e ON k.doc_id = e.doc_id),
+          spl AS (SELECT COUNT(*) // 2 AS v FROM documents),
+          ${clustersCteFor("p", "WHERE doc_id < (SELECT v FROM spl)")},
+          ${keeperCteFor("p", "WHERE doc_id < (SELECT v FROM spl)")},
+          exprev AS (
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS exact_keep
+            FROM documents WHERE doc_id < (SELECT v FROM spl)),
+          prev AS (
+            SELECT kp.doc_id,
+                   CASE WHEN kp.doc_id <> e.exact_keep THEN 'drop_exact'
+                        WHEN kp.doc_id <> kp.keep_id THEN 'drop_near_dup'
+                        WHEN kp.uniq_ratio < 0.3 THEN 'drop_quality'
+                        ELSE 'kept' END AS decision_prev
+            FROM kp JOIN exprev e ON kp.doc_id = e.doc_id)
+          SELECT c.doc_id,
+                 COALESCE(p.decision_prev, 'absent') AS decision_prev,
+                 c.decision,
+                 CAST(COALESCE(p.decision_prev, 'absent') <> c.decision AS INT)
+                   AS changed
+          FROM cur c LEFT JOIN prev p ON c.doc_id = p.doc_id
+          ORDER BY c.doc_id""",
 
     // Composed curation verdict with the standard precedence:
     // exact dup > near-dup non-keeper > quality gate > kept.

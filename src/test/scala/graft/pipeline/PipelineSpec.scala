@@ -61,6 +61,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"window recall implausibly low: $recall")
   }
 
+  test("curation drift: full-corpus coverage, absent iff new, shared current side, real flips") {
+    val spl = graft.Tables.documents(spark, sf).count() / 2
+    val drift = TextDedup.queries("d_curation_drift")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+    assert(drift.length == spl * 2 + (graft.Tables.documents(spark, sf).count() - spl * 2),
+      "one row per corpus doc")
+    drift.foreach { case (id, prev, cur, changed) =>
+      assert((prev == "absent") == (id >= spl),
+        s"absent must mean exactly 'not in the previous version' ($id)")
+      assert(changed == (if (prev != cur) 1 else 0))
+    }
+    // the current side IS the d_curation_apply cascade — same table
+    val apply = TextDedup.queries("d_curation_apply")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    drift.foreach { case (id, _, cur, _) => assert(apply(id) == cur) }
+    // the audit's raison d'être: history docs whose verdict FLIPPED when
+    // the batch landed (a new member steals a keeper slot or bridges
+    // clusters) — the planted corpus contains them at every SF
+    assert(drift.exists { case (id, prev, cur, _) =>
+      id < spl && prev == "kept" && cur.startsWith("drop") },
+      "expected at least one previously-kept doc demoted by the new batch")
+  }
+
   test("ann recall audit: caught flag == recomputed sign buckets, window nonempty") {
     val rows = Similarity.queries("d_ann_recall")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
