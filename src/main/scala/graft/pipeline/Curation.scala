@@ -117,11 +117,22 @@ object Curation {
       bench: => DataFrame): (Array[Byte], Array[Byte]) = {
     val dir = s"${Warehouse.rootDir}/" +
       s"${Warehouse.token(s, d, "documents.parquet")}/eval_bloom"
-    bloomMemo.computeIfAbsent(dir, _ => {
-      Warehouse.ensure(s, dir) { writeBloomPair(s, bench, dir) }
-      readBloomPair(s, dir)
-    })
+    // get/build/putIfAbsent, NOT computeIfAbsent: the build acquires the
+    // Warehouse monitor, and Warehouse.ensure build bodies (the composed
+    // pipeline) call back into this method — running Spark work under a
+    // CHM bin lock would deadlock that pair of paths
+    val got = bloomMemo.get(dir)
+    if (got != null) return got
+    Warehouse.ensure(s, dir) { writeBloomPair(s, bench, dir) }
+    val pair = readBloomPair(s, dir)
+    bloomMemo.putIfAbsent(dir, pair)
+    pair
   }
+
+  /** TEST HOOK: paired with Warehouse.resetBuiltForTest — a spec
+    * exercising the on-disk artifact path must also drop the in-JVM
+    * pair memo or it silently tests the memo instead of the store. */
+  private[pipeline] def resetBloomMemoForTest(): Unit = bloomMemo.clear()
 
   /** Persist the eval-set filter pair (one tiny parquet row) so streams
     * and later runs probe WITHOUT rebuilding — production builds the
@@ -281,11 +292,12 @@ object Curation {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v"))
-      // cached: BOTH the centroid agg and the distance agg consume the
-      // exploded stream — without the persist each side re-scans the
-      // embeddings and re-explodes |vecs| × dims rows
+      // deliberately NOT persisted: a cache here breaks the PlanSpec
+      // lineage audit (localCheckpoint hides the join) and leaks on a
+      // failed action; the double explode is codegen'd and cheap next
+      // to the two aggregations that consume it
       val pos = e.select(col("vec_id"), col("label"),
-        posexplode(col("v")).as(Seq("p", "x"))).persist()
+        posexplode(col("v")).as(Seq("p", "x")))
       // 640-row centroid table (|labels| × 64 dims): broadcast dimension.
       val cent = pos
         .groupBy(col("label").as("cl"), (col("p") + 1).as("i"))
@@ -298,10 +310,10 @@ object Curation {
           .cast("decimal(20,14)")).as("s2"))
         .select(col("vec_id"), col("label"),
           round(sqrt(col("s2").cast("double")), 6).as("dist"))
-      Materialize.drop(dist.withColumn("rnk", row_number().over(
+      dist.withColumn("rnk", row_number().over(
           Window.partitionBy("label").orderBy(col("dist").desc, col("vec_id"))))
         .filter(col("rnk") <= 3)
-        .orderBy("label", "rnk"), pos)
+        .orderBy("label", "rnk")
     }),
 
     // Token-budget SELECTION — "the best B tokens out of the corpus", the

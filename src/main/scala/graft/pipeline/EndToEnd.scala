@@ -55,10 +55,7 @@ object EndToEnd {
     // cluster scale this is the decision table you'd materialize anyway.
     val dec = keep.join(exact, Seq("doc_id"))
       .select(col("doc_id"), col("n_chars"),
-        when(col("doc_id") =!= col("exact_keep"), "drop_exact")
-          .when(col("doc_id") =!= col("keep_id"), "drop_near_dup")
-          .when(col("uniq_ratio") < 0.3, "drop_quality")
-          .otherwise("kept").as("decision"))
+        TextDedup.decisionCol.as("decision"))
       .persist()
     val packed = Packing.packSequences(
       dec.filter(col("decision") === "kept").select("doc_id", "n_chars"),
@@ -136,11 +133,7 @@ object EndToEnd {
     val (keep, caches) = TextDedup.clusterKeepers(s, d)
     val exact = TextDedup.exactKeeperDecisions(Backbone.fingerprints(s, d))
     val dec0 = keep.join(exact, Seq("doc_id"))
-      .select(col("doc_id"),
-        when(col("doc_id") =!= col("exact_keep"), "drop_exact")
-          .when(col("doc_id") =!= col("keep_id"), "drop_near_dup")
-          .when(col("uniq_ratio") < 0.3, "drop_quality")
-          .otherwise("kept").as("decision0"))
+      .select(col("doc_id"), TextDedup.decisionCol.as("decision0"))
     val docs = Tables.documents(s, d).withColumn("h",
       substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1))
     val bench = docs.filter(col("h") === "1")

@@ -317,11 +317,7 @@ object TextDedup {
       val prev = keepPrev
         .join(h.keepers.select(col("fp"), col("keep_id").as("exact_keep")),
           Seq("fp"))
-        .select(col("doc_id"),
-          when(col("doc_id") =!= col("exact_keep"), "drop_exact")
-            .when(col("doc_id") =!= col("keep_id"), "drop_near_dup")
-            .when(col("uniq_ratio") < 0.3, "drop_quality")
-            .otherwise("kept").as("decision_prev"))
+        .select(col("doc_id"), decisionCol.as("decision_prev"))
       cur.join(prev, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("decision_prev"), lit("absent")).as("decision_prev"),
@@ -461,6 +457,19 @@ object TextDedup {
   private[graft] def deltaSplit(s: SparkSession, d: String): Long =
     Backbone.corpusCount(s, d) / 2
 
+  /** THE cascade precedence — one definition for every evaluation site
+    * (the apply/drift queries here, the composed pipeline in EndToEnd):
+    * exact dup > near-dup non-keeper > quality gate > kept, over the
+    * conventional column names (doc_id, exact_keep, keep_id,
+    * uniq_ratio). The composed plans are only equivalent to the
+    * standalone operator while every site applies the byte-identical
+    * expression — the SQL oracles mirror it textually. */
+  private[pipeline] def decisionCol: Column =
+    when(col("doc_id") =!= col("exact_keep"), "drop_exact")
+      .when(col("doc_id") =!= col("keep_id"), "drop_near_dup")
+      .when(col("uniq_ratio") < 0.3, "drop_quality")
+      .otherwise("kept")
+
   /** The composed curation verdict over the CURRENT corpus — shared by
     * `d_curation_apply` and the drift report. Keeper-per-fingerprint as
     * agg + join, NOT a window — see [[exactKeeperDecisions]] (the
@@ -470,11 +479,7 @@ object TextDedup {
     val (keep, _) = clusterKeepers(s, d)
     val exact = exactKeeperDecisions(Backbone.fingerprints(s, d))
     keep.join(exact, Seq("doc_id"))
-      .select(col("doc_id"),
-        when(col("doc_id") =!= col("exact_keep"), "drop_exact")
-          .when(col("doc_id") =!= col("keep_id"), "drop_near_dup")
-          .when(col("uniq_ratio") < 0.3, "drop_quality")
-          .otherwise("kept").as("decision"))
+      .select(col("doc_id"), decisionCol.as("decision"))
   }
 
   /** THE exact-dedup fingerprint — md5 over the lowercased text. One

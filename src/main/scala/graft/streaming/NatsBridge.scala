@@ -226,19 +226,27 @@ object NatsBridge {
       }
 
     /** One relay cycle under the envelope: fetch, accumulate, cap-flush;
-      * interval-flush the remainder when the tick elapsed. Returns the
-      * number of messages FETCHED — the relay's activity signal (rows
-      * may stay pending under the envelope, so "flushed" would read 0
-      * on a busy cycle and stall the loop's backoff logic). */
+      * interval-flush when the tick elapsed. The tick is checked BEFORE
+      * the fetch as well as after — the fetch blocks up to `expiresMs`
+      * (= flush_interval_ms under ServeMain's wiring), and a
+      * check-after-only loop would let rows pend for up to 2× the
+      * configured interval on an idle broker. Returns the number of
+      * messages FETCHED — the relay's activity signal (rows may stay
+      * pending under the envelope, so "flushed" would read 0 on a busy
+      * cycle and stall the loop's backoff logic). */
     def pumpOnce(batch: Int = 512, expiresMs: Long = 1000): Int = {
+      tickFlush()
       val msgs = s.js.fetch(s.stream, s.durable, batch, expiresMs)
       if (msgs.nonEmpty) offer(msgs)
+      tickFlush()
+      msgs.size
+    }
+
+    private def tickFlush(): Unit =
       if ((System.nanoTime() - lastTick) / 1000000L >= flushIntervalMs) {
         flushAll()
         lastTick = System.nanoTime()
       }
-      msgs.size
-    }
   }
 
   object SpoolBatcher {
@@ -258,10 +266,16 @@ object NatsBridge {
     * keep cycling so the interval flush fires on schedule (the fetch
     * itself blocks up to `expiresMs`, bounding the spin). */
   def relayLoop(b: SpoolBatcher, batch: Int,
-                expiresMs: Long, stop: () => Boolean): Unit =
+                expiresMs: Long, stop: () => Boolean): Unit = {
     while (!stop())
       if (b.pumpOnce(batch, expiresMs) == 0 && b.pendingRows == 0)
         Thread.sleep(expiresMs / 4 + 1) // idle backoff, sub-ack_wait
+    // a REQUESTED stop drains the envelope: rows already fetched must
+    // not ride out on ack_wait redelivery in some future process when a
+    // flush is possible right now (disconnects still rely on redelivery
+    // — there the connection is gone and this flush never runs)
+    b.flushAll()
+  }
 
   /** Supervised relay: reconnect + re-ensure on connection loss with
     * capped exponential backoff (what async-nats does under the hood for
