@@ -257,6 +257,21 @@ class NatsBridgeSpec extends AnyFunSuite {
           assert(srv.ackedCount("EVENTS", "graft-consumer") == 5,
             "interval tick must flush+ack the sub-cap remainder")
           assert(spoolFiles == 2)
+          // phase 3 — a REQUESTED stop drains sub-cap pending rows
+          // instead of abandoning them to ack_wait redelivery
+          (6 to 7).foreach { i =>
+            nc.publish(subject, ProtoWire.encode(loginMsg(s"r-$i", s"u-$i", 1726300800L + i), schema))
+          }
+          nc.ping(2000)
+          // the relay fetches within ~expiresMs (100 ms); 500 ms is far
+          // inside the 3 s tick, so the rows sit PENDING when stop flips
+          // (the batcher is single-threaded by contract — no cross-
+          // thread pendingRows poll here)
+          Thread.sleep(500)
+          stop = true
+          t.join(5000)
+          assert(srv.ackedCount("EVENTS", "graft-consumer") == 7,
+            "stop must drain the envelope's pending rows")
         } finally { stop = true; t.join(5000) }
         assert(!t.isAlive, "relay loop must honor stop()")
       } finally ncRelay.close()
