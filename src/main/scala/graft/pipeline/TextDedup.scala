@@ -299,26 +299,8 @@ object TextDedup {
     // consumes the corpus. Cost: stored-table reads + one cluster
     // window + two fp/doc-keyed joins — no signature or CC work.
     "d_curation_drift" -> ((s, d) => {
-      val spl = deltaSplit(s, d)
       val cur = curationDecisions(s, d)
-      val h = Backbone.history(s, d, spl)
-      val prevDocs = Tables.documents(s, d).filter(col("doc_id") < spl)
-        .withColumn("words", split(col("text"), " "))
-        .select(col("doc_id"), fpCol.as("fp"),
-          round(size(array_distinct(col("words"))) /
-            size(col("words")).cast("double"), 6).as("uniq_ratio"))
-      val labeled = prevDocs
-        .join(h.labels.select(col("doc_id"), col("cluster_id").as("cid")),
-          Seq("doc_id"), "left")
-        .withColumn("cluster_id", coalesce(col("cid"), col("doc_id")))
-      val keepPrev = labeled.withColumn("keep_id",
-        first(col("doc_id")).over(Window.partitionBy("cluster_id")
-          .orderBy(col("uniq_ratio").desc, col("doc_id"))))
-      val prev = keepPrev
-        .join(h.keepers.select(col("fp"), col("keep_id").as("exact_keep")),
-          Seq("fp"))
-        .select(col("doc_id"), decisionCol.as("decision_prev"))
-      cur.join(prev, Seq("doc_id"), "left")
+      cur.join(prevDecisions(s, d), Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("decision_prev"), lit("absent")).as("decision_prev"),
           col("decision"))
@@ -475,11 +457,41 @@ object TextDedup {
     * agg + join, NOT a window — see [[exactKeeperDecisions]] (the
     * `3440f12` skew fix, pinned by DedupSkewSpec). Fingerprints come
     * from the stored backbone table, not a fresh corpus scan. */
-  private def curationDecisions(s: SparkSession, d: String): DataFrame = {
+  private[pipeline] def curationDecisions(
+      s: SparkSession, d: String): DataFrame = {
     val (keep, _) = clusterKeepers(s, d)
     val exact = exactKeeperDecisions(Backbone.fingerprints(s, d))
     keep.join(exact, Seq("doc_id"))
       .select(col("doc_id"), decisionCol.as("decision"))
+  }
+
+  /** PREVIOUS-version decisions — the cascade evaluated over the STORED
+    * history state (cluster labels + exact keepers for docs below the
+    * half-split, the same tables the delta queries probe). One row per
+    * history doc: (doc_id, decision_prev). Shared by the drift report
+    * and the shard-delta manifest ([[Shards.deltaManifest]]); cost is
+    * stored-table reads + one cluster window + two keyed joins — no
+    * signature or CC work. */
+  private[pipeline] def prevDecisions(
+      s: SparkSession, d: String): DataFrame = {
+    val spl = deltaSplit(s, d)
+    val h = Backbone.history(s, d, spl)
+    val prevDocs = Tables.documents(s, d).filter(col("doc_id") < spl)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), fpCol.as("fp"),
+        round(size(array_distinct(col("words"))) /
+          size(col("words")).cast("double"), 6).as("uniq_ratio"))
+    val labeled = prevDocs
+      .join(h.labels.select(col("doc_id"), col("cluster_id").as("cid")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cid"), col("doc_id")))
+    val keepPrev = labeled.withColumn("keep_id",
+      first(col("doc_id")).over(Window.partitionBy("cluster_id")
+        .orderBy(col("uniq_ratio").desc, col("doc_id"))))
+    keepPrev
+      .join(h.keepers.select(col("fp"), col("keep_id").as("exact_keep")),
+        Seq("fp"))
+      .select(col("doc_id"), decisionCol.as("decision_prev"))
   }
 
   /** THE exact-dedup fingerprint — md5 over the lowercased text. One
@@ -867,6 +879,42 @@ object TextDedup {
 
   private[pipeline] val clustersCte = clustersCteFor("", "")
 
+  /** Shared two-version cascade prefix for cross-version audits —
+    * `cur(doc_id, decision)` over the full corpus next to
+    * `prev(doc_id, decision_prev)` over the half-split previous version
+    * (suffix `p` CTEs). Composed by the drift report here and the
+    * shard-delta manifest oracle in [[Shards]]; callers open with
+    * `WITH RECURSIVE` and put their SELECT after it. Mirrors
+    * [[curationDecisions]] / [[prevDecisions]] textually. */
+  private[pipeline] val twoVersionCtes: String =
+    s"""${clustersCteFor("", "")},
+          ${keeperCteFor("", "")},
+          ex AS (
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS exact_keep
+            FROM documents),
+          cur AS (
+            SELECT k.doc_id,
+                   CASE WHEN k.doc_id <> e.exact_keep THEN 'drop_exact'
+                        WHEN k.doc_id <> k.keep_id THEN 'drop_near_dup'
+                        WHEN k.uniq_ratio < 0.3 THEN 'drop_quality'
+                        ELSE 'kept' END AS decision
+            FROM k JOIN ex e ON k.doc_id = e.doc_id),
+          spl AS (SELECT COUNT(*) // 2 AS v FROM documents),
+          ${clustersCteFor("p", "WHERE doc_id < (SELECT v FROM spl)")},
+          ${keeperCteFor("p", "WHERE doc_id < (SELECT v FROM spl)")},
+          exprev AS (
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS exact_keep
+            FROM documents WHERE doc_id < (SELECT v FROM spl)),
+          prev AS (
+            SELECT kp.doc_id,
+                   CASE WHEN kp.doc_id <> e.exact_keep THEN 'drop_exact'
+                        WHEN kp.doc_id <> kp.keep_id THEN 'drop_near_dup'
+                        WHEN kp.uniq_ratio < 0.3 THEN 'drop_quality'
+                        ELSE 'kept' END AS decision_prev
+            FROM kp JOIN exprev e ON kp.doc_id = e.doc_id)"""
+
   val oracles: Map[String, String] = Map(
     // Bit-for-bit SimHash64 recompute (FNV-1a offset/prime, splitmix64
     // finalize, per-bit voting) in DuckDB SQL. 64-bit wrap-around lives
@@ -1127,33 +1175,7 @@ object TextDedup {
     // version cascade (suffix `p`, docs below the half-split) composed
     // in one statement; prev decisions left-joined onto current.
     "d_curation_drift" ->
-      s"""WITH RECURSIVE ${clustersCteFor("", "")},
-          ${keeperCteFor("", "")},
-          ex AS (
-            SELECT doc_id,
-                   MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS exact_keep
-            FROM documents),
-          cur AS (
-            SELECT k.doc_id,
-                   CASE WHEN k.doc_id <> e.exact_keep THEN 'drop_exact'
-                        WHEN k.doc_id <> k.keep_id THEN 'drop_near_dup'
-                        WHEN k.uniq_ratio < 0.3 THEN 'drop_quality'
-                        ELSE 'kept' END AS decision
-            FROM k JOIN ex e ON k.doc_id = e.doc_id),
-          spl AS (SELECT COUNT(*) // 2 AS v FROM documents),
-          ${clustersCteFor("p", "WHERE doc_id < (SELECT v FROM spl)")},
-          ${keeperCteFor("p", "WHERE doc_id < (SELECT v FROM spl)")},
-          exprev AS (
-            SELECT doc_id,
-                   MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS exact_keep
-            FROM documents WHERE doc_id < (SELECT v FROM spl)),
-          prev AS (
-            SELECT kp.doc_id,
-                   CASE WHEN kp.doc_id <> e.exact_keep THEN 'drop_exact'
-                        WHEN kp.doc_id <> kp.keep_id THEN 'drop_near_dup'
-                        WHEN kp.uniq_ratio < 0.3 THEN 'drop_quality'
-                        ELSE 'kept' END AS decision_prev
-            FROM kp JOIN exprev e ON kp.doc_id = e.doc_id)
+      s"""WITH RECURSIVE $twoVersionCtes
           SELECT c.doc_id,
                  COALESCE(p.decision_prev, 'absent') AS decision_prev,
                  c.decision,
