@@ -284,6 +284,34 @@ object Similarity {
         .orderBy("vec_id")
     }),
 
+    // Semantic-cluster DRIFT report — the vector twin of
+    // d_curation_drift, completing the text/vector parity matrix
+    // (delta_stored, incr, recall audit, drift): for every vector in
+    // the CURRENT clustering, yesterday's cluster label (the STORED
+    // history label table; a history vec in no history pair is its own
+    // cluster) next to today's, with a changed flag. Batch vecs read
+    // cluster_prev = -1 (absent). The interesting rows are HISTORY vecs
+    // whose label moves — an arriving batch vector bridging two settled
+    // clusters re-labels them before a curation pass consumes the
+    // clustering; since edges only grow and labels are min-ids, a
+    // history label can only DECREASE (law pinned in VecBackboneSpec).
+    // Cost: the incremental advance (shared shape with d_semantic_incr)
+    // + one stored-label join — no full re-clustering.
+    "d_semantic_drift" -> ((s, d) => {
+      val spl = VecBackbone.deltaSplit(s, d)
+      val h = VecBackbone.history(s, d, spl)
+      VecBackbone.advance(s, d)
+        .join(h.labels.select(col("vec_id"), col("cluster_id").as("cp")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          when(col("vec_id") < spl, coalesce(col("cp"), col("vec_id")))
+            .otherwise(lit(-1L)).as("cluster_prev"),
+          col("cluster_id"))
+        .withColumn("changed",
+          (col("cluster_prev") =!= col("cluster_id")).cast("int"))
+        .orderBy("vec_id")
+    }),
+
     // Embedding-cosine near-duplicate pairs (the "semantic dedup" shape):
     // all pairs above a cosine threshold, via the same broadcast pattern
     // over a bounded probe slice.
@@ -523,33 +551,40 @@ object Similarity {
          FROM scored) WHERE rnk <= 5
        ORDER BY q_id, rnk"""
 
-  /** Full semantic re-clustering (axis-sign buckets, cosine >= 0.3,
-    * min-label CC) — shared by d_dedup_semantic AND d_semantic_incr:
-    * the incremental advance must reproduce the full rebuild exactly. */
-  private val semanticClustersSql =
-    """WITH RECURSIVE
-       e AS (
+  /** Axis-sign bucketing → cosine-verified edges → recursive closure →
+    * `clusters$x(vec_id, cluster_id)` — the reusable DuckDB mirror of
+    * the semantic-dedup chain, suffix-parameterized like TextDedup's
+    * `clustersCteFor` so cross-version audits can compose two corpus
+    * versions in one statement. */
+  private def vecClustersCtesFor(x: String, where: String): String =
+    s"""e$x AS (
          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                 (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
               + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
               + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
               + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
-         FROM embeddings),
-       edges0 AS (
+         FROM embeddings $where),
+       edges0$x AS (
          SELECT a.vec_id AS va, b.vec_id AS vb
-         FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         FROM e$x a JOIN e$x b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3),
-       edges AS (SELECT va AS a, vb AS b FROM edges0
-                 UNION SELECT vb, va FROM edges0),
-       reach(a, b) AS (
-         SELECT a, b FROM edges
+       edges$x AS (SELECT va AS a, vb AS b FROM edges0$x
+                 UNION SELECT vb, va FROM edges0$x),
+       reach$x(a, b) AS (
+         SELECT a, b FROM edges$x
          UNION
-         SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
-       members AS (SELECT DISTINCT a AS vec_id FROM edges),
-       clusters AS (
+         SELECT r.a, e2.b FROM reach$x r JOIN edges$x e2 ON r.b = e2.a),
+       members$x AS (SELECT DISTINCT a AS vec_id FROM edges$x),
+       clusters$x AS (
          SELECT m.vec_id, LEAST(m.vec_id, MIN(r.b)) AS cluster_id
-         FROM members m LEFT JOIN reach r ON r.a = m.vec_id
-         GROUP BY 1)
+         FROM members$x m LEFT JOIN reach$x r ON r.a = m.vec_id
+         GROUP BY 1)"""
+
+  /** Full semantic re-clustering (axis-sign buckets, cosine >= 0.3,
+    * min-label CC) — shared by d_dedup_semantic AND d_semantic_incr:
+    * the incremental advance must reproduce the full rebuild exactly. */
+  private val semanticClustersSql =
+    s"""WITH RECURSIVE ${vecClustersCtesFor("", "")}
        SELECT vec_id, cluster_id,
               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
        FROM clusters ORDER BY vec_id"""
@@ -588,6 +623,26 @@ object Similarity {
     // Shared contract: the incrementally-advanced labels must equal the
     // full re-clustering bit-for-bit.
     "d_semantic_incr" -> semanticClustersSql,
+
+    // Drift: the full-corpus clustering (unsuffixed CTEs) next to the
+    // previous-version clustering (suffix `p`, vecs below the
+    // half-split); prev labels left-joined onto current members, absent
+    // history labels defaulting to self, batch vecs to -1.
+    "d_semantic_drift" ->
+      s"""WITH RECURSIVE ${vecClustersCtesFor("", "")},
+          spl AS (SELECT COUNT(*) // 2 AS v FROM embeddings),
+          ${vecClustersCtesFor("p", "WHERE vec_id < (SELECT v FROM spl)")}
+          SELECT c.vec_id,
+                 CASE WHEN c.vec_id < (SELECT v FROM spl)
+                      THEN COALESCE(p.cluster_id, c.vec_id)
+                      ELSE -1 END AS cluster_prev,
+                 c.cluster_id,
+                 CAST(CASE WHEN c.vec_id < (SELECT v FROM spl)
+                           THEN COALESCE(p.cluster_id, c.vec_id)
+                           ELSE -1 END <> c.cluster_id AS INT) AS changed
+          FROM clusters c
+          LEFT JOIN clustersp p ON c.vec_id = p.vec_id
+          ORDER BY c.vec_id""",
 
     // Exhaustive form of the stored-delta probe: batch x history within
     // axis-sign buckets at cosine >= 0.3 — the stored-tables-only plan

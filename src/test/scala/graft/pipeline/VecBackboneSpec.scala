@@ -67,6 +67,32 @@ class VecBackboneSpec extends AnyFunSuite {
         s"  only-full: ${(full -- incr).toSeq.sorted.take(10)}")
   }
 
+  test("drift report: history labels only decrease; batch vecs read absent") {
+    import org.apache.spark.sql.functions._
+    val spl = VecBackbone.deltaSplit(spark, sf)
+    val drift = Similarity.queries("d_semantic_drift")(spark, sf)
+    val rows = drift.collect()
+    assert(rows.nonEmpty, "fixture regression: current clustering empty")
+    rows.foreach { r =>
+      val (vec, prev, cur) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      if (vec >= spl)
+        assert(prev == -1L, s"batch vec $vec must read cluster_prev=-1")
+      else
+        // edges only grow version-over-version and labels are min-ids,
+        // so a history vec's label can move only DOWN
+        assert(cur <= prev, s"history vec $vec: label rose $prev -> $cur")
+      assert((r.getInt(3) == 1) == (prev != cur), s"vec $vec: changed flag")
+    }
+    // prev labels agree with the stored history table where present
+    val histLbl = VecBackbone.history(spark, sf, spl).labels
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filter(r => r.getLong(0) < spl).foreach { r =>
+      val expected = histLbl.getOrElse(r.getLong(0), r.getLong(0))
+      assert(r.getLong(1) == expected,
+        s"vec ${r.getLong(0)}: cluster_prev != stored history label")
+    }
+  }
+
   test("advanceAndStore: committed tables == a fresh full-corpus build") {
     val n = VecBackbone.vecCount(spark, sf)
     val stored = VecBackbone.advanceAndStore(spark, sf)
