@@ -295,12 +295,16 @@ object Similarity {
     // clusters re-labels them before a curation pass consumes the
     // clustering; since edges only grow and labels are min-ids, a
     // history label can only DECREASE (law pinned in VecBackboneSpec).
-    // Cost: the incremental advance (shared shape with d_semantic_incr)
-    // + one stored-label join — no full re-clustering.
+    // Cost: stored-table reads only — the audit runs AFTER the nightly
+    // advance COMMITTED tomorrow's label table (advanceAndStore, == the
+    // full rebuild bit-for-bit by the spec-pinned closure), so "today"
+    // is the committed table and "yesterday" the history table; no
+    // clustering work happens in this plan, exactly like the text
+    // drift's stored-cascade reads.
     "d_semantic_drift" -> ((s, d) => {
       val spl = VecBackbone.deltaSplit(s, d)
       val h = VecBackbone.history(s, d, spl)
-      VecBackbone.advance(s, d)
+      VecBackbone.advanceAndStore(s, d).labels
         .join(h.labels.select(col("vec_id"), col("cluster_id").as("cp")),
           Seq("vec_id"), "left")
         .select(col("vec_id"),

@@ -403,5 +403,8 @@ private[graft] object VecBackbone {
     codes(s, d)
     history(s, d, deltaSplit(s, d))
     batch(s, d, deltaSplit(s, d))
+    // the committed "fresh" advance — the nightly label commit the
+    // drift audit reads; one-time like the other index tables
+    advanceAndStore(s, d)
   }
 }
