@@ -383,6 +383,35 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"expected at most the final sort's exchange, got $exchanges:\n$p")
   }
 
+  test("d_shard_delta: stored-state reads, pushed prev-filter, map-side manifest agg") {
+    val p = plan("d_shard_delta")
+    // both cascade evaluations ride the stored backbone tables
+    assert(p.contains("graft-backbone"),
+      s"shard delta must read the stored backbone:\n$p")
+    // the previous-version side scans only history docs: the doc_id <
+    // split predicate must reach the parquet scan
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id"),
+      s"prev-side split filter must push to the scan:\n$p")
+    // the shard manifest aggregation combines map-side (16-256 groups at
+    // any corpus size — the reduce side must only see partials)
+    assert(p.contains("partial_sum"),
+      s"manifest totals must aggregate partial->final:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all joins are doc_id/fp equi-joins:\n$p")
+  }
+
+  test("d_semantic_drift: pure stored-label reads — no clustering work in the plan") {
+    val p = plan("d_semantic_drift")
+    // both versions' labels come from committed warehouse tables
+    assert(p.contains("graft-backbone") && p.contains("vec_"),
+      s"drift must read the committed vector label tables:\n$p")
+    // no candidate generation, verification, or CC in the audit plan:
+    // no bucket self-join artifacts, no embeddings scan at all
+    assert(!p.contains("embeddings.parquet"),
+      s"drift must not rescan embeddings:\n$p")
+    assert(!p.contains("Generate"), s"no explode belongs in the audit:\n$p")
+  }
+
   test("catalog queries avoid cartesian products except the declared cross joins") {
     val allowed = Set("o_j9_cross", "d_knn_cosine", "d_dedup_cosine", "d_ann_lsh")
     SparkEntry.queries.keys.filterNot(allowed).foreach { name =>
