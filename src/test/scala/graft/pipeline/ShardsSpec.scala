@@ -109,6 +109,68 @@ class ShardsSpec extends AnyFunSuite {
     }
   }
 
+  test("delta manifest laws hold on randomized corpora (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815)
+    val vocab = (0 until 400).map(i => s"w$i")
+    def doc() = (0 until 8 + rnd.nextInt(12))
+      .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    def mutate(t: String) = {
+      val w = t.split(" "); w(rnd.nextInt(w.length)) = vocab(rnd.nextInt(vocab.size))
+      w.mkString(" ")
+    }
+    (0 until 2).foreach { c =>
+      // exact + near families with SHUFFLED ids so the half split cuts
+      // through them (keeper thefts, bridged clusters, dropped arrivals)
+      val texts = scala.collection.mutable.Buffer[String]()
+      (0 until 8).foreach { _ =>
+        val base = doc()
+        texts += base
+        (0 until 1 + rnd.nextInt(2)).foreach(_ => texts += base)
+        (0 until 1 + rnd.nextInt(2)).foreach(_ => texts += mutate(base))
+      }
+      (0 until 24).foreach(_ => texts += doc())
+      val dir = Files.createTempDirectory(s"graft_sd_prop$c").toString
+      rnd.shuffle(texts.toSeq).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+      val dm = Shards.deltaManifest(spark, dir).collect()
+      val keptNow = TextDedup.curationDecisions(spark, dir)
+        .filter(col("decision") === "kept").count()
+      val keptPrev = TextDedup.prevDecisions(spark, dir)
+        .filter(col("decision_prev") === "kept").count()
+      assert(dm.map(_.getAs[Long]("n_docs")).sum == keptNow, s"corpus $c: doc cover")
+      assert(dm.map(_.getAs[Long]("n_added")).sum -
+        dm.map(_.getAs[Long]("n_removed")).sum == keptNow - keptPrev,
+        s"corpus $c: reconciliation")
+      dm.foreach { r =>
+        assert((r.getAs[Int]("changed") == 1) ==
+          (r.getAs[Long]("n_added") + r.getAs[Long]("n_removed") > 0),
+          s"corpus $c shard ${r.getAs[String]("shard_id")}: changed flag")
+      }
+      val prevKept = TextDedup.prevDecisions(spark, dir)
+        .filter(col("decision_prev") === "kept").select("doc_id")
+      val prevManifest = Shards.manifest(
+          Tables.documents(spark, dir).join(prevKept, Seq("doc_id")), 1)
+        .collect().map(r => r.getString(0) -> r).toMap
+      dm.filter(r => r.getAs[Int]("changed") == 0 &&
+          (r.getAs[Long]("n_docs") > 0 ||
+            prevManifest.contains(r.getAs[String]("shard_id"))))
+        .foreach { r =>
+          val sid = r.getAs[String]("shard_id")
+          val p = prevManifest.getOrElse(sid,
+            fail(s"corpus $c: $sid certified unchanged but absent previously"))
+          Seq("n_docs", "n_tokens", "n_chars").foreach(cn =>
+            assert(r.getAs[Long](cn) == p.getAs[Long](cn), s"corpus $c $sid.$cn"))
+          Seq("min_fp", "max_fp").foreach(cn =>
+            assert(r.getAs[String](cn) == p.getAs[String](cn), s"corpus $c $sid.$cn"))
+        }
+    }
+  }
+
   test("each shard is one doc_id-sorted file; assignment is engine-reproducible") {
     val dir = Files.createTempDirectory("graft_shards2").toString
     Shards.write(Tables.documents(spark, sf), dir, hexChars = 1)
