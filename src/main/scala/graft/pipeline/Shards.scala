@@ -40,7 +40,7 @@ object Shards {
     * (min/max md5 of the lowercased text) for byte-free run audits. */
   def manifest(docs: DataFrame, hexChars: Int = 1): DataFrame =
     withShard(docs, hexChars)
-      .withColumn("fp", md5(lower(col("text")).cast("binary")))
+      .withColumn("fp", TextDedup.fpCol)
       .groupBy("shard_id")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
@@ -64,8 +64,12 @@ object Shards {
     * Scale shape: stored-table reads + the cascade's cluster window and
     * keyed joins (shared with `d_curation_apply`/`d_curation_drift`) +
     * ONE shard-keyed aggregation that combines map-side. No signature
-    * or CC work; corpus text is scanned once for the token/envelope
-    * columns the manifest ships anyway. */
+    * or CC work. The text COLUMN is read up to three times (the current
+    * cascade's quality scan, the history half's, and the token/envelope
+    * columns here) — columnar pushed scans with no shuffle; folding the
+    * static per-doc quality/token columns into the stored fingerprint
+    * table would drop all three, at the cost of a backbone schema
+    * migration across the batch and streaming writers. */
   def deltaManifest(s: SparkSession, d: String,
                     hexChars: Int = 1): DataFrame = {
     val cur = TextDedup.curationDecisions(s, d)
@@ -79,7 +83,7 @@ object Shards {
       .withColumn("kept_prev",
         (coalesce(col("decision_prev"), lit("absent")) === "kept")
           .cast("long"))
-      .withColumn("fp", md5(lower(col("text")).cast("binary")))
+      .withColumn("fp", TextDedup.fpCol)
     joined.groupBy("shard_id")
       .agg(
         sum(col("kept_now")).as("n_docs"),

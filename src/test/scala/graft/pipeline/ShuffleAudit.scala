@@ -39,13 +39,19 @@ object ShuffleAudit {
       }
     })
     def settle(): (Long, Long, Long, Long) = {
-      // listener events arrive async: wait until the counters are still
+      // listener events arrive async: require two consecutive still
+      // reads, and say so loudly if the deadline (not stability) ends
+      // the wait — a truncated counter must not read as "moves nothing"
+      var still = 0
       var last = (-1L, -1L, -1L, -1L)
       var now = (input.get, sw.get, sr.get, peak.get)
-      val deadline = System.nanoTime + 5L * 1000 * 1000 * 1000
-      while (now != last && System.nanoTime < deadline) {
-        last = now; Thread.sleep(200); now = (input.get, sw.get, sr.get, peak.get)
+      val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
+      while (still < 2 && System.nanoTime < deadline) {
+        if (now == last) still += 1 else still = 0
+        last = now; Thread.sleep(300); now = (input.get, sw.get, sr.get, peak.get)
       }
+      if (still < 2) println(
+        "[shuffle-audit] WARNING: listener did not settle; counters may be truncated")
       now
     }
     def mb(b: Long): String = f"${b / 1048576.0}%.1f"
