@@ -66,10 +66,26 @@ private[graft] object Backbone {
     * (text)) — one corpus scan, stored once, read by the exact query,
     * the curation cascade and the delta contract. */
   def fingerprints(s: SparkSession, d: String): DataFrame = {
-    val path = s"$rootDir/${token(s, d)}/fps"
+    // layout v2 ("fps2"): the static per-doc quality/size columns ride
+    // the same build scan, so cascade consumers (keep-best quality,
+    // drift, token budget, the shard manifests) read THIS table instead
+    // of rescanning corpus text per call — at 100 TB the nightly cascade
+    // then touches text only in the span/scrub family. The path bump
+    // matters: a marker-complete v1 dir must never satisfy v2 readers.
+    val path = s"$rootDir/${token(s, d)}/fps2"
     ensure(s, path) {
-      Tables.documents(s, d)
-        .select(col("doc_id"), TextDedup.fpCol.as("fp"))
+      val base = Tables.documents(s, d)
+      // synthetic spec corpora may omit n_chars; it is len(text) by
+      // definition (pinned true of the fixtures), so derive it then
+      val chars = if (base.columns.contains("n_chars")) base
+        else base.withColumn("n_chars", length(col("text")))
+      chars
+        .withColumn("words", split(col("text"), " "))
+        .select(col("doc_id"), TextDedup.fpCol.as("fp"),
+          round(size(array_distinct(col("words"))) /
+            size(col("words")).cast("double"), 6).as("uniq_ratio"),
+          size(col("words")).cast("long").as("n_tokens"),
+          col("n_chars").cast("long").as("n_chars"))
         .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)

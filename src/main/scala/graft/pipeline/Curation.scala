@@ -329,12 +329,11 @@ object Curation {
     // `tot` doubles as the corpus total, making the budget threshold one
     // exact integer comparison (cum*2 <= tot), no second pass.
     "d_token_budget" -> ((s, d) => {
-      val scored = Tables.documents(s, d)
-        .withColumn("w", split(col("text"), " "))
-        .select(col("doc_id"),
-          size(col("w")).cast("long").as("n_tokens"),
-          round(size(array_distinct(col("w"))) /
-            size(col("w")).cast("double"), 6).as("quality"))
+      // r12s3: quality and token counts come from the fps2 store (one
+      // text scan per corpus version, shared with the whole cascade)
+      val scored = Backbone.fingerprints(s, d)
+        .select(col("doc_id"), col("n_tokens"),
+          col("uniq_ratio").as("quality"))
         .withColumn("g", lit(1))
         .withColumn("neg_q", -col("quality"))
       val (cdf, caches) = OrderStats.weightedCdfPlan(

@@ -131,7 +131,10 @@ object EndToEnd {
   private[pipeline] def scrubbedParts(
       s: SparkSession, d: String): (DataFrame, DataFrame, Seq[DataFrame]) = {
     val (keep, caches) = TextDedup.clusterKeepers(s, d)
-    val exact = TextDedup.exactKeeperDecisions(Backbone.fingerprints(s, d))
+    // trimmed to (doc_id, fp): fps2's quality columns would collide
+    // with clusterKeepers' uniq_ratio across the doc_id join
+    val exact = TextDedup.exactKeeperDecisions(
+      Backbone.fingerprints(s, d).select("doc_id", "fp"))
     val dec0 = keep.join(exact, Seq("doc_id"))
       .select(col("doc_id"), TextDedup.decisionCol.as("decision0"))
     val docs = Tables.documents(s, d).withColumn("h",

@@ -63,32 +63,28 @@ object Shards {
     *
     * Scale shape: stored-table reads + the cascade's cluster window and
     * keyed joins (shared with `d_curation_apply`/`d_curation_drift`) +
-    * ONE shard-keyed aggregation that combines map-side. No signature
-    * or CC work. The text COLUMN is read up to three times (the current
-    * cascade's quality scan, the history half's, and the token/envelope
-    * columns here) — columnar pushed scans with no shuffle; folding the
-    * static per-doc quality/token columns into the stored fingerprint
-    * table would drop all three, at the cost of a backbone schema
-    * migration across the batch and streaming writers. */
+    * ONE shard-keyed aggregation that combines map-side. No signature,
+    * CC, or text work at all: the fingerprint, token-count, and char
+    * columns the manifest ships come from the fps2 store (one text scan
+    * per corpus VERSION, paid at backbone build), so the nightly
+    * manifest advance is pure stored-table reads end to end. */
   def deltaManifest(s: SparkSession, d: String,
                     hexChars: Int = 1): DataFrame = {
     val cur = TextDedup.curationDecisions(s, d)
     val prev = TextDedup.prevDecisions(s, d)
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"), col("n_chars"))
+    val stats = Backbone.fingerprints(s, d)
+      .select(col("doc_id"), col("fp"), col("n_tokens"), col("n_chars"))
     val joined = withShard(
-      cur.join(prev, Seq("doc_id"), "left").join(docs, Seq("doc_id")),
+      cur.join(prev, Seq("doc_id"), "left").join(stats, Seq("doc_id")),
       hexChars)
       .withColumn("kept_now", (col("decision") === "kept").cast("long"))
       .withColumn("kept_prev",
         (coalesce(col("decision_prev"), lit("absent")) === "kept")
           .cast("long"))
-      .withColumn("fp", TextDedup.fpCol)
     joined.groupBy("shard_id")
       .agg(
         sum(col("kept_now")).as("n_docs"),
-        sum(when(col("kept_now") === 1L,
-          size(split(col("text"), " ")).cast("long")).otherwise(0L))
+        sum(when(col("kept_now") === 1L, col("n_tokens")).otherwise(0L))
           .as("n_tokens"),
         sum(when(col("kept_now") === 1L, col("n_chars")).otherwise(lit(0)))
           .cast("long").as("n_chars"),

@@ -460,7 +460,10 @@ object TextDedup {
   private[pipeline] def curationDecisions(
       s: SparkSession, d: String): DataFrame = {
     val (keep, _) = clusterKeepers(s, d)
-    val exact = exactKeeperDecisions(Backbone.fingerprints(s, d))
+    // trim to (doc_id, fp): fps2's quality columns would collide with
+    // clusterKeepers' own uniq_ratio across the join
+    val exact = exactKeeperDecisions(
+      Backbone.fingerprints(s, d).select("doc_id", "fp"))
     keep.join(exact, Seq("doc_id"))
       .select(col("doc_id"), decisionCol.as("decision"))
   }
@@ -476,11 +479,10 @@ object TextDedup {
       s: SparkSession, d: String): DataFrame = {
     val spl = deltaSplit(s, d)
     val h = Backbone.history(s, d, spl)
-    val prevDocs = Tables.documents(s, d).filter(col("doc_id") < spl)
-      .withColumn("words", split(col("text"), " "))
-      .select(col("doc_id"), fpCol.as("fp"),
-        round(size(array_distinct(col("words"))) /
-          size(col("words")).cast("double"), 6).as("uniq_ratio"))
+    // the history side's per-doc inputs come from the fps2 store (the
+    // split filter pushes to the parquet scan) — no text rescans here
+    val prevDocs = Backbone.fingerprints(s, d).filter(col("doc_id") < spl)
+      .select(col("doc_id"), col("fp"), col("uniq_ratio"))
     val labeled = prevDocs
       .join(h.labels.select(col("doc_id"), col("cluster_id").as("cid")),
         Seq("doc_id"), "left")
@@ -545,13 +547,12 @@ object TextDedup {
   private[graft] def clusterKeepers(
       s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     // r11: labels read from the STORED backbone — the CC loop runs once
-    // per corpus (at backbone build), not once per consuming query
+    // per corpus (at backbone build), not once per consuming query.
+    // r12s3: the quality column too — fps2 stores uniq_ratio, so the
+    // keeper policy rescans no text
     val labels = Backbone.labels(s, d)
-    val docs = Tables.documents(s, d)
-      .withColumn("words", split(col("text"), " "))
-      .select(col("doc_id"),
-        round(size(array_distinct(col("words"))) /
-          size(col("words")).cast("double"), 6).as("uniq_ratio"))
+    val docs = Backbone.fingerprints(s, d)
+      .select(col("doc_id"), col("uniq_ratio"))
     val labeled = docs
       .join(labels.select(col("doc_id"), col("cluster_id").as("cid")),
         Seq("doc_id"), "left")

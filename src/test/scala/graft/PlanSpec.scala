@@ -181,12 +181,17 @@ class PlanSpec extends AnyFunSuite {
         assert(p.contains("graft-backbone"),
           s"$name should read the stored backbone:\n$p")
       }
-    // the label table itself carries no re-derivation: cluster query scans
-    // ONLY backbone parquet (labels), no documents.parquet at all
-    val pc = SparkEntry.queries("d_dedup_cluster")(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(!pc.contains("documents.parquet"),
-      s"d_dedup_cluster must not re-scan the corpus:\n$pc")
+    // r12s3 (fps2 quality columns): the whole nightly cascade rescans
+    // NO document text — decisions, keeper policy, drift, the token
+    // budget, and the shard delta all ride stored tables end to end
+    Seq("d_dedup_cluster", "d_dedup_keep_best", "d_curation_apply",
+        "d_curation_drift", "d_token_budget", "d_shard_delta")
+      .foreach { name =>
+        val p = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        assert(!p.contains("documents.parquet"),
+          s"$name must not re-scan the corpus:\n$p")
+      }
   }
 
   test("d_dedup_minhash: verification joins shuffle by doc_id above the broadcast gate") {

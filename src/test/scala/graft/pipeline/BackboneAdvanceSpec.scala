@@ -190,7 +190,7 @@ class BackboneAdvanceSpec extends AnyFunSuite {
       Backbone.fingerprints(spark, dA).count()
       val subtree = new java.io.File(wh).listFiles().filter(_.isDirectory)
       assert(subtree.nonEmpty, "warehouse root must hold the subtree directly (no per-JVM runId)")
-      val fpsDir = subtree.flatMap(_.listFiles()).find(_.getName == "fps").get
+      val fpsDir = subtree.flatMap(_.listFiles()).find(_.getName == "fps2").get
       val mtime0 = fpsDir.lastModified()
       Thread.sleep(20)
       Backbone.resetMemoForTest() // simulate the next night's JVM
