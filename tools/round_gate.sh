@@ -37,8 +37,9 @@ if [ "${1:-}" = "--bench" ]; then
   done
   sbt -batch package > /tmp/gate_pkg.log 2>&1 \
     || { tail -20 /tmp/gate_pkg.log; echo "GATE: PACKAGE RED"; exit 1; }
-  # derive the jar from the build output, not a hardcoded name
-  JAR=$(ls -t target/scala-2.13/*.jar | head -1)
+  # derive the jar from the build output, not a hardcoded name — and
+  # never the tests jar, which carries no graft.Bench and can be newer
+  JAR=$(ls -t target/scala-2.13/*.jar | grep -v -- '-tests.jar' | head -1)
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   java $ADDOPENS -Xmx48g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "$JAR:/opt/spark/jars/*" \
