@@ -42,7 +42,8 @@ object Bench {
         "d_dedup_keep_best", "d_curation_apply", "d_pipeline_e2e",
         "d_backbone_incr", "d_token_budget",
         "d_span_scrub", "d_decontam_bloom", "d_pipeline_scrubbed",
-        "d_pipeline_sharded", "d_semantic_delta_stored", "d_semantic_incr")
+        "d_pipeline_sharded", "d_semantic_delta_stored", "d_semantic_incr",
+        "d_shard_delta", "d_semantic_drift", "d_curation_drift")
       .foreach(q => warm(SparkEntry.queries(q)(spark, warmSf).count()))
 
     // The dedup cascade reads the STORED backbone tables (fingerprints,

@@ -40,6 +40,19 @@ class HttpSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("EXPLAIN and DESCRIBE work over the analysts' surface (CH ops parity)") {
+    withServer { (c, p) =>
+      // ClickHouse analysts run EXPLAIN/DESCRIBE through the same HTTP
+      // port as SELECTs; both are plain result sets on this surface too
+      val ex = get(c, p, s"/?query=${enc("EXPLAIN SELECT 1 AS a")}")
+      assert(ex.statusCode() == 200, ex.body())
+      assert(ex.body().contains("Physical Plan"), ex.body())
+      val de = get(c, p, s"/?query=${enc("DESCRIBE QUERY SELECT 1 AS a")}")
+      assert(de.statusCode() == 200, de.body())
+      assert(de.body().contains("a\tint"), de.body())
+    }
+  }
+
   test("query param + FORMAT clause: TSV default, JSONEachRow, CSVWithNames") {
     withServer { (c, p) =>
       // default format = TabSeparated, no header
