@@ -1,0 +1,235 @@
+#!/usr/bin/env python3
+"""Differential SQL fuzzer: seeded random queries from the dialect
+intersection of Spark SQL and DuckDB, executed by BOTH engines over the
+same parquet tables and value-compared with tools/check.py's
+driver-shaped compare.
+
+Usage: difffuzz.py [sfDir] [outDir] [--n N] [--seed S]
+
+The grammar deliberately stays inside cross-engine-deterministic
+territory (learned rules, enforced here):
+  - integer aggregates only (SUM/COUNT/COUNT DISTINCT cast to BIGINT on
+    both sides; DuckDB's HUGEINT sum would otherwise dtype-diverge);
+  - NO SUM/AVG over doubles (summation order differs between engines —
+    the one legitimate source of cross-engine float drift); MIN/MAX of
+    doubles/timestamps are exact and allowed;
+  - predicates draw constants from the column's real min/max and
+    sampled distinct strings, so WHERE clauses exercise real
+    selectivities instead of always-empty/always-full;
+  - no LIMIT without ORDER BY (nondeterministic), no `/` or `%` on
+    negatives, LIKE uses % only.
+
+Every run is seeded: the same (seed, n, schema) always generates the
+same query texts, and failures print the query name whose .sql file
+reproduces the case standalone.
+"""
+import os
+import random
+import subprocess
+import sys
+
+import duckdb
+
+TABLES = ["lineitem", "orders", "customer", "supplier", "part", "nation",
+          "region"]
+JOINS = [  # (left table, left key, right table, right key)
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+]
+
+ADDOPENS = " ".join(
+    f"--add-opens java.base/{p}=ALL-UNNAMED" for p in
+    ["java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+     "java.net", "java.nio", "java.util", "java.util.concurrent",
+     "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+     "sun.security.action", "sun.util.calendar"])
+
+
+def schema(con, sf, t):
+    cols = con.sql(
+        f"DESCRIBE SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+    ).fetchall()
+    ints = [c for c, ty, *_ in cols if ty in ("BIGINT", "INTEGER")]
+    dbls = [c for c, ty, *_ in cols if ty == "DOUBLE"]
+    strs = [c for c, ty, *_ in cols if ty == "VARCHAR"]
+    tss = [c for c, ty, *_ in cols if ty.startswith("TIMESTAMP")]
+    return ints, dbls, strs, tss
+
+
+def col_stats(con, sf, t, ints, strs):
+    rng, samples = {}, {}
+    for c in ints:
+        lo, hi = con.sql(
+            f"SELECT MIN({c}), MAX({c}) FROM read_parquet('{sf}/{t}.parquet')"
+        ).fetchone()
+        rng[c] = (int(lo), int(hi))
+    for c in strs:
+        vals = [v for (v,) in con.sql(
+            f"SELECT DISTINCT {c} FROM read_parquet('{sf}/{t}.parquet') "
+            f"LIMIT 12").fetchall()
+            if v is not None and v.replace(" ", "").replace("#", "")
+                                  .replace("-", "").replace(".", "")
+                                  .replace(",", "").isalnum()]
+        if vals:
+            samples[c] = sorted(vals)[:8]
+    return rng, samples
+
+
+class Gen:
+    def __init__(self, con, sf, seed):
+        self.r = random.Random(seed)
+        self.meta = {}
+        for t in TABLES:
+            ints, dbls, strs, tss = schema(con, sf, t)
+            rng, samples = col_stats(con, sf, t, ints, strs)
+            self.meta[t] = dict(ints=ints, dbls=dbls, strs=strs, tss=tss,
+                                rng=rng, samples=samples)
+
+    def pred(self, t, alias=""):
+        m, r = self.meta[t], self.r
+        p = alias + "." if alias else ""
+        kinds = []
+        if m["ints"]:
+            kinds += ["int_cmp", "int_between"]
+        if m["samples"]:
+            kinds += ["str_in", "str_like"]
+        k = r.choice(kinds)
+        if k == "int_cmp":
+            c = r.choice(m["ints"])
+            lo, hi = m["rng"][c]
+            v = r.randint(lo, max(lo, hi))
+            return f"{p}{c} {r.choice(['<', '<=', '>', '>=', '='])} {v}"
+        if k == "int_between":
+            c = r.choice(m["ints"])
+            lo, hi = m["rng"][c]
+            a = r.randint(lo, max(lo, hi)); b = r.randint(lo, max(lo, hi))
+            return f"{p}{c} BETWEEN {min(a, b)} AND {max(a, b)}"
+        c = r.choice(list(m["samples"]))
+        vals = m["samples"][c]
+        if k == "str_in":
+            picked = r.sample(vals, r.randint(1, min(3, len(vals))))
+            lst = ", ".join(f"'{v}'" for v in picked)
+            return f"{p}{c} IN ({lst})"
+        v = r.choice(vals)
+        return f"{p}{c} LIKE '{v[: max(1, len(v) // 2)]}%'"
+
+    def where(self, t, alias=""):
+        n = self.r.randint(0, 2)
+        if n == 0:
+            return ""
+        parts = [self.pred(t, alias) for _ in range(n)]
+        return " WHERE " + f" {self.r.choice(['AND', 'OR'])} ".join(parts)
+
+    def q_agg(self):
+        r = self.r
+        t = r.choice(TABLES)
+        m = self.meta[t]
+        g = r.choice(m["strs"] + m["ints"])
+        aggs = [f"CAST(COUNT(*) AS BIGINT) AS cnt"]
+        if m["ints"]:
+            c = r.choice(m["ints"])
+            aggs.append(f"CAST(SUM({c}) AS BIGINT) AS s0")
+            aggs.append(f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS d0")
+        for pool, nm in ((m["dbls"], "m0"), (m["tss"], "m1")):
+            if pool:
+                c = r.choice(pool)
+                aggs.append(f"{r.choice(['MIN', 'MAX'])}({c}) AS {nm}")
+        having = ""
+        if r.random() < 0.3:
+            having = f" HAVING COUNT(*) > {r.randint(0, 3)}"
+        return (f"SELECT {g} AS k0, {', '.join(aggs)} FROM {t}"
+                f"{self.where(t)} GROUP BY 1{having}")
+
+    def q_scalar(self):
+        r = self.r
+        t = r.choice(TABLES)
+        m = self.meta[t]
+        cols = []
+        if m["ints"]:
+            a, b = r.choice(m["ints"]), r.choice(m["ints"])
+            cols.append(f"{a} * {r.randint(2, 9)} + {b} AS e0")
+            cols.append(
+                f"CASE WHEN {a} % {r.randint(2, 7)} = 0 THEN 'even'"
+                f" ELSE 'odd' END AS c0")
+        if m["strs"]:
+            s = r.choice(m["strs"])
+            cols.append(f"UPPER({s}) AS u0")
+            cols.append(f"CAST(LENGTH({s}) AS BIGINT) AS l0")
+        key = r.choice(m["ints"] + m["strs"])
+        return (f"SELECT {key} AS k0, {', '.join(cols)} FROM {t}"
+                f"{self.where(t)}")
+
+    def q_join(self):
+        r = self.r
+        lt, lk, rt, rk = r.choice(JOINS)
+        g = r.choice(self.meta[rt]["strs"] + self.meta[rt]["ints"])
+        w = self.where(lt, "a")
+        return (f"SELECT b.{g} AS k0, CAST(COUNT(*) AS BIGINT) AS cnt "
+                f"FROM {lt} a JOIN {rt} b ON a.{lk} = b.{rk}{w} "
+                f"GROUP BY 1")
+
+    def q_setop(self):
+        r = self.r
+        t = r.choice(TABLES)
+        m = self.meta[t]
+        c = r.choice(m["ints"] + m["strs"])
+        op = r.choice(["UNION", "INTERSECT", "EXCEPT"])
+        return (f"SELECT {c} AS k0 FROM {t}{self.where(t)} {op} "
+                f"SELECT {c} AS k0 FROM {t}{self.where(t)}")
+
+    def gen(self, i):
+        return [self.q_agg, self.q_scalar, self.q_join,
+                self.q_setop][i % 4]()
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/fuzz_out"
+    n = int(sys.argv[sys.argv.index("--n") + 1]) if "--n" in sys.argv else 40
+    seed = (int(sys.argv[sys.argv.index("--seed") + 1])
+            if "--seed" in sys.argv else 42)
+    con = duckdb.connect()
+    gen = Gen(con, sf, seed)
+    # keep the .sql files OUTSIDE the compare dir: check.py treats every
+    # subdirectory of `out` as a Spark result to adjudicate
+    sql_dir = f"{out}_sql"
+    os.makedirs(sql_dir, exist_ok=True)
+    os.makedirs(out, exist_ok=True)
+    queries = {f"fuzz_{i:03d}": gen.gen(i) for i in range(n)}
+    for name, q in queries.items():
+        with open(f"{sql_dir}/{name}.sql", "w") as f:
+            f.write(q)
+    # oracle_sql.json: the SAME text DuckDB will run (check.py's layout)
+    import json
+    with open(f"{out}/oracle_sql.json", "w") as f:
+        json.dump(queries, f, indent=1)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jars = sorted(j for j in os.listdir(f"{repo}/target/scala-2.13")
+                  if j.endswith(".jar") and not j.endswith("-tests.jar"))
+    if not jars:
+        print("difffuzz: no jar — run `sbt package` first"); return 1
+    cp = f"{repo}/target/scala-2.13/{jars[-1]}:/opt/spark/jars/*"
+    rc = subprocess.run(
+        f"java {ADDOPENS} -Xmx8g -Dspark.ui.enabled=false "
+        f"-Dspark.sql.session.timeZone=UTC -cp '{cp}' "
+        f"graft.FuzzSql {sf} {sql_dir} {out}",
+        shell=True, capture_output=True, text=True)
+    for ln in rc.stderr.splitlines():
+        if ln.startswith("[fuzz]"):
+            print(ln)
+    if rc.returncode != 0:
+        print(rc.stderr[-2000:]); return 1
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import check
+    print(f"difffuzz: seed={seed} n={n} sf={sf}")
+    return check.main(sf, out)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
