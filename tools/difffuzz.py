@@ -32,6 +32,12 @@ import duckdb
 
 TABLES = ["lineitem", "orders", "customer", "supplier", "part", "nation",
           "region"]
+# unique keys: the total-order tie-breaks that make ORDER BY/LIMIT and
+# window ranks engine-deterministic
+PK = {"lineitem": ["l_orderkey", "l_linenumber"], "orders": ["o_orderkey"],
+      "customer": ["c_custkey"], "supplier": ["s_suppkey"],
+      "part": ["p_partkey"], "nation": ["n_nationkey"],
+      "region": ["r_regionkey"]}
 JOINS = [  # (left table, left key, right table, right key)
     ("lineitem", "l_orderkey", "orders", "o_orderkey"),
     ("orders", "o_custkey", "customer", "c_custkey"),
@@ -181,9 +187,43 @@ class Gen:
         return (f"SELECT {c} AS k0 FROM {t}{self.where(t)} {op} "
                 f"SELECT {c} AS k0 FROM {t}{self.where(t)}")
 
+    def q_topk(self):
+        # deterministic ONLY because the ORDER BY ends in the unique key
+        r = self.r
+        t = r.choice(TABLES)
+        m = self.meta[t]
+        c = r.choice(m["ints"] + m["dbls"])
+        pk = ", ".join(PK[t])
+        d = r.choice(["ASC", "DESC"])
+        cols = ", ".join(dict.fromkeys(PK[t] + [c]))  # pk ∪ value, ordered
+        return (f"SELECT {cols} FROM {t}{self.where(t)} "
+                f"ORDER BY {c} {d}, {pk} LIMIT {r.randint(1, 20)}")
+
+    def q_window(self):
+        r = self.r
+        t = r.choice(TABLES)
+        m = self.meta[t]
+        g = r.choice(m["strs"] + m["ints"])
+        c = r.choice(m["ints"] + m["dbls"])
+        pk = ", ".join(PK[t])
+        keep = r.randint(1, 3)
+        return (f"SELECT k0, c0, rn FROM ("
+                f"SELECT {g} AS k0, {c} AS c0, CAST(ROW_NUMBER() OVER ("
+                f"PARTITION BY {g} ORDER BY {c} DESC, {pk}) AS BIGINT) AS rn "
+                f"FROM {t}{self.where(t)}) WHERE rn <= {keep}")
+
+    def q_datetime(self):
+        r = self.r
+        t = r.choice([x for x in TABLES if self.meta[x]["tss"]])
+        ts = r.choice(self.meta[t]["tss"])
+        unit = r.choice(["day", "week", "month", "year"])
+        return (f"SELECT date_trunc('{unit}', {ts}) AS k0, "
+                f"CAST(COUNT(*) AS BIGINT) AS cnt, "
+                f"MIN({ts}) AS m0 FROM {t}{self.where(t)} GROUP BY 1")
+
     def gen(self, i):
-        return [self.q_agg, self.q_scalar, self.q_join,
-                self.q_setop][i % 4]()
+        return [self.q_agg, self.q_scalar, self.q_join, self.q_setop,
+                self.q_topk, self.q_window, self.q_datetime][i % 7]()
 
 
 def main():
