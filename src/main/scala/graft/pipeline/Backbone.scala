@@ -62,9 +62,13 @@ private[graft] object Backbone {
     counts.getOrElseUpdate(token(s, d), Tables.documents(s, d).count())
   }
 
-  /** Exact-dedup fingerprint table: (doc_id, fp) with fp = md5(lower
-    * (text)) — one corpus scan, stored once, read by the exact query,
-    * the curation cascade and the delta contract. */
+  /** Fingerprint + static per-doc columns: (doc_id, fp, uniq_ratio,
+    * n_tokens, n_chars) with fp = md5(lower(text)) — one corpus scan,
+    * stored once, read by the exact query, the curation cascade, the
+    * token budget and the shard manifests. Joining this table against a
+    * frame that carries its own quality column? Trim to the columns you
+    * need first (`select("doc_id", "fp")`) or the join output ends up
+    * with an ambiguous uniq_ratio. */
   def fingerprints(s: SparkSession, d: String): DataFrame = {
     // layout v2 ("fps2"): the static per-doc quality/size columns ride
     // the same build scan, so cascade consumers (keep-best quality,
@@ -82,8 +86,7 @@ private[graft] object Backbone {
       chars
         .withColumn("words", split(col("text"), " "))
         .select(col("doc_id"), TextDedup.fpCol.as("fp"),
-          round(size(array_distinct(col("words"))) /
-            size(col("words")).cast("double"), 6).as("uniq_ratio"),
+          TextDedup.uniqRatioCol.as("uniq_ratio"),
           size(col("words")).cast("long").as("n_tokens"),
           col("n_chars").cast("long").as("n_chars"))
         .write.mode("overwrite").parquet(path)

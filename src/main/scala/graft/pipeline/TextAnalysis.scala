@@ -71,8 +71,7 @@ object TextAnalysis {
         .select(col("doc_id"), col("n_chars"),
           size(col("words")).as("n_words"),
           size(array_distinct(col("words"))).as("n_uniq"),
-          round(size(array_distinct(col("words"))) /
-            size(col("words")).cast("double"), 6).as("uniq_ratio"),
+          TextDedup.uniqRatioCol.as("uniq_ratio"),
           round(expr("aggregate(transform(words, x -> length(x)), 0, (a, v) -> a + v)") /
             size(col("words")).cast("double"), 6).as("avg_word_len"),
           round(size(array_intersect(array_distinct(col("words")), arrayLit(stopEn))) /

@@ -503,6 +503,14 @@ object TextDedup {
   private[graft] def fpCol: Column =
     md5(lower(col("text")).cast("binary"))
 
+  /** THE quality score — distinct-word ratio over a `words` array
+    * column, round(6). One definition shared by the fps2 store build
+    * (which every cascade consumer reads) and the standalone
+    * d_text_quality scorer, so the two can never drift apart. */
+  private[graft] def uniqRatioCol: Column =
+    round(size(array_distinct(col("words"))) /
+      size(col("words")).cast("double"), 6)
+
   /** Shared body of the delta queries: verdicts for the batch half
     * (doc_id >= deltaSplit) against history (doc_id < deltaSplit) at the
     * given band geometry. */

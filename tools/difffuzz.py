@@ -74,9 +74,12 @@ def col_stats(con, sf, t, ints, strs):
         ).fetchone()
         rng[c] = (int(lo), int(hi))
     for c in strs:
+        # ORDER BY before LIMIT: without it DuckDB's scan order decides
+        # WHICH 12 values are sampled, and the seeded-reproducibility
+        # guarantee quietly breaks across duckdb/parquet-layout changes
         vals = [v for (v,) in con.sql(
             f"SELECT DISTINCT {c} FROM read_parquet('{sf}/{t}.parquet') "
-            f"LIMIT 12").fetchall()
+            f"ORDER BY {c} LIMIT 12").fetchall()
             if v is not None and v.replace(" ", "").replace("#", "")
                                   .replace("-", "").replace(".", "")
                                   .replace(",", "").isalnum()]
@@ -227,18 +230,33 @@ class Gen:
 
 
 def main():
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/fuzz_out"
+    # positionals are the argv entries that aren't a flag or its value
+    flags = {"--n", "--seed"}
+    pos, skip = [], False
+    for a in sys.argv[1:]:
+        if skip:
+            skip = False
+        elif a in flags:
+            skip = True
+        else:
+            pos.append(a)
+    sf = pos[0] if len(pos) > 0 else "/root/testdata/sf0.001"
+    out = pos[1] if len(pos) > 1 else "/tmp/fuzz_out"
     n = int(sys.argv[sys.argv.index("--n") + 1]) if "--n" in sys.argv else 40
     seed = (int(sys.argv[sys.argv.index("--seed") + 1])
             if "--seed" in sys.argv else 42)
     con = duckdb.connect()
     gen = Gen(con, sf, seed)
     # keep the .sql files OUTSIDE the compare dir: check.py treats every
-    # subdirectory of `out` as a Spark result to adjudicate
+    # subdirectory of `out` as a Spark result to adjudicate. Both dirs
+    # start CLEAN — FuzzSql writes parquet only on success, so a stale
+    # result from a previous seed/grammar would otherwise be silently
+    # adjudicated against this run's regenerated oracle SQL.
+    import shutil
     sql_dir = f"{out}_sql"
-    os.makedirs(sql_dir, exist_ok=True)
-    os.makedirs(out, exist_ok=True)
+    for d in (sql_dir, out):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
     queries = {f"fuzz_{i:03d}": gen.gen(i) for i in range(n)}
     for name, q in queries.items():
         with open(f"{sql_dir}/{name}.sql", "w") as f:
@@ -249,11 +267,15 @@ def main():
         json.dump(queries, f, indent=1)
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    jars = sorted(j for j in os.listdir(f"{repo}/target/scala-2.13")
-                  if j.endswith(".jar") and not j.endswith("-tests.jar"))
+    # newest by mtime, never the tests jar — same rule as round_gate.sh
+    tdir = f"{repo}/target/scala-2.13"
+    jars = sorted(
+        (j for j in os.listdir(tdir)
+         if j.endswith(".jar") and not j.endswith("-tests.jar")),
+        key=lambda j: os.path.getmtime(f"{tdir}/{j}"))
     if not jars:
         print("difffuzz: no jar — run `sbt package` first"); return 1
-    cp = f"{repo}/target/scala-2.13/{jars[-1]}:/opt/spark/jars/*"
+    cp = f"{tdir}/{jars[-1]}:/opt/spark/jars/*"
     rc = subprocess.run(
         f"java {ADDOPENS} -Xmx8g -Dspark.ui.enabled=false "
         f"-Dspark.sql.session.timeZone=UTC -cp '{cp}' "
