@@ -346,6 +346,35 @@ object Curation {
         .orderBy("doc_id"), caches: _*)
     }),
 
+    // Training CURRICULUM — the phase schedule between curation and the
+    // data loader: the cascade's KEPT docs are ranked by quality and cut
+    // into ten token-equal phases (phase 0 = the cleanest tokens first,
+    // the standard curriculum-learning shape; token-sized, not
+    // doc-sized, because training phases are token budgets). Rides the
+    // fps2 store for quality/token columns and the stored backbone for
+    // the kept set, and the corpus-sized global prefix sum rides
+    // OrderStats.weightedCdf — never a single-task window. Phase is an
+    // exact integer expression ((cum-1)*10 div tot), so both engines cut
+    // the same docs at every boundary at any scale.
+    "d_curriculum" -> ((s, d) => {
+      val kept = TextDedup.curationDecisions(s, d)
+        .filter(col("decision") === "kept").select("doc_id")
+      val scored = Backbone.fingerprints(s, d)
+        .join(kept, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"),
+          col("uniq_ratio").as("quality"))
+        .withColumn("g", lit(1))
+        .withColumn("neg_q", -col("quality"))
+      val (cdf, caches) = OrderStats.weightedCdfPlan(
+        scored, "g", Seq("neg_q", "doc_id"), "n_tokens")
+      Materialize.drop(cdf
+        .select(col("doc_id"), col("n_tokens"),
+          (-col("neg_q")).as("quality"),
+          col("cum").as("cum_tokens"),
+          expr("cast(((cum - 1) * 10) div tot as int)").as("phase"))
+        .orderBy("doc_id"), caches: _*)
+    }),
+
     // Domain mix APPLY — the step that turns d_domain_mix's weights into
     // an actual training-mix manifest: a corpus-sized mix where source s
     // contributes floor(N * w_s) documents (N = corpus size). Within a
@@ -526,6 +555,39 @@ object Curation {
          SELECT doc_id, n_tokens, quality, cum_tokens,
                 CAST(CASE WHEN cum_tokens * 2 <= tot THEN 1 ELSE 0 END AS INT) AS selected
          FROM c ORDER BY doc_id""",
+
+    // Curriculum: the cascade (recursive CTEs shared with the curation
+    // oracles) selects the kept set; token-equal phases via the same
+    // windowed prefix sum as the token budget, integer phase cut.
+    "d_curriculum" ->
+      s"""WITH RECURSIVE ${TextDedup.clustersCte},
+          ${TextDedup.keeperCte},
+          ex AS (
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS exact_keep
+            FROM documents),
+          kept AS (
+            SELECT k.doc_id
+            FROM k JOIN ex e ON k.doc_id = e.doc_id
+            WHERE k.doc_id = e.exact_keep AND k.doc_id = k.keep_id
+              AND k.uniq_ratio >= 0.3),
+          t AS (
+            SELECT d.doc_id,
+                   CAST(len(w) AS BIGINT) AS n_tokens,
+                   round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 6)
+                     AS quality
+            FROM (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents) d
+            JOIN kept USING (doc_id)),
+          c AS (
+            SELECT doc_id, n_tokens, quality,
+                   CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+                   CAST(SUM(n_tokens) OVER () AS BIGINT) AS tot
+            FROM t)
+          SELECT doc_id, n_tokens, quality, cum_tokens,
+                 CAST(((cum_tokens - 1) * 10) // tot AS INT) AS phase
+          FROM c ORDER BY doc_id""",
 
     "d_mix_apply" ->
       """WITH per AS (

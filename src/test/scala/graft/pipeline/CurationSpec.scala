@@ -143,6 +143,33 @@ class CurationSpec extends AnyFunSuite {
     assert(got.sameElements(Array((1L, 1), (2L, 0), (3L, 2))))
   }
 
+  test("curriculum: phases token-balanced within one doc; quality monotone across phases") {
+    import org.apache.spark.sql.functions._
+    val cur = Curation.queries("d_curriculum")(spark, sf).collect()
+    assert(cur.nonEmpty)
+    val phases = cur.groupBy(_.getAs[Int]("phase"))
+    assert(phases.keySet == (0 until 10).toSet
+      || phases.keySet.subsetOf((0 until 10).toSet),
+      s"phases out of range: ${phases.keySet}")
+    // token-equal cut: a phase spans [k*tot/10, (k+1)*tot/10) in
+    // cumulative-token space and each BOUNDARY lands within one doc of
+    // its ideal, so two phase sums differ by at most one doc per edge
+    val sums = phases.view.mapValues(_.map(_.getAs[Long]("n_tokens")).sum)
+    val maxDoc = cur.map(_.getAs[Long]("n_tokens")).max
+    if (sums.size == 10)
+      assert(sums.values.max - sums.values.min <= 2 * maxDoc,
+        s"phase token sums unbalanced beyond the boundary granularity: " +
+          s"${sums.toMap} (maxDoc $maxDoc)")
+    // the curriculum property itself: a later phase never contains a
+    // strictly better-quality doc than an earlier phase's worst
+    val byPhase = phases.view.mapValues(_.map(_.getAs[Double]("quality")))
+    (0 until 9).foreach { p =>
+      for (a <- byPhase.get(p); b <- byPhase.get(p + 1))
+        assert(a.min >= b.max - 1e-9,
+          s"phase $p worst ${a.min} < phase ${p + 1} best ${b.max}")
+    }
+  }
+
   test("pii scrub: every synthetic PII token is redacted") {
     val rows = Curation.queries("d_pii_scrub")(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count())

@@ -224,9 +224,37 @@ class Gen:
                 f"CAST(COUNT(*) AS BIGINT) AS cnt, "
                 f"MIN({ts}) AS m0 FROM {t}{self.where(t)} GROUP BY 1")
 
+    def q_nulls(self):
+        # TPC-H data carries no NULLs, so inject them deterministically
+        # (NULLIF against a real value) and fuzz the semantics that
+        # diverge most often across engines: NULL-skipping aggregates,
+        # COUNT(col) vs COUNT(*), GROUP BY NULL keys, COALESCE.
+        r = self.r
+        t = r.choice(TABLES)
+        m = self.meta[t]
+        c = r.choice(m["ints"])
+        lo, hi = m["rng"][c]
+        v = r.randint(lo, max(lo, hi))
+        # the group key goes NULL for a real subset of rows, not all
+        if m["samples"] and r.random() < 0.7:
+            gc = r.choice(list(m["samples"]))
+            g = f"NULLIF({gc}, '{r.choice(m['samples'][gc])}')"
+        else:
+            gc = r.choice(m["ints"])
+            glo, ghi = m["rng"][gc]
+            g = f"NULLIF({gc}, {r.randint(glo, max(glo, ghi))})"
+        return (f"SELECT {g} AS k_null, "
+                f"CAST(COUNT(*) AS BIGINT) AS cnt_star, "
+                f"CAST(COUNT(NULLIF({c}, {v})) AS BIGINT) AS cnt_col, "
+                f"CAST(SUM(NULLIF({c}, {v})) AS BIGINT) AS s0, "
+                f"CAST(SUM(COALESCE(NULLIF({c}, {v}), 0)) AS BIGINT) AS s1, "
+                f"CAST(COUNT(DISTINCT NULLIF({c}, {v})) AS BIGINT) AS d0 "
+                f"FROM {t}{self.where(t)} GROUP BY 1")
+
     def gen(self, i):
         return [self.q_agg, self.q_scalar, self.q_join, self.q_setop,
-                self.q_topk, self.q_window, self.q_datetime][i % 7]()
+                self.q_topk, self.q_window, self.q_datetime,
+                self.q_nulls][i % 8]()
 
 
 def main():
