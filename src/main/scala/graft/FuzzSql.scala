@@ -24,9 +24,14 @@ object FuzzSql {
       val name = f.getName.stripSuffix(".sql")
       val sql = new String(java.nio.file.Files.readAllBytes(f.toPath),
         java.nio.charset.StandardCharsets.UTF_8)
+      // NonFatal only: a parse/analysis/execution error is a finding
+      // ("no spark output" = honest divergence), but a fatal JVM error
+      // (OOM, LinkageError) must abort the run with a nonzero exit —
+      // every query after it would otherwise read as a benign miss from
+      // a corrupted JVM (ADVICE r12).
       try spark.sql(sql).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[fuzz] $name failed: ${e.getMessage}")
       }
     }

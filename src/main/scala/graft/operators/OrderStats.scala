@@ -73,8 +73,11 @@ object OrderStats {
     * Plan-statistics-driven, so the decision costs no extra job; 32 MB
     * ≈ a few million narrow rows, comfortably inside one-task-per-key
     * territory on any executor. Tunable per deployment. */
+  private val gateOverride = new scala.util.DynamicVariable[Option[Long]](None)
+
   private def gateBytes: Long =
-    sys.props.get("graft.orderstats.gateBytes").map(_.toLong)
+    gateOverride.value
+      .orElse(sys.props.get("graft.orderstats.gateBytes").map(_.toLong))
       .getOrElse(32L << 20)
 
   /** TEST/SWEEP HOOK: run `body` with the adaptive gate pinned to
@@ -82,14 +85,13 @@ object OrderStats {
     * setting — the plan-shape specs and ScaleSmoke's naive-vs-
     * distributed A/B must exercise the scale path regardless of how
     * small their fixtures are. */
-  def withGateBytes[T](bytes: Long)(body: => T): T = {
-    val prev = sys.props.get("graft.orderstats.gateBytes")
-    sys.props("graft.orderstats.gateBytes") = bytes.toString
-    try body finally prev match {
-      case Some(v) => sys.props("graft.orderstats.gateBytes") = v
-      case None => sys.props -= "graft.orderstats.gateBytes"
-    }
-  }
+  def withGateBytes[T](bytes: Long)(body: => T): T =
+    // thread-scoped, not a sys.props mutation: a concurrent
+    // weightedCdfPlan caller (parallel tests, a multi-threaded bench)
+    // must never observe another thread's pinned gate — results stay
+    // bit-equal either way, but plan-shape assertions would flake
+    // (ADVICE r12). The sys.prop stays as the JVM-wide deployment knob.
+    gateOverride.withValue(Some(bytes))(body)
 
   def weightedCdfPlan(df: DataFrame, key: String, ord: Seq[String],
                       wt: String): (DataFrame, Seq[DataFrame]) = {

@@ -433,5 +433,6 @@ private[graft] object Backbone {
     pairs(s, d, nBands = 4, rowsPerBand = 4)
     history(s, d, TextDedup.deltaSplit(s, d))
     batchSignature(s, d, TextDedup.deltaSplit(s, d))
+    TextDedup.prebuildTruth(s, d)
   }
 }

@@ -51,6 +51,12 @@ object TextDedup {
     * MATERIALIZED once per corpus version (shared by the n-gram verifier
     * and the recall audit — both read the stored table; the O(window²)
     * verification runs once, not per query). */
+  /** Prebuild hook: materialize the audit-truth table with the other
+    * stored artifacts (Backbone.prebuild) so d_dedup_ngram /
+    * d_dedup_recall pass-1 timings measure the shared-store regime, not
+    * a lazy first-call O(window²) build (ADVICE r12). */
+  def prebuildTruth(s: SparkSession, d: String): Unit = { truthStore(s, d); () }
+
   private def truthStore(s: SparkSession, d: String): DataFrame = {
     val path = s"${Warehouse.rootDir}/" +
       s"${Warehouse.token(s, d, "documents.parquet")}/audit_truth"

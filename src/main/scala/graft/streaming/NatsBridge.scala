@@ -199,9 +199,30 @@ object NatsBridge {
             pendBytes(m.subject) >= maxBytes)
           n += flushSubject(m.subject)
       }
-      if (n > 0) s.nc.ping(5000) // one ack barrier per cycle, not per file
+      if (n > 0) barrier() // one ack barrier per cycle, not per file
       n
     }
+
+    /** Failed ack barriers, cumulative (spec observability). */
+    def barrierFailures: Int = barrierFails
+
+    private var barrierFails = 0
+
+    /** Best-effort ack barrier: the spool write already succeeded by the
+      * time this runs, so a barrier failure must not tear down the
+      * relay — a degraded link would otherwise stall each cap flush up
+      * to the ping timeout AND propagate the IOException out of
+      * offer/pumpOnce (ADVICE r12). Unconfirmed acks are safe: ack_wait
+      * redelivery plus the spool's content dedup absorb the overlap;
+      * the count surfaces the degradation to the supervising loop. */
+    private def barrier(): Unit =
+      try s.nc.ping(5000)
+      catch { case e: java.io.IOException =>
+        barrierFails += 1
+        System.err.println(
+          s"[nats-relay] ack barrier failed (${e.getMessage}); " +
+            "relying on ack_wait redelivery + spool dedup")
+      }
 
     /** Interval tick: flush EVERYTHING (handler.rs `flush_all`). One
       * ping barrier for the whole drain — acks only need to be SENT
@@ -210,7 +231,7 @@ object NatsBridge {
       * degraded link. */
     def flushAll(): Int = {
       val n = pend.keys.toSeq.map(flushSubject).sum
-      if (n > 0) s.nc.ping(5000)
+      if (n > 0) barrier()
       n
     }
 

@@ -69,10 +69,13 @@ PATTERNS = {
 
 SCAN_EXT = {".scala", ".sbt", ".py", ".sh", ".md", ".sql", ".json",
             ".conf", ".toml", ".proto", ".txt", ".yaml", ".yml"}
-# VERDICT.md / ADVICE.md are judge-/advisor-authored round artifacts, not
-# engine code; they may quote the very literals they ask us to remove.
-SKIP = {"tools/leakcheck.py", "LEAKCHECK.json", "LEAKCHECK_LOCAL.json",
-        "VERDICT.md", "ADVICE.md"}
+# The scanner and its own output artifacts would always be their own hits.
+SKIP = {"tools/leakcheck.py", "LEAKCHECK.json", "LEAKCHECK_LOCAL.json"}
+# Judge-/advisor-authored round artifacts legitimately QUOTE retired
+# vendor-word patterns when adjudicating prior hits — but only that one
+# category. api-key / bucket / url / env categories stay fully active on
+# them (ADVICE r12: a blanket SKIP would let a quoted secret ship unseen).
+ALLOW = {"VERDICT.md": {"internal-pkg2"}, "ADVICE.md": {"internal-pkg2"}}
 
 
 def tracked_files():
@@ -96,8 +99,11 @@ def main():
         except OSError:
             continue
         n_files += 1
+        allowed = ALLOW.get(rel, set())
         for i, line in enumerate(text.splitlines(), 1):
             for cat, pats in PATTERNS.items():
+                if cat in allowed:
+                    continue
                 if any(p.search(line) for p in pats):
                     hits[cat].append(f"{rel}:{i}: {line.strip()[:160]}")
     n_hits = sum(len(v) for v in hits.values())
