@@ -17,7 +17,17 @@ territory (learned rules, enforced here):
     sampled distinct strings, so WHERE clauses exercise real
     selectivities instead of always-empty/always-full;
   - no LIMIT without ORDER BY (nondeterministic), no `/` or `%` on
-    negatives, LIKE uses % only.
+    negatives, LIKE uses % only;
+  - ORDER BY under LIMIT always ends in the table's unique key AND
+    spells NULLS FIRST/LAST explicitly where NULLs can appear (the
+    engines' ASC defaults differ).
+
+Families (gen): single-table aggregates, scalar projections, FK joins
+(single-hop inner, two-hop chains, left-outer against a filtered right
+side, EXISTS/NOT EXISTS semi/anti), set ops incl. ALL variants,
+top-k, window rank, date-trunc, NULL-injection aggregates,
+ROLLUP/CUBE/GROUPING SETS with GROUPING() flags, NULLS FIRST/LAST
+ordering.
 
 Every run is seeded: the same (seed, n, schema) always generates the
 same query texts, and failures print the query name whose .sql file
@@ -46,6 +56,11 @@ JOINS = [  # (left table, left key, right table, right key)
     ("nation", "n_regionkey", "region", "r_regionkey"),
     ("lineitem", "l_partkey", "part", "p_partkey"),
 ]
+# two-hop FK chains (a⋈b⋈c), derived from JOINS where the middle table
+# carries the second key — lineitem⋈orders⋈customer etc.
+CHAINS = [(lt, lk, rt, rk, lk2, rt2, rk2)
+          for (lt, lk, rt, rk) in JOINS
+          for (lt2, lk2, rt2, rk2) in JOINS if lt2 == rt]
 
 ADDOPENS = " ".join(
     f"--add-opens java.base/{p}=ALL-UNNAMED" for p in
@@ -186,9 +201,98 @@ class Gen:
         t = r.choice(TABLES)
         m = self.meta[t]
         c = r.choice(m["ints"] + m["strs"])
-        op = r.choice(["UNION", "INTERSECT", "EXCEPT"])
+        # ALL variants keep duplicates — the family where engines diverge
+        # on bag vs set semantics (EXCEPT ALL subtracts per-occurrence)
+        op = r.choice(["UNION", "INTERSECT", "EXCEPT",
+                       "UNION ALL", "INTERSECT ALL", "EXCEPT ALL"])
         return (f"SELECT {c} AS k0 FROM {t}{self.where(t)} {op} "
                 f"SELECT {c} AS k0 FROM {t}{self.where(t)}")
+
+    def q_join_multi(self):
+        # two-hop FK chain with aggregation: the TPC-H shape
+        # (lineitem⋈orders⋈customer) VERDICT r12 #1 names — join order,
+        # duplicate-key fan-out, and group-by over the far table all in
+        # one query.
+        r = self.r
+        lt, lk, rt, rk, lk2, rt2, rk2 = r.choice(CHAINS)
+        g = r.choice(self.meta[rt2]["strs"] + self.meta[rt2]["ints"])
+        aggs = ["CAST(COUNT(*) AS BIGINT) AS cnt"]
+        if self.meta[lt]["ints"]:
+            c = r.choice(self.meta[lt]["ints"])
+            aggs.append(f"CAST(SUM(a.{c}) AS BIGINT) AS s0")
+        w = self.where(lt, "a")
+        return (f"SELECT c.{g} AS k0, {', '.join(aggs)} FROM {lt} a "
+                f"JOIN {rt} b ON a.{lk} = b.{rk} "
+                f"JOIN {rt2} c ON b.{lk2} = c.{rk2}{w} GROUP BY 1")
+
+    def q_join_outer(self):
+        # LEFT JOIN against a FILTERED right side: null-extended rows are
+        # real (the predicate removes matches), and COUNT(b.key) vs
+        # COUNT(*) pins the null-skipping contract on the extended rows.
+        r = self.r
+        lt, lk, rt, rk = r.choice(JOINS)
+        g = r.choice(self.meta[lt]["strs"] + self.meta[lt]["ints"])
+        bp = self.pred(rt)
+        return (f"SELECT a.{g} AS k0, CAST(COUNT(*) AS BIGINT) AS cnt_star, "
+                f"CAST(COUNT(b.{rk}) AS BIGINT) AS cnt_b "
+                f"FROM {lt} a LEFT JOIN "
+                f"(SELECT * FROM {rt} WHERE {bp}) b ON a.{lk} = b.{rk} "
+                f"GROUP BY 1")
+
+    def q_join_semi(self):
+        # semi/anti via [NOT] EXISTS — the rewrite both engines plan as
+        # LeftSemi/LeftAnti; correlated predicate plus an inner filter.
+        r = self.r
+        lt, lk, rt, rk = r.choice(JOINS)
+        g = r.choice(self.meta[lt]["strs"] + self.meta[lt]["ints"])
+        neg = r.choice(["", "NOT "])
+        bp = self.pred(rt, "b")
+        w = self.where(lt, "a")
+        conj = " AND " if w else " WHERE "
+        return (f"SELECT a.{g} AS k0, CAST(COUNT(*) AS BIGINT) AS cnt "
+                f"FROM {lt} a{w}{conj}{neg}EXISTS "
+                f"(SELECT 1 FROM {rt} b WHERE b.{rk} = a.{lk} AND {bp}) "
+                f"GROUP BY 1")
+
+    def q_grouping(self):
+        # ROLLUP / CUBE / GROUPING SETS over two keys, with GROUPING()
+        # flags so subtotal-row NULLs are distinguishable from data NULLs
+        # — the multi-grouping family §2.4 certifies one query at a time.
+        r = self.r
+        t = r.choice(TABLES)
+        m = self.meta[t]
+        pool = m["strs"] + m["ints"]
+        k1, k2 = r.sample(pool, 2)
+        spec = r.choice([f"ROLLUP({k1}, {k2})", f"CUBE({k1}, {k2})",
+                         f"GROUPING SETS (({k1}, {k2}), ({k1}), ())",
+                         f"GROUPING SETS (({k1}), ({k2}))"])
+        aggs = ["CAST(COUNT(*) AS BIGINT) AS cnt",
+                f"CAST(GROUPING({k1}) AS BIGINT) AS g1",
+                f"CAST(GROUPING({k2}) AS BIGINT) AS g2"]
+        if m["ints"]:
+            c = r.choice(m["ints"])
+            aggs.append(f"CAST(SUM({c}) AS BIGINT) AS s0")
+        return (f"SELECT {k1}, {k2}, {', '.join(aggs)} FROM {t}"
+                f"{self.where(t)} GROUP BY {spec}")
+
+    def q_order_nulls(self):
+        # explicit NULLS FIRST/LAST with injected NULLs: engine defaults
+        # differ (Spark ASC=NULLS FIRST, DuckDB ASC=NULLS LAST), so the
+        # explicit forms are exactly what must pin behavior; pk tiebreak
+        # keeps LIMIT deterministic.
+        r = self.r
+        t = r.choice(TABLES)
+        m = self.meta[t]
+        c = r.choice(m["ints"])
+        lo, hi = m["rng"][c]
+        v = r.randint(lo, max(lo, hi))
+        pk = ", ".join(PK[t])
+        d = r.choice(["ASC", "DESC"])
+        nf = r.choice(["NULLS FIRST", "NULLS LAST"])
+        cols = ", ".join(dict.fromkeys(PK[t]))
+        return (f"SELECT {cols}, NULLIF({c}, {v}) AS v0 FROM {t}"
+                f"{self.where(t)} ORDER BY v0 {d} {nf}, {pk} "
+                f"LIMIT {r.randint(1, 20)}")
 
     def q_topk(self):
         # deterministic ONLY because the ORDER BY ends in the unique key
@@ -254,7 +358,9 @@ class Gen:
     def gen(self, i):
         return [self.q_agg, self.q_scalar, self.q_join, self.q_setop,
                 self.q_topk, self.q_window, self.q_datetime,
-                self.q_nulls][i % 8]()
+                self.q_nulls, self.q_join_multi, self.q_join_outer,
+                self.q_join_semi, self.q_grouping,
+                self.q_order_nulls][i % 13]()
 
 
 def main():

@@ -27,13 +27,18 @@ tail -2 /tmp/gate_verify.log || true
 echo "== [4/5] leakcheck =="
 python3 tools/leakcheck.py || { echo "GATE: LEAKCHECK RED"; exit 1; }
 
-echo "== [4.5/5] differential SQL fuzz (sf0.001, seeded) =="
+echo "== [4.5/5] differential SQL fuzz (sf0.001, 3 seeds x 70) =="
 sbt -batch package > /tmp/gate_pkg_fuzz.log 2>&1 \
   || { tail -20 /tmp/gate_pkg_fuzz.log; echo "GATE: PACKAGE RED"; exit 1; }
-python3 tools/difffuzz.py /root/testdata/sf0.001 /tmp/gate_fuzz --n 40 \
-  > /tmp/gate_fuzz.log 2>&1 \
-  || { tail -10 /tmp/gate_fuzz.log; echo "GATE: FUZZ RED"; exit 1; }
-tail -2 /tmp/gate_fuzz.log || true
+# >=200 queries across >=3 seeds (VERDICT r12 #1); distinct out dirs so a
+# red run leaves every seed's repro .sql on disk
+for SEED in 42 7 13; do
+  python3 tools/difffuzz.py /root/testdata/sf0.001 /tmp/gate_fuzz_s$SEED \
+    --n 70 --seed $SEED > /tmp/gate_fuzz_s$SEED.log 2>&1 \
+    || { tail -10 /tmp/gate_fuzz_s$SEED.log
+         echo "GATE: FUZZ RED (seed $SEED)"; exit 1; }
+  tail -2 /tmp/gate_fuzz_s$SEED.log | tr '\n' ' '; echo
+done
 
 if [ "${1:-}" = "--bench" ]; then
   echo "== [5/5] bench (sf0.1) =="
