@@ -84,7 +84,8 @@ object ScaleSmoke {
   /** Section gate: `SPARK_GRAFT_SMOKE_ONLY=<name>` runs one sweep alone
     * (drill-down); unset runs everything. Unknown names fail fast — a
     * typo must not masquerade as a sweep that produced no output. */
-  private val knownSections = Set("orderstats", "vec-advance", "advance-soak")
+  private val knownSections =
+    Set("orderstats", "vec-advance", "advance-soak", "wh-gc", "vec-geometry")
   private val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
   only.foreach(o => require(knownSections(o),
     s"unknown SPARK_GRAFT_SMOKE_ONLY section '$o'; known: " +
@@ -300,8 +301,7 @@ object ScaleSmoke {
       // geometry, exercised through the same entry points the catalog
       // pins at planes=4 for the oracle.
       section("vec-advance") {
-        val vPlanes = math.min(16, math.max(4,
-          (math.log(nVec / 30.0) / math.log(2)).round.toInt))
+        val vPlanes = pipeline.Similarity.planesFor(nVec)
         val vecBatchN = baseVecs / 2
         val vecSplit = (nVec - vecBatchN).toLong
         pipeline.VecBackbone.history(spark, dir, vecSplit, vPlanes) // untimed: yesterday's state
@@ -370,6 +370,101 @@ object ScaleSmoke {
           require(diff == 0,
             s"soak day $i diverged from the fresh build over the same prefix ($diff rows)")
           println(f"[scale] soak day $i x$m: committed labels == fresh prefix build ✓")
+        }
+      }
+
+      // ---- LSH geometry sweep: measured recall vs the S-curve model ----
+      // The catalog pins axis-sign planes=4 (oracle-reproducible); the
+      // production geometry is seeded random hyperplanes sized by the
+      // 2^b ≈ n/30 rule (VERDICT r12 #8, behind -Dgraft.vec.lshSeed for
+      // semanticDedup). This sweep certifies MEASURED window recall at
+      // both geometries — plus a rule+2 point showing the recall ↔
+      // candidate-count trade — against the SimHash collision model
+      // E[(1 − θ/π)^b]: random hyperplanes must TRACK the model (every
+      // dim mixes into every bit), while axis signs on sign-structured
+      // data beat it (the clusters agree on the leading dims by
+      // construction) — which is exactly why the model, not the catalog
+      // geometry, is what production knob tuning must use.
+      section("vec-geometry") {
+        val window = math.min(500L, nVec.toLong)
+        val emb = Tables.embeddings(spark, dir).filter(col("vec_id") < window)
+        pipeline.Similarity.register(spark)
+        val v = emb.select(col("vec_id"), col("embedding").as("v"))
+          .withColumn("n", expr("sqrt(float_dot(v, v))"))
+        val truth = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cos",
+            expr("float_dot(a.v, b.v)") / (col("a.n") * col("b.n")))
+          .filter(col("cos") >= 0.9)
+          .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+            least(col("cos"), lit(1.0)).as("cos"))
+          .persist()
+        val nTruth = truth.count()
+        require(nTruth > 0, "geometry sweep fixture has no near pairs")
+        val rule = pipeline.Similarity.planesFor(nVec)
+        val geoms = Seq(("axis", 4, Option.empty[Long]),
+          ("rand", rule, Some(7L)),
+          ("rand", math.min(16, rule + 2), Some(7L)))
+        geoms.foreach { case (nm, p, seed) =>
+          val b = (seed match {
+            case Some(sd) =>
+              pipeline.Similarity.signBucketsRandom(spark, emb, p, sd)
+            case None => pipeline.Similarity.signBuckets(spark, emb, p)
+          }).select(col("vec_id"), col("bucket"))
+          val caught = b.as("x").join(b.as("y"),
+              col("x.bucket") === col("y.bucket") &&
+                col("x.vec_id") < col("y.vec_id"))
+            .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+          val hit = truth.join(caught, Seq("va", "vb"), "left_semi").count()
+          val recall = hit.toDouble / nTruth
+          val model = truth
+            .select(avg(pow(lit(1.0) - acos(col("cos")) / math.Pi, p)))
+            .head.getDouble(0)
+          println(f"[scale] vec-geometry $nm%-4s p=$p%-2d x$m: " +
+            f"recall=$recall%.3f model=$model%.3f (truth pairs=$nTruth)")
+        }
+        truth.unpersist()
+      }
+
+      // ---- warehouse version GC under the nightly chain ----------------
+      // Each "day" REPLACES the corpus (new token → new version subtree)
+      // and rebuilds the backbone — exactly the production leak VERDICT
+      // r12 #2 names: without retention the warehouse accumulates a full
+      // fingerprint+band+label copy per corpus version forever. keep=2
+      // retention must hold the version-dir count flat at 2 from day 2
+      // on, while the current day's tables stay readable after every gc.
+      section("wh-gc") {
+        val whRoot = java.nio.file.Files
+          .createTempDirectory(s"graft_whgc_$m").toString
+        val corpus = s"${sys.props("java.io.tmpdir")}/graft_whgc_corpus_$m"
+        val prevProp = sys.props.get("graft.backbone.dir")
+        sys.props("graft.backbone.dir") = whRoot
+        try {
+          def versionDirCount: Int =
+            Option(new java.io.File(whRoot).listFiles()).getOrElse(Array.empty)
+              .count(f => f.isDirectory &&
+                new java.io.File(f, "_graft_corpus").exists())
+          var reclaimed = 0
+          (1 to 4).foreach { day =>
+            synthDocuments(spark, nDoc + day, corpus) // new corpus version
+            timeIt(f"wh-gc day $day x$m (n=${nDoc + day}%,d)", {
+              val n = pipeline.Backbone.labels(spark, corpus).count()
+              reclaimed += pipeline.Warehouse
+                .gc(spark, keep = 2, graceMs = 0L).size
+              n
+            })
+            val kept = versionDirCount
+            require(kept <= 2,
+              s"wh-gc day $day: $kept version dirs survive keep=2")
+            println(f"[scale] wh-gc day $day x$m: $kept version dirs kept, " +
+              s"$reclaimed reclaimed so far ✓")
+          }
+          require(reclaimed == 2,
+            s"4 versions at keep=2 must reclaim exactly 2, got $reclaimed")
+        } finally {
+          prevProp match {
+            case Some(v) => sys.props("graft.backbone.dir") = v
+            case None => sys.props -= "graft.backbone.dir"
+          }
         }
       }
     }

@@ -42,6 +42,10 @@ private[graft] object Backbone {
   private def sanitize(t: String): String = Warehouse.sanitize(t)
   private def token(s: SparkSession, d: String): String =
     Warehouse.token(s, d, "documents.parquet")
+  // version-subtree root: resolving it stamps the _graft_corpus sidecar
+  // Warehouse.gc's keep-K retention + reader grace window key off
+  private def verRoot(s: SparkSession, d: String): String =
+    Warehouse.versionDir(s, d, "documents.parquet")
   private def ensure(s: SparkSession, path: String)(build: => Unit): Unit =
     Warehouse.ensure(s, path)(build)
   private def instanceId(o: AnyRef): Long = Warehouse.instanceId(o)
@@ -76,7 +80,7 @@ private[graft] object Backbone {
     // of rescanning corpus text per call — at 100 TB the nightly cascade
     // then touches text only in the span/scrub family. The path bump
     // matters: a marker-complete v1 dir must never satisfy v2 readers.
-    val path = s"$rootDir/${token(s, d)}/fps2"
+    val path = s"${verRoot(s, d)}/fps2"
     ensure(s, path) {
       val base = Tables.documents(s, d)
       // synthetic spec corpora may omit n_chars; it is len(text) by
@@ -99,7 +103,7 @@ private[graft] object Backbone {
     * pair derivation; both land as parquet). */
   private def ensureMinhash(s: SparkSession, d: String,
                             nBands: Int, rowsPerBand: Int): String = {
-    val base = s"$rootDir/${token(s, d)}/mh${nBands}x$rowsPerBand"
+    val base = s"${verRoot(s, d)}/mh${nBands}x$rowsPerBand"
     ensure(s, base) {
       val plan = TextDedup.minhashPairsPlan(s, d, nBands, rowsPerBand)
       plan.bands.write.mode("overwrite").parquet(s"$base/bands")
@@ -124,7 +128,7 @@ private[graft] object Backbone {
     * over the default-geometry pair graph; docs in no near-dup pair are
     * absent (callers coalesce to doc_id for singleton semantics). */
   def labels(s: SparkSession, d: String): DataFrame = {
-    val path = s"$rootDir/${token(s, d)}/labels"
+    val path = s"${verRoot(s, d)}/labels"
     ensure(s, path) {
       val edges = Graph.symmetrize(pairs(s, d), "da", "db").persist()
       val (lbl, caches) = Graph.minLabelComponents(edges)
@@ -156,7 +160,7 @@ private[graft] object Backbone {
   def history(s: SparkSession, d: String, split: Long,
               nBands: Int = 4, rowsPerBand: Int = 2): HistoryTables = {
     val base =
-      s"$rootDir/${token(s, d)}/hist$split${gSuffix(nBands, rowsPerBand)}"
+      s"${verRoot(s, d)}/hist$split${gSuffix(nBands, rowsPerBand)}"
     ensure(s, base) {
       val hist = Tables.documents(s, d).filter(col("doc_id") < split)
       val sp = TextDedup.signaturePlan(hist, nBands, rowsPerBand)
@@ -219,7 +223,7 @@ private[graft] object Backbone {
   def batchSignature(s: SparkSession, d: String, split: Long,
                      batchEnd: Long = Long.MaxValue,
                      nBands: Int = 4, rowsPerBand: Int = 2): BatchTables = {
-    val base = s"$rootDir/${token(s, d)}/batch${split}e$batchEnd" +
+    val base = s"${verRoot(s, d)}/batch${split}e$batchEnd" +
       gSuffix(nBands, rowsPerBand)
     ensure(s, base) {
       val batch = Tables.documents(s, d)

@@ -115,8 +115,8 @@ object Curation {
     String, (Array[Byte], Array[Byte])]()
   private[pipeline] def bloomPairStored(s: SparkSession, d: String,
       bench: => DataFrame): (Array[Byte], Array[Byte]) = {
-    val dir = s"${Warehouse.rootDir}/" +
-      s"${Warehouse.token(s, d, "documents.parquet")}/eval_bloom"
+    val dir =
+      s"${Warehouse.versionDir(s, d, "documents.parquet")}/eval_bloom"
     // get/build/putIfAbsent, NOT computeIfAbsent: the build acquires the
     // Warehouse monitor, and Warehouse.ensure build bodies (the composed
     // pipeline) call back into this method — running Spark work under a

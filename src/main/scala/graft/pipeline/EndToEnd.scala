@@ -105,8 +105,8 @@ object EndToEnd {
     * line item (Bench's `pipeline_build_sec`), reads are table scans. */
   private[pipeline] def scrubbedStore(
       s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val base = s"${Warehouse.rootDir}/pipe_" +
-      s"${Warehouse.token(s, d, "documents.parquet")}/scrubbed"
+    val base =
+      s"${Warehouse.versionDir(s, d, "documents.parquet", "pipe_")}/scrubbed"
     Warehouse.ensure(s, base) {
       val (dec, scrub, caches) = scrubbedParts(s, d)
       // unpersist in finally: a failed write (disk full, killed stage)

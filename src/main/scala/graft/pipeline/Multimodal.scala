@@ -188,17 +188,35 @@ object Multimodal {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** `d_media_features` is rows-only (float byte-stats aren't worth a
-    * lossy SQL re-derivation; MultimodalSpec checks the semantics). The
-    * integer-valued metadata/frame paths ARE oracled — they run the real
-    * mapPartitions/flatMap plumbing and DuckDB recomputes them exactly. */
+  /** `d_media_features` is rows-only and REDUCED to the one column no
+    * exact oracle can adjudicate: byte_entropy's -Σ p·log2 p is a
+    * 256-term float sum whose summation ORDER a SQL engine doesn't pin,
+    * so a DuckDB re-derivation is a flaky hash by construction
+    * (MultimodalSpec checks the semantics instead). Every OTHER
+    * deterministic extractor column — mime routing, n_bytes, the exact
+    * integer byte sum behind mean_byte, frame counts — is split into the
+    * fully-oracled `d_media_byte_stats` below (VERDICT r12 #6); the
+    * decoded-kernel paths have their own oracled WAV/PNG entries. */
   val queries: Map[String, Q] = Map(
     "d_media_features" -> ((s, d) => {
       extractFeatures(asMedia(Tables.documents(s, d)))
         .toDF()
+        .select(col("doc_id"), col("mime"),
+          round(col("byte_entropy"), 6).as("byte_entropy"))
+        .orderBy("doc_id")
+    }),
+
+    // The deterministic byte-level columns of the SAME extractor run,
+    // fully oracled: mean_byte's numerator is an exact integer byte sum,
+    // so the only float op is one IEEE divide + round(6) — DuckDB
+    // recomputes it analytically from the ASCII corpus. A routing bug
+    // (mime), a length bug (n_bytes), a histogram bug (mean) or a
+    // frame-stride bug (n_frames) all fail the hash.
+    "d_media_byte_stats" -> ((s, d) => {
+      extractFeatures(asMedia(Tables.documents(s, d)))
+        .toDF()
         .select(col("doc_id"), col("mime"), col("n_bytes"),
           round(col("mean_byte"), 6).as("mean_byte"),
-          round(col("byte_entropy"), 6).as("byte_entropy"),
           col("n_frames"))
         .orderBy("doc_id")
     }),
@@ -299,6 +317,29 @@ object Multimodal {
     * row), so character slicing in the oracle equals the byte slicing the
     * Spark side does on the binary payload. */
   val oracles: Map[String, String] = Map(
+    "d_media_byte_stats" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  CASE WHEN source = 'src0' THEN 'image/png'
+                       WHEN source = 'src1' THEN 'audio/wav'
+                       ELSE 'video/mp4' END AS mime,
+                  length(text) AS n_bytes,
+                  CASE WHEN source NOT IN ('src0', 'src1')
+                       THEN greatest(1, length(text) // 256)
+                       ELSE 1 END AS n_frames,
+                  text
+           FROM documents),
+         c AS (
+           SELECT doc_id, SUM(ascii(substring(text, i, 1))) AS s
+           FROM m, unnest(generate_series(1, length(text))) AS t(i)
+           GROUP BY doc_id)
+         SELECT m.doc_id, m.mime, CAST(m.n_bytes AS INT) AS n_bytes,
+                round(CAST(COALESCE(c.s, 0) AS DOUBLE)
+                      / CASE WHEN m.n_bytes = 0 THEN 1 ELSE m.n_bytes END,
+                      6) AS mean_byte,
+                CAST(m.n_frames AS INT) AS n_frames
+         FROM m LEFT JOIN c USING (doc_id) ORDER BY doc_id""",
+
     "d_media_png_features" ->
       """WITH src AS (
            SELECT doc_id,

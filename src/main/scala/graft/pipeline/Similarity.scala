@@ -391,6 +391,43 @@ object Similarity {
                      0, (acc, v) -> acc + v)"""))
   }
 
+  /** The PRODUCTION LSH geometry (VERDICT r12 #8): seeded random Gaussian
+    * hyperplanes instead of axis signs — bucket bit i = sign(v · h_i).
+    * Axis signs reproduce in the DuckDB oracle (why the catalog pins
+    * them at planes=4) but read only the first `planes` dims; random
+    * hyperplanes mix EVERY dim into every bit, so collision probability
+    * follows the SimHash model P(same bit) = 1 − θ/π exactly, which is
+    * what the 2^b ≈ n/30 sizing rule and the recall S-curve assume. The
+    * matrix is generated driver-side from the seed (a few KB — the
+    * "index metadata" a production deployment pins alongside the
+    * quantizer) and baked into the plan as literals; per-row work is
+    * `planes` codegen'd float_dot calls, no shuffle, no UDF. Same output
+    * columns as [[signBuckets]], so every consumer (pair join, recall
+    * audit, ScaleSmoke candidate counts) takes either geometry. */
+  private[graft] def signBucketsRandom(s: SparkSession, embeddings: DataFrame,
+                                       planes: Int, seed: Long): DataFrame = {
+    require(planes >= 1 && planes <= 16, s"planes $planes outside [1,16]")
+    register(s)
+    val dims = embeddings.select(size(col("embedding"))).head.getInt(0)
+    val rnd = new java.util.Random(seed)
+    val bucketExpr = (0 until planes).map { i =>
+      val h = Array.fill(dims)(rnd.nextGaussian())
+      val arr = s"CAST(array(${h.mkString(", ")}) AS ARRAY<FLOAT>)"
+      s"IF(float_dot(v, $arr) >= 0D, ${1 << i}, 0)"
+    }.mkString(" + ")
+    embeddings
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("n", norm("v"))
+      .withColumn("bucket", expr(bucketExpr))
+  }
+
+  /** The 2^b ≈ n/30 plane-sizing rule (buckets hold ~30 vectors so the
+    * bucket-keyed pair join stays ~linear), clamped to the catalog floor
+    * and signBuckets' 16-bit cap. */
+  private[graft] def planesFor(n: Long): Int =
+    math.min(16, math.max(4,
+      (math.log(math.max(1L, n) / 30.0) / math.log(2)).round.toInt))
+
   /** Candidate count an IVF probe generates: fit the coarse quantizer
     * exactly as the ivf paths do, then sum the probed cells' sizes over
     * the first `nQueries` query vectors — the number the scale claim
@@ -413,10 +450,24 @@ object Similarity {
       .agg(coalesce(sum("count"), lit(0L))).head.getLong(0)
   }
 
+  /** Config-selected LSH geometry for stateless per-call clustering:
+    * `-Dgraft.vec.lshSeed=<long>` switches [[semanticDedup]] to seeded
+    * random hyperplanes (the production geometry; recall certified by
+    * ScaleSmoke's vec-geometry sweep). Deliberately NOT consulted by the
+    * stored [[VecBackbone]] tables: an index pins its geometry at build
+    * time — flipping a JVM flag must never make probes disagree with
+    * stored buckets. Unset (default) = axis signs, the oracle geometry. */
+  private def configuredLshSeed: Option[Long] =
+    sys.props.get("graft.vec.lshSeed").map(_.toLong)
+
   def semanticDedup(s: SparkSession, embeddings: DataFrame,
-                    planes: Int, threshold: Double): DataFrame = {
+                    planes: Int, threshold: Double,
+                    lshSeed: Option[Long] = None): DataFrame = {
     register(s)
-    val e = signBuckets(s, embeddings, planes)
+    val e = lshSeed.orElse(configuredLshSeed) match {
+      case Some(seed) => signBucketsRandom(s, embeddings, planes, seed)
+      case None => signBuckets(s, embeddings, planes)
+    }
     val a = e.select(col("vec_id").as("va"), col("v").as("xa"),
       col("n").as("na"), col("bucket"))
     val b = e.select(col("vec_id").as("vb"), col("v").as("xb"),

@@ -49,8 +49,8 @@ object TextAnalysis {
     * production trains the filter LM at corpus release and every scoring
     * job loads it, exactly like the dedup backbone and the eval blooms). */
   private def lmModelStore(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val base = s"${Warehouse.rootDir}/" +
-      s"${Warehouse.token(s, d, "documents.parquet")}/lm"
+    val base =
+      s"${Warehouse.versionDir(s, d, "documents.parquet")}/lm"
     Warehouse.ensure(s, base) {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), split(lower(col("text")), " ").as("w"))

@@ -58,8 +58,8 @@ object TextDedup {
   def prebuildTruth(s: SparkSession, d: String): Unit = { truthStore(s, d); () }
 
   private def truthStore(s: SparkSession, d: String): DataFrame = {
-    val path = s"${Warehouse.rootDir}/" +
-      s"${Warehouse.token(s, d, "documents.parquet")}/audit_truth"
+    val path =
+      s"${Warehouse.versionDir(s, d, "documents.parquet")}/audit_truth"
     Warehouse.ensure(s, path) {
       val (truth, t) = exactPairsWindow(s, d)
       try truth.write.mode("overwrite").parquet(path)

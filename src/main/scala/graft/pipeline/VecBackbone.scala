@@ -58,7 +58,7 @@ private[graft] object VecBackbone {
   private def token(s: SparkSession, d: String): String =
     Warehouse.token(s, d, "embeddings.parquet")
   private def root(s: SparkSession, d: String): String =
-    s"${Warehouse.rootDir}/vec_${token(s, d)}"
+    Warehouse.versionDir(s, d, "embeddings.parquet", "vec_")
 
   private val counts = scala.collection.mutable.Map[String, Long]()
   def vecCount(s: SparkSession, d: String): Long = synchronized {

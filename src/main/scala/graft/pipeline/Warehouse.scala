@@ -28,13 +28,13 @@ import org.apache.spark.sql.SparkSession
   *    keyed by in-memory table INSTANCES — meaningless across JVMs, so
   *    they never participate in cross-JVM marker reuse.
   */
-private[pipeline] object Warehouse {
+object Warehouse {
 
   private val runId = UUID.randomUUID().toString.take(8)
 
   private def explicitDir: Option[String] = sys.props.get("graft.backbone.dir")
 
-  def rootDir: String = explicitDir.getOrElse {
+  private[pipeline] def rootDir: String = explicitDir.getOrElse {
     val base = new java.io.File(sys.props("java.io.tmpdir"), "graft-backbone").getPath
     s"$base/$runId"
   }
@@ -66,7 +66,7 @@ private[pipeline] object Warehouse {
     * cross-JVM marker reuse is reserved for token-versioned
     * corpus-derived paths. (Default rootDir is already runId-scoped, so
     * no extra nesting there.) */
-  def instanceRoot: String =
+  private[pipeline] def instanceRoot: String =
     if (explicitDir.isDefined) {
       val p = s"$rootDir/jvm_$runId"
       registerCleanup(p) // meaningless to any later JVM — reclaim on exit
@@ -93,7 +93,7 @@ private[pipeline] object Warehouse {
 
   /** Lossy sanitize for USER-SUPPLIED tags only — never for corpus
     * dirs, whose token must be injective (see [[token]]). */
-  def sanitize(t: String): String = t.replaceAll("[^A-Za-z0-9.]", "_")
+  private[pipeline] def sanitize(t: String): String = t.replaceAll("[^A-Za-z0-9.]", "_")
 
   /** Corpus storage/memo token over `$d/$fileName`: readable sanitized
     * path + an md5 of the raw path (injectivity — `/a/my-corpus` and
@@ -103,7 +103,7 @@ private[pipeline] object Warehouse {
     * hit; this is what makes the warehouse root safe without per-JVM
     * scoping). One driver FS listing per accessor call — negligible
     * next to the query it guards. */
-  def token(s: SparkSession, d: String, fileName: String): String = {
+  private[pipeline] def token(s: SparkSession, d: String, fileName: String): String = {
     import org.apache.hadoop.fs.{FileStatus, Path}
     val p = new Path(s"$d/$fileName")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -129,7 +129,7 @@ private[pipeline] object Warehouse {
     built.clear()
   }
 
-  def ensure(s: SparkSession, path: String)(build: => Unit): Unit =
+  private[pipeline] def ensure(s: SparkSession, path: String)(build: => Unit): Unit =
     synchronized {
       if (built.contains(path)) return
       val marker = new org.apache.hadoop.fs.Path(path, "_graft_built")
@@ -141,6 +141,122 @@ private[pipeline] object Warehouse {
       built += path
     }
 
+  // ---- corpus-version retention (keep-last-K GC) ------------------------
+
+  /** Version-INDEPENDENT id for a corpus family `(prefix, d, fileName)`,
+    * written into each version subtree's `_graft_corpus` sidecar so
+    * [[gc]] can group one family's subtrees without parsing dir names
+    * ([[sanitize]] is lossy — two different corpora must never share a
+    * retention pool, or one's keep-K could evict the other's current
+    * version). */
+  private def corpusKey(d: String, fileName: String, prefix: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$prefix|$d|$fileName".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+
+  private val stamped = mutable.Map[String, Long]() // path -> last stamp ms
+  private val stampIntervalMs = 10 * 60 * 1000L
+
+  /** Resolve — and under an explicit warehouse root, STAMP — the version
+    * subtree for corpus `(d, fileName)` with an optional family prefix.
+    * The `_graft_corpus` sidecar carries the family id; its mtime is the
+    * "last resolved" signal [[gc]]'s grace window protects, so resolving
+    * a version through this method is what marks it live. Re-stamped at
+    * most every 10 min per JVM: a long-lived reader keeps its version
+    * fresh while per-query FS writes stay negligible. Only the CURRENT
+    * token is ever resolvable (the token embeds the source file-metadata
+    * version), so a family's newest stamp always sits on its current
+    * version. */
+  private[pipeline] def versionDir(s: SparkSession, d: String, fileName: String,
+                 prefix: String = ""): String = {
+    val path = s"$rootDir/$prefix${token(s, d, fileName)}"
+    if (explicitDir.isDefined) synchronized {
+      val now = System.currentTimeMillis()
+      if (now - stamped.getOrElse(path, 0L) > stampIntervalMs) {
+        val side = new org.apache.hadoop.fs.Path(path, "_graft_corpus")
+        val fs = side.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val out = fs.create(side, true)
+        try out.write(corpusKey(d, fileName, prefix).getBytes("UTF-8"))
+        finally out.close()
+        stamped(path) = now
+      }
+    }
+    path
+  }
+
+  private def keepVersions: Int =
+    sys.props.get("graft.backbone.keepVersions").map(_.toInt).getOrElse(2)
+  private def gcGraceMs: Long =
+    sys.props.get("graft.backbone.gcGraceMs").map(_.toLong)
+      .getOrElse(60 * 60 * 1000L)
+
+  /** Keep-last-K retention for superseded corpus-version subtrees under
+    * an EXPLICIT `graft.backbone.dir` — without it a nightly production
+    * chain leaks a full fingerprint+band+vec-index copy per corpus
+    * version. Per corpus family (grouped by the `_graft_corpus` sidecar
+    * id; dirs without a sidecar are foreign and NEVER touched):
+    *
+    *  - the newest `keep` versions by sidecar mtime survive;
+    *  - anything stamped within `graceMs` survives regardless — a live
+    *    reader re-stamps its version every <=10 min via [[versionDir]],
+    *    so the version a concurrent reader resolved is never yanked
+    *    mid-read;
+    *  - the current version carries its family's newest stamp (only the
+    *    current token is resolvable), so it survives any `keep >= 1`;
+    *  - deletion drops every `_graft_built` marker FIRST: a crash
+    *    mid-delete leaves marker-less partial dirs that [[ensure]]
+    *    rebuilds over, never truncated state served as complete.
+    *
+    * No-op under the default per-JVM tmp root (that tree is reclaimed on
+    * exit). Returns the deleted version-dir paths. Knobs:
+    * `graft.backbone.keepVersions` (default 2),
+    * `graft.backbone.gcGraceMs` (default 1 h). */
+  def gc(s: SparkSession, keep: Int = keepVersions,
+         graceMs: Long = gcGraceMs): Seq[String] = synchronized {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    explicitDir match {
+      case None => Seq.empty
+      case Some(root) =>
+        import org.apache.hadoop.fs.Path
+        val rootPath = new Path(root)
+        val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(rootPath)) return Seq.empty
+        val now = System.currentTimeMillis()
+        val versions = fs.listStatus(rootPath).toSeq
+          .filter(_.isDirectory)
+          .flatMap { st =>
+            val side = new Path(st.getPath, "_graft_corpus")
+            if (!fs.exists(side)) None
+            else {
+              val in = fs.open(side)
+              val key = try scala.io.Source.fromInputStream(in).mkString.trim
+              finally in.close()
+              Some((key, st.getPath,
+                fs.getFileStatus(side).getModificationTime))
+            }
+          }
+        versions.groupBy(_._1).valuesIterator.flatMap { fam =>
+          fam.sortBy(-_._3).drop(keep)
+            .filter { case (_, _, ts) => now - ts > graceMs }
+            .map { case (_, p, _) =>
+              def dropMarkers(dir: Path): Unit =
+                fs.listStatus(dir).foreach { c =>
+                  if (c.isDirectory) dropMarkers(c.getPath)
+                  else if (c.getPath.getName == "_graft_built")
+                    fs.delete(c.getPath, false): Unit
+                }
+              dropMarkers(p) // crash-safe ordering: see Scaladoc
+              fs.delete(p, true)
+              // this JVM must not keep believing tables under the deleted
+              // version are built (or freshly stamped)
+              built.filterInPlace(!_.startsWith(p.toString))
+              stamped.filterInPlace((k, _) => !k.startsWith(p.toString))
+              p.toString
+            }
+        }.toSeq
+    }
+  }
+
   /** Stable per-JVM id for a DataFrame INSTANCE, used to key memo paths
     * by which in-memory table a caller passed. Not identityHashCode:
     * that is address-derived, so a collected object's hash can be
@@ -150,7 +266,7 @@ private[pipeline] object Warehouse {
     * ever passes, and exact forever. */
   private val instanceIds = new java.util.IdentityHashMap[AnyRef, java.lang.Long]()
   private val instanceSeq = new java.util.concurrent.atomic.AtomicLong()
-  def instanceId(o: AnyRef): Long = instanceIds.synchronized {
+  private[pipeline] def instanceId(o: AnyRef): Long = instanceIds.synchronized {
     val got = instanceIds.get(o)
     if (got != null) got.longValue
     else { val id = instanceSeq.incrementAndGet(); instanceIds.put(o, id); id }

@@ -57,6 +57,19 @@ if [ "${1:-}" = "--bench" ]; then
   java $ADDOPENS -Xmx48g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "$JAR:/opt/spark/jars/*" \
     graft.Bench 2>/tmp/gate_bench.err | tail -1
+
+  echo "== [5.5] shuffle audit (soft gate: super-linear growth sf0.01->sf0.1) =="
+  for SF in 0.01 0.1; do
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf$SF \
+    java $ADDOPENS -Xmx48g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+      -cp "$JAR:/opt/spark/jars/*" \
+      graft.pipeline.ShuffleAudit --json /tmp/gate_shuffle_$SF.json \
+      > /tmp/gate_shuffle_$SF.log 2>&1 \
+      || { tail -5 /tmp/gate_shuffle_$SF.log; echo "GATE: SHUFFLE AUDIT FAILED (soft, continuing)"; }
+  done
+  python3 tools/shuffle_gate.py /tmp/gate_shuffle_0.01.json \
+    /tmp/gate_shuffle_0.1.json SHUFFLE_LAST.json \
+    || echo "GATE: SHUFFLE WARNING (soft — see flags above)"
 else
   echo "== [5/5] bench skipped (pass --bench to run) =="
 fi

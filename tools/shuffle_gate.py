@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Soft scale gate over ShuffleAudit output: compare per-key
+shuffle-write bytes across two scale factors and flag super-linear
+growth — the load-insensitive tripwire for a reintroduced corpus-sized
+exchange (SCALE.md's capacity model extrapolates exactly these bytes).
+
+Usage: shuffle_gate.py <sf_small.json> <sf_big.json> [merged_out.json]
+
+Rule: the biggest fixture growth sf0.01->sf0.1 is 10x (lineitem/events;
+documents 10x, embeddings 4x), so a key is flagged when
+    shufW(big) > RATIO_CAP * shufW(small)   [default 12 = 10x + headroom]
+and shufW(small) >= MIN_BYTES (1 MB — below that, constant-overhead
+partition framing dominates and ratios are noise). Exit 1 on flags so
+the caller can surface a warning; the round gate treats this stage as
+soft (warn, don't red).
+"""
+import json
+import sys
+
+RATIO_CAP = 12.0
+MIN_BYTES = 1 << 20
+
+
+def main():
+    small = json.load(open(sys.argv[1]))
+    big = json.load(open(sys.argv[2]))
+    out_path = sys.argv[3] if len(sys.argv) > 3 else None
+    flags, merged = [], {}
+    for k, b in sorted(big["keys"].items()):
+        s = small["keys"].get(k)
+        row = {"shuffle_write_b": b["shuffle_write_b"],
+               "input_b": b["input_b"],
+               "shuffle_read_b": b["shuffle_read_b"],
+               "peak_task_b": b["peak_task_b"],
+               "sec": b["sec"], "rows": b["rows"]}
+        if s:
+            sw_s, sw_b = s["shuffle_write_b"], b["shuffle_write_b"]
+            row["shuffle_write_b_small"] = sw_s
+            row["growth"] = round(sw_b / sw_s, 2) if sw_s else None
+            if sw_s >= MIN_BYTES and sw_b > RATIO_CAP * sw_s:
+                flags.append((k, sw_s, sw_b, sw_b / sw_s))
+        merged[k] = row
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump({"sf_small": small["sf"], "sf_big": big["sf"],
+                       "ratio_cap": RATIO_CAP, "min_bytes": MIN_BYTES,
+                       "n_keys": len(merged),
+                       "flagged": [k for k, *_ in flags],
+                       "keys": merged}, f, indent=1)
+    mb = lambda v: f"{v / 1048576:.1f}MB"
+    top = sorted(merged.items(), key=lambda kv: -kv[1]["shuffle_write_b"])[:8]
+    print(f"shuffle_gate: {len(merged)} keys, "
+          f"{sum(1 for v in merged.values() if v.get('growth') is not None)} "
+          f"with two-SF ratios, {len(flags)} flagged (cap {RATIO_CAP}x)")
+    print("  top shuffle writers at", big["sf"] + ":")
+    for k, v in top:
+        g = v.get("growth")
+        print(f"    {k:<26} shufW={mb(v['shuffle_write_b']):>9} "
+              f"growth={'%.1fx' % g if g is not None else 'n/a':>6} "
+              f"peak={mb(v['peak_task_b'])}")
+    for k, sw_s, sw_b, r in flags:
+        print(f"  FLAG {k}: shuffle-write {mb(sw_s)} -> {mb(sw_b)} "
+              f"({r:.1f}x > {RATIO_CAP}x cap) — super-linear, "
+              f"check for a corpus-sized exchange")
+    return 1 if flags else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
