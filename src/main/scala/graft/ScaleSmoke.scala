@@ -386,7 +386,12 @@ object ScaleSmoke {
       // construction) — which is exactly why the model, not the catalog
       // geometry, is what production knob tuning must use.
       section("vec-geometry") {
-        val window = math.min(500L, nVec.toLong)
+        // window scales with the corpus: cluster ids cycle mod n/50, so a
+        // FIXED window catches ever fewer same-cluster pairs as multiples
+        // grow (2 truth pairs at x16 with 500) — n/10 keeps ~5 members of
+        // every cluster in the window while the exact-truth join stays
+        // bounded at (n/10)²
+        val window = math.min(nVec.toLong, math.max(500L, nVec.toLong / 10))
         val emb = Tables.embeddings(spark, dir).filter(col("vec_id") < window)
         pipeline.Similarity.register(spark)
         val v = emb.select(col("vec_id"), col("embedding").as("v"))
