@@ -145,9 +145,10 @@ object ScaleSmoke {
       // run as one block unless a drill-down section was requested; the
       // sectioned corpus sweeps (vec-advance, advance-soak) synthesize
       // on their own when drilled into
-      // each drill-down synthesizes only what it reads: vec-advance
-      // consumes embeddings, advance-soak consumes documents
-      if (only.isEmpty || only.contains("vec-advance"))
+      // each drill-down synthesizes only what it reads: vec-advance and
+      // vec-geometry consume embeddings, advance-soak documents (wh-gc
+      // synthesizes its own per-day corpora)
+      if (only.isEmpty || only.exists(Set("vec-advance", "vec-geometry")))
         synthEmbeddings(spark, nVec, 64, dir)
       if (only.isEmpty || only.contains("advance-soak"))
         synthDocuments(spark, nDoc, dir)
@@ -155,8 +156,7 @@ object ScaleSmoke {
 
       // ---- semantic dedup (sign-LSH planes, 2^planes ≈ n/30) ----------
       val planes = sys.env.get("SPARK_GRAFT_SMOKE_PLANES").map(_.toInt)
-        .getOrElse(math.max(4, math.min(16,
-          (math.log(nVec / 30.0) / math.log(2)).round.toInt)))
+        .getOrElse(pipeline.Similarity.planesFor(nVec))
       val e = Tables.embeddings(spark, dir)
       val bucketed = pipeline.Similarity.signBuckets(spark, e, planes)
       val semCand = pairSum(bucketed.groupBy("bucket").count()

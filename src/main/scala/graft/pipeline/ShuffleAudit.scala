@@ -30,6 +30,9 @@ object ShuffleAudit {
     val jsonOut = args.sliding(2).collectFirst {
       case Array("--json", p) => p
     }
+    require(!args.contains("--json") || jsonOut.isDefined,
+      "--json needs a path argument (a full-catalog run that then writes " +
+        "nothing is a wasted audit)")
     val keyArgs = {
       val b = Seq.newBuilder[String]
       var skip = false

@@ -408,7 +408,12 @@ object Similarity {
                                        planes: Int, seed: Long): DataFrame = {
     require(planes >= 1 && planes <= 16, s"planes $planes outside [1,16]")
     register(s)
-    val dims = embeddings.select(size(col("embedding"))).head.getInt(0)
+    // an empty input has no first row to read dims from; both geometries
+    // agree on zero rows, so route it to the dims-free axis path instead
+    // of crashing a configured-seed run on an empty batch slice
+    val first = embeddings.select(size(col("embedding"))).head(1)
+    if (first.isEmpty) return signBuckets(s, embeddings, planes)
+    val dims = first.head.getInt(0)
     val rnd = new java.util.Random(seed)
     val bucketExpr = (0 until planes).map { i =>
       val h = Array.fill(dims)(rnd.nextGaussian())

@@ -248,10 +248,15 @@ object Warehouse {
               dropMarkers(p) // crash-safe ordering: see Scaladoc
               fs.delete(p, true)
               // this JVM must not keep believing tables under the deleted
-              // version are built (or freshly stamped)
-              built.filterInPlace(!_.startsWith(p.toString))
-              stamped.filterInPlace((k, _) => !k.startsWith(p.toString))
-              p.toString
+              // version are built (or freshly stamped). Memo keys were
+              // built by string interpolation off the RAW root (rootDir,
+              // no FS scheme), while listStatus returns scheme-qualified
+              // paths ("file:/wh/tok") — so the prefix must be rebuilt
+              // the way the keys were, not taken from p.toString.
+              val rawVictim = s"$root/${p.getName}"
+              built.filterInPlace(!_.startsWith(rawVictim))
+              stamped.filterInPlace((k, _) => !k.startsWith(rawVictim))
+              rawVictim
             }
         }.toSeq
     }

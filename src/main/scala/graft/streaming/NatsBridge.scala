@@ -216,12 +216,17 @@ object NatsBridge {
       * redelivery plus the spool's content dedup absorb the overlap;
       * the count surfaces the degradation to the supervising loop. */
     private def barrier(): Unit =
+      // NonFatal, not just IOException: ping can also throw
+      // IllegalStateException (a server -ERR or unexpected control frame
+      // during the PONG wait), and any of them arriving AFTER the spool
+      // write succeeded must degrade to a counted failure, not a relay
+      // tear-down
       try s.nc.ping(5000)
-      catch { case e: java.io.IOException =>
+      catch { case scala.util.control.NonFatal(e) =>
         barrierFails += 1
         System.err.println(
-          s"[nats-relay] ack barrier failed (${e.getMessage}); " +
-            "relying on ack_wait redelivery + spool dedup")
+          s"[nats-relay] ack barrier failed (${e.getClass.getSimpleName}: " +
+            s"${e.getMessage}); relying on ack_wait redelivery + spool dedup")
       }
 
     /** Interval tick: flush EVERYTHING (handler.rs `flush_all`). One

@@ -117,6 +117,47 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("gc invalidates the in-JVM built memo: a rolled-back corpus rebuilds") {
+    // The subtle failure r13 review caught: memo keys are RAW paths but
+    // listStatus returns scheme-qualified ones ("file:/…"), so a naive
+    // prefix match invalidates nothing. Observable: gc deletes version
+    // V1's subtree; the corpus then ROLLS BACK to byte-identical V1
+    // (same file count/bytes/mtimes => same token). A stale built memo
+    // would short-circuit ensure() and readers would hit the deleted
+    // parquet — the fix rebuilds instead.
+    withWarehouse { wh =>
+      val root = java.nio.file.Files.createTempDirectory("whspec_rb").toString
+      val d = s"$root/corpus"
+      writeCorpus(d, Seq((1L, "alpha beta gamma")))
+      assert(Backbone.fingerprints(spark, d).count() == 1)
+      // snapshot V1's parquet dir, preserving mtimes (the token inputs)
+      val src = new java.io.File(s"$d/documents.parquet")
+      val snap = java.nio.file.Files.createTempDirectory("whspec_snap").toFile
+      src.listFiles().foreach { f =>
+        val dst = new java.io.File(snap, f.getName)
+        java.nio.file.Files.copy(f.toPath, dst.toPath)
+        assert(dst.setLastModified(f.lastModified()))
+      }
+      Thread.sleep(20)
+      writeCorpus(d, Seq((1L, "alpha beta gamma"), (2L, "eta theta iota")))
+      assert(Backbone.fingerprints(spark, d).count() == 2)
+      // keep=1 deletes V1's subtree (grace waived)
+      assert(Warehouse.gc(spark, keep = 1, graceMs = 0L).size == 1)
+      // roll back: restore V1's files byte- and mtime-identical
+      src.listFiles().foreach(f => assert(f.delete()))
+      snap.listFiles().foreach { f =>
+        val dst = new java.io.File(src, f.getName)
+        java.nio.file.Files.copy(f.toPath, dst.toPath)
+        assert(dst.setLastModified(f.lastModified()))
+      }
+      // same token as deleted V1: the memo must NOT claim it built
+      val got = Backbone.fingerprints(spark, d).collect()
+        .map(_.getLong(0)).toSet
+      assert(got == Set(1L),
+        s"rolled-back corpus must rebuild the gc'd version, got $got")
+    }
+  }
+
   test("gc is a no-op under the default per-JVM tmp root") {
     // no explicit graft.backbone.dir set here
     assert(!sys.props.contains("graft.backbone.dir"))

@@ -149,6 +149,10 @@ class VecIndexStreamSpec extends AnyFunSuite {
       ms.addData(thirds(1): _*)
       val err = intercept[Exception] { w1.processAllAvailable(); w1.awaitTermination() }
       assert(err.getMessage != null)
+      // the query terminated WITH an exception by design; clear it from
+      // the shared session's terminated list or any later suite calling
+      // awaitAnyTermination (Ops' drain) inherits the injected kill
+      spark.streams.resetTerminated()
       // the torn state is REAL before the restart: batch 1's buckets
       // exist, its codes don't
       assert(new java.io.File(s"$base/buckets/batch=1").exists(),

@@ -20,7 +20,12 @@ territory (learned rules, enforced here):
     negatives, LIKE uses % only;
   - ORDER BY under LIMIT always ends in the table's unique key AND
     spells NULLS FIRST/LAST explicitly where NULLs can appear (the
-    engines' ASC defaults differ).
+    engines' ASC defaults differ);
+  - grouping-set queries (ROLLUP/CUBE/GROUPING SETS) guarantee a
+    non-empty input: the empty grouping set over an EMPTY relation is a
+    real dialect divergence (DuckDB/Postgres emit the grand-total row
+    per the SQL standard, Spark emits nothing — found by the r13
+    10-seed campaign, adjudicated in BENCH_NOTES).
 
 Families (gen): single-table aggregates, scalar projections, FK joins
 (single-hop inner, two-hop chains, left-outer against a filtered right
@@ -247,10 +252,14 @@ class Gen:
         g = r.choice(self.meta[lt]["strs"] + self.meta[lt]["ints"])
         neg = r.choice(["", "NOT "])
         bp = self.pred(rt, "b")
+        # parenthesize the random where(): it may contain OR, and a bare
+        # "p1 OR p2 AND EXISTS(...)" binds the EXISTS to the last disjunct
+        # only — still the same in both engines, but no longer a semi-join
         w = self.where(lt, "a")
-        conj = " AND " if w else " WHERE "
+        head = (w.replace(" WHERE ", " WHERE (", 1) + ") AND ") if w \
+            else " WHERE "
         return (f"SELECT a.{g} AS k0, CAST(COUNT(*) AS BIGINT) AS cnt "
-                f"FROM {lt} a{w}{conj}{neg}EXISTS "
+                f"FROM {lt} a{head}{neg}EXISTS "
                 f"(SELECT 1 FROM {rt} b WHERE b.{rk} = a.{lk} AND {bp}) "
                 f"GROUP BY 1")
 
@@ -272,8 +281,19 @@ class Gen:
         if m["ints"]:
             c = r.choice(m["ints"])
             aggs.append(f"CAST(SUM({c}) AS BIGINT) AS s0")
+        # the WHERE must match >=1 row: the empty grouping set over an
+        # EMPTY input is a real dialect divergence the 10-seed campaign
+        # caught (DuckDB/Postgres emit the grand-total row per the
+        # standard; Spark emits nothing — adjudicated in BENCH_NOTES
+        # r13), so empty inputs live OUTSIDE the intersection this
+        # grammar targets. A BETWEEN anchored at the column's true min
+        # always catches the min row while keeping selectivity random.
+        ic = r.choice(m["ints"])
+        lo, hi = m["rng"][ic]
+        w = f" WHERE {ic} BETWEEN {lo} AND {r.randint(lo, max(lo, hi))}" \
+            if r.random() < 0.7 else ""
         return (f"SELECT {k1}, {k2}, {', '.join(aggs)} FROM {t}"
-                f"{self.where(t)} GROUP BY {spec}")
+                f"{w} GROUP BY {spec}")
 
     def q_order_nulls(self):
         # explicit NULLS FIRST/LAST with injected NULLs: engine defaults

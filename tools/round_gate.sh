@@ -59,6 +59,9 @@ if [ "${1:-}" = "--bench" ]; then
     graft.Bench 2>/tmp/gate_bench.err | tail -1
 
   echo "== [5.5] shuffle audit (soft gate: super-linear growth sf0.01->sf0.1) =="
+  # stale JSONs from a previous round must not be silently adjudicated
+  # when this round's audit dies (the compare would mix rounds)
+  rm -f /tmp/gate_shuffle_0.01.json /tmp/gate_shuffle_0.1.json
   for SF in 0.01 0.1; do
     SPARK_GRAFT_SF_DIR=/root/testdata/sf$SF \
     java $ADDOPENS -Xmx48g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \

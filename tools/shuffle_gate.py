@@ -26,6 +26,13 @@ def main():
     big = json.load(open(sys.argv[2]))
     out_path = sys.argv[3] if len(sys.argv) > 3 else None
     flags, merged = [], {}
+    # a key that ERRORS at the big SF vanishes from its JSON (ShuffleAudit
+    # skips erroring keys) — exactly the shape a corpus-sized-exchange OOM
+    # takes, so a silent drop here would hide the regression this gate
+    # exists for; flag missing keys explicitly
+    missing = sorted(set(small["keys"]) - set(big["keys"]))
+    for k in missing:
+        flags.append((k, small["keys"][k]["shuffle_write_b"], -1, float("inf")))
     for k, b in sorted(big["keys"].items()):
         s = small["keys"].get(k)
         row = {"shuffle_write_b": b["shuffle_write_b"],
@@ -59,9 +66,14 @@ def main():
               f"growth={'%.1fx' % g if g is not None else 'n/a':>6} "
               f"peak={mb(v['peak_task_b'])}")
     for k, sw_s, sw_b, r in flags:
-        print(f"  FLAG {k}: shuffle-write {mb(sw_s)} -> {mb(sw_b)} "
-              f"({r:.1f}x > {RATIO_CAP}x cap) — super-linear, "
-              f"check for a corpus-sized exchange")
+        if sw_b < 0:
+            print(f"  FLAG {k}: present at {small['sf']} but MISSING from "
+                  f"{big['sf']} (errored at the big SF — the OOM shape a "
+                  f"corpus-sized exchange takes); re-run it standalone")
+        else:
+            print(f"  FLAG {k}: shuffle-write {mb(sw_s)} -> {mb(sw_b)} "
+                  f"({r:.1f}x > {RATIO_CAP}x cap) — super-linear, "
+                  f"check for a corpus-sized exchange")
     return 1 if flags else 0
 
 
