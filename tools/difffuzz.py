@@ -32,7 +32,8 @@ Families (gen): single-table aggregates, scalar projections, FK joins
 side, EXISTS/NOT EXISTS semi/anti), set ops incl. ALL variants,
 top-k, window rank, date-trunc, NULL-injection aggregates,
 ROLLUP/CUBE/GROUPING SETS with GROUPING() flags, NULLS FIRST/LAST
-ordering.
+ordering, explicit ROWS window frames, HAVING over join aggregates,
+conditional aggregation (SUM/MIN over CASE).
 
 Every run is seeded: the same (seed, n, schema) always generates the
 same query texts, and failures print the query name whose .sql file
@@ -375,12 +376,63 @@ class Gen:
                 f"CAST(COUNT(DISTINCT NULLIF({c}, {v})) AS BIGINT) AS d0 "
                 f"FROM {t}{self.where(t)} GROUP BY 1")
 
+    def q_window_frame(self):
+        # running/sliding integer sums over an explicit ROWS frame — the
+        # total order (ORDER BY value, pk) makes the frame contents, and
+        # so the exact integer sum, engine-deterministic
+        r = self.r
+        t = r.choice(TABLES)
+        m = self.meta[t]
+        g = r.choice(m["strs"] + m["ints"])
+        c = r.choice(m["ints"])
+        pk = ", ".join(PK[t])
+        frame = r.choice(["UNBOUNDED PRECEDING AND CURRENT ROW",
+                          f"{r.randint(1, 5)} PRECEDING AND CURRENT ROW",
+                          f"1 PRECEDING AND {r.randint(1, 3)} FOLLOWING"])
+        cols = ", ".join(dict.fromkeys(PK[t]))
+        return (f"SELECT {cols}, CAST(SUM({c}) OVER (PARTITION BY {g} "
+                f"ORDER BY {c}, {pk} ROWS BETWEEN {frame}) AS BIGINT) AS w0 "
+                f"FROM {t}{self.where(t)}")
+
+    def q_having_join(self):
+        # aggregate over a join with a HAVING on the aggregate — the
+        # post-aggregation filter path (distinct from WHERE pushdown)
+        r = self.r
+        lt, lk, rt, rk = r.choice(JOINS)
+        g = r.choice(self.meta[rt]["strs"] + self.meta[rt]["ints"])
+        c = r.choice(self.meta[lt]["ints"])
+        hv = r.choice([f"COUNT(*) > {r.randint(1, 5)}",
+                       f"CAST(SUM(a.{c}) AS BIGINT) > {r.randint(10, 10000)}",
+                       f"COUNT(DISTINCT a.{c}) >= {r.randint(1, 3)}"])
+        return (f"SELECT b.{g} AS k0, CAST(COUNT(*) AS BIGINT) AS cnt, "
+                f"CAST(SUM(a.{c}) AS BIGINT) AS s0 "
+                f"FROM {lt} a JOIN {rt} b ON a.{lk} = b.{rk} "
+                f"GROUP BY 1 HAVING {hv}")
+
+    def q_cond_agg(self):
+        # conditional aggregation: SUM(CASE ...), FILTER-less portable
+        # form — integer-exact, exercises predicate evaluation inside the
+        # aggregate buffer on both engines
+        r = self.r
+        t = r.choice(TABLES)
+        m = self.meta[t]
+        g = r.choice(m["strs"] + m["ints"])
+        c = r.choice(m["ints"])
+        p1 = self.pred(t)
+        p2 = self.pred(t)
+        return (f"SELECT {g} AS k0, "
+                f"CAST(SUM(CASE WHEN {p1} THEN 1 ELSE 0 END) AS BIGINT) AS c1, "
+                f"CAST(SUM(CASE WHEN {p2} THEN {c} ELSE 0 END) AS BIGINT) AS s1, "
+                f"CAST(MIN(CASE WHEN {p1} THEN {c} END) AS BIGINT) AS m1 "
+                f"FROM {t} GROUP BY 1")
+
     def gen(self, i):
         return [self.q_agg, self.q_scalar, self.q_join, self.q_setop,
                 self.q_topk, self.q_window, self.q_datetime,
                 self.q_nulls, self.q_join_multi, self.q_join_outer,
-                self.q_join_semi, self.q_grouping,
-                self.q_order_nulls][i % 13]()
+                self.q_join_semi, self.q_grouping, self.q_order_nulls,
+                self.q_window_frame, self.q_having_join,
+                self.q_cond_agg][i % 16]()
 
 
 def main():
