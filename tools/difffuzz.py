@@ -33,7 +33,10 @@ side, EXISTS/NOT EXISTS semi/anti), set ops incl. ALL variants,
 top-k, window rank, date-trunc, NULL-injection aggregates,
 ROLLUP/CUBE/GROUPING SETS with GROUPING() flags, NULLS FIRST/LAST
 ordering, explicit ROWS window frames, HAVING over join aggregates,
-conditional aggregation (SUM/MIN over CASE).
+conditional aggregation (SUM/MIN over CASE), string functions (case
+folding/trim/substring/||-concat with a NULL-propagation pin/replace/
+reverse/left), timestamp INTERVAL arithmetic + EXTRACT (DOW excluded:
+the engines number weekdays differently).
 
 Every run is seeded: the same (seed, n, schema) always generates the
 same query texts, and failures print the query name whose .sql file
@@ -426,13 +429,59 @@ class Gen:
                 f"CAST(MIN(CASE WHEN {p1} THEN {c} END) AS BIGINT) AS m1 "
                 f"FROM {t} GROUP BY 1")
 
+    def q_string(self):
+        # string-function family inside the intersection: case folding,
+        # trim, positive-index substring, || concat (both engines
+        # NULL-propagate the operator — pinned via NULLIF injection),
+        # replace, reverse, left. Positions are 1-based positive on both.
+        r = self.r
+        t = r.choice([x for x in TABLES if self.meta[x]["strs"]])
+        m = self.meta[t]
+        s1 = r.choice(m["strs"])
+        s2 = r.choice(m["strs"])
+        pk = ", ".join(dict.fromkeys(PK[t]))
+        i0, n0 = r.randint(1, 4), r.randint(1, 8)
+        cols = [f"UPPER({s1}) AS u0", f"LOWER({s2}) AS l0",
+                f"TRIM({s1}) AS t0",
+                f"SUBSTRING({s1}, {i0}, {n0}) AS sub0",
+                f"{s1} || '#' || {s2} AS cat0",
+                f"REPLACE({s1}, '{r.choice('aeiou')}', '_') AS rep0",
+                f"REVERSE({s2}) AS rev0",
+                f"LEFT({s1}, {r.randint(1, 6)}) AS lf0",
+                f"CAST(LENGTH({s1} || {s2}) AS BIGINT) AS len0"]
+        if m["samples"].get(s1):
+            v = r.choice(m["samples"][s1])
+            # the || NULL-propagation pin: one side NULLIF'd on a real value
+            cols.append(f"NULLIF({s1}, '{v}') || '+' AS np0")
+        return f"SELECT {pk}, {', '.join(cols)} FROM {t}{self.where(t)}"
+
+    def q_datemath(self):
+        # timestamp arithmetic: +/- INTERVAL (same grammar both engines),
+        # EXTRACT of YEAR/MONTH/DAY/HOUR (cast — return types differ),
+        # and min/max of shifted timestamps. DOW is deliberately out:
+        # the engines number weekdays differently.
+        r = self.r
+        t = r.choice([x for x in TABLES if self.meta[x]["tss"]])
+        m = self.meta[t]
+        ts = r.choice(m["tss"])
+        g = r.choice(m["strs"] + m["ints"])
+        k = r.randint(1, 30)
+        unit = r.choice(["DAY", "HOUR", "MINUTE"])
+        fld = r.choice(["YEAR", "MONTH", "DAY", "HOUR"])
+        return (f"SELECT {g} AS k0, "
+                f"CAST(COUNT(*) AS BIGINT) AS cnt, "
+                f"MIN({ts} + INTERVAL {k} {unit}) AS m0, "
+                f"MAX({ts} - INTERVAL {k} {unit}) AS m1, "
+                f"CAST(MIN(EXTRACT({fld} FROM {ts})) AS BIGINT) AS e0 "
+                f"FROM {t}{self.where(t)} GROUP BY 1")
+
     def gen(self, i):
         return [self.q_agg, self.q_scalar, self.q_join, self.q_setop,
                 self.q_topk, self.q_window, self.q_datetime,
                 self.q_nulls, self.q_join_multi, self.q_join_outer,
                 self.q_join_semi, self.q_grouping, self.q_order_nulls,
                 self.q_window_frame, self.q_having_join,
-                self.q_cond_agg][i % 16]()
+                self.q_cond_agg, self.q_string, self.q_datemath][i % 18]()
 
 
 def main():
