@@ -403,9 +403,12 @@ private[graft] object Backbone {
       .map(h => s"h${instanceId(h)}").getOrElse("fresh")
     // histOverride commits are instance-keyed → per-JVM subtree; the
     // "fresh" (stored-history) commit is corpus-token-derived and stays
-    // warehouse-reusable across JVMs (the nightly contract)
-    val advRoot = if (histOverride.isDefined) instanceRoot else rootDir
-    val base = s"$advRoot/${token(s, d)}/adv${split}e${batchEnd}_$histId"
+    // warehouse-reusable across JVMs (the nightly contract) — resolved
+    // via verRoot so the commit itself stamps the version sidecar
+    val base =
+      if (histOverride.isDefined)
+        s"$instanceRoot/${token(s, d)}/adv${split}e${batchEnd}_$histId"
+      else s"${verRoot(s, d)}/adv${split}e${batchEnd}_$histId"
     ensure(s, base) {
       val p = advanceParts(s, d, split, histOverride, batchEnd)
       p.h.bands.unionByName(p.batchBands)
@@ -423,6 +426,7 @@ private[graft] object Backbone {
       p.labels.write.mode("overwrite").parquet(s"$base/labels")
       p.caches.foreach(_.unpersist())
     }
+    Warehouse.autoGc(s) // opt-in keep-K prune after the nightly commit
     readHistory(s, base)
   }
 

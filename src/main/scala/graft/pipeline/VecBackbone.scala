@@ -391,6 +391,7 @@ private[graft] object VecBackbone {
       p.labels.write.mode("overwrite").parquet(s"$base/labels")
       p.caches.foreach(_.unpersist())
     }
+    Warehouse.autoGc(s) // opt-in keep-K prune after the nightly commit
     readHistory(s, base)
   }
 

@@ -211,6 +211,21 @@ object Warehouse {
     * exit). Returns the deleted version-dir paths. Knobs:
     * `graft.backbone.keepVersions` (default 2),
     * `graft.backbone.gcGraceMs` (default 1 h). */
+  /** Opt-in nightly hook: `-Dgraft.backbone.autoGcKeep=<K>` makes every
+    * committed advance ([[Backbone.advanceAndStore]] /
+    * [[VecBackbone.advanceAndStore]]) run [[gc]] with keep=K right after
+    * its commit — retention rides the nightly chain itself instead of a
+    * separate cron. Grace stays at `graft.backbone.gcGraceMs` (default
+    * 1 h), so concurrently-reading JVMs keep their reader protection.
+    * Unset (default) = no automatic pruning. */
+  private[pipeline] def autoGc(s: SparkSession): Unit =
+    sys.props.get("graft.backbone.autoGcKeep").map(_.toInt).foreach { k =>
+      val gone = gc(s, k)
+      if (gone.nonEmpty)
+        println(s"[warehouse] auto-gc pruned ${gone.size} superseded " +
+          s"version dir(s) (keep=$k)")
+    }
+
   def gc(s: SparkSession, keep: Int = keepVersions,
          graceMs: Long = gcGraceMs): Seq[String] = synchronized {
     require(keep >= 1, s"keep must be >= 1, got $keep")

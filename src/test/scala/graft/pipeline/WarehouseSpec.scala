@@ -158,6 +158,34 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("auto-gc rides the nightly advance commit when opted in") {
+    withWarehouse { wh =>
+      val root = java.nio.file.Files.createTempDirectory("whspec_auto").toString
+      val d = s"$root/corpus"
+      writeCorpus(d, Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta")))
+      Backbone.fingerprints(spark, d).count() // version V1
+      Thread.sleep(20)
+      writeCorpus(d, Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+        (3L, "eta theta iota")))
+      assert(versionDirs(wh).size == 1)
+      val props = Seq("graft.backbone.autoGcKeep" -> "1",
+        "graft.backbone.gcGraceMs" -> "0")
+      val prev = props.map { case (k, _) => k -> sys.props.get(k) }
+      props.foreach { case (k, v) => sys.props(k) = v }
+      try {
+        // the nightly commit on V2: advance runs, then auto-gc prunes V1
+        Backbone.advanceAndStore(spark, d).labels.count()
+        assert(versionDirs(wh).size == 1,
+          s"auto-gc should leave only V2, got ${versionDirs(wh)}")
+        // V2's own tables survive and stay readable
+        assert(Backbone.fingerprints(spark, d).count() == 3)
+      } finally prev.foreach {
+        case (k, Some(v)) => sys.props(k) = v
+        case (k, None) => sys.props -= k
+      }
+    }
+  }
+
   test("gc is a no-op under the default per-JVM tmp root") {
     // no explicit graft.backbone.dir set here
     assert(!sys.props.contains("graft.backbone.dir"))
