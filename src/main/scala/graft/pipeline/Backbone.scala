@@ -37,7 +37,6 @@ private[graft] object Backbone {
   // Storage mechanics (root resolution, build-once markers, corpus
   // tokens, instance ids) are shared with the embedding-side
   // [[VecBackbone]] — see [[Warehouse]] for the discipline.
-  private def rootDir: String = Warehouse.rootDir
   private def instanceRoot: String = Warehouse.instanceRoot
   private def sanitize(t: String): String = Warehouse.sanitize(t)
   private def token(s: SparkSession, d: String): String =
