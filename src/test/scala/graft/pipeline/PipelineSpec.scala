@@ -102,6 +102,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.0, "planted duplicate embeddings must share buckets")
   }
 
+  test("random-hyperplane geometry: deterministic, bounded, sign-consistent") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val p = 6
+    def run(seed: Long) = Similarity.signBucketsRandom(spark, e, p, seed)
+      .select("vec_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val a = run(7L)
+    // LAW: same seed => identical buckets across independent plan builds
+    // (the matrix is a pure function of the seed — the "index metadata"
+    // a production deployment pins alongside the quantizer)
+    assert(a == run(7L), "same-seed bucketing must be plan-independent")
+    // buckets live in [0, 2^p)
+    assert(a.values.forall(b => b >= 0 && b < (1 << p)))
+    // a different seed draws different hyperplanes: bucketings differ
+    val c = run(8L)
+    assert(a.exists { case (k, v) => c(k) != v },
+      "distinct seeds should produce distinct hyperplanes")
+    // the semanticDedup lshSeed plumbing selects the random geometry and
+    // still yields near-dup clusters (labels cover vectors in >=1 pair,
+    // same contract as the axis geometry)
+    val labeled = Similarity
+      .semanticDedup(spark, e, planes = p, threshold = 0.3, lshSeed = Some(7L))
+    val n = labeled.count()
+    assert(n > 0 && n <= e.count(),
+      s"random-geometry dedup labeled $n of ${e.count()} vectors")
+    // empty input: the configured-seed path must not crash (routes to the
+    // dims-free axis path; both geometries agree on zero rows)
+    val empty = Similarity.signBucketsRandom(
+      spark, e.filter("vec_id < 0"), p, 7L)
+    assert(empty.count() == 0)
+  }
+
   test("ann lsh results agree with brute force within the same bucket") {
     val brute = Similarity.queries("d_knn_cosine")(spark, sf)
     val lsh = Similarity.queries("d_ann_lsh")(spark, sf)
