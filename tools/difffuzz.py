@@ -36,7 +36,10 @@ ordering, explicit ROWS window frames, HAVING over join aggregates,
 conditional aggregation (SUM/MIN over CASE), string functions (case
 folding/trim/substring/||-concat with a NULL-propagation pin/replace/
 reverse/left), timestamp INTERVAL arithmetic + EXTRACT (DOW excluded:
-the engines number weekdays differently).
+the engines number weekdays differently), correlated scalar aggregate
+subqueries (COUNT-on-empty=0, MIN/MAX-on-empty=NULL — probed and
+agreed), [NOT] IN subqueries incl. NULLIF-poisoned lists (standard
+three-valued logic on both sides).
 
 Every run is seeded: the same (seed, n, schema) always generates the
 same query texts, and failures print the query name whose .sql file
@@ -475,13 +478,45 @@ class Gen:
                 f"CAST(MIN(EXTRACT({fld} FROM {ts})) AS BIGINT) AS e0 "
                 f"FROM {t}{self.where(t)} GROUP BY 1")
 
+    def q_scalar_subq(self):
+        # correlated scalar aggregate subquery, iterated from the PK side
+        # of a FK edge so the inner relation fans out: COUNT-on-empty = 0
+        # and MIN/MAX-on-empty = NULL are the probed-and-agreed semantics
+        r = self.r
+        lt, lk, rt, rk = r.choice(JOINS)
+        c = r.choice(self.meta[lt]["ints"])
+        agg = r.choice([f"COUNT(*)", f"MAX(b.{c})", f"MIN(b.{c})"])
+        bp = self.pred(lt, "b")
+        pk = ", ".join(dict.fromkeys(PK[rt]))
+        return (f"SELECT {pk}, CAST((SELECT {agg} FROM {lt} b "
+                f"WHERE b.{lk} = a.{rk} AND {bp}) AS BIGINT) AS sq0 "
+                f"FROM {rt} a{self.where(rt, 'a')}")
+
+    def q_in_subq(self):
+        # [NOT] IN over a filtered subquery, optionally NULLIF-poisoned:
+        # NOT IN against a list containing NULL selects NOTHING under
+        # standard three-valued logic — both engines follow it (probed)
+        r = self.r
+        lt, lk, rt, rk = r.choice(JOINS)
+        g = r.choice(self.meta[lt]["strs"] + self.meta[lt]["ints"])
+        neg = r.choice(["", "NOT "])
+        bp = self.pred(rt)
+        inner = f"SELECT {rk} FROM {rt} WHERE {bp}"
+        if r.random() < 0.3:
+            lo, hi = self.meta[rt]["rng"][rk]
+            inner = (f"SELECT NULLIF({rk}, {r.randint(lo, max(lo, hi))}) "
+                     f"FROM {rt} WHERE {bp}")
+        return (f"SELECT a.{g} AS k0, CAST(COUNT(*) AS BIGINT) AS cnt "
+                f"FROM {lt} a WHERE a.{lk} {neg}IN ({inner}) GROUP BY 1")
+
     def gen(self, i):
         return [self.q_agg, self.q_scalar, self.q_join, self.q_setop,
                 self.q_topk, self.q_window, self.q_datetime,
                 self.q_nulls, self.q_join_multi, self.q_join_outer,
                 self.q_join_semi, self.q_grouping, self.q_order_nulls,
                 self.q_window_frame, self.q_having_join,
-                self.q_cond_agg, self.q_string, self.q_datemath][i % 18]()
+                self.q_cond_agg, self.q_string, self.q_datemath,
+                self.q_scalar_subq, self.q_in_subq][i % 20]()
 
 
 def main():
