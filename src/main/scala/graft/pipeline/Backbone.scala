@@ -45,7 +45,7 @@ private[graft] object Backbone {
   // Warehouse.gc's keep-K retention + reader grace window key off
   private def verRoot(s: SparkSession, d: String): String =
     Warehouse.versionDir(s, d, "documents.parquet")
-  private def ensure(s: SparkSession, path: String)(build: => Unit): Unit =
+  private def ensure(s: SparkSession, path: String)(build: => Unit): Boolean =
     Warehouse.ensure(s, path)(build)
   private def instanceId(o: AnyRef): Long = Warehouse.instanceId(o)
 
@@ -408,7 +408,7 @@ private[graft] object Backbone {
       if (histOverride.isDefined)
         s"$instanceRoot/${token(s, d)}/adv${split}e${batchEnd}_$histId"
       else s"${verRoot(s, d)}/adv${split}e${batchEnd}_$histId"
-    ensure(s, base) {
+    val committed = ensure(s, base) {
       val p = advanceParts(s, d, split, histOverride, batchEnd)
       p.h.bands.unionByName(p.batchBands)
         .write.mode("overwrite").parquet(s"$base/bands")
@@ -425,7 +425,9 @@ private[graft] object Backbone {
       p.labels.write.mode("overwrite").parquet(s"$base/labels")
       p.caches.foreach(_.unpersist())
     }
-    Warehouse.autoGc(s) // opt-in keep-K prune after the nightly commit
+    // opt-in keep-K prune ONLY when this call committed — serving-path
+    // callers that hit the memo must not pay a warehouse scan
+    if (committed) Warehouse.autoGc(s)
     readHistory(s, base)
   }
 

@@ -380,7 +380,7 @@ private[graft] object VecBackbone {
       if (histOverride.isDefined) s"${Warehouse.instanceRoot}/vec_${token(s, d)}"
       else root(s, d)
     val base = s"$advRoot/adv${split}e${batchEnd}_p${planes}_$histId"
-    Warehouse.ensure(s, base) {
+    val committed = Warehouse.ensure(s, base) {
       val p = advanceParts(s, d, split, histOverride, batchEnd, planes)
       p.h.buckets.unionByName(p.bt.buckets)
         .write.mode("overwrite").parquet(s"$base/buckets")
@@ -391,7 +391,9 @@ private[graft] object VecBackbone {
       p.labels.write.mode("overwrite").parquet(s"$base/labels")
       p.caches.foreach(_.unpersist())
     }
-    Warehouse.autoGc(s) // opt-in keep-K prune after the nightly commit
+    // opt-in keep-K prune ONLY when this call committed — serving-path
+    // callers that hit the memo must not pay a warehouse scan
+    if (committed) Warehouse.autoGc(s)
     readHistory(s, base)
   }
 

@@ -129,19 +129,49 @@ object Warehouse {
     built.clear()
   }
 
-  private[pipeline] def ensure(s: SparkSession, path: String)(build: => Unit): Unit =
+  /** Returns true iff THIS call ran `build` (a memo/marker hit returns
+    * false) — commit-triggered hooks like [[autoGc]] key off it. */
+  private[pipeline] def ensure(s: SparkSession, path: String)(build: => Unit): Boolean =
     synchronized {
-      if (built.contains(path)) return
+      if (built.contains(path)) return false
       val marker = new org.apache.hadoop.fs.Path(path, "_graft_built")
       val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(marker)) {
+      val ran = !fs.exists(marker)
+      if (ran) {
         build
         fs.create(marker, true).close()
       }
       built += path
+      ran
     }
 
   // ---- corpus-version retention (keep-last-K GC) ------------------------
+
+  /** Opt-in nightly hook: `-Dgraft.backbone.autoGcKeep=<K>` makes a
+    * FRESH advance commit ([[Backbone.advanceAndStore]] /
+    * [[VecBackbone.advanceAndStore]] when their ensure actually built —
+    * never on a memo hit, so serving-path calls that merely read the
+    * committed state pay no warehouse scan) run [[gc]] with keep=K
+    * right after the commit — retention rides the nightly chain itself
+    * instead of a separate cron. Grace stays at
+    * `graft.backbone.gcGraceMs` (default 1 h), so concurrently-reading
+    * JVMs keep their reader protection. Unset (default) = no automatic
+    * pruning. Best-effort: a malformed K or a GC failure is a logged
+    * warning, never a failure of the advance whose commit already
+    * succeeded. */
+  private[pipeline] def autoGc(s: SparkSession): Unit =
+    sys.props.get("graft.backbone.autoGcKeep").foreach { raw =>
+      try {
+        val gone = gc(s, raw.toInt)
+        if (gone.nonEmpty)
+          println(s"[warehouse] auto-gc pruned ${gone.size} superseded " +
+            s"version dir(s) (keep=$raw)")
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println("[warehouse] auto-gc skipped " +
+            s"(graft.backbone.autoGcKeep=$raw): ${e.getMessage}")
+      }
+    }
 
   /** Version-INDEPENDENT id for a corpus family `(prefix, d, fileName)`,
     * written into each version subtree's `_graft_corpus` sidecar so
@@ -211,21 +241,6 @@ object Warehouse {
     * exit). Returns the deleted version-dir paths. Knobs:
     * `graft.backbone.keepVersions` (default 2),
     * `graft.backbone.gcGraceMs` (default 1 h). */
-  /** Opt-in nightly hook: `-Dgraft.backbone.autoGcKeep=<K>` makes every
-    * committed advance ([[Backbone.advanceAndStore]] /
-    * [[VecBackbone.advanceAndStore]]) run [[gc]] with keep=K right after
-    * its commit — retention rides the nightly chain itself instead of a
-    * separate cron. Grace stays at `graft.backbone.gcGraceMs` (default
-    * 1 h), so concurrently-reading JVMs keep their reader protection.
-    * Unset (default) = no automatic pruning. */
-  private[pipeline] def autoGc(s: SparkSession): Unit =
-    sys.props.get("graft.backbone.autoGcKeep").map(_.toInt).foreach { k =>
-      val gone = gc(s, k)
-      if (gone.nonEmpty)
-        println(s"[warehouse] auto-gc pruned ${gone.size} superseded " +
-          s"version dir(s) (keep=$k)")
-    }
-
   def gc(s: SparkSession, keep: Int = keepVersions,
          graceMs: Long = gcGraceMs): Seq[String] = synchronized {
     require(keep >= 1, s"keep must be >= 1, got $keep")

@@ -179,6 +179,24 @@ class WarehouseSpec extends AnyFunSuite {
           s"auto-gc should leave only V2, got ${versionDirs(wh)}")
         // V2's own tables survive and stay readable
         assert(Backbone.fingerprints(spark, d).count() == 3)
+        // MEMO-HIT calls must NOT gc: plant a fake superseded sibling of
+        // the same family (copied sidecar, old stamp), re-call the
+        // advance (nothing commits), and require the sibling to survive —
+        // serving-path callers pay no warehouse scan (r13 review)
+        val live = versionDirs(wh).head
+        val fake = new java.io.File(wh, "fake_superseded_version")
+        assert(fake.mkdir())
+        java.nio.file.Files.copy(
+          new java.io.File(s"$wh/$live/_graft_corpus").toPath,
+          new java.io.File(fake, "_graft_corpus").toPath)
+        assert(new java.io.File(fake, "_graft_corpus")
+          .setLastModified(System.currentTimeMillis() - 3600_000L))
+        Backbone.advanceAndStore(spark, d).labels.count() // memo hit
+        assert(fake.exists(),
+          "a memo-hit advance must not run auto-gc (no warehouse scan)")
+        // ...while an explicit gc at the same settings does prune it
+        assert(Warehouse.gc(spark, keep = 1, graceMs = 0L).size == 1)
+        assert(!fake.exists())
       } finally prev.foreach {
         case (k, Some(v)) => sys.props(k) = v
         case (k, None) => sys.props -= k
