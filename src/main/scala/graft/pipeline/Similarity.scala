@@ -408,12 +408,18 @@ object Similarity {
                                        planes: Int, seed: Long): DataFrame = {
     require(planes >= 1 && planes <= 16, s"planes $planes outside [1,16]")
     register(s)
-    // an empty input has no first row to read dims from; both geometries
-    // agree on zero rows, so route it to the dims-free axis path instead
-    // of crashing a configured-seed run on an empty batch slice
-    val first = embeddings.select(size(col("embedding"))).head(1)
+    // an input with no non-null embedding has no row to read dims from;
+    // both geometries agree on such inputs (bucket is null/empty either
+    // way), so route them to the dims-free axis path instead of crashing
+    // a configured-seed run on an empty batch slice — and filter nulls
+    // BEFORE probing: size(NULL) is null in Spark, so a null first row
+    // would NPE getInt even on data the axis path handles.
+    val first = embeddings.filter(col("embedding").isNotNull)
+      .select(size(col("embedding"))).head(1)
     if (first.isEmpty) return signBuckets(s, embeddings, planes)
     val dims = first.head.getInt(0)
+    require(dims > 0, s"embedding column has zero dims; cannot derive " +
+      s"random hyperplanes (seed=$seed)")
     val rnd = new java.util.Random(seed)
     val bucketExpr = (0 until planes).map { i =>
       val h = Array.fill(dims)(rnd.nextGaussian())

@@ -193,21 +193,32 @@ object Warehouse {
     * "last resolved" signal [[gc]]'s grace window protects, so resolving
     * a version through this method is what marks it live. Re-stamped at
     * most every 10 min per JVM: a long-lived reader keeps its version
-    * fresh while per-query FS writes stay negligible. Only the CURRENT
-    * token is ever resolvable (the token embeds the source file-metadata
-    * version), so a family's newest stamp always sits on its current
-    * version. */
+    * fresh while per-query FS writes stay negligible. The stamp is
+    * BEST-EFFORT: every catalog query resolves through here, including
+    * pure reads — a JVM with read-only warehouse access (or a racing
+    * create from a concurrent JVM) must degrade GC liveness tracking,
+    * never fail the query itself. Only the CURRENT token is ever
+    * resolvable (the token embeds the source file-metadata version), so
+    * a family's newest stamp always sits on its current version. */
   private[pipeline] def versionDir(s: SparkSession, d: String, fileName: String,
                  prefix: String = ""): String = {
     val path = s"$rootDir/$prefix${token(s, d, fileName)}"
     if (explicitDir.isDefined) synchronized {
       val now = System.currentTimeMillis()
       if (now - stamped.getOrElse(path, 0L) > stampIntervalMs) {
-        val side = new org.apache.hadoop.fs.Path(path, "_graft_corpus")
-        val fs = side.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val out = fs.create(side, true)
-        try out.write(corpusKey(d, fileName, prefix).getBytes("UTF-8"))
-        finally out.close()
+        try {
+          val side = new org.apache.hadoop.fs.Path(path, "_graft_corpus")
+          val fs = side.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val out = fs.create(side, true)
+          try out.write(corpusKey(d, fileName, prefix).getBytes("UTF-8"))
+          finally out.close()
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[warehouse] liveness stamp skipped for " +
+              s"$path: ${e.getMessage}")
+        }
+        // recorded even on failure so a read-only JVM retries (and warns)
+        // at the stamp cadence, not once per query.
         stamped(path) = now
       }
     }
@@ -227,68 +238,89 @@ object Warehouse {
     * id; dirs without a sidecar are foreign and NEVER touched):
     *
     *  - the newest `keep` versions by sidecar mtime survive;
-    *  - anything stamped within `graceMs` survives regardless — a live
-    *    reader re-stamps its version every <=10 min via [[versionDir]],
-    *    so the version a concurrent reader resolved is never yanked
-    *    mid-read;
+    *  - anything stamped within `graceMs` survives regardless. This is
+    *    an ASSUMPTION, not a hard guarantee: a live reader re-stamps its
+    *    version every <=10 min via [[versionDir]], so the protection
+    *    holds for reads that complete within `graceMs` of their last
+    *    resolve. A cross-JVM action on a SUPERSEDED version that runs
+    *    longer than `graceMs` after its last resolve can still lose its
+    *    files — size `gcGraceMs` above the longest expected read, or
+    *    have marathon readers re-resolve periodically;
     *  - the current version carries its family's newest stamp (only the
     *    current token is resolvable), so it survives any `keep >= 1`;
     *  - deletion drops every `_graft_built` marker FIRST: a crash
     *    mid-delete leaves marker-less partial dirs that [[ensure]]
     *    rebuilds over, never truncated state served as complete.
     *
+    * Victim selection and in-JVM memo invalidation run under the
+    * Warehouse monitor; the recursive deletes themselves run AFTER the
+    * lock is released — a multi-GB version drop must not stall every
+    * concurrent ensure/versionDir call in the committing JVM (autoGc
+    * rides the nightly advance path). Safe unlocked: victims are
+    * superseded + past grace, and only the current token is resolvable,
+    * so no concurrent build targets a victim path.
+    *
     * No-op under the default per-JVM tmp root (that tree is reclaimed on
     * exit). Returns the deleted version-dir paths. Knobs:
     * `graft.backbone.keepVersions` (default 2),
     * `graft.backbone.gcGraceMs` (default 1 h). */
   def gc(s: SparkSession, keep: Int = keepVersions,
-         graceMs: Long = gcGraceMs): Seq[String] = synchronized {
-    require(keep >= 1, s"keep must be >= 1, got $keep")
-    explicitDir match {
-      case None => Seq.empty
-      case Some(root) =>
-        import org.apache.hadoop.fs.Path
-        val rootPath = new Path(root)
-        val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (!fs.exists(rootPath)) return Seq.empty
-        val now = System.currentTimeMillis()
-        val versions = fs.listStatus(rootPath).toSeq
-          .filter(_.isDirectory)
-          .flatMap { st =>
-            val side = new Path(st.getPath, "_graft_corpus")
-            if (!fs.exists(side)) None
-            else {
-              val in = fs.open(side)
-              val key = try scala.io.Source.fromInputStream(in).mkString.trim
-              finally in.close()
-              Some((key, st.getPath,
-                fs.getFileStatus(side).getModificationTime))
-            }
-          }
-        versions.groupBy(_._1).valuesIterator.flatMap { fam =>
-          fam.sortBy(-_._3).drop(keep)
-            .filter { case (_, _, ts) => now - ts > graceMs }
-            .map { case (_, p, _) =>
-              def dropMarkers(dir: Path): Unit =
-                fs.listStatus(dir).foreach { c =>
-                  if (c.isDirectory) dropMarkers(c.getPath)
-                  else if (c.getPath.getName == "_graft_built")
-                    fs.delete(c.getPath, false): Unit
+         graceMs: Long = gcGraceMs): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val victims: Seq[(Path, String)] = synchronized {
+      require(keep >= 1, s"keep must be >= 1, got $keep")
+      explicitDir match {
+        case None => Seq.empty
+        case Some(root) =>
+          val rootPath = new Path(root)
+          val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (!fs.exists(rootPath)) Seq.empty
+          else {
+            val now = System.currentTimeMillis()
+            val versions = fs.listStatus(rootPath).toSeq
+              .filter(_.isDirectory)
+              .flatMap { st =>
+                val side = new Path(st.getPath, "_graft_corpus")
+                if (!fs.exists(side)) None
+                else {
+                  val in = fs.open(side)
+                  val key = try scala.io.Source.fromInputStream(in).mkString.trim
+                  finally in.close()
+                  Some((key, st.getPath,
+                    fs.getFileStatus(side).getModificationTime))
                 }
-              dropMarkers(p) // crash-safe ordering: see Scaladoc
-              fs.delete(p, true)
-              // this JVM must not keep believing tables under the deleted
-              // version are built (or freshly stamped). Memo keys were
-              // built by string interpolation off the RAW root (rootDir,
-              // no FS scheme), while listStatus returns scheme-qualified
-              // paths ("file:/wh/tok") — so the prefix must be rebuilt
-              // the way the keys were, not taken from p.toString.
-              val rawVictim = s"$root/${p.getName}"
-              built.filterInPlace(!_.startsWith(rawVictim))
-              stamped.filterInPlace((k, _) => !k.startsWith(rawVictim))
-              rawVictim
-            }
-        }.toSeq
+              }
+            versions.groupBy(_._1).valuesIterator.flatMap { fam =>
+              fam.sortBy(-_._3).drop(keep)
+                .filter { case (_, _, ts) => now - ts > graceMs }
+                .map { case (_, p, _) =>
+                  // this JVM must not keep believing tables under the
+                  // to-be-deleted version are built (or freshly stamped).
+                  // Memo keys were built by string interpolation off the
+                  // RAW root (rootDir, no FS scheme), while listStatus
+                  // returns scheme-qualified paths ("file:/wh/tok") — so
+                  // the prefix must be rebuilt the way the keys were, not
+                  // taken from p.toString.
+                  val rawVictim = s"$root/${p.getName}"
+                  built.filterInPlace(!_.startsWith(rawVictim))
+                  stamped.filterInPlace((k, _) => !k.startsWith(rawVictim))
+                  (p, rawVictim)
+                }
+            }.toSeq
+          }
+      }
+    }
+    victims.map { case (p, rawVictim) =>
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      def dropMarkers(dir: Path): Unit =
+        fs.listStatus(dir).foreach { c =>
+          if (c.isDirectory) dropMarkers(c.getPath)
+          else if (c.getPath.getName == "_graft_built")
+            fs.delete(c.getPath, false): Unit
+        }
+      dropMarkers(p) // crash-safe ordering: see Scaladoc
+      fs.delete(p, true)
+      rawVictim
     }
   }
 

@@ -57,6 +57,13 @@ if [ "${1:-}" = "--bench" ]; then
   java $ADDOPENS -Xmx48g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "$JAR:/opt/spark/jars/*" \
     graft.Bench 2>/tmp/gate_bench.err | tail -1
+  # stamp the gate record to its own file (VERDICT r13 #8): BENCH_LAST.json
+  # is rewritten by EVERY Bench invocation, so a later loaded re-run can
+  # silently overwrite the quiet closing number. Only round_gate writes
+  # the stamped copy; the round number is one past the newest driver bench.
+  ROUND=$(( $(ls BENCH_r*.json 2>/dev/null | sed 's/[^0-9]//g' | sort -n | tail -1) + 1 ))
+  cp BENCH_LAST.json "BENCH_GATE_r${ROUND}.json"
+  echo "stamped BENCH_GATE_r${ROUND}.json"
 
   echo "== [5.5] shuffle audit (soft gate: super-linear growth sf0.01->sf0.1) =="
   # stale JSONs from a previous round must not be silently adjudicated
@@ -70,8 +77,12 @@ if [ "${1:-}" = "--bench" ]; then
       > /tmp/gate_shuffle_$SF.log 2>&1 \
       || { tail -5 /tmp/gate_shuffle_$SF.log; echo "GATE: SHUFFLE AUDIT FAILED (soft, continuing)"; }
   done
+  # --expect pins the key universe to the prior round's merged record so a
+  # key erroring at BOTH SFs (no ratio either way) still trips the gate
+  PRIOR_SHUF=$(ls SHUFFLE_r*.json 2>/dev/null | sort -V | tail -1)
   python3 tools/shuffle_gate.py /tmp/gate_shuffle_0.01.json \
     /tmp/gate_shuffle_0.1.json SHUFFLE_LAST.json \
+    ${PRIOR_SHUF:+--expect "$PRIOR_SHUF"} \
     || echo "GATE: SHUFFLE WARNING (soft — see flags above)"
 else
   echo "== [5/5] bench skipped (pass --bench to run) =="

@@ -5,6 +5,11 @@ growth — the load-insensitive tripwire for a reintroduced corpus-sized
 exchange (SCALE.md's capacity model extrapolates exactly these bytes).
 
 Usage: shuffle_gate.py <sf_small.json> <sf_big.json> [merged_out.json]
+                       [--expect <prior_or_audit.json>]
+
+--expect takes a prior merged SHUFFLE_r*.json (or a raw audit json) and
+flags any of its keys absent from BOTH inputs — a key erroring at both
+SFs would otherwise produce no ratio and vanish without a trace.
 
 Rule: the biggest fixture growth sf0.01->sf0.1 is 10x (lineitem/events;
 documents 10x, embeddings 4x), so a key is flagged when
@@ -22,17 +27,30 @@ MIN_BYTES = 1 << 20
 
 
 def main():
-    small = json.load(open(sys.argv[1]))
-    big = json.load(open(sys.argv[2]))
-    out_path = sys.argv[3] if len(sys.argv) > 3 else None
+    argv = sys.argv[1:]
+    expect_path = None
+    if "--expect" in argv:
+        i = argv.index("--expect")
+        expect_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    small = json.load(open(argv[0]))
+    big = json.load(open(argv[1]))
+    out_path = argv[2] if len(argv) > 2 else None
     flags, merged = [], {}
-    # a key that ERRORS at the big SF vanishes from its JSON (ShuffleAudit
+    # a key that ERRORS at one SF vanishes from its JSON (ShuffleAudit
     # skips erroring keys) — exactly the shape a corpus-sized-exchange OOM
     # takes, so a silent drop here would hide the regression this gate
-    # exists for; flag missing keys explicitly
+    # exists for; flag missing keys in BOTH directions (small-only AND
+    # big-only), and — given --expect — keys absent from both inputs
     missing = sorted(set(small["keys"]) - set(big["keys"]))
     for k in missing:
         flags.append((k, small["keys"][k]["shuffle_write_b"], -1, float("inf")))
+    for k in sorted(set(big["keys"]) - set(small["keys"])):
+        flags.append((k, -1, big["keys"][k]["shuffle_write_b"], float("inf")))
+    if expect_path:
+        expected = set(json.load(open(expect_path))["keys"])
+        for k in sorted(expected - set(small["keys"]) - set(big["keys"])):
+            flags.append((k, -1, -1, float("inf")))
     for k, b in sorted(big["keys"].items()):
         s = small["keys"].get(k)
         row = {"shuffle_write_b": b["shuffle_write_b"],
@@ -66,10 +84,18 @@ def main():
               f"growth={'%.1fx' % g if g is not None else 'n/a':>6} "
               f"peak={mb(v['peak_task_b'])}")
     for k, sw_s, sw_b, r in flags:
-        if sw_b < 0:
+        if sw_s < 0 and sw_b < 0:
+            print(f"  FLAG {k}: expected (per --expect) but MISSING from "
+                  f"BOTH {small['sf']} and {big['sf']} — errored at both "
+                  f"SFs or dropped from the catalog; re-run it standalone")
+        elif sw_b < 0:
             print(f"  FLAG {k}: present at {small['sf']} but MISSING from "
                   f"{big['sf']} (errored at the big SF — the OOM shape a "
                   f"corpus-sized exchange takes); re-run it standalone")
+        elif sw_s < 0:
+            print(f"  FLAG {k}: present at {big['sf']} but MISSING from "
+                  f"{small['sf']} (errored at the small SF — no growth "
+                  f"ratio possible); re-run it standalone")
         else:
             print(f"  FLAG {k}: shuffle-write {mb(sw_s)} -> {mb(sw_b)} "
                   f"({r:.1f}x > {RATIO_CAP}x cap) — super-linear, "
