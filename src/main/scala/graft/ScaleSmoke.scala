@@ -427,6 +427,36 @@ object ScaleSmoke {
           println(f"[scale] vec-geometry $nm%-4s p=$p%-2d x$m: " +
             f"recall=$recall%.3f model=$model%.3f (truth pairs=$nTruth)")
         }
+        // BANDED composite (VERDICT r13 #1): OR b independent random
+        // plane sets at the production r — measured recall must track
+        // E[1 − (1 − p^r)^b] and climb monotonically in b (band 0 is the
+        // single-band sweep's own plane set, so the lift is attributable
+        // to the extra bands, not a reroll). Candidate cost multiplies
+        // by ~b: the sweep prints it so the recall is priced, not free.
+        var lastRecall = -1.0
+        Seq(1, 2, 4).foreach { nb =>
+          val post = pipeline.Similarity
+            .bandedSignBuckets(spark, emb, nb, rule, Some(7L))
+          val caught = post.as("x").join(post.as("y"),
+              col("x.band") === col("y.band") &&
+                col("x.bucket") === col("y.bucket") &&
+                col("x.vec_id") < col("y.vec_id"))
+            .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+            .distinct().persist()
+          val nCand = caught.count()
+          val hit = truth.join(caught, Seq("va", "vb"), "left_semi").count()
+          caught.unpersist()
+          val recall = hit.toDouble / nTruth
+          val model = truth.select(avg(lit(1.0) -
+              pow(lit(1.0) - pow(lit(1.0) - acos(col("cos")) / math.Pi, rule),
+                nb)))
+            .head.getDouble(0)
+          require(recall >= lastRecall,
+            f"banded recall must be monotone in b: $recall%.3f after $lastRecall%.3f")
+          lastRecall = recall
+          println(f"[scale] vec-geometry band b=$nb%-2d r=$rule%-2d x$m: " +
+            f"recall=$recall%.3f model=$model%.3f candidates=$nCand%,d")
+        }
         truth.unpersist()
       }
 

@@ -188,15 +188,18 @@ object Multimodal {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** `d_media_features` is rows-only and REDUCED to the one column no
-    * exact oracle can adjudicate: byte_entropy's -Σ p·log2 p is a
-    * 256-term float sum whose summation ORDER a SQL engine doesn't pin,
-    * so a DuckDB re-derivation is a flaky hash by construction
-    * (MultimodalSpec checks the semantics instead). Every OTHER
-    * deterministic extractor column — mime routing, n_bytes, the exact
-    * integer byte sum behind mean_byte, frame counts — is split into the
-    * fully-oracled `d_media_byte_stats` below (VERDICT r12 #6); the
-    * decoded-kernel paths have their own oracled WAV/PNG entries. */
+  /** `d_media_features` carries the one float column whose oracle needs
+    * a PINNED FOLD ORDER: byte_entropy's −Σ p·log2 p is a ≤256-term
+    * double sum, so the oracle replays the EXACT fold the extractor runs
+    * — ascending byte value, acc − (p·ln p)/ln 2 per present value
+    * ([[byteStats]]) — as a DuckDB `list_reduce` over the byte-value-
+    * ordered probability list (the o_w9_ema recipe: identical left fold
+    * on both engines). The +,−,·,÷ steps are correctly-rounded IEEE on
+    * both sides; `ln` is the one ~1-ulp libm call, absorbed by round(6)
+    * (MultimodalSpec pins the semantics independently). The other
+    * deterministic extractor columns live in the fully-oracled
+    * `d_media_byte_stats`; the decoded-kernel paths have their own
+    * oracled WAV/PNG entries. */
   val queries: Map[String, Q] = Map(
     "d_media_features" -> ((s, d) => {
       extractFeatures(asMedia(Tables.documents(s, d)))
@@ -317,6 +320,36 @@ object Multimodal {
     * row), so character slicing in the oracle equals the byte slicing the
     * Spark side does on the binary payload. */
   val oracles: Map[String, String] = Map(
+    // byte_entropy with the fold order PINNED (VERDICT r13 #2): the
+    // per-doc byte histogram's probability terms, ordered by byte value,
+    // left-folded acc - (p * ln(p)) / ln(2) from 0.0 — exactly
+    // [[byteStats]]'s loop. list_prepend supplies the 0.0 init
+    // (list_reduce seeds from the first element).
+    "d_media_features" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  CASE WHEN source = 'src0' THEN 'image/png'
+                       WHEN source = 'src1' THEN 'audio/wav'
+                       ELSE 'video/mp4' END AS mime,
+                  length(text) AS n, text
+           FROM documents),
+         h AS (
+           SELECT doc_id, ascii(substring(text, i, 1)) AS b, COUNT(*) AS c
+           FROM m, unnest(generate_series(1, length(text))) AS t(i)
+           GROUP BY 1, 2),
+         terms AS (
+           SELECT h.doc_id,
+                  list(CAST(h.c AS DOUBLE) / m.n ORDER BY h.b) AS ps
+           FROM h JOIN m USING (doc_id) GROUP BY h.doc_id),
+         e AS (
+           SELECT doc_id,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE), ps),
+                              (acc, p) -> acc - p * ln(p) / ln(2)) AS ent
+           FROM terms)
+         SELECT m.doc_id, m.mime,
+                round(COALESCE(e.ent, 0), 6) AS byte_entropy
+         FROM m LEFT JOIN e USING (doc_id) ORDER BY doc_id""",
+
     "d_media_byte_stats" ->
       """WITH m AS (
            SELECT doc_id,

@@ -172,6 +172,47 @@ object Similarity {
         .orderBy("q_id", "rnk")
     }),
 
+    // BANDED sign-LSH ANN — the production recall shape: b independent
+    // plane sets OR-ed at candidate time (1 − (1 − p^r)^b composite
+    // recall, the vector twin of the text side's 4-band minhash). The
+    // candidate side reads the STORED per-band inverted list — narrow
+    // (vec_id, band, bucket) postings; vectors/norms join in ONCE from
+    // the stored vector table, never duplicated per band. bands_hit
+    // (how many bands caught the pair) rides along: it is the multi-
+    // probe confidence signal a production ranker would cut on. FULLY
+    // oracled: axis bands (band i = signs of dims [4i+1, 4i+4]) are
+    // deterministic and reproduce in DuckDB SQL, so the differential
+    // check pins the whole pipeline — per-band bucketing, the
+    // (band, bucket) candidate join, cross-band dedup + count, cosine
+    // re-rank, tie-breaks.
+    "d_ann_lsh_banded" -> ((s, d) => {
+      register(s)
+      val post = VecBackbone.bandedPostings(s, d)
+      val vec = VecBackbone.buckets(s, d).select(col("vec_id"), col("v"), col("n"))
+      val qp = post.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("band"), col("bucket"))
+      // candidates: equi-join on (band, bucket) against the broadcast
+      // query postings, then collapse across bands — count(*) IS the
+      // bands-hit count (one posting row per band per vector)
+      val cand = post.join(broadcast(qp), Seq("band", "bucket"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .groupBy(col("q_id"), col("vec_id").as("n_id"))
+        .agg(count(lit(1)).as("bands_hit"))
+      val q = vec.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n").as("qn"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+      cand
+        .join(vec.select(col("vec_id").as("n_id"), col("v").as("nv"),
+          col("n").as("nn")), Seq("n_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .withColumn("cos", round(dot("qv", "nv") / (col("qn") * col("nn")), 4))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("n_id"), col("cos"),
+          col("bands_hit"))
+        .orderBy("q_id", "rnk")
+    }),
+
     // IVF (inverted-file) ANN: k-means coarse quantizer → search only the
     // n_probe closest cells. The quantizer trains driver-side on a
     // bounded sample ([[MiniKMeans]] — centroid quality saturates long
@@ -344,6 +385,30 @@ object Similarity {
         .select(col("va"), col("vb"), col("cos"),
           (col("ba") === col("bb")).cast("int").as("caught"))
         .orderBy("va", "vb")
+    }),
+
+    // BANDED recall audit — the measured composite-S-curve number: every
+    // exact truth pair flagged with whether ANY band's buckets collide
+    // (caught) and with HOW MANY do (bands_hit). Reads the stored
+    // per-band postings with two narrow vec_id-keyed joins (truth side
+    // is audit-sized → AQE broadcasts it); comparing this entry's
+    // caught-rate against d_ann_recall's single-band rate is the
+    // recall-vs-candidate-cost trade the banding exists to buy.
+    "d_ann_recall_banded" -> ((s, d) => {
+      register(s)
+      val truth = exactCosineWindow(s, d)
+      val post = VecBackbone.bandedPostings(s, d)
+      truth
+        .join(post.select(col("vec_id").as("va"), col("band"),
+          col("bucket").as("ba")), Seq("va"))
+        .join(post.select(col("vec_id").as("vb"), col("band"),
+          col("bucket").as("bb")), Seq("vb", "band"))
+        .groupBy("va", "vb", "cos")
+        .agg(max((col("ba") === col("bb")).cast("int")).as("caught"),
+          sum((col("ba") === col("bb")).cast("long")).as("bands_hit"))
+        .select(col("va"), col("vb"), col("cos"), col("caught"),
+          col("bands_hit"))
+        .orderBy("va", "vb")
     })
   )
 
@@ -438,6 +503,86 @@ object Similarity {
   private[graft] def planesFor(n: Long): Int =
     math.min(16, math.max(4,
       (math.log(math.max(1L, n) / 30.0) / math.log(2)).round.toInt))
+
+  /** BANDED sign-LSH postings — the production recall shape (VERDICT r13
+    * #1): b independent plane sets of r planes each, OR-ed at candidate
+    * time, so pair recall composes to 1 − (1 − p^r)^b instead of the
+    * single-band p^r (the same banding the TEXT side ships as 4-band
+    * minhash, [[TextDedup]]). Long form, one posting row per (vector,
+    * band): `(vec_id, band, bucket)` — the narrow inverted-list layout;
+    * vectors and norms live ONCE in the vector table, never duplicated
+    * per band, and candidate generation is an equi-join on the composite
+    * key (band, bucket) — one shuffle, never all-pairs, with candidate
+    * cost multiplying by b while recall climbs the composite S-curve.
+    *
+    * Geometry: `seed = None` → axis signs, band i reading dims
+    * [i·r+1, (i+1)·r] — deterministic, reproducible in the DuckDB oracle
+    * (the catalog operating point). `seed = Some(_)` → seeded random
+    * Gaussian hyperplanes drawn from ONE continuous stream, so band 0 of
+    * any banded config is bit-identical to [[signBucketsRandom]] at the
+    * same (r, seed) — banded and single-band sweeps compare like for
+    * like. Per-band sizing stays [[planesFor]]'s 2^r ≈ n/30 rule: each
+    * band is a full-resolution code; b multiplies candidates, r bounds
+    * bucket size. */
+  private[graft] def bandedSignBuckets(s: SparkSession, embeddings: DataFrame,
+      bands: Int, planes: Int, seed: Option[Long] = None): DataFrame = {
+    require(bands >= 1 && bands <= 8, s"bands $bands outside [1,8]")
+    require(planes >= 1 && planes <= 16, s"planes $planes outside [1,16]")
+    register(s)
+    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
+    val first = embeddings.filter(col("embedding").isNotNull)
+      .select(size(col("embedding"))).head(1)
+    if (first.nonEmpty) {
+      val dims = first.head.getInt(0)
+      if (seed.isEmpty)
+        require(bands * planes <= dims,
+          s"axis geometry needs bands*planes <= dims ($bands*$planes > $dims)")
+    }
+    seed match {
+      case None =>
+        // axis band i = sign bits of dims [i*r+1, (i+1)*r]
+        e.withColumn("band", explode(expr(s"sequence(0, ${bands - 1})")))
+          .withColumn("bucket", expr(
+            s"""aggregate(zip_with(slice(v, band * $planes + 1, $planes),
+                                   sequence(0, ${planes - 1}),
+                                   (x, i) -> IF(x >= 0F, shiftleft(1, i), 0)),
+                         0, (acc, v) -> acc + v)"""))
+          .select("vec_id", "band", "bucket")
+      case Some(sd) if first.isEmpty =>
+        // no non-null embedding to size hyperplanes from — emit the
+        // (empty-per-vector-content) axis postings instead of crashing
+        e.withColumn("band", explode(expr(s"sequence(0, ${bands - 1})")))
+          .withColumn("bucket", expr("CAST(NULL AS INT)"))
+          .select("vec_id", "band", "bucket")
+      case Some(sd) =>
+        val dims = first.head.getInt(0)
+        require(dims > 0, "embedding column has zero dims")
+        val rnd = new java.util.Random(sd)
+        val entries = (0 until bands).map { bd =>
+          val bits = (0 until planes).map { i =>
+            val h = Array.fill(dims)(rnd.nextGaussian())
+            val arr = s"CAST(array(${h.mkString(", ")}) AS ARRAY<FLOAT>)"
+            s"IF(float_dot(v, $arr) >= 0D, ${1 << i}, 0)"
+          }.mkString(" + ")
+          s"named_struct('band', $bd, 'bucket', ($bits))"
+        }
+        e.withColumn("bb", explode(expr(s"array(${entries.mkString(", ")})")))
+          .select(col("vec_id"), col("bb.band").as("band"),
+            col("bb.bucket").as("bucket"))
+    }
+  }
+
+  /** How many OR-ed bands reach `target` pair recall given a MEASURED
+    * single-band recall: the smallest b with 1 − (1 − ρ)^b ≥ target.
+    * This is the knob the geometry sweep's numbers feed — e.g. measured
+    * ρ = 0.24 at production r needs b = 4 for ~0.67 (SCALE.md). */
+  private[graft] def bandsFor(singleBandRecall: Double, target: Double): Int = {
+    require(singleBandRecall > 0.0 && singleBandRecall < 1.0,
+      s"single-band recall $singleBandRecall outside (0,1)")
+    require(target > 0.0 && target < 1.0, s"target $target outside (0,1)")
+    math.max(1, math.ceil(
+      math.log1p(-target) / math.log1p(-singleBandRecall)).toInt)
+  }
 
   /** Candidate count an IVF probe generates: fit the coarse quantizer
     * exactly as the ivf paths do, then sum the probed cells' sizes over
@@ -617,6 +762,20 @@ object Similarity {
          FROM scored) WHERE rnk <= 5
        ORDER BY q_id, rnk"""
 
+  /** DuckDB mirror of the axis-banded postings (band i = sign bits of
+    * dims [4i+1, 4i+4], the [[bandedSignBuckets]] axis geometry at the
+    * catalog operating point b=2, r=4): a `post(vec_id, band, bucket)`
+    * CTE body, generated so the bit weights can't drift from the Spark
+    * expression. */
+  private def bandedPostCte(bands: Int, planes: Int): String =
+    (0 until bands).map { bd =>
+      val sum = (0 until planes).map { i =>
+        s"(CASE WHEN embedding[${bd * planes + i + 1}] >= 0 " +
+          s"THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $bd AS band, $sum AS bucket FROM embeddings"
+    }.mkString("\n         UNION ALL\n         ")
+
   /** Axis-sign bucketing → cosine-verified edges → recursive closure →
     * `clusters$x(vec_id, cluster_id)` — the reusable DuckDB mirror of
     * the semantic-dedup chain, suffix-parameterized like TextDedup's
@@ -677,6 +836,35 @@ object Similarity {
            FROM q JOIN e ON e.bucket = qb AND q_id <> e.vec_id)
          SELECT q_id, rnk, n_id, cos, bucket FROM (
            SELECT q_id, n_id, cos, bucket,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, n_id) AS INT) AS rnk
+           FROM scored) WHERE rnk <= 5
+         ORDER BY q_id, rnk""",
+
+    // Banded pipeline reproduces wholesale: two axis bands' postings,
+    // (band, bucket) candidate join, cross-band collapse with the
+    // bands-hit count, exact cosine top-5.
+    "d_ann_lsh_banded" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+         post AS (
+           ${bandedPostCte(2, 4)}),
+         qp AS (SELECT vec_id AS q_id, band, bucket FROM post
+                WHERE vec_id < 10),
+         cand AS (
+           SELECT q_id, p.vec_id AS n_id, CAST(COUNT(*) AS BIGINT) AS bands_hit
+           FROM qp JOIN post p
+             ON p.band = qp.band AND p.bucket = qp.bucket
+            AND p.vec_id <> q_id
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT q_id, n_id, bands_hit,
+                  round(list_cosine_similarity(qe.v, ne.v), 4) AS cos
+           FROM cand
+           JOIN e qe ON qe.vec_id = q_id
+           JOIN e ne ON ne.vec_id = n_id)
+         SELECT q_id, rnk, n_id, cos, bands_hit FROM (
+           SELECT q_id, n_id, cos, bands_hit,
                   CAST(row_number() OVER (PARTITION BY q_id
                     ORDER BY cos DESC, n_id) AS INT) AS rnk
            FROM scored) WHERE rnk <= 5
@@ -762,6 +950,30 @@ object Similarity {
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE a.vec_id < 200
            AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
+         ORDER BY va, vb""",
+
+    // Banded recall: the same exhaustive truth, caught = ANY band's
+    // buckets collide, bands_hit = how many do.
+    "d_ann_recall_banded" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+         post AS (
+           ${bandedPostCte(2, 4)}),
+         truth AS (
+           SELECT a.vec_id AS va, b.vec_id AS vb,
+                  round(list_cosine_similarity(a.v, b.v), 4) AS cos
+           FROM e a JOIN e b ON a.vec_id < b.vec_id
+           WHERE a.vec_id < 200
+             AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.3)
+         SELECT t.va, t.vb, t.cos,
+                CAST(MAX(CASE WHEN pa.bucket = pb.bucket
+                              THEN 1 ELSE 0 END) AS INT) AS caught,
+                CAST(SUM(CASE WHEN pa.bucket = pb.bucket
+                              THEN 1 ELSE 0 END) AS BIGINT) AS bands_hit
+         FROM truth t
+         JOIN post pa ON pa.vec_id = t.va
+         JOIN post pb ON pb.vec_id = t.vb AND pb.band = pa.band
+         GROUP BY 1, 2, 3
          ORDER BY va, vb"""
   )
 }

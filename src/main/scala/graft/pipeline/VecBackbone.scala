@@ -50,6 +50,13 @@ private[graft] object VecBackbone {
   val Planes = 4
   val Threshold = 0.3
 
+  /** Banded operating point for d_ann_lsh_banded / d_ann_recall_banded:
+    * 2 axis bands of [[Planes]] dims each (dims 1–8 — oracle-
+    * reproducible). Production raises both knobs with seeded random
+    * hyperplanes: r = planesFor(n) per band, b from the measured
+    * single-band recall via [[Similarity.bandsFor]]. */
+  val Bands = 2
+
   /** IVF/PQ operating point — matches d_ann_ivf / d_ann_ivfpq. */
   val NCells = 8
   val M = 4
@@ -159,6 +166,55 @@ private[graft] object VecBackbone {
     val path = s"${root(s, d)}/buckets_p$planes"
     Warehouse.ensure(s, path) {
       Similarity.signBuckets(s, Tables.embeddings(s, d), planes)
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  /** Stored BANDED sign-LSH inverted list over the full corpus — narrow
+    * postings `(vec_id, band, bucket)`, one row per (vector, band); the
+    * vectors themselves live once in [[buckets]]. Axis geometry at the
+    * catalog operating point (b = [[Bands]], r = [[Planes]]) so the
+    * banded catalog entries reproduce in the DuckDB oracle. */
+  def bandedPostings(s: SparkSession, d: String, bands: Int = Bands,
+                     planes: Int = Planes): DataFrame = {
+    val path = s"${root(s, d)}/banded_b${bands}r$planes"
+    Warehouse.ensure(s, path) {
+      Similarity.bandedSignBuckets(s, Tables.embeddings(s, d), bands, planes)
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  /** Stored banded postings for the embedding slice [lo, hi) — the
+    * history/batch pieces of the banded incremental contract. */
+  private[graft] def bandedSlice(s: SparkSession, d: String, lo: Long,
+      hi: Long, bands: Int = Bands, planes: Int = Planes): DataFrame = {
+    val path = s"${root(s, d)}/banded_b${bands}r${planes}_s${lo}e$hi"
+    Warehouse.ensure(s, path) {
+      Similarity.bandedSignBuckets(s,
+        Tables.embeddings(s, d)
+          .filter(col("vec_id") >= lo && col("vec_id") < hi),
+        bands, planes)
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  /** COMMIT the banded postings advance: stored history-slice postings ∪
+    * a batch-only scan, written as the full-corpus table — history
+    * embeddings are never re-bucketed. A vector's per-band bucket is a
+    * pure per-row function, so the committed union must equal a
+    * from-scratch [[bandedPostings]] rebuild bit-for-bit (spec-pinned in
+    * VecBackboneSpec, the same closure the single-band advance carries). */
+  private[graft] def bandedAdvanceAndStore(s: SparkSession, d: String,
+      splitOverride: Long = -1L, bands: Int = Bands,
+      planes: Int = Planes): DataFrame = {
+    val split = if (splitOverride >= 0) splitOverride else deltaSplit(s, d)
+    val path = s"${root(s, d)}/banded_b${bands}r${planes}_adv$split"
+    Warehouse.ensure(s, path) {
+      bandedSlice(s, d, 0, split, bands, planes)
+        .unionByName(bandedSlice(s, d, split, Long.MaxValue, bands, planes))
         .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
@@ -403,6 +459,7 @@ private[graft] object VecBackbone {
   def prebuild(s: SparkSession, d: String): Unit = {
     quantizer(s, d)
     buckets(s, d)
+    bandedPostings(s, d)
     codes(s, d)
     history(s, d, deltaSplit(s, d))
     batch(s, d, deltaSplit(s, d))

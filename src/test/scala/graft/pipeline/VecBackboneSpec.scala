@@ -272,4 +272,71 @@ class VecBackboneSpec extends AnyFunSuite {
       VecBackbone.resetMemoForTest()
     }
   }
+
+  private def postingRows(df: DataFrame): Set[(Long, Int, Int)] =
+    df.collect().map(r => (r.getLong(r.fieldIndex("vec_id")),
+      r.getInt(r.fieldIndex("band")), r.getInt(r.fieldIndex("bucket")))).toSet
+
+  test("banded postings: committed advance == from-scratch rebuild, bit-for-bit") {
+    val full = postingRows(VecBackbone.bandedPostings(spark, sf))
+    val n = VecBackbone.vecCount(spark, sf)
+    assert(full.size == n * VecBackbone.Bands,
+      "exactly one posting per (vector, band)")
+    val adv = postingRows(VecBackbone.bandedAdvanceAndStore(spark, sf))
+    assert(adv == full,
+      s"banded advance diverged: only-adv ${(adv -- full).take(5)}, " +
+        s"only-full ${(full -- adv).take(5)}")
+  }
+
+  test("banded random geometry: band 0 == the single-band plane set at (r, seed)") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, sf)
+    def pairs(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val single = pairs(Similarity.signBucketsRandom(spark, e, 6, 7L)
+      .select("vec_id", "bucket"))
+    val band0 = pairs(Similarity.bandedSignBuckets(spark, e, 3, 6, Some(7L))
+      .filter(col("band") === 0).select("vec_id", "bucket"))
+    assert(band0 == single,
+      "one continuous plane stream: banded band 0 must equal the " +
+        "single-band geometry at the same (r, seed)")
+  }
+
+  test("banded recall dominates single-band per pair; bands_hit bounded") {
+    // the single-band bucket (signs of dims 1-4) IS band 0 of the banded
+    // geometry, so caught_banded >= caught_single must hold row by row
+    val single = Similarity.queries("d_ann_recall")(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(3))).toMap
+    val banded = Similarity.queries("d_ann_recall_banded")(spark, sf).collect()
+    assert(banded.nonEmpty && banded.length == single.size)
+    banded.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      val (caught, hits) = (r.getInt(3), r.getLong(4))
+      assert(hits >= 0L && hits <= VecBackbone.Bands.toLong, s"bands_hit $hits at $k")
+      assert((caught == 1) == (hits > 0L), s"caught/bands_hit disagree at $k")
+      assert(caught >= single(k), s"band 0 pair lost at $k")
+    }
+    val extra = banded.count(r => r.getInt(3) == 1) -
+      single.valuesIterator.sum
+    assert(extra > 0,
+      "fixture regression: the second band caught no extra truth pairs — " +
+        "the composite-recall claim needs a visible lift")
+  }
+
+  test("bandsFor: smallest b reaching the composite-recall target") {
+    // the SCALE.md sweep's own numbers: measured 0.24 single-band recall
+    // needs 4 bands for ~0.67 composite
+    assert(Similarity.bandsFor(0.24, 0.66) == 4)
+    assert(Similarity.bandsFor(0.9, 0.9) == 1)
+    val rnd = new scala.util.Random(17)
+    (0 until 50).foreach { _ =>
+      val rho = 0.01 + rnd.nextDouble() * 0.98
+      val t = 0.01 + rnd.nextDouble() * 0.98
+      val b = Similarity.bandsFor(rho, t)
+      assert(1.0 - math.pow(1.0 - rho, b.toDouble) >= t - 1e-12,
+        s"b=$b misses target $t at rho=$rho")
+      assert(b == 1 || 1.0 - math.pow(1.0 - rho, (b - 1).toDouble) < t,
+        s"b=$b not minimal at rho=$rho target $t")
+    }
+  }
 }
