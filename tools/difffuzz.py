@@ -39,7 +39,12 @@ reverse/left), timestamp INTERVAL arithmetic + EXTRACT (DOW excluded:
 the engines number weekdays differently), correlated scalar aggregate
 subqueries (COUNT-on-empty=0, MIN/MAX-on-empty=NULL — probed and
 agreed), [NOT] IN subqueries incl. NULLIF-poisoned lists (standard
-three-valued logic on both sides).
+three-valued logic on both sides), windows OVER join results (FK->PK
+edges keep the left pk a total tie-break), multiple DISTINCT
+aggregates per SELECT incl. NULLIF-poisoned distincts + SUM(DISTINCT),
+correlated EXISTS with aggregate-HAVING subqueries, CASE expressions
+as grouping keys (incl. NULL-producing keys and ABS-guarded modulo
+buckets).
 
 Every run is seeded: the same (seed, n, schema) always generates the
 same query texts, and failures print the query name whose .sql file
@@ -509,6 +514,97 @@ class Gen:
         return (f"SELECT a.{g} AS k0, CAST(COUNT(*) AS BIGINT) AS cnt "
                 f"FROM {lt} a WHERE a.{lk} {neg}IN ({inner}) GROUP BY 1")
 
+    def q_window_join(self):
+        # window functions OVER a join result — rank partitioned by a
+        # RIGHT-table attribute over the joined relation. Deterministic:
+        # every JOINS edge is FK->PK (the right side is unique on rk), so
+        # joined rows stay 1:1 with left rows and the left pk remains a
+        # total tie-break; RANK/DENSE_RANK therefore equal ROW_NUMBER and
+        # stay cross-engine exact.
+        r = self.r
+        lt, lk, rt, rk = r.choice(JOINS)
+        g = r.choice(self.meta[rt]["strs"] + self.meta[rt]["ints"])
+        c = r.choice(self.meta[lt]["ints"])
+        pk = ", ".join(f"a.{k}" for k in PK[lt])
+        fn = r.choice(["ROW_NUMBER()", "RANK()", "DENSE_RANK()"])
+        keep = r.randint(1, 4)
+        w = self.where(lt, "a")
+        return (f"SELECT k0, c0, rn FROM ("
+                f"SELECT b.{g} AS k0, a.{c} AS c0, CAST({fn} OVER ("
+                f"PARTITION BY b.{g} ORDER BY a.{c} DESC, {pk}) AS BIGINT)"
+                f" AS rn FROM {lt} a JOIN {rt} b ON a.{lk} = b.{rk}{w}) "
+                f"WHERE rn <= {keep}")
+
+    def q_distinct_agg(self):
+        # multiple DISTINCT aggregates in one SELECT (Spark plans these
+        # through Expand) plus a NULLIF-poisoned distinct — NULLs must be
+        # skipped by COUNT(DISTINCT) on both engines — and SUM(DISTINCT).
+        r = self.r
+        t = r.choice(TABLES)
+        m = self.meta[t]
+        g = r.choice(m["strs"] + m["ints"])
+        c1, c2 = r.choice(m["ints"]), r.choice(m["ints"])
+        lo, hi = m["rng"][c1]
+        v = r.randint(lo, max(lo, hi))
+        cols = [f"CAST(COUNT(DISTINCT {c1}) AS BIGINT) AS d1",
+                f"CAST(COUNT(DISTINCT {c2}) AS BIGINT) AS d2",
+                f"CAST(COUNT(DISTINCT NULLIF({c1}, {v})) AS BIGINT) AS dn",
+                f"CAST(SUM(DISTINCT {c1}) AS BIGINT) AS sd1",
+                "CAST(COUNT(*) AS BIGINT) AS cnt"]
+        if m["strs"]:
+            cols.append(f"CAST(COUNT(DISTINCT {r.choice(m['strs'])}) "
+                        f"AS BIGINT) AS d3")
+        return (f"SELECT {g} AS k0, {', '.join(cols)} FROM {t}"
+                f"{self.where(t)} GROUP BY 1")
+
+    def q_exists_agg(self):
+        # correlated EXISTS whose subquery is an AGGREGATE with HAVING —
+        # existence decided by a group property (count/max over the
+        # correlated fan-out), not by row presence; iterated from the PK
+        # side so the inner relation genuinely fans out.
+        r = self.r
+        lt, lk, rt, rk = r.choice(JOINS)
+        g = r.choice(self.meta[rt]["strs"] + self.meta[rt]["ints"])
+        neg = r.choice(["", "NOT "])
+        c = r.choice(self.meta[lt]["ints"])
+        lo, hi = self.meta[lt]["rng"][c]
+        hv = r.choice([f"COUNT(*) > {r.randint(1, 6)}",
+                       f"COUNT(*) = {r.randint(1, 4)}",
+                       f"MAX(b.{c}) >= {r.randint(lo, max(lo, hi))}"])
+        bp = self.pred(lt, "b")
+        return (f"SELECT a.{g} AS k0, CAST(COUNT(*) AS BIGINT) AS cnt "
+                f"FROM {rt} a WHERE {neg}EXISTS "
+                f"(SELECT COUNT(*) FROM {lt} b WHERE b.{lk} = a.{rk} "
+                f"AND {bp} HAVING {hv}) GROUP BY 1")
+
+    def q_case_groupby(self):
+        # CASE expressions AS the grouping keys (plus a modulo bucket):
+        # the grouping key is computed, so key equality/NULL handling in
+        # the hash-agg path is exercised on derived values, not columns.
+        r = self.r
+        t = r.choice(TABLES)
+        m = self.meta[t]
+        c = r.choice(m["ints"])
+        lo, hi = m["rng"][c]
+        v1, v2 = (r.randint(lo, max(lo, hi)) for _ in range(2))
+        lo2, hi2 = min(v1, v2), max(v1, v2)
+        k1 = (f"CASE WHEN {c} < {lo2} THEN 'low' "
+              f"WHEN {c} <= {hi2} THEN 'mid' ELSE 'high' END")
+        # modulo bucket key — ABS keeps the no-%-on-negatives rule
+        c2 = r.choice(m["ints"])
+        k2 = f"CAST(ABS({c2}) % {r.randint(2, 5)} AS BIGINT)"
+        keys = [f"{k1} AS k0", f"{k2} AS k1"]
+        if r.random() < 0.4:
+            # a NULL-producing CASE key: rows outside the band group as
+            # the NULL key on both engines
+            keys.append(
+                f"CASE WHEN {c} BETWEEN {lo2} AND {hi2} THEN 'in' END AS k2")
+        aggs = ["CAST(COUNT(*) AS BIGINT) AS cnt",
+                f"CAST(SUM({c}) AS BIGINT) AS s0"]
+        gb = ", ".join(str(i + 1) for i in range(len(keys)))
+        return (f"SELECT {', '.join(keys + aggs)} FROM {t}{self.where(t)} "
+                f"GROUP BY {gb}")
+
     def gen(self, i):
         return [self.q_agg, self.q_scalar, self.q_join, self.q_setop,
                 self.q_topk, self.q_window, self.q_datetime,
@@ -516,7 +612,9 @@ class Gen:
                 self.q_join_semi, self.q_grouping, self.q_order_nulls,
                 self.q_window_frame, self.q_having_join,
                 self.q_cond_agg, self.q_string, self.q_datemath,
-                self.q_scalar_subq, self.q_in_subq][i % 20]()
+                self.q_scalar_subq, self.q_in_subq, self.q_window_join,
+                self.q_distinct_agg, self.q_exists_agg,
+                self.q_case_groupby][i % 24]()
 
 
 def main():
