@@ -76,11 +76,26 @@ final case class BatcherConfig(
   def flushInterval: Duration = Duration.ofMillis(flushIntervalMs)
 }
 
+/** Background small-file compaction scheduling — the analog of
+  * MergeTree's continuous part merges (the reference's storage engine
+  * merges inserted parts in the background, `migrations .sql:18-20`;
+  * SURVEY §4.2 "ours to schedule"). Off by default: a batch-only
+  * deployment has no writer to pause. When enabled, [[ServeMain]] runs
+  * a maintenance pass every `intervalMs` that compacts any served
+  * table partition whose file count exceeds `maxFiles` into
+  * ~`targetBytes` files. */
+final case class CompactionConfig(
+    enabled: Boolean = false,
+    intervalMs: Long = 60000L,
+    maxFiles: Int = 16,
+    targetBytes: Long = 128L * 1024 * 1024)
+
 final case class EngineConfig(
     tracing: TracingConfig = TracingConfig(),
     broker: BrokerConfig = BrokerConfig(),
     warehouse: WarehouseConfig = WarehouseConfig(),
-    batcher: BatcherConfig = BatcherConfig())
+    batcher: BatcherConfig = BatcherConfig(),
+    compaction: CompactionConfig = CompactionConfig())
 
 object EngineConfig {
 
@@ -255,6 +270,11 @@ object EngineConfig {
       batcher = BatcherConfig(
         maxRows = int("batcher", "max_rows", d.batcher.maxRows),
         maxBytes = int("batcher", "max_bytes", d.batcher.maxBytes),
-        flushIntervalMs = int("batcher", "flush_interval_ms", d.batcher.flushIntervalMs)))
+        flushIntervalMs = int("batcher", "flush_interval_ms", d.batcher.flushIntervalMs)),
+      compaction = CompactionConfig(
+        enabled = bool("compaction", "enabled", d.compaction.enabled),
+        intervalMs = int("compaction", "interval_ms", d.compaction.intervalMs),
+        maxFiles = int32("compaction", "max_files", d.compaction.maxFiles),
+        targetBytes = int("compaction", "target_bytes", d.compaction.targetBytes)))
   }
 }

@@ -85,7 +85,8 @@ object ScaleSmoke {
     * (drill-down); unset runs everything. Unknown names fail fast — a
     * typo must not masquerade as a sweep that produced no output. */
   private val knownSections =
-    Set("orderstats", "vec-advance", "advance-soak", "wh-gc", "vec-geometry")
+    Set("orderstats", "vec-advance", "advance-soak", "wh-gc", "vec-geometry",
+      "capacity-decade")
   private val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
   only.foreach(o => require(knownSections(o),
     s"unknown SPARK_GRAFT_SMOKE_ONLY section '$o'; known: " +
@@ -499,6 +500,86 @@ object ScaleSmoke {
           prevProp match {
             case Some(v) => sys.props("graft.backbone.dir") = v
             case None => sys.props -= "graft.backbone.dir"
+          }
+        }
+      }
+
+      // ---- capacity decade: shuffle bytes one decade PAST sf0.1 --------
+      // The 100 TB claim extrapolates from the sf0.01→sf0.1 (10×) step;
+      // this section pushes ShuffleAudit's top movers one more decade
+      // (~6M lineitem rows, 50k docs, 20k embeddings) and gates the same
+      // invariants the shuffle gate holds at the fixture step: per-key
+      // shuffle-write bytes within the 12× cap for 10× data, and
+      // peak-task memory partition-bounded (absolute ceiling — the knob a
+      // real cluster turns is shuffle.partitions, fixed at 32 here).
+      // Relational tables grow by KEY-SHIFTED replication of the real
+      // sf0.1 fixture (schema + per-replica distributions identical, join
+      // keys disjoint across replicas); docs/embeddings grow through the
+      // same synthesizer at both sizes so the ratio compares like with
+      // like. Decade-independent of the corpus multiplier → runs once.
+      section("capacity-decade") {
+        if (m == mults.head) {
+          val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+            "/root/testdata/sf0.1")
+          val tmp = sys.props("java.io.tmpdir")
+          val dBase = s"$tmp/graft_decade_base"
+          val d10 = s"$tmp/graft_decade_10x"
+          synthDocuments(spark, 5000, dBase)
+          synthEmbeddings(spark, 2000, 64, dBase)
+          synthDocuments(spark, 50000, d10)
+          synthEmbeddings(spark, 20000, 64, d10)
+          val ten = explode(expr("sequence(0, 9)"))
+          spark.read.parquet(s"$base/lineitem.parquet")
+            .withColumn("rep", ten)
+            .withColumn("l_orderkey",
+              col("l_orderkey") * 10 + col("rep")).drop("rep")
+            .repartition(64)
+            .write.mode("overwrite").parquet(s"$d10/lineitem.parquet")
+          spark.read.parquet(s"$base/orders.parquet")
+            .withColumn("rep", ten)
+            .withColumn("o_orderkey", col("o_orderkey") * 10 + col("rep"))
+            .withColumn("o_custkey",
+              col("o_custkey") + col("rep") * 10000000L).drop("rep")
+            .repartition(16)
+            .write.mode("overwrite").parquet(s"$d10/orders.parquet")
+          Tables.events(spark, base)
+            .withColumn("rep", ten)
+            .withColumn("event_id", col("event_id") * 10 + col("rep"))
+            .withColumn("user_id",
+              col("user_id") + col("rep") * 10000000L).drop("rep")
+            .repartition(32)
+            .write.mode("overwrite").parquet(s"$d10/events.parquet")
+
+          val meter = new pipeline.ShuffleAudit.Meter(spark)
+          def run(key: String, dir: String): (Long, Long, Long) = {
+            graft.SparkEntry.queries(key)(spark, dir).count() // warm: stores
+            meter.settle(); meter.reset()
+            val rows = graft.SparkEntry.queries(key)(spark, dir).count()
+            val (_, w, _, p) = meter.settle()
+            (rows, w, p)
+          }
+          val movers = Seq(
+            ("o_a27_weighted_median", base, d10),
+            ("o_a27b_weighted_quantiles", base, d10),
+            ("o_j6_asof", base, d10),
+            ("d_dup_spans", dBase, d10),
+            ("d_ann_ivfpq", dBase, d10))
+          movers.foreach { case (key, small, big) =>
+            val (rS, wS, _) = run(key, small)
+            val (rB, wB, pB) = run(key, big)
+            val growth = if (wS > 0) wB.toDouble / wS else Double.NaN
+            println(f"[scale] decade $key%-26s rows=$rS%,d -> $rB%,d " +
+              f"shufW=${wS / 1048576.0}%.1f -> ${wB / 1048576.0}%.1fMB " +
+              f"(${growth}%.1fx) peak=${pB / 1048576.0}%.1fMB")
+            // the shuffle gate's rule, one decade up: 12× cap on 10×
+            // data for keys above the 1 MB noise floor
+            if (wS >= (1L << 20))
+              require(wB <= 12.0 * wS,
+                f"$key shuffle-write grew ${wB.toDouble / wS}%.1fx " +
+                  "across the decade — super-linear, corpus-sized exchange")
+            require(pB < (2L << 30),
+              s"$key peak task ${pB / 1048576} MB at the decade — " +
+                "not partition-bounded")
           }
         }
       }

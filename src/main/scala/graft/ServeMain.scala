@@ -35,15 +35,24 @@ import graft.streaming.{BrokerSource, FileBroker, Ingest, NatsBridge, NatsBroker
 object ServeMain {
 
   /** Running engine handle — everything [[boot]] started, stoppable in
-    * reference drain order. */
-  final case class Engine(spark: SparkSession,
-                          queries: Map[String, StreamingQuery],
-                          http: HttpSql, httpPort: Int,
-                          stopRelay: () => Unit) {
-    /** `flush_all` + drain (main.rs:95-105): stop ingest first so no new
-      * batch starts, then the relay (which closes its broker connection),
-      * then the serving surface. */
+    * reference drain order. The query registry is MUTABLE because the
+    * compaction pass replaces a table's streaming query (stop → compact
+    * → restart from the checkpoint); `queries` always returns the live
+    * handles. */
+  final class Engine(val spark: SparkSession,
+                     @volatile private[graft] var queryMap: Map[String, StreamingQuery],
+                     val http: HttpSql, val httpPort: Int,
+                     stopRelay: () => Unit) {
+    def queries: Map[String, StreamingQuery] = queryMap
+    @volatile private var stopMaintenance: () => Unit = () => ()
+    private[graft] def setMaintenance(stop: () => Unit): Unit =
+      stopMaintenance = stop
+    /** `flush_all` + drain (main.rs:95-105): stop the maintenance loop
+      * first (it must not restart queries mid-drain), then ingest so no
+      * new batch starts, then the relay (which closes its broker
+      * connection), then the serving surface. */
     def drain(): Unit = {
+      scala.util.Try(stopMaintenance())
       queries.values.foreach(q => scala.util.Try(q.stop()))
       stopRelay()
       scala.util.Try(http.stop())
@@ -62,6 +71,16 @@ object ServeMain {
     // yet when the engine comes up)
     cfg.broker.subjects.foreach(s =>
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(wireRoot, s)))
+    // heal interrupted compaction swaps BEFORE any writer starts: the
+    // bak/tmp recovery has one branch that is only safe with the writer
+    // quiet (see Compaction.healInterrupted)
+    if (cfg.compaction.enabled)
+      cfg.broker.subjects.foreach { s =>
+        val table = graft.streaming.EventSchemas.routes(s)
+        sources.Compaction.healInterrupted(spark, s"$outDir/$table")
+          .foreach(p => println(s"[serve] healed interrupted compaction of " +
+            s"$table/$p"))
+      }
 
     val (broker, stopRelay) =
       if (useNats) {
@@ -94,7 +113,11 @@ object ServeMain {
     try {
       val http = new HttpSql(spark, httpPort, dataDir = Some(outDir))
       val port = http.start()
-      Engine(spark, queries, http, port, stopRelay)
+      val engine = new Engine(spark, queries, http, port, stopRelay)
+      if (cfg.compaction.enabled)
+        engine.setMaintenance(startCompactor(engine, broker, outDir,
+          ckptRoot, Ingest.batcherParams(cfg)._1, cfg))
+      engine
     } catch {
       case e: Throwable =>
         queries.values.foreach(q =>
@@ -102,6 +125,98 @@ object ServeMain {
         try stopRelay() catch { case scala.util.control.NonFatal(_) => () }
         throw e
     }
+  }
+
+  /** One maintenance pass over the served tables (the MergeTree
+    * background-merge analog — `migrations .sql:18-20`, SURVEY §4.2 "ours
+    * to schedule"): for each table whose file census exceeds
+    * `max_files` in any date partition, PAUSE the writer (stop its
+    * streaming query — the pause-the-writer discipline
+    * [[graft.sources.Compaction]] requires), pool the committed
+    * micro-batches of each exploded partition into ~target-byte files
+    * ([[graft.sources.Compaction.compactIngest]] — batch ids past the
+    * checkpoint's last commit stay untouched, so replay stays safe),
+    * then RESTART the query from its checkpoint and swap the new handle
+    * into the engine. Returns (table, per-partition stats) for
+    * observability; errors compact nothing and leave the restart in
+    * place. */
+  private[graft] def compactionPass(engine: Engine, broker: BrokerSource,
+      outDir: String, ckptRoot: String,
+      trigger: org.apache.spark.sql.streaming.Trigger,
+      cfg: EngineConfig): Seq[(String, sources.Compaction.Stats)] = {
+    import graft.streaming.EventSchemas
+    engine.queryMap.toSeq.flatMap { case (table, q) =>
+      val tdir = s"$outDir/$table"
+      val needy = sources.Parts.needingCompaction(engine.spark, tdir,
+        cfg.compaction.maxFiles)
+      if (needy.isEmpty) Seq.empty
+      else {
+        val subject = EventSchemas.routes.collectFirst {
+          case (s, t) if t == table => s
+        }.getOrElse(
+          throw new IllegalStateException(s"no subject routes to $table"))
+        // pause-the-writer: single-writer swap discipline. A failed stop
+        // that leaves the query RUNNING must abort the pass (two writers
+        // around a swap is the one unrecoverable shape); a query that is
+        // already dead proceeds — compaction + restart is the healing.
+        try q.stop() catch { case scala.util.control.NonFatal(_) => () }
+        if (q.isActive)
+          throw new IllegalStateException(
+            s"query for $table did not stop; skipping compaction")
+        try {
+          val maxCommitted = sources.Compaction.committedBatchMax(
+            engine.spark, s"$ckptRoot/$table")
+          needy.map { p =>
+            table -> sources.Compaction.compactIngest(engine.spark, p,
+              maxCommitted, targetBytes = cfg.compaction.targetBytes)
+          }
+        } finally {
+          // a failed swap must be healed BEFORE the writer returns —
+          // the writer would otherwise recreate the partition next to
+          // the backup and a later pass could mistake the backup for
+          // stale (Compaction.healInterrupted's ambiguous branch)
+          try sources.Compaction.healInterrupted(engine.spark, tdir)
+          catch { case scala.util.control.NonFatal(_) => () }
+          // resume from the checkpoint: a fresh query continues exactly
+          // where the stopped one committed
+          val nq = streaming.Ingest.startFromBroker(engine.spark, broker,
+            outDir, ckptRoot, trigger, Seq(subject))(table)
+          engine.queryMap = engine.queryMap.updated(table, nq)
+        }
+      }
+    }
+  }
+
+  /** Daemon scheduler for [[compactionPass]] — fires every
+    * `compaction.interval_ms`; a pass failure is logged and the loop
+    * continues (maintenance must never take the engine down). Returns
+    * the stop handle [[Engine.drain]] calls first. */
+  private def startCompactor(engine: Engine, broker: BrokerSource,
+      outDir: String, ckptRoot: String,
+      trigger: org.apache.spark.sql.streaming.Trigger,
+      cfg: EngineConfig): () => Unit = {
+    @volatile var stop = false
+    val t = new Thread(() => {
+      while (!stop) {
+        try {
+          val done = compactionPass(engine, broker, outDir, ckptRoot,
+            trigger, cfg)
+          done.foreach { case (table, st) =>
+            println(s"[serve] compacted $table: ${st.filesBefore} -> " +
+              s"${st.filesAfter} files (${st.rows} rows)")
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[serve] compaction pass failed: ${e.getMessage}")
+        }
+        val deadline = System.currentTimeMillis() + cfg.compaction.intervalMs
+        while (!stop && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+      }
+    }, "graft-compactor")
+    t.setDaemon(true)
+    t.start()
+    () => { stop = true; t.join(10000) }
   }
 
   def main(args: Array[String]): Unit = {

@@ -4,7 +4,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated key filter — tools/pipefuzz.py
+    // runs only the pipeline-cascade keys against planted corpora that
+    // carry no TPC-H tables
+    val only = args.lift(2).map(_.split(",").map(_.trim).toSet)
+    def keep(name: String) = only.forall(_.contains(name))
     // the canonical engine session (extensions installed at build time) —
     // a hand-rolled builder here had already drifted: it lacked
     // spark.sql.extensions, so the CollapseDedup rule was absent from the
@@ -13,7 +18,11 @@ object Verify {
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt,
       appName = "graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown keys in filter: $unknown")
+    }
+    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -32,7 +41,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

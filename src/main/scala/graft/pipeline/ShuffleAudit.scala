@@ -25,6 +25,45 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   * delivery is async, so counters are read after they stabilize.
   */
 object ShuffleAudit {
+
+  /** The audit's measurement core, reusable outside [[main]] (ScaleSmoke's
+    * capacity-decade sweep): task-metric accumulation via a listener,
+    * with per-pass reset and async-delivery settling. */
+  private[graft] final class Meter(spark: org.apache.spark.sql.SparkSession) {
+    private val input = new AtomicLong; private val sw = new AtomicLong
+    private val sr = new AtomicLong; private val peak = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          input.addAndGet(m.inputMetrics.bytesRead)
+          sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          sr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          peak.getAndAccumulate(m.peakExecutionMemory, math.max)
+        }
+      }
+    })
+    def reset(): Unit = { input.set(0); sw.set(0); sr.set(0); peak.set(0) }
+    /** (input, shuffleWrite, shuffleRead, peakTask) after the async
+      * listener queue stabilizes — two consecutive still reads, or a
+      * loud warning if the deadline ends the wait (a truncated counter
+      * must not read as "moves nothing"). */
+    def settle(): (Long, Long, Long, Long) = {
+      var still = 0
+      var last = (-1L, -1L, -1L, -1L)
+      var now = (input.get, sw.get, sr.get, peak.get)
+      val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
+      while (still < 2 && System.nanoTime < deadline) {
+        if (now == last) still += 1 else still = 0
+        last = now; Thread.sleep(300)
+        now = (input.get, sw.get, sr.get, peak.get)
+      }
+      if (still < 2) println(
+        "[shuffle-audit] WARNING: listener did not settle; counters may be truncated")
+      now
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val jsonOut = args.sliding(2).collectFirst {
@@ -46,35 +85,7 @@ object ShuffleAudit {
     val qs = if (keyArgs.nonEmpty) keyArgs
       else graft.SparkEntry.queries.keys.toSeq.sorted
     val spark = graft.EngineSession.local(32, "shuffle-audit")
-    val input = new AtomicLong; val sw = new AtomicLong
-    val sr = new AtomicLong; val peak = new AtomicLong
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
-        val m = te.taskMetrics
-        if (m != null) {
-          input.addAndGet(m.inputMetrics.bytesRead)
-          sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-          sr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-          peak.getAndAccumulate(m.peakExecutionMemory, math.max)
-        }
-      }
-    })
-    def settle(): (Long, Long, Long, Long) = {
-      // listener events arrive async: require two consecutive still
-      // reads, and say so loudly if the deadline (not stability) ends
-      // the wait — a truncated counter must not read as "moves nothing"
-      var still = 0
-      var last = (-1L, -1L, -1L, -1L)
-      var now = (input.get, sw.get, sr.get, peak.get)
-      val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
-      while (still < 2 && System.nanoTime < deadline) {
-        if (now == last) still += 1 else still = 0
-        last = now; Thread.sleep(300); now = (input.get, sw.get, sr.get, peak.get)
-      }
-      if (still < 2) println(
-        "[shuffle-audit] WARNING: listener did not settle; counters may be truncated")
-      now
-    }
+    val meter = new Meter(spark)
     def mb(b: Long): String = f"${b / 1048576.0}%.1f"
     // one-time stores built up front (the same prebuild Bench does), so
     // even each key's FIRST pass is warm and the measured second pass
@@ -85,12 +96,12 @@ object ShuffleAudit {
     val results = qs.flatMap { q =>
       try {
         graft.SparkEntry.queries(q)(spark, sf).count() // warm run: JIT, caches
-        settle()
-        input.set(0); sw.set(0); sr.set(0); peak.set(0)
+        meter.settle()
+        meter.reset()
         val t0 = System.nanoTime
         val rows = graft.SparkEntry.queries(q)(spark, sf).count()
         val sec = (System.nanoTime - t0) / 1e9
-        val (i, w, r, p) = settle()
+        val (i, w, r, p) = meter.settle()
         println(f"[shuffle-audit] $q%-24s rows=$rows%-8d sec=$sec%.2f " +
           s"input=${mb(i)}MB shufW=${mb(w)}MB shufR=${mb(r)}MB " +
           s"peakTask=${mb(p)}MB")

@@ -181,6 +181,9 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
     * and a dir whose parquet is mid-write simply stays unregistered
     * until the next statement. dataDir owns its names: a same-named
     * pre-registered view is replaced by the served table. */
+  private val registeredViews =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def refreshDataTables(sqlText: String): Unit =
     dataDir.foreach { root =>
       val lower = sqlText.toLowerCase
@@ -188,8 +191,10 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
         .filter(d => d.isDirectory && !d.getName.startsWith("_") &&
           lower.contains(d.getName.toLowerCase))
         .foreach { d =>
-          try spark.read.parquet(d.getPath).createOrReplaceTempView(d.getName)
-          catch { case _: Exception => () }
+          try {
+            spark.read.parquet(d.getPath).createOrReplaceTempView(d.getName)
+            registeredViews.add(d.getName): Unit
+          } catch { case _: Exception => () }
         }
     }
 
@@ -219,6 +224,14 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
     if (pool != null) { pool.shutdownNow(); pool = null }
     watchdog.shutdownNow()
     spark.listenerManager.unregister(queryLog)
+    // a stopped server must not leave its served-table names shadowing
+    // the session catalog: temp views resolve before catalog tables, so
+    // a later CREATE TABLE login_events would silently read this
+    // server's last snapshot otherwise. (The system_* views stay — they
+    // carry no table-shadowing risk and may be shared by another live
+    // server on the same session.)
+    registeredViews.forEach(v => spark.catalog.dropTempView(v): Unit)
+    registeredViews.clear()
   }
 
   private object PingHandler extends HttpHandler {

@@ -35,15 +35,16 @@ class CatalogSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
-  test("the no-oracle set is exactly the four documented rows-only queries") {
+  test("the no-oracle set is exactly the three approximate sketches") {
     // Each omission is a deliberate, documented decision (approximate
-    // sketches DuckDB can't reproduce; binary feature extraction) —
-    // pinning the set means silently LOSING an oracle (a paste error, a
-    // renamed key) reds the suite instead of quietly downgrading a
-    // hash-checked query to rows-only.
+    // sketches DuckDB can't reproduce) — pinning the set means silently
+    // LOSING an oracle (a paste error, a renamed key) reds the suite
+    // instead of quietly downgrading a hash-checked query to rows-only.
+    // This is the floor: d_media_features joined the oracled set in r14
+    // (pinned-fold byte entropy), leaving only the sketches.
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set("o_a3_approx_distinct", "o_a4b_quantile_approx",
-      "o_a12_sketch_merge", "d_media_features"),
+      "o_a12_sketch_merge"),
       s"no-oracle set drifted: $noOracle")
   }
 

@@ -1,0 +1,159 @@
+#!/usr/bin/env python3
+"""Differential PIPELINE fuzzer (VERDICT r13 #3): the SQL fuzzer covers
+the relational dialect; this one attacks the dedup/curation CASCADE's
+fixed points — split geometry, clique shapes, id ordering — with
+randomized PLANTED corpora. Per seed it synthesizes a documents +
+embeddings pair (near-dup cliques of random size/mutation rate plus
+background noise, ids SHUFFLED so the catalog's n/2 history split cuts
+through cliques at a random phase; random vector dimensionality), runs
+the suffix-parameterized-oracle catalog keys through graft.Verify
+(key-filtered), and value-compares against the recomposed DuckDB CTE
+oracles via tools/check.py — the same twice-composed-CTE machinery the
+fixture gate certifies, re-derived per draw.
+
+Usage: pipefuzz.py [outRoot] [--seeds 3,5,8] [--keys k1,k2,...]
+
+Every run is seeded: the same seed regenerates the same corpus, and a
+failure leaves the planted parquet + Spark results + oracle_sql.json on
+disk under <outRoot>/seed<S>/ for standalone reproduction.
+"""
+import os
+import random
+import shutil
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# the cascade keys whose oracles recompose from the corpus (the
+# suffix-parameterized twoVersionCtes / vecClustersCtesFor family and
+# the deterministic-geometry ANN entries), plus their cheap exact kin
+KEYS = [
+    # text cascade
+    "d_dedup_exact", "d_dedup_keep_best", "d_dedup_cluster",
+    "d_dedup_delta", "d_dedup_delta_r4", "d_dedup_delta_stored",
+    "d_backbone_incr", "d_curation_drift", "d_dup_spans",
+    "d_dup_span_ratio",
+    # vector cascade + ANN
+    "d_dedup_semantic", "d_semantic_incr", "d_semantic_drift",
+    "d_semantic_delta_stored", "d_ann_lsh", "d_ann_lsh_banded",
+    "d_ann_recall", "d_ann_recall_banded", "d_knn_cosine",
+    "d_dedup_cosine",
+]
+
+ADDOPENS = " ".join(
+    f"--add-opens java.base/{p}=ALL-UNNAMED" for p in
+    ["java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+     "java.net", "java.nio", "java.util", "java.util.concurrent",
+     "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+     "sun.security.action", "sun.util.calendar"])
+
+
+def plant_documents(rnd, outdir):
+    vocab = [f"w{i}" for i in range(60)]
+    docs = []
+    # near-dup cliques: shared token base, 0-2 mutations per member
+    # (0 mutations -> exact duplicates, feeding d_dedup_exact/keep_best)
+    for _ in range(rnd.randint(6, 14)):
+        base = [rnd.choice(vocab) for _ in range(rnd.randint(9, 14))]
+        for _ in range(rnd.randint(2, 5)):
+            t = list(base)
+            for _ in range(rnd.randint(0, 2)):
+                t[rnd.randrange(len(t))] = rnd.choice(vocab)
+            docs.append(" ".join(t))
+    for _ in range(rnd.randint(40, 120)):
+        docs.append(" ".join(rnd.choice(vocab)
+                             for _ in range(rnd.randint(6, 16))))
+    # the SHUFFLE is the split-geometry randomizer: the catalog's history
+    # split is always count//2, so permuting ids moves which clique
+    # members land on each side of the cut
+    rnd.shuffle(docs)
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+        "lang": pa.array(["en"] * len(docs), pa.string()),
+        "source": pa.array([f"src{i % 3}" for i in range(len(docs))],
+                           pa.string()),
+        "n_chars": pa.array([len(t) for t in docs], pa.int64()),
+    })
+    pq.write_table(tbl, f"{outdir}/documents.parquet")
+    return len(docs)
+
+
+def plant_embeddings(rnd, outdir):
+    dims = rnd.choice([8, 16, 32, 64])
+    vecs = []
+    for _ in range(rnd.randint(5, 12)):
+        base = [rnd.uniform(-1, 1) for _ in range(dims)]
+        for _ in range(rnd.randint(2, 5)):
+            vecs.append([x + rnd.uniform(-0.05, 0.05) for x in base])
+    for _ in range(rnd.randint(30, 120)):
+        vecs.append([rnd.uniform(-1, 1) for _ in range(dims)])
+    rnd.shuffle(vecs)
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([0] * len(vecs), pa.int32()),
+    })
+    pq.write_table(tbl, f"{outdir}/embeddings.parquet")
+    return len(vecs), dims
+
+
+def main():
+    argv = sys.argv[1:]
+    seeds = [3, 5, 8]
+    keys = KEYS
+    if "--seeds" in argv:
+        i = argv.index("--seeds")
+        seeds = [int(s) for s in argv[i + 1].split(",")]
+        argv = argv[:i] + argv[i + 2:]
+    if "--keys" in argv:
+        i = argv.index("--keys")
+        keys = argv[i + 1].split(",")
+        argv = argv[:i] + argv[i + 2:]
+    out_root = argv[0] if argv else "/tmp/pipefuzz"
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tdir = f"{repo}/target/scala-2.13"
+    jars = sorted(
+        (j for j in os.listdir(tdir)
+         if j.endswith(".jar") and not j.endswith("-tests.jar")),
+        key=lambda j: os.path.getmtime(f"{tdir}/{j}"))
+    if not jars:
+        print("pipefuzz: no jar — run `sbt package` first"); return 1
+    cp = f"{tdir}/{jars[-1]}:/opt/spark/jars/*"
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import check
+
+    rc_all = 0
+    for seed in seeds:
+        rnd = random.Random(seed)
+        root = f"{out_root}/seed{seed}"
+        corpus = f"{root}/corpus"
+        out = f"{root}/out"
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(corpus)
+        n_docs = plant_documents(rnd, corpus)
+        n_vecs, dims = plant_embeddings(rnd, corpus)
+        print(f"pipefuzz seed={seed}: {n_docs} docs, {n_vecs} vecs "
+              f"(dims={dims}), split at {n_docs // 2}/{n_vecs // 2}")
+        rc = subprocess.run(
+            f"java {ADDOPENS} -Xmx8g -Dspark.ui.enabled=false "
+            f"-Dspark.sql.session.timeZone=UTC -cp '{cp}' "
+            f"graft.Verify {corpus} {out} {','.join(keys)}",
+            shell=True, capture_output=True, text=True)
+        for ln in rc.stderr.splitlines():
+            if ln.startswith("[verify]"):
+                print(f"  {ln}")
+        if rc.returncode != 0:
+            print(rc.stderr[-2000:])
+            rc_all = 1
+            continue
+        rc_all |= check.main(corpus, out)
+    return rc_all
+
+
+if __name__ == "__main__":
+    sys.exit(main())

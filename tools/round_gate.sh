@@ -40,6 +40,12 @@ for SEED in 42 7 13; do
   tail -2 /tmp/gate_fuzz_s$SEED.log | tr '\n' ' '; echo
 done
 
+echo "== [4.6/5] differential PIPELINE fuzz (planted corpora, 3 seeds) =="
+python3 tools/pipefuzz.py /tmp/gate_pipefuzz --seeds 3,5,8 \
+  > /tmp/gate_pipefuzz.log 2>&1 \
+  || { tail -12 /tmp/gate_pipefuzz.log; echo "GATE: PIPEFUZZ RED"; exit 1; }
+grep -E "^pipefuzz|== " /tmp/gate_pipefuzz.log | tail -6
+
 if [ "${1:-}" = "--bench" ]; then
   echo "== [5/5] bench (sf0.1) =="
   ADDOPENS=""
