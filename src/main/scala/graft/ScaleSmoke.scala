@@ -565,8 +565,20 @@ object ScaleSmoke {
             ("d_dup_spans", dBase, d10),
             ("d_ann_ivfpq", dBase, d10))
           movers.foreach { case (key, small, big) =>
-            val (rS, wS, _) = run(key, small)
-            val (rB, wB, pB) = run(key, big)
+            // the o_a27 family's adaptive gate steps from the naive
+            // window (ONE data shuffle) to the distributed prefix sum
+            // (TWO) exactly in this decade — a designed one-time plan
+            // switch, not scaling (first measured here: 20.7× bytes at
+            // the step, peak flat at 112 MB). The capacity question is
+            // the DISTRIBUTED plan's asymptote, so both points measure
+            // it via the thread-scoped gate; the adaptive default only
+            // decides when the small-input shortcut is cheaper.
+            def measured(dir: String) =
+              if (key.startsWith("o_a27"))
+                operators.OrderStats.withGateBytes(0)(run(key, dir))
+              else run(key, dir)
+            val (rS, wS, _) = measured(small)
+            val (rB, wB, pB) = measured(big)
             val growth = if (wS > 0) wB.toDouble / wS else Double.NaN
             println(f"[scale] decade $key%-26s rows=$rS%,d -> $rB%,d " +
               f"shufW=${wS / 1048576.0}%.1f -> ${wB / 1048576.0}%.1fMB " +

@@ -312,6 +312,15 @@ object Similarity {
     // ANN index growing nightly; neither side's embeddings rescan.
     "d_semantic_delta_stored" -> ((s, d) => VecBackbone.deltaVerdicts(s, d)),
 
+    // The stored-delta contract at the BANDED geometry: batch verdicts
+    // probe the per-band posting slices (candidates = ANY-band
+    // collision, the 1-(1-p^r)^b recall shape) and cosine-verify
+    // against stored vectors — banding wired through the CASCADE, not
+    // just ANN top-k. Fully oracled at the axis b=2/r=4 operating
+    // point; per-vector n_near dominates d_semantic_delta_stored's
+    // (band 0 IS the single-band bucket), spec-pinned.
+    "d_semantic_delta_banded" -> ((s, d) => VecBackbone.deltaVerdictsBanded(s, d)),
+
     // INCREMENTAL semantic-cluster maintenance — the vector twin of
     // d_backbone_incr: batch buckets probe the STORED bucket table, new
     // verified edges union the STORED pair table, and only touched
@@ -922,6 +931,37 @@ object Similarity {
                 CASE WHEN n.near_dup_of IS NOT NULL THEN 'dup_near'
                      ELSE 'new' END AS verdict
          FROM b LEFT JOIN near n ON b.vec_id = n.vec_id
+         ORDER BY b.vec_id""",
+
+    // Banded stored delta: candidates = any-band collision between the
+    // batch and history halves, cosine-verified exhaustively.
+    "d_semantic_delta_banded" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+         post AS (
+           ${bandedPostCte(2, 4)}),
+         spl AS (SELECT COUNT(*) // 2 AS v FROM embeddings),
+         cand AS (
+           SELECT DISTINCT b.vec_id AS bid, h.vec_id AS hid
+           FROM post b JOIN post h
+             ON b.band = h.band AND b.bucket = h.bucket
+           WHERE b.vec_id >= (SELECT v FROM spl)
+             AND h.vec_id < (SELECT v FROM spl)),
+         near AS (
+           SELECT bid, MIN(hid) AS near_dup_of,
+                  CAST(COUNT(*) AS BIGINT) AS n_near
+           FROM cand
+           JOIN e be ON be.vec_id = bid
+           JOIN e he ON he.vec_id = hid
+           WHERE round(list_cosine_similarity(be.v, he.v), 4) >= 0.3
+           GROUP BY bid)
+         SELECT b.vec_id, n.near_dup_of,
+                COALESCE(n.n_near, 0) AS n_near,
+                CASE WHEN n.near_dup_of IS NOT NULL THEN 'dup_near'
+                     ELSE 'new' END AS verdict
+         FROM (SELECT vec_id FROM embeddings
+               WHERE vec_id >= (SELECT v FROM spl)) b
+         LEFT JOIN near n ON n.bid = b.vec_id
          ORDER BY b.vec_id""",
 
     "d_dedup_cosine" ->

@@ -357,6 +357,48 @@ private[graft] object VecBackbone {
       .orderBy("vec_id")
   }
 
+  /** Stored-delta verdicts at the BANDED geometry — the
+    * `d_semantic_delta_stored` contract with candidates drawn from the
+    * per-band posting slices instead of one bucket column: a batch
+    * vector's history candidates are every history vector sharing ANY
+    * band's bucket (the 1−(1−p^r)^b recall shape), then cosine-verified
+    * against the stored vectors. Nothing rescans embeddings: postings
+    * and vectors both come from persisted slices, so the banding rides
+    * the same storage discipline as the single-band delta. The banded
+    * candidate set contains the single-band set (band 0 IS the
+    * single-band bucket), so per-vector n_near dominates the
+    * single-band delta's — spec-pinned. */
+  def deltaVerdictsBanded(s: SparkSession, d: String,
+                          bands: Int = Bands,
+                          planes: Int = Planes): DataFrame = {
+    Similarity.register(s)
+    val split = deltaSplit(s, d)
+    val hPost = bandedSlice(s, d, 0, split, bands, planes)
+    val bPost = bandedSlice(s, d, split, Long.MaxValue, bands, planes)
+    val h = history(s, d, split)
+    val bt = batch(s, d, split)
+    val cand = bPost.as("x").join(hPost.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("x.vec_id").as("bid"), col("y.vec_id").as("hid"))
+      .distinct()
+    val near = cand
+      .join(bt.buckets.select(col("vec_id").as("bid"), col("v").as("bv"),
+        col("n").as("bn")), Seq("bid"))
+      .join(h.buckets.select(col("vec_id").as("hid"), col("v").as("hv"),
+        col("n").as("hn")), Seq("hid"))
+      .filter(round(expr("float_dot(bv, hv)") / (col("bn") * col("hn")), 4)
+        >= Threshold)
+      .groupBy(col("bid").as("vec_id"))
+      .agg(min(col("hid")).as("near_dup_of"), count(lit(1)).as("n_near"))
+    bt.buckets.select(col("vec_id"))
+      .join(near, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("near_dup_of"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        when(col("near_dup_of").isNotNull, "dup_near")
+          .otherwise("new").as("verdict"))
+      .orderBy("vec_id")
+  }
+
   // ---------------------------------------------------------------------
   // Incremental advance
   // ---------------------------------------------------------------------

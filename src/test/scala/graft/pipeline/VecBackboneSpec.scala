@@ -323,6 +323,26 @@ class VecBackboneSpec extends AnyFunSuite {
         "the composite-recall claim needs a visible lift")
   }
 
+  test("banded stored delta dominates single-band per vector; band 0 agrees") {
+    // band 0 of the banded geometry IS the single-band bucket, so every
+    // single-band candidate survives banding: n_near_banded >= n_near,
+    // and a 'dup_near' verdict can only appear, never vanish
+    val single = VecBackbone.deltaVerdicts(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    val banded = VecBackbone.deltaVerdictsBanded(spark, sf).collect()
+    assert(banded.length == single.size)
+    banded.foreach { r =>
+      val id = r.getLong(0)
+      val (nS, vS) = single(id)
+      assert(r.getLong(2) >= nS, s"banding lost a candidate at vec $id")
+      if (vS == "dup_near") assert(r.getString(3) == "dup_near",
+        s"banding demoted a dup verdict at vec $id")
+    }
+    val extra = banded.map(_.getLong(2)).sum - single.valuesIterator.map(_._1).sum
+    assert(extra > 0,
+      "fixture regression: the second band surfaced no extra near-dups")
+  }
+
   test("bandsFor: smallest b reaching the composite-recall target") {
     // the SCALE.md sweep's own numbers: measured 0.24 single-band recall
     // needs 4 bands for ~0.67 composite

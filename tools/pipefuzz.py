@@ -37,7 +37,8 @@ KEYS = [
     "d_dup_span_ratio",
     # vector cascade + ANN
     "d_dedup_semantic", "d_semantic_incr", "d_semantic_drift",
-    "d_semantic_delta_stored", "d_ann_lsh", "d_ann_lsh_banded",
+    "d_semantic_delta_stored", "d_semantic_delta_banded",
+    "d_ann_lsh", "d_ann_lsh_banded",
     "d_ann_recall", "d_ann_recall_banded", "d_knn_cosine",
     "d_dedup_cosine",
 ]
