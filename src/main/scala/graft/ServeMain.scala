@@ -53,7 +53,19 @@ object ServeMain {
       * connection), then the serving surface. */
     def drain(): Unit = {
       scala.util.Try(stopMaintenance())
-      queries.values.foreach(q => scala.util.Try(q.stop()))
+      // a compaction pass longer than the maintenance join timeout can
+      // still be inside its finally-restart when we get here; its stop
+      // check skips the restart in the common case, but a restart that
+      // raced the flag is caught by re-sweeping the LIVE registry until
+      // nothing is active (bounded)
+      val deadline = System.currentTimeMillis() + 15000
+      var sweep = true
+      while (sweep) {
+        queries.values.foreach(q => scala.util.Try(q.stop()))
+        sweep = queries.values.exists(_.isActive) &&
+          System.currentTimeMillis() < deadline
+        if (sweep) Thread.sleep(100)
+      }
       stopRelay()
       scala.util.Try(http.stop())
     }
@@ -71,16 +83,19 @@ object ServeMain {
     // yet when the engine comes up)
     cfg.broker.subjects.foreach(s =>
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(wireRoot, s)))
-    // heal interrupted compaction swaps BEFORE any writer starts: the
+    // heal interrupted compaction swaps BEFORE any writer starts — the
     // bak/tmp recovery has one branch that is only safe with the writer
-    // quiet (see Compaction.healInterrupted)
-    if (cfg.compaction.enabled)
-      cfg.broker.subjects.foreach { s =>
-        val table = graft.streaming.EventSchemas.routes(s)
-        sources.Compaction.healInterrupted(spark, s"$outDir/$table")
-          .foreach(p => println(s"[serve] healed interrupted compaction of " +
-            s"$table/$p"))
-      }
+    // quiet (see Compaction.healInterrupted). UNCONDITIONAL: the damage
+    // a crashed swap leaves (a partition dir moved aside to a hidden
+    // .bak) persists on disk regardless of whether compaction is still
+    // enabled, and rebooting with it disabled must not serve a table
+    // with a partition silently missing.
+    cfg.broker.subjects.foreach { s =>
+      val table = graft.streaming.EventSchemas.routes(s)
+      sources.Compaction.healInterrupted(spark, s"$outDir/$table")
+        .foreach(p => println(s"[serve] healed interrupted compaction of " +
+          s"$table/$p"))
+    }
 
     val (broker, stopRelay) =
       if (useNats) {
@@ -143,22 +158,51 @@ object ServeMain {
   private[graft] def compactionPass(engine: Engine, broker: BrokerSource,
       outDir: String, ckptRoot: String,
       trigger: org.apache.spark.sql.streaming.Trigger,
-      cfg: EngineConfig): Seq[(String, sources.Compaction.Stats)] = {
+      cfg: EngineConfig,
+      stopped: () => Boolean = () => false): Seq[(String, sources.Compaction.Stats)] = {
     import graft.streaming.EventSchemas
+    import org.apache.spark.sql.functions.col
     engine.queryMap.toSeq.flatMap { case (table, q) =>
       val tdir = s"$outDir/$table"
-      val needy = sources.Parts.needingCompaction(engine.spark, tdir,
-        cfg.compaction.maxFiles)
+      // needy = fragmented, NOT merely large: a partition already near
+      // its achievable floor (ceil(bytes/target) files) can never get
+      // under a bare max_files census, and re-selecting it would pause
+      // the writer and rewrite the whole partition every interval
+      // forever. The 2x-floor hysteresis also amortizes the full-
+      // partition rewrite: a growing partition re-compacts only when
+      // its file count doubles past the floor, so rewrite frequency
+      // FALLS as the partition grows.
+      val needy = sources.Parts.forTable(engine.spark, tdir)
+        .filter(col("n_files") > cfg.compaction.maxFiles)
+        .select("path", "n_files", "bytes").collect()
+        .filter { r =>
+          val floor = math.max(1L, math.ceil(
+            r.getLong(2).toDouble / cfg.compaction.targetBytes).toLong)
+          r.getLong(1) > 2 * floor
+        }.map(_.getString(0)).toSeq
       if (needy.isEmpty) Seq.empty
       else {
         val subject = EventSchemas.routes.collectFirst {
           case (s, t) if t == table => s
         }.getOrElse(
           throw new IllegalStateException(s"no subject routes to $table"))
-        // pause-the-writer: single-writer swap discipline. A failed stop
-        // that leaves the query RUNNING must abort the pass (two writers
-        // around a swap is the one unrecoverable shape); a query that is
-        // already dead proceeds — compaction + restart is the healing.
+        // pause-the-writer at a BATCH BOUNDARY when possible: stopping
+        // mid-batch makes the restart replay that batch, and each replay
+        // spends RedeliveryBudget — enough maintenance interruptions of
+        // one batch would dead-letter healthy rows. Bounded wait for the
+        // trigger to go idle (a continuously-fed stream may never
+        // quiesce, so this cannot be processAllAvailable); the residual
+        // mid-batch stop is rare, bounded by max_deliver, and the
+        // fragmentation hysteresis above removes the repeated-
+        // interruption loop.
+        val boundary = System.currentTimeMillis() + 5000
+        while (q.isActive && q.status.isTriggerActive &&
+               System.currentTimeMillis() < boundary)
+          Thread.sleep(50)
+        // A failed stop that leaves the query RUNNING must abort the
+        // pass (two writers around a swap is the one unrecoverable
+        // shape); a query that is already dead proceeds — compaction +
+        // restart is the healing.
         try q.stop() catch { case scala.util.control.NonFatal(_) => () }
         if (q.isActive)
           throw new IllegalStateException(
@@ -178,10 +222,16 @@ object ServeMain {
           try sources.Compaction.healInterrupted(engine.spark, tdir)
           catch { case scala.util.control.NonFatal(_) => () }
           // resume from the checkpoint: a fresh query continues exactly
-          // where the stopped one committed
-          val nq = streaming.Ingest.startFromBroker(engine.spark, broker,
-            outDir, ckptRoot, trigger, Seq(subject))(table)
-          engine.queryMap = engine.queryMap.updated(table, nq)
+          // where the stopped one committed — UNLESS drain asked the
+          // maintenance loop to stop while this pass was in flight: a
+          // restart after drain would leave a live writer nobody stops
+          // (drain's re-sweep catches the narrow race where this check
+          // passes just before the flag flips)
+          if (!stopped()) {
+            val nq = streaming.Ingest.startFromBroker(engine.spark, broker,
+              outDir, ckptRoot, trigger, Seq(subject))(table)
+            engine.queryMap = engine.queryMap.updated(table, nq)
+          }
         }
       }
     }
@@ -200,7 +250,7 @@ object ServeMain {
       while (!stop) {
         try {
           val done = compactionPass(engine, broker, outDir, ckptRoot,
-            trigger, cfg)
+            trigger, cfg, stopped = () => stop)
           done.foreach { case (table, st) =>
             println(s"[serve] compacted $table: ${st.filesBefore} -> " +
               s"${st.filesAfter} files (${st.rows} rows)")

@@ -539,45 +539,55 @@ object Similarity {
     require(planes >= 1 && planes <= 16, s"planes $planes outside [1,16]")
     register(s)
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
-    val first = embeddings.filter(col("embedding").isNotNull)
-      .select(size(col("embedding"))).head(1)
-    if (first.nonEmpty) {
-      val dims = first.head.getInt(0)
-      if (seed.isEmpty)
-        require(bands * planes <= dims,
-          s"axis geometry needs bands*planes <= dims ($bands*$planes > $dims)")
-    }
     seed match {
       case None =>
-        // axis band i = sign bits of dims [i*r+1, (i+1)*r]
+        // axis band i = sign bits of dims [i*r+1, (i+1)*r]. The
+        // bands*planes <= dims requirement is enforced PER ROW inside
+        // the codegen'd expression (raise_error) instead of a driver
+        // head() probe: the axis path needs no dims value, and the
+        // probe would cost an extra Spark job on every store build
+        // (three per banded delta) — the r13 advisory's lesson applied
+        // here. Without the guard an over-short vector would silently
+        // degenerate to bucket bits over a truncated slice.
         e.withColumn("band", explode(expr(s"sequence(0, ${bands - 1})")))
           .withColumn("bucket", expr(
-            s"""aggregate(zip_with(slice(v, band * $planes + 1, $planes),
-                                   sequence(0, ${planes - 1}),
-                                   (x, i) -> IF(x >= 0F, shiftleft(1, i), 0)),
-                         0, (acc, v) -> acc + v)"""))
-          .select("vec_id", "band", "bucket")
-      case Some(sd) if first.isEmpty =>
-        // no non-null embedding to size hyperplanes from — emit the
-        // (empty-per-vector-content) axis postings instead of crashing
-        e.withColumn("band", explode(expr(s"sequence(0, ${bands - 1})")))
-          .withColumn("bucket", expr("CAST(NULL AS INT)"))
+            s"""IF(v IS NULL, CAST(NULL AS INT),
+                  IF(size(v) < ${bands * planes},
+                     raise_error(concat('axis banded LSH needs bands*planes',
+                       ' <= dims: $bands*$planes > ', size(v))),
+                     aggregate(zip_with(slice(v, band * $planes + 1, $planes),
+                                        sequence(0, ${planes - 1}),
+                                        (x, i) -> IF(x >= 0F, shiftleft(1, i), 0)),
+                               0, (acc, v) -> acc + v)))"""))
           .select("vec_id", "band", "bucket")
       case Some(sd) =>
-        val dims = first.head.getInt(0)
-        require(dims > 0, "embedding column has zero dims")
-        val rnd = new java.util.Random(sd)
-        val entries = (0 until bands).map { bd =>
-          val bits = (0 until planes).map { i =>
-            val h = Array.fill(dims)(rnd.nextGaussian())
-            val arr = s"CAST(array(${h.mkString(", ")}) AS ARRAY<FLOAT>)"
-            s"IF(float_dot(v, $arr) >= 0D, ${1 << i}, 0)"
-          }.mkString(" + ")
-          s"named_struct('band', $bd, 'bucket', ($bits))"
+        // the seeded path genuinely needs dims driver-side (the plane
+        // matrix is baked into the plan) — one bounded head() probe,
+        // null-filtered (size(NULL) is null)
+        val first = embeddings.filter(col("embedding").isNotNull)
+          .select(size(col("embedding"))).head(1)
+        if (first.isEmpty)
+          // no non-null embedding to size hyperplanes from — emit
+          // null-bucket postings instead of crashing on an empty slice
+          e.withColumn("band", explode(expr(s"sequence(0, ${bands - 1})")))
+            .withColumn("bucket", expr("CAST(NULL AS INT)"))
+            .select("vec_id", "band", "bucket")
+        else {
+          val dims = first.head.getInt(0)
+          require(dims > 0, "embedding column has zero dims")
+          val rnd = new java.util.Random(sd)
+          val entries = (0 until bands).map { bd =>
+            val bits = (0 until planes).map { i =>
+              val h = Array.fill(dims)(rnd.nextGaussian())
+              val arr = s"CAST(array(${h.mkString(", ")}) AS ARRAY<FLOAT>)"
+              s"IF(float_dot(v, $arr) >= 0D, ${1 << i}, 0)"
+            }.mkString(" + ")
+            s"named_struct('band', $bd, 'bucket', ($bits))"
+          }
+          e.withColumn("bb", explode(expr(s"array(${entries.mkString(", ")})")))
+            .select(col("vec_id"), col("bb.band").as("band"),
+              col("bb.bucket").as("bucket"))
         }
-        e.withColumn("bb", explode(expr(s"array(${entries.mkString(", ")})")))
-          .select(col("vec_id"), col("bb.band").as("band"),
-            col("bb.bucket").as("bucket"))
     }
   }
 

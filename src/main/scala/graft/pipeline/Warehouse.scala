@@ -264,6 +264,11 @@ object Warehouse {
     * exit). Returns the deleted version-dir paths. Knobs:
     * `graft.backbone.keepVersions` (default 2),
     * `graft.backbone.gcGraceMs` (default 1 h). */
+  /** Version dirs an in-flight (unlocked) gc delete is working on — a
+    * CONCURRENT gc call in the same JVM must not re-select them: its
+    * dropMarkers walk would race the delete and throw mid-listing. */
+  private val gcInFlight = mutable.Set[String]()
+
   def gc(s: SparkSession, keep: Int = keepVersions,
          graceMs: Long = gcGraceMs): Seq[String] = {
     import org.apache.hadoop.fs.Path
@@ -280,20 +285,24 @@ object Warehouse {
             val versions = fs.listStatus(rootPath).toSeq
               .filter(_.isDirectory)
               .flatMap { st =>
-                val side = new Path(st.getPath, "_graft_corpus")
-                if (!fs.exists(side)) None
-                else {
-                  val in = fs.open(side)
-                  val key = try scala.io.Source.fromInputStream(in).mkString.trim
-                  finally in.close()
-                  Some((key, st.getPath,
-                    fs.getFileStatus(side).getModificationTime))
-                }
+                // Try: a sidecar a concurrent (unlocked) delete just
+                // removed must skip this dir, not abort the sweep
+                scala.util.Try {
+                  val side = new Path(st.getPath, "_graft_corpus")
+                  if (!fs.exists(side)) None
+                  else {
+                    val in = fs.open(side)
+                    val key = try scala.io.Source.fromInputStream(in).mkString.trim
+                    finally in.close()
+                    Some((key, st.getPath,
+                      fs.getFileStatus(side).getModificationTime))
+                  }
+                }.toOption.flatten
               }
             versions.groupBy(_._1).valuesIterator.flatMap { fam =>
               fam.sortBy(-_._3).drop(keep)
                 .filter { case (_, _, ts) => now - ts > graceMs }
-                .map { case (_, p, _) =>
+                .flatMap { case (_, p, _) =>
                   // this JVM must not keep believing tables under the
                   // to-be-deleted version are built (or freshly stamped).
                   // Memo keys were built by string interpolation off the
@@ -302,15 +311,18 @@ object Warehouse {
                   // the prefix must be rebuilt the way the keys were, not
                   // taken from p.toString.
                   val rawVictim = s"$root/${p.getName}"
-                  built.filterInPlace(!_.startsWith(rawVictim))
-                  stamped.filterInPlace((k, _) => !k.startsWith(rawVictim))
-                  (p, rawVictim)
+                  if (!gcInFlight.add(rawVictim)) None // claimed by another gc
+                  else {
+                    built.filterInPlace(!_.startsWith(rawVictim))
+                    stamped.filterInPlace((k, _) => !k.startsWith(rawVictim))
+                    Some((p, rawVictim))
+                  }
                 }
             }.toSeq
           }
       }
     }
-    victims.map { case (p, rawVictim) =>
+    try victims.map { case (p, rawVictim) =>
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       def dropMarkers(dir: Path): Unit =
         fs.listStatus(dir).foreach { c =>
@@ -321,6 +333,8 @@ object Warehouse {
       dropMarkers(p) // crash-safe ordering: see Scaladoc
       fs.delete(p, true)
       rawVictim
+    } finally synchronized {
+      gcInFlight --= victims.map(_._2)
     }
   }
 

@@ -235,7 +235,17 @@ object Compaction {
     * call ([[graft.ServeMain]] stops it, runs the pass, restarts it from
     * the checkpoint). Readers racing the swap can see one transient
     * listing error — the same brief window MergeTree hides behind its
-    * part manifest; acceptable for a maintenance pass. */
+    * part manifest; acceptable for a maintenance pass.
+    *
+    * Write amplification: this rewrite is FULL-PARTITION (the pooled
+    * rows are re-written along with the newly-pooled batches) because
+    * that is what the crash-safe swap can promise without a part
+    * manifest — an in-place append-then-delete merge would duplicate
+    * rows on a crash between the two steps. The scheduler amortizes it:
+    * ServeMain re-selects a partition only when its file count exceeds
+    * 2× the achievable floor, so rewrite frequency falls as a partition
+    * grows (an incremental MergeTree-style part merge needs a commit
+    * manifest and is future work, noted in SURVEY §4.2). */
   def compactIngest(spark: SparkSession, partitionDir: String,
                     maxCommitted: Long,
                     sortCols: Seq[String] = Seq("timestamp", "event_name"),

@@ -288,6 +288,21 @@ class VecBackboneSpec extends AnyFunSuite {
         s"only-full ${(full -- adv).take(5)}")
   }
 
+  test("axis banded postings: too-few dims raises, never silently truncates") {
+    import spark.implicits._
+    val e = Seq((0L, Seq(1f, -1f, 1f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.bandedSignBuckets(spark, e, bands = 2, planes = 4).collect()
+    }
+    assert(ex.getMessage != null)
+    // and a NULL embedding still passes through as a null bucket
+    val withNull = Seq((0L, Option(Seq.fill(8)(1f))), (1L, None))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.bandedSignBuckets(spark, withNull, 2, 4).collect()
+    assert(got.length == 4)
+    assert(got.filter(_.getLong(0) == 1L).forall(_.isNullAt(2)))
+  }
+
   test("banded random geometry: band 0 == the single-band plane set at (r, seed)") {
     import org.apache.spark.sql.functions._
     val e = graft.Tables.embeddings(spark, sf)

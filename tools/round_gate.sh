@@ -67,7 +67,9 @@ if [ "${1:-}" = "--bench" ]; then
   # is rewritten by EVERY Bench invocation, so a later loaded re-run can
   # silently overwrite the quiet closing number. Only round_gate writes
   # the stamped copy; the round number is one past the newest driver bench.
-  ROUND=$(( $(ls BENCH_r*.json 2>/dev/null | sed 's/[^0-9]//g' | sort -n | tail -1) + 1 ))
+  # `|| true` inside the substitution: under set -eo pipefail a no-match
+  # ls would otherwise kill the gate silently right after a good bench
+  ROUND=$(( $({ ls BENCH_r*.json 2>/dev/null || true; } | sed 's/[^0-9]//g' | sort -n | tail -1 | grep . || echo 0) + 1 ))
   cp BENCH_LAST.json "BENCH_GATE_r${ROUND}.json"
   echo "stamped BENCH_GATE_r${ROUND}.json"
 
@@ -85,7 +87,7 @@ if [ "${1:-}" = "--bench" ]; then
   done
   # --expect pins the key universe to the prior round's merged record so a
   # key erroring at BOTH SFs (no ratio either way) still trips the gate
-  PRIOR_SHUF=$(ls SHUFFLE_r*.json 2>/dev/null | sort -V | tail -1)
+  PRIOR_SHUF=$({ ls SHUFFLE_r*.json 2>/dev/null || true; } | sort -V | tail -1)
   python3 tools/shuffle_gate.py /tmp/gate_shuffle_0.01.json \
     /tmp/gate_shuffle_0.1.json SHUFFLE_LAST.json \
     ${PRIOR_SHUF:+--expect "$PRIOR_SHUF"} \
