@@ -334,6 +334,20 @@ object Similarity {
         .orderBy("vec_id")
     }),
 
+    // INCREMENTAL clustering at the BANDED geometry — the production
+    // multi-probe shape through the nightly chain: batch-batch and
+    // batch-history candidates come from the per-band posting slices,
+    // new verified edges union the STORED banded pair graph, and only
+    // touched components re-solve. Oracled against the from-scratch
+    // banded re-clustering (banded edges, recursive closure) — the
+    // advance == rebuild contract at this geometry.
+    "d_semantic_incr_banded" -> ((s, d) => {
+      VecBackbone.advanceBanded(s, d)
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .orderBy("vec_id")
+    }),
+
     // Semantic-cluster DRIFT report — the vector twin of
     // d_curation_drift, completing the text/vector parity matrix
     // (delta_stored, incr, recall audit, drift): for every vector in
@@ -661,6 +675,44 @@ object Similarity {
       .orderBy("vec_id"), edges +: caches: _*)
   }
 
+  /** Full banded semantic re-clustering — [[semanticDedup]] at the
+    * multi-probe geometry: candidates = (band, bucket) equi-join over
+    * the banded postings, deduped across bands, cosine-verified, then
+    * min-label components. The from-scratch baseline the banded
+    * incremental advance must reproduce bit-for-bit
+    * ([[VecBackbone.advanceBanded]]); same output shape as
+    * [[semanticDedup]]. Banded edges are a superset of single-band
+    * edges, so this clustering COARSENS the single-band one. */
+  def semanticDedupBanded(s: SparkSession, embeddings: DataFrame,
+                          bands: Int, planes: Int, threshold: Double,
+                          lshSeed: Option[Long] = None): DataFrame = {
+    register(s)
+    val post = bandedSignBuckets(s, embeddings, bands, planes,
+      lshSeed.orElse(configuredLshSeed))
+    val vecs = embeddings.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("n", norm("v"))
+    val cand = post.as("x").join(post.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+      .distinct()
+    val pairs = cand
+      .join(vecs.select(col("vec_id").as("va"), col("v").as("xa"),
+        col("n").as("na")), Seq("va"))
+      .join(vecs.select(col("vec_id").as("vb"), col("v").as("xb"),
+        col("n").as("nb")), Seq("vb"))
+      .filter(round(dot("xa", "xb") / (col("na") * col("nb")), 4) >= threshold)
+      .select("va", "vb")
+    val edges = Graph.symmetrize(pairs, "va", "vb").persist()
+    val (labels, caches) = Graph.minLabelComponents(edges)
+    Materialize.drop(labels
+      .select(col("id").as("vec_id"), col("lbl").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .orderBy("vec_id"), edges +: caches: _*)
+  }
+
   /** IVF-PQ behind `d_ann_ivfpq`.
     *
     * Layout (the standard billion-scale ANN shape): a coarse k-means
@@ -942,6 +994,37 @@ object Similarity {
                      ELSE 'new' END AS verdict
          FROM b LEFT JOIN near n ON b.vec_id = n.vec_id
          ORDER BY b.vec_id""",
+
+    // Banded full re-clustering: banded edges (any-band collision,
+    // cosine >= 0.3) -> recursive closure -> min-label clusters — the
+    // rebuild the banded incremental advance must equal.
+    "d_semantic_incr_banded" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+         post AS (
+           ${bandedPostCte(2, 4)}),
+         edges0 AS (
+           SELECT DISTINCT pa.vec_id AS va, pb.vec_id AS vb
+           FROM post pa
+           JOIN post pb ON pa.band = pb.band AND pa.bucket = pb.bucket
+                       AND pa.vec_id < pb.vec_id
+           JOIN e a ON a.vec_id = pa.vec_id
+           JOIN e b ON b.vec_id = pb.vec_id
+           WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3),
+         edges AS (SELECT va AS a, vb AS b FROM edges0
+                   UNION SELECT vb, va FROM edges0),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+         members AS (SELECT DISTINCT a AS vec_id FROM edges),
+         clusters AS (
+           SELECT m.vec_id, LEAST(m.vec_id, MIN(r.b)) AS cluster_id
+           FROM members m LEFT JOIN reach r ON r.a = m.vec_id
+           GROUP BY 1)
+         SELECT vec_id, cluster_id,
+                COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         FROM clusters ORDER BY vec_id""",
 
     // Banded stored delta: candidates = any-band collision between the
     // batch and history halves, cosine-verified exhaustively.

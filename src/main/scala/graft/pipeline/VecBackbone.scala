@@ -400,6 +400,117 @@ private[graft] object VecBackbone {
   }
 
   // ---------------------------------------------------------------------
+  // Banded incremental clustering (the production geometry through the
+  // nightly chain)
+  // ---------------------------------------------------------------------
+
+  /** Cross-band-deduped candidate pairs WITHIN one posting set
+    * ((band, bucket) equi-join, va < vb). */
+  private def bandedCandidatesWithin(post: DataFrame): DataFrame =
+    post.as("x").join(post.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+      .distinct()
+
+  /** Candidates ACROSS posting sets — va from `histPost`, vb from
+    * `batchPost` (history ids precede batch ids, so va < vb holds). */
+  private def bandedCandidatesAcross(histPost: DataFrame,
+                                     batchPost: DataFrame): DataFrame =
+    batchPost.as("x").join(histPost.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket"))
+      .select(col("y.vec_id").as("va"), col("x.vec_id").as("vb"))
+      .distinct()
+
+  /** Exact-cosine verification of candidate pairs through a stored
+    * (vec_id, v, n) vector table — candidates are band-union narrow
+    * postings, so vectors join in here, once per endpoint. */
+  private def verifyCand(cand: DataFrame, vecs: DataFrame): DataFrame =
+    cand
+      .join(vecs.select(col("vec_id").as("va"), col("v").as("xa"),
+        col("n").as("na")), Seq("va"))
+      .join(vecs.select(col("vec_id").as("vb"), col("v").as("xb"),
+        col("n").as("nb")), Seq("vb"))
+      .filter(cosCol("xa", "xb", "na", "nb") >= Threshold)
+      .select("va", "vb")
+
+  /** Banded history clustering state: the per-band posting slice plus
+    * cosine-verified pairs and min-label cluster labels derived from
+    * BANDED candidates. Vectors live once in the single-band history
+    * tables; this state adds only narrow postings + pairs + labels. */
+  final case class VecBandedHistory(postings: DataFrame, pairs: DataFrame,
+                                    labels: DataFrame)
+
+  def historyBanded(s: SparkSession, d: String, split: Long,
+                    bands: Int = Bands,
+                    planes: Int = Planes): VecBandedHistory = {
+    val base = s"${root(s, d)}/histB${split}_b${bands}r$planes"
+    val hPost = bandedSlice(s, d, 0, split, bands, planes)
+    Warehouse.ensure(s, base) {
+      val hVecs = history(s, d, split).buckets
+      verifyCand(bandedCandidatesWithin(hPost), hVecs)
+        .write.mode("overwrite").parquet(s"$base/pairs")
+      val edges = Graph.symmetrize(
+        s.read.parquet(s"$base/pairs"), "va", "vb").persist()
+      val (lbl, caches) = Graph.minLabelComponents(edges)
+      lbl.select(col("id").as("vec_id"), col("lbl").as("cluster_id"))
+        .write.mode("overwrite").parquet(s"$base/labels")
+      (edges +: caches).foreach(_.unpersist())
+    }
+    VecBandedHistory(hPost, s.read.parquet(s"$base/pairs"),
+      s.read.parquet(s"$base/labels"))
+  }
+
+  /** Advance the BANDED semantic-cluster state from history to the full
+    * corpus without re-clustering history — [[advance]] at the
+    * production multi-probe geometry: batch-batch and batch-history
+    * candidates come from the per-band posting slices (any-band
+    * collision), get cosine-verified against stored vectors, union the
+    * stored banded pair graph, and only touched components re-solve
+    * (star contraction). A vector's per-band buckets are pure per-row
+    * functions, so the full banded pair set decomposes exactly into
+    * hist-hist (stored) + hist-batch + batch-batch — committed labels
+    * equal the from-scratch banded re-clustering bit-for-bit
+    * (spec-pinned, incl. randomized corpora; the DuckDB oracle pins the
+    * catalog instance through `d_semantic_incr_banded`). Banded edges
+    * are a superset of single-band edges (band 0 IS the single-band
+    * bucket), so banded clusters COARSEN the single-band clustering —
+    * also spec-pinned. */
+  def advanceBanded(s: SparkSession, d: String,
+                    splitOverride: Long = -1L,
+                    bands: Int = Bands,
+                    planes: Int = Planes): DataFrame = {
+    Similarity.register(s)
+    val split = if (splitOverride >= 0) splitOverride else deltaSplit(s, d)
+    val h = historyBanded(s, d, split, bands, planes)
+    val hVecs = history(s, d, split).buckets
+    val btPost = bandedSlice(s, d, split, Long.MaxValue, bands, planes)
+    val btVecs = batch(s, d, split).buckets
+    val allVecs = hVecs.unionByName(btVecs)
+    val intra = verifyCand(bandedCandidatesWithin(btPost), btVecs)
+    val cross = verifyCand(bandedCandidatesAcross(h.postings, btPost), allVecs)
+    val newPairs = cross.unionByName(intra).persist()
+    val eps = newPairs.select(col("va").as("vec_id"))
+      .unionByName(newPairs.select(col("vb").as("vec_id"))).distinct()
+    val touched = h.labels.join(eps, Seq("vec_id"))
+      .select("cluster_id").distinct()
+    val stars = h.labels.join(touched, Seq("cluster_id"))
+      .select(col("vec_id").as("va"), col("cluster_id").as("vb"))
+    val edges = Graph.symmetrize(
+        newPairs.select("va", "vb").unionByName(stars), "va", "vb")
+      .persist()
+    val (lbl, ccCaches) = Graph.minLabelComponents(edges)
+    val untouched = h.labels
+      .join(touched, Seq("cluster_id"), "left_anti")
+      .select("vec_id", "cluster_id")
+    val advanced = untouched.unionByName(
+      lbl.select(col("id").as("vec_id"), col("lbl").as("cluster_id")))
+    Materialize.drop(advanced, Seq(newPairs, edges) ++ ccCaches: _*)
+  }
+
+  // ---------------------------------------------------------------------
   // Incremental advance
   // ---------------------------------------------------------------------
 
@@ -504,6 +615,7 @@ private[graft] object VecBackbone {
     bandedPostings(s, d)
     codes(s, d)
     history(s, d, deltaSplit(s, d))
+    historyBanded(s, d, deltaSplit(s, d))
     batch(s, d, deltaSplit(s, d))
     // the committed "fresh" advance — the nightly label commit the
     // drift audit reads; one-time like the other index tables

@@ -358,6 +358,81 @@ class VecBackboneSpec extends AnyFunSuite {
       "fixture regression: the second band surfaced no extra near-dups")
   }
 
+  test("banded advance == from-scratch banded re-clustering, bit-for-bit") {
+    val full = twoLongs(Similarity
+      .semanticDedupBanded(spark, graft.Tables.embeddings(spark, sf),
+        bands = VecBackbone.Bands, planes = VecBackbone.Planes,
+        threshold = VecBackbone.Threshold)
+      .select("vec_id", "cluster_id"))
+    val adv = twoLongs(VecBackbone.advanceBanded(spark, sf))
+    assert(full.nonEmpty)
+    assert(adv == full,
+      s"banded advance diverged: only-adv ${(adv -- full).toSeq.sorted.take(5)}, " +
+        s"only-full ${(full -- adv).toSeq.sorted.take(5)}")
+  }
+
+  test("banded clustering COARSENS the single-band clustering") {
+    // banded edges are a superset of single-band edges (band 0 is the
+    // single-band bucket), so any two vectors sharing a single-band
+    // cluster must share a banded cluster
+    val single = Similarity
+      .semanticDedup(spark, graft.Tables.embeddings(spark, sf),
+        planes = VecBackbone.Planes, threshold = VecBackbone.Threshold)
+      .select("vec_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val banded = Similarity
+      .semanticDedupBanded(spark, graft.Tables.embeddings(spark, sf),
+        bands = VecBackbone.Bands, planes = VecBackbone.Planes,
+        threshold = VecBackbone.Threshold)
+      .select("vec_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(single.keySet.subsetOf(banded.keySet),
+      "a single-band cluster member left the banded clustering")
+    single.groupBy(_._2).values.foreach { members =>
+      val bandedLabels = members.keys.map(banded).toSet
+      assert(bandedLabels.size == 1,
+        s"single-band cluster split under banding: $members -> $bandedLabels")
+    }
+    assert(banded.size > single.size ||
+      banded.values.toSet.size < single.values.toSet.size,
+      "fixture regression: banding neither admitted new members nor merged clusters")
+  }
+
+  test("banded advance == rebuild on randomized corpora and splits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4406)
+    // near-dup cliques over 8 dims + background, ids shuffled — same
+    // fixture law as the single-band property test, at banded geometry
+    val vecs = scala.collection.mutable.Buffer[Array[Float]]()
+    (0 until 12).foreach { _ =>
+      val base = Array.fill(8)((rnd.nextFloat() - 0.5f) * 2f)
+      (0 until 3 + rnd.nextInt(4)).foreach { _ =>
+        vecs += base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)
+      }
+    }
+    (0 until 40).foreach(_ => vecs += Array.fill(8)(rnd.nextFloat() - 0.5f))
+    val shuffled = rnd.shuffle(vecs.toSeq).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_vadv_banded").toString
+    shuffled.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val full = twoLongs(Similarity
+      .semanticDedupBanded(spark, graft.Tables.embeddings(spark, dir),
+        bands = VecBackbone.Bands, planes = VecBackbone.Planes,
+        threshold = VecBackbone.Threshold)
+      .select("vec_id", "cluster_id"))
+    assert(full.nonEmpty, "planted cliques produced no banded clusters")
+    val n = shuffled.size
+    Seq(n / 4, n / 2, 3 * n / 4).foreach { split =>
+      val incr = twoLongs(VecBackbone.advanceBanded(spark, dir, split.toLong))
+      assert(incr == full,
+        s"banded split $split diverged: " +
+          s"only-incr ${(incr -- full).toSeq.sorted.take(5)}, " +
+          s"only-full ${(full -- incr).toSeq.sorted.take(5)}")
+    }
+  }
+
   test("bandsFor: smallest b reaching the composite-recall target") {
     // the SCALE.md sweep's own numbers: measured 0.24 single-band recall
     // needs 4 bands for ~0.67 composite

@@ -36,7 +36,8 @@ KEYS = [
     "d_backbone_incr", "d_curation_drift", "d_dup_spans",
     "d_dup_span_ratio",
     # vector cascade + ANN
-    "d_dedup_semantic", "d_semantic_incr", "d_semantic_drift",
+    "d_dedup_semantic", "d_semantic_incr", "d_semantic_incr_banded",
+    "d_semantic_drift",
     "d_semantic_delta_stored", "d_semantic_delta_banded",
     "d_ann_lsh", "d_ann_lsh_banded",
     "d_ann_recall", "d_ann_recall_banded", "d_knn_cosine",
