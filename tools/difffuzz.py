@@ -44,7 +44,10 @@ edges keep the left pk a total tie-break), multiple DISTINCT
 aggregates per SELECT incl. NULLIF-poisoned distincts + SUM(DISTINCT),
 correlated EXISTS with aggregate-HAVING subqueries, CASE expressions
 as grouping keys (incl. NULL-producing keys and ABS-guarded modulo
-buckets).
+buckets), FULL OUTER joins of filtered sides (symmetric null-extension
+pinned by the COUNT triple), RANGE window frames over integer orders
+(value-distance framing — peer-order-independent where ROWS would be
+nondeterministic).
 
 Every run is seeded: the same (seed, n, schema) always generates the
 same query texts, and failures print the query name whose .sql file
@@ -605,6 +608,46 @@ class Gen:
         return (f"SELECT {', '.join(keys + aggs)} FROM {t}{self.where(t)} "
                 f"GROUP BY {gb}")
 
+    def q_join_full(self):
+        # FULL OUTER JOIN of two FILTERED sides: null-extension happens
+        # on BOTH sides, and the COUNT(*) / COUNT(a.k) / COUNT(b.k)
+        # triple pins the null-skipping contract symmetrically. The
+        # summed COALESCE key folds both extension directions into one
+        # integer-exact figure.
+        r = self.r
+        lt, lk, rt, rk = r.choice(JOINS)
+        ap = self.pred(lt)
+        bp = self.pred(rt)
+        return (f"SELECT CAST(COUNT(*) AS BIGINT) AS cnt, "
+                f"CAST(COUNT(a.{lk}) AS BIGINT) AS ca, "
+                f"CAST(COUNT(b.{rk}) AS BIGINT) AS cb, "
+                f"CAST(SUM(COALESCE(a.{lk}, b.{rk}, 0)) AS BIGINT) AS s0 "
+                f"FROM (SELECT * FROM {lt} WHERE {ap}) a "
+                f"FULL JOIN (SELECT * FROM {rt} WHERE {bp}) b "
+                f"ON a.{lk} = b.{rk}")
+
+    def q_window_range(self):
+        # RANGE frames over an INTEGER order: frame membership is decided
+        # by value distance, so it is peer-order-independent and the
+        # integer SUM/COUNT stay engine-exact even with duplicate order
+        # values (where a ROWS frame would be nondeterministic).
+        r = self.r
+        t = r.choice(TABLES)
+        m = self.meta[t]
+        g = r.choice(m["strs"] + m["ints"])
+        c = r.choice(m["ints"])
+        lo, hi = m["rng"][c]
+        k = r.randint(1, max(2, (hi - lo) // 4 or 2))
+        pk = ", ".join(dict.fromkeys(PK[t]))
+        frame = r.choice([f"{k} PRECEDING AND CURRENT ROW",
+                          f"CURRENT ROW AND {k} FOLLOWING",
+                          f"{k} PRECEDING AND {k} FOLLOWING"])
+        return (f"SELECT {pk}, CAST(SUM({c}) OVER (PARTITION BY {g} "
+                f"ORDER BY {c} RANGE BETWEEN {frame}) AS BIGINT) AS w0, "
+                f"CAST(COUNT(*) OVER (PARTITION BY {g} ORDER BY {c} "
+                f"RANGE BETWEEN {frame}) AS BIGINT) AS w1 "
+                f"FROM {t}{self.where(t)}")
+
     def gen(self, i):
         return [self.q_agg, self.q_scalar, self.q_join, self.q_setop,
                 self.q_topk, self.q_window, self.q_datetime,
@@ -614,7 +657,8 @@ class Gen:
                 self.q_cond_agg, self.q_string, self.q_datemath,
                 self.q_scalar_subq, self.q_in_subq, self.q_window_join,
                 self.q_distinct_agg, self.q_exists_agg,
-                self.q_case_groupby][i % 24]()
+                self.q_case_groupby, self.q_join_full,
+                self.q_window_range][i % 26]()
 
 
 def main():
