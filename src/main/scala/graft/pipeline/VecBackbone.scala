@@ -481,11 +481,13 @@ private[graft] object VecBackbone {
   def advanceBanded(s: SparkSession, d: String,
                     splitOverride: Long = -1L,
                     bands: Int = Bands,
-                    planes: Int = Planes): DataFrame = {
+                    planes: Int = Planes,
+                    histOverride: Option[VecBandedHistory] = None,
+                    hVecsOverride: Option[DataFrame] = None): DataFrame = {
     Similarity.register(s)
     val split = if (splitOverride >= 0) splitOverride else deltaSplit(s, d)
-    val h = historyBanded(s, d, split, bands, planes)
-    val hVecs = history(s, d, split).buckets
+    val h = histOverride.getOrElse(historyBanded(s, d, split, bands, planes))
+    val hVecs = hVecsOverride.getOrElse(history(s, d, split).buckets)
     val btPost = bandedSlice(s, d, split, Long.MaxValue, bands, planes)
     val btVecs = batch(s, d, split).buckets
     val allVecs = hVecs.unionByName(btVecs)
@@ -508,6 +510,36 @@ private[graft] object VecBackbone {
     val advanced = untouched.unionByName(
       lbl.select(col("id").as("vec_id"), col("lbl").as("cluster_id")))
     Materialize.drop(advanced, Seq(newPairs, edges) ++ ccCaches: _*)
+  }
+
+  /** Compact EXTERNALLY-PRODUCED banded postings (e.g.
+    * `VecIndexStream.indexWriter`'s per-batch `banded` table) into full
+    * [[VecBandedHistory]] by deriving the banded pair graph and cluster
+    * labels — the banded twin of [[compact]]'s derive step, completing
+    * stream → compact → [[advanceBanded]] at the multi-probe geometry.
+    * `vecs` is the matching (vec_id, v, n) vector table (the stream's
+    * bucket table carries it). Instance-keyed memo (per-JVM subtree). */
+  private[graft] def compactBanded(s: SparkSession, postings: DataFrame,
+                                   vecs: DataFrame,
+                                   tag: String): VecBandedHistory = {
+    val inId =
+      s"${Warehouse.instanceId(postings)}_${Warehouse.instanceId(vecs)}"
+    val base = s"${Warehouse.instanceRoot}/vecB_compact_" +
+      s"${Warehouse.sanitize(tag)}_$inId"
+    Warehouse.ensure(s, base) {
+      postings.write.mode("overwrite").parquet(s"$base/postings")
+      val post = s.read.parquet(s"$base/postings")
+      verifyCand(bandedCandidatesWithin(post), vecs)
+        .write.mode("overwrite").parquet(s"$base/pairs")
+      val edges = Graph.symmetrize(
+        s.read.parquet(s"$base/pairs"), "va", "vb").persist()
+      val (lbl, caches) = Graph.minLabelComponents(edges)
+      lbl.select(col("id").as("vec_id"), col("lbl").as("cluster_id"))
+        .write.mode("overwrite").parquet(s"$base/labels")
+      (edges +: caches).foreach(_.unpersist())
+    }
+    VecBandedHistory(s.read.parquet(s"$base/postings"),
+      s.read.parquet(s"$base/pairs"), s.read.parquet(s"$base/labels"))
   }
 
   // ---------------------------------------------------------------------

@@ -41,6 +41,13 @@ object VecIndexStream {
     val e = batch.select(col("vec_id"), col("embedding").cast("array<float>"))
     Similarity.signBuckets(s, e, planes)
       .write.mode("overwrite").parquet(s"$baseDir/buckets/batch=$batchId")
+    // banded postings ride the same per-batch partition: the axis
+    // geometry needs no driver probe (per-row validated), so this is
+    // one more codegen'd projection per micro-batch, and the banded
+    // compaction/advance consume stream-written postings exactly like
+    // the batch-built ones (spec-pinned)
+    Similarity.bandedSignBuckets(s, e, VecBackbone.Bands, planes)
+      .write.mode("overwrite").parquet(s"$baseDir/banded/batch=$batchId")
     VecBackbone.encode(e, q)
       .write.mode("overwrite").parquet(s"$baseDir/codes/batch=$batchId")
   }
@@ -63,4 +70,9 @@ object VecIndexStream {
       : (DataFrame, DataFrame) =
     (s.read.parquet(s"$baseDir/buckets").drop("batch"),
       s.read.parquet(s"$baseDir/codes").drop("batch"))
+
+  /** Stream-written banded postings (vec_id, band, bucket) — consumed
+    * by [[graft.pipeline.VecBackbone.compactBanded]]. */
+  def readBandedPostings(s: SparkSession, baseDir: String): DataFrame =
+    s.read.parquet(s"$baseDir/banded").drop("batch")
 }

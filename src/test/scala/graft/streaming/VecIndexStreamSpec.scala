@@ -101,6 +101,53 @@ class VecIndexStreamSpec extends AnyFunSuite {
         s"${(full -- chained).toSeq.sorted.take(5)}")
   }
 
+  test("BANDED chain: stream postings → compactBanded → advanceBanded == full banded rebuild") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val split = VecBackbone.deltaSplit(spark, sf)
+    val vecs = histVecs(split)
+    val q = VecBackbone.quantizer(spark, sf)
+    val base = Files.createTempDirectory("graft_vecb_chain").toString
+    val ckpt = Files.createTempDirectory("graft_vbchain_ckpt").toString
+    val ms = MemoryStream[VecEvent]
+    val w = VecIndexStream.indexWriter(ms.toDS(), base, q)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      vecs.grouped(math.max(1, vecs.size / 2 + 1)).foreach { g =>
+        ms.addData(g: _*); w.processAllAvailable()
+      }
+    } finally w.stop()
+    // stream-written postings are bit-identical to the batch derivation
+    val post = VecIndexStream.readBandedPostings(spark, base)
+    val ref = Similarity.bandedSignBuckets(spark,
+      graft.Tables.embeddings(spark, sf).filter(col("vec_id") < split),
+      VecBackbone.Bands, VecBackbone.Planes)
+    def postingRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(r.fieldIndex("vec_id")),
+        r.getInt(r.fieldIndex("band")), r.getInt(r.fieldIndex("bucket")))).toSet
+    assert(postingRows(post) == postingRows(ref),
+      "stream-written banded postings diverge from the batch derivation")
+    // compact into banded history state, then advance — must equal the
+    // from-scratch banded re-clustering over the FULL corpus
+    val (buckets, _) = VecIndexStream.readIndexTables(spark, base)
+    val hist = VecBackbone.compactBanded(spark, post,
+      buckets.select("vec_id", "v", "n"), tag = base)
+    val chained = VecBackbone.advanceBanded(spark, sf, splitOverride = split,
+        histOverride = Some(hist),
+        hVecsOverride = Some(buckets.select("vec_id", "v", "n", "bucket")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Similarity
+      .semanticDedupBanded(spark, graft.Tables.embeddings(spark, sf),
+        bands = VecBackbone.Bands, planes = VecBackbone.Planes,
+        threshold = VecBackbone.Threshold)
+      .select("vec_id", "cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(chained == full,
+      s"banded stream→compact→advance diverged from the full rebuild: " +
+        s"${(chained -- full).toSeq.sorted.take(5)} / " +
+        s"${(full -- chained).toSeq.sorted.take(5)}")
+  }
+
   test("failure soak: mid-batch kill + checkpoint replay under RocksDB — " +
     "zero loss, zero duplicates") {
     // The wire relay has a drop/lost-ack soak (ServeMainSpec); this is the
