@@ -45,8 +45,11 @@ object ServeMain {
                      stopRelay: () => Unit) {
     def queries: Map[String, StreamingQuery] = queryMap
     @volatile private var stopMaintenance: () => Unit = () => ()
-    private[graft] def setMaintenance(stop: () => Unit): Unit =
-      stopMaintenance = stop
+    @volatile private var maintenanceAlive: () => Boolean = () => false
+    private[graft] def setMaintenance(stop: () => Unit,
+                                      alive: () => Boolean): Unit = {
+      stopMaintenance = stop; maintenanceAlive = alive
+    }
     /** `flush_all` + drain (main.rs:95-105): stop the maintenance loop
       * first (it must not restart queries mid-drain), then ingest so no
       * new batch starts, then the relay (which closes its broker
@@ -56,16 +59,22 @@ object ServeMain {
       // a compaction pass longer than the maintenance join timeout can
       // still be inside its finally-restart when we get here; its stop
       // check skips the restart in the common case, but a restart that
-      // raced the flag is caught by re-sweeping the LIVE registry until
-      // nothing is active (bounded)
+      // raced the flag must be caught here. The sweep therefore keeps
+      // going while the maintenance THREAD is still alive — an
+      // all-inactive observation means nothing while a restart can
+      // still be registered a moment later — and only exits early once
+      // both the thread is dead and nothing is active (bounded).
       val deadline = System.currentTimeMillis() + 15000
       var sweep = true
       while (sweep) {
         queries.values.foreach(q => scala.util.Try(q.stop()))
-        sweep = queries.values.exists(_.isActive) &&
-          System.currentTimeMillis() < deadline
+        val settled = !maintenanceAlive() && !queries.values.exists(_.isActive)
+        sweep = !settled && System.currentTimeMillis() < deadline
         if (sweep) Thread.sleep(100)
       }
+      // final sweep: a restart registered in the race window right
+      // before the thread died is stopped here
+      queries.values.foreach(q => scala.util.Try(q.stop()))
       stopRelay()
       scala.util.Try(http.stop())
     }
@@ -129,9 +138,11 @@ object ServeMain {
       val http = new HttpSql(spark, httpPort, dataDir = Some(outDir))
       val port = http.start()
       val engine = new Engine(spark, queries, http, port, stopRelay)
-      if (cfg.compaction.enabled)
-        engine.setMaintenance(startCompactor(engine, broker, outDir,
-          ckptRoot, Ingest.batcherParams(cfg)._1, cfg))
+      if (cfg.compaction.enabled) {
+        val (stop, alive) = startCompactor(engine, broker, outDir,
+          ckptRoot, Ingest.batcherParams(cfg)._1, cfg)
+        engine.setMaintenance(stop, alive)
+      }
       engine
     } catch {
       case e: Throwable =>
@@ -161,25 +172,14 @@ object ServeMain {
       cfg: EngineConfig,
       stopped: () => Boolean = () => false): Seq[(String, sources.Compaction.Stats)] = {
     import graft.streaming.EventSchemas
-    import org.apache.spark.sql.functions.col
     engine.queryMap.toSeq.flatMap { case (table, q) =>
       val tdir = s"$outDir/$table"
-      // needy = fragmented, NOT merely large: a partition already near
-      // its achievable floor (ceil(bytes/target) files) can never get
-      // under a bare max_files census, and re-selecting it would pause
-      // the writer and rewrite the whole partition every interval
-      // forever. The 2x-floor hysteresis also amortizes the full-
-      // partition rewrite: a growing partition re-compacts only when
-      // its file count doubles past the floor, so rewrite frequency
-      // FALLS as the partition grows.
-      val needy = sources.Parts.forTable(engine.spark, tdir)
-        .filter(col("n_files") > cfg.compaction.maxFiles)
-        .select("path", "n_files", "bytes").collect()
-        .filter { r =>
-          val floor = math.max(1L, math.ceil(
-            r.getLong(2).toDouble / cfg.compaction.targetBytes).toLong)
-          r.getLong(1) > 2 * floor
-        }.map(_.getString(0)).toSeq
+      // a drain that begins mid-pass must end the pass within one
+      // table, not stop/rewrite the remaining ones against the clock
+      val needy =
+        if (stopped()) Seq.empty
+        else sources.Parts.needingCompaction(engine.spark, tdir,
+          cfg.compaction.maxFiles, cfg.compaction.targetBytes)
       if (needy.isEmpty) Seq.empty
       else {
         val subject = EventSchemas.routes.collectFirst {
@@ -240,11 +240,12 @@ object ServeMain {
   /** Daemon scheduler for [[compactionPass]] — fires every
     * `compaction.interval_ms`; a pass failure is logged and the loop
     * continues (maintenance must never take the engine down). Returns
-    * the stop handle [[Engine.drain]] calls first. */
+    * (stop handle, thread-alive probe) — drain keeps sweeping queries
+    * while the probe says the loop may still register a restart. */
   private def startCompactor(engine: Engine, broker: BrokerSource,
       outDir: String, ckptRoot: String,
       trigger: org.apache.spark.sql.streaming.Trigger,
-      cfg: EngineConfig): () => Unit = {
+      cfg: EngineConfig): (() => Unit, () => Boolean) = {
     @volatile var stop = false
     val t = new Thread(() => {
       while (!stop) {
@@ -266,7 +267,7 @@ object ServeMain {
     }, "graft-compactor")
     t.setDaemon(true)
     t.start()
-    () => { stop = true; t.join(10000) }
+    (() => { stop = true; t.join(10000) }, () => t.isAlive)
   }
 
   def main(args: Array[String]): Unit = {

@@ -675,6 +675,42 @@ object Similarity {
       .orderBy("vec_id"), edges +: caches: _*)
   }
 
+  /** Cross-band-deduped candidate pairs WITHIN one posting set
+    * ((band, bucket) equi-join, va < vb) — THE banded candidate shape,
+    * shared by the full rebuild, the stored history build, and the
+    * advance so the spec-pinned equalities between them can never
+    * drift on the join or dedup direction. */
+  private[pipeline] def bandedCandidatesWithin(post: DataFrame): DataFrame =
+    post.as("x").join(post.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+      .distinct()
+
+  /** Candidates ACROSS posting sets — va from `histPost`, vb from
+    * `batchPost` (history ids precede batch ids, so va < vb holds). */
+  private[pipeline] def bandedCandidatesAcross(histPost: DataFrame,
+                                               batchPost: DataFrame): DataFrame =
+    batchPost.as("x").join(histPost.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket"))
+      .select(col("y.vec_id").as("va"), col("x.vec_id").as("vb"))
+      .distinct()
+
+  /** Exact-cosine verification of (va, vb) candidates through a
+    * (vec_id, v, n) vector table — the one shared predicate (float_dot,
+    * round(…,4), >= threshold) every banded consumer must agree on. */
+  private[pipeline] def verifiedPairs(cand: DataFrame, vecs: DataFrame,
+                                      threshold: Double): DataFrame =
+    cand
+      .join(vecs.select(col("vec_id").as("va"), col("v").as("xa"),
+        col("n").as("na")), Seq("va"))
+      .join(vecs.select(col("vec_id").as("vb"), col("v").as("xb"),
+        col("n").as("nb")), Seq("vb"))
+      .filter(round(dot("xa", "xb") / (col("na") * col("nb")), 4) >= threshold)
+      .select("va", "vb")
+
   /** Full banded semantic re-clustering — [[semanticDedup]] at the
     * multi-probe geometry: candidates = (band, bucket) equi-join over
     * the banded postings, deduped across bands, cosine-verified, then
@@ -691,19 +727,7 @@ object Similarity {
       lshSeed.orElse(configuredLshSeed))
     val vecs = embeddings.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("n", norm("v"))
-    val cand = post.as("x").join(post.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
-      .distinct()
-    val pairs = cand
-      .join(vecs.select(col("vec_id").as("va"), col("v").as("xa"),
-        col("n").as("na")), Seq("va"))
-      .join(vecs.select(col("vec_id").as("vb"), col("v").as("xb"),
-        col("n").as("nb")), Seq("vb"))
-      .filter(round(dot("xa", "xb") / (col("na") * col("nb")), 4) >= threshold)
-      .select("va", "vb")
+    val pairs = verifiedPairs(bandedCandidatesWithin(post), vecs, threshold)
     val edges = Graph.symmetrize(pairs, "va", "vb").persist()
     val (labels, caches) = Graph.minLabelComponents(edges)
     Materialize.drop(labels

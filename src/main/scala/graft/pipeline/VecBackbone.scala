@@ -377,19 +377,13 @@ private[graft] object VecBackbone {
     val bPost = bandedSlice(s, d, split, Long.MaxValue, bands, planes)
     val h = history(s, d, split)
     val bt = batch(s, d, split)
-    val cand = bPost.as("x").join(hPost.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
-      .select(col("x.vec_id").as("bid"), col("y.vec_id").as("hid"))
-      .distinct()
-    val near = cand
-      .join(bt.buckets.select(col("vec_id").as("bid"), col("v").as("bv"),
-        col("n").as("bn")), Seq("bid"))
-      .join(h.buckets.select(col("vec_id").as("hid"), col("v").as("hv"),
-        col("n").as("hn")), Seq("hid"))
-      .filter(round(expr("float_dot(bv, hv)") / (col("bn") * col("hn")), 4)
-        >= Threshold)
-      .groupBy(col("bid").as("vec_id"))
-      .agg(min(col("hid")).as("near_dup_of"), count(lit(1)).as("n_near"))
+    // the shared candidate/verify shape (va = history, vb = batch)
+    val allVecs = h.buckets.select("vec_id", "v", "n")
+      .unionByName(bt.buckets.select("vec_id", "v", "n"))
+    val near = verifyCand(
+        Similarity.bandedCandidatesAcross(hPost, bPost), allVecs)
+      .groupBy(col("vb").as("vec_id"))
+      .agg(min(col("va")).as("near_dup_of"), count(lit(1)).as("n_near"))
     bt.buckets.select(col("vec_id"))
       .join(near, Seq("vec_id"), "left")
       .select(col("vec_id"), col("near_dup_of"),
@@ -404,37 +398,13 @@ private[graft] object VecBackbone {
   // nightly chain)
   // ---------------------------------------------------------------------
 
-  /** Cross-band-deduped candidate pairs WITHIN one posting set
-    * ((band, bucket) equi-join, va < vb). */
-  private def bandedCandidatesWithin(post: DataFrame): DataFrame =
-    post.as("x").join(post.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
-      .distinct()
-
-  /** Candidates ACROSS posting sets — va from `histPost`, vb from
-    * `batchPost` (history ids precede batch ids, so va < vb holds). */
-  private def bandedCandidatesAcross(histPost: DataFrame,
-                                     batchPost: DataFrame): DataFrame =
-    batchPost.as("x").join(histPost.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.bucket") === col("y.bucket"))
-      .select(col("y.vec_id").as("va"), col("x.vec_id").as("vb"))
-      .distinct()
-
-  /** Exact-cosine verification of candidate pairs through a stored
-    * (vec_id, v, n) vector table — candidates are band-union narrow
-    * postings, so vectors join in here, once per endpoint. */
+  // the banded candidate/verify shape lives ONCE, in Similarity
+  // (bandedCandidatesWithin / bandedCandidatesAcross / verifiedPairs) —
+  // the advance==rebuild equalities depend on every consumer sharing
+  // the same join direction, dedup, and rounding; this thin alias keeps
+  // call sites readable at the warehouse threshold
   private def verifyCand(cand: DataFrame, vecs: DataFrame): DataFrame =
-    cand
-      .join(vecs.select(col("vec_id").as("va"), col("v").as("xa"),
-        col("n").as("na")), Seq("va"))
-      .join(vecs.select(col("vec_id").as("vb"), col("v").as("xb"),
-        col("n").as("nb")), Seq("vb"))
-      .filter(cosCol("xa", "xb", "na", "nb") >= Threshold)
-      .select("va", "vb")
+    Similarity.verifiedPairs(cand, vecs, Threshold)
 
   /** Banded history clustering state: the per-band posting slice plus
     * cosine-verified pairs and min-label cluster labels derived from
@@ -450,7 +420,7 @@ private[graft] object VecBackbone {
     val hPost = bandedSlice(s, d, 0, split, bands, planes)
     Warehouse.ensure(s, base) {
       val hVecs = history(s, d, split).buckets
-      verifyCand(bandedCandidatesWithin(hPost), hVecs)
+      verifyCand(Similarity.bandedCandidatesWithin(hPost), hVecs)
         .write.mode("overwrite").parquet(s"$base/pairs")
       val edges = Graph.symmetrize(
         s.read.parquet(s"$base/pairs"), "va", "vb").persist()
@@ -491,8 +461,8 @@ private[graft] object VecBackbone {
     val btPost = bandedSlice(s, d, split, Long.MaxValue, bands, planes)
     val btVecs = batch(s, d, split).buckets
     val allVecs = hVecs.unionByName(btVecs)
-    val intra = verifyCand(bandedCandidatesWithin(btPost), btVecs)
-    val cross = verifyCand(bandedCandidatesAcross(h.postings, btPost), allVecs)
+    val intra = verifyCand(Similarity.bandedCandidatesWithin(btPost), btVecs)
+    val cross = verifyCand(Similarity.bandedCandidatesAcross(h.postings, btPost), allVecs)
     val newPairs = cross.unionByName(intra).persist()
     val eps = newPairs.select(col("va").as("vec_id"))
       .unionByName(newPairs.select(col("vb").as("vec_id"))).distinct()
@@ -529,7 +499,7 @@ private[graft] object VecBackbone {
     Warehouse.ensure(s, base) {
       postings.write.mode("overwrite").parquet(s"$base/postings")
       val post = s.read.parquet(s"$base/postings")
-      verifyCand(bandedCandidatesWithin(post), vecs)
+      verifyCand(Similarity.bandedCandidatesWithin(post), vecs)
         .write.mode("overwrite").parquet(s"$base/pairs")
       val edges = Graph.symmetrize(
         s.read.parquet(s"$base/pairs"), "va", "vb").persist()

@@ -285,9 +285,12 @@ object Warehouse {
             val versions = fs.listStatus(rootPath).toSeq
               .filter(_.isDirectory)
               .flatMap { st =>
-                // Try: a sidecar a concurrent (unlocked) delete just
-                // removed must skip this dir, not abort the sweep
-                scala.util.Try {
+                // NARROW catch: a sidecar a concurrent (unlocked) delete
+                // just removed must skip this dir, not abort the sweep —
+                // but any OTHER IO failure (permissions, FS config) must
+                // still propagate: swallowing it would turn gc into a
+                // permanent silent no-op, exactly the leak it prevents
+                try {
                   val side = new Path(st.getPath, "_graft_corpus")
                   if (!fs.exists(side)) None
                   else {
@@ -297,7 +300,9 @@ object Warehouse {
                     Some((key, st.getPath,
                       fs.getFileStatus(side).getModificationTime))
                   }
-                }.toOption.flatten
+                } catch {
+                  case _: java.io.FileNotFoundException => None
+                }
               }
             versions.groupBy(_._1).valuesIterator.flatMap { fam =>
               fam.sortBy(-_._3).drop(keep)

@@ -73,9 +73,10 @@ object Parts {
     rows.sortBy(_.partition).toDF()
   }
 
-  /** Directories whose file count exceeds `maxFiles` — the compaction
-    * work queue, as directly consumable PATHS (the table dir itself for
-    * an unpartitioned table). */
+  /** Directories whose file count exceeds `maxFiles` — the bare-census
+    * form of the compaction work queue, as directly consumable PATHS
+    * (the table dir itself for an unpartitioned table). The SCHEDULED
+    * maintenance path uses the hysteresis overload below. */
   def needingCompaction(spark: SparkSession, tableDir: String,
                         maxFiles: Int): Seq[String] = {
     import org.apache.spark.sql.functions.col
@@ -83,5 +84,29 @@ object Parts {
       .filter(col("n_files") > maxFiles)
       .select("path")
       .collect().map(_.getString(0)).toSeq
+  }
+
+  /** The PRODUCTION compaction work queue ([[graft.ServeMain]]'s
+    * maintenance loop): fragmented, not merely large. A partition whose
+    * file count already sits near its achievable floor
+    * (ceil(bytes/targetBytes) files) can never get under a bare
+    * max-files census — re-selecting it would pause the writer and
+    * rewrite the whole partition every interval forever. A dir is
+    * selected only when its file count exceeds BOTH `maxFiles` and 2×
+    * its floor; the 2× hysteresis also amortizes the full-partition
+    * rewrite (re-compaction frequency falls as a partition grows). */
+  def needingCompaction(spark: SparkSession, tableDir: String,
+                        maxFiles: Int, targetBytes: Long): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    forTable(spark, tableDir)
+      .filter(col("n_files") > maxFiles)
+      .select("path", "n_files", "bytes")
+      .collect()
+      .filter { r =>
+        val floor = math.max(1L,
+          math.ceil(r.getLong(2).toDouble / targetBytes).toLong)
+        r.getLong(1) > 2 * floor
+      }
+      .map(_.getString(0)).toSeq
   }
 }

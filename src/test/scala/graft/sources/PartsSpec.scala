@@ -66,4 +66,26 @@ class PartsSpec extends AnyFunSuite {
     assert(Parts.needingCompaction(spark, flat, maxFiles = 0)
       .head.endsWith(new java.io.File(flat).getName))
   }
+
+  test("hysteresis work queue: fragmented selected, floor-bound skipped") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_parts_hyst").toString
+    // 8 small files in one partition
+    (1 to 8).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "v")
+        .withColumn("p", org.apache.spark.sql.functions.lit("a"))
+        .coalesce(1).write.mode("append").partitionBy("p").parquet(dir)
+    }
+    val bytes = Parts.forTable(spark, dir).head.getAs[Long]("bytes")
+    // huge target: floor = 1 file, 8 > max(4, 2) -> FRAGMENTED, selected
+    assert(Parts.needingCompaction(spark, dir, maxFiles = 4,
+      targetBytes = bytes * 10).nonEmpty)
+    // tiny target: floor = ceil(bytes/(bytes/8)) = 8 files -> the census
+    // exceeds maxFiles but compaction cannot get below ~8 files, so the
+    // partition is LARGE, not fragmented: skipped (no perpetual rewrite)
+    assert(Parts.needingCompaction(spark, dir, maxFiles = 4,
+      targetBytes = math.max(1L, bytes / 8)).isEmpty)
+    // the bare-census overload still flags it (the tests' old contract)
+    assert(Parts.needingCompaction(spark, dir, maxFiles = 4).nonEmpty)
+  }
 }
