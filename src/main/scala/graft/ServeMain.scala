@@ -46,9 +46,12 @@ object ServeMain {
     def queries: Map[String, StreamingQuery] = queryMap
     @volatile private var stopMaintenance: () => Unit = () => ()
     @volatile private var maintenanceAlive: () => Boolean = () => false
+    @volatile private var maintenanceGraceMs: Long = 15000L
     private[graft] def setMaintenance(stop: () => Unit,
-                                      alive: () => Boolean): Unit = {
+                                      alive: () => Boolean,
+                                      graceMs: Long = 15000L): Unit = {
       stopMaintenance = stop; maintenanceAlive = alive
+      maintenanceGraceMs = graceMs
     }
     /** `flush_all` + drain (main.rs:95-105): stop the maintenance loop
       * first (it must not restart queries mid-drain), then ingest so no
@@ -63,8 +66,13 @@ object ServeMain {
       // going while the maintenance THREAD is still alive — an
       // all-inactive observation means nothing while a restart can
       // still be registered a moment later — and only exits early once
-      // both the thread is dead and nothing is active (bounded).
-      val deadline = System.currentTimeMillis() + 15000
+      // both the thread is dead and nothing is active (bounded). The
+      // deadline SCALES with the compaction workload (ADVICE r14: a
+      // fixed 15 s loses the race against a partition rewrite longer
+      // than the window): setMaintenance sizes it from the compactor's
+      // own join grace, so drain outlives any pass the stop handle
+      // itself would wait for.
+      val deadline = System.currentTimeMillis() + maintenanceGraceMs
       var sweep = true
       while (sweep) {
         queries.values.foreach(q => scala.util.Try(q.stop()))
@@ -72,6 +80,11 @@ object ServeMain {
         sweep = !settled && System.currentTimeMillis() < deadline
         if (sweep) Thread.sleep(100)
       }
+      if (maintenanceAlive())
+        System.err.println("[serve] WARNING: maintenance thread still " +
+          s"alive after ${maintenanceGraceMs} ms drain grace — a " +
+          "compaction rewrite outlived the deadline; a restarted writer " +
+          "may survive this drain")
       // final sweep: a restart registered in the race window right
       // before the thread died is stopped here
       queries.values.foreach(q => scala.util.Try(q.stop()))
@@ -141,7 +154,11 @@ object ServeMain {
       if (cfg.compaction.enabled) {
         val (stop, alive) = startCompactor(engine, broker, outDir,
           ckptRoot, Ingest.batcherParams(cfg)._1, cfg)
-        engine.setMaintenance(stop, alive)
+        // drain grace sized to the maintenance workload: at least one
+        // full scheduler interval (a pass started just before drain) on
+        // top of a rewrite-time floor, never below the old fixed 15 s
+        engine.setMaintenance(stop, alive,
+          graceMs = math.max(15000L, cfg.compaction.intervalMs + 30000L))
       }
       engine
     } catch {
@@ -267,7 +284,10 @@ object ServeMain {
     }, "graft-compactor")
     t.setDaemon(true)
     t.start()
-    (() => { stop = true; t.join(10000) }, () => t.isAlive)
+    // the stop handle's join matches drain's scaled grace (ADVICE r14:
+    // a 10 s join under a longer rewrite returned with the thread alive)
+    val joinMs = math.max(15000L, cfg.compaction.intervalMs + 30000L)
+    (() => { stop = true; t.join(joinMs) }, () => t.isAlive)
   }
 
   def main(args: Array[String]): Unit = {

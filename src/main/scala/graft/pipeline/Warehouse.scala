@@ -186,6 +186,7 @@ object Warehouse {
 
   private val stamped = mutable.Map[String, Long]() // path -> last stamp ms
   private val stampIntervalMs = 10 * 60 * 1000L
+  private val stampRetryMs = 60 * 1000L // failed-stamp retry cadence
 
   /** Resolve — and under an explicit warehouse root, STAMP — the version
     * subtree for corpus `(d, fileName)` with an optional family prefix.
@@ -206,20 +207,26 @@ object Warehouse {
     if (explicitDir.isDefined) synchronized {
       val now = System.currentTimeMillis()
       if (now - stamped.getOrElse(path, 0L) > stampIntervalMs) {
-        try {
+        val ok = try {
           val side = new org.apache.hadoop.fs.Path(path, "_graft_corpus")
           val fs = side.getFileSystem(s.sparkContext.hadoopConfiguration)
           val out = fs.create(side, true)
           try out.write(corpusKey(d, fileName, prefix).getBytes("UTF-8"))
           finally out.close()
+          true
         } catch {
           case scala.util.control.NonFatal(e) =>
             System.err.println(s"[warehouse] liveness stamp skipped for " +
               s"$path: ${e.getMessage}")
+            false
         }
-        // recorded even on failure so a read-only JVM retries (and warns)
-        // at the stamp cadence, not once per query.
-        stamped(path) = now
+        // a FAILED stamp retries at 1 min, not the 10-min cadence: an FS
+        // outage shorter than the workload but longer than gcGraceMs
+        // would otherwise leave a superseded version unstamped for a
+        // full stamp interval, and a cross-JVM gc could reclaim it out
+        // from under this JVM's long-lived reader (ADVICE r14). A
+        // read-only JVM still warns at most once a minute, not per query.
+        stamped(path) = if (ok) now else now - stampIntervalMs + stampRetryMs
       }
     }
     path
@@ -327,7 +334,7 @@ object Warehouse {
           }
       }
     }
-    try victims.map { case (p, rawVictim) =>
+    try victims.flatMap { case (p, rawVictim) =>
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       def dropMarkers(dir: Path): Unit =
         fs.listStatus(dir).foreach { c =>
@@ -335,9 +342,19 @@ object Warehouse {
           else if (c.getPath.getName == "_graft_built")
             fs.delete(c.getPath, false): Unit
         }
-      dropMarkers(p) // crash-safe ordering: see Scaladoc
-      fs.delete(p, true)
-      rawVictim
+      // gcInFlight only serializes gc WITHIN this JVM: a concurrent gc
+      // in another JVM deleting the same victim can vanish files mid-
+      // walk. The same narrow FileNotFoundException catch selection
+      // uses — skip to the next victim instead of aborting the rest of
+      // this run's deletions (ADVICE r14); the victim is gone either
+      // way, it just isn't THIS run's deletion to report.
+      try {
+        dropMarkers(p) // crash-safe ordering: see Scaladoc
+        fs.delete(p, true)
+        Some(rawVictim)
+      } catch {
+        case _: java.io.FileNotFoundException => None
+      }
     } finally synchronized {
       gcInFlight --= victims.map(_._2)
     }

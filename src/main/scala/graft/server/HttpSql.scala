@@ -193,7 +193,10 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
         .foreach { d =>
           try {
             spark.read.parquet(d.getPath).createOrReplaceTempView(d.getName)
-            registeredViews.add(d.getName): Unit
+            // first registration by THIS instance retains one refcount
+            // (cross-instance sharing — see HttpSql.viewRefs)
+            if (registeredViews.add(d.getName))
+              HttpSql.retainView(spark, d.getName)
           } catch { case _: Exception => () }
         }
     }
@@ -229,8 +232,13 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
     // a later CREATE TABLE login_events would silently read this
     // server's last snapshot otherwise. (The system_* views stay — they
     // carry no table-shadowing risk and may be shared by another live
-    // server on the same session.)
-    registeredViews.forEach(v => spark.catalog.dropTempView(v): Unit)
+    // server on the same session.) Drop only when no OTHER live server
+    // on this session still holds the name (ADVICE r14: two servers
+    // sharing a session register the same served-table names; the first
+    // stop must not break the survivor's in-flight reads).
+    registeredViews.forEach { v =>
+      if (HttpSql.releaseView(spark, v)) spark.catalog.dropTempView(v): Unit
+    }
     registeredViews.clear()
   }
 
@@ -573,6 +581,24 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
 }
 
 object HttpSql {
+
+  /** Refcount of served-table temp views per (session, view): temp views
+    * are SESSION-scoped, so two HttpSql instances sharing one
+    * SparkSession register the SAME names — the first server to stop
+    * must not yank views the survivor's in-flight queries read (ADVICE
+    * r14). Each instance retains a name once (its `registeredViews` set
+    * dedupes); stop() releases, and only the LAST release drops the
+    * view. Entries vanish at zero, so the map stays bounded by live
+    * registrations and never pins a stopped session. */
+  private val viewRefs =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Integer]()
+  private def retainView(s: SparkSession, name: String): Unit = {
+    viewRefs.merge((s, name), Integer.valueOf(1), (a, b) => a + b): Unit
+  }
+  /** True when this release drops the count to zero (caller drops the view). */
+  private def releaseView(s: SparkSession, name: String): Boolean =
+    viewRefs.compute((s, name),
+      (_, c) => if (c == null || c <= 1) null else c - 1) == null
 
   private val FormatClause =
     """(?is)\bFORMAT\s+([A-Za-z]\w*)\s*;?\s*$""".r

@@ -10,20 +10,82 @@ Usage: shuffle_gate.py <sf_small.json> <sf_big.json> [merged_out.json]
 --expect takes a prior merged SHUFFLE_r*.json (or a raw audit json) and
 flags any of its keys absent from BOTH inputs — a key erroring at both
 SFs would otherwise produce no ratio and vanish without a trace.
+Expected-but-missing keys are carried INTO the merged output (with an
+"errored" marker) so they stay in the expected universe across rounds
+instead of being warned about once and then vanishing.
 
-Rule: the biggest fixture growth sf0.01->sf0.1 is 10x (lineitem/events;
-documents 10x, embeddings 4x), so a key is flagged when
-    shufW(big) > RATIO_CAP * shufW(small)   [default 12 = 10x + headroom]
-and shufW(small) >= MIN_BYTES (1 MB — below that, constant-overhead
-partition framing dominates and ratios are noise). Exit 1 on flags so
-the caller can surface a warning; the round gate treats this stage as
-soft (warn, don't red).
+Rule (VERDICT r14 #1: the blanket 12x cap was fixture-blind): each key
+is gated against ITS OWN fixture's growth across sf0.01->sf0.1 —
+lineitem/orders/events/documents grow 10x, embeddings only 4x — times a
+slack factor:
+
+    shufW(big) > SLACK * fixture_ratio(key) * shufW(small)
+
+so an embeddings-fed key sitting at 11x on a 4x data step (2.8x
+super-linear) trips the wire the old blanket cap waved through, while a
+documents key at an honest 10x passes. A few keys carry an ADJUDICATED
+per-key cap with a documented reason (printed on every run) — the
+catalog pins oracle-reproducible operating points whose cost shape is
+measured and adjudicated in SCALE.md rather than silently capped.
+
+Keys below MIN_BYTES (1 MB — constant-overhead partition framing
+dominates there and ratios are noise) are never flagged, but ones whose
+ratio exceeds their cap are REPORTED (a `subfloor` list in the merged
+record + a printed note) instead of hidden: the floor suppresses noise,
+it must not suppress information.
+
+Exit 1 on flags so the caller can surface a warning; the round gate
+treats this stage as soft (warn, don't red).
 """
 import json
 import sys
 
-RATIO_CAP = 12.0
+SLACK = 1.5
 MIN_BYTES = 1 << 20
+
+# fixture growth sf0.01 -> sf0.1 (TESTDATA.md: lineitem/orders/events
+# 60k->600k, documents 500->5,000, embeddings 500->2,000)
+RATIO_DOCS = 10.0
+RATIO_EMB = 4.0
+RATIO_REL = 10.0
+
+# embeddings-fed catalog keys (everything reading Tables.embeddings /
+# the VecBackbone stored index); all other d_* read documents, and
+# o_*/s_* read the relational/events fixtures
+EMB_PREFIXES = ("d_ann_", "d_knn_", "d_semantic_", "d_emb_")
+EMB_KEYS = {"d_dedup_cosine", "d_dedup_semantic"}
+
+# Per-key adjudicated caps: (cap, reason). Each entry is a DOCUMENTED
+# exception with the measurement that justifies it — see SCALE.md.
+ADJUDICATED = {
+    # The catalog pins the oracle-reproducible axis geometry b=2/r=4
+    # (the 8-dim fixture admits no more planes), so each band has 16
+    # buckets forever and occupancy grows with n -> candidate pairs grow
+    # ~n^2 at THIS operating point: a fixture-bound oracle point, not
+    # the production shape. The production planesFor-sized geometry is
+    # measured ~linear through the same advanceBanded chain in SCALE.md
+    # ("banded-cost" sweep: candidates/vector flat, shuffle tracking
+    # corpus). Cap = the measured catalog-point ratio + headroom; a
+    # regression ABOVE the quadratic-at-fixed-r curve still trips.
+    "d_semantic_incr_banded": (14.0,
+        "fixture-bound oracle point: quadratic candidates at pinned "
+        "axis b=2/r=4; production planesFor geometry measured ~linear "
+        "(SCALE.md banded-cost sweep)"),
+}
+
+
+def fixture_ratio(key):
+    if key.startswith(EMB_PREFIXES) or key in EMB_KEYS:
+        return RATIO_EMB
+    if key.startswith("d_"):
+        return RATIO_DOCS
+    return RATIO_REL
+
+
+def cap_for(key):
+    if key in ADJUDICATED:
+        return ADJUDICATED[key][0]
+    return SLACK * fixture_ratio(key)
 
 
 def main():
@@ -36,7 +98,7 @@ def main():
     small = json.load(open(argv[0]))
     big = json.load(open(argv[1]))
     out_path = argv[2] if len(argv) > 2 else None
-    flags, merged = [], {}
+    flags, merged, subfloor = [], {}, []
     # a key that ERRORS at one SF vanishes from its JSON (ShuffleAudit
     # skips erroring keys) — exactly the shape a corpus-sized-exchange OOM
     # takes, so a silent drop here would hide the regression this gate
@@ -51,38 +113,62 @@ def main():
         expected = set(json.load(open(expect_path))["keys"])
         for k in sorted(expected - set(small["keys"]) - set(big["keys"])):
             flags.append((k, -1, -1, float("inf")))
+            # carry the key into the merged record so next round's
+            # --expect (taken from the newest SHUFFLE_r*.json) still
+            # contains it — a persistently erroring key must stay in
+            # the tripwire's universe, not be warned about once and
+            # then vanish (ADVICE r14)
+            merged[k] = {"errored": True}
     for k, b in sorted(big["keys"].items()):
         s = small["keys"].get(k)
         row = {"shuffle_write_b": b["shuffle_write_b"],
                "input_b": b["input_b"],
                "shuffle_read_b": b["shuffle_read_b"],
                "peak_task_b": b["peak_task_b"],
-               "sec": b["sec"], "rows": b["rows"]}
+               "sec": b["sec"], "rows": b["rows"],
+               "fixture_ratio": fixture_ratio(k),
+               "cap": round(cap_for(k), 2)}
         if s:
             sw_s, sw_b = s["shuffle_write_b"], b["shuffle_write_b"]
             row["shuffle_write_b_small"] = sw_s
             row["growth"] = round(sw_b / sw_s, 2) if sw_s else None
-            if sw_s >= MIN_BYTES and sw_b > RATIO_CAP * sw_s:
-                flags.append((k, sw_s, sw_b, sw_b / sw_s))
+            if sw_s and sw_b > cap_for(k) * sw_s:
+                if sw_s >= MIN_BYTES:
+                    flags.append((k, sw_s, sw_b, sw_b / sw_s))
+                else:
+                    subfloor.append((k, sw_s, sw_b, sw_b / sw_s))
         merged[k] = row
     if out_path:
         with open(out_path, "w") as f:
             json.dump({"sf_small": small["sf"], "sf_big": big["sf"],
-                       "ratio_cap": RATIO_CAP, "min_bytes": MIN_BYTES,
+                       "slack": SLACK, "min_bytes": MIN_BYTES,
+                       "adjudicated": {k: v[0] for k, v in ADJUDICATED.items()},
                        "n_keys": len(merged),
                        "flagged": [k for k, *_ in flags],
+                       "subfloor": [k for k, *_ in subfloor],
                        "keys": merged}, f, indent=1)
     mb = lambda v: f"{v / 1048576:.1f}MB"
-    top = sorted(merged.items(), key=lambda kv: -kv[1]["shuffle_write_b"])[:8]
+    top = sorted(((k, v) for k, v in merged.items() if "shuffle_write_b" in v),
+                 key=lambda kv: -kv[1]["shuffle_write_b"])[:8]
     print(f"shuffle_gate: {len(merged)} keys, "
           f"{sum(1 for v in merged.values() if v.get('growth') is not None)} "
-          f"with two-SF ratios, {len(flags)} flagged (cap {RATIO_CAP}x)")
+          f"with two-SF ratios, {len(flags)} flagged, "
+          f"{len(subfloor)} sub-floor notes (slack {SLACK}x over per-key "
+          f"fixture ratios; {len(ADJUDICATED)} adjudicated)")
+    for k, (cap, why) in sorted(ADJUDICATED.items()):
+        print(f"  adjudicated {k}: cap {cap}x — {why}")
     print("  top shuffle writers at", big["sf"] + ":")
     for k, v in top:
         g = v.get("growth")
         print(f"    {k:<26} shufW={mb(v['shuffle_write_b']):>9} "
               f"growth={'%.1fx' % g if g is not None else 'n/a':>6} "
-              f"peak={mb(v['peak_task_b'])}")
+              f"cap={v['cap']}x peak={mb(v['peak_task_b'])}")
+    for k, sw_s, sw_b, r in subfloor:
+        print(f"  NOTE {k}: shuffle-write {mb(sw_s)} -> {mb(sw_b)} "
+              f"({r:.1f}x > {cap_for(k)}x cap) but below the "
+              f"{MIN_BYTES >> 20} MB floor — constant-overhead regime; "
+              "reported, not flagged (adjudicate in SCALE.md if it "
+              "crosses the floor)")
     for k, sw_s, sw_b, r in flags:
         if sw_s < 0 and sw_b < 0:
             print(f"  FLAG {k}: expected (per --expect) but MISSING from "
@@ -98,8 +184,9 @@ def main():
                   f"ratio possible); re-run it standalone")
         else:
             print(f"  FLAG {k}: shuffle-write {mb(sw_s)} -> {mb(sw_b)} "
-                  f"({r:.1f}x > {RATIO_CAP}x cap) — super-linear, "
-                  f"check for a corpus-sized exchange")
+                  f"({r:.1f}x > {cap_for(k)}x = fixture "
+                  f"{fixture_ratio(k)}x * slack) — super-linear for its "
+                  "fixture, check for a corpus-sized exchange")
     return 1 if flags else 0
 
 
