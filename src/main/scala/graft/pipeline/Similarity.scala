@@ -575,9 +575,10 @@ object Similarity {
                                0, (acc, v) -> acc + v)))"""))
           .select("vec_id", "band", "bucket")
       case Some(sd) =>
-        // the seeded path genuinely needs dims driver-side (the plane
-        // matrix is baked into the plan) — one bounded head() probe,
-        // null-filtered (size(NULL) is null)
+        // the STATELESS seeded path sizes hyperplanes from the data —
+        // one bounded head() probe, null-filtered (size(NULL) is null);
+        // stored/streamed indexes pin dims in [[BandedGeom]] instead and
+        // take the probe-free [[bandedSignBucketsGeom]] path
         val first = embeddings.filter(col("embedding").isNotNull)
           .select(size(col("embedding"))).head(1)
         if (first.isEmpty)
@@ -589,20 +590,58 @@ object Similarity {
         else {
           val dims = first.head.getInt(0)
           require(dims > 0, "embedding column has zero dims")
-          val rnd = new java.util.Random(sd)
-          val entries = (0 until bands).map { bd =>
-            val bits = (0 until planes).map { i =>
-              val h = Array.fill(dims)(rnd.nextGaussian())
-              val arr = s"CAST(array(${h.mkString(", ")}) AS ARRAY<FLOAT>)"
-              s"IF(float_dot(v, $arr) >= 0D, ${1 << i}, 0)"
-            }.mkString(" + ")
-            s"named_struct('band', $bd, 'bucket', ($bits))"
-          }
-          e.withColumn("bb", explode(expr(s"array(${entries.mkString(", ")})")))
-            .select(col("vec_id"), col("bb.band").as("band"),
-              col("bb.bucket").as("bucket"))
+          bandedSignBucketsGeom(s, embeddings,
+            BandedGeom.seeded(bands, planes, sd, dims))
         }
     }
+  }
+
+  /** The seeded plane matrix of a pinned geometry — bands × planes
+    * Gaussian hyperplanes drawn from ONE continuous stream (band 0 of
+    * any banded config is bit-identical to [[signBucketsRandom]] at the
+    * same (r, seed)), derived from (seed, bands, planes, dims) alone so
+    * every JVM reading the same stored [[BandedGeom]] reconstructs the
+    * identical matrix with no data probe. Index-metadata scale: a few
+    * KB, baked into the plan as literals. */
+  private[graft] def bandedPlanes(geom: BandedGeom): Array[Array[Array[Double]]] = {
+    val sd = geom.seed.getOrElse(
+      throw new IllegalArgumentException("axis geometry has no plane matrix"))
+    val rnd = new java.util.Random(sd)
+    Array.fill(geom.bands)(Array.fill(geom.planes)(
+      Array.fill(geom.dims)(rnd.nextGaussian())))
+  }
+
+  /** Banded postings under a PINNED geometry — the probe-free form the
+    * stored/streamed index paths use (VERDICT r14 #3): axis geometries
+    * route to the per-row-validated axis expression; seeded geometries
+    * derive their plane matrix from the pinned (seed, dims) with NO
+    * driver probe, so an empty micro-batch costs no Spark job and a
+    * fresh JVM reproduces stored buckets exactly. Per-row guard: a
+    * vector whose dims disagree with the pinned geometry raises instead
+    * of silently hashing against truncated planes; null vectors emit
+    * null buckets (never candidates), same as the axis path. */
+  private[graft] def bandedSignBucketsGeom(s: SparkSession,
+      embeddings: DataFrame, geom: BandedGeom): DataFrame = geom.seed match {
+    case None => bandedSignBuckets(s, embeddings, geom.bands, geom.planes)
+    case Some(_) =>
+      register(s)
+      val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
+      val hs = bandedPlanes(geom)
+      val entries = (0 until geom.bands).map { bd =>
+        val bits = (0 until geom.planes).map { i =>
+          val arr = s"CAST(array(${hs(bd)(i).mkString(", ")}) AS ARRAY<FLOAT>)"
+          s"IF(float_dot(v, $arr) >= 0D, ${1 << i}, 0)"
+        }.mkString(" + ")
+        s"""named_struct('band', $bd, 'bucket',
+              IF(v IS NULL, CAST(NULL AS INT),
+                 IF(size(v) <> ${geom.dims},
+                    raise_error(concat('pinned banded geometry expects ',
+                      '${geom.dims} dims, got ', size(v))),
+                    ($bits))))"""
+      }
+      e.withColumn("bb", explode(expr(s"array(${entries.mkString(", ")})")))
+        .select(col("vec_id"), col("bb.band").as("band"),
+          col("bb.bucket").as("bucket"))
   }
 
   /** How many OR-ed bands reach `target` pair recall given a MEASURED

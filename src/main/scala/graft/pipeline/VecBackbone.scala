@@ -57,6 +57,41 @@ private[graft] object VecBackbone {
     * single-band recall via [[Similarity.bandsFor]]. */
   val Bands = 2
 
+  /** The catalog's pinned banded geometry (axis b=2, r=4). Every stored
+    * banded table defaults to it; production indexes pass a seeded
+    * [[BandedGeom]] instead and the geometry rides the store from then
+    * on (sidecar + [[VecBandedHistory.geom]]), never a JVM flag. */
+  val CatalogGeom: BandedGeom = BandedGeom.axis(Bands, Planes)
+
+  /** Persist a banded geometry next to the postings it produced — the
+    * quantizer-sidecar discipline for LSH planes: (bands, planes, seed,
+    * dims) fully determines the plane matrix ([[Similarity.bandedPlanes]]),
+    * so the sidecar IS the index metadata a fresh JVM needs to probe
+    * stored buckets bit-identically. */
+  private[graft] def writeGeomSidecar(s: SparkSession, dir: String,
+                                      geom: BandedGeom): Unit = {
+    import s.implicits._
+    Seq((geom.bands, geom.planes, geom.seed.getOrElse(-1L),
+        geom.seed.isDefined, geom.dims))
+      .toDF("bands", "planes", "seed", "seeded", "dims")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/banded_geom")
+  }
+
+  /** Read a geometry sidecar back; None when the dir predates the
+    * sidecar (pre-r15 layouts were always the axis catalog geometry). */
+  private[graft] def readGeomSidecar(s: SparkSession,
+                                     dir: String): Option[BandedGeom] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/banded_geom")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val r = s.read.parquet(p.toString).head
+      Some(BandedGeom(r.getAs[Int]("bands"), r.getAs[Int]("planes"),
+        if (r.getAs[Boolean]("seeded")) Some(r.getAs[Long]("seed")) else None,
+        r.getAs[Int]("dims")))
+    }
+  }
+
   /** IVF/PQ operating point — matches d_ann_ivf / d_ann_ivfpq. */
   val NCells = 8
   val M = 4
@@ -176,29 +211,31 @@ private[graft] object VecBackbone {
     * vectors themselves live once in [[buckets]]. Axis geometry at the
     * catalog operating point (b = [[Bands]], r = [[Planes]]) so the
     * banded catalog entries reproduce in the DuckDB oracle. */
-  def bandedPostings(s: SparkSession, d: String, bands: Int = Bands,
-                     planes: Int = Planes): DataFrame = {
-    val path = s"${root(s, d)}/banded_b${bands}r$planes"
+  def bandedPostings(s: SparkSession, d: String,
+                     geom: BandedGeom = CatalogGeom): DataFrame = {
+    val path = s"${root(s, d)}/bandedg_${geom.tag}"
     Warehouse.ensure(s, path) {
-      Similarity.bandedSignBuckets(s, Tables.embeddings(s, d), bands, planes)
-        .write.mode("overwrite").parquet(path)
+      Similarity.bandedSignBucketsGeom(s, Tables.embeddings(s, d), geom)
+        .write.mode("overwrite").parquet(s"$path/post")
+      writeGeomSidecar(s, path, geom)
     }
-    s.read.parquet(path)
+    s.read.parquet(s"$path/post")
   }
 
   /** Stored banded postings for the embedding slice [lo, hi) — the
     * history/batch pieces of the banded incremental contract. */
   private[graft] def bandedSlice(s: SparkSession, d: String, lo: Long,
-      hi: Long, bands: Int = Bands, planes: Int = Planes): DataFrame = {
-    val path = s"${root(s, d)}/banded_b${bands}r${planes}_s${lo}e$hi"
+      hi: Long, geom: BandedGeom = CatalogGeom): DataFrame = {
+    val path = s"${root(s, d)}/bandedg_${geom.tag}_s${lo}e$hi"
     Warehouse.ensure(s, path) {
-      Similarity.bandedSignBuckets(s,
+      Similarity.bandedSignBucketsGeom(s,
         Tables.embeddings(s, d)
           .filter(col("vec_id") >= lo && col("vec_id") < hi),
-        bands, planes)
-        .write.mode("overwrite").parquet(path)
+        geom)
+        .write.mode("overwrite").parquet(s"$path/post")
+      writeGeomSidecar(s, path, geom)
     }
-    s.read.parquet(path)
+    s.read.parquet(s"$path/post")
   }
 
   /** COMMIT the banded postings advance: stored history-slice postings ∪
@@ -208,16 +245,17 @@ private[graft] object VecBackbone {
     * from-scratch [[bandedPostings]] rebuild bit-for-bit (spec-pinned in
     * VecBackboneSpec, the same closure the single-band advance carries). */
   private[graft] def bandedAdvanceAndStore(s: SparkSession, d: String,
-      splitOverride: Long = -1L, bands: Int = Bands,
-      planes: Int = Planes): DataFrame = {
+      splitOverride: Long = -1L,
+      geom: BandedGeom = CatalogGeom): DataFrame = {
     val split = if (splitOverride >= 0) splitOverride else deltaSplit(s, d)
-    val path = s"${root(s, d)}/banded_b${bands}r${planes}_adv$split"
+    val path = s"${root(s, d)}/bandedg_${geom.tag}_adv$split"
     Warehouse.ensure(s, path) {
-      bandedSlice(s, d, 0, split, bands, planes)
-        .unionByName(bandedSlice(s, d, split, Long.MaxValue, bands, planes))
-        .write.mode("overwrite").parquet(path)
+      bandedSlice(s, d, 0, split, geom)
+        .unionByName(bandedSlice(s, d, split, Long.MaxValue, geom))
+        .write.mode("overwrite").parquet(s"$path/post")
+      writeGeomSidecar(s, path, geom)
     }
-    s.read.parquet(path)
+    s.read.parquet(s"$path/post")
   }
 
   /** Stored IVF cell assignments + PQ codes over the full corpus:
@@ -369,12 +407,11 @@ private[graft] object VecBackbone {
     * single-band bucket), so per-vector n_near dominates the
     * single-band delta's — spec-pinned. */
   def deltaVerdictsBanded(s: SparkSession, d: String,
-                          bands: Int = Bands,
-                          planes: Int = Planes): DataFrame = {
+                          geom: BandedGeom = CatalogGeom): DataFrame = {
     Similarity.register(s)
     val split = deltaSplit(s, d)
-    val hPost = bandedSlice(s, d, 0, split, bands, planes)
-    val bPost = bandedSlice(s, d, split, Long.MaxValue, bands, planes)
+    val hPost = bandedSlice(s, d, 0, split, geom)
+    val bPost = bandedSlice(s, d, split, Long.MaxValue, geom)
     val h = history(s, d, split)
     val bt = batch(s, d, split)
     // the shared candidate/verify shape (va = history, vb = batch)
@@ -408,16 +445,18 @@ private[graft] object VecBackbone {
 
   /** Banded history clustering state: the per-band posting slice plus
     * cosine-verified pairs and min-label cluster labels derived from
-    * BANDED candidates. Vectors live once in the single-band history
-    * tables; this state adds only narrow postings + pairs + labels. */
+    * BANDED candidates, carrying the PINNED geometry it was built under
+    * (read back from the store's sidecar — consumers take the geometry
+    * from the state, never from a flag). Vectors live once in the
+    * single-band history tables; this state adds only narrow postings +
+    * pairs + labels + the geometry sidecar. */
   final case class VecBandedHistory(postings: DataFrame, pairs: DataFrame,
-                                    labels: DataFrame)
+                                    labels: DataFrame, geom: BandedGeom)
 
   def historyBanded(s: SparkSession, d: String, split: Long,
-                    bands: Int = Bands,
-                    planes: Int = Planes): VecBandedHistory = {
-    val base = s"${root(s, d)}/histB${split}_b${bands}r$planes"
-    val hPost = bandedSlice(s, d, 0, split, bands, planes)
+                    geom: BandedGeom = CatalogGeom): VecBandedHistory = {
+    val base = s"${root(s, d)}/histB${split}_${geom.tag}"
+    val hPost = bandedSlice(s, d, 0, split, geom)
     Warehouse.ensure(s, base) {
       val hVecs = history(s, d, split).buckets
       verifyCand(Similarity.bandedCandidatesWithin(hPost), hVecs)
@@ -428,9 +467,13 @@ private[graft] object VecBackbone {
       lbl.select(col("id").as("vec_id"), col("lbl").as("cluster_id"))
         .write.mode("overwrite").parquet(s"$base/labels")
       (edges +: caches).foreach(_.unpersist())
+      writeGeomSidecar(s, base, geom)
     }
     VecBandedHistory(hPost, s.read.parquet(s"$base/pairs"),
-      s.read.parquet(s"$base/labels"))
+      s.read.parquet(s"$base/labels"),
+      // the STORE owns the geometry from here on; pre-sidecar layouts
+      // were always the requested geometry (the tag pins it)
+      readGeomSidecar(s, base).getOrElse(geom))
   }
 
   /** Advance the BANDED semantic-cluster state from history to the full
@@ -450,15 +493,19 @@ private[graft] object VecBackbone {
     * also spec-pinned. */
   def advanceBanded(s: SparkSession, d: String,
                     splitOverride: Long = -1L,
-                    bands: Int = Bands,
-                    planes: Int = Planes,
+                    geom: BandedGeom = CatalogGeom,
                     histOverride: Option[VecBandedHistory] = None,
                     hVecsOverride: Option[DataFrame] = None): DataFrame = {
     Similarity.register(s)
     val split = if (splitOverride >= 0) splitOverride else deltaSplit(s, d)
-    val h = histOverride.getOrElse(historyBanded(s, d, split, bands, planes))
+    val h = histOverride.getOrElse(historyBanded(s, d, split, geom))
+    // the batch probes under the geometry THE STORED STATE carries —
+    // a caller-passed geom that disagrees with a supplied history would
+    // silently join postings from two different plane sets (VERDICT
+    // r14 #3: every probe/advance reads the geometry from the store)
+    val g = h.geom
     val hVecs = hVecsOverride.getOrElse(history(s, d, split).buckets)
-    val btPost = bandedSlice(s, d, split, Long.MaxValue, bands, planes)
+    val btPost = bandedSlice(s, d, split, Long.MaxValue, g)
     val btVecs = batch(s, d, split).buckets
     val allVecs = hVecs.unionByName(btVecs)
     val intra = verifyCand(Similarity.bandedCandidatesWithin(btPost), btVecs)
@@ -490,12 +537,12 @@ private[graft] object VecBackbone {
     * `vecs` is the matching (vec_id, v, n) vector table (the stream's
     * bucket table carries it). Instance-keyed memo (per-JVM subtree). */
   private[graft] def compactBanded(s: SparkSession, postings: DataFrame,
-                                   vecs: DataFrame,
-                                   tag: String): VecBandedHistory = {
+                                   vecs: DataFrame, tag: String,
+                                   geom: BandedGeom = CatalogGeom): VecBandedHistory = {
     val inId =
       s"${Warehouse.instanceId(postings)}_${Warehouse.instanceId(vecs)}"
     val base = s"${Warehouse.instanceRoot}/vecB_compact_" +
-      s"${Warehouse.sanitize(tag)}_$inId"
+      s"${Warehouse.sanitize(tag)}_${geom.tag}_$inId"
     Warehouse.ensure(s, base) {
       postings.write.mode("overwrite").parquet(s"$base/postings")
       val post = s.read.parquet(s"$base/postings")
@@ -507,9 +554,11 @@ private[graft] object VecBackbone {
       lbl.select(col("id").as("vec_id"), col("lbl").as("cluster_id"))
         .write.mode("overwrite").parquet(s"$base/labels")
       (edges +: caches).foreach(_.unpersist())
+      writeGeomSidecar(s, base, geom)
     }
     VecBandedHistory(s.read.parquet(s"$base/postings"),
-      s.read.parquet(s"$base/pairs"), s.read.parquet(s"$base/labels"))
+      s.read.parquet(s"$base/pairs"), s.read.parquet(s"$base/labels"),
+      readGeomSidecar(s, base).getOrElse(geom))
   }
 
   // ---------------------------------------------------------------------

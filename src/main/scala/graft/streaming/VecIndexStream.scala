@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.pipeline.{Similarity, VecBackbone}
+import graft.pipeline.{BandedGeom, Similarity, VecBackbone}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.DataStreamWriter
@@ -35,33 +35,44 @@ object VecIndexStream {
   private[graft] def writeIndexBatch(batch: DataFrame, batchId: Long,
                                      baseDir: String,
                                      q: VecBackbone.Quantizer,
-                                     planes: Int = VecBackbone.Planes): Unit = {
+                                     planes: Int = VecBackbone.Planes,
+                                     geom: BandedGeom = VecBackbone.CatalogGeom): Unit = {
     val s = batch.sparkSession
     Similarity.register(s)
     val e = batch.select(col("vec_id"), col("embedding").cast("array<float>"))
     Similarity.signBuckets(s, e, planes)
       .write.mode("overwrite").parquet(s"$baseDir/buckets/batch=$batchId")
-    // banded postings ride the same per-batch partition: the axis
-    // geometry needs no driver probe (per-row validated), so this is
-    // one more codegen'd projection per micro-batch, and the banded
+    // banded postings ride the same per-batch partition UNDER THE
+    // PINNED GEOMETRY (VERDICT r14 #3): axis geometries validate per
+    // row; seeded geometries derive their plane matrix from the pinned
+    // (seed, dims) with no driver probe — so a production seeded index
+    // streams exactly like the axis catalog one, and the banded
     // compaction/advance consume stream-written postings exactly like
-    // the batch-built ones (spec-pinned)
-    Similarity.bandedSignBuckets(s, e, VecBackbone.Bands, planes)
+    // the batch-built ones (spec-pinned). The geometry sidecar is
+    // persisted once at the index root; every reader takes the
+    // geometry FROM THE STORE, never from the writer's arguments.
+    Similarity.bandedSignBucketsGeom(s, e, geom)
       .write.mode("overwrite").parquet(s"$baseDir/banded/batch=$batchId")
+    if (VecBackbone.readGeomSidecar(s, baseDir).isEmpty)
+      VecBackbone.writeGeomSidecar(s, baseDir, geom)
     VecBackbone.encode(e, q)
       .write.mode("overwrite").parquet(s"$baseDir/codes/batch=$batchId")
   }
 
   /** The streaming query writer; caller sets checkpointLocation/trigger
     * and starts it. `q` is the pinned quantizer the whole index lives
-    * under (load it once via `VecBackbone.quantizer`). */
+    * under (load it once via `VecBackbone.quantizer`); `geom` is the
+    * pinned banded-LSH geometry — pass a seeded [[BandedGeom]] to
+    * stream a production-recall index (its (seed, bands, planes, dims)
+    * persists at the index root alongside the quantizer's sidecar). */
   def indexWriter(docs: Dataset[VecEvent], baseDir: String,
                   q: VecBackbone.Quantizer,
-                  planes: Int = VecBackbone.Planes)
+                  planes: Int = VecBackbone.Planes,
+                  geom: BandedGeom = VecBackbone.CatalogGeom)
       : DataStreamWriter[VecEvent] =
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[VecEvent], batchId: Long) =>
-        writeIndexBatch(batch.toDF(), batchId, baseDir, q, planes)
+        writeIndexBatch(batch.toDF(), batchId, baseDir, q, planes, geom)
       }
 
   /** Read stream-written index tables back (the `batch` partition
@@ -75,4 +86,13 @@ object VecIndexStream {
     * by [[graft.pipeline.VecBackbone.compactBanded]]. */
   def readBandedPostings(s: SparkSession, baseDir: String): DataFrame =
     s.read.parquet(s"$baseDir/banded").drop("batch")
+
+  /** The pinned geometry a stream-written index was built under, read
+    * from its root sidecar — what [[graft.pipeline.VecBackbone.compactBanded]]
+    * and every later probe must be handed, so the production seeded
+    * geometry rides the full stream → compact → advance chain. Falls
+    * back to the axis catalog geometry for pre-sidecar layouts. */
+  def readBandedGeom(s: SparkSession, baseDir: String): BandedGeom =
+    VecBackbone.readGeomSidecar(s, baseDir)
+      .getOrElse(VecBackbone.CatalogGeom)
 }

@@ -433,6 +433,54 @@ class VecBackboneSpec extends AnyFunSuite {
     }
   }
 
+  test("SEEDED geometry through the STORED banded chain: sidecar pins it, " +
+    "advance == rebuild") {
+    // VERDICT r14 #3, stored-path side: the production seeded geometry
+    // must ride the warehouse tables, with (seed, bands, planes, dims)
+    // persisted as index metadata and read back from the store — never
+    // re-derived from a JVM flag or a data probe.
+    val e = graft.Tables.embeddings(spark, sf)
+    val dims = e.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.col("embedding"))).head.getInt(0)
+    val geom = BandedGeom.seeded(bands = 2, planes = 6, seed = 7L, dims = dims)
+    // stored full-corpus postings == the pinned derivation
+    val stored = postingRows(VecBackbone.bandedPostings(spark, sf, geom))
+    val derived = postingRows(Similarity.bandedSignBucketsGeom(spark, e, geom))
+    assert(stored == derived && stored.nonEmpty,
+      "stored seeded postings diverge from the pinned derivation")
+    // history state carries the geometry from its sidecar
+    val split = VecBackbone.deltaSplit(spark, sf)
+    val h = VecBackbone.historyBanded(spark, sf, split, geom)
+    assert(h.geom == geom, s"history sidecar lost the geometry: ${h.geom}")
+    // advance at the stored geometry == from-scratch seeded rebuild
+    val adv = twoLongs(VecBackbone.advanceBanded(spark, sf, geom = geom))
+    val full = twoLongs(Similarity
+      .semanticDedupBanded(spark, e, bands = geom.bands,
+        planes = geom.planes, threshold = VecBackbone.Threshold,
+        lshSeed = geom.seed)
+      .select("vec_id", "cluster_id"))
+    assert(full.nonEmpty)
+    assert(adv == full,
+      s"seeded banded advance diverged: " +
+        s"only-adv ${(adv -- full).toSeq.sorted.take(5)}, " +
+        s"only-full ${(full -- adv).toSeq.sorted.take(5)}")
+  }
+
+  test("pinned seeded geometry raises on a dims mismatch, nulls pass through") {
+    import spark.implicits._
+    val geom = BandedGeom.seeded(2, 4, 11L, 8)
+    val bad = Seq((0L, Seq(1f, -1f, 1f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.bandedSignBucketsGeom(spark, bad, geom).collect()
+    }
+    assert(ex.getMessage != null)
+    val withNull = Seq((0L, Option(Seq.fill(8)(1f))), (1L, None))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.bandedSignBucketsGeom(spark, withNull, geom).collect()
+    assert(got.length == 4)
+    assert(got.filter(_.getLong(0) == 1L).forall(_.isNullAt(2)))
+  }
+
   test("bandsFor: smallest b reaching the composite-recall target") {
     // the SCALE.md sweep's own numbers: measured 0.24 single-band recall
     // needs 4 bands for ~0.67 composite

@@ -148,6 +148,87 @@ class VecIndexStreamSpec extends AnyFunSuite {
         s"${(full -- chained).toSeq.sorted.take(5)}")
   }
 
+  test("SEEDED geometry rides the streamed index: stream == batch == " +
+    "probe, advance == full seeded rebuild, geometry read from the store") {
+    // VERDICT r14 #3: the production seeded random-hyperplane geometry
+    // could only run the stateless path — the streamed index pinned the
+    // axis geometry. Here a seeded BandedGeom streams end to end: the
+    // writer persists (seed, bands, planes, dims) at the index root,
+    // every consumer READS the geometry from the store (compactBanded's
+    // state carries it; advanceBanded probes under h.geom, not an
+    // argument), and the chained labels equal the from-scratch seeded
+    // rebuild.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val split = VecBackbone.deltaSplit(spark, sf)
+    val vecs = histVecs(split)
+    val dims = vecs.head.embedding.size
+    val geom = graft.pipeline.BandedGeom.seeded(
+      bands = 2, planes = 6, seed = 7L, dims = dims)
+    val q = VecBackbone.quantizer(spark, sf)
+    val base = Files.createTempDirectory("graft_vecs_chain").toString
+    val ckpt = Files.createTempDirectory("graft_vschain_ckpt").toString
+    val ms = MemoryStream[VecEvent]
+    val w = VecIndexStream.indexWriter(ms.toDS(), base, q, geom = geom)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      vecs.grouped(math.max(1, vecs.size / 3 + 1)).foreach { g =>
+        ms.addData(g: _*); w.processAllAvailable()
+      }
+    } finally w.stop()
+    // the geometry comes back from the STORE, not the writer's args
+    val stored = VecIndexStream.readBandedGeom(spark, base)
+    assert(stored == geom, s"stored geometry $stored != written $geom")
+    // stream == pinned batch derivation == stateless probing derivation
+    val hSlice = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < split)
+    def postingRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(r.fieldIndex("vec_id")),
+        r.getInt(r.fieldIndex("band")), r.getInt(r.fieldIndex("bucket")))).toSet
+    val post = VecIndexStream.readBandedPostings(spark, base)
+    val pinned = Similarity.bandedSignBucketsGeom(spark, hSlice, stored)
+    val probed = Similarity.bandedSignBuckets(spark, hSlice,
+      geom.bands, geom.planes, geom.seed)
+    assert(postingRows(post) == postingRows(pinned),
+      "stream-written seeded postings diverge from the pinned derivation")
+    assert(postingRows(pinned) == postingRows(probed),
+      "pinned (dims from geom) and probing (dims from data) seeded " +
+        "derivations disagree")
+    // compact under the stored geometry, advance under h.geom
+    val (buckets, _) = VecIndexStream.readIndexTables(spark, base)
+    val hist = VecBackbone.compactBanded(spark, post,
+      buckets.select("vec_id", "v", "n"), tag = base, geom = stored)
+    assert(hist.geom == geom, "compacted state lost the geometry")
+    val chained = VecBackbone.advanceBanded(spark, sf, splitOverride = split,
+        histOverride = Some(hist),
+        hVecsOverride = Some(buckets.select("vec_id", "v", "n", "bucket")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Similarity
+      .semanticDedupBanded(spark, graft.Tables.embeddings(spark, sf),
+        bands = geom.bands, planes = geom.planes,
+        threshold = VecBackbone.Threshold, lshSeed = geom.seed)
+      .select("vec_id", "cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(chained == full,
+      s"seeded stream→compact→advance diverged from the full rebuild: " +
+        s"${(chained -- full).toSeq.sorted.take(5)} / " +
+        s"${(full -- chained).toSeq.sorted.take(5)}")
+  }
+
+  test("empty micro-batch at a seeded geometry costs no probe and no rows") {
+    // the pinned-geometry path derives planes from (seed, dims) alone —
+    // an empty slice must write an empty (not crashed, not null-bucket)
+    // posting partition
+    import spark.implicits._
+    val q = VecBackbone.quantizer(spark, sf)
+    val base = Files.createTempDirectory("graft_vec_empty").toString
+    val geom = graft.pipeline.BandedGeom.seeded(2, 6, 7L, 8)
+    val empty = Seq.empty[VecEvent].toDF("vec_id", "embedding")
+    VecIndexStream.writeIndexBatch(empty, 0L, base, q, geom = geom)
+    assert(VecIndexStream.readBandedPostings(spark, base).count() == 0L)
+    assert(VecIndexStream.readBandedGeom(spark, base) == geom)
+  }
+
   test("failure soak: mid-batch kill + checkpoint replay under RocksDB — " +
     "zero loss, zero duplicates") {
     // The wire relay has a drop/lost-ack soak (ServeMainSpec); this is the
