@@ -86,7 +86,7 @@ object ScaleSmoke {
     * typo must not masquerade as a sweep that produced no output. */
   private val knownSections =
     Set("orderstats", "vec-advance", "advance-soak", "wh-gc", "vec-geometry",
-      "capacity-decade")
+      "capacity-decade", "banded-cost", "skew")
   private val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
   only.foreach(o => require(knownSections(o),
     s"unknown SPARK_GRAFT_SMOKE_ONLY section '$o'; known: " +
@@ -95,6 +95,11 @@ object ScaleSmoke {
     require(knownSections(name), s"section '$name' not registered")
     if (only.forall(_ == name)) body
   }
+
+  /** Cross-multiplier state for the banded-cost gate: (kind, mult) →
+    * (candidates per vector, advance shuffle-write bytes). */
+  private val bandedCost =
+    scala.collection.mutable.Map[(String, Int), (Double, Long)]()
 
   def main(args: Array[String]): Unit = {
     val mults = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 16)
@@ -149,7 +154,8 @@ object ScaleSmoke {
       // each drill-down synthesizes only what it reads: vec-advance and
       // vec-geometry consume embeddings, advance-soak documents (wh-gc
       // synthesizes its own per-day corpora)
-      if (only.isEmpty || only.exists(Set("vec-advance", "vec-geometry")))
+      if (only.isEmpty || only.exists(Set("vec-advance", "vec-geometry",
+          "banded-cost")))
         synthEmbeddings(spark, nVec, 64, dir)
       if (only.isEmpty || only.contains("advance-soak"))
         synthDocuments(spark, nDoc, dir)
@@ -435,6 +441,7 @@ object ScaleSmoke {
         // to the extra bands, not a reroll). Candidate cost multiplies
         // by ~b: the sweep prints it so the recall is priced, not free.
         var lastRecall = -1.0
+        var recallAtB2 = -1.0
         Seq(1, 2, 4).foreach { nb =>
           val post = pipeline.Similarity
             .bandedSignBuckets(spark, emb, nb, rule, Some(7L))
@@ -455,10 +462,134 @@ object ScaleSmoke {
           require(recall >= lastRecall,
             f"banded recall must be monotone in b: $recall%.3f after $lastRecall%.3f")
           lastRecall = recall
+          if (nb == 2) recallAtB2 = recall
           println(f"[scale] vec-geometry band b=$nb%-2d r=$rule%-2d x$m: " +
             f"recall=$recall%.3f model=$model%.3f candidates=$nCand%,d")
         }
+        // STREAMED seeded-index recall point (VERDICT r14 #3 done-
+        // criterion): the b=2 geometry measured above, written through
+        // the STREAM path (3 micro-batch cuts through the foreachBatch
+        // body), its geometry read back from the store's sidecar, and
+        // its postings audited for the same window recall. The pinned-
+        // geometry equality (stream == batch == probe, spec-pinned)
+        // makes this recall EXACTLY the stateless b=2 number — required
+        // here so the certification is measured, not inferred.
+        locally {
+          val geom = pipeline.BandedGeom.seeded(2, rule, 7L, 64)
+          val q = pipeline.VecBackbone.quantizer(spark, dir)
+          val base = s"${sys.props("java.io.tmpdir")}/graft_streamidx_$m"
+          val fsp = new org.apache.hadoop.fs.Path(base)
+          fsp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(fsp, true)
+          (0 until 3).foreach { i =>
+            val loB = window * i / 3; val hiB = window * (i + 1) / 3
+            graft.streaming.VecIndexStream.writeIndexBatch(
+              emb.filter(col("vec_id") >= loB && col("vec_id") < hiB),
+              i.toLong, base, q, geom = geom)
+          }
+          val storedGeom =
+            graft.streaming.VecIndexStream.readBandedGeom(spark, base)
+          require(storedGeom == geom,
+            s"streamed index sidecar lost the geometry: $storedGeom")
+          val post =
+            graft.streaming.VecIndexStream.readBandedPostings(spark, base)
+          val caught = post.as("x").join(post.as("y"),
+              col("x.band") === col("y.band") &&
+                col("x.bucket") === col("y.bucket") &&
+                col("x.vec_id") < col("y.vec_id"))
+            .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+            .distinct()
+          val hit = truth.join(caught, Seq("va", "vb"), "left_semi").count()
+          val recall = hit.toDouble / nTruth
+          println(f"[scale] vec-geometry STREAMED b=2 r=$rule x$m: " +
+            f"recall=$recall%.3f (stateless b=2: $recallAtB2%.3f)")
+          require(recall == recallAtB2,
+            f"streamed seeded index recall $recall%.3f != stateless " +
+              f"$recallAtB2%.3f — the stream wrote different buckets")
+        }
         truth.unpersist()
+      }
+
+      // ---- banded COST sweep: candidates + advance bytes per geometry --
+      // The vec-geometry sweep prices the banded geometry's RECALL; this
+      // one prices its COST through the incremental chain (VERDICT r14
+      // #1b): the catalog pins axis b=2/r=4 (16 buckets per band
+      // forever), so bucket occupancy grows with n and candidate pairs
+      // grow ~n² — a fixture-bound oracle point whose 11x-on-4x shuffle
+      // growth nearly tripped the r14 gate. The PRODUCTION geometry
+      // sizes r by the 2^r ≈ n/30 rule (planesFor), holding occupancy
+      // ~flat, so candidates/vector and the advance's shuffle bytes must
+      // stay ~corpus-linear. Both geometries run the SAME advanceBanded
+      // chain over stored state (history untimed — yesterday's commit);
+      // the printed pairs/vector and measured shuffle-write bytes are
+      // the numbers SCALE.md's adjudication and the shuffle gate's
+      // per-key cap for d_semantic_incr_banded rest on.
+      section("banded-cost") {
+        val meter = new pipeline.ShuffleAudit.Meter(spark)
+        val vecBatchN = baseVecs / 2
+        val vecSplit = (nVec - vecBatchN).toLong
+        val rule = pipeline.Similarity.planesFor(nVec)
+        val geoms = Seq(
+          ("axis-b2r4", pipeline.VecBackbone.CatalogGeom),
+          ("prod-b2r" + rule,
+            pipeline.BandedGeom.seeded(2, rule, 7L, 64)))
+        geoms.foreach { case (nm, geom) =>
+          val post = pipeline.Similarity.bandedSignBucketsGeom(
+            spark, Tables.embeddings(spark, dir), geom)
+          val cand = pairSum(post.groupBy("band", "bucket").count()
+            .select(col("count").as("n")))
+          println(f"[scale] banded-cost $nm%-10s x$m (n=$nVec%,d): " +
+            f"$cand%,d candidate pairs (${cand.toDouble / nVec}%.1f per vec; " +
+            f"all-pairs ${nVec.toLong * (nVec - 1) / 2}%,d)")
+          // yesterday's stored state, untimed; then measure the advance
+          pipeline.VecBackbone.historyBanded(spark, dir, vecSplit, geom)
+          pipeline.VecBackbone.history(spark, dir, vecSplit)
+          meter.settle(); meter.reset()
+          var w = 0L; var p = 0L
+          timeIt(f"banded advance $nm x$m (hist=$vecSplit%,d, batch=$vecBatchN%,d)", {
+            val n = pipeline.VecBackbone
+              .advanceBanded(spark, dir, vecSplit, geom).count()
+            val (_, ww, _, pp) = meter.settle(); w = ww; p = pp
+            n
+          })
+          println(f"[scale] banded-cost $nm advance x$m: " +
+            f"shufW=${w / 1048576.0}%.2fMB peakTask=${p / 1048576.0}%.1fMB")
+          val kind = if (geom.seed.isDefined) "prod" else "axis"
+          bandedCost((kind, m)) = (cand.toDouble / nVec, w)
+        }
+        // quantizer-drift audit cost (VERDICT r14 #5): two
+        // sample-bounded driver fits + one linear scan of the stored
+        // vectors + an NCells×dims aggregate — wall must track the scan
+        // (corpus-linear at worst), shuffle stays report-sized
+        meter.settle(); meter.reset()
+        var dw = 0L
+        timeIt(f"quantizer drift audit x$m (n=$nVec%,d)", {
+          val n = pipeline.VecBackbone.quantizerDrift(spark, dir).count()
+          val (_, ww, _, _) = meter.settle(); dw = ww
+          n
+        })
+        println(f"[scale] quantizer drift audit x$m: shufW=${dw / 1024.0}%.1fKB")
+
+        // the measured gate (first measured r15: axis candidates/vec
+        // 155→543→2060 and advance bytes 22.5x on a 16x corpus — the
+        // quadratic fixture-bound oracle point; production 54→69→87
+        // per vec and 2.45x bytes): production-geometry candidates per
+        // vector must stay ~flat and the advance's bytes at most
+        // corpus-linear, or the planesFor sizing rule has regressed
+        bandedCost.get(("prod", mults.head)).foreach {
+          case (cand0, w0) =>
+            if (m != mults.head) {
+              val (candM, wM) = bandedCost(("prod", m))
+              require(candM <= 2.5 * cand0,
+                f"production-geometry candidates/vector grew " +
+                  f"$cand0%.1f -> $candM%.1f at x$m — occupancy no " +
+                  "longer bounded by the 2^r ≈ n/30 rule")
+              require(wM.toDouble <= (m.toDouble / mults.head) * w0,
+                f"production-geometry advance shuffle grew " +
+                  f"${wM.toDouble / w0}%.1fx on a ${m / mults.head}x " +
+                  "corpus — super-linear at the sized geometry")
+            }
+        }
       }
 
       // ---- warehouse version GC under the nightly chain ----------------

@@ -410,6 +410,79 @@ object Similarity {
         .orderBy("va", "vb")
     }),
 
+    // IVF QUANTIZER-DRIFT audit (VERDICT r14 #5) — the FAISS "re-train"
+    // signal, completing the observability matrix (LSH has recall
+    // audits; IVF had none): per coarse cell, how many stored vectors
+    // would change their nearest centroid if the quantizer were refit
+    // on the CURRENT corpus, plus how far each centroid itself moved.
+    // Oracled at the deterministic operating point (the house rule for
+    // every learned component): pinned centers = the first NCells
+    // HISTORY vectors read from the committed history bucket table
+    // ("the quantizer trained when only history existed"), refit = one
+    // exact micro-unit Lloyd step over the full stored corpus — the
+    // first gradient step of retraining, which IS the drift direction.
+    // All assignment math is pure double with sequential folds and the
+    // refit mean uses order-free integer sums, so the DuckDB mirror is
+    // bit-exact. The production form over the real MiniKMeans
+    // artifacts is VecBackbone.quantizerDrift (spec-pinned).
+    "d_ann_ivf_drift" -> ((s, d) => {
+      val (a12, c1, c2) = ivfDriftParts(s, d)
+      driftReport(s, a12, c1, c2)
+    }),
+
+    // The PROBED-CELL RECALL DELTA half of the drift audit: for each
+    // query vector, how many of its exact top-5 neighbors live in the
+    // nProbe=2 cells the query would probe — under the pinned
+    // assignment vs the one-step refit. The delta is the operator's
+    // answer to "what recall does retraining buy today". Same
+    // deterministic centers as d_ann_ivf_drift, fully oracled.
+    "d_ann_ivf_drift_recall" -> ((s, d) => {
+      val (a12, c1, c2) = ivfDriftParts(s, d)
+      val vecs = VecBackbone.buckets(s, d)
+        .select(col("vec_id"), col("v"), col("n"))
+      val q = vecs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("n").as("qn"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+      val truth = vecs
+        .select(col("vec_id").as("n_id"), col("v").as("nv"), col("n").as("nn"))
+        .crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", round(dot("qv", "nv") / (col("qn") * col("nn")), 4))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("q_id", "n_id")
+      def probes(centers: Array[Array[Double]], out: String): DataFrame =
+        withScoresDbl(q.select(col("q_id"), col("qv")), "qv", centers, "sc")
+          .withColumn(out, explode(expr(
+            s"""slice(transform(array_sort(zip_with(sc,
+                        sequence(0, ${centers.length - 1}),
+                        (v, i) -> named_struct('v', v, 'i', i))), x -> x.i),
+                      1, 2)""")))
+          .select(col("q_id"), col(out))
+      val nCell = a12.select(col("vec_id").as("n_id"),
+        col("cell"), col("cell2"))
+      val scored = truth.join(nCell, Seq("n_id"))
+        .join(broadcast(probes(c1, "p1"))
+          .groupBy("q_id").agg(collect_set("p1").as("p1s")), Seq("q_id"))
+        .join(broadcast(probes(c2, "p2"))
+          .groupBy("q_id").agg(collect_set("p2").as("p2s")), Seq("q_id"))
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(expr("CAST(array_contains(p1s, cell) AS LONG)"))
+            .as("hits_pinned"),
+          sum(expr("CAST(array_contains(p2s, cell2) AS LONG)"))
+            .as("hits_refit"))
+      scored
+        .select(col("q_id"), col("n_truth"), col("hits_pinned"),
+          col("hits_refit"),
+          round(col("hits_pinned").cast("double") /
+            col("n_truth").cast("double"), 6).as("recall_pinned"),
+          round(col("hits_refit").cast("double") /
+            col("n_truth").cast("double"), 6).as("recall_refit"))
+        .orderBy("q_id")
+    }),
+
     // BANDED recall audit — the measured composite-S-curve number: every
     // exact truth pair flagged with whether ANY band's buckets collide
     // (caught) and with HOW MANY do (bands_hit). Reads the stored
@@ -678,6 +751,129 @@ object Similarity {
       .agg(coalesce(sum("count"), lit(0L))).head.getLong(0)
   }
 
+  // ---------------------------------------------------------------------
+  // IVF quantizer-drift audit (VERDICT r14 #5) — exact double-precision
+  // assignment math shared by the oracled catalog entries and the
+  // production audit, engineered for CROSS-ENGINE bit-equality: center
+  // literals stay ARRAY<DOUBLE> (the float-cast literals in the ivf
+  // query path are fine for argmin consistency but would diverge from
+  // DuckDB's double list math), every dot product is a left-to-right
+  // fold (DuckDB's list_inner_product order), and the refit mean uses
+  // ORDER-FREE integer micro-unit sums so Spark's partition-order
+  // double summation can never flip an argmin by one ulp.
+  // ---------------------------------------------------------------------
+
+  private def centersDblSql(cs: Array[Array[Double]]): String =
+    cs.map(c => s"CAST(array(${c.mkString(",")}) AS ARRAY<DOUBLE>)")
+      .mkString("array(", ",", ")")
+
+  /** Per-center scores in PURE double: score_i = |c_i|² − 2·v·c_i (orders
+    * like |v−c_i|²), every sum a sequential fold — bit-identical to the
+    * DuckDB mirror's list_inner_product arithmetic. */
+  private[graft] def withScoresDbl(df: DataFrame, vecCol: String,
+      centers: Array[Array[Double]], out: String): DataFrame =
+    df.withColumn(out, expr(
+      s"""transform(${centersDblSql(centers)}, c ->
+            aggregate(zip_with(c, c, (x, y) -> x * y), 0D, (a, t) -> a + t)
+            - 2.0D * aggregate(zip_with(CAST($vecCol AS ARRAY<DOUBLE>), c,
+                                        (x, y) -> x * y),
+                               0D, (a, t) -> a + t))"""))
+
+  /** Nearest-center assignment over [[withScoresDbl]] scores, ties to the
+    * lowest index (== DuckDB's row_number ORDER BY score, cid). */
+  private[graft] def withCellDbl(df: DataFrame, vecCol: String,
+      centers: Array[Array[Double]], out: String): DataFrame = {
+    val tmp = s"__dsc_$out"
+    withScoresDbl(df, vecCol, centers, tmp)
+      .withColumn(out,
+        expr(s"CAST(array_position($tmp, array_min($tmp)) - 1 AS INT)"))
+      .drop(tmp)
+  }
+
+  /** One DETERMINISTIC Lloyd step from `centers` over `assigned`
+    * (vec_id, <vecCol>, <cellCol>): per-cell per-dim mean computed as
+    * Σ round(x·10⁶) (exact BIGINT, order-free) divided by 10⁶·n — the
+    * refit direction a staleness audit measures, reproducible to the
+    * bit in SQL (micro-unit quantization sidesteps the engines'
+    * differing double-summation orders). Empty cells keep their pinned
+    * center (MiniKMeans' own empty-cluster rule). */
+  private[graft] def lloydStepMicro(assigned: DataFrame, vecCol: String,
+      cellCol: String, centers: Array[Array[Double]]): Array[Array[Double]] = {
+    val sums = assigned
+      .select(col(cellCol).as("cell"), posexplode(col(vecCol)))
+      .groupBy("cell", "pos")
+      .agg(sum(expr("CAST(round(col * 1000000D) AS BIGINT)")).as("s"),
+        count(lit(1)).as("n"))
+      .collect() // nCells × dims rows — index-metadata scale
+    val out = centers.map(_.clone)
+    sums.foreach { r =>
+      out(r.getInt(0))(r.getInt(1)) =
+        r.getLong(2).toDouble / (1e6 * r.getLong(3))
+    }
+    out
+  }
+
+  /** Sequential-fold helpers matching list_inner_product exactly. */
+  private def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+    var i = 0; var s = 0.0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** The per-cell drift report over dual assignments `a12`
+    * (vec_id, …, cell, cell2): members per pinned cell, how many would
+    * move under the refit, the moved fraction, and how far the center
+    * itself shifted — shared by the oracled catalog entry and the
+    * production [[VecBackbone.quantizerDrift]] so the two can never
+    * disagree on the report's math. */
+  private[graft] def driftReport(s: SparkSession, a12: DataFrame,
+      c1: Array[Array[Double]], c2: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    val shifts = c1.indices.map { i =>
+      val s2 = dotSeq(c1(i), c1(i)) + dotSeq(c2(i), c2(i)) -
+        2.0 * dotSeq(c1(i), c2(i))
+      (i, math.sqrt(math.max(0.0, s2)))
+    }
+    val base = shifts.toDF("cell", "shift_raw")
+    val stats = a12.groupBy("cell")
+      .agg(count(lit(1)).as("n"),
+        sum((col("cell2") =!= col("cell")).cast("long")).as("n_moved"))
+    base.join(stats, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_moved"), lit(0L)).as("n_moved"),
+        round(coalesce(col("n_moved"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n"), lit(0L)), lit(1L)).cast("double"), 6)
+          .as("moved_frac"),
+        round(col("shift_raw"), 6).as("center_shift"))
+      .orderBy("cell")
+  }
+
+  /** The drift audit's shared derivation at the ORACLED operating point:
+    * pinned centers = the first [[VecBackbone.NCells]] HISTORY vectors
+    * (read from the committed history bucket table — deterministic and
+    * SQL-derivable, standing in for "the quantizer trained when only
+    * history existed"); refit = one micro-unit Lloyd step over the full
+    * stored corpus. Returns (per-vector assignments under both, pinned
+    * centers, refit centers). The PRODUCTION form of this audit runs the
+    * real MiniKMeans artifacts ([[VecBackbone.quantizerDrift]]) — the
+    * catalog pins the oracle-reproducible instance, the house rule for
+    * every learned component. */
+  private[graft] def ivfDriftParts(s: SparkSession, d: String)
+      : (DataFrame, Array[Array[Double]], Array[Array[Double]]) = {
+    register(s)
+    val split = VecBackbone.deltaSplit(s, d)
+    val h = VecBackbone.history(s, d, split)
+    val c1 = h.buckets.filter(col("vec_id") < VecBackbone.NCells)
+      .orderBy("vec_id").select("v").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val vecs = VecBackbone.buckets(s, d).select(col("vec_id"), col("v"))
+    val a1 = withCellDbl(vecs, "v", c1, "cell")
+    val c2 = lloydStepMicro(a1, "v", "cell", c1)
+    val a12 = withCellDbl(a1, "v", c2, "cell2")
+    (a12, c1, c2)
+  }
+
   /** Config-selected LSH geometry for stateless per-call clustering:
     * `-Dgraft.vec.lshSeed=<long>` switches [[semanticDedup]] to seeded
     * random hyperplanes (the production geometry; recall certified by
@@ -939,6 +1135,53 @@ object Similarity {
          FROM members$x m LEFT JOIN reach$x r ON r.a = m.vec_id
          GROUP BY 1)"""
 
+  /** DuckDB mirror of the quantizer-drift derivation: pinned centers =
+    * first NCells history vectors, exact double assignment (score =
+    * lip(c,c) − 2·lip(v,c), ties to lowest cid — row_number's order),
+    * one micro-unit Lloyd step (order-free BIGINT sums of
+    * round(x·10⁶)), re-assignment under the refit. Every arithmetic
+    * step matches the Spark side bit-for-bit: sequential-fold dot
+    * products, the same round-half-away-from-zero, the same
+    * division. */
+  private val ivfDriftCtes =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+       c1 AS (SELECT vec_id AS cid, v AS cv FROM e
+              WHERE vec_id < ${VecBackbone.NCells}),
+       s1 AS (SELECT e.vec_id, e.v, c1.cid,
+                     list_inner_product(c1.cv, c1.cv)
+                     - 2 * list_inner_product(e.v, c1.cv) AS sc
+              FROM e CROSS JOIN c1),
+       a1 AS (SELECT vec_id, v, cid AS cell FROM (
+                SELECT vec_id, v, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY sc, cid) AS rk FROM s1)
+              WHERE rk = 1),
+       ref AS (SELECT cell, pos,
+                      SUM(CAST(round(val * 1000000) AS BIGINT)) AS s,
+                      COUNT(*) AS n
+               FROM (SELECT cell,
+                            unnest(generate_series(1, len(v))) AS pos,
+                            unnest(v) AS val FROM a1)
+               GROUP BY 1, 2),
+       c1pos AS (SELECT cid, unnest(generate_series(1, len(cv))) AS pos,
+                        unnest(cv) AS c1v FROM c1),
+       c2pos AS (SELECT cp.cid, cp.pos,
+                        COALESCE(r.s / (1000000.0 * r.n), cp.c1v) AS mv
+                 FROM c1pos cp LEFT JOIN ref r
+                   ON r.cell = cp.cid AND r.pos = cp.pos),
+       c2 AS (SELECT cid, list(mv ORDER BY pos) AS cv FROM c2pos
+              GROUP BY 1),
+       s2 AS (SELECT e.vec_id, c2.cid,
+                     list_inner_product(c2.cv, c2.cv)
+                     - 2 * list_inner_product(e.v, c2.cv) AS sc
+              FROM e CROSS JOIN c2),
+       a2 AS (SELECT vec_id, cid AS cell2 FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY sc, cid) AS rk FROM s2)
+              WHERE rk = 1)"""
+
   /** Full semantic re-clustering (axis-sign buckets, cosine >= 0.3,
     * min-label CC) — shared by d_dedup_semantic AND d_semantic_incr:
     * the incremental advance must reproduce the full rebuild exactly. */
@@ -1005,6 +1248,83 @@ object Similarity {
          ORDER BY q_id, rnk""",
 
     "d_knn_cosine" -> knnOracleSql,
+
+    // Quantizer drift, per-cell churn: assignment under the pinned
+    // centers vs under the one-step refit, plus how far each center
+    // moved (|c1|² + |c2|² − 2·c1·c2 — all sequential-fold
+    // list_inner_products, so the shift matches the Spark side's
+    // driver arithmetic bit-for-bit before the round).
+    "d_ann_ivf_drift" ->
+      s"""WITH $ivfDriftCtes,
+         moved AS (
+           SELECT a1.cell,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN a2.cell2 <> a1.cell THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_moved
+           FROM a1 JOIN a2 ON a1.vec_id = a2.vec_id GROUP BY 1),
+         shift AS (
+           SELECT c1.cid AS cell,
+                  sqrt(greatest(0,
+                    list_inner_product(c1.cv, c1.cv)
+                    + list_inner_product(c2.cv, c2.cv)
+                    - 2 * list_inner_product(c1.cv, c2.cv))) AS sh
+           FROM c1 JOIN c2 ON c1.cid = c2.cid)
+         SELECT CAST(s.cell AS INT) AS cell,
+                CAST(COALESCE(m.n, 0) AS BIGINT) AS n,
+                CAST(COALESCE(m.n_moved, 0) AS BIGINT) AS n_moved,
+                round(CAST(COALESCE(m.n_moved, 0) AS DOUBLE)
+                      / CAST(greatest(COALESCE(m.n, 0), 1) AS DOUBLE), 6)
+                  AS moved_frac,
+                round(s.sh, 6) AS center_shift
+         FROM shift s LEFT JOIN moved m ON m.cell = s.cell
+         ORDER BY 1""",
+
+    // Quantizer drift, probed-cell recall delta: exact top-5 truth per
+    // query; hits = truth neighbors whose (pinned | refit) cell lands
+    // in the query's 2 nearest (pinned | refit) cells.
+    "d_ann_ivf_drift_recall" ->
+      s"""WITH $ivfDriftCtes,
+         en AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nn
+                FROM e),
+         q AS (SELECT vec_id AS q_id, v AS qv, nn AS qn FROM en
+               WHERE vec_id < 10),
+         truth AS (SELECT q_id, n_id FROM (
+             SELECT q_id, en.vec_id AS n_id,
+                    row_number() OVER (PARTITION BY q_id ORDER BY
+                      round(list_inner_product(qv, en.v) / (qn * en.nn), 4)
+                        DESC, en.vec_id) AS rnk
+             FROM q JOIN en ON en.vec_id <> q_id) WHERE rnk <= 5),
+         p1 AS (SELECT q_id, cid AS cell FROM (
+             SELECT q.q_id, c1.cid,
+                    row_number() OVER (PARTITION BY q.q_id ORDER BY
+                      list_inner_product(c1.cv, c1.cv)
+                      - 2 * list_inner_product(q.qv, c1.cv), c1.cid) AS rk
+             FROM q CROSS JOIN c1) WHERE rk <= 2),
+         p2 AS (SELECT q_id, cid AS cell2 FROM (
+             SELECT q.q_id, c2.cid,
+                    row_number() OVER (PARTITION BY q.q_id ORDER BY
+                      list_inner_product(c2.cv, c2.cv)
+                      - 2 * list_inner_product(q.qv, c2.cv), c2.cid) AS rk
+             FROM q CROSS JOIN c2) WHERE rk <= 2),
+         hits AS (
+           SELECT t.q_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_truth,
+                  CAST(SUM(CASE WHEN p1.cell IS NOT NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS hits_pinned,
+                  CAST(SUM(CASE WHEN p2.cell2 IS NOT NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS hits_refit
+           FROM truth t
+           JOIN a1 ON a1.vec_id = t.n_id
+           JOIN a2 ON a2.vec_id = t.n_id
+           LEFT JOIN p1 ON p1.q_id = t.q_id AND p1.cell = a1.cell
+           LEFT JOIN p2 ON p2.q_id = t.q_id AND p2.cell2 = a2.cell2
+           GROUP BY 1)
+         SELECT q_id, n_truth, hits_pinned, hits_refit,
+                round(CAST(hits_pinned AS DOUBLE)
+                      / CAST(n_truth AS DOUBLE), 6) AS recall_pinned,
+                round(CAST(hits_refit AS DOUBLE)
+                      / CAST(n_truth AS DOUBLE), 6) AS recall_refit
+         FROM hits ORDER BY q_id""",
 
     "d_dedup_semantic" -> semanticClustersSql,
 

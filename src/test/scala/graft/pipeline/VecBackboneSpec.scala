@@ -481,6 +481,58 @@ class VecBackboneSpec extends AnyFunSuite {
     assert(got.filter(_.getLong(0) == 1L).forall(_.isNullAt(2)))
   }
 
+  test("quantizerDrift: zero-drift law at split = corpus end; sane report " +
+    "at the half split") {
+    // pinned-as-of-the-full-corpus == the live quantizer (same seeded
+    // sample, same deterministic fit), so the drift report must be
+    // identically zero — the audit's self-consistency law
+    val n = VecBackbone.vecCount(spark, sf)
+    val zero = VecBackbone.quantizerDrift(spark, sf, splitOverride = n)
+      .collect()
+    assert(zero.length == VecBackbone.NCells)
+    assert(zero.map(_.getLong(1)).sum == n, "every stored vector reported")
+    zero.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getDouble(3) == 0.0,
+        s"zero-drift law broken at cell ${r.getInt(0)}: $r")
+      assert(r.getDouble(4) == 0.0,
+        s"center moved with an identical fit at cell ${r.getInt(0)}")
+    }
+    // the real audit at the half split: complete partition of the
+    // corpus, fractions in range — the operator-facing shape
+    val rep = VecBackbone.quantizerDrift(spark, sf).collect()
+    assert(rep.length == VecBackbone.NCells)
+    assert(rep.map(_.getLong(1)).sum == n)
+    rep.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+  }
+
+  test("quantizerDrift: a planted distribution shift in the batch half " +
+    "raises the retrain signal") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(88)
+    // history: tight blobs near the origin; batch: the same blobs
+    // translated far away — exactly the staleness the audit exists to
+    // surface (the historical quantizer has no cell where the new mass
+    // lives)
+    val hist = (0 until 32).map { i =>
+      (i.toLong, Seq.fill(8)((rnd.nextFloat() - 0.5f) * 0.4f))
+    }
+    val batch = (32 until 64).map { i =>
+      (i.toLong, Seq.fill(8)(3.0f + (rnd.nextFloat() - 0.5f) * 0.4f))
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_qdrift").toString
+    (hist ++ batch).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rep = VecBackbone.quantizerDrift(spark, dir).collect()
+    assert(rep.map(_.getLong(1)).sum == 64L)
+    assert(rep.exists(_.getDouble(3) > 0.0) ||
+      rep.exists(_.getDouble(4) > 0.1),
+      s"planted shift produced no drift signal: ${rep.mkString("; ")}")
+  }
+
   test("bandsFor: smallest b reaching the composite-recall target") {
     // the SCALE.md sweep's own numbers: measured 0.24 single-band recall
     // needs 4 bands for ~0.67 composite

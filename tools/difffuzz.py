@@ -648,6 +648,89 @@ class Gen:
                 f"RANGE BETWEEN {frame}) AS BIGINT) AS w1 "
                 f"FROM {t}{self.where(t)}")
 
+    def q_lateral(self):
+        # correlated LATERAL subquery in the FROM clause (both engines
+        # parse `, LATERAL (SELECT ...)`): per outer row, an aggregate
+        # over the FK fan-out — the decorrelation path distinct from
+        # scalar subqueries in SELECT (q_scalar_subq). COUNT-on-empty = 0
+        # keeps every outer row present on both sides.
+        r = self.r
+        lt, lk, rt, rk = r.choice(JOINS)
+        c = r.choice(self.meta[lt]["ints"])
+        bp = self.pred(lt, "b")
+        pk = ", ".join(f"a.{k}" for k in PK[rt])
+        return (f"SELECT {pk}, CAST(l.cnt AS BIGINT) AS lc0, "
+                f"CAST(l.s0 AS BIGINT) AS ls0 "
+                f"FROM {rt} a, LATERAL (SELECT COUNT(*) AS cnt, "
+                f"COALESCE(SUM(CASE WHEN {bp} THEN b.{c} ELSE 0 END), 0) "
+                f"AS s0 FROM {lt} b WHERE b.{lk} = a.{rk}) l"
+                f"{self.where(rt, 'a')}")
+
+    def q_decimal(self):
+        # DECIMAL casts + exact arithmetic: integer columns cast to
+        # DECIMAL(18,3), scaled by integer constants, summed — decimal
+        # sums are exact on both engines, unlike double sums (the rule
+        # that keeps SUM out of the dbls pool). Result precision is
+        # pinned by an explicit outer CAST because the engines' implicit
+        # sum-precision widening rules differ (Spark +10 digits, DuckDB
+        # to DECIMAL(38)); division stays out — quotient scale rules
+        # genuinely diverge.
+        r = self.r
+        t = r.choice(TABLES)
+        m = self.meta[t]
+        g = r.choice(m["strs"] + m["ints"])
+        c1, c2 = r.choice(m["ints"]), r.choice(m["ints"])
+        k = r.randint(2, 9)
+        return (f"SELECT {g} AS k0, "
+                f"CAST(SUM(CAST({c1} AS DECIMAL(18,3))) AS DECIMAL(28,3)) "
+                f"AS s0, "
+                f"CAST(SUM(CAST({c1} AS DECIMAL(18,3)) * {k}) "
+                f"AS DECIMAL(28,3)) AS s1, "
+                f"CAST(MIN(CAST({c2} AS DECIMAL(18,3)) - "
+                f"CAST({c1} AS DECIMAL(18,3))) AS DECIMAL(28,3)) AS m0, "
+                f"CAST(COUNT(*) AS BIGINT) AS cnt "
+                f"FROM {t}{self.where(t)} GROUP BY 1")
+
+    def q_setop_window(self):
+        # window over a set-op result: ROW_NUMBER over UNION ALL of two
+        # filtered slices of the same table. A side tag joins the pk in
+        # the ORDER BY so the union's total order (and therefore the
+        # rank) stays engine-deterministic even where the slices overlap.
+        r = self.r
+        t = r.choice(TABLES)
+        m = self.meta[t]
+        c = r.choice(m["ints"])
+        pk = ", ".join(PK[t])
+        cols = ", ".join(dict.fromkeys(PK[t] + [c]))
+        p1, p2 = self.pred(t), self.pred(t)
+        keep = r.randint(2, 12)
+        return (f"SELECT side, {cols}, rn FROM ("
+                f"SELECT u.*, CAST(ROW_NUMBER() OVER (ORDER BY {c} DESC, "
+                f"{pk}, side) AS BIGINT) AS rn FROM ("
+                f"SELECT 'a' AS side, {cols} FROM {t} WHERE {p1} "
+                f"UNION ALL "
+                f"SELECT 'b' AS side, {cols} FROM {t} WHERE {p2}) u) "
+                f"WHERE rn <= {keep}")
+
+    def q_cte(self):
+        # chained CTEs with one CTE referenced TWICE (a filtered base
+        # feeding both a per-key aggregate and the row side of the join
+        # back) — the reuse/inlining decision differs across engines but
+        # the result must not.
+        r = self.r
+        t = r.choice(TABLES)
+        m = self.meta[t]
+        g = r.choice(m["strs"] + m["ints"])
+        c = r.choice(m["ints"])
+        w = self.where(t) or " WHERE 1 = 1"
+        return (f"WITH f AS (SELECT * FROM {t}{w}), "
+                f"g AS (SELECT {g} AS k0, CAST(COUNT(*) AS BIGINT) AS cnt, "
+                f"CAST(SUM({c}) AS BIGINT) AS s0 FROM f GROUP BY 1) "
+                f"SELECT g.k0, g.cnt, g.s0, "
+                f"CAST(COUNT(*) AS BIGINT) AS cnt2 "
+                f"FROM g JOIN f ON f.{g} = g.k0 "
+                f"GROUP BY 1, 2, 3")
+
     def gen(self, i):
         return [self.q_agg, self.q_scalar, self.q_join, self.q_setop,
                 self.q_topk, self.q_window, self.q_datetime,
@@ -658,7 +741,8 @@ class Gen:
                 self.q_scalar_subq, self.q_in_subq, self.q_window_join,
                 self.q_distinct_agg, self.q_exists_agg,
                 self.q_case_groupby, self.q_join_full,
-                self.q_window_range][i % 26]()
+                self.q_window_range, self.q_lateral, self.q_decimal,
+                self.q_setop_window, self.q_cte][i % 30]()
 
 
 def main():
