@@ -101,6 +101,70 @@ object ScaleSmoke {
   private val bandedCost =
     scala.collection.mutable.Map[(String, Int), (Double, Long)]()
 
+  /** WHALE events corpus for the skew certification (VERDICT r14 #2):
+    * user 0 holds ~10 % of all events, the rest spread uniformly over
+    * 1,000 users — the one-bot-user shape the uniform fixtures cannot
+    * surface. Event types cycle the funnel alphabet so every per-user
+    * key does real chain work on the whale's stream; timestamps spread
+    * over 30 days so windows neither saturate nor empty. */
+  def synthEventsWhale(spark: SparkSession, n: Int, out: String): Unit = {
+    val df = spark.range(n.toLong).select(
+      col("id").as("event_id"),
+      expr("""timestamp '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0,
+              0, 0, CAST(pmod(hash(id, 3), 2592000) AS DOUBLE))""").as("ts"),
+      expr("IF(pmod(id, 10) = 0, 0L, 1 + pmod(hash(id, 5), 1000))")
+        .cast("long").as("user_id"),
+      expr("""element_at(array('signup', 'view', 'click', 'purchase',
+              'scroll'), CAST(pmod(hash(id, 7), 5) AS INT) + 1)""")
+        .as("event_type"),
+      (expr("pmod(hash(id, 9), 1000)") / 10.0).as("value"),
+      lit("{}").as("props"))
+    df.repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
+  }
+
+  /** Per-TASK skew meter: per stage, every task's duration and shuffle-
+    * read bytes — the straggler signal ShuffleAudit's per-key TOTALS
+    * cannot see (a whale user serializes one task while the sums stay
+    * linear). Read side: the worst stage by max task duration among
+    * stages with enough tasks for a median to mean anything. */
+  private final class SkewMeter(spark: SparkSession) {
+    import scala.jdk.CollectionConverters._
+    private val tasks = new java.util.concurrent.ConcurrentHashMap[
+      Int, java.util.List[(Long, Long)]]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null && te.taskInfo != null) {
+            tasks.computeIfAbsent(te.stageId,
+                _ => java.util.Collections.synchronizedList(
+                  new java.util.ArrayList[(Long, Long)]()))
+              .add((te.taskInfo.duration,
+                m.shuffleReadMetrics.totalBytesRead)): Unit
+          }
+        }
+      })
+    def reset(): Unit = tasks.clear()
+    /** (tasks, maxMs, medianMs, maxReadB, medianReadB) of the worst
+      * stage (by max task duration) among stages with >= minTasks. */
+    def worstStage(minTasks: Int = 8): Option[(Int, Long, Long, Long, Long)] = {
+      val byStage = tasks.asScala.toSeq
+        .map { case (_, l) => l.asScala.toSeq }
+        .filter(_.size >= minTasks)
+      if (byStage.isEmpty) None
+      else {
+        // the stage of interest is the EXCHANGE CONSUMER (the user-keyed
+        // sort/window stage) — pick by max task shuffle-read; a scan
+        // stage (read 0) only wins when nothing shuffles at all
+        val worst = byStage.maxBy(st => (st.map(_._2).max, st.map(_._1).max))
+        def med(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
+        Some((worst.size, worst.map(_._1).max, med(worst.map(_._1)),
+          worst.map(_._2).max, med(worst.map(_._2))))
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val mults = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = EngineSession.local(appName = "graft-scale-smoke")
@@ -632,6 +696,87 @@ object ScaleSmoke {
             case Some(v) => sys.props("graft.backbone.dir") = v
             case None => sys.props -= "graft.backbone.dir"
           }
+        }
+      }
+
+      // ---- per-user skew certification (whale user) --------------------
+      // Every event-analytics key partitions by user_id; at 100 TB one
+      // whale/bot user puts its whole history in ONE task — the classic
+      // straggler the uniform fixtures can't surface, and invisible to
+      // ShuffleAudit's per-key TOTALS. This section plants a corpus
+      // where user 0 holds ~10 % of events and measures, per key, the
+      // worst stage's max-task vs median-task duration AND shuffle-read
+      // bytes (bytes are the load-insensitive half of the signal). The
+      // expected shape: with 32 hash partitions over ~1,001 users, the
+      // median task reads ~3 % of rows, the whale's task ~13 % → a
+      // byte straggler ratio of ~4-5× for every user-keyed key, and ~1×
+      // for the event_id-keyed contrast key (o_w1). The per-task COST
+      // of the whale is sort-bounded (every funnel/sequence key is
+      // stacked windows over one per-user sort — O(w log w) in whale
+      // events w, no quadratic term), so the certified bound is
+      // "slowest task tracks the whale's share linearly"; SCALE.md
+      // carries the per-key verdicts.
+      section("skew") {
+        val nEv = 100000 * m
+        synthEventsWhale(spark, nEv, dir)
+        val whaleShare = Tables.events(spark, dir)
+          .filter(col("user_id") === 0L).count().toDouble / nEv
+        println(f"[scale] skew corpus x$m: $nEv%,d events, whale share " +
+          f"$whaleShare%.3f over 1,001 users")
+        // AQE's partition coalescing merges the small local exchanges
+        // into 1-2 tasks and hides the per-task spread this section
+        // exists to measure; at production scale partitions are far
+        // above the coalesce target and stay 1:1, so disabling it here
+        // measures the real cluster shape (restored after the section)
+        val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+        val prevCoalesce = spark.conf.getOption(coalesceKey)
+        spark.conf.set(coalesceKey, "false")
+        val sm = new SkewMeter(spark)
+        val keys = Seq("o_a15_funnel", "o_a15b_funnel_dedup",
+          "o_a15c_funnel_4stage", "o_a15d_funnel_strict", "o_a16_retention",
+          "o_a17_seqmatch", "o_a18_seqcount", "o_a21_seq_next_node",
+          "o_t10_session", "o_w1_dedup")
+        // keys whose heavy stage is user_id-keyed (the whale's bytes
+        // land in one task) vs pre-reduced/other-keyed contrast keys
+        val userKeyed = Set("o_a15_funnel", "o_a15b_funnel_dedup",
+          "o_a15c_funnel_4stage", "o_a15d_funnel_strict", "o_a17_seqmatch",
+          "o_a18_seqcount", "o_a21_seq_next_node")
+        keys.foreach { k =>
+          SparkEntry.queries(k)(spark, dir).count() // warm (JIT, scans)
+          sm.reset()
+          val t0 = System.nanoTime()
+          SparkEntry.queries(k)(spark, dir).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          sm.worstStage() match {
+            case Some((nt, maxMs, medMs, maxB, medB)) =>
+              val tRatio = maxMs.toDouble / math.max(1L, medMs)
+              val bRatio = maxB.toDouble / math.max(1L, medB)
+              println(f"[scale] skew $k%-22s x$m: $sec%6.2f s  " +
+                f"tasks=$nt%-3d maxTask=${maxMs}%,6d ms (med ${medMs}%,5d, " +
+                f"${tRatio}%4.1fx)  maxRead=${maxB / 1024}%,8d KB " +
+                f"(med ${medB / 1024}%,6d, ${bRatio}%4.1fx)")
+              if (userKeyed(k)) {
+                // the certification: (a) the corpus really skews this
+                // key's heavy stage (whale bytes in one task), and
+                // (b) the whale task's TIME tracks its byte share —
+                // sort-bounded per-user work. A quadratic per-user
+                // formulation fails (b) loudly: the r15 sweep caught
+                // o_a17's unboundedFollowing frame at 55× time on 3.8×
+                // bytes exactly this way.
+                require(bRatio >= 2.0,
+                  f"$k: whale corpus produced no byte skew " +
+                    f"($bRatio%.1fx) — measurement or corpus broken")
+                require(tRatio <= 3.0 * bRatio + 1.0,
+                  f"$k: max-task time $tRatio%.1fx vs bytes $bRatio%.1fx " +
+                    "— super-linear per-user work (quadratic frame?)")
+              }
+            case None =>
+              println(s"[scale] skew $k x$m: no stage with enough tasks")
+          }
+        }
+        prevCoalesce match {
+          case Some(v) => spark.conf.set(coalesceKey, v)
+          case None => spark.conf.unset(coalesceKey)
         }
       }
 

@@ -281,8 +281,18 @@ object EventAnalytics {
         .orderBy(unix_micros(col("ts")).asc_nulls_last)
       val lastSignup = max(when(col("event_type") === "signup", col("ts")))
         .over(wRange.rangeBetween(Window.unboundedPreceding, -1))
+      // "any purchase strictly after this row" as a GROWING frame over
+      // the REVERSED order — not rowsBetween(1, unboundedFollowing):
+      // Spark's UnboundedFollowing frame recomputes the aggregate from
+      // scratch at every row (O(rows²) per partition), which the whale
+      // skew sweep measured as a 55× straggler (10.8 s task vs 195 ms
+      // median at a 10 % whale). The reversed growing frame is the same
+      // row set, evaluated incrementally — O(rows log rows) for the
+      // extra in-partition sort, same single user_id exchange.
+      val wDesc = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc_nulls_first, col("event_id").desc)
       val purchaseAfter = max(when(col("event_type") === "purchase", col("ts")))
-        .over(w.rowsBetween(1, Window.unboundedFollowing))
+        .over(wDesc.rowsBetween(Window.unboundedPreceding, -1))
       e.withColumn("mid", when(col("event_type") === "click" &&
           lastSignup >= col("ts") - expr("INTERVAL 1 HOUR") &&
           purchaseAfter > col("ts"), 1).otherwise(0))
