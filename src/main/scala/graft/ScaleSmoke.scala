@@ -131,26 +131,50 @@ object ScaleSmoke {
     import scala.jdk.CollectionConverters._
     private val tasks = new java.util.concurrent.ConcurrentHashMap[
       Int, java.util.List[(Long, Long)]]()
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = te.taskMetrics
-          if (m != null && te.taskInfo != null) {
-            tasks.computeIfAbsent(te.stageId,
-                _ => java.util.Collections.synchronizedList(
-                  new java.util.ArrayList[(Long, Long)]()))
-              .add((te.taskInfo.duration,
-                m.shuffleReadMetrics.totalBytesRead)): Unit
-          }
+    private val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null && te.taskInfo != null) {
+          tasks.computeIfAbsent(te.stageId,
+              _ => java.util.Collections.synchronizedList(
+                new java.util.ArrayList[(Long, Long)]()))
+            .add((te.taskInfo.duration,
+              m.shuffleReadMetrics.totalBytesRead)): Unit
         }
-      })
-    def reset(): Unit = tasks.clear()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def detach(): Unit = spark.sparkContext.removeSparkListener(listener)
+    /** The listener bus is ASYNC: the whale task's TaskEnd — by
+      * construction the LAST event of the measured stage, i.e. the
+      * straggler being certified — can still be in flight when count()
+      * returns, and late warm-run events can land after a bare clear().
+      * Wait for two consecutive still total-counts before reading or
+      * resetting (ShuffleAudit.Meter's settle contract). */
+    def settle(): Unit = {
+      import scala.jdk.CollectionConverters._
+      var still = 0
+      var last = -1L
+      val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
+      while (still < 2 && System.nanoTime < deadline) {
+        val now = tasks.asScala.valuesIterator.map(_.size.toLong).sum
+        if (now == last) still += 1 else still = 0
+        last = now; Thread.sleep(200)
+      }
+      if (still < 2) println(
+        "[scale] WARNING: skew listener did not settle; a straggler " +
+          "task may be missing from the measurement")
+    }
+    def reset(): Unit = { settle(); tasks.clear() }
     /** (tasks, maxMs, medianMs, maxReadB, medianReadB) of the worst
       * stage (by max task duration) among stages with >= minTasks. */
     def worstStage(minTasks: Int = 8): Option[(Int, Long, Long, Long, Long)] = {
+      settle()
+      // copy under each list's monitor: events may still arrive for
+      // OTHER stages while this one is read
       val byStage = tasks.asScala.toSeq
-        .map { case (_, l) => l.asScala.toSeq }
+        .map { case (_, l) => l.synchronized(l.asScala.toVector) }
         .filter(_.size >= minTasks)
       if (byStage.isEmpty) None
       else {
@@ -654,6 +678,7 @@ object ScaleSmoke {
                   "corpus — super-linear at the sized geometry")
             }
         }
+        meter.detach()
       }
 
       // ---- warehouse version GC under the nightly chain ----------------
@@ -774,6 +799,7 @@ object ScaleSmoke {
               println(s"[scale] skew $k x$m: no stage with enough tasks")
           }
         }
+        sm.detach()
         prevCoalesce match {
           case Some(v) => spark.conf.set(coalesceKey, v)
           case None => spark.conf.unset(coalesceKey)
@@ -869,6 +895,7 @@ object ScaleSmoke {
               s"$key peak task ${pB / 1048576} MB at the decade — " +
                 "not partition-bounded")
           }
+          meter.detach()
         }
       }
     }

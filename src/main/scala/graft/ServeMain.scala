@@ -72,19 +72,29 @@ object ServeMain {
       // than the window): setMaintenance sizes it from the compactor's
       // own join grace, so drain outlives any pass the stop handle
       // itself would wait for.
-      val deadline = System.currentTimeMillis() + maintenanceGraceMs
+      // soft deadline: the normal bound on query-stop convergence. While
+      // the maintenance THREAD is still alive past it (a partition
+      // rewrite longer than any schedule-derived guess — the rewrite
+      // time is unrelated to the scheduling cadence), keep sweeping: the
+      // stop flag is already set, the pass ends within one table, so
+      // thread death is finite — the hard cap (10×) only bounds a
+      // genuinely hung filesystem.
+      val soft = System.currentTimeMillis() + maintenanceGraceMs
+      val hard = System.currentTimeMillis() + 10 * maintenanceGraceMs
       var sweep = true
       while (sweep) {
         queries.values.foreach(q => scala.util.Try(q.stop()))
-        val settled = !maintenanceAlive() && !queries.values.exists(_.isActive)
-        sweep = !settled && System.currentTimeMillis() < deadline
+        val alive = maintenanceAlive()
+        val settled = !alive && !queries.values.exists(_.isActive)
+        val now = System.currentTimeMillis()
+        sweep = !settled && (now < soft || (alive && now < hard))
         if (sweep) Thread.sleep(100)
       }
       if (maintenanceAlive())
         System.err.println("[serve] WARNING: maintenance thread still " +
-          s"alive after ${maintenanceGraceMs} ms drain grace — a " +
-          "compaction rewrite outlived the deadline; a restarted writer " +
-          "may survive this drain")
+          s"alive after ${10 * maintenanceGraceMs} ms drain hard cap — " +
+          "a compaction rewrite outlived it (hung FS?); a restarted " +
+          "writer may survive this drain")
       // final sweep: a restart registered in the race window right
       // before the thread died is stopped here
       queries.values.foreach(q => scala.util.Try(q.stop()))

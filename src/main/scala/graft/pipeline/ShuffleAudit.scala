@@ -32,7 +32,7 @@ object ShuffleAudit {
   private[graft] final class Meter(spark: org.apache.spark.sql.SparkSession) {
     private val input = new AtomicLong; private val sw = new AtomicLong
     private val sr = new AtomicLong; private val peak = new AtomicLong
-    spark.sparkContext.addSparkListener(new SparkListener {
+    private val listener = new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
         if (m != null) {
@@ -42,7 +42,11 @@ object ShuffleAudit {
           peak.getAndAccumulate(m.peakExecutionMemory, math.max)
         }
       }
-    })
+    }
+    spark.sparkContext.addSparkListener(listener)
+    /** Unregister — a sweep that creates one Meter per multiplier must
+      * not leave prior meters accumulating on the listener bus. */
+    def detach(): Unit = spark.sparkContext.removeSparkListener(listener)
     def reset(): Unit = { input.set(0); sw.set(0); sr.set(0); peak.set(0) }
     /** (input, shuffleWrite, shuffleRead, peakTask) after the async
       * listener queue stabilizes — two consecutive still reads, or a

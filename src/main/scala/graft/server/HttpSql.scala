@@ -193,10 +193,10 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
         .foreach { d =>
           try {
             spark.read.parquet(d.getPath).createOrReplaceTempView(d.getName)
-            // first registration by THIS instance retains one refcount
-            // (cross-instance sharing — see HttpSql.viewRefs)
+            // first registration by THIS instance claims the name
+            // (cross-instance sharing — see HttpSql.viewHolders)
             if (registeredViews.add(d.getName))
-              HttpSql.retainView(spark, d.getName)
+              HttpSql.retainView(spark, d.getName, this)
           } catch { case _: Exception => () }
         }
     }
@@ -237,7 +237,8 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
     // sharing a session register the same served-table names; the first
     // stop must not break the survivor's in-flight reads).
     registeredViews.forEach { v =>
-      if (HttpSql.releaseView(spark, v)) spark.catalog.dropTempView(v): Unit
+      if (HttpSql.releaseView(spark, v, this))
+        spark.catalog.dropTempView(v): Unit
     }
     registeredViews.clear()
   }
@@ -582,23 +583,40 @@ final class HttpSql(spark: SparkSession, port: Int = 0,
 
 object HttpSql {
 
-  /** Refcount of served-table temp views per (session, view): temp views
+  /** Holders of served-table temp views per (session, view): temp views
     * are SESSION-scoped, so two HttpSql instances sharing one
     * SparkSession register the SAME names — the first server to stop
     * must not yank views the survivor's in-flight queries read (ADVICE
-    * r14). Each instance retains a name once (its `registeredViews` set
-    * dedupes); stop() releases, and only the LAST release drops the
-    * view. Entries vanish at zero, so the map stays bounded by live
-    * registrations and never pins a stopped session. */
-  private val viewRefs =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Integer]()
-  private def retainView(s: SparkSession, name: String): Unit = {
-    viewRefs.merge((s, name), Integer.valueOf(1), (a, b) => a + b): Unit
+    * r14). Holder tracking is a WEAK-key map, not a bare counter: a
+    * server abandoned without stop() (crash path, leaked instance) gets
+    * collected and its claim vanishes, so the surviving server's stop()
+    * still drops the view instead of stranding a count forever — and no
+    * dead server pins the SparkSession. Best-effort by nature (an
+    * uncollected abandoned server holds its claim until GC); the
+    * fallback is benign because refreshDataTables re-registers served
+    * names on every statement that references them, so an early drop
+    * only costs one re-listing. */
+  private val viewHolders = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.util.Map[AnyRef, java.lang.Boolean]]()
+  private def retainView(s: SparkSession, name: String,
+                         holder: AnyRef): Unit = {
+    viewHolders.computeIfAbsent((s, name),
+        _ => java.util.Collections.synchronizedMap(
+          new java.util.WeakHashMap[AnyRef, java.lang.Boolean]()))
+      .put(holder, java.lang.Boolean.TRUE): Unit
   }
-  /** True when this release drops the count to zero (caller drops the view). */
-  private def releaseView(s: SparkSession, name: String): Boolean =
-    viewRefs.compute((s, name),
-      (_, c) => if (c == null || c <= 1) null else c - 1) == null
+  /** True when no live holder remains (caller drops the view). */
+  private def releaseView(s: SparkSession, name: String,
+                          holder: AnyRef): Boolean = {
+    val m = viewHolders.get((s, name))
+    if (m == null) true
+    else {
+      m.remove(holder)
+      val empty = m.isEmpty // weak keys: collected holders are gone
+      if (empty) viewHolders.remove((s, name)): Unit
+      empty
+    }
+  }
 
   private val FormatClause =
     """(?is)\bFORMAT\s+([A-Za-z]\w*)\s*;?\s*$""".r

@@ -53,11 +53,30 @@ object VecIndexStream {
     // geometry FROM THE STORE, never from the writer's arguments.
     Similarity.bandedSignBucketsGeom(s, e, geom)
       .write.mode("overwrite").parquet(s"$baseDir/banded/batch=$batchId")
-    if (VecBackbone.readGeomSidecar(s, baseDir).isEmpty)
-      VecBackbone.writeGeomSidecar(s, baseDir, geom)
+    // once per (JVM, dir, geometry): an EXISTING sidecar must MATCH the
+    // writer's geometry — a stream restarted on an existing index with
+    // a different geom would otherwise silently mix postings from two
+    // plane sets under one stored geometry (the exact hazard the
+    // sidecar exists to close); and the check must not cost a parquet
+    // read per micro-batch on the ingest hot path, so the validated
+    // (dir, tag) is memoized
+    if (geomChecked.add(s"$baseDir|${geom.tag}"))
+      VecBackbone.readGeomSidecar(s, baseDir) match {
+        case Some(stored) =>
+          require(stored == geom,
+            s"index at $baseDir was built under $stored; refusing to " +
+              s"stream postings under $geom — one stored index, one " +
+              "geometry (rebuild into a fresh dir to change it)")
+        case None => VecBackbone.writeGeomSidecar(s, baseDir, geom)
+      }
     VecBackbone.encode(e, q)
       .write.mode("overwrite").parquet(s"$baseDir/codes/batch=$batchId")
   }
+
+  /** (dir, geometry-tag) pairs already validated against / written to
+    * the sidecar by THIS JVM — see the hot-path note above. */
+  private val geomChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** The streaming query writer; caller sets checkpointLocation/trigger
     * and starts it. `q` is the pinned quantizer the whole index lives

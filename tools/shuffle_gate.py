@@ -107,6 +107,13 @@ def main():
     missing = sorted(set(small["keys"]) - set(big["keys"]))
     for k in missing:
         flags.append((k, small["keys"][k]["shuffle_write_b"], -1, float("inf")))
+        # carry small-only keys into the merged record too: the merge
+        # loop below iterates big-side keys only, so a key that errored
+        # at the big SF this round (the likeliest OOM shape) would fall
+        # out of next round's --expect universe and vanish unflagged if
+        # it then errors at BOTH SFs
+        merged[k] = {"errored": True,
+                     "shuffle_write_b_small": small["keys"][k]["shuffle_write_b"]}
     for k in sorted(set(big["keys"]) - set(small["keys"])):
         flags.append((k, -1, big["keys"][k]["shuffle_write_b"], float("inf")))
     if expect_path:
