@@ -42,6 +42,10 @@ KEYS = [
     "d_ann_lsh", "d_ann_lsh_banded",
     "d_ann_recall", "d_ann_recall_banded", "d_knn_cosine",
     "d_dedup_cosine",
+    # quantizer-drift pair (r15): deterministic centers + exact
+    # micro-unit Lloyd step reproduce per draw at any corpus the
+    # planter emits (>= 16 vectors, any dims)
+    "d_ann_ivf_drift", "d_ann_ivf_drift_recall",
 ]
 
 ADDOPENS = " ".join(
