@@ -757,7 +757,8 @@ object ScaleSmoke {
         val prevCoalesce = spark.conf.getOption(coalesceKey)
         spark.conf.set(coalesceKey, "false")
         val sm = new SkewMeter(spark)
-        val keys = Seq("o_a15_funnel", "o_a15b_funnel_dedup",
+        val keys = Seq("o_a15_funnel", "o_a15e_funnel_chunked",
+          "o_a15b_funnel_dedup",
           "o_a15c_funnel_4stage", "o_a15d_funnel_strict", "o_a16_retention",
           "o_a17_seqmatch", "o_a18_seqcount", "o_a21_seq_next_node",
           "o_t10_session", "o_w1_dedup")
@@ -780,6 +781,15 @@ object ScaleSmoke {
                 f"tasks=$nt%-3d maxTask=${maxMs}%,6d ms (med ${medMs}%,5d, " +
                 f"${tRatio}%4.1fx)  maxRead=${maxB / 1024}%,8d KB " +
                 f"(med ${medB / 1024}%,6d, ${bRatio}%4.1fx)")
+              if (k == "o_a15e_funnel_chunked") {
+                // the MITIGATION's proof: the (user_id, chunk) exchange
+                // spreads the whale across time chunks, so the byte
+                // straggler must sit well below the plain funnel's ~4×
+                require(bRatio <= 2.0,
+                  f"$k: chunked funnel still whale-skewed " +
+                    f"($bRatio%.1fx bytes) — the chunk key is not " +
+                    "spreading the whale")
+              }
               if (userKeyed(k)) {
                 // the certification: (a) the corpus really skews this
                 // key's heavy stage (whale bytes in one task), and

@@ -129,6 +129,76 @@ object EventAnalytics {
           .cast("int").as("funnel_level"))
   }
 
+  /** TIME-CHUNKED windowed funnel — the WHALE-SKEW MITIGATION for the
+    * bounded-window family (SCALE.md round-15 skew certification: a
+    * user holding fraction f of events serializes one task under plain
+    * user_id partitioning; the semantics of a WINDOWED funnel allow
+    * decomposition, so here the partition key is (user_id, time chunk)
+    * and the whale's history splits across chunks — max task tracks the
+    * CHUNK size, not the user size).
+    *
+    * Correctness argument (spec-pinned equal to [[funnelLevels]], incl.
+    * randomized corpora): every admitted chain spans at most `window`
+    * from its stage-1 START (the admit check is `ts <= start + w`), so
+    * with chunk length C ≥ w and chunk k extended to [kC, (k+1)C + w),
+    * a chain starting at t1 ∈ [kC, (k+1)C) lies ENTIRELY inside chunk
+    * k's extension — every true chain is fully visible in the chunk of
+    * its start. Each event lands in its primary chunk ⌊us/C⌋ plus, when
+    * it falls in the first `w` of that chunk, the previous chunk's
+    * overlap tail — ≤ 2 copies per event. A chunk can also see a chain
+    * PREFIX whose start sits in its overlap tail, but everything it
+    * reports corresponds to real events under the real window
+    * constraint, so per-user max over chunks equals the global level
+    * exactly — no overcount possible, no undercount by containment.
+    *
+    * Scale shape: one exchange on (user_id, chunk) (parallelism =
+    * users × chunks), the same stacked-window chain columns inside each
+    * partition, then a user-keyed flag max whose input is already
+    * per-(user, chunk) aggregated — the whale's per-task work drops
+    * from its whole history to one chunk of it. */
+  def funnelLevelsChunked(events: DataFrame, stages: Seq[Column],
+                          windowMicros: Long, chunkMicros: Long,
+                          userCol: String = "user_id",
+                          tsCol: String = "ts"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(chunkMicros >= windowMicros,
+      s"chunk ($chunkMicros us) must cover the funnel window " +
+        s"($windowMicros us) or a chain could straddle two chunks")
+    val n = stages.size
+    val tagged = events
+      .select(col(userCol).as("user_id") +: col(tsCol).as("_ts") +:
+        stages.zipWithIndex.map { case (p, i) => p.as(s"_s$i") }: _*)
+      .filter((0 until n).map(i => col(s"_s$i")).reduce(_ || _))
+      .withColumn("_us", unix_micros(col("_ts")))
+      .withColumn("_k0", floor(col("_us") / chunkMicros).cast("long"))
+      // the ≤2-copy explode: primary chunk, plus the previous chunk's
+      // overlap tail when the event falls within `window` of its start
+      .withColumn("_chunk", explode(
+        when(col("_us") < col("_k0") * chunkMicros + windowMicros,
+          array(col("_k0"), col("_k0") - 1))
+          .otherwise(array(col("_k0")))))
+    val pre = Window.partitionBy("user_id", "_chunk").orderBy(col("_us"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    var cur = tagged.withColumn("_c1", when(col("_s0"), col("_us")))
+    for (k <- 2 to n) {
+      val best = max(col(s"_c${k - 1}")).over(pre)
+      cur = cur.withColumn(s"_c$k",
+        when(col(s"_s${k - 1}") && best.isNotNull &&
+          col("_us") <= best + windowMicros, best))
+    }
+    val chunkFlags = (2 to n).map(k =>
+      max(when(col(s"_c$k").isNotNull, 1).otherwise(0)).as(s"_h$k"))
+    val perChunk = cur.groupBy("user_id", "_chunk")
+      .agg(max(when(col("_s0"), 1).otherwise(0)).as("_h1"), chunkFlags: _*)
+    perChunk.groupBy("user_id")
+      .agg(max("_h1").as("_h1"),
+        (2 to n).map(k => max(s"_h$k").as(s"_h$k")): _*)
+      .filter(col("_h1") === 1)
+      .select(col("user_id"),
+        (2 to n).foldLeft(lit(1): Column)((acc, k) => acc + col(s"_h$k"))
+          .cast("int").as("funnel_level"))
+  }
+
   val queries: Map[String, Q] = Map(
     // O-A15: windowFunnel(12 hours)(signup -> click -> purchase).
     // 12h picked because it yields all three levels at every test SF
@@ -141,6 +211,22 @@ object EventAnalytics {
         Seq(col("event_type") === "signup", col("event_type") === "click",
           col("event_type") === "purchase"),
         Some(expr("INTERVAL 12 HOURS")))
+        .groupBy("funnel_level").agg(count(lit(1)).as("n_users"))
+        .orderBy("funnel_level")
+    }),
+
+    // O-A15e: the same 3-stage 12h funnel through the TIME-CHUNKED
+    // decomposition ([[funnelLevelsChunked]], chunk = 24h) — the
+    // whale-skew mitigation as a first-class catalog instance, pinned
+    // to the plain funnel's oracle verbatim: same answer, but the
+    // heavy exchange keys on (user_id, chunk) so one bot user's
+    // history spreads across time chunks instead of one task.
+    "o_a15e_funnel_chunked" -> ((s, d) => {
+      funnelLevelsChunked(Tables.events(s, d),
+        Seq(col("event_type") === "signup", col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowMicros = 12L * 3600 * 1000000,
+        chunkMicros = 24L * 3600 * 1000000)
         .groupBy("funnel_level").agg(count(lit(1)).as("n_users"))
         .orderBy("funnel_level")
     }),
@@ -353,8 +439,10 @@ object EventAnalytics {
     })
   )
 
-  val oracles: Map[String, String] = Map(
-    "o_a15_funnel" ->
+  /** The 3-stage 12h funnel oracle — shared by o_a15_funnel and the
+    * chunked o_a15e (EQUALITY with the plain funnel IS the chunked
+    * form's contract, so they must share one oracle verbatim). */
+  private val funnel3OracleSql =
       """WITH s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
             c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
             p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
@@ -372,7 +460,14 @@ object EventAnalytics {
                   AS funnel_level,
                 COUNT(*) AS n_users
          FROM u LEFT JOIN l2 USING (user_id) LEFT JOIN l3 USING (user_id)
-         GROUP BY funnel_level ORDER BY funnel_level""",
+         GROUP BY funnel_level ORDER BY funnel_level"""
+
+  val oracles: Map[String, String] = Map(
+    "o_a15_funnel" -> funnel3OracleSql,
+
+    // same oracle VERBATIM: the chunked decomposition must be
+    // observationally identical to the plain windowed funnel
+    "o_a15e_funnel_chunked" -> funnel3OracleSql,
 
     "o_a15c_funnel_4stage" ->
       """WITH s1 AS (SELECT DISTINCT user_id, ts AS t1 FROM events

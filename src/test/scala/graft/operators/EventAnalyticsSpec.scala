@@ -123,6 +123,75 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out == Map(1 -> 1L), s"tie-masked match: $out")
   }
 
+  test("funnelLevelsChunked == funnelLevels on the fixture across chunk sizes") {
+    // the chunked decomposition's whole contract: same answer as the
+    // plain windowed funnel, including the chunk == window edge (every
+    // event duplicated into the previous chunk's tail) and chunk >>
+    // window (few chunks, mostly the plain shape)
+    val stageCols = Seq(col("event_type") === "signup",
+      col("event_type") === "view", col("event_type") === "click",
+      col("event_type") === "purchase")
+    val e = graft.Tables.events(spark, sf)
+    val plain = EventAnalytics.funnelLevels(e, stageCols,
+        Some(expr("INTERVAL 24 HOURS")))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(plain.nonEmpty)
+    Seq(windowMicros, 2 * windowMicros, 7 * windowMicros).foreach { chunk =>
+      val chunked = EventAnalytics.funnelLevelsChunked(e, stageCols,
+          windowMicros, chunk)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      assert(chunked == plain,
+        s"chunk=$chunk diverged: " +
+          s"${(chunked.toSet -- plain.toSet).take(5)} / " +
+          s"${(plain.toSet -- chunked.toSet).take(5)}")
+    }
+  }
+
+  test("funnelLevelsChunked == funnelLevels on randomized event streams") {
+    // random users × random event types × timestamps clustered AND
+    // spread so chains regularly straddle raw chunk boundaries — the
+    // overlap logic is the thing under test
+    import spark.implicits._
+    val rnd = new scala.util.Random(1501)
+    val types = Seq("signup", "view", "click", "purchase", "scroll")
+    val stageCols = Seq(col("event_type") === "signup",
+      col("event_type") === "click", col("event_type") === "purchase")
+    (0 until 3).foreach { draw =>
+      val rows = (0 until 600).map { i =>
+        val user = rnd.nextInt(12).toLong
+        // mixture: half tight bursts (chains), half uniform spread
+        val base = rnd.nextInt(40).toLong * 6L * 3600 * 1000000
+        val us = if (rnd.nextBoolean()) base + rnd.nextInt(14 * 3600).toLong * 1000000
+                 else rnd.nextLong(240L * 3600 * 1000000)
+        (i.toLong, user, types(rnd.nextInt(types.size)),
+          new java.sql.Timestamp(us / 1000))
+      }
+      val e = rows.toDF("event_id", "user_id", "event_type", "ts")
+      val w = 12L * 3600 * 1000000
+      val plain = EventAnalytics.funnelLevels(e, stageCols,
+          Some(expr("INTERVAL 12 HOURS")))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      Seq(w, w + 1, 3 * w).foreach { chunk =>
+        val chunked = EventAnalytics.funnelLevelsChunked(e, stageCols,
+            w, chunk)
+          .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+        assert(chunked == plain,
+          s"draw $draw chunk=$chunk diverged: " +
+            s"${(chunked.toSet -- plain.toSet).take(5)} / " +
+            s"${(plain.toSet -- chunked.toSet).take(5)}")
+      }
+    }
+  }
+
+  test("funnelLevelsChunked refuses a chunk smaller than the window") {
+    val e = graft.Tables.events(spark, sf)
+    intercept[IllegalArgumentException] {
+      EventAnalytics.funnelLevelsChunked(e,
+        Seq(col("event_type") === "signup", col("event_type") === "click"),
+        windowMicros, windowMicros - 1)
+    }
+  }
+
   test("single-stage funnel degenerates to the stage-1 user set at level 1") {
     val lv = EventAnalytics.funnelLevels(graft.Tables.events(spark, sf),
       Seq(col("event_type") === "signup"), None).collect()
