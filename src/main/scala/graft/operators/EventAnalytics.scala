@@ -66,6 +66,87 @@ object EventAnalytics {
         .cast("long").as("seq_count"))
   }
 
+  /** CH `sequenceCount('(?1)(?t<=w)(?2)')` — the TIME-CONSTRAINED
+    * pattern: count adjacent first→second pairs in the condition-
+    * filtered per-user stream whose gap is at most `windowMicros`
+    * ("adjacent" = no other condition-matching event between, the same
+    * reading [[sequenceCount]] proves equal to the greedy automaton;
+    * the gap bound only FILTERS fired pairs, it never re-arms, so the
+    * lag() collapse carries over verbatim with one extra lag(ts)).
+    * One user-keyed shuffle, one window pass.
+    * Returns (user_id, seq_count) over users with either event. */
+  def sequenceCountWindowed(events: DataFrame, first: Column, second: Column,
+                            windowMicros: Long,
+                            userCol: String = "user_id", tsCol: String = "ts",
+                            tieBreak: Seq[String] = Seq("event_id")): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol) +: tieBreak.map(col): _*)
+    events.filter(first || second)
+      .withColumn("_tag", when(first, lit("a")).otherwise(lit("b")))
+      .withColumn("_us", unix_micros(col(tsCol)))
+      .withColumn("_prev", lag(col("_tag"), 1).over(w))
+      .withColumn("_pus", lag(col("_us"), 1).over(w))
+      .groupBy(col(userCol).as("user_id"))
+      .agg(sum(when(col("_tag") === "b" && col("_prev") === "a" &&
+          col("_us") <= col("_pus") + windowMicros, 1).otherwise(0))
+        .cast("long").as("seq_count"))
+  }
+
+  /** TIME-CHUNKED windowed sequenceCount — the WHALE-SKEW MITIGATION
+    * for the gap-bounded pair count ([[funnelLevelsChunked]]'s recipe
+    * applied to the second decomposable member of the per-user family;
+    * the UNBOUNDED [[sequenceCount]] cannot chunk — lag()-adjacency
+    * reaches arbitrarily far back in time, so its automaton state is
+    * inherently whole-history).
+    *
+    * Correctness argument (spec-pinned equal to
+    * [[sequenceCountWindowed]], incl. randomized corpora): a counted
+    * pair (a, b) has b.ts − a.ts ≤ w, so with chunk length C ≥ w and
+    * each event copied into the PREVIOUS chunk when it falls in the
+    * first w of its own (the funnel's ≤2-copy explode), chunk k's slice
+    * is the time-contiguous window [kC, (k+1)C + w): a pair whose `a`
+    * has primary chunk k lies in the slice together with every stream
+    * event between them, so slice-adjacency == global adjacency for
+    * exactly those pairs (an intermediate event x has a.ts < x.ts <
+    * b.ts < (k+1)C + w, hence primary chunk k or the copied head of
+    * k+1 — always visible). Charging each pair to floor(a.us / C)
+    * counts it exactly once; per-user totals are the SUM of chunk
+    * counts (disjoint charge), not a max.
+    *
+    * Scale shape: one exchange on (user_id, chunk), one window pass per
+    * slice, then a user-keyed sum over per-chunk partials — a bot user
+    * contributes one task per chunk instead of one task holding its
+    * whole history. */
+  def sequenceCountChunked(events: DataFrame, first: Column, second: Column,
+                           windowMicros: Long, chunkMicros: Long,
+                           userCol: String = "user_id", tsCol: String = "ts",
+                           tieBreak: Seq[String] = Seq("event_id")): DataFrame = {
+    require(chunkMicros >= windowMicros,
+      s"chunk ($chunkMicros us) must cover the pair window " +
+        s"($windowMicros us) or a pair could straddle two chunks")
+    val exploded = events.filter(first || second)
+      .withColumn("_tag", when(first, lit("a")).otherwise(lit("b")))
+      .withColumn("_us", unix_micros(col(tsCol)))
+      .withColumn("_k0", floor(col("_us") / chunkMicros).cast("long"))
+      .withColumn("_chunk", explode(
+        when(col("_us") < col("_k0") * chunkMicros + windowMicros,
+          array(col("_k0"), col("_k0") - 1))
+          .otherwise(array(col("_k0")))))
+    val w = Window.partitionBy(userCol, "_chunk")
+      .orderBy(col(tsCol) +: tieBreak.map(col): _*)
+    exploded
+      .withColumn("_prev", lag(col("_tag"), 1).over(w))
+      .withColumn("_pus", lag(col("_us"), 1).over(w))
+      .groupBy(col(userCol).as("user_id"), col("_chunk"))
+      // charge a pair to the chunk OWNING its `a` (primary chunk == this
+      // slice), so the copy in the neighbouring slice never double-counts
+      .agg(sum(when(col("_tag") === "b" && col("_prev") === "a" &&
+          col("_us") <= col("_pus") + windowMicros &&
+          floor(col("_pus") / chunkMicros) === col("_chunk"), 1).otherwise(0))
+        .cast("long").as("_c"))
+      .groupBy("user_id")
+      .agg(sum("_c").cast("long").as("seq_count"))
+  }
+
   /** General `windowFunnel(window)(stage1, …, stageN)`: per-user maximum
     * chain level over arbitrary stage predicates — the N-stage library
     * form behind o_a15. Level ≥ k iff a strictly-increasing-timestamp
@@ -409,6 +490,31 @@ object EventAnalytics {
         .orderBy("seq_count")
     }),
 
+    // O-A18b: sequenceCount('(?1)(?t<=12h)(?2)') — the time-constrained
+    // pattern (adjacent signup→purchase pairs at most 12h apart). 12h
+    // picked like o_a15's window: it splits the fixture's pairs into
+    // fired and expired at every test SF.
+    "o_a18b_seqcount_windowed" -> ((s, d) => {
+      sequenceCountWindowed(Tables.events(s, d),
+        col("event_type") === "signup", col("event_type") === "purchase",
+        windowMicros = 12L * 3600 * 1000000)
+        .groupBy("seq_count").agg(count(lit(1)).as("n_users"))
+        .orderBy("seq_count")
+    }),
+
+    // O-A18c: the same query through the whale-safe time-chunked plan
+    // (24h chunks ≥ the 12h pair window). Oracle = o_a18b's VERBATIM:
+    // observational equality with the plain windowed count IS the
+    // chunked form's contract (the o_a15e discipline).
+    "o_a18c_seqcount_chunked" -> ((s, d) => {
+      sequenceCountChunked(Tables.events(s, d),
+        col("event_type") === "signup", col("event_type") === "purchase",
+        windowMicros = 12L * 3600 * 1000000,
+        chunkMicros = 24L * 3600 * 1000000)
+        .groupBy("seq_count").agg(count(lit(1)).as("n_users"))
+        .orderBy("seq_count")
+    }),
+
     // O-A16: retention — per first-signup cohort date, users returning
     // with a click within 3 days / purchasing within 7 days.
     "o_a16_retention" -> ((s, d) => {
@@ -461,6 +567,27 @@ object EventAnalytics {
                 COUNT(*) AS n_users
          FROM u LEFT JOIN l2 USING (user_id) LEFT JOIN l3 USING (user_id)
          GROUP BY funnel_level ORDER BY funnel_level"""
+
+  /** The 12h-windowed signup→purchase pair-count oracle — shared by
+    * o_a18b and the chunked o_a18c (EQUALITY with the plain windowed
+    * count IS the chunked form's contract, so they must share one
+    * oracle verbatim — the funnel3OracleSql discipline). */
+  private val seqcount12hOracleSql =
+      """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
+                    WHERE event_type IN ('signup','purchase')),
+         l AS (SELECT user_id, event_type, ts,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev,
+                      lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS pts
+               FROM e),
+         u AS (SELECT user_id,
+                      CAST(SUM(CASE WHEN event_type = 'purchase' AND prev = 'signup'
+                                     AND ts <= pts + INTERVAL 12 HOUR
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS seq_count
+               FROM l GROUP BY user_id)
+         SELECT seq_count, COUNT(*) AS n_users FROM u
+         GROUP BY seq_count ORDER BY seq_count"""
 
   val oracles: Map[String, String] = Map(
     "o_a15_funnel" -> funnel3OracleSql,
@@ -599,6 +726,12 @@ object EventAnalytics {
                FROM l GROUP BY user_id)
          SELECT seq_count, COUNT(*) AS n_users FROM u
          GROUP BY seq_count ORDER BY seq_count""",
+
+    "o_a18b_seqcount_windowed" -> seqcount12hOracleSql,
+
+    // same oracle VERBATIM: the chunked decomposition must be
+    // observationally identical to the plain windowed pair count
+    "o_a18c_seqcount_chunked" -> seqcount12hOracleSql,
 
     "o_a16_retention" ->
       """WITH f AS (

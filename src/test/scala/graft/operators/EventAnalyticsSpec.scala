@@ -192,6 +192,95 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("sequenceCountWindowed == brute-force windowed automaton; bound filters") {
+    val w = 12L * 3600 * 1000000
+    val got = EventAnalytics.sequenceCountWindowed(graft.Tables.events(spark, sf),
+        col("event_type") === "signup", col("event_type") === "purchase", w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = graft.Tables.events(spark, sf)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // reference: adjacent-pair scan with the gap bound — fire iff the
+    // immediately preceding condition event is an un-consumed signup
+    // within w (the '(?1)(?t<=w)(?2)' reading)
+    val want = rows.groupBy(_._1).map { case (u, evs) =>
+      var n = 0L
+      evs.sortBy(e => (e._3, e._4)).foldLeft(Option.empty[(String, Long)]) {
+        case (prev, (_, t, us, _)) =>
+          if (t == "purchase" && prev.exists(p => p._1 == "signup" && us <= p._2 + w))
+            n += 1
+          Some((t, us))
+      }
+      u -> n
+    }
+    assert(got == want)
+    val unbounded = EventAnalytics.sequenceCount(graft.Tables.events(spark, sf),
+        col("event_type") === "signup", col("event_type") === "purchase")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.forall { case (u, n) => n <= unbounded(u) },
+      "the gap bound can only drop pairs")
+    assert(got.values.sum < unbounded.values.sum,
+      "fixture should contain pairs the 12h bound expires")
+  }
+
+  test("sequenceCountChunked == sequenceCountWindowed on the fixture across chunk sizes") {
+    val w = 12L * 3600 * 1000000
+    val e = graft.Tables.events(spark, sf)
+    val first = col("event_type") === "signup"
+    val second = col("event_type") === "purchase"
+    val plain = EventAnalytics.sequenceCountWindowed(e, first, second, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(plain.nonEmpty)
+    Seq(w, 2 * w, 11 * w).foreach { chunk =>
+      val chunked = EventAnalytics.sequenceCountChunked(e, first, second, w, chunk)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(chunked == plain,
+        s"chunk=$chunk diverged: " +
+          s"${(chunked.toSet -- plain.toSet).take(5)} / " +
+          s"${(plain.toSet -- chunked.toSet).take(5)}")
+    }
+    intercept[IllegalArgumentException] {
+      EventAnalytics.sequenceCountChunked(e, first, second, w, w - 1)
+    }
+  }
+
+  test("sequenceCountChunked == sequenceCountWindowed on randomized event streams") {
+    // pairs regularly straddle raw chunk boundaries; the charge-to-the-
+    // a's-primary-chunk rule and the overlap copy are the things under
+    // test (a double-count or a boundary miss shows up as a sum, not a
+    // max, so this family is MORE sensitive to charging bugs than the
+    // funnel's flag-max)
+    import spark.implicits._
+    val rnd = new scala.util.Random(1502)
+    val types = Seq("signup", "purchase", "view")
+    val first = col("event_type") === "signup"
+    val second = col("event_type") === "purchase"
+    (0 until 3).foreach { draw =>
+      val rows = (0 until 600).map { i =>
+        val user = rnd.nextInt(10).toLong
+        val base = rnd.nextInt(40).toLong * 6L * 3600 * 1000000
+        val us = if (rnd.nextBoolean()) base + rnd.nextInt(14 * 3600).toLong * 1000000
+                 else rnd.nextLong(240L * 3600 * 1000000)
+        (i.toLong, user, types(rnd.nextInt(types.size)),
+          new java.sql.Timestamp(us / 1000))
+      }
+      val e = rows.toDF("event_id", "user_id", "event_type", "ts")
+      val w = 12L * 3600 * 1000000
+      val plain = EventAnalytics.sequenceCountWindowed(e, first, second, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      Seq(w, w + 1, 3 * w).foreach { chunk =>
+        val chunked = EventAnalytics.sequenceCountChunked(e, first, second, w, chunk)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(chunked == plain,
+          s"draw $draw chunk=$chunk diverged: " +
+            s"${(chunked.toSet -- plain.toSet).take(5)} / " +
+            s"${(plain.toSet -- chunked.toSet).take(5)}")
+      }
+    }
+  }
+
   test("single-stage funnel degenerates to the stage-1 user set at level 1") {
     val lv = EventAnalytics.funnelLevels(graft.Tables.events(spark, sf),
       Seq(col("event_type") === "signup"), None).collect()
