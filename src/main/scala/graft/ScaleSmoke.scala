@@ -760,13 +760,16 @@ object ScaleSmoke {
         val keys = Seq("o_a15_funnel", "o_a15e_funnel_chunked",
           "o_a15b_funnel_dedup",
           "o_a15c_funnel_4stage", "o_a15d_funnel_strict", "o_a16_retention",
-          "o_a17_seqmatch", "o_a18_seqcount", "o_a21_seq_next_node",
+          "o_a17_seqmatch", "o_a18_seqcount", "o_a18b_seqcount_windowed",
+          "o_a18c_seqcount_chunked", "o_a21_seq_next_node",
           "o_t10_session", "o_w1_dedup")
         // keys whose heavy stage is user_id-keyed (the whale's bytes
         // land in one task) vs pre-reduced/other-keyed contrast keys
         val userKeyed = Set("o_a15_funnel", "o_a15b_funnel_dedup",
           "o_a15c_funnel_4stage", "o_a15d_funnel_strict", "o_a17_seqmatch",
-          "o_a18_seqcount", "o_a21_seq_next_node")
+          "o_a18_seqcount", "o_a18b_seqcount_windowed", "o_a21_seq_next_node")
+        // the (user_id, chunk)-keyed mitigations: the whale must SPREAD
+        val chunkKeyed = Set("o_a15e_funnel_chunked", "o_a18c_seqcount_chunked")
         keys.foreach { k =>
           SparkEntry.queries(k)(spark, dir).count() // warm (JIT, scans)
           sm.reset()
@@ -781,12 +784,12 @@ object ScaleSmoke {
                 f"tasks=$nt%-3d maxTask=${maxMs}%,6d ms (med ${medMs}%,5d, " +
                 f"${tRatio}%4.1fx)  maxRead=${maxB / 1024}%,8d KB " +
                 f"(med ${medB / 1024}%,6d, ${bRatio}%4.1fx)")
-              if (k == "o_a15e_funnel_chunked") {
+              if (chunkKeyed(k)) {
                 // the MITIGATION's proof: the (user_id, chunk) exchange
                 // spreads the whale across time chunks, so the byte
-                // straggler must sit well below the plain funnel's ~4×
+                // straggler must sit well below the plain forms' ~4×
                 require(bRatio <= 2.0,
-                  f"$k: chunked funnel still whale-skewed " +
+                  f"$k: chunked plan still whale-skewed " +
                     f"($bRatio%.1fx bytes) — the chunk key is not " +
                     "spreading the whale")
               }
