@@ -290,6 +290,86 @@ object Similarity {
           .select(col("vec_id").as("n_id"), col("v").as("nv"),
             col("cell"), col("codes"), col("n").as("nn")))),
 
+    // SYMMETRIC-SQ8 ANN: brute-force top-5 over the STORED int8 code
+    // table ([[VecBackbone.sq8Codes]]) — the third compression scheme
+    // next to LSH (pruning) and IVF/PQ (cells + sub-codebooks): no
+    // pruning, the whole corpus is scanned, but at 1/4 the bytes of
+    // float32 with int-exact scoring (the global scale cancels out of
+    // the cosine, so every sum is a BIGINT and the key is FULLY oracled
+    // — no deterministic-regime carve-out). At 100 TB this is the scan
+    // path when recall must be ~1: IO-bound at a quarter of the IO.
+    "d_ann_sq8" -> ((s, d) => {
+      val cq = VecBackbone.sq8Codes(s, d)
+      val q = cq.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("codes").as("qc"),
+          col("qq").as("qqq"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos_q").desc, col("n_id"))
+      cq.select(col("vec_id").as("n_id"), col("codes").as("nc"),
+          col("qq").as("nqq"))
+        .crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos_q",
+          when(col("qqq") === 0 || col("nqq") === 0, lit(0.0))
+            .otherwise(round(
+              expr("aggregate(zip_with(qc, nc, (a, b) -> a * b), 0L, " +
+                   "(acc, x) -> acc + x)").cast("double") /
+                sqrt((col("qqq") * col("nqq")).cast("double")), 4)))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("n_id"), col("cos_q"))
+        .orderBy("q_id", "rnk")
+    }),
+
+    // SQ8 recall audit: per query (vec_id < 200), how many of the exact
+    // float top-5 the quantized top-5 retains — the operator signal for
+    // "8 bits is (not) enough for this corpus", completing the
+    // observability row (LSH has bucket recall, IVF has drift recall,
+    // SQ8 has rank-overlap recall). Both sides rank by (round(cos, 4)
+    // DESC, n_id), so the audit itself is deterministic and fully
+    // oracled.
+    "d_ann_recall_sq8" -> ((s, d) => {
+      register(s)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("n", norm("v"))
+      val qs = e.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n").as("qn"))
+      val wx = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+      val exact5 = e.select(col("vec_id").as("n_id"), col("v").as("nv"),
+          col("n").as("nn"))
+        .crossJoin(broadcast(qs))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", round(dot("qv", "nv") / (col("qn") * col("nn")), 4))
+        .withColumn("rnk", row_number().over(wx))
+        .filter(col("rnk") <= 5)
+        .select("q_id", "n_id")
+      val cq = VecBackbone.sq8Codes(s, d)
+      val q8 = cq.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("q_id"), col("codes").as("qc"),
+          col("qq").as("qqq"))
+      val w8 = Window.partitionBy("q_id").orderBy(col("cos_q").desc, col("n_id"))
+      val sq85 = cq.select(col("vec_id").as("n_id"), col("codes").as("nc"),
+          col("qq").as("nqq"))
+        .crossJoin(broadcast(q8))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos_q",
+          when(col("qqq") === 0 || col("nqq") === 0, lit(0.0))
+            .otherwise(round(
+              expr("aggregate(zip_with(qc, nc, (a, b) -> a * b), 0L, " +
+                   "(acc, x) -> acc + x)").cast("double") /
+                sqrt((col("qqq") * col("nqq")).cast("double")), 4)))
+        .withColumn("rnk", row_number().over(w8))
+        .filter(col("rnk") <= 5)
+        .select("q_id", "n_id")
+      val hits = exact5.join(sq85, Seq("q_id", "n_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("h"))
+      qs.select("q_id").join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("h"), lit(0L)).as("hits"),
+          round(coalesce(col("h"), lit(0L)) / 5.0, 4).as("recall5"))
+        .orderBy("q_id")
+    }),
+
     // Semantic dedup END-TO-END: sign-LSH bucketing (the d_ann_lsh planes)
     // → exact cosine edges within bucket → connected components → one
     // cluster label per vector. This is embedding-space near-dup removal
@@ -1078,6 +1158,24 @@ object Similarity {
   /** Brute-force cosine top-5 in DuckDB — the oracle for d_knn_cosine and
     * (exhaustive-regime) d_ann_ivf / d_ann_ivfpq: with every cell probed
     * and no ADC pruning those pipelines must reproduce this exactly. */
+  /** Shared SQ8 oracle prelude: corpus as DOUBLE[], the global scale
+    * (max |x|, 1.0 floor on an all-zero corpus), signed-level codes,
+    * and squared code norms — the DuckDB mirror of
+    * [[VecBackbone.sq8Codes]]'s build arithmetic. */
+  private def sq8Cte(tail: String): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+       sc AS (SELECT CASE WHEN max(m) > 0 THEN max(m) ELSE 1.0 END AS s
+              FROM (SELECT list_max(list_transform(v, x -> abs(x))) AS m
+                    FROM e)),
+       c AS (SELECT e.vec_id,
+                    list_transform(e.v, x -> floor(x * 127.0 / sc.s + 0.5))
+                      AS codes
+             FROM e, sc),
+       cq AS (SELECT vec_id, codes,
+                     list_inner_product(codes, codes) AS qq FROM c),
+       $tail"""
+
   private val knnOracleSql =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
@@ -1194,6 +1292,53 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "d_ann_ivf" -> knnOracleSql,
     "d_ann_ivfpq" -> knnOracleSql,
+
+    // The SQ8 pipeline reproduces wholesale: global scale (order-free
+    // max), per-dim signed level floor(x·127/s + 0.5), int-exact code
+    // dots (every sum < 2^53, so DuckDB's double list_inner_product
+    // equals Spark's BIGINT fold bit-for-bit), quantized-cosine top-5.
+    "d_ann_sq8" -> sq8Cte(
+      """q AS (SELECT vec_id AS q_id, codes AS qc, qq AS qqq
+               FROM cq WHERE vec_id < 10),
+         scored AS (
+           SELECT q_id, n.vec_id AS n_id,
+                  CASE WHEN qqq = 0 OR n.qq = 0 THEN 0.0
+                       ELSE round(list_inner_product(qc, n.codes)
+                                  / sqrt(qqq * n.qq), 4) END AS cos_q
+           FROM q JOIN cq n ON n.vec_id <> q_id)
+         SELECT q_id, rnk, n_id, cos_q FROM (
+           SELECT q_id, n_id, cos_q,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos_q DESC, n_id) AS INT) AS rnk
+           FROM scored) WHERE rnk <= 5
+         ORDER BY q_id, rnk"""),
+
+    // SQ8 recall audit: exact float top-5 vs quantized top-5, both
+    // ranked by (round(cos, 4) DESC, n_id) — overlap per query.
+    "d_ann_recall_sq8" -> sq8Cte(
+      """q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 200),
+         ex AS (SELECT q_id, n_id FROM (
+                  SELECT q_id, e2.vec_id AS n_id,
+                         CAST(row_number() OVER (PARTITION BY q_id
+                           ORDER BY round(list_cosine_similarity(qv, e2.v), 4)
+                                      DESC, e2.vec_id) AS INT) AS rnk
+                  FROM q JOIN e e2 ON e2.vec_id <> q_id) WHERE rnk <= 5),
+         q8 AS (SELECT vec_id AS q_id, codes AS qc, qq AS qqq
+                FROM cq WHERE vec_id < 200),
+         s8 AS (SELECT q_id, n_id FROM (
+                  SELECT q_id, n.vec_id AS n_id,
+                         CAST(row_number() OVER (PARTITION BY q_id
+                           ORDER BY (CASE WHEN qqq = 0 OR n.qq = 0 THEN 0.0
+                                          ELSE round(list_inner_product(qc, n.codes)
+                                                     / sqrt(qqq * n.qq), 4) END)
+                                      DESC, n.vec_id) AS INT) AS rnk
+                  FROM q8 JOIN cq n ON n.vec_id <> q_id) WHERE rnk <= 5),
+         h AS (SELECT ex.q_id, CAST(COUNT(*) AS BIGINT) AS hits
+               FROM ex JOIN s8 ON s8.q_id = ex.q_id AND s8.n_id = ex.n_id
+               GROUP BY 1)
+         SELECT q.q_id AS q_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+                round(CAST(COALESCE(h.hits, 0) AS DOUBLE) / 5.0, 4) AS recall5
+         FROM q LEFT JOIN h ON h.q_id = q.q_id ORDER BY 1"""),
 
     // The LSH pipeline reproduces wholesale: axis-sign bucketing (the
     // d_dedup_semantic trick) + bucket-restricted exact top-5.

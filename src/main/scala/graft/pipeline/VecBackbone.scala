@@ -263,6 +263,41 @@ private[graft] object VecBackbone {
     s.read.parquet(path)
   }
 
+  /** Stored SYMMETRIC-SQ8 code table over the full corpus:
+    * `(vec_id, codes ARRAY<BIGINT>, qq BIGINT)` — each dimension
+    * quantized to a signed 8-bit level `floor(x · 127 / s + 0.5)` under
+    * ONE global scale s = max |x| over the corpus, `qq` the precomputed
+    * squared code norm. A GLOBAL scale (vs per-dim) is what makes the
+    * quantized cosine exact integer arithmetic: the scale cancels, so
+    * `cos_q = Σqᵢnᵢ / sqrt(Σqᵢ² · Σnᵢ²)` needs no float state at all —
+    * every sum is a BIGINT < 2⁵³ (codes ≤ 127, dims ≤ thousands), hence
+    * bit-identical under ANY partitioning/engine, which is why the SQ8
+    * catalog keys are FULLY oracled (no deterministic-regime carve-out
+    * needed). Production framing: the classic 4×-memory scan compression
+    * (int8 vs float32; parquet stores the levels as int64 here — a
+    * cluster deployment would pack them into FixedLenByteArray, the
+    * plumbing is identical) with int8-GEMM-shaped scoring. */
+  def sq8Codes(s: SparkSession, d: String): DataFrame = {
+    val path = s"${root(s, d)}/sq8"
+    Warehouse.ensure(s, path) {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+      // one scalar aggregate (order-free max) — broadcast back as a
+      // literal-free one-row cross join, never collected per row
+      val sc = e.agg(max(expr(
+          "aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x)))"))
+          .as("mx"))
+        .select(when(col("mx") > 0, col("mx")).otherwise(lit(1.0)).as("s"))
+      e.crossJoin(broadcast(sc))
+        .withColumn("codes",
+          expr("transform(v, x -> CAST(floor(x * 127.0D / s + 0.5D) AS BIGINT))"))
+        .withColumn("qq", expr("aggregate(codes, 0L, (acc, c) -> acc + c * c)"))
+        .select("vec_id", "codes", "qq")
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   /** Stored BANDED sign-LSH inverted list over the full corpus — narrow
     * postings `(vec_id, band, bucket)`, one row per (vector, band); the
     * vectors themselves live once in [[buckets]]. Axis geometry at the

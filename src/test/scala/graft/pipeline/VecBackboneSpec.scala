@@ -533,6 +533,71 @@ class VecBackboneSpec extends AnyFunSuite {
       s"planted shift produced no drift signal: ${rep.mkString("; ")}")
   }
 
+  test("sq8 codes: bounded levels, exact norms, quantized cosine tracks exact") {
+    import org.apache.spark.sql.functions._
+    val cq = VecBackbone.sq8Codes(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    assert(cq.nonEmpty)
+    cq.foreach { case (id, codes, qq) =>
+      assert(codes.forall(c => c >= -127 && c <= 127),
+        s"vec $id: level outside the signed-8-bit range")
+      assert(qq == codes.map(c => c * c).sum, s"vec $id: stored qq drifts")
+    }
+    // the scale's definition: at least one dimension somewhere quantizes
+    // to a full-magnitude level (|x| == s ⇒ |code| == 127)
+    assert(cq.exists(_._2.exists(c => math.abs(c) == 127)),
+      "no full-scale level — the global max is not doing its job")
+    // quantized cosine within the 8-bit error envelope of the exact one
+    // for every pair the catalog key returns (64 dims ⇒ well under 0.05)
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val worst = graft.SparkEntry.queries("d_ann_sq8")(spark, sf).collect()
+      .map { r =>
+        val (q, n, cq8) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+        math.abs(cq8 - cos(vecs(q), vecs(n)))
+      }.max
+    assert(worst <= 0.05, f"quantized cosine off by $worst%.4f — 8 bits broken")
+  }
+
+  test("sq8 recall audit: hits bounded, ratio consistent, loss visible at sf0.01") {
+    val rows = graft.SparkEntry.queries("d_ann_recall_sq8")(
+        spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 200, "one row per query, zero-hit queries included")
+    rows.foreach { case (q, h, r5) =>
+      assert(h >= 0 && h <= 5, s"query $q: hits $h outside [0,5]")
+      assert(math.abs(r5 - h / 5.0) < 1e-9, s"query $q: recall5 != hits/5")
+    }
+    val mean = rows.map(_._3).sum / rows.length
+    assert(mean >= 0.9, f"sq8 mean recall@5 $mean%.3f — 8 bits should be near-exact")
+    assert(rows.exists(_._2 < 5),
+      "no query lost a neighbor at sf0.01 — the audit can't detect loss it never sees")
+  }
+
+  test("sq8 on an all-zero corpus: the scale guard pins codes and scores to zero") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sq8zero").toString
+    (0L until 20L).map(i => (i, Array.fill(8)(0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val cq = VecBackbone.sq8Codes(spark, dir).collect()
+      .map(r => (r.getSeq[Long](1), r.getLong(2)))
+    assert(cq.forall { case (codes, qq) => codes.forall(_ == 0L) && qq == 0L })
+    val scored = graft.SparkEntry.queries("d_ann_sq8")(spark, dir).collect()
+    assert(scored.nonEmpty && scored.forall(_.getDouble(3) == 0.0),
+      "zero-norm guard must pin cos_q to 0.0, not NULL/NaN")
+  }
+
   test("bandsFor: smallest b reaching the composite-recall target") {
     // the SCALE.md sweep's own numbers: measured 0.24 single-band recall
     // needs 4 bands for ~0.67 composite
