@@ -40,7 +40,12 @@ the engines number weekdays differently), correlated scalar aggregate
 subqueries (COUNT-on-empty=0, MIN/MAX-on-empty=NULL — probed and
 agreed), [NOT] IN subqueries incl. NULLIF-poisoned lists (standard
 three-valued logic on both sides), windows OVER join results (FK->PK
-edges keep the left pk a total tie-break), multiple DISTINCT
+edges keep the left pk a total tie-break), aggregate FILTER clauses
+(COUNT/SUM/MIN masks incl. the empty-filter NULL/0 pins), rank
+functions over total orders (NTILE remainder rule, PERCENT_RANK/
+CUME_DIST exact rationals, shared named WINDOW), pure inequality band
+joins on small tables (DuckDB IEJoin vs Spark nested-loop),
+multiple DISTINCT
 aggregates per SELECT incl. NULLIF-poisoned distincts + SUM(DISTINCT),
 correlated EXISTS with aggregate-HAVING subqueries, CASE expressions
 as grouping keys (incl. NULL-producing keys and ABS-guarded modulo
@@ -731,6 +736,70 @@ class Gen:
                 f"FROM g JOIN f ON f.{g} = g.k0 "
                 f"GROUP BY 1, 2, 3")
 
+    def q_agg_filter(self):
+        # FILTER clauses on aggregates: both engines implement the
+        # standard `agg(...) FILTER (WHERE p)` — semantically the
+        # SUM(CASE...) of q_cond_agg but a distinct parse/plan path
+        # (Spark rewrites the predicate into the agg expression, DuckDB
+        # keeps a filter mask). COUNT-on-empty-filter = 0 and
+        # SUM/MIN-on-empty-filter = NULL are both pinned.
+        r = self.r
+        t = r.choice(TABLES)
+        m = self.meta[t]
+        g = r.choice(m["strs"] + m["ints"])
+        c = r.choice(m["ints"])
+        p1, p2 = self.pred(t), self.pred(t)
+        return (f"SELECT {g} AS k0, "
+                f"CAST(COUNT(*) FILTER (WHERE {p1}) AS BIGINT) AS f0, "
+                f"CAST(SUM({c}) FILTER (WHERE {p2}) AS BIGINT) AS f1, "
+                f"CAST(MIN({c}) FILTER (WHERE {p1}) AS BIGINT) AS f2, "
+                f"CAST(COUNT(*) AS BIGINT) AS cnt "
+                f"FROM {t}{self.where(t)} GROUP BY 1")
+
+    def q_rankfuncs(self):
+        # rank-function family over a TOTAL order (pk tie-break):
+        # NTILE bucket boundaries follow the standard remainder rule and
+        # PERCENT_RANK/CUME_DIST are exact small rationals — identical
+        # doubles on both engines once the order is total. A named
+        # WINDOW clause shares one definition across all four functions.
+        r = self.r
+        t = r.choice(TABLES)
+        m = self.meta[t]
+        g = r.choice(m["strs"] + m["ints"])
+        c = r.choice(m["ints"])
+        pk = ", ".join(PK[t])
+        n = r.randint(2, 7)
+        keep = r.randint(2, 10)
+        return (f"SELECT * FROM (SELECT {pk}, "
+                f"CAST(NTILE({n}) OVER w AS BIGINT) AS r0, "
+                f"PERCENT_RANK() OVER w AS r1, "
+                f"CUME_DIST() OVER w AS r2, "
+                f"CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn "
+                f"FROM {t}{self.where(t)} "
+                f"WINDOW w AS (PARTITION BY {g} ORDER BY {c}, {pk})) "
+                f"WHERE rn <= {keep}")
+
+    def q_range_join(self):
+        # pure inequality (band) join: DuckDB plans an IEJoin, Spark a
+        # nested-loop — maximally different physical algorithms that
+        # must agree. Small tables only (the band fan-out is quadratic
+        # in principle), aggregated per left pk so output stays bounded
+        # and the inner join drops empty groups identically on both
+        # sides.
+        r = self.r
+        small = ["nation", "region", "supplier"]
+        t1, t2 = r.sample(small, 2)
+        m1, m2 = self.meta[t1], self.meta[t2]
+        c1, c2 = r.choice(m1["ints"]), r.choice(m2["ints"])
+        k = r.randint(1, 6)
+        pk = ", ".join(f"a.{p}" for p in PK[t1])
+        return (f"SELECT {pk}, CAST(COUNT(*) AS BIGINT) AS cnt, "
+                f"CAST(SUM(b.{c2}) AS BIGINT) AS s0, "
+                f"CAST(MIN(b.{c2}) AS BIGINT) AS m0 "
+                f"FROM {t1} a JOIN {t2} b "
+                f"ON b.{c2} BETWEEN a.{c1} - {k} AND a.{c1} + {k} "
+                f"GROUP BY 1")
+
     def gen(self, i):
         return [self.q_agg, self.q_scalar, self.q_join, self.q_setop,
                 self.q_topk, self.q_window, self.q_datetime,
@@ -742,7 +811,8 @@ class Gen:
                 self.q_distinct_agg, self.q_exists_agg,
                 self.q_case_groupby, self.q_join_full,
                 self.q_window_range, self.q_lateral, self.q_decimal,
-                self.q_setop_window, self.q_cte][i % 30]()
+                self.q_setop_window, self.q_cte, self.q_agg_filter,
+                self.q_rankfuncs, self.q_range_join][i % 33]()
 
 
 def main():
