@@ -320,6 +320,38 @@ object Similarity {
         .orderBy("q_id", "rnk")
     }),
 
+    // SQ8 clip audit — the "re-scale" signal completing the SQ8 index
+    // lifecycle: the append path ([[VecBackbone.sq8Advance]]) encodes
+    // new batches under the PINNED history scale (re-deriving it would
+    // corrupt the meaning of every stored code), clamping levels to
+    // ±127 — this audit reports, per corpus half under the n/2 history
+    // split, how many vectors the clamp would actually bite (a dim
+    // rounds past level 127) and how far the live max has outgrown the
+    // pinned scale. history rows are the zero-baseline by construction
+    // (the scale IS their max); a batch clip_frac > 0 says re-scale +
+    // re-encode at the next compaction. Fully oracled (scale, split and
+    // the clip predicate all recompose in SQL).
+    "d_ann_sq8_clip" -> ((s, d) => {
+      val split = VecBackbone.deltaSplit(s, d)
+      val sc = VecBackbone.sq8ScaleAt(s, d, split)
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+        .withColumn("s", lit(sc))
+        .withColumn("mx", expr(
+          "aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x)))"))
+        .withColumn("side",
+          when(col("vec_id") < split, lit("history")).otherwise(lit("batch")))
+        .groupBy("side", "s")
+        .agg(count(lit(1)).as("n"),
+          sum(when(floor(col("mx") * 127.0 / col("s") + 0.5) > 127, 1)
+            .otherwise(0)).cast("long").as("n_clipped"),
+          round(max(col("mx")) / first(col("s")), 6).as("max_ratio"))
+        .withColumn("clip_frac",
+          round(col("n_clipped") / col("n").cast("double"), 6))
+        .select("side", "n", "n_clipped", "clip_frac", "max_ratio")
+        .orderBy("side")
+    }),
+
     // SQ8 recall audit: per query (vec_id < 200), how many of the exact
     // float top-5 the quantized top-5 retains — the operator signal for
     // "8 bits is (not) enough for this corpus", completing the
@@ -1312,6 +1344,29 @@ object Similarity {
                     ORDER BY cos_q DESC, n_id) AS INT) AS rnk
            FROM scored) WHERE rnk <= 5
          ORDER BY q_id, rnk"""),
+
+    // Clip audit: pinned history scale (n/2 split), per-side clip
+    // counts under the same floor-past-127 predicate the clamp uses.
+    "d_ann_sq8_clip" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         sp AS (SELECT COUNT(*) // 2 AS k FROM e),
+         sc AS (SELECT CASE WHEN max(m) > 0 THEN max(m) ELSE 1.0 END AS s
+                FROM (SELECT list_max(list_transform(v, x -> abs(x))) AS m
+                      FROM e, sp WHERE vec_id < sp.k)),
+         t AS (SELECT CASE WHEN e.vec_id < sp.k THEN 'history'
+                           ELSE 'batch' END AS side,
+                      list_max(list_transform(e.v, x -> abs(x))) AS mx,
+                      sc.s AS s
+               FROM e, sp, sc)
+         SELECT side, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN floor(mx * 127.0 / s + 0.5) > 127
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+                round(CAST(SUM(CASE WHEN floor(mx * 127.0 / s + 0.5) > 127
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                      / COUNT(*), 6) AS clip_frac,
+                round(max(mx) / s, 6) AS max_ratio
+         FROM t GROUP BY side, s ORDER BY side""",
 
     // SQ8 recall audit: exact float top-5 vs quantized top-5, both
     // ranked by (round(cos, 4) DESC, n_id) — overlap per query.

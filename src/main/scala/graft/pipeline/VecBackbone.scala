@@ -280,22 +280,94 @@ private[graft] object VecBackbone {
   def sq8Codes(s: SparkSession, d: String): DataFrame = {
     val path = s"${root(s, d)}/sq8"
     Warehouse.ensure(s, path) {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
-      // one scalar aggregate (order-free max) — broadcast back as a
-      // literal-free one-row cross join, never collected per row
-      val sc = e.agg(max(expr(
-          "aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x)))"))
-          .as("mx"))
-        .select(when(col("mx") > 0, col("mx")).otherwise(lit(1.0)).as("s"))
-      e.crossJoin(broadcast(sc))
-        .withColumn("codes",
-          expr("transform(v, x -> CAST(floor(x * 127.0D / s + 0.5D) AS BIGINT))"))
-        .withColumn("qq", expr("aggregate(codes, 0L, (acc, c) -> acc + c * c)"))
-        .select("vec_id", "codes", "qq")
-        .write.mode("overwrite").parquet(path)
+      sq8BuildAt(s, d, path, Long.MaxValue)
     }
-    s.read.parquet(path)
+    s.read.parquet(s"$path/codes")
+  }
+
+  /** The PINNED scale of a stored SQ8 table — the sidecar artifact the
+    * incremental append must encode under (the quantizer-sidecar
+    * discipline: re-deriving the scale from a GROWN corpus would change
+    * what every already-stored code means — silent mixed-scale
+    * corruption). One tiny row. */
+  def sq8Scale(s: SparkSession, d: String): Double = {
+    sq8Codes(s, d) // ensure built
+    s.read.parquet(s"${root(s, d)}/sq8/scale").collect()(0).getDouble(0)
+  }
+
+  /** SQ8 code table AS OF vec_id < upTo — "yesterday's index": history
+    * slice encoded under the HISTORY-derived scale, scale pinned in the
+    * sidecar. `sq8CodesAt(corpus end)` is bit-identical to the main
+    * table (same build). */
+  private[graft] def sq8CodesAt(s: SparkSession, d: String,
+                                upTo: Long): DataFrame = {
+    val path = s"${root(s, d)}/sq8_h$upTo"
+    Warehouse.ensure(s, path) {
+      sq8BuildAt(s, d, path, upTo)
+    }
+    s.read.parquet(s"$path/codes")
+  }
+
+  private[graft] def sq8ScaleAt(s: SparkSession, d: String,
+                                upTo: Long): Double = {
+    sq8CodesAt(s, d, upTo) // ensure built
+    s.read.parquet(s"${root(s, d)}/sq8_h$upTo/scale")
+      .collect()(0).getDouble(0)
+  }
+
+  /** Shared SQ8 encode: signed levels under a GIVEN scale, CLAMPED to
+    * the representable ±127 — a no-op when the scale was derived from
+    * the corpus being encoded (the build path), load-bearing when a
+    * batch vector exceeds the pinned history scale (the append path;
+    * without the clamp an out-of-range vector would silently write
+    * levels beyond 8 bits and break the int8 storage claim —
+    * [[Similarity]]'s `d_ann_sq8_clip` is the audit that says when the
+    * clamp is actually biting and a re-scale is due). */
+  private[graft] def sq8EncodeUnder(df: DataFrame, scaleCol: String): DataFrame =
+    df.withColumn("codes", expr(
+        s"transform(v, x -> CAST(greatest(-127.0D, least(127.0D, " +
+          s"floor(x * 127.0D / $scaleCol + 0.5D))) AS BIGINT))"))
+      .withColumn("qq", expr("aggregate(codes, 0L, (acc, c) -> acc + c * c)"))
+      .select("vec_id", "codes", "qq")
+
+  private def sq8BuildAt(s: SparkSession, d: String, path: String,
+                         upTo: Long): Unit = {
+    val e = Tables.embeddings(s, d).filter(col("vec_id") < upTo)
+      .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+    // one scalar aggregate (order-free max) — broadcast back as a
+    // literal-free one-row cross join, never collected per row
+    val sc = e.agg(max(expr(
+        "aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x)))"))
+        .as("mx"))
+      .select(when(col("mx") > 0, col("mx")).otherwise(lit(1.0)).as("s"))
+    sc.coalesce(1).write.mode("overwrite").parquet(s"$path/scale")
+    sq8EncodeUnder(e.crossJoin(broadcast(sc)), "s")
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** COMMIT the SQ8 append: stored history codes (vec_id < split, under
+    * the PINNED history scale) ∪ the batch encoded under that SAME
+    * pinned scale — history vectors are never re-encoded, the batch
+    * never re-derives the scale. Law (spec-pinned): the committed table
+    * equals a full re-encode of the corpus under the pinned scale,
+    * bit-for-bit — NOT a fresh build (whose scale would differ when the
+    * batch grows the max); that gap is exactly what the clip audit
+    * measures. */
+  private[graft] def sq8Advance(s: SparkSession, d: String,
+                                split: Long): DataFrame = {
+    val path = s"${root(s, d)}/sq8_adv$split"
+    Warehouse.ensure(s, path) {
+      val sc = sq8ScaleAt(s, d, split)
+      val batch = Tables.embeddings(s, d).filter(col("vec_id") >= split)
+        .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+        .withColumn("s", lit(sc))
+      sq8CodesAt(s, d, split)
+        .unionByName(sq8EncodeUnder(batch, "s"))
+        .write.mode("overwrite").parquet(s"$path/codes")
+      s.range(1).select(lit(sc).as("s")).coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/scale")
+    }
+    s.read.parquet(s"$path/codes")
   }
 
   /** Stored BANDED sign-LSH inverted list over the full corpus — narrow

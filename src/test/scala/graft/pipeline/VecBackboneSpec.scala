@@ -583,6 +583,56 @@ class VecBackboneSpec extends AnyFunSuite {
       "no query lost a neighbor at sf0.01 — the audit can't detect loss it never sees")
   }
 
+  test("sq8 advance == full re-encode under the pinned scale; corpus-end identity") {
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList, r.getLong(2))).toSet
+    val n = graft.Tables.embeddings(spark, sf).count()
+    val split = n / 2
+    val adv = rows(VecBackbone.sq8Advance(spark, sf, split))
+    val sc = VecBackbone.sq8ScaleAt(spark, sf, split)
+    val full = rows(VecBackbone.sq8EncodeUnder(
+      graft.Tables.embeddings(spark, sf)
+        .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+        .withColumn("s", lit(sc)), "s"))
+    assert(adv == full,
+      "append under the pinned scale must equal the full re-encode under it")
+    // the history's own build is the prefix of the advance (never
+    // re-encoded), and codesAt(corpus end) is the main build verbatim
+    assert(rows(VecBackbone.sq8CodesAt(spark, sf, split)).subsetOf(adv))
+    assert(rows(VecBackbone.sq8CodesAt(spark, sf, n)) ==
+      rows(VecBackbone.sq8Codes(spark, sf)))
+    assert(VecBackbone.sq8ScaleAt(spark, sf, n) == VecBackbone.sq8Scale(spark, sf))
+  }
+
+  test("sq8 planted out-of-range batch: clamp bites at ±127 and the clip audit fires") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(1507)
+    val dir = java.nio.file.Files.createTempDirectory("sq8clip").toString
+    // history: 20 vectors in [-1, 1]; batch: 10 vectors scaled ×2 —
+    // beyond any scale the history half can pin
+    val rows = (0L until 30L).map { i =>
+      val scale = if (i < 20) 1.0f else 2.0f
+      (i, Array.fill(8)((rnd.nextFloat() * 2 - 1) * scale), 0)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val adv = VecBackbone.sq8Advance(spark, dir, 20)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    assert(adv.values.forall(_.forall(c => c >= -127 && c <= 127)),
+      "a level escaped the signed-8-bit range — the clamp is not applied")
+    assert((20L until 30L).exists(i => adv(i).exists(c => math.abs(c) == 127)),
+      "no batch level saturated — the planted overflow never reached the clamp")
+    val clip = graft.SparkEntry.queries("d_ann_sq8_clip")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    // catalog split is n/2 = 15: the history SIDE of the audit spans the
+    // scale's own slice, the batch side contains the ×2 vectors
+    assert(clip("batch")._2 > 0, s"clip audit blind to planted overflow: $clip")
+    assert(clip("batch")._3 > 1.0, "batch max must exceed the pinned scale")
+  }
+
   test("sq8 on an all-zero corpus: the scale guard pins codes and scores to zero") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -46,6 +46,9 @@ KEYS = [
     # micro-unit Lloyd step reproduce per draw at any corpus the
     # planter emits (>= 16 vectors, any dims)
     "d_ann_ivf_drift", "d_ann_ivf_drift_recall",
+    # symmetric-SQ8 trio (r15): global scale + int-exact scoring and the
+    # pinned-scale clip audit recompose per draw at any corpus/dims
+    "d_ann_sq8", "d_ann_recall_sq8", "d_ann_sq8_clip",
 ]
 
 ADDOPENS = " ".join(
