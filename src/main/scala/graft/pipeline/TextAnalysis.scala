@@ -104,6 +104,31 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Context-window document chunking — the training-prep op that cuts
+    // each document into overlapping word windows (24-word windows,
+    // 6-word overlap → stride 18), the row shape a tokenizer/packer
+    // consumes downstream (the INVERSE of d_pack_sequences, which
+    // concatenates whole short docs; chunking splits long ones). Pure
+    // per-row explode — embarrassingly parallel, output rows bounded by
+    // n_words/stride per doc, no shuffle before the deterministic sort.
+    // Chunk count = ceil(max(n_words − overlap, 1) / stride), so the
+    // final window is the only short one and no chunk is a suffix of
+    // its neighbor.
+    "d_doc_chunks" -> ((s, d) => {
+      val W = 24; val O = 6; val S = W - O
+      Tables.documents(s, d)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("nc", expr(
+          s"CAST((greatest(size(w) - $O, 1) + ${S - 1}) DIV $S AS INT)"))
+        .withColumn("chunk_id", explode(expr("sequence(0, nc - 1)")))
+        .select(col("doc_id"), col("chunk_id"),
+          expr(s"array_join(slice(w, chunk_id * $S + 1, $W), ' ')")
+            .as("chunk_text"),
+          expr(s"size(slice(w, chunk_id * $S + 1, $W))").cast("int")
+            .as("n_words"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // Global n-gram frequency table — the corpus-statistics op (vocab /
     // n-gram counting over the whole corpus): explode bigram occurrences,
     // one hash agg (map-side partial), top-100. At 100 TB this is one
@@ -238,6 +263,25 @@ object TextAnalysis {
                          list_distinct(string_split(text, ' ')) AS uw
                   FROM documents))
           ORDER BY doc_id""",
+
+    // Chunk arithmetic mirrors verbatim: greatest/ceil-division for the
+    // count, 1-based slice of the split stream (DuckDB list_slice takes
+    // an END index where Spark slice takes a LENGTH — same window).
+    "d_doc_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents),
+         n AS (SELECT doc_id, w,
+                      CAST((greatest(len(w) - 6, 1) + 17) // 18 AS INT) AS nc
+               FROM d),
+         c AS (SELECT doc_id, w, CAST(k AS INT) AS chunk_id
+               FROM n, unnest(generate_series(0, nc - 1)) AS t(k))
+         SELECT doc_id, chunk_id,
+                array_to_string(list_slice(w, chunk_id * 18 + 1,
+                                           chunk_id * 18 + 24), ' ')
+                  AS chunk_text,
+                CAST(len(list_slice(w, chunk_id * 18 + 1,
+                                    chunk_id * 18 + 24)) AS INT) AS n_words
+         FROM c ORDER BY doc_id, chunk_id""",
 
     "d_text_tokens" ->
       """SELECT doc_id,

@@ -279,4 +279,38 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(typed == builtin)
   }
+
+  test("doc chunking: stride-drop reconstruction, window bounds, overlap stitch") {
+    val (w, o) = (24, 6)
+    val chunks = graft.SparkEntry.queries("d_doc_chunks")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(chunks.keySet == docs.keySet, "every doc chunks, chunked docs exist")
+    chunks.foreach { case (id, cs) =>
+      assert(cs.map(_._2).toSeq == (0 until cs.length), s"doc $id: chunk_id gap")
+      cs.foreach { case (_, _, txt, nw) =>
+        val words = txt.split(" ", -1)
+        assert(words.length == nw && nw >= 1 && nw <= w,
+          s"doc $id: window bounds broken ($nw words)")
+      }
+      // RECONSTRUCTION: chunk 0 whole, then each later chunk minus its
+      // o-word overlap head, re-joined == the original word stream —
+      // proves windows neither drop nor duplicate content
+      val rebuilt = (cs.head._3.split(" ", -1) ++
+        cs.tail.flatMap(_._3.split(" ", -1).drop(o))).mkString(" ")
+      assert(rebuilt == docs(id), s"doc $id: reconstruction drifted")
+      // overlap stitch: a full chunk's tail o words == the next chunk's
+      // head o words
+      cs.sliding(2).foreach {
+        case Array(a, b) if a._4 == w =>
+          assert(a._3.split(" ", -1).takeRight(o).toSeq ==
+            b._3.split(" ", -1).take(o).toSeq, s"doc $id: overlap mismatch")
+        case _ => ()
+      }
+    }
+  }
 }

@@ -34,7 +34,7 @@ KEYS = [
     "d_dedup_exact", "d_dedup_keep_best", "d_dedup_cluster",
     "d_dedup_delta", "d_dedup_delta_r4", "d_dedup_delta_stored",
     "d_backbone_incr", "d_curation_drift", "d_dup_spans",
-    "d_dup_span_ratio",
+    "d_dup_span_ratio", "d_doc_chunks",
     # vector cascade + ANN
     "d_dedup_semantic", "d_semantic_incr", "d_semantic_incr_banded",
     "d_semantic_drift",
