@@ -361,41 +361,37 @@ object Similarity {
     // oracled.
     "d_ann_recall_sq8" -> ((s, d) => {
       register(s)
+      // ONE cross join carries BOTH scores: each (query, candidate) row
+      // ranks under the exact cosine and the quantized cosine in two
+      // stacked windows over the same q_id partitioning (one exchange,
+      // an extra in-partition sort), and the top-5 intersection is a
+      // conditional sum — no second corpus pass, no pair self-join.
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").as("v"))
         .withColumn("n", norm("v"))
-      val qs = e.filter(col("vec_id") < 200)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n").as("qn"))
-      val wx = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-      val exact5 = e.select(col("vec_id").as("n_id"), col("v").as("nv"),
-          col("n").as("nn"))
-        .crossJoin(broadcast(qs))
+        .join(VecBackbone.sq8Codes(s, d), "vec_id")
+      val q = e.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("n").as("qn"), col("codes").as("qc"), col("qq").as("qqq"))
+      val cand = e.select(col("vec_id").as("n_id"), col("v").as("nv"),
+        col("n").as("nn"), col("codes").as("nc"), col("qq").as("nqq"))
+      val we = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+      val w8 = Window.partitionBy("q_id").orderBy(col("cos_q").desc, col("n_id"))
+      val hits = cand.crossJoin(broadcast(q))
         .filter(col("q_id") =!= col("n_id"))
         .withColumn("cos", round(dot("qv", "nv") / (col("qn") * col("nn")), 4))
-        .withColumn("rnk", row_number().over(wx))
-        .filter(col("rnk") <= 5)
-        .select("q_id", "n_id")
-      val cq = VecBackbone.sq8Codes(s, d)
-      val q8 = cq.filter(col("vec_id") < 200)
-        .select(col("vec_id").as("q_id"), col("codes").as("qc"),
-          col("qq").as("qqq"))
-      val w8 = Window.partitionBy("q_id").orderBy(col("cos_q").desc, col("n_id"))
-      val sq85 = cq.select(col("vec_id").as("n_id"), col("codes").as("nc"),
-          col("qq").as("nqq"))
-        .crossJoin(broadcast(q8))
-        .filter(col("q_id") =!= col("n_id"))
         .withColumn("cos_q",
           when(col("qqq") === 0 || col("nqq") === 0, lit(0.0))
             .otherwise(round(
               expr("aggregate(zip_with(qc, nc, (a, b) -> a * b), 0L, " +
                    "(acc, x) -> acc + x)").cast("double") /
                 sqrt((col("qqq") * col("nqq")).cast("double")), 4)))
-        .withColumn("rnk", row_number().over(w8))
-        .filter(col("rnk") <= 5)
-        .select("q_id", "n_id")
-      val hits = exact5.join(sq85, Seq("q_id", "n_id"))
-        .groupBy("q_id").agg(count(lit(1)).as("h"))
-      qs.select("q_id").join(hits, Seq("q_id"), "left")
+        .withColumn("rnk_e", row_number().over(we))
+        .withColumn("rnk_q", row_number().over(w8))
+        .groupBy("q_id")
+        .agg(sum(when(col("rnk_e") <= 5 && col("rnk_q") <= 5, 1).otherwise(0))
+          .cast("long").as("h"))
+      q.select("q_id").join(hits, Seq("q_id"), "left")
         .select(col("q_id"),
           coalesce(col("h"), lit(0L)).as("hits"),
           round(coalesce(col("h"), lit(0L)) / 5.0, 4).as("recall5"))

@@ -36,7 +36,8 @@ object VecIndexStream {
                                      baseDir: String,
                                      q: VecBackbone.Quantizer,
                                      planes: Int = VecBackbone.Planes,
-                                     geom: BandedGeom = VecBackbone.CatalogGeom): Unit = {
+                                     geom: BandedGeom = VecBackbone.CatalogGeom,
+                                     sq8Scale: Option[Double] = None): Unit = {
     val s = batch.sparkSession
     Similarity.register(s)
     val e = batch.select(col("vec_id"), col("embedding").cast("array<float>"))
@@ -71,7 +72,53 @@ object VecIndexStream {
       }
     VecBackbone.encode(e, q)
       .write.mode("overwrite").parquet(s"$baseDir/codes/batch=$batchId")
+    // SQ8 codes ride the same per-batch partition under the PINNED
+    // SCALE (the sidecar discipline, third instance: quantizer,
+    // geometry, now scale) — the encoder CLAMPS at ±127, so a batch
+    // vector outgrowing the pinned scale degrades visibly (the
+    // d_ann_sq8_clip audit) instead of corrupting the stored range. A
+    // restart under a different scale refuses: mixed-scale code tables
+    // are unreadable — every stored level's meaning is scale-relative.
+    sq8Scale.foreach { sc =>
+      if (sq8Checked.add(s"$baseDir|$sc"))
+        readSq8Scale(s, baseDir) match {
+          case Some(stored) =>
+            require(stored == sc,
+              s"index at $baseDir stores SQ8 codes under scale $stored; " +
+                s"refusing to stream codes under $sc — one stored index, " +
+                "one scale (re-encode into a fresh dir to change it)")
+          case None =>
+            import s.implicits._
+            Seq(sc).toDF("s").coalesce(1)
+              .write.mode("overwrite").parquet(s"$baseDir/sq8scale")
+        }
+      VecBackbone.sq8EncodeUnder(
+          e.select(col("vec_id"),
+            org.apache.spark.sql.functions.expr(
+              "CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+            .withColumn("s", org.apache.spark.sql.functions.lit(sc)), "s")
+        .write.mode("overwrite").parquet(s"$baseDir/sq8/batch=$batchId")
+    }
   }
+
+  /** (dir, scale) pairs already validated against / written to the SQ8
+    * scale sidecar by THIS JVM — the geomChecked pattern. */
+  private val sq8Checked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The pinned SQ8 scale a stream-written index encodes under; None
+    * when the index carries no SQ8 table. */
+  def readSq8Scale(s: SparkSession, baseDir: String): Option[Double] = {
+    val p = new org.apache.hadoop.fs.Path(s"$baseDir/sq8scale")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(s.read.parquet(p.toString).head.getDouble(0))
+  }
+
+  /** Stream-written SQ8 codes (vec_id, codes, qq) — same layout as
+    * [[graft.pipeline.VecBackbone.sq8Codes]]'s committed table. */
+  def readSq8Codes(s: SparkSession, baseDir: String): DataFrame =
+    s.read.parquet(s"$baseDir/sq8").drop("batch")
 
   /** (dir, geometry-tag) pairs already validated against / written to
     * the sidecar by THIS JVM — see the hot-path note above. */
@@ -87,11 +134,13 @@ object VecIndexStream {
   def indexWriter(docs: Dataset[VecEvent], baseDir: String,
                   q: VecBackbone.Quantizer,
                   planes: Int = VecBackbone.Planes,
-                  geom: BandedGeom = VecBackbone.CatalogGeom)
+                  geom: BandedGeom = VecBackbone.CatalogGeom,
+                  sq8Scale: Option[Double] = None)
       : DataStreamWriter[VecEvent] =
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[VecEvent], batchId: Long) =>
-        writeIndexBatch(batch.toDF(), batchId, baseDir, q, planes, geom)
+        writeIndexBatch(batch.toDF(), batchId, baseDir, q, planes, geom,
+          sq8Scale)
       }
 
   /** Read stream-written index tables back (the `batch` partition

@@ -321,4 +321,44 @@ class VecIndexStreamSpec extends AnyFunSuite {
     assert(buckets.count() == vecs.size, "replay duplicated bucket rows")
     assert(codes.count() == vecs.size, "replay duplicated code rows")
   }
+
+  test("SQ8 codes ride the stream under the pinned scale; another scale refuses") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val split = VecBackbone.deltaSplit(spark, sf)
+    val vecs = histVecs(split)
+    val q = VecBackbone.quantizer(spark, sf)
+    val sc = VecBackbone.sq8ScaleAt(spark, sf, split) // the pinned artifact
+    val base = Files.createTempDirectory("graft_sq8_writer").toString
+    val ckpt = Files.createTempDirectory("graft_sq8_ckpt").toString
+    val ms = MemoryStream[VecEvent]
+    val w = VecIndexStream.indexWriter(ms.toDS(), base, q, sq8Scale = Some(sc))
+      .option("checkpointLocation", ckpt).start()
+    try {
+      vecs.grouped(math.max(1, vecs.size / 3 + 1)).foreach { g =>
+        ms.addData(g: _*); w.processAllAvailable()
+      }
+    } finally w.stop()
+    def sq8Rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        (r.getLong(r.fieldIndex("vec_id")),
+          r.getSeq[Long](r.fieldIndex("codes")).toList,
+          r.getLong(r.fieldIndex("qq")))
+      }.toSet
+    // stream-written codes == the batch pipeline's own history build
+    // under the same pinned scale, bit for bit — either producer feeds
+    // sq8Advance interchangeably
+    assert(sq8Rows(VecIndexStream.readSq8Codes(spark, base)) ==
+      sq8Rows(VecBackbone.sq8CodesAt(spark, sf, split)),
+      "stream-written SQ8 codes diverge from the batch build")
+    assert(VecIndexStream.readSq8Scale(spark, base).contains(sc))
+    // a restart under a DIFFERENT scale must refuse, not mix code tables
+    val err = intercept[IllegalArgumentException] {
+      VecIndexStream.writeIndexBatch(
+        graft.Tables.embeddings(spark, sf).filter("vec_id < 3")
+          .select(col("vec_id"), col("embedding")),
+        99L, base, q, sq8Scale = Some(sc * 2))
+    }
+    assert(err.getMessage.contains("refusing"), err.getMessage)
+  }
 }
