@@ -878,7 +878,17 @@ object ScaleSmoke {
             ("o_a27b_weighted_quantiles", base, d10),
             ("o_j6_asof", base, d10),
             ("d_dup_spans", dBase, d10),
-            ("d_ann_ivfpq", dBase, d10))
+            ("d_ann_ivfpq", dBase, d10),
+            // the r15-continuation keys, measured at the decade from
+            // birth (events-fed keys ride the replicated real fixture;
+            // docs/embeddings-fed ride the synthetic 10× pair)
+            ("o_a15e_funnel_chunked", base, d10),
+            ("o_a18b_seqcount_windowed", base, d10),
+            ("o_a18c_seqcount_chunked", base, d10),
+            ("d_doc_chunks", dBase, d10),
+            ("d_ann_sq8", dBase, d10),
+            ("d_ann_recall_sq8", dBase, d10),
+            ("d_ann_sq8_clip", dBase, d10))
           movers.foreach { case (key, small, big) =>
             // the o_a27 family's adaptive gate steps from the naive
             // window (ONE data shuffle) to the distributed prefix sum
