@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -122,6 +122,18 @@ object Similarity {
       .withColumn(out, expr(s"CAST(array_position($tmp, array_min($tmp)) - 1 AS INT)"))
       .drop(tmp)
   }
+
+  /** Quantized cosine under the int-exact SQ8 scoring contract — ONE
+    * definition shared by `d_ann_sq8` and the recall audit (the audit
+    * is only meaningful while it ranks with the byte-identical
+    * expression the operator it audits uses). */
+  private def sq8CosQ(qc: String, nc: String,
+                      qqq: String, nqq: String): Column =
+    when(col(qqq) === 0 || col(nqq) === 0, lit(0.0))
+      .otherwise(round(
+        expr(s"aggregate(zip_with($qc, $nc, (a, b) -> a * b), 0L, " +
+             "(acc, x) -> acc + x)").cast("double") /
+          sqrt((col(qqq) * col(nqq)).cast("double")), 4))
 
   val queries: Map[String, Q] = Map(
     // Brute-force cosine top-5 neighbors for query vectors vec_id < 10.
@@ -308,12 +320,7 @@ object Similarity {
           col("qq").as("nqq"))
         .crossJoin(broadcast(q))
         .filter(col("q_id") =!= col("n_id"))
-        .withColumn("cos_q",
-          when(col("qqq") === 0 || col("nqq") === 0, lit(0.0))
-            .otherwise(round(
-              expr("aggregate(zip_with(qc, nc, (a, b) -> a * b), 0L, " +
-                   "(acc, x) -> acc + x)").cast("double") /
-                sqrt((col("qqq") * col("nqq")).cast("double")), 4)))
+        .withColumn("cos_q", sq8CosQ("qc", "nc", "qqq", "nqq"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
         .select(col("q_id"), col("rnk"), col("n_id"), col("cos_q"))
@@ -379,13 +386,14 @@ object Similarity {
       val w8 = Window.partitionBy("q_id").orderBy(col("cos_q").desc, col("n_id"))
       val hits = cand.crossJoin(broadcast(q))
         .filter(col("q_id") =!= col("n_id"))
-        .withColumn("cos", round(dot("qv", "nv") / (col("qn") * col("nn")), 4))
-        .withColumn("cos_q",
-          when(col("qqq") === 0 || col("nqq") === 0, lit(0.0))
-            .otherwise(round(
-              expr("aggregate(zip_with(qc, nc, (a, b) -> a * b), 0L, " +
-                   "(acc, x) -> acc + x)").cast("double") /
-                sqrt((col("qqq") * col("nqq")).cast("double")), 4)))
+        // zero-norm guard on the EXACT side too: Spark's 0/0 is NULL
+        // (sorts last under DESC) where DuckDB's cosine is NaN (sorts
+        // first) — pin 0.0 on both so a zero vector can't split the
+        // engines' top-5 sets (the quantized side already pins it)
+        .withColumn("cos",
+          when(col("qn") * col("nn") === 0, lit(0.0))
+            .otherwise(round(dot("qv", "nv") / (col("qn") * col("nn")), 4)))
+        .withColumn("cos_q", sq8CosQ("qc", "nc", "qqq", "nqq"))
         .withColumn("rnk_e", row_number().over(we))
         .withColumn("rnk_q", row_number().over(w8))
         .groupBy("q_id")
@@ -1371,7 +1379,11 @@ object Similarity {
          ex AS (SELECT q_id, n_id FROM (
                   SELECT q_id, e2.vec_id AS n_id,
                          CAST(row_number() OVER (PARTITION BY q_id
-                           ORDER BY round(list_cosine_similarity(qv, e2.v), 4)
+                           ORDER BY (CASE WHEN list_inner_product(qv, qv) = 0
+                                            OR list_inner_product(e2.v, e2.v) = 0
+                                          THEN 0.0
+                                          ELSE round(list_cosine_similarity(qv, e2.v), 4)
+                                     END)
                                       DESC, e2.vec_id) AS INT) AS rnk
                   FROM q JOIN e e2 ON e2.vec_id <> q_id) WHERE rnk <= 5),
          q8 AS (SELECT vec_id AS q_id, codes AS qc, qq AS qqq

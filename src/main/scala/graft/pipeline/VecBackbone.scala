@@ -334,14 +334,18 @@ private[graft] object VecBackbone {
                          upTo: Long): Unit = {
     val e = Tables.embeddings(s, d).filter(col("vec_id") < upTo)
       .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
-    // one scalar aggregate (order-free max) — broadcast back as a
-    // literal-free one-row cross join, never collected per row
-    val sc = e.agg(max(expr(
-        "aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x)))"))
-        .as("mx"))
-      .select(when(col("mx") > 0, col("mx")).otherwise(lit(1.0)).as("s"))
-    sc.coalesce(1).write.mode("overwrite").parquet(s"$path/scale")
-    sq8EncodeUnder(e.crossJoin(broadcast(sc)), "s")
+    // ONE scalar aggregate (order-free max), collected once — the
+    // sidecar write and the encode both reuse the collected value, so a
+    // build costs two corpus scans (max + encode), not three (the
+    // crossJoin form re-executed the aggregate as a subquery of the
+    // encode job)
+    val mx = e.agg(max(expr(
+        "aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x)))")))
+      .collect()(0)
+    val sc = if (!mx.isNullAt(0) && mx.getDouble(0) > 0) mx.getDouble(0) else 1.0
+    s.range(1).select(lit(sc).as("s")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/scale")
+    sq8EncodeUnder(e.withColumn("s", lit(sc)), "s")
       .write.mode("overwrite").parquet(s"$path/codes")
   }
 

@@ -61,7 +61,11 @@ object VecIndexStream {
     // sidecar exists to close); and the check must not cost a parquet
     // read per micro-batch on the ingest hot path, so the validated
     // (dir, tag) is memoized
-    if (geomChecked.add(s"$baseDir|${geom.tag}"))
+    // memoize AFTER the check passes: memoizing first would let a retry
+    // or in-JVM stream restart after a refusal skip the validation and
+    // write mixed-geometry postings — the exact corruption the sidecar
+    // exists to prevent
+    if (!geomChecked.contains(s"$baseDir|${geom.tag}")) {
       VecBackbone.readGeomSidecar(s, baseDir) match {
         case Some(stored) =>
           require(stored == geom,
@@ -70,6 +74,8 @@ object VecIndexStream {
               "geometry (rebuild into a fresh dir to change it)")
         case None => VecBackbone.writeGeomSidecar(s, baseDir, geom)
       }
+      geomChecked.add(s"$baseDir|${geom.tag}"): Unit
+    }
     VecBackbone.encode(e, q)
       .write.mode("overwrite").parquet(s"$baseDir/codes/batch=$batchId")
     // SQ8 codes ride the same per-batch partition under the PINNED
@@ -79,25 +85,45 @@ object VecIndexStream {
     // d_ann_sq8_clip audit) instead of corrupting the stored range. A
     // restart under a different scale refuses: mixed-scale code tables
     // are unreadable — every stored level's meaning is scale-relative.
-    sq8Scale.foreach { sc =>
-      if (sq8Checked.add(s"$baseDir|$sc"))
-        readSq8Scale(s, baseDir) match {
-          case Some(stored) =>
-            require(stored == sc,
-              s"index at $baseDir stores SQ8 codes under scale $stored; " +
-                s"refusing to stream codes under $sc — one stored index, " +
-                "one scale (re-encode into a fresh dir to change it)")
-          case None =>
-            import s.implicits._
-            Seq(sc).toDF("s").coalesce(1)
-              .write.mode("overwrite").parquet(s"$baseDir/sq8scale")
+    sq8Scale match {
+      case Some(sc) =>
+        // same add-after-validate discipline as the geometry sidecar
+        if (!sq8Checked.contains(s"$baseDir|$sc")) {
+          readSq8Scale(s, baseDir) match {
+            case Some(stored) =>
+              require(stored == sc,
+                s"index at $baseDir stores SQ8 codes under scale $stored; " +
+                  s"refusing to stream codes under $sc — one stored index, " +
+                  "one scale (re-encode into a fresh dir to change it)")
+            case None =>
+              import s.implicits._
+              Seq(sc).toDF("s").coalesce(1)
+                .write.mode("overwrite").parquet(s"$baseDir/sq8scale")
+          }
+          sq8Checked.add(s"$baseDir|$sc"): Unit
+          // a later None-writer on this dir must re-check: the sidecar
+          // this branch may just have written invalidates a prior
+          // "no-sidecar" verdict
+          sq8Checked.remove(s"$baseDir|none"): Unit
         }
-      VecBackbone.sq8EncodeUnder(
-          e.select(col("vec_id"),
-            org.apache.spark.sql.functions.expr(
-              "CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
-            .withColumn("s", org.apache.spark.sql.functions.lit(sc)), "s")
-        .write.mode("overwrite").parquet(s"$baseDir/sq8/batch=$batchId")
+        VecBackbone.sq8EncodeUnder(
+            e.select(col("vec_id"),
+              org.apache.spark.sql.functions.expr(
+                "CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+              .withColumn("s", org.apache.spark.sql.functions.lit(sc)), "s")
+          .write.mode("overwrite").parquet(s"$baseDir/sq8/batch=$batchId")
+      case None =>
+        // a writer redeployed WITHOUT the scale on an index that carries
+        // an SQ8 table would silently stop maintaining it — readers get a
+        // partially-populated code table with no signal. Refuse instead.
+        if (!sq8Checked.contains(s"$baseDir|none")) {
+          require(readSq8Scale(s, baseDir).isEmpty,
+            s"index at $baseDir carries an SQ8 code table (scale sidecar " +
+              "present) but the writer was given no sq8Scale — pass the " +
+              "pinned scale to keep maintaining it, or re-encode into a " +
+              "fresh dir")
+          sq8Checked.add(s"$baseDir|none"): Unit
+        }
     }
   }
 

@@ -646,6 +646,14 @@ class VecBackboneSpec extends AnyFunSuite {
     val scored = graft.SparkEntry.queries("d_ann_sq8")(spark, dir).collect()
     assert(scored.nonEmpty && scored.forall(_.getDouble(3) == 0.0),
       "zero-norm guard must pin cos_q to 0.0, not NULL/NaN")
+    // the recall audit's EXACT side carries the same pin (Spark's 0/0
+    // is NULL-sorts-last, DuckDB's is NaN-sorts-first — ungated, a zero
+    // vector splits the engines' top-5 sets): on the all-zero corpus
+    // both rankings degenerate to (0.0, n_id) and must agree perfectly
+    val rec = graft.SparkEntry.queries("d_ann_recall_sq8")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(rec.nonEmpty && rec.forall { case (h, r5) => h == 5 && r5 == 1.0 },
+      "zero-norm corpus must rank identically under both scores")
   }
 
   test("bandsFor: smallest b reaching the composite-recall target") {

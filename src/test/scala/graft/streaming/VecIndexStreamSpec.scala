@@ -353,12 +353,25 @@ class VecIndexStreamSpec extends AnyFunSuite {
       "stream-written SQ8 codes diverge from the batch build")
     assert(VecIndexStream.readSq8Scale(spark, base).contains(sc))
     // a restart under a DIFFERENT scale must refuse, not mix code tables
+    val bad = graft.Tables.embeddings(spark, sf).filter("vec_id < 3")
+      .select(col("vec_id"), col("embedding"))
     val err = intercept[IllegalArgumentException] {
-      VecIndexStream.writeIndexBatch(
-        graft.Tables.embeddings(spark, sf).filter("vec_id < 3")
-          .select(col("vec_id"), col("embedding")),
-        99L, base, q, sq8Scale = Some(sc * 2))
+      VecIndexStream.writeIndexBatch(bad, 99L, base, q, sq8Scale = Some(sc * 2))
     }
     assert(err.getMessage.contains("refusing"), err.getMessage)
+    // ...and a RETRY after the refusal must refuse AGAIN — a memoize-
+    // before-validate bug would wave the second attempt through and
+    // write the mixed-scale table the guard exists to prevent
+    val err2 = intercept[IllegalArgumentException] {
+      VecIndexStream.writeIndexBatch(bad, 99L, base, q, sq8Scale = Some(sc * 2))
+    }
+    assert(err2.getMessage.contains("refusing"), err2.getMessage)
+    // a writer redeployed WITHOUT the scale on an SQ8-carrying index
+    // must refuse too — silently dropping the table's maintenance gives
+    // readers a partially-populated index with no signal
+    val err3 = intercept[IllegalArgumentException] {
+      VecIndexStream.writeIndexBatch(bad, 99L, base, q, sq8Scale = None)
+    }
+    assert(err3.getMessage.contains("sq8Scale"), err3.getMessage)
   }
 }
