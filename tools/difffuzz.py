@@ -40,7 +40,11 @@ the engines number weekdays differently), correlated scalar aggregate
 subqueries (COUNT-on-empty=0, MIN/MAX-on-empty=NULL — probed and
 agreed), [NOT] IN subqueries incl. NULLIF-poisoned lists (standard
 three-valued logic on both sides), windows OVER join results (FK->PK
-edges keep the left pk a total tie-break), aggregate FILTER clauses
+edges keep the left pk a total tie-break), grouping-flag level
+selection over ROLLUP results (filter-after-expansion; HAVING
+GROUPING() itself is a probed Spark resolution asymmetry, excluded),
+combined EXISTS + NOT EXISTS over two FK edges of one outer table,
+aggregate FILTER clauses
 (COUNT/SUM/MIN masks incl. the empty-filter NULL/0 pins), rank
 functions over total orders (NTILE remainder rule, PERCENT_RANK/
 CUME_DIST exact rationals, shared named WINDOW), pure inequality band
@@ -800,6 +804,58 @@ class Gen:
                 f"ON b.{c2} BETWEEN a.{c1} - {k} AND a.{c1} + {k} "
                 f"GROUP BY 1")
 
+    def q_grouping_having(self):
+        # level selection AFTER the grouping-set expansion: filter the
+        # rollup on its GROUPING() flags (subtotal-only, detail-only, a
+        # flag sum) — a filter position q_grouping never exercises. The
+        # filter rides an outer query over the projected flags rather
+        # than HAVING GROUPING(...): Spark cannot resolve GROUPING() in
+        # HAVING once the grouped columns are aliased in SELECT (probed;
+        # resolution asymmetry, outside the intersection), while the
+        # flag-column filter is identical algebra on both engines.
+        # WHERE guarantees non-empty input (the empty-input grand-total
+        # row is the known excluded dialect divergence).
+        r = self.r
+        t = r.choice(TABLES)
+        m = self.meta[t]
+        pool = m["strs"] + m["ints"]
+        g1 = r.choice(pool)
+        g2 = r.choice([c for c in pool if c != g1] or [g1])
+        c = r.choice(m["ints"])
+        keep = r.choice(["gf0 = 0", "gf1 = 1", "gf0 + gf1 <= 1"])
+        w = self.where(t) or " WHERE 1 = 1"
+        return (f"SELECT * FROM ("
+                f"SELECT {g1} AS k0, {g2} AS k1, "
+                f"CAST(GROUPING({g1}) AS BIGINT) AS gf0, "
+                f"CAST(GROUPING({g2}) AS BIGINT) AS gf1, "
+                f"CAST(SUM({c}) AS BIGINT) AS s0, "
+                f"CAST(COUNT(*) AS BIGINT) AS cnt "
+                f"FROM {t}{w} GROUP BY ROLLUP({g1}, {g2})) "
+                f"WHERE {keep}")
+
+    def q_exists_chain(self):
+        # EXISTS and NOT EXISTS combined over TWO different FK edges of
+        # the same outer table — the decorrelation must plan a semi AND
+        # an anti join against one row stream without letting either
+        # filter leak into the other.
+        r = self.r
+        edges = [(lt, lk, rk) for (lt, lk, rt2, rk) in JOINS]
+        outer = r.choice([rt for (_, _, rt, _) in JOINS])
+        ins = [(lt, lk, rk) for (lt, lk, rt2, rk) in JOINS if rt2 == outer]
+        if len(ins) < 1:
+            return self.q_join_semi()
+        e1 = r.choice(ins)
+        e2 = r.choice(ins)
+        p1 = self.pred(e1[0], "b")
+        p2 = self.pred(e2[0], "c")
+        pk = ", ".join(f"a.{k}" for k in PK[outer])
+        return (f"SELECT {pk} FROM {outer} a "
+                f"WHERE EXISTS (SELECT 1 FROM {e1[0]} b "
+                f"WHERE b.{e1[1]} = a.{e1[2]} AND {p1}) "
+                f"AND NOT EXISTS (SELECT 1 FROM {e2[0]} c "
+                f"WHERE c.{e2[1]} = a.{e2[2]} AND {p2}) "
+                f"ORDER BY {pk}")
+
     def gen(self, i):
         return [self.q_agg, self.q_scalar, self.q_join, self.q_setop,
                 self.q_topk, self.q_window, self.q_datetime,
@@ -812,7 +868,8 @@ class Gen:
                 self.q_case_groupby, self.q_join_full,
                 self.q_window_range, self.q_lateral, self.q_decimal,
                 self.q_setop_window, self.q_cte, self.q_agg_filter,
-                self.q_rankfuncs, self.q_range_join][i % 33]()
+                self.q_rankfuncs, self.q_range_join,
+                self.q_grouping_having, self.q_exists_chain][i % 35]()
 
 
 def main():
