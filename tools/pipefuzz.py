@@ -49,6 +49,15 @@ KEYS = [
     # symmetric-SQ8 trio (r15): global scale + int-exact scoring and the
     # pinned-scale clip audit recompose per draw at any corpus/dims
     "d_ann_sq8", "d_ann_recall_sq8", "d_ann_sq8_clip",
+    # event-analytics family (r15): funnels/sequence counts on planted
+    # per-user streams — chunk boundaries, window expiry and tie order
+    # vary per draw where the fixture pins one geometry; the chunked
+    # plans share their plain forms' oracles VERBATIM, so every draw
+    # re-proves the decomposition
+    "o_a15_funnel", "o_a15e_funnel_chunked", "o_a15b_funnel_dedup",
+    "o_a15c_funnel_4stage", "o_a15d_funnel_strict", "o_a16_retention",
+    "o_a17_seqmatch", "o_a18_seqcount", "o_a18b_seqcount_windowed",
+    "o_a18c_seqcount_chunked", "o_a21_seq_next_node", "o_w1_dedup",
 ]
 
 ADDOPENS = " ".join(
@@ -88,6 +97,44 @@ def plant_documents(rnd, outdir):
     })
     pq.write_table(tbl, f"{outdir}/documents.parquet")
     return len(docs)
+
+
+def plant_events(rnd, outdir):
+    """Random per-user event streams for the event-analytics family —
+    the funnels/sequence counts have fixed-point hazards of their own
+    (chunk boundaries, window expiry at exact gaps, tie ordering) that
+    the uniform fixture exercises at only one geometry. Timestamps are a
+    burst/spread mixture over ~40 days so chains regularly straddle the
+    chunked plans' 24 h boundaries, with DUPLICATE timestamps planted to
+    exercise the (ts, event_id) tie-break."""
+    types = ["signup", "view", "click", "purchase", "error"]
+    n_users = rnd.randint(8, 20)
+    rows = []
+    day_us = 24 * 3600 * 1000000
+    for _ in range(rnd.randint(800, 2500)):
+        user = rnd.randrange(n_users)
+        base = rnd.randrange(40) * 6 * 3600 * 1000000
+        if rnd.random() < 0.5:
+            us = base + rnd.randrange(14 * 3600) * 1000000
+        else:
+            us = rnd.randrange(40 * day_us)
+        rows.append((user, rnd.choice(types), us))
+    # planted ties: duplicate a handful of timestamps across types
+    for _ in range(rnd.randint(5, 25)):
+        u, _, us = rnd.choice(rows)
+        rows.append((u, rnd.choice(types), us))
+    rnd.shuffle(rows)
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "value": pa.array([float(i % 97) for i in range(len(rows))],
+                          pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    pq.write_table(tbl, f"{outdir}/events.parquet")
+    return len(rows), n_users
 
 
 def plant_embeddings(rnd, outdir):
@@ -146,8 +193,10 @@ def main():
         os.makedirs(corpus)
         n_docs = plant_documents(rnd, corpus)
         n_vecs, dims = plant_embeddings(rnd, corpus)
+        n_ev, n_users = plant_events(rnd, corpus)
         print(f"pipefuzz seed={seed}: {n_docs} docs, {n_vecs} vecs "
-              f"(dims={dims}), split at {n_docs // 2}/{n_vecs // 2}")
+              f"(dims={dims}), {n_ev} events/{n_users} users, "
+              f"split at {n_docs // 2}/{n_vecs // 2}")
         rc = subprocess.run(
             f"java {ADDOPENS} -Xmx8g -Dspark.ui.enabled=false "
             f"-Dspark.sql.session.timeZone=UTC -cp '{cp}' "
