@@ -80,7 +80,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => BitmapOrCount(es.head, es(1))),
     ("bitmap_andnot_count",
       new ExpressionInfo(classOf[BitmapAndnotCount].getName, "bitmap_andnot_count"),
-      (es: Seq[Expression]) => BitmapAndnotCount(es.head, es(1))))
+      (es: Seq[Expression]) => BitmapAndnotCount(es.head, es(1))),
+    ("window_funnel",
+      new ExpressionInfo(classOf[WindowFunnelAgg].getName, "window_funnel"),
+      (es: Seq[Expression]) => new WindowFunnelAgg(es)))
 
   /** SQL table functions (FROM-clause relations). The graft_asof builder
     * returns a lazy [[graft.plans.AsOfJoinByName]] over UnresolvedRelation

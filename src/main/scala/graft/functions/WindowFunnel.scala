@@ -1,0 +1,186 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+
+/** ClickHouse `windowFunnel(window)(ts, cond1, …, condN)` as a SQL
+  * aggregate — the SQL-surface twin of
+  * [[graft.operators.EventAnalytics.funnelLevels]] (CH 22.3
+  * parametric-aggregate signature; a reference user writes this in SQL,
+  * not through a DataFrame API). Same EXISTS-chain semantics, proved by
+  * the shared oracle: level ≥ k iff a strictly-increasing-timestamp
+  * chain e1 < … < ek exists with the k stage predicates and
+  * ek.ts ≤ e1.ts + window.
+  *
+  * Evaluation is the funnelLevels max-chain-start dominance argument run
+  * as a sort + single pass at eval time: if a chain with start t1
+  * reaches an event, any later valid start also does, so each level
+  * needs only its MAXIMUM reachable chain start. Events are buffered
+  * per group (CH's windowFunnel buffers identically), sorted by
+  * timestamp, and equal-timestamp groups apply their updates ATOMICALLY
+  * against the pre-group state — the strict `<` the chain definition
+  * demands, matching the DataFrame form's RANGE-frame formulation under
+  * ties. State is O(condition-matching events per group): the right
+  * trade for the SQL surface; the one-shuffle stacked-window
+  * [[graft.operators.EventAnalytics.funnelLevels]] remains the scale
+  * path for corpus-wide funnels.
+  *
+  * `window_funnel(window_us, ts, c1, …, cN)` → INT: the maximum level
+  * reached, 0 when the group has no stage-1 event. Rows where every
+  * condition is false are skipped (CH ignores non-matching events);
+  * NULL timestamps are skipped.
+  */
+object WindowFunnel {
+
+  /** Buffered (micros, stage-bitmask) pairs. */
+  final class State {
+    var us = new Array[Long](8)
+    var mask = new Array[Int](8)
+    var n = 0
+    def add(t: Long, m: Int): Unit = {
+      if (n == us.length) {
+        us = java.util.Arrays.copyOf(us, n * 2)
+        mask = java.util.Arrays.copyOf(mask, n * 2)
+      }
+      us(n) = t; mask(n) = m; n += 1
+    }
+  }
+
+  /** The dominance pass: sorted events, equal-ts groups applied
+    * atomically, best(k) = max chain start among level-k chains. */
+  def level(s: State, nStages: Int, windowMicros: Long): Int = {
+    if (s.n == 0) return 0
+    val idx = Array.range(0, s.n).sortBy(s.us(_))
+    val MIN = Long.MinValue
+    val best = Array.fill(nStages + 1)(MIN)
+    val cand = Array.fill(nStages + 1)(MIN)
+    var maxLevel = 0
+    var i = 0
+    while (i < s.n) {
+      var j = i
+      val t = s.us(idx(i))
+      java.util.Arrays.fill(cand, MIN)
+      while (j < s.n && s.us(idx(j)) == t) {
+        val m = s.mask(idx(j))
+        if ((m & 1) != 0 && t > cand(1)) cand(1) = t
+        var k = 2
+        while (k <= nStages) {
+          if ((m & (1 << (k - 1))) != 0 && best(k - 1) != MIN &&
+              t <= best(k - 1) + windowMicros && best(k - 1) > cand(k))
+            cand(k) = best(k - 1)
+          k += 1
+        }
+        j += 1
+      }
+      var k = 1
+      while (k <= nStages) {
+        if (cand(k) > best(k)) best(k) = cand(k)
+        if (best(k) != MIN && k > maxLevel) maxLevel = k
+        k += 1
+      }
+      i = j
+    }
+    maxLevel
+  }
+
+  def serialize(s: State): Array[Byte] = {
+    val buf = ByteBuffer.allocate(4 + s.n * 12)
+    buf.putInt(s.n)
+    var i = 0
+    while (i < s.n) { buf.putLong(s.us(i)); buf.putInt(s.mask(i)); i += 1 }
+    buf.array()
+  }
+
+  def deserialize(bytes: Array[Byte]): State = {
+    val buf = ByteBuffer.wrap(bytes)
+    val s = new State
+    var n = buf.getInt
+    while (n > 0) { s.add(buf.getLong, buf.getInt); n -= 1 }
+    s
+  }
+}
+
+/** `window_funnel(window_us, ts, cond1, …, condN)` → INT max level. */
+case class WindowFunnelAgg(
+    windowMicros: Long,
+    children: Seq[Expression],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[WindowFunnel.State] {
+
+  def this(es: Seq[Expression]) =
+    this(DDSketch.foldableDouble(es.head, "window_funnel window_us").toLong,
+      es)
+
+  require(windowMicros >= 0,
+    s"window_funnel: window $windowMicros us must be >= 0")
+  require(children.size >= 3,
+    "window_funnel(window_us, ts, cond1, ...) needs at least one condition")
+  require(children.size <= 2 + 30,
+    "window_funnel supports at most 30 stages (bitmask bound)")
+
+  private def tsExpr = children(1)
+  private def conds = children.drop(2)
+  private def nStages = conds.size
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val tsOk = tsExpr.dataType == TimestampType || tsExpr.dataType == LongType
+    val condsOk = conds.forall(_.dataType == BooleanType)
+    if (tsOk && condsOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (foldable window_us, TIMESTAMP|BIGINT ts, " +
+        s"BOOLEAN conds...), got ${children.map(_.dataType.sql).mkString(", ")}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def prettyName: String = "window_funnel"
+
+  override def createAggregationBuffer(): WindowFunnel.State =
+    new WindowFunnel.State
+
+  override def update(b: WindowFunnel.State,
+                      row: InternalRow): WindowFunnel.State = {
+    val t = tsExpr.eval(row)
+    if (t != null) {
+      var m = 0
+      var k = 0
+      while (k < nStages) {
+        val v = conds(k).eval(row)
+        if (v != null && v.asInstanceOf[Boolean]) m |= 1 << k
+        k += 1
+      }
+      // non-matching events carry no funnel information — skip (CH does)
+      if (m != 0) b.add(t.asInstanceOf[Long], m)
+    }
+    b
+  }
+
+  override def merge(b: WindowFunnel.State,
+                     o: WindowFunnel.State): WindowFunnel.State = {
+    var i = 0
+    while (i < o.n) { b.add(o.us(i), o.mask(i)); i += 1 }
+    b
+  }
+
+  override def eval(b: WindowFunnel.State): Any =
+    WindowFunnel.level(b, nStages, windowMicros)
+
+  override def serialize(b: WindowFunnel.State): Array[Byte] =
+    WindowFunnel.serialize(b)
+  override def deserialize(bytes: Array[Byte]): WindowFunnel.State =
+    WindowFunnel.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): WindowFunnelAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): WindowFunnelAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): WindowFunnelAgg =
+    copy(children = newChildren)
+}

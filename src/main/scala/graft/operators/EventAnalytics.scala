@@ -515,6 +515,25 @@ object EventAnalytics {
         .orderBy("seq_count")
     }),
 
+    // O-A15f: the SQL surface — CH windowFunnel(12h)(signup, click,
+    // purchase) called IN SQL via the `window_funnel` aggregate
+    // (functions.WindowFunnelAgg, session extension). Oracle = the
+    // plain funnel's VERBATIM: the parametric aggregate must be
+    // observationally identical to the stacked-window funnelLevels —
+    // two entirely different mechanisms (per-group buffered dominance
+    // pass vs one-shuffle RANGE-frame chain columns), one contract.
+    "o_a15f_funnel_sql" -> ((s, d) => {
+      graft.functions.GraftExtensions.register(s)
+      Tables.events(s, d).groupBy("user_id")
+        .agg(expr(
+          "window_funnel(43200000000, ts, event_type = 'signup', " +
+            "event_type = 'click', event_type = 'purchase')")
+          .as("funnel_level"))
+        .filter(col("funnel_level") >= 1)
+        .groupBy("funnel_level").agg(count(lit(1)).as("n_users"))
+        .orderBy("funnel_level")
+    }),
+
     // O-A16: retention — per first-signup cohort date, users returning
     // with a click within 3 days / purchasing within 7 days.
     "o_a16_retention" -> ((s, d) => {
@@ -595,6 +614,10 @@ object EventAnalytics {
     // same oracle VERBATIM: the chunked decomposition must be
     // observationally identical to the plain windowed funnel
     "o_a15e_funnel_chunked" -> funnel3OracleSql,
+
+    // same oracle VERBATIM: the SQL-surface parametric aggregate must
+    // be observationally identical to funnelLevels
+    "o_a15f_funnel_sql" -> funnel3OracleSql,
 
     "o_a15c_funnel_4stage" ->
       """WITH s1 AS (SELECT DISTINCT user_id, ts AS t1 FROM events

@@ -281,6 +281,80 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("window_funnel SQL aggregate == funnelLevels (4 stages, fixture)") {
+    graft.functions.GraftExtensions.register(spark)
+    val e = graft.Tables.events(spark, sf)
+    val sqlLv = e.groupBy("user_id").agg(expr(
+        "window_funnel(86400000000, ts, event_type = 'signup', " +
+          "event_type = 'view', event_type = 'click', " +
+          "event_type = 'purchase')").as("lv"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val df = EventAnalytics.funnelLevels(e,
+        stages.map(st => col("event_type") === st),
+        Some(expr("INTERVAL 24 HOURS")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // funnelLevels reports stage-1 users; the aggregate reports every
+    // grouped user, level 0 for the rest — the two mechanisms (buffered
+    // dominance pass vs stacked RANGE-frame chain columns) must agree
+    // exactly on the shared domain
+    assert(df.keySet.subsetOf(sqlLv.keySet))
+    val diffs = df.collect { case (u, l) if sqlLv(u) != l => (u, l, sqlLv(u)) }
+    assert(diffs.isEmpty, s"level mismatches: ${diffs.take(5)}")
+    assert(sqlLv.filterNot(kv => df.contains(kv._1)).values.forall(_ == 0),
+      "non-stage-1 users must read level 0")
+  }
+
+  test("window_funnel: strict-before ties block; window expiry caps the chain") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    def t(m: Int) = new java.sql.Timestamp(1726300800000L + m * 60000L)
+    val rows = Seq(
+      // user 1: click TIES the signup — strictly-before fails, level 1
+      (1L, "signup", t(0)), (1L, "click", t(0)), (1L, "purchase", t(30)),
+      // user 2: purchase lands beyond the 1h window from the chain
+      // start — level 2
+      (2L, "signup", t(0)), (2L, "click", t(5)), (2L, "purchase", t(90)),
+      // user 3: the full chain inside the window — level 3
+      (3L, "signup", t(0)), (3L, "click", t(5)), (3L, "purchase", t(30)))
+      .toDF("user_id", "event_type", "ts")
+    val lv = rows.groupBy("user_id").agg(expr(
+        "window_funnel(3600000000, ts, event_type = 'signup', " +
+          "event_type = 'click', event_type = 'purchase')").as("lv"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lv == Map(1L -> 1, 2L -> 2, 3L -> 3), lv.toString)
+  }
+
+  test("window_funnel == funnelLevels on randomized event streams") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(1503)
+    val types = Seq("signup", "view", "click", "purchase", "scroll")
+    val stageCols = Seq(col("event_type") === "signup",
+      col("event_type") === "click", col("event_type") === "purchase")
+    (0 until 3).foreach { draw =>
+      val rows = (0 until 500).map { i =>
+        val user = rnd.nextInt(10).toLong
+        val base = rnd.nextInt(40).toLong * 6L * 3600 * 1000000
+        val us = if (rnd.nextBoolean()) base + rnd.nextInt(14 * 3600).toLong * 1000000
+                 else rnd.nextLong(240L * 3600 * 1000000)
+        (i.toLong, user, types(rnd.nextInt(types.size)),
+          new java.sql.Timestamp(us / 1000))
+      }
+      val e = rows.toDF("event_id", "user_id", "event_type", "ts")
+      val sqlLv = e.groupBy("user_id").agg(expr(
+          "window_funnel(43200000000, ts, event_type = 'signup', " +
+            "event_type = 'click', event_type = 'purchase')").as("lv"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val df = EventAnalytics.funnelLevels(e, stageCols,
+          Some(expr("INTERVAL 12 HOURS")))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val diffs = df.collect { case (u, l) if sqlLv(u) != l => (u, l, sqlLv(u)) }
+      assert(diffs.isEmpty, s"draw $draw mismatches: ${diffs.take(5)}")
+      assert(sqlLv.filterNot(kv => df.contains(kv._1)).values.forall(_ == 0),
+        s"draw $draw: non-stage-1 users must read level 0")
+    }
+  }
+
   test("single-stage funnel degenerates to the stage-1 user set at level 1") {
     val lv = EventAnalytics.funnelLevels(graft.Tables.events(spark, sf),
       Seq(col("event_type") === "signup"), None).collect()
