@@ -83,7 +83,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => BitmapAndnotCount(es.head, es(1))),
     ("window_funnel",
       new ExpressionInfo(classOf[WindowFunnelAgg].getName, "window_funnel"),
-      (es: Seq[Expression]) => new WindowFunnelAgg(es)))
+      (es: Seq[Expression]) => new WindowFunnelAgg(es)),
+    ("sequence_count",
+      new ExpressionInfo(classOf[SequenceCountAgg].getName, "sequence_count"),
+      (es: Seq[Expression]) => new SequenceCountAgg(es)))
 
   /** SQL table functions (FROM-clause relations). The graft_asof builder
     * returns a lazy [[graft.plans.AsOfJoinByName]] over UnresolvedRelation

@@ -534,6 +534,38 @@ object EventAnalytics {
         .orderBy("funnel_level")
     }),
 
+    // O-A18d/e: the SQL surface — CH sequenceCount('(?1).*(?2)') and the
+    // time-constrained '(?1)(?t<=12h)(?2)' called IN SQL via the
+    // `sequence_count` aggregate (functions.SequenceCountAgg). Oracles =
+    // the library forms' VERBATIM (the funnel3OracleSql discipline):
+    // buffered lag-collapse at eval time vs the one-shuffle lag() window
+    // — two mechanisms, one contract per window. The pre-filter mirrors
+    // the oracles' WITH clause (users with neither event are out of the
+    // result universe on both sides).
+    "o_a18d_seqcount_sql" -> ((s, d) => {
+      graft.functions.GraftExtensions.register(s)
+      Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id")
+        .agg(expr("sequence_count(0, ts, event_id, " +
+            "event_type = 'signup', event_type = 'purchase')")
+          .as("seq_count"))
+        .groupBy("seq_count").agg(count(lit(1)).as("n_users"))
+        .orderBy("seq_count")
+    }),
+
+    "o_a18e_seqcount_sql_windowed" -> ((s, d) => {
+      graft.functions.GraftExtensions.register(s)
+      Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id")
+        .agg(expr("sequence_count(43200000000, ts, event_id, " +
+            "event_type = 'signup', event_type = 'purchase')")
+          .as("seq_count"))
+        .groupBy("seq_count").agg(count(lit(1)).as("n_users"))
+        .orderBy("seq_count")
+    }),
+
     // O-A16: retention — per first-signup cohort date, users returning
     // with a click within 3 days / purchasing within 7 days.
     "o_a16_retention" -> ((s, d) => {
@@ -587,10 +619,28 @@ object EventAnalytics {
          FROM u LEFT JOIN l2 USING (user_id) LEFT JOIN l3 USING (user_id)
          GROUP BY funnel_level ORDER BY funnel_level"""
 
+  /** The unbounded greedy pair-count oracle — shared by o_a18 and the
+    * SQL-surface o_a18d (the aggregate must be observationally
+    * identical to the library form). */
+  private val seqcountOracleSql =
+      """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
+                    WHERE event_type IN ('signup','purchase')),
+         l AS (SELECT user_id, event_type,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+               FROM e),
+         u AS (SELECT user_id,
+                      CAST(SUM(CASE WHEN event_type = 'purchase' AND prev = 'signup'
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS seq_count
+               FROM l GROUP BY user_id)
+         SELECT seq_count, COUNT(*) AS n_users FROM u
+         GROUP BY seq_count ORDER BY seq_count"""
+
   /** The 12h-windowed signup→purchase pair-count oracle — shared by
-    * o_a18b and the chunked o_a18c (EQUALITY with the plain windowed
-    * count IS the chunked form's contract, so they must share one
-    * oracle verbatim — the funnel3OracleSql discipline). */
+    * o_a18b, the chunked o_a18c AND the SQL-surface o_a18e (EQUALITY
+    * with the plain windowed count IS each form's contract, so they
+    * must share one oracle verbatim — the funnel3OracleSql
+    * discipline). */
   private val seqcount12hOracleSql =
       """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
                     WHERE event_type IN ('signup','purchase')),
@@ -736,25 +786,20 @@ object EventAnalytics {
          SELECT matched, COUNT(*) AS n_users FROM u WHERE has_signup = 1
          GROUP BY matched ORDER BY matched""",
 
-    "o_a18_seqcount" ->
-      """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
-                    WHERE event_type IN ('signup','purchase')),
-         l AS (SELECT user_id, event_type,
-                      lag(event_type) OVER (PARTITION BY user_id
-                                            ORDER BY ts, event_id) AS prev
-               FROM e),
-         u AS (SELECT user_id,
-                      CAST(SUM(CASE WHEN event_type = 'purchase' AND prev = 'signup'
-                                    THEN 1 ELSE 0 END) AS BIGINT) AS seq_count
-               FROM l GROUP BY user_id)
-         SELECT seq_count, COUNT(*) AS n_users FROM u
-         GROUP BY seq_count ORDER BY seq_count""",
+    "o_a18_seqcount" -> seqcountOracleSql,
+
+    // same oracle VERBATIM: the SQL-surface aggregate must be
+    // observationally identical to the library greedy count
+    "o_a18d_seqcount_sql" -> seqcountOracleSql,
 
     "o_a18b_seqcount_windowed" -> seqcount12hOracleSql,
 
     // same oracle VERBATIM: the chunked decomposition must be
     // observationally identical to the plain windowed pair count
     "o_a18c_seqcount_chunked" -> seqcount12hOracleSql,
+
+    // same oracle VERBATIM: the SQL-surface aggregate at the 12h bound
+    "o_a18e_seqcount_sql_windowed" -> seqcount12hOracleSql,
 
     "o_a16_retention" ->
       """WITH f AS (

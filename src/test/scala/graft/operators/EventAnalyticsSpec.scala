@@ -355,6 +355,49 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence_count SQL aggregate == library forms, unbounded and windowed") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    val w = 12L * 3600 * 1000000
+    val first = col("event_type") === "signup"
+    val second = col("event_type") === "purchase"
+    def sqlCounts(e: org.apache.spark.sql.DataFrame, win: Long) =
+      e.filter(first || second).groupBy("user_id")
+        .agg(expr(s"sequence_count($win, ts, event_id, " +
+            "event_type = 'signup', event_type = 'purchase')")
+          .as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // fixture, both windows
+    val e0 = graft.Tables.events(spark, sf)
+    assert(sqlCounts(e0, 0) ==
+      EventAnalytics.sequenceCount(e0, first, second)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    assert(sqlCounts(e0, w) ==
+      EventAnalytics.sequenceCountWindowed(e0, first, second, w)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // randomized streams with planted ties (the explicit tie argument is
+    // what makes the aggregate deterministic where CH leaves it private)
+    val rnd = new scala.util.Random(1504)
+    val types = Seq("signup", "purchase", "view")
+    (0 until 3).foreach { draw =>
+      val rows = (0 until 500).map { i =>
+        val user = rnd.nextInt(10).toLong
+        val us = (rnd.nextInt(200) * 3600L + rnd.nextInt(4) * 900L) * 1000000
+        (i.toLong, user, types(rnd.nextInt(types.size)),
+          new java.sql.Timestamp(us / 1000))
+      }
+      val e = rows.toDF("event_id", "user_id", "event_type", "ts")
+      assert(sqlCounts(e, 0) ==
+        EventAnalytics.sequenceCount(e, first, second)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+        s"draw $draw unbounded diverged")
+      assert(sqlCounts(e, w) ==
+        EventAnalytics.sequenceCountWindowed(e, first, second, w)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+        s"draw $draw windowed diverged")
+    }
+  }
+
   test("single-stage funnel degenerates to the stage-1 user set at level 1") {
     val lv = EventAnalytics.funnelLevels(graft.Tables.events(spark, sf),
       Seq(col("event_type") === "signup"), None).collect()

@@ -58,7 +58,8 @@ KEYS = [
     "o_a15b_funnel_dedup",
     "o_a15c_funnel_4stage", "o_a15d_funnel_strict", "o_a16_retention",
     "o_a17_seqmatch", "o_a18_seqcount", "o_a18b_seqcount_windowed",
-    "o_a18c_seqcount_chunked", "o_a21_seq_next_node", "o_w1_dedup",
+    "o_a18c_seqcount_chunked", "o_a18d_seqcount_sql",
+    "o_a18e_seqcount_sql_windowed", "o_a21_seq_next_node", "o_w1_dedup",
 ]
 
 ADDOPENS = " ".join(
