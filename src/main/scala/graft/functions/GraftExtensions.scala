@@ -86,7 +86,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => new WindowFunnelAgg(es)),
     ("sequence_count",
       new ExpressionInfo(classOf[SequenceCountAgg].getName, "sequence_count"),
-      (es: Seq[Expression]) => new SequenceCountAgg(es)))
+      (es: Seq[Expression]) => new SequenceCountAgg(es)),
+    ("sequence_match",
+      new ExpressionInfo(classOf[SequenceMatchAgg].getName, "sequence_match"),
+      (es: Seq[Expression]) => new SequenceMatchAgg(es)))
 
   /** SQL table functions (FROM-clause relations). The graft_asof builder
     * returns a lazy [[graft.plans.AsOfJoinByName]] over UnresolvedRelation

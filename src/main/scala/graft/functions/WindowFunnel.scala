@@ -52,7 +52,10 @@ object WindowFunnel {
   }
 
   /** The dominance pass: sorted events, equal-ts groups applied
-    * atomically, best(k) = max chain start among level-k chains. */
+    * atomically, best(k) = max chain start among level-k chains.
+    * `windowMicros < 0` means UNBOUNDED (the `.*` pattern —
+    * [[SequenceMatchAgg]]'s no-constraint mode; the admit check is a
+    * subtraction so an unbounded sentinel can never overflow). */
   def level(s: State, nStages: Int, windowMicros: Long): Int = {
     if (s.n == 0) return 0
     val idx = Array.range(0, s.n).sortBy(s.us(_))
@@ -71,7 +74,8 @@ object WindowFunnel {
         var k = 2
         while (k <= nStages) {
           if ((m & (1 << (k - 1))) != 0 && best(k - 1) != MIN &&
-              t <= best(k - 1) + windowMicros && best(k - 1) > cand(k))
+              (windowMicros < 0 || t - best(k - 1) <= windowMicros) &&
+              best(k - 1) > cand(k))
             cand(k) = best(k - 1)
           k += 1
         }
@@ -86,6 +90,25 @@ object WindowFunnel {
       i = j
     }
     maxLevel
+  }
+
+  /** Shared row-update for the funnel-state aggregates: bitmask the
+    * condition hits; NULL timestamps and rows matching no condition
+    * carry no chain information and are not buffered. */
+  def updateState(b: State, row: InternalRow, tsExpr: Expression,
+                  conds: Seq[Expression]): State = {
+    val t = tsExpr.eval(row)
+    if (t != null) {
+      var m = 0
+      var k = 0
+      while (k < conds.size) {
+        val v = conds(k).eval(row)
+        if (v != null && v.asInstanceOf[Boolean]) m |= 1 << k
+        k += 1
+      }
+      if (m != 0) b.add(t.asInstanceOf[Long], m)
+    }
+    b
   }
 
   def serialize(s: State): Array[Byte] = {
@@ -145,21 +168,8 @@ case class WindowFunnelAgg(
     new WindowFunnel.State
 
   override def update(b: WindowFunnel.State,
-                      row: InternalRow): WindowFunnel.State = {
-    val t = tsExpr.eval(row)
-    if (t != null) {
-      var m = 0
-      var k = 0
-      while (k < nStages) {
-        val v = conds(k).eval(row)
-        if (v != null && v.asInstanceOf[Boolean]) m |= 1 << k
-        k += 1
-      }
-      // non-matching events carry no funnel information — skip (CH does)
-      if (m != 0) b.add(t.asInstanceOf[Long], m)
-    }
-    b
-  }
+                      row: InternalRow): WindowFunnel.State =
+    WindowFunnel.updateState(b, row, tsExpr, conds)
 
   override def merge(b: WindowFunnel.State,
                      o: WindowFunnel.State): WindowFunnel.State = {
@@ -182,5 +192,86 @@ case class WindowFunnelAgg(
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): WindowFunnelAgg =
+    copy(children = newChildren)
+}
+
+/** ClickHouse `sequenceMatch('(?1).*(?2)…')` (optionally with a
+  * chain-start time bound) as a SQL aggregate —
+  * `sequence_match(window_us, ts, cond1, …, condN)` → BOOLEAN: true iff
+  * a strictly-increasing-timestamp chain hits every stage, i.e.
+  * [[WindowFunnelAgg]]'s level == N (the library
+  * [[graft.operators.EventAnalytics.sequenceMatch]] identity, here at
+  * the SQL surface). `window_us = 0` means UNBOUNDED — CH's
+  * sequenceMatch has no time constraint, and 0-as-unbounded matches
+  * [[SequenceCountAgg]]'s convention (contrast `window_funnel`, where
+  * the window is mandatory per CH's own signature). Like the library
+  * form, "no stage-1 event" and "chain incomplete" both read false —
+  * restrict to stage-1 users where the CH result universe matters (the
+  * catalog key does). */
+case class SequenceMatchAgg(
+    windowMicros: Long,
+    children: Seq[Expression],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[WindowFunnel.State] {
+
+  def this(es: Seq[Expression]) =
+    this(DDSketch.foldableDouble(es.head, "sequence_match window_us").toLong,
+      es)
+
+  require(windowMicros >= 0,
+    s"sequence_match: window $windowMicros us must be >= 0 (0 = unbounded)")
+  require(children.size >= 3,
+    "sequence_match(window_us, ts, cond1, ...) needs at least one condition")
+  require(children.size <= 2 + 30,
+    "sequence_match supports at most 30 stages (bitmask bound)")
+
+  // the level() sentinel: negative = no time constraint
+  private def effWindow: Long = if (windowMicros == 0) -1L else windowMicros
+  private def tsExpr = children(1)
+  private def conds = children.drop(2)
+  private def nStages = conds.size
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val tsOk = tsExpr.dataType == TimestampType || tsExpr.dataType == LongType
+    val condsOk = conds.forall(_.dataType == BooleanType)
+    if (tsOk && condsOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (foldable window_us, TIMESTAMP|BIGINT ts, " +
+        s"BOOLEAN conds...), got ${children.map(_.dataType.sql).mkString(", ")}")
+  }
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "sequence_match"
+
+  override def createAggregationBuffer(): WindowFunnel.State =
+    new WindowFunnel.State
+
+  override def update(b: WindowFunnel.State,
+                      row: InternalRow): WindowFunnel.State =
+    WindowFunnel.updateState(b, row, tsExpr, conds)
+
+  override def merge(b: WindowFunnel.State,
+                     o: WindowFunnel.State): WindowFunnel.State = {
+    var i = 0
+    while (i < o.n) { b.add(o.us(i), o.mask(i)); i += 1 }
+    b
+  }
+
+  override def eval(b: WindowFunnel.State): Any =
+    WindowFunnel.level(b, nStages, effWindow) == nStages
+
+  override def serialize(b: WindowFunnel.State): Array[Byte] =
+    WindowFunnel.serialize(b)
+  override def deserialize(bytes: Array[Byte]): WindowFunnel.State =
+    WindowFunnel.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): SequenceMatchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SequenceMatchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SequenceMatchAgg =
     copy(children = newChildren)
 }

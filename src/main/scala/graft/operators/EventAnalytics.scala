@@ -566,6 +566,33 @@ object EventAnalytics {
         .orderBy("seq_count")
     }),
 
+    // O-A17b: the SQL surface — the library sequenceMatch (funnel
+    // completion, optional chain-start window) called IN SQL via the
+    // `sequence_match` aggregate, at the 12h bound (the unbounded
+    // `.*` mode exists — window_us = 0 — but SATURATES this fixture's
+    // long per-user streams to all-matched, so the catalog pins the
+    // bounded instance where the differential discriminates; the
+    // unbounded mode is spec-pinned against the library form). The
+    // result universe is stage-1 users (the o_a17 convention), so a
+    // has-signup flag rides the same aggregate pass. The per-GAP
+    // o_a17 pattern stays on its dedicated formulation — gap
+    // constraints break the max-start dominance this aggregate shares
+    // with window_funnel.
+    "o_a17b_seqmatch_sql" -> ((s, d) => {
+      graft.functions.GraftExtensions.register(s)
+      Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+          expr("sequence_match(43200000000, ts, event_type = 'signup', " +
+              "event_type = 'click', event_type = 'purchase')")
+            .cast("int").as("matched"),
+          max(when(col("event_type") === "signup", 1).otherwise(0)).as("_h"))
+        .filter(col("_h") === 1)
+        .groupBy("matched").agg(count(lit(1)).as("n_users"))
+        .orderBy("matched")
+    }),
+
     // O-A16: retention — per first-signup cohort date, users returning
     // with a click within 3 days / purchasing within 7 days.
     "o_a16_retention" -> ((s, d) => {
@@ -784,6 +811,27 @@ object EventAnalytics {
                       MAX(mid) AS matched
                FROM m GROUP BY user_id)
          SELECT matched, COUNT(*) AS n_users FROM u WHERE has_signup = 1
+         GROUP BY matched ORDER BY matched""",
+
+    // funnel completion at the 12h chain-start bound over stage-1
+    // users — the SQL sequence_match aggregate's contract (the
+    // funnel3OracleSql chain CTEs, collapsed to the level-3 flag)
+    "o_a17b_seqmatch_sql" ->
+      """WITH s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+            c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+            p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+            l2p AS (
+              SELECT s.user_id, s.ts AS t1, c.ts AS t2
+              FROM s JOIN c ON c.user_id = s.user_id
+                AND c.ts > s.ts AND c.ts <= s.ts + INTERVAL 12 HOUR),
+            l3 AS (
+              SELECT DISTINCT l.user_id
+              FROM l2p l JOIN p ON p.user_id = l.user_id
+                AND p.ts > l.t2 AND p.ts <= l.t1 + INTERVAL 12 HOUR),
+            u AS (SELECT DISTINCT user_id FROM s)
+         SELECT CAST((l3.user_id IS NOT NULL) AS INT) AS matched,
+                COUNT(*) AS n_users
+         FROM u LEFT JOIN l3 USING (user_id)
          GROUP BY matched ORDER BY matched""",
 
     "o_a18_seqcount" -> seqcountOracleSql,

@@ -398,6 +398,46 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence_match SQL aggregate == library sequenceMatch, unbounded and windowed") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    val stageCols = Seq(col("event_type") === "signup",
+      col("event_type") === "click", col("event_type") === "purchase")
+    def sqlMatched(e: org.apache.spark.sql.DataFrame, win: Long) =
+      e.filter(col("event_type").isin("signup", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(expr(s"sequence_match($win, ts, event_type = 'signup', " +
+            "event_type = 'click', event_type = 'purchase')")
+          .cast("int").as("m"),
+          max(when(col("event_type") === "signup", 1).otherwise(0)).as("h"))
+        .filter(col("h") === 1)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def libMatched(e: org.apache.spark.sql.DataFrame,
+                   w: Option[org.apache.spark.sql.Column]) =
+      EventAnalytics.sequenceMatch(e, stageCols, w)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val e0 = graft.Tables.events(spark, sf)
+    assert(sqlMatched(e0, 0) == libMatched(e0, None))
+    assert(sqlMatched(e0, 43200000000L) ==
+      libMatched(e0, Some(expr("INTERVAL 12 HOURS"))))
+    val rnd = new scala.util.Random(1505)
+    val types = Seq("signup", "click", "purchase", "view")
+    (0 until 3).foreach { draw =>
+      val rows = (0 until 400).map { i =>
+        val user = rnd.nextInt(10).toLong
+        val us = (rnd.nextInt(200) * 3600L + rnd.nextInt(4) * 900L) * 1000000
+        (i.toLong, user, types(rnd.nextInt(types.size)),
+          new java.sql.Timestamp(us / 1000))
+      }
+      val e = rows.toDF("event_id", "user_id", "event_type", "ts")
+      assert(sqlMatched(e, 0) == libMatched(e, None),
+        s"draw $draw unbounded diverged")
+      assert(sqlMatched(e, 43200000000L) ==
+        libMatched(e, Some(expr("INTERVAL 12 HOURS"))),
+        s"draw $draw windowed diverged")
+    }
+  }
+
   test("single-stage funnel degenerates to the stage-1 user set at level 1") {
     val lv = EventAnalytics.funnelLevels(graft.Tables.events(spark, sf),
       Seq(col("event_type") === "signup"), None).collect()

@@ -57,7 +57,7 @@ KEYS = [
     "o_a15_funnel", "o_a15e_funnel_chunked", "o_a15f_funnel_sql",
     "o_a15b_funnel_dedup",
     "o_a15c_funnel_4stage", "o_a15d_funnel_strict", "o_a16_retention",
-    "o_a17_seqmatch", "o_a18_seqcount", "o_a18b_seqcount_windowed",
+    "o_a17_seqmatch", "o_a17b_seqmatch_sql", "o_a18_seqcount", "o_a18b_seqcount_windowed",
     "o_a18c_seqcount_chunked", "o_a18d_seqcount_sql",
     "o_a18e_seqcount_sql_windowed", "o_a21_seq_next_node", "o_w1_dedup",
 ]
