@@ -26,6 +26,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   private type Builder = Seq[Expression] => Expression
 
+  /** Arity check BEFORE any es.head/es(i) access: a zero-argument SQL
+    * call like `window_funnel()` must surface as a readable signature
+    * error at analysis, not a raw `empty.head` UnsupportedOperation. */
+  private def arity(es: Seq[Expression], min: Int, max: Int,
+                    signature: String): Unit =
+    if (es.size < min || es.size > max) throw new IllegalArgumentException(
+      s"$signature — got ${es.size} argument(s)")
+
   private val specs: Seq[(String, ExpressionInfo, Builder)] = Seq(
     ("simhash64",
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
@@ -83,13 +91,28 @@ object GraftExtensions {
       (es: Seq[Expression]) => BitmapAndnotCount(es.head, es(1))),
     ("window_funnel",
       new ExpressionInfo(classOf[WindowFunnelAgg].getName, "window_funnel"),
-      (es: Seq[Expression]) => new WindowFunnelAgg(es)),
+      (es: Seq[Expression]) => {
+        arity(es, 3, 32,
+          "window_funnel(window_us, ts, cond1, ..., condN) needs a window, " +
+            "a timestamp, and 1-30 stage conditions")
+        new WindowFunnelAgg(es)
+      }),
     ("sequence_count",
       new ExpressionInfo(classOf[SequenceCountAgg].getName, "sequence_count"),
-      (es: Seq[Expression]) => new SequenceCountAgg(es)),
+      (es: Seq[Expression]) => {
+        arity(es, 5, 5,
+          "sequence_count(window_us, ts, tie, first, second) takes exactly " +
+            "5 arguments")
+        new SequenceCountAgg(es)
+      }),
     ("sequence_match",
       new ExpressionInfo(classOf[SequenceMatchAgg].getName, "sequence_match"),
-      (es: Seq[Expression]) => new SequenceMatchAgg(es)))
+      (es: Seq[Expression]) => {
+        arity(es, 3, 32,
+          "sequence_match(window_us, ts, cond1, ..., condN) needs a window " +
+            "(0 = unbounded), a timestamp, and 1-30 stage conditions")
+        new SequenceMatchAgg(es)
+      }))
 
   /** SQL table functions (FROM-clause relations). The graft_asof builder
     * returns a lazy [[graft.plans.AsOfJoinByName]] over UnresolvedRelation

@@ -132,6 +132,8 @@ case class SequenceCountAgg(
 
   override def update(b: SequenceCount.State,
                       row: InternalRow): SequenceCount.State = {
+    ParametricAgg.guard(b.n, prettyName,
+      "graft.operators.EventAnalytics.sequenceCount / sequenceCountChunked")
     val t = tsExpr.eval(row)
     val k = tieExpr.eval(row)
     if (t != null && k != null) {
@@ -148,6 +150,8 @@ case class SequenceCountAgg(
 
   override def merge(b: SequenceCount.State,
                      o: SequenceCount.State): SequenceCount.State = {
+    ParametricAgg.guard(b.n + o.n - 1, prettyName,
+      "graft.operators.EventAnalytics.sequenceCount / sequenceCountChunked")
     var i = 0
     while (i < o.n) { b.add(o.us(i), o.tie(i), o.isA(i)); i += 1 }
     b

@@ -8,6 +8,27 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types._
 
+/** Shared policy for the parametric event aggregates (`window_funnel`,
+  * `sequence_count`, `sequence_match`, `retention`): their state buffers
+  * O(condition-matching events) per group on the executor heap — the CH
+  * trade, fine for ordinary users but an OOM for a 100 TB whale group.
+  * The cap makes the documented trade ENFORCEABLE: a group exceeding it
+  * fails loudly, naming the one-shuffle library operator that handles
+  * whales by construction, instead of dying opaquely in the allocator.
+  * Default 1,000,000 events (≈12-17 MB of state); override with
+  * `-Dgraft.parametric.maxEventsPerGroup=N`. */
+object ParametricAgg {
+  def maxEvents: Int =
+    Integer.getInteger("graft.parametric.maxEventsPerGroup", 1000000)
+  def guard(n: Int, fn: String, scalePath: String): Unit =
+    if (n >= maxEvents) throw new IllegalStateException(
+      s"$fn buffered $n events in one group, at the " +
+        s"graft.parametric.maxEventsPerGroup cap (${maxEvents}): a group " +
+        "this hot is a whale the buffered SQL aggregate cannot hold in " +
+        s"executor heap — use the one-shuffle library form ($scalePath) " +
+        "which handles whale groups by construction, or raise the cap")
+}
+
 /** ClickHouse `windowFunnel(window)(ts, cond1, …, condN)` as a SQL
   * aggregate — the SQL-surface twin of
   * [[graft.operators.EventAnalytics.funnelLevels]] (CH 22.3
@@ -15,7 +36,11 @@ import org.apache.spark.sql.types._
   * not through a DataFrame API). Same EXISTS-chain semantics, proved by
   * the shared oracle: level ≥ k iff a strictly-increasing-timestamp
   * chain e1 < … < ek exists with the k stage predicates and
-  * ek.ts ≤ e1.ts + window.
+  * ek.ts ≤ e1.ts + window. NOTE: this is CH's `strict_increase` mode
+  * (ties never chain), chosen for determinism and matching
+  * funnelLevels' RANGE-frame form — CH's DEFAULT mode lets
+  * equal-timestamp events chain in engine-private order, which no
+  * differential oracle can pin.
   *
   * Evaluation is the funnelLevels max-chain-start dominance argument run
   * as a sort + single pass at eval time: if a chain with start t1
@@ -140,8 +165,15 @@ case class WindowFunnelAgg(
     this(DDSketch.foldableDouble(es.head, "window_funnel window_us").toLong,
       es)
 
-  require(windowMicros >= 0,
-    s"window_funnel: window $windowMicros us must be >= 0")
+  // strictly positive, not >= 0: CH's windowFunnel window is mandatory,
+  // and 0 is DEGENERATE under strict-before ties (no chain can satisfy
+  // t - start <= 0, so level caps at 1) while sibling sequence_count /
+  // sequence_match treat 0 as unbounded — rejecting it kills the
+  // inconsistent-convention footgun at analysis time
+  require(windowMicros > 0,
+    s"window_funnel: window $windowMicros us must be > 0 (0 would be " +
+      "degenerate: strict-before ties mean no chain ever fits; CH's " +
+      "windowFunnel window is mandatory)")
   require(children.size >= 3,
     "window_funnel(window_us, ts, cond1, ...) needs at least one condition")
   require(children.size <= 2 + 30,
@@ -168,11 +200,16 @@ case class WindowFunnelAgg(
     new WindowFunnel.State
 
   override def update(b: WindowFunnel.State,
-                      row: InternalRow): WindowFunnel.State =
+                      row: InternalRow): WindowFunnel.State = {
+    ParametricAgg.guard(b.n, prettyName,
+      "graft.operators.EventAnalytics.funnelLevels / funnelLevelsChunked")
     WindowFunnel.updateState(b, row, tsExpr, conds)
+  }
 
   override def merge(b: WindowFunnel.State,
                      o: WindowFunnel.State): WindowFunnel.State = {
+    ParametricAgg.guard(b.n + o.n - 1, prettyName,
+      "graft.operators.EventAnalytics.funnelLevels / funnelLevelsChunked")
     var i = 0
     while (i < o.n) { b.add(o.us(i), o.mask(i)); i += 1 }
     b
@@ -249,11 +286,16 @@ case class SequenceMatchAgg(
     new WindowFunnel.State
 
   override def update(b: WindowFunnel.State,
-                      row: InternalRow): WindowFunnel.State =
+                      row: InternalRow): WindowFunnel.State = {
+    ParametricAgg.guard(b.n, prettyName,
+      "graft.operators.EventAnalytics.sequenceMatch")
     WindowFunnel.updateState(b, row, tsExpr, conds)
+  }
 
   override def merge(b: WindowFunnel.State,
                      o: WindowFunnel.State): WindowFunnel.State = {
+    ParametricAgg.guard(b.n + o.n - 1, prettyName,
+      "graft.operators.EventAnalytics.sequenceMatch")
     var i = 0
     while (i < o.n) { b.add(o.us(i), o.mask(i)); i += 1 }
     b

@@ -438,6 +438,68 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("parametric aggregates: max_events cap fires loudly, naming the library scale path") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    def t(m: Int) = new java.sql.Timestamp(1726300800000L + m * 60000L)
+    // one group, 40 condition-matching events — over a cap of 32
+    val rows = (0 until 40).map(i =>
+      (i.toLong, 1L, if (i % 2 == 0) "signup" else "purchase", t(i)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val prev = sys.props.get("graft.parametric.maxEventsPerGroup")
+    sys.props("graft.parametric.maxEventsPerGroup") = "32"
+    try {
+      Seq(
+        "window_funnel(3600000000, ts, event_type = 'signup', event_type = 'purchase')",
+        "sequence_count(0, ts, event_id, event_type = 'signup', event_type = 'purchase')",
+        "sequence_match(0, ts, event_type = 'signup', event_type = 'purchase')")
+        .foreach { agg =>
+          val e = intercept[org.apache.spark.SparkException] {
+            rows.groupBy("user_id").agg(expr(agg)).collect()
+          }
+          val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+          assert(msg != null && msg.contains("maxEventsPerGroup") &&
+            msg.contains("graft.operators.EventAnalytics"),
+            s"cap error must name the knob and the library scale path: $msg")
+        }
+      // under the cap the same streams still evaluate (39 buffered < cap
+      // would exceed — use a smaller group)
+      sys.props("graft.parametric.maxEventsPerGroup") = "64"
+      val lv = rows.groupBy("user_id").agg(expr(
+          "window_funnel(3600000000, ts, event_type = 'signup', " +
+            "event_type = 'purchase')").as("lv"))
+        .collect().map(_.getInt(1))
+      assert(lv.sameElements(Array(2)))
+    } finally prev match {
+      case Some(v) => sys.props("graft.parametric.maxEventsPerGroup") = v
+      case None => sys.props -= "graft.parametric.maxEventsPerGroup"
+    }
+  }
+
+  test("window_funnel rejects window 0 and bad arity with readable errors") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    val e = Seq((1L, "signup", new java.sql.Timestamp(0L)))
+      .toDF("user_id", "event_type", "ts")
+    // window 0 is degenerate under strict-before ties — rejected at
+    // construction (CH's windowFunnel window is mandatory anyway)
+    val z = intercept[Exception] {
+      e.groupBy("user_id")
+        .agg(expr("window_funnel(0, ts, event_type = 'signup')")).collect()
+    }
+    assert(z.getMessage.contains("must be > 0"), z.getMessage)
+    // zero-argument call: readable signature error, not empty.head
+    Seq("window_funnel()", "sequence_count(ts)", "sequence_match()")
+      .foreach { call =>
+        val a = intercept[Exception] {
+          e.groupBy("user_id").agg(expr(call)).collect()
+        }
+        assert(a.getMessage != null && !a.getMessage.contains("empty.head") &&
+          a.getMessage.contains("argument"),
+          s"$call must fail with a signature message: ${a.getMessage}")
+      }
+  }
+
   test("single-stage funnel degenerates to the stage-1 user set at level 1") {
     val lv = EventAnalytics.funnelLevels(graft.Tables.events(spark, sf),
       Seq(col("event_type") === "signup"), None).collect()
