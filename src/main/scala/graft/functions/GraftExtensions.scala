@@ -112,6 +112,13 @@ object GraftExtensions {
           "sequence_match(window_us, ts, cond1, ..., condN) needs a window " +
             "(0 = unbounded), a timestamp, and 1-30 stage conditions")
         new SequenceMatchAgg(es)
+      }),
+    ("retention",
+      new ExpressionInfo(classOf[RetentionAgg].getName, "retention"),
+      (es: Seq[Expression]) => {
+        arity(es, 1, 32,
+          "retention(cond1, ..., condN) needs 1-32 boolean conditions")
+        RetentionAgg(es)
       }))
 
   /** SQL table functions (FROM-clause relations). The graft_asof builder

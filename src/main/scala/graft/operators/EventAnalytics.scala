@@ -593,6 +593,36 @@ object EventAnalytics {
         .orderBy("matched")
     }),
 
+    // O-A16b: the SQL surface — CH retention(cond1, …, condN) called IN
+    // SQL via the `retention` aggregate (functions.RetentionAgg),
+    // completing the parametric event-analytics quartet. Same cohort
+    // report as o_a16, oracle shared VERBATIM: time enters through the
+    // conditions (the CH idiom — `ts <= t0 + INTERVAL 3 DAYS` predicates
+    // against the user's first-signup time), and r[0] is always 1 on
+    // this universe because every user's t0 row satisfies cond1.
+    // Scale shape: one user-keyed min-agg, one user-keyed join + group
+    // riding the same partitioning, O(1) bitmask state per user (no
+    // event buffering — the one parametric aggregate with no whale
+    // trade at all).
+    "o_a16b_retention_sql" -> ((s, d) => {
+      graft.functions.GraftExtensions.register(s)
+      val e = Tables.events(s, d)
+      val t0 = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t0"))
+      e.join(t0, "user_id")
+        .groupBy(col("user_id"), col("t0"))
+        .agg(expr(
+          "retention(event_type = 'signup' AND ts = t0, " +
+            "event_type = 'click' AND ts > t0 AND ts <= t0 + INTERVAL 3 DAYS, " +
+            "event_type = 'purchase' AND ts > t0 AND ts <= t0 + INTERVAL 7 DAYS)")
+          .as("r"))
+        .groupBy(to_date(col("t0")).as("cohort_date"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(expr("r[1]")).cast("long").as("n_clicked"),
+          sum(expr("r[2]")).cast("long").as("n_purchased"))
+        .orderBy("cohort_date")
+    }),
+
     // O-A16: retention — per first-signup cohort date, users returning
     // with a click within 3 days / purchasing within 7 days.
     "o_a16_retention" -> ((s, d) => {
@@ -684,6 +714,30 @@ object EventAnalytics {
                FROM l GROUP BY user_id)
          SELECT seq_count, COUNT(*) AS n_users FROM u
          GROUP BY seq_count ORDER BY seq_count"""
+
+  /** The cohort-retention oracle — shared by o_a16 and the SQL-surface
+    * o_a16b (the parametric aggregate must be observationally identical
+    * to the join formulation). */
+  private val retentionOracleSql =
+      """WITH f AS (
+           SELECT user_id, MIN(ts) AS t0 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id
+         ), flags AS (
+           SELECT f.user_id, f.t0,
+                  MAX(CASE WHEN c.ts IS NOT NULL THEN 1 ELSE 0 END) AS clicked,
+                  MAX(CASE WHEN p.ts IS NOT NULL THEN 1 ELSE 0 END) AS purchased
+           FROM f
+           LEFT JOIN events c ON c.event_type = 'click' AND c.user_id = f.user_id
+             AND c.ts > f.t0 AND c.ts <= f.t0 + INTERVAL 3 DAY
+           LEFT JOIN events p ON p.event_type = 'purchase' AND p.user_id = f.user_id
+             AND p.ts > f.t0 AND p.ts <= f.t0 + INTERVAL 7 DAY
+           GROUP BY f.user_id, f.t0
+         )
+         SELECT CAST(t0 AS DATE) AS cohort_date,
+                COUNT(*) AS n_users,
+                CAST(SUM(clicked) AS BIGINT) AS n_clicked,
+                CAST(SUM(purchased) AS BIGINT) AS n_purchased
+         FROM flags GROUP BY cohort_date ORDER BY cohort_date"""
 
   val oracles: Map[String, String] = Map(
     "o_a15_funnel" -> funnel3OracleSql,
@@ -849,25 +903,10 @@ object EventAnalytics {
     // same oracle VERBATIM: the SQL-surface aggregate at the 12h bound
     "o_a18e_seqcount_sql_windowed" -> seqcount12hOracleSql,
 
-    "o_a16_retention" ->
-      """WITH f AS (
-           SELECT user_id, MIN(ts) AS t0 FROM events
-           WHERE event_type = 'signup' GROUP BY user_id
-         ), flags AS (
-           SELECT f.user_id, f.t0,
-                  MAX(CASE WHEN c.ts IS NOT NULL THEN 1 ELSE 0 END) AS clicked,
-                  MAX(CASE WHEN p.ts IS NOT NULL THEN 1 ELSE 0 END) AS purchased
-           FROM f
-           LEFT JOIN events c ON c.event_type = 'click' AND c.user_id = f.user_id
-             AND c.ts > f.t0 AND c.ts <= f.t0 + INTERVAL 3 DAY
-           LEFT JOIN events p ON p.event_type = 'purchase' AND p.user_id = f.user_id
-             AND p.ts > f.t0 AND p.ts <= f.t0 + INTERVAL 7 DAY
-           GROUP BY f.user_id, f.t0
-         )
-         SELECT CAST(t0 AS DATE) AS cohort_date,
-                COUNT(*) AS n_users,
-                CAST(SUM(clicked) AS BIGINT) AS n_clicked,
-                CAST(SUM(purchased) AS BIGINT) AS n_purchased
-         FROM flags GROUP BY cohort_date ORDER BY cohort_date"""
+    "o_a16_retention" -> retentionOracleSql,
+
+    // same oracle VERBATIM: the SQL-surface retention aggregate must be
+    // observationally identical to the o_a16 join formulation
+    "o_a16b_retention_sql" -> retentionOracleSql
   )
 }

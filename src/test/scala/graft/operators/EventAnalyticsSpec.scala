@@ -438,6 +438,40 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("retention SQL aggregate == o_a16 join formulation on the fixture") {
+    graft.functions.GraftExtensions.register(spark)
+    val a = graft.SparkEntry.queries("o_a16_retention")(spark, sf)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val b = graft.SparkEntry.queries("o_a16b_retention_sql")(spark, sf)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(a == b, s"retention aggregate diverged from the join form:\n" +
+      s"only-join: ${(a -- b).take(3)}\nonly-agg: ${(b -- a).take(3)}")
+    assert(a.nonEmpty && a.exists(_._3 > 0),
+      "fixture should contain retained users")
+  }
+
+  test("retention flags: r(0) gates everything; conditions are orderless") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    // group 1: cond1 and cond3 seen (cond2 never)  -> [1, 0, 1]
+    // group 2: cond2/cond3 seen but cond1 NEVER    -> [0, 0, 0]
+    // group 3: cond3 BEFORE cond1 in time          -> [1, 0, 1] (orderless)
+    def t(m: Int) = new java.sql.Timestamp(1726300800000L + m * 60000L)
+    val rows = Seq(
+      (1L, "a", t(0)), (1L, "c", t(1)),
+      (2L, "b", t(0)), (2L, "c", t(1)),
+      (3L, "c", t(0)), (3L, "a", t(1)))
+      .toDF("user_id", "event_type", "ts")
+    val got = rows.groupBy("user_id")
+      .agg(expr("retention(event_type = 'a', event_type = 'b', " +
+        "event_type = 'c')").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(got == Map(1L -> List(1, 0, 1), 2L -> List(0, 0, 0),
+      3L -> List(1, 0, 1)), got.toString)
+  }
+
   test("parametric aggregates: max_events cap fires loudly, naming the library scale path") {
     import spark.implicits._
     graft.functions.GraftExtensions.register(spark)
