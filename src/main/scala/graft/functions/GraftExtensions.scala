@@ -108,10 +108,22 @@ object GraftExtensions {
     ("sequence_match",
       new ExpressionInfo(classOf[SequenceMatchAgg].getName, "sequence_match"),
       (es: Seq[Expression]) => {
-        arity(es, 3, 32,
-          "sequence_match(window_us, ts, cond1, ..., condN) needs a window " +
-            "(0 = unbounded), a timestamp, and 1-30 stage conditions")
-        new SequenceMatchAgg(es)
+        arity(es, 3, 33,
+          "sequence_match(window_us, ts, cond1, ..., condN) or " +
+            "sequence_match('pattern', ts, tie, cond1, ..., condN) needs a " +
+            "window/pattern, a timestamp, and 1-30 conditions")
+        // dispatch on the first argument: a STRING literal selects the
+        // full CH pattern grammar ((?N), ., .*, (?t op n)); a numeric
+        // window keeps the funnel-completion form
+        es.head match {
+          case lit: org.apache.spark.sql.catalyst.expressions.Literal
+              if lit.dataType == org.apache.spark.sql.types.StringType =>
+            arity(es, 4, 33,
+              "sequence_match('pattern', ts, tie, cond1, ..., condN) needs " +
+                "a pattern, a timestamp, a BIGINT tie, and 1-30 conditions")
+            new SequenceMatchPatternAgg(es)
+          case _ => new SequenceMatchAgg(es)
+        }
       }),
     ("retention",
       new ExpressionInfo(classOf[RetentionAgg].getName, "retention"),

@@ -593,6 +593,60 @@ object EventAnalytics {
         .orderBy("matched")
     }),
 
+    // O-A17c: the FULL CH pattern grammar — per-gap time bounds between
+    // arbitrary steps, '(?1)(?t<=43200)(?2)(?t>600)(?3)': a click
+    // DIRECTLY following the signup in the condition-filtered stream
+    // (CH adjacency — an intervening signup/click/purchase breaks it)
+    // within 12h, then a purchase directly after the click and MORE
+    // than 10 minutes later. Neither bound is a chain-start window, so
+    // the funnel-completion subset (o_a17b) cannot express this; the
+    // buffered DP (functions.SequenceMatchPatternAgg) runs the
+    // automaton per group. Result universe: stage-1 users (the o_a17
+    // convention). One user-keyed exchange; state capped by
+    // ParametricAgg.
+    "o_a17c_seqmatch_gaps" -> ((s, d) => {
+      graft.functions.GraftExtensions.register(s)
+      Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+          expr("sequence_match('(?1)(?t<=43200)(?2)(?t>600)(?3)', ts, " +
+              "event_id, event_type = 'signup', event_type = 'click', " +
+              "event_type = 'purchase')")
+            .cast("int").as("matched"),
+          max(when(col("event_type") === "signup", 1).otherwise(0)).as("_h"))
+        .filter(col("_h") === 1)
+        .groupBy("matched").agg(count(lit(1)).as("n_users"))
+        .orderBy("matched")
+    }),
+
+    // O-A17d: strict-next '.' — '(?1).*(?2)(?t<=14400).(?3)': a signup
+    // anywhere before a click, then a purchase with EXACTLY ONE
+    // buffered event between it and the click ('.' matches one
+    // condition-matching event; rows matching no condition are
+    // invisible, the CH ignore rule) and at most 4h later (the gap
+    // bound composes with the positional one — the unbounded '.'
+    // saturates these long per-user streams to all-matched, so the
+    // catalog pins the composed instance where the differential
+    // discriminates). Positional constraints are outside the funnel
+    // subset's reach; same stage-1 universe and shuffle shape as
+    // o_a17c.
+    "o_a17d_seqmatch_strictnext" -> ((s, d) => {
+      graft.functions.GraftExtensions.register(s)
+      Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+          expr("sequence_match('(?1).*(?2)(?t<=14400).(?3)', ts, event_id, " +
+              "event_type = 'signup', event_type = 'click', " +
+              "event_type = 'purchase')")
+            .cast("int").as("matched"),
+          max(when(col("event_type") === "signup", 1).otherwise(0)).as("_h"))
+        .filter(col("_h") === 1)
+        .groupBy("matched").agg(count(lit(1)).as("n_users"))
+        .orderBy("matched")
+    }),
+
     // O-A16b: the SQL surface — CH retention(cond1, …, condN) called IN
     // SQL via the `retention` aggregate (functions.RetentionAgg),
     // completing the parametric event-analytics quartet. Same cohort
@@ -886,6 +940,57 @@ object EventAnalytics {
          SELECT CAST((l3.user_id IS NOT NULL) AS INT) AS matched,
                 COUNT(*) AS n_users
          FROM u LEFT JOIN l3 USING (user_id)
+         GROUP BY matched ORDER BY matched""",
+
+    // the per-gap pattern read off lead() over the condition-filtered
+    // per-user stream in (ts, event_id) order: adjacency in the
+    // buffered stream == lead(1)/lead(2), each gap checked against its
+    // own bound ((?t<=43200) then (?t>600))
+    "o_a17c_seqmatch_gaps" ->
+      """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
+                    WHERE event_type IN ('signup','click','purchase')),
+         p AS (
+           SELECT user_id, event_type, ts,
+                  lead(event_type, 1) OVER w AS t1, lead(ts, 1) OVER w AS s1,
+                  lead(event_type, 2) OVER w AS t2, lead(ts, 2) OVER w AS s2
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         u AS (
+           SELECT user_id,
+                  MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS has_signup,
+                  MAX(CASE WHEN event_type = 'signup' AND t1 = 'click'
+                             AND s1 <= ts + INTERVAL 12 HOUR
+                             AND t2 = 'purchase' AND s2 > s1 + INTERVAL 10 MINUTE
+                           THEN 1 ELSE 0 END) AS matched
+           FROM p GROUP BY user_id)
+         SELECT matched, COUNT(*) AS n_users FROM u WHERE has_signup = 1
+         GROUP BY matched ORDER BY matched""",
+
+    // '.*' = any signup strictly before in the (ts, event_id) order;
+    // '(?t<=14400).' = the purchase sits exactly two positions after
+    // the click in the buffered stream (one event between) and at most
+    // 4 hours later
+    "o_a17d_seqmatch_strictnext" ->
+      """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
+                    WHERE event_type IN ('signup','click','purchase')),
+         p AS (
+           SELECT user_id, event_type, ts, event_id,
+                  MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sb,
+                  lead(event_type, 2)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+                  lead(ts, 2)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s2
+           FROM e),
+         u AS (
+           SELECT user_id,
+                  MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS has_signup,
+                  MAX(CASE WHEN event_type = 'click' AND sb = 1
+                             AND t2 = 'purchase'
+                             AND s2 <= ts + INTERVAL 4 HOUR THEN 1 ELSE 0 END) AS matched
+           FROM p GROUP BY user_id)
+         SELECT matched, COUNT(*) AS n_users FROM u WHERE has_signup = 1
          GROUP BY matched ORDER BY matched""",
 
     "o_a18_seqcount" -> seqcountOracleSql,
