@@ -86,7 +86,7 @@ object ScaleSmoke {
     * typo must not masquerade as a sweep that produced no output. */
   private val knownSections =
     Set("orderstats", "vec-advance", "advance-soak", "wh-gc", "vec-geometry",
-      "capacity-decade", "banded-cost", "skew")
+      "capacity-decade", "banded-cost", "skew", "sq8-compact")
   private val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
   only.foreach(o => require(knownSections(o),
     s"unknown SPARK_GRAFT_SMOKE_ONLY section '$o'; known: " +
@@ -243,7 +243,7 @@ object ScaleSmoke {
       // vec-geometry consume embeddings, advance-soak documents (wh-gc
       // synthesizes its own per-day corpora)
       if (only.isEmpty || only.exists(Set("vec-advance", "vec-geometry",
-          "banded-cost")))
+          "banded-cost", "sq8-compact")))
         synthEmbeddings(spark, nVec, 64, dir)
       if (only.isEmpty || only.contains("advance-soak"))
         synthDocuments(spark, nDoc, dir)
@@ -681,6 +681,33 @@ object ScaleSmoke {
         meter.detach()
       }
 
+      // ---- SQ8 re-scale compaction cost (VERDICT r15 #3) ---------------
+      // The clip audit's actuator must cost ONE corpus max scan + ONE
+      // linear re-encode with no exchange (pure per-row arithmetic) —
+      // wall grows ~linearly with the corpus, shuffle-write stays ~0.
+      // The superseded advance state is committed untimed first
+      // (yesterday's index — the lifecycle position compaction runs
+      // from).
+      section("sq8-compact") {
+        val meter = new pipeline.ShuffleAudit.Meter(spark)
+        val vecSplit = (nVec - baseVecs / 2).toLong
+        pipeline.VecBackbone.sq8Advance(spark, dir, vecSplit).count() // untimed
+        val bites = pipeline.VecBackbone.sq8NeedsRescale(spark, dir, vecSplit)
+        meter.settle(); meter.reset()
+        var w = 0L
+        timeIt(f"sq8 compact x$m (n=$nVec%,d, clipBites=$bites)", {
+          val n = pipeline.VecBackbone.sq8Compact(spark, dir, vecSplit).count()
+          val (_, ww, _, _) = meter.settle(); w = ww
+          n
+        })
+        println(f"[scale] sq8-compact x$m: shufW=${w / 1024.0}%.1fKB " +
+          "(re-encode is exchange-free)")
+        require(w < (10L << 20),
+          f"sq8 compaction shuffled ${w / 1048576.0}%.1f MB — the " +
+            "re-encode is supposed to be a per-row scan, not an exchange")
+        meter.detach()
+      }
+
       // ---- warehouse version GC under the nightly chain ----------------
       // Each "day" REPLACES the corpus (new token → new version subtree)
       // and rebuilds the backbone — exactly the production leak VERDICT
@@ -762,12 +789,28 @@ object ScaleSmoke {
           "o_a15c_funnel_4stage", "o_a15d_funnel_strict", "o_a16_retention",
           "o_a17_seqmatch", "o_a18_seqcount", "o_a18b_seqcount_windowed",
           "o_a18c_seqcount_chunked", "o_a21_seq_next_node",
-          "o_t10_session", "o_w1_dedup")
+          "o_t10_session", "o_w1_dedup",
+          // the SQL-surface parametric aggregates (VERDICT r15 #1):
+          // their whale cost is the serialized per-user buffered STATE
+          // crossing the final-aggregation exchange — the byte signal
+          // the totals-based audit can't see, and the ParametricAgg cap
+          // must stay clear of the whale at every multiplier
+          "o_a15f_funnel_sql", "o_a17b_seqmatch_sql", "o_a18d_seqcount_sql",
+          "o_a18e_seqcount_sql_windowed", "o_a17c_seqmatch_gaps",
+          "o_a17d_seqmatch_strictnext", "o_a16b_retention_sql")
         // keys whose heavy stage is user_id-keyed (the whale's bytes
-        // land in one task) vs pre-reduced/other-keyed contrast keys
+        // land in one task) vs pre-reduced/other-keyed contrast keys;
+        // the buffered SQL aggregates are user-keyed too — partial
+        // states carry O(events) bytes per user, so the whale's state
+        // converges on one final-agg task (o_a16b is the exception:
+        // retention state is an O(1) bitmask, pre-reduced map-side
+        // like o_a16 itself)
         val userKeyed = Set("o_a15_funnel", "o_a15b_funnel_dedup",
           "o_a15c_funnel_4stage", "o_a15d_funnel_strict", "o_a17_seqmatch",
-          "o_a18_seqcount", "o_a18b_seqcount_windowed", "o_a21_seq_next_node")
+          "o_a18_seqcount", "o_a18b_seqcount_windowed", "o_a21_seq_next_node",
+          "o_a15f_funnel_sql", "o_a17b_seqmatch_sql", "o_a18d_seqcount_sql",
+          "o_a18e_seqcount_sql_windowed", "o_a17c_seqmatch_gaps",
+          "o_a17d_seqmatch_strictnext")
         // the (user_id, chunk)-keyed mitigations: the whale must SPREAD
         val chunkKeyed = Set("o_a15e_funnel_chunked", "o_a18c_seqcount_chunked")
         keys.foreach { k =>
@@ -888,7 +931,18 @@ object ScaleSmoke {
             ("d_doc_chunks", dBase, d10),
             ("d_ann_sq8", dBase, d10),
             ("d_ann_recall_sq8", dBase, d10),
-            ("d_ann_sq8_clip", dBase, d10))
+            ("d_ann_sq8_clip", dBase, d10),
+            // the r15/r16 SQL-surface parametric keys, measured at the
+            // decade from birth (the round-15 policy: nothing ships
+            // with only a fixture-step datapoint) — all events-fed, so
+            // they ride the key-shifted replicated real fixture
+            ("o_a15f_funnel_sql", base, d10),
+            ("o_a17b_seqmatch_sql", base, d10),
+            ("o_a18d_seqcount_sql", base, d10),
+            ("o_a18e_seqcount_sql_windowed", base, d10),
+            ("o_a16b_retention_sql", base, d10),
+            ("o_a17c_seqmatch_gaps", base, d10),
+            ("o_a17d_seqmatch_strictnext", base, d10))
           movers.foreach { case (key, small, big) =>
             // the o_a27 family's adaptive gate steps from the naive
             // window (ONE data shuffle) to the distributed prefix sum

@@ -283,6 +283,10 @@ object ServeMain {
             println(s"[serve] compacted $table: ${st.filesBefore} -> " +
               s"${st.filesAfter} files (${st.rows} rows)")
           }
+          // the SQ8 re-scale actuator rides the same maintenance cadence
+          // (opt-in via -Dgraft.vec.sq8CompactDir; no-op otherwise) —
+          // clip probe each pass, linear re-encode only when it bites
+          pipeline.VecBackbone.sq8MaintenancePass(engine.spark)
         } catch {
           case scala.util.control.NonFatal(e) =>
             System.err.println(s"[serve] compaction pass failed: ${e.getMessage}")

@@ -374,6 +374,79 @@ private[graft] object VecBackbone {
     s.read.parquet(s"$path/codes")
   }
 
+  /** RE-SCALE COMPACTION — the actuator the `d_ann_sq8_clip` audit
+    * points at ("re-scale + re-encode at the next compaction"): when
+    * appended batches encoded under the pinned history scale have
+    * outgrown it (the ±127 clamp biting), derive a FRESH scale from the
+    * full corpus and re-encode every code from the RAW vectors — never
+    * from the stored clamped codes, whose out-of-range mass is already
+    * lost — then commit codes + scale sidecar together under the
+    * Warehouse version discipline (the `_graft_built` marker lands only
+    * after both writes, so a reader sees either the old committed state
+    * or the complete new one, never a scale/codes mix).
+    *
+    * Laws (spec-pinned in VecBackboneSpec): the compacted table equals
+    * a from-scratch full build bit-for-bit; its pinned scale is the
+    * corpus max; the clip predicate under the new scale reads ZERO on
+    * every vector. Cost: one max scan + one linear re-encode with NO
+    * exchange (pure per-row arithmetic) — the ScaleSmoke `sq8-compact`
+    * point measures exactly that shape. */
+  private[graft] def sq8Compact(s: SparkSession, d: String,
+                                split: Long): DataFrame = {
+    val path = s"${root(s, d)}/sq8_cmp$split"
+    Warehouse.ensure(s, path) {
+      sq8Advance(s, d, split) // the committed state being superseded
+      sq8BuildAt(s, d, path, Long.MaxValue)
+    }
+    s.read.parquet(s"$path/codes")
+  }
+
+  private[graft] def sq8CompactScale(s: SparkSession, d: String,
+                                     split: Long): Double = {
+    sq8Compact(s, d, split) // ensure built
+    s.read.parquet(s"${root(s, d)}/sq8_cmp$split/scale")
+      .collect()(0).getDouble(0)
+  }
+
+  /** The maintenance DECISION: does the clamp actually bite? One
+    * corpus max scan against the pinned advance scale — the same
+    * predicate `d_ann_sq8_clip` reports per side, reduced to the
+    * boolean the compactor needs. */
+  private[graft] def sq8NeedsRescale(s: SparkSession, d: String,
+                                     split: Long): Boolean = {
+    val sc = sq8ScaleAt(s, d, split)
+    val mx = Tables.embeddings(s, d)
+      .select(expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+      .agg(max(expr(
+        "aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x)))")))
+      .collect()(0)
+    !mx.isNullAt(0) && math.floor(mx.getDouble(0) * 127.0 / sc + 0.5) > 127
+  }
+
+  /** Nightly hook, the [[Warehouse.autoGc]] convention:
+    * `-Dgraft.vec.sq8CompactDir=<embeddings dir>` makes the serve
+    * maintenance loop ([[graft.ServeMain]]'s compactor thread) probe
+    * the clip signal on each pass and run the re-scale compaction when
+    * it bites — the SQ8 lifecycle closes clip→compact→clean without a
+    * separate cron. Split is the committed advance convention
+    * ([[deltaSplit]]); a production deployment passes its real ingest
+    * watermark. Best-effort: a failure is a logged warning, never a
+    * maintenance-loop death. */
+  private[graft] def sq8MaintenancePass(s: SparkSession): Unit =
+    sys.props.get("graft.vec.sq8CompactDir").foreach { d =>
+      try {
+        val split = deltaSplit(s, d)
+        if (sq8NeedsRescale(s, d, split)) {
+          val n = sq8Compact(s, d, split).count()
+          println(s"[vec] sq8 re-scale compaction committed: $n codes " +
+            "re-encoded under the corpus-derived scale")
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[vec] sq8 compaction pass skipped: ${e.getMessage}")
+      }
+    }
+
   /** Stored BANDED sign-LSH inverted list over the full corpus — narrow
     * postings `(vec_id, band, bucket)`, one row per (vector, band); the
     * vectors themselves live once in [[buckets]]. Axis geometry at the
