@@ -152,7 +152,7 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min-of-${passes.length}-passes","pass_totals":$passTotals,"pass_load_avg":$passLoadsJson,"backbone_build_sec":$backboneSec,"vec_index_build_sec":$vecIndexSec,"pipeline_build_sec":$pipelineSec,"queries":$qs,"errors":$errors,"sf":$sfJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min-of-${passes.length}-passes","pass_totals":$passTotals,"pass_load_avg":$passLoadsJson,${BootInfo.jsonFields},"backbone_build_sec":$backboneSec,"vec_index_build_sec":$vecIndexSec,"pipeline_build_sec":$pipelineSec,"queries":$qs,"errors":$errors,"sf":$sfJson}"""
     println(line)
     // The driver captures stdout with a tail that can truncate the JSON
     // head on long runs — persist the full line to a file as well so

@@ -121,7 +121,8 @@ object ShuffleAudit {
         f""""$q":{"rows":$rows,"sec":$sec%.3f,"input_b":$i,""" +
           s""""shuffle_write_b":$w,"shuffle_read_b":$r,"peak_task_b":$p}"""
       }.mkString(",")
-      val json = s"""{"sf":"$sf","n_keys":${results.size},"keys":{$body}}"""
+      val json = s"""{"sf":"$sf","n_keys":${results.size},""" +
+        s"""${graft.BootInfo.jsonFields},"keys":{$body}}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
         json.getBytes("UTF-8"))
       println(s"[shuffle-audit] wrote $path (${results.size} keys)")

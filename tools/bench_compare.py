@@ -54,6 +54,14 @@ def main():
             print(f"WARNING: {label} file was head-truncated — its query map "
                   f"(and any total derived from it) is PARTIAL; trust only "
                   f"per-query ratios on shared keys")
+    # boot provenance (VERDICT r15 #5): a reboot shifts every wall
+    # 1.2-1.4x uniformly — label the comparison instead of letting the
+    # raw ratio read as a regression
+    ob, nb = old.get("boot_id"), new.get("boot_id")
+    if ob and nb and ob != nb:
+        print(f"CROSS-BOOT comparison (boot {ob[:8]}... -> {nb[:8]}...): "
+              "wall ratios below are host weather, not plan signal — "
+              "adjudicate on shuffle BYTES (shuffle_gate) instead")
     tot_o = sum(v for v in oq.values() if v > 0)
     tot_n = sum(v for v in nq.values() if v > 0)
     shared = [k for k in nq if k in oq and oq[k] > 0 and nq[k] > 0]

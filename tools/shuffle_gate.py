@@ -145,9 +145,22 @@ def main():
                 else:
                     subfloor.append((k, sw_s, sw_b, sw_b / sw_s))
         merged[k] = row
+    # boot provenance (VERDICT r15 #5): wall comparisons are only valid
+    # within one boot — label a cross-boot --expect comparison loudly so
+    # nobody reads a host factor as a plan regression; bytes stay valid.
+    boot = big.get("boot_id")
+    if expect_path:
+        prior = json.load(open(expect_path))
+        prior_boot = prior.get("boot_id")
+        if boot and prior_boot and boot != prior_boot:
+            print("shuffle_gate: CROSS-BOOT comparison vs "
+                  f"{expect_path} (boot {prior_boot[:8]}... -> "
+                  f"{boot[:8]}...): wall-clock deltas are host weather — "
+                  "adjudicate on per-key BYTES only")
     if out_path:
         with open(out_path, "w") as f:
             json.dump({"sf_small": small["sf"], "sf_big": big["sf"],
+                       "boot_id": boot, "cpu": big.get("cpu"),
                        "slack": SLACK, "min_bytes": MIN_BYTES,
                        "adjudicated": {k: v[0] for k, v in ADJUDICATED.items()},
                        "n_keys": len(merged),
