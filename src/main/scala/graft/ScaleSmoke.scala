@@ -632,7 +632,7 @@ object ScaleSmoke {
           // yesterday's stored state, untimed; then measure the advance
           pipeline.VecBackbone.historyBanded(spark, dir, vecSplit, geom)
           pipeline.VecBackbone.history(spark, dir, vecSplit)
-          meter.settle(); meter.reset()
+          meter.reset() // settles internally
           var w = 0L; var p = 0L
           timeIt(f"banded advance $nm x$m (hist=$vecSplit%,d, batch=$vecBatchN%,d)", {
             val n = pipeline.VecBackbone
@@ -649,7 +649,7 @@ object ScaleSmoke {
         // sample-bounded driver fits + one linear scan of the stored
         // vectors + an NCells×dims aggregate — wall must track the scan
         // (corpus-linear at worst), shuffle stays report-sized
-        meter.settle(); meter.reset()
+        meter.reset() // settles internally
         var dw = 0L
         timeIt(f"quantizer drift audit x$m (n=$nVec%,d)", {
           val n = pipeline.VecBackbone.quantizerDrift(spark, dir).count()
@@ -693,7 +693,7 @@ object ScaleSmoke {
         val vecSplit = (nVec - baseVecs / 2).toLong
         pipeline.VecBackbone.sq8Advance(spark, dir, vecSplit).count() // untimed
         val bites = pipeline.VecBackbone.sq8NeedsRescale(spark, dir, vecSplit)
-        meter.settle(); meter.reset()
+        meter.reset() // settles internally
         var w = 0L
         timeIt(f"sq8 compact x$m (n=$nVec%,d, clipBites=$bites)", {
           val n = pipeline.VecBackbone.sq8Compact(spark, dir, vecSplit).count()
@@ -911,7 +911,7 @@ object ScaleSmoke {
           val meter = new pipeline.ShuffleAudit.Meter(spark)
           def run(key: String, dir: String): (Long, Long, Long) = {
             graft.SparkEntry.queries(key)(spark, dir).count() // warm: stores
-            meter.settle(); meter.reset()
+            meter.reset() // settles internally
             val rows = graft.SparkEntry.queries(key)(spark, dir).count()
             val (_, w, _, p) = meter.settle()
             (rows, w, p)

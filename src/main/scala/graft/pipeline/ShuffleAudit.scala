@@ -47,7 +47,14 @@ object ShuffleAudit {
     /** Unregister — a sweep that creates one Meter per multiplier must
       * not leave prior meters accumulating on the listener bus. */
     def detach(): Unit = spark.sparkContext.removeSparkListener(listener)
-    def reset(): Unit = { input.set(0); sw.set(0); sr.set(0); peak.set(0) }
+    /** Zero every counter INCLUDING the peak-memory max, after settling
+      * the async bus — without the settle a late warm-run TaskEnd could
+      * land post-clear and attribute warm-pass peak (or bytes) to the
+      * measured pass (the SkewMeter reset contract; closes the r14/r15
+      * "peak attributable to the measured pass" nit). */
+    def reset(): Unit = {
+      settle(); input.set(0); sw.set(0); sr.set(0); peak.set(0)
+    }
     /** (input, shuffleWrite, shuffleRead, peakTask) after the async
       * listener queue stabilizes — two consecutive still reads, or a
       * loud warning if the deadline ends the wait (a truncated counter
@@ -100,8 +107,8 @@ object ShuffleAudit {
     val results = qs.flatMap { q =>
       try {
         graft.SparkEntry.queries(q)(spark, sf).count() // warm run: JIT, caches
-        meter.settle()
-        meter.reset()
+        meter.reset() // settles internally
+
         val t0 = System.nanoTime
         val rows = graft.SparkEntry.queries(q)(spark, sf).count()
         val sec = (System.nanoTime - t0) / 1e9

@@ -60,6 +60,10 @@ KEYS = [
     "o_a17_seqmatch", "o_a17b_seqmatch_sql", "o_a18_seqcount", "o_a18b_seqcount_windowed",
     "o_a18c_seqcount_chunked", "o_a18d_seqcount_sql",
     "o_a18e_seqcount_sql_windowed", "o_a21_seq_next_node", "o_w1_dedup",
+    # r16: the retention SQL aggregate and the pattern-grammar pair —
+    # their lead()/join oracles recompose on any planted event stream
+    "o_a16b_retention_sql", "o_a17c_seqmatch_gaps",
+    "o_a17d_seqmatch_strictnext",
 ]
 
 ADDOPENS = " ".join(
@@ -212,6 +216,22 @@ def main():
             rc_all = 1
             continue
         rc_all |= check.main(corpus, out)
+        # the parametric-aggregate window/pattern space (VERDICT r15 #6):
+        # random windows, chunk sizes, gap ops and patterns through the
+        # buffered SQL aggregates vs the stacked-window library plans —
+        # two mechanisms, one contract, on the SAME planted tied corpus
+        rp = subprocess.run(
+            f"java {ADDOPENS} -Xmx8g -Dspark.ui.enabled=false "
+            f"-Dspark.sql.session.timeZone=UTC -cp '{cp}' "
+            f"graft.FuzzParametric {corpus} {seed}",
+            shell=True, capture_output=True, text=True)
+        for ln in rp.stdout.splitlines():
+            if "DIVERGENCE" in ln or "ALL CHECKS" in ln:
+                print(f"  {ln}")
+        if rp.returncode != 0:
+            print(rp.stderr[-2000:])
+            print(f"pipefuzz seed={seed}: FuzzParametric FAILED")
+            rc_all = 1
     return rc_all
 
 
