@@ -15,6 +15,8 @@ case class FunnelUpdate(user_id: Long, funnel_level: Int, at: Timestamp)
 
 private[streaming] case class FunnelChainState(mins: Seq[Long], emitted: Int)
 
+private[streaming] case class WindowedFunnelState(best: Seq[Long], emitted: Int)
+
 /** Incremental `windowFunnel` (O-A15's streaming form): the per-user
   * funnel level maintained across micro-batches with
   * `flatMapGroupsWithState` — the analytics the batch operator computes
@@ -115,5 +117,114 @@ object FunnelStream {
     ds.groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, timeout)(
         flatMapFn(stages, idleTimeoutMs))
+  }
+
+  // ---- WINDOWED streaming funnel: the `window_funnel` SQL surface's
+  // streaming twin ----------------------------------------------------
+
+  /** The SQL aggregate's max-chain-start dominance pass
+    * ([[graft.functions.WindowFunnel.level]]), run INCREMENTALLY:
+    * best(k) = the maximum chain start among level-k chains seen so
+    * far — one long per stage, O(1) per event. Equal-timestamp events
+    * apply ATOMICALLY against the pre-group state (the strict-before
+    * tie rule the SQL aggregate pins), grouped within each sorted
+    * micro-batch. In-order streams reproduce the batch aggregate
+    * exactly (the dominance recurrence consults only earlier events);
+    * a LATE event older than consumed history can under-count — the
+    * same incremental trade [[funnelUpdates]] documents. Millisecond
+    * resolution (`Timestamp.getTime`). */
+  private[streaming] def advanceWindowed(stages: Seq[String], windowMs: Long,
+      st: WindowedFunnelState, events: Seq[FunnelEvent]): WindowedFunnelState = {
+    val MIN = Long.MinValue
+    val best = st.best.toArray
+    val sorted = events.sortBy(_.ts.getTime).toIndexedSeq
+    var i = 0
+    while (i < sorted.size) {
+      val t = sorted(i).ts.getTime
+      val cand = Array.fill(stages.size)(MIN)
+      var j = i
+      while (j < sorted.size && sorted(j).ts.getTime == t) {
+        var s = stages.indexOf(sorted(j).event_type)
+        while (s >= 0) { // an event type may appear at multiple stages
+          if (s == 0) { if (t > cand(0)) cand(0) = t }
+          else if (best(s - 1) != MIN && t - best(s - 1) <= windowMs &&
+                   best(s - 1) > cand(s)) cand(s) = best(s - 1)
+          s = stages.indexOf(sorted(j).event_type, s + 1)
+        }
+        j += 1
+      }
+      var s = 0
+      while (s < stages.size) {
+        if (cand(s) > best(s)) best(s) = cand(s)
+        s += 1
+      }
+      i = j
+    }
+    WindowedFunnelState(best.toSeq, st.emitted)
+  }
+
+  private def flatMapWindowedFn(stages: Seq[String], windowMs: Long,
+      idleTimeoutMs: Long)(
+      userId: Long, events: Iterator[FunnelEvent],
+      state: GroupState[WindowedFunnelState]): Iterator[FunnelUpdate] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val st0 = state.getOption.getOrElse(
+      WindowedFunnelState(Seq.fill(stages.size)(Long.MinValue), 0))
+    val evs = events.toSeq
+    val st1 = advanceWindowed(stages, windowMs, st0, evs)
+    val lvl = st1.best.takeWhile(_ != Long.MinValue).size
+    val out =
+      if (lvl > st1.emitted) {
+        state.update(st1.copy(emitted = lvl))
+        // `at` = when we learned it: the batch's event-time high mark
+        Iterator.single(FunnelUpdate(userId, lvl,
+          new Timestamp(evs.map(_.ts.getTime).max)))
+      } else if (lvl > 0) {
+        state.update(st1)
+        Iterator.empty
+      } else Iterator.empty // no chain start yet: store nothing
+    if (idleTimeoutMs > 0 && state.exists)
+      state.setTimeoutTimestamp(
+        math.max(evs.map(_.ts.getTime).max, state.getCurrentWatermarkMs()) +
+          idleTimeoutMs)
+    out
+  }
+
+  /** Incremental WINDOWED `windowFunnel` — the streaming twin of the
+    * `window_funnel` SQL aggregate (o_a15f), closing the loop between
+    * the SQL surface and the streaming half: the per-user windowed
+    * funnel level kept current per micro-batch, with
+    * [[levelDistribution]] reshaping the update feed into o_a15f's
+    * exact result schema. Same [[FunnelUpdate]] contract as
+    * [[funnelUpdates]]; state is stages.size longs per user. Spec-pinned
+    * (FunnelStreamSpec): streamed == the batch SQL aggregate across
+    * random micro-batch cuts AND across a checkpoint restart. */
+  def windowedFunnelUpdates(ds: Dataset[FunnelEvent], stages: Seq[String],
+                            windowMs: Long,
+                            idleTimeoutMs: Long = 0L): Dataset[FunnelUpdate] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(windowMs > 0, "windowed funnel needs a positive window " +
+      "(the window_funnel convention); use funnelUpdates for unbounded")
+    implicit val enc = Encoders.product[FunnelUpdate]
+    implicit val stEnc = Encoders.product[WindowedFunnelState]
+    val timeout: GroupStateTimeout =
+      if (idleTimeoutMs > 0) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        flatMapWindowedFn(stages, windowMs, idleTimeoutMs))
+  }
+
+  /** o_a15f's result shape from an update feed: levels only ever
+    * increase per user, so current level = max emitted; counted per
+    * level. Run over the sink table the update stream writes. */
+  def levelDistribution(updates: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    updates.groupBy("user_id")
+      .agg(max("funnel_level").as("funnel_level"))
+      .groupBy("funnel_level")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("funnel_level")
   }
 }

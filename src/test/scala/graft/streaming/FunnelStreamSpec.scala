@@ -101,6 +101,101 @@ class FunnelStreamSpec extends AnyFunSuite {
     assert(rows == Set((1L, 1), (3L, 1), (2L, 1)))
   }
 
+  test("windowed stream == window_funnel SQL aggregate across random micro-batch cuts") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    graft.functions.GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(1603)
+    val types = Seq("signup", "click", "purchase", "view")
+    val wMs = 6L * 3600 * 1000 // 6h — splits the streams below
+    (0 until 3).foreach { draw =>
+      // tied timestamps on a 30-min grid; 'view' events are
+      // condition-invisible noise
+      val log = (0 until 300).map { _ =>
+        FunnelEvent(rnd.nextInt(12).toLong, types(rnd.nextInt(types.size)),
+          ts(rnd.nextInt(96) * 30L))
+      }.sortBy(_.ts.getTime) // IN-ORDER stream: the exactness contract
+      val ms = MemoryStream[FunnelEvent]
+      val name = s"funnel_win_$draw"
+      val q = FunnelStream.windowedFunnelUpdates(ms.toDS(), stages, wMs)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      // random micro-batch cuts — chain steps and tie groups land on
+      // both sides of batch boundaries across draws
+      var rest = log
+      while (rest.nonEmpty) {
+        val n = 1 + rnd.nextInt(60)
+        ms.addData(rest.take(n): _*); q.processAllAvailable()
+        rest = rest.drop(n)
+      }
+      q.stop()
+      val streamed = FunnelStream.levelDistribution(spark.table(name))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val batch = log.toDF("user_id", "event_type", "ts")
+        .groupBy("user_id")
+        .agg(expr(s"window_funnel(${wMs * 1000}, ts, " +
+            "event_type = 'signup', event_type = 'click', " +
+            "event_type = 'purchase')").as("funnel_level"))
+        .filter(col("funnel_level") >= 1)
+        .groupBy("funnel_level").agg(count(lit(1)).as("n_users"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(streamed == batch,
+        s"draw $draw: streamed $streamed != batch aggregate $batch")
+      assert(batch.size >= 2, s"draw $draw should discriminate levels")
+    }
+  }
+
+  test("windowed stream survives a checkpoint restart mid-stream") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    graft.functions.GraftExtensions.register(spark)
+    val wMs = 6L * 3600 * 1000
+    val ckpt = java.nio.file.Files.createTempDirectory("funnel_ckpt").toString
+    val rnd = new scala.util.Random(1604)
+    val types = Seq("signup", "click", "purchase")
+    val log = (0 until 200).map { _ =>
+      FunnelEvent(rnd.nextInt(8).toLong, types(rnd.nextInt(types.size)),
+        ts(rnd.nextInt(96) * 30L))
+    }.sortBy(_.ts.getTime)
+    val (first, second) = log.splitAt(120)
+    // memory sinks cannot recover a checkpoint — the restart pin needs a
+    // replayable SOURCE (file) and a recoverable SINK (parquet), the
+    // IngestSpec drive pattern
+    val inDir = java.nio.file.Files.createTempDirectory("funnel_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("funnel_out_p").toString
+    def start() = {
+      val src = spark.readStream
+        .schema(Seq.empty[FunnelEvent].toDS().schema)
+        .parquet(inDir).as[FunnelEvent]
+      FunnelStream.windowedFunnelUpdates(src, stages, wMs)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    first.toDS().repartition(2).write.mode("append").parquet(inDir)
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // simulated crash/redeploy: state lives in the checkpoint
+    second.toDS().repartition(2).write.mode("append").parquet(inDir)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val streamed = spark.read.parquet(outDir)
+      .groupBy("user_id").agg(max("funnel_level").as("lvl"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batch = log.toDF("user_id", "event_type", "ts")
+      .groupBy("user_id")
+      .agg(expr(s"window_funnel(${wMs * 1000}, ts, " +
+          "event_type = 'signup', event_type = 'click', " +
+          "event_type = 'purchase')").as("lvl"))
+      .filter(col("lvl") >= 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamed == batch,
+      s"restart diverged: ${(streamed.toSet -- batch.toSet).take(5)} / " +
+        s"${(batch.toSet -- streamed.toSet).take(5)}")
+  }
+
   test("batch-mode invocation emits each user's final level once") {
     import spark.implicits._
     val ds = Seq(FunnelEvent(7, "signup", ts(0)), FunnelEvent(7, "click", ts(1)),
