@@ -86,7 +86,7 @@ object ScaleSmoke {
     * typo must not masquerade as a sweep that produced no output. */
   private val knownSections =
     Set("orderstats", "vec-advance", "advance-soak", "wh-gc", "vec-geometry",
-      "capacity-decade", "banded-cost", "skew", "sq8-compact")
+      "capacity-decade", "banded-cost", "skew", "sq8-compact", "decade-full")
   private val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
   only.foreach(o => require(knownSections(o),
     s"unknown SPARK_GRAFT_SMOKE_ONLY section '$o'; known: " +
@@ -797,7 +797,8 @@ object ScaleSmoke {
           // must stay clear of the whale at every multiplier
           "o_a15f_funnel_sql", "o_a17b_seqmatch_sql", "o_a18d_seqcount_sql",
           "o_a18e_seqcount_sql_windowed", "o_a17c_seqmatch_gaps",
-          "o_a17d_seqmatch_strictnext", "o_a16b_retention_sql")
+          "o_a17d_seqmatch_strictnext", "o_a16b_retention_sql",
+          "o_a15g_funnel_sql_strict", "o_a15h_funnel_sql_dedup")
         // keys whose heavy stage is user_id-keyed (the whale's bytes
         // land in one task) vs pre-reduced/other-keyed contrast keys;
         // the buffered SQL aggregates are user-keyed too — partial
@@ -810,7 +811,8 @@ object ScaleSmoke {
           "o_a18_seqcount", "o_a18b_seqcount_windowed", "o_a21_seq_next_node",
           "o_a15f_funnel_sql", "o_a17b_seqmatch_sql", "o_a18d_seqcount_sql",
           "o_a18e_seqcount_sql_windowed", "o_a17c_seqmatch_gaps",
-          "o_a17d_seqmatch_strictnext")
+          "o_a17d_seqmatch_strictnext",
+          "o_a15g_funnel_sql_strict", "o_a15h_funnel_sql_dedup")
         // the (user_id, chunk)-keyed mitigations: the whale must SPREAD
         val chunkKeyed = Set("o_a15e_funnel_chunked", "o_a18c_seqcount_chunked")
         keys.foreach { k =>
@@ -859,6 +861,83 @@ object ScaleSmoke {
         prevCoalesce match {
           case Some(v) => spark.conf.set(coalesceKey, v)
           case None => spark.conf.unset(coalesceKey)
+        }
+      }
+
+      // ---- FULL decade table set (the r15 full-catalog decade recipe,
+      // now committed instead of ad-hoc): every table the catalog reads,
+      // one decade past sf0.1 at /tmp/graft_decade_full. Relational +
+      // events grow by KEY-SHIFTED ×10 replication of the real fixture
+      // (schema + per-replica distributions identical, join keys
+      // disjoint across replicas); documents by PER-WORD REPLICA
+      // PREFIXING (cross-replica shingle sets disjoint ⇒ dup GROUPS
+      // multiply while group SIZE stays fixture-bounded — the realistic
+      // crawl shape); embeddings by per-replica SIGNED PERMUTATION
+      // (orthogonal ⇒ within-replica cosines exactly the fixture's,
+      // cross-replica pairs decorrelate); dimension tables copied
+      // verbatim (dims don't grow with fact data). After this section,
+      // run the record:
+      //   SPARK_GRAFT_SF_DIR=/tmp/graft_decade_full java ... \
+      //     graft.pipeline.ShuffleAudit --json SHUFFLE_DECADE_r<N>.json
+      section("decade-full") {
+        if (m == mults.head) {
+          val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+            "/root/testdata/sf0.1")
+          val full = s"${sys.props("java.io.tmpdir")}/graft_decade_full"
+          val ten = explode(expr("sequence(0, 9)"))
+          Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+            spark.read.parquet(s"$base/$t.parquet")
+              .write.mode("overwrite").parquet(s"$full/$t.parquet")
+          }
+          spark.read.parquet(s"$base/lineitem.parquet")
+            .withColumn("rep", ten)
+            .withColumn("l_orderkey", col("l_orderkey") * 10 + col("rep"))
+            .drop("rep").repartition(64)
+            .write.mode("overwrite").parquet(s"$full/lineitem.parquet")
+          spark.read.parquet(s"$base/orders.parquet")
+            .withColumn("rep", ten)
+            .withColumn("o_orderkey", col("o_orderkey") * 10 + col("rep"))
+            .withColumn("o_custkey",
+              col("o_custkey") + col("rep") * 10000000L)
+            .drop("rep").repartition(16)
+            .write.mode("overwrite").parquet(s"$full/orders.parquet")
+          Tables.events(spark, base)
+            .withColumn("rep", ten)
+            .withColumn("event_id", col("event_id") * 10 + col("rep"))
+            .withColumn("user_id",
+              col("user_id") + col("rep") * 10000000L)
+            .drop("rep").repartition(32)
+            .write.mode("overwrite").parquet(s"$full/events.parquet")
+          Tables.documents(spark, base)
+            .withColumn("rep", ten)
+            .withColumn("doc_id", col("doc_id") * 10 + col("rep"))
+            .withColumn("text", expr(
+              "concat_ws(' ', transform(split(text, ' '), " +
+                "w -> concat('r', rep, w)))"))
+            .withColumn("n_chars", length(col("text")).cast("long"))
+            .drop("rep").repartition(32)
+            .write.mode("overwrite").parquet(s"$full/documents.parquet")
+          val dims = Tables.embeddings(spark, base)
+            .selectExpr("size(embedding) d").head.getInt(0)
+          Tables.embeddings(spark, base)
+            .withColumn("rep", ten)
+            .withColumn("vec_id", col("vec_id") * 10 + col("rep"))
+            .withColumn("embedding", expr(
+              s"""transform(sequence(0, ${dims - 1}), i ->
+                   CAST(IF(pmod(hash(rep, i), 2) = 0, 1.0, -1.0) *
+                     element_at(embedding,
+                       CAST(pmod(i + rep * ${math.max(1, dims / 10)}, $dims)
+                            AS INT) + 1) AS FLOAT))"""))
+            .drop("rep").repartition(32)
+            .write.mode("overwrite").parquet(s"$full/embeddings.parquet")
+          val counts = Seq("lineitem", "orders", "events", "documents",
+            "embeddings").map { t =>
+            t -> spark.read.format("parquet")
+              .option("nanosAsLong", "true")
+              .load(s"$full/$t.parquet").count()
+          }
+          println(s"[scale] decade-full built at $full: " +
+            counts.map { case (t, n) => f"$t=$n%,d" }.mkString(", "))
         }
       }
 
@@ -942,7 +1021,9 @@ object ScaleSmoke {
             ("o_a18e_seqcount_sql_windowed", base, d10),
             ("o_a16b_retention_sql", base, d10),
             ("o_a17c_seqmatch_gaps", base, d10),
-            ("o_a17d_seqmatch_strictnext", base, d10))
+            ("o_a17d_seqmatch_strictnext", base, d10),
+            ("o_a15g_funnel_sql_strict", base, d10),
+            ("o_a15h_funnel_sql_dedup", base, d10))
           movers.foreach { case (key, small, big) =>
             // the o_a27 family's adaptive gate steps from the naive
             // window (ONE data shuffle) to the distributed prefix sum

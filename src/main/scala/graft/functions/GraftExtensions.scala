@@ -92,10 +92,23 @@ object GraftExtensions {
     ("window_funnel",
       new ExpressionInfo(classOf[WindowFunnelAgg].getName, "window_funnel"),
       (es: Seq[Expression]) => {
-        arity(es, 3, 32,
-          "window_funnel(window_us, ts, cond1, ..., condN) needs a window, " +
-            "a timestamp, and 1-30 stage conditions")
-        new WindowFunnelAgg(es)
+        arity(es, 3, 34,
+          "window_funnel(window_us, ts, cond1, ..., condN) or " +
+            "window_funnel(window_us, 'mode', ts, tie, cond1, ...) needs a " +
+            "window, an optional mode, a timestamp, and 1-30 stage conditions")
+        // a string SECOND argument selects the CH mode surface
+        // (strict_order / strict_dedup, row-order semantics with an
+        // explicit tie); otherwise the default strict-increase form
+        es(1) match {
+          case lit: org.apache.spark.sql.catalyst.expressions.Literal
+              if lit.dataType == org.apache.spark.sql.types.StringType =>
+            arity(es, 5, 34,
+              "window_funnel(window_us, 'mode', ts, tie, cond1, ...) needs " +
+                "a window, a mode, a timestamp, a BIGINT tie, and 1-30 " +
+                "stage conditions")
+            new WindowFunnelModeAgg(es)
+          case _ => new WindowFunnelAgg(es)
+        }
       }),
     ("sequence_count",
       new ExpressionInfo(classOf[SequenceCountAgg].getName, "sequence_count"),

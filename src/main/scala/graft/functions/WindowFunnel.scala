@@ -232,6 +232,185 @@ case class WindowFunnelAgg(
     copy(children = newChildren)
 }
 
+/** ClickHouse `windowFunnel(window, 'mode')(ts, cond1, …, condN)` —
+  * the MODE surface (`strict_order` / `strict_dedup`) as a SQL
+  * aggregate: `window_funnel(window_us, 'mode', ts, tie, cond1, …)`.
+  * Both modes are ROW-ORDER semantics (which event is "next"/"last"
+  * matters), so unlike the default strict-increase form they take an
+  * explicit BIGINT tie column — CH leaves tie order engine-private;
+  * this engine's oracles demand the (ts, tie) total order.
+  *
+  *  - `strict_order` (CH: no interventions): the chain must be
+  *    CONSECUTIVE in the per-user event stream — ANY other event
+  *    between two steps breaks it, including events matching no
+  *    condition, so this mode buffers EVERY row of the group (mask 0
+  *    rows are the breakers). Eval: prefix-match at each stage-1
+  *    position, window measured from the chain start — the buffered
+  *    twin of o_a15d's lead() formulation, whose oracle it shares.
+  *  - `strict_dedup` (consecutive-step dedup): each step's event must
+  *    be the LAST of its type before the next step's event — a repeat
+  *    of stage k's type between steps k and k+1 breaks the chain.
+  *    Eval: one sequential pass carrying, per stage, the chain start
+  *    the LAST stage-k event offers (possibly invalid — a later
+  *    repeat overwrites); updates read pre-event state (strictly-
+  *    before). The buffered twin of o_a15b, whose oracle it shares.
+  *
+  * State reuses [[SequenceMatchPattern.State]] (us, tie, mask) and the
+  * [[ParametricAgg]] cap; the one-shuffle stacked-window forms remain
+  * the scale path.
+  */
+case class WindowFunnelModeAgg(
+    windowMicros: Long,
+    mode: String,
+    children: Seq[Expression],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SequenceMatchPattern.State] {
+
+  def this(es: Seq[Expression]) =
+    this(DDSketch.foldableDouble(es.head, "window_funnel window_us").toLong,
+      SequenceMatchPattern.foldableString(es(1), "window_funnel mode"), es)
+
+  require(windowMicros > 0,
+    s"window_funnel: window $windowMicros us must be > 0")
+  require(mode == "strict_order" || mode == "strict_dedup",
+    s"window_funnel mode '$mode' not supported: 'strict_order' | " +
+      "'strict_dedup' (the default strict-increase form is " +
+      "window_funnel(window_us, ts, cond...) without a mode)")
+  require(children.size >= 5,
+    "window_funnel(window_us, mode, ts, tie, cond1, ...) needs at least " +
+      "one condition")
+  require(children.size <= 4 + 30,
+    "window_funnel supports at most 30 stages (bitmask bound)")
+
+  private def tsExpr = children(2)
+  private def tieExpr = children(3)
+  private def conds = children.drop(4)
+  private def nStages = conds.size
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val tsOk = tsExpr.dataType == TimestampType || tsExpr.dataType == LongType
+    val ok = tsOk && tieExpr.dataType == LongType &&
+      conds.forall(_.dataType == BooleanType)
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (foldable window_us, foldable mode, " +
+        s"TIMESTAMP|BIGINT ts, BIGINT tie, BOOLEAN conds...), got " +
+        children.map(_.dataType.sql).mkString(", "))
+  }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def prettyName: String = "window_funnel"
+
+  override def createAggregationBuffer(): SequenceMatchPattern.State =
+    new SequenceMatchPattern.State
+
+  override def update(b: SequenceMatchPattern.State,
+                      row: InternalRow): SequenceMatchPattern.State = {
+    ParametricAgg.guard(b.n, s"$prettyName('$mode')",
+      "graft.operators.EventAnalytics (o_a15b/o_a15d stacked-window forms)")
+    val t = tsExpr.eval(row)
+    val k = tieExpr.eval(row)
+    if (t != null && k != null) {
+      var m = 0
+      var c = 0
+      while (c < conds.size) {
+        val v = conds(c).eval(row)
+        if (v != null && v.asInstanceOf[Boolean]) m |= 1 << c
+        c += 1
+      }
+      // strict_order buffers breakers (mask 0) — interventions matter
+      if (m != 0 || mode == "strict_order")
+        b.add(t.asInstanceOf[Long], k.asInstanceOf[Long], m)
+    }
+    b
+  }
+
+  override def merge(b: SequenceMatchPattern.State,
+                     o: SequenceMatchPattern.State): SequenceMatchPattern.State = {
+    ParametricAgg.guard(b.n + o.n - 1, s"$prettyName('$mode')",
+      "graft.operators.EventAnalytics (o_a15b/o_a15d stacked-window forms)")
+    var i = 0
+    while (i < o.n) { b.add(o.us(i), o.tie(i), o.mask(i)); i += 1 }
+    b
+  }
+
+  override def eval(b: SequenceMatchPattern.State): Any = {
+    val n = b.n
+    if (n == 0) return 0
+    val idx = Array.range(0, n).sortBy(i => (b.us(i), b.tie(i)))
+    val us = idx.map(b.us)
+    val mk = idx.map(b.mask)
+    val MIN = Long.MinValue
+    if (mode == "strict_order") {
+      // prefix match at each stage-1 position; window from chain start
+      var best = 0
+      var i = 0
+      while (i < n) {
+        if ((mk(i) & 1) != 0) {
+          var lvl = 1
+          var k = 2
+          var ok = true
+          while (ok && k <= nStages && i + k - 1 < n) {
+            val p = i + k - 1
+            if ((mk(p) & (1 << (k - 1))) != 0 &&
+                us(p) - us(i) <= windowMicros) { lvl = k; k += 1 }
+            else ok = false
+          }
+          if (lvl > best) best = lvl
+        }
+        i += 1
+      }
+      best
+    } else {
+      // strict_dedup: last(k) = the chain start carried by the LAST
+      // stage-k event (possibly invalid); updates read pre-event state
+      val last = Array.fill(nStages)(MIN)
+      val has = Array.fill(nStages)(false)
+      val upd = new Array[Long](nStages)
+      var i = 0
+      while (i < n) {
+        val m = mk(i)
+        var k = 0
+        while (k < nStages) {
+          if ((m & (1 << k)) != 0)
+            upd(k) =
+              if (k == 0) us(i)
+              else if (last(k - 1) != MIN && us(i) - last(k - 1) <= windowMicros)
+                last(k - 1)
+              else MIN
+          else upd(k) = Long.MaxValue // sentinel: no update
+          k += 1
+        }
+        k = 0
+        while (k < nStages) {
+          if (upd(k) != Long.MaxValue) {
+            last(k) = upd(k)
+            if (upd(k) != MIN) has(k) = true
+          }
+          k += 1
+        }
+        i += 1
+      }
+      if (!has(0)) 0 else has.takeWhile(identity).length
+    }
+  }
+
+  override def serialize(b: SequenceMatchPattern.State): Array[Byte] =
+    SequenceMatchPattern.serialize(b)
+  override def deserialize(bytes: Array[Byte]): SequenceMatchPattern.State =
+    SequenceMatchPattern.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): WindowFunnelModeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): WindowFunnelModeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): WindowFunnelModeAgg =
+    copy(children = newChildren)
+}
+
 /** ClickHouse `sequenceMatch('(?1).*(?2)…')` (optionally with a
   * chain-start time bound) as a SQL aggregate —
   * `sequence_match(window_us, ts, cond1, …, condN)` → BOOLEAN: true iff

@@ -593,6 +593,43 @@ object EventAnalytics {
         .orderBy("matched")
     }),
 
+    // O-A15g/h: the CH MODE surface in SQL — windowFunnel(w,
+    // 'strict_order') / (w, 'strict_dedup') via the mode-dispatched
+    // `window_funnel(w_us, 'mode', ts, tie, cond…)` aggregate
+    // (functions.WindowFunnelModeAgg). Oracles = o_a15d's / o_a15b's
+    // VERBATIM: the buffered row-order eval vs the stacked lead()/
+    // running-window plans — two mechanisms per mode, one contract.
+    // strict_order runs over ALL events (interventions of any type
+    // break the chain, so the aggregate buffers breakers too);
+    // strict_dedup over the condition types only, like o_a15b.
+    "o_a15g_funnel_sql_strict" -> ((s, d) => {
+      graft.functions.GraftExtensions.register(s)
+      Tables.events(s, d).groupBy("user_id")
+        .agg(expr(
+          "window_funnel(43200000000, 'strict_order', ts, event_id, " +
+            "event_type = 'signup', event_type = 'click', " +
+            "event_type = 'purchase')")
+          .as("funnel_level"))
+        .filter(col("funnel_level") >= 1)
+        .groupBy("funnel_level").agg(count(lit(1)).as("n_users"))
+        .orderBy("funnel_level")
+    }),
+
+    "o_a15h_funnel_sql_dedup" -> ((s, d) => {
+      graft.functions.GraftExtensions.register(s)
+      Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(expr(
+          "window_funnel(43200000000, 'strict_dedup', ts, event_id, " +
+            "event_type = 'signup', event_type = 'click', " +
+            "event_type = 'purchase')")
+          .as("funnel_level"))
+        .filter(col("funnel_level") >= 1)
+        .groupBy("funnel_level").agg(count(lit(1)).as("n_users"))
+        .orderBy("funnel_level")
+    }),
+
     // O-A17c: the FULL CH pattern grammar — per-gap time bounds between
     // arbitrary steps, '(?1)(?t<=43200)(?2)(?t>600)(?3)': a click
     // DIRECTLY following the signup in the condition-filtered stream
@@ -769,6 +806,65 @@ object EventAnalytics {
          SELECT seq_count, COUNT(*) AS n_users FROM u
          GROUP BY seq_count ORDER BY seq_count"""
 
+  /** The strict_dedup funnel oracle — shared by o_a15b and the
+    * SQL-surface mode aggregate o_a15h. */
+  private val funnelDedupOracleSql =
+      """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
+                    WHERE event_type IN ('signup','click','purchase')),
+         p1 AS (
+           SELECT user_id, event_type, ts, event_id,
+                  max(CASE WHEN event_type = 'signup' THEN ts END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ls
+           FROM e),
+         p2 AS (
+           SELECT *, CASE WHEN event_type = 'click' AND ls IS NOT NULL
+                            AND ts <= ls + INTERVAL 12 HOUR THEN ls END AS c2
+           FROM p1),
+         p3 AS (
+           SELECT *,
+                  last_value(CASE WHEN event_type = 'click'
+                                  THEN coalesce(c2, TIMESTAMP '1970-01-01') END
+                             IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lc
+           FROM p2),
+         u AS (
+           SELECT user_id,
+                  MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS has1,
+                  MAX(CASE WHEN c2 IS NOT NULL THEN 1 ELSE 0 END) AS has2,
+                  MAX(CASE WHEN event_type = 'purchase' AND lc IS NOT NULL
+                             AND ts <= lc + INTERVAL 12 HOUR THEN 1 ELSE 0 END) AS has3
+           FROM p3 GROUP BY user_id)
+         SELECT 1 + has2 + has3 AS funnel_level, COUNT(*) AS n_users
+         FROM u WHERE has1 = 1 GROUP BY 1 ORDER BY 1"""
+
+  /** The strict_order funnel oracle — shared by o_a15d and the
+    * SQL-surface mode aggregate o_a15g. */
+  private val funnelStrictOracleSql =
+      """WITH p AS (
+           SELECT user_id, event_type, ts, event_id,
+                  lead(event_type, 1) OVER w AS n1t,
+                  lead(ts, 1)         OVER w AS n1s,
+                  lead(event_type, 2) OVER w AS n2t,
+                  lead(ts, 2)         OVER w AS n2s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         l AS (
+           SELECT user_id,
+                  CASE WHEN event_type = 'signup' THEN
+                    1 + CASE WHEN n1t = 'click' AND n1s <= ts + INTERVAL 12 HOUR
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN n1t = 'click' AND n1s <= ts + INTERVAL 12 HOUR
+                                  AND n2t = 'purchase' AND n2s <= ts + INTERVAL 12 HOUR
+                             THEN 1 ELSE 0 END
+                  END AS lvl
+           FROM p),
+         u AS (SELECT user_id, MAX(lvl) AS funnel_level FROM l GROUP BY user_id)
+         SELECT funnel_level, COUNT(*) AS n_users FROM u
+         WHERE funnel_level IS NOT NULL
+         GROUP BY funnel_level ORDER BY funnel_level"""
+
   /** The cohort-retention oracle — shared by o_a16 and the SQL-surface
     * o_a16b (the parametric aggregate must be observationally identical
     * to the join formulation). */
@@ -826,60 +922,17 @@ object EventAnalytics {
                 COUNT(*) AS n_users
          FROM u GROUP BY 1 ORDER BY 1""",
 
-    "o_a15b_funnel_dedup" ->
-      """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
-                    WHERE event_type IN ('signup','click','purchase')),
-         p1 AS (
-           SELECT user_id, event_type, ts, event_id,
-                  max(CASE WHEN event_type = 'signup' THEN ts END)
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ls
-           FROM e),
-         p2 AS (
-           SELECT *, CASE WHEN event_type = 'click' AND ls IS NOT NULL
-                            AND ts <= ls + INTERVAL 12 HOUR THEN ls END AS c2
-           FROM p1),
-         p3 AS (
-           SELECT *,
-                  last_value(CASE WHEN event_type = 'click'
-                                  THEN coalesce(c2, TIMESTAMP '1970-01-01') END
-                             IGNORE NULLS)
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lc
-           FROM p2),
-         u AS (
-           SELECT user_id,
-                  MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS has1,
-                  MAX(CASE WHEN c2 IS NOT NULL THEN 1 ELSE 0 END) AS has2,
-                  MAX(CASE WHEN event_type = 'purchase' AND lc IS NOT NULL
-                             AND ts <= lc + INTERVAL 12 HOUR THEN 1 ELSE 0 END) AS has3
-           FROM p3 GROUP BY user_id)
-         SELECT 1 + has2 + has3 AS funnel_level, COUNT(*) AS n_users
-         FROM u WHERE has1 = 1 GROUP BY 1 ORDER BY 1""",
+    "o_a15b_funnel_dedup" -> funnelDedupOracleSql,
 
-    "o_a15d_funnel_strict" ->
-      """WITH p AS (
-           SELECT user_id, event_type, ts, event_id,
-                  lead(event_type, 1) OVER w AS n1t,
-                  lead(ts, 1)         OVER w AS n1s,
-                  lead(event_type, 2) OVER w AS n2t,
-                  lead(ts, 2)         OVER w AS n2s
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         l AS (
-           SELECT user_id,
-                  CASE WHEN event_type = 'signup' THEN
-                    1 + CASE WHEN n1t = 'click' AND n1s <= ts + INTERVAL 12 HOUR
-                             THEN 1 ELSE 0 END
-                      + CASE WHEN n1t = 'click' AND n1s <= ts + INTERVAL 12 HOUR
-                                  AND n2t = 'purchase' AND n2s <= ts + INTERVAL 12 HOUR
-                             THEN 1 ELSE 0 END
-                  END AS lvl
-           FROM p),
-         u AS (SELECT user_id, MAX(lvl) AS funnel_level FROM l GROUP BY user_id)
-         SELECT funnel_level, COUNT(*) AS n_users FROM u
-         WHERE funnel_level IS NOT NULL
-         GROUP BY funnel_level ORDER BY funnel_level""",
+    // same oracle VERBATIM: the SQL-surface mode aggregate must be
+    // observationally identical to the stacked-window dedup funnel
+    "o_a15h_funnel_sql_dedup" -> funnelDedupOracleSql,
+
+    "o_a15d_funnel_strict" -> funnelStrictOracleSql,
+
+    // same oracle VERBATIM: the SQL-surface strict_order mode must be
+    // observationally identical to the lead()-prefix funnel
+    "o_a15g_funnel_sql_strict" -> funnelStrictOracleSql,
 
     "o_a21_seq_next_node" ->
       """WITH p AS (

@@ -438,6 +438,87 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("window_funnel mode aggregates == o_a15d / o_a15b catalog forms on the fixture") {
+    graft.functions.GraftExtensions.register(spark)
+    def dist(k: String) = graft.SparkEntry.queries(k)(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(dist("o_a15g_funnel_sql_strict") == dist("o_a15d_funnel_strict"))
+    assert(dist("o_a15h_funnel_sql_dedup") == dist("o_a15b_funnel_dedup"))
+    assert(dist("o_a15d_funnel_strict").size >= 2,
+      "fixture should discriminate strict_order levels")
+  }
+
+  test("window_funnel modes == brute-force references on randomized tied streams") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(1605)
+    val types = Seq("signup", "click", "purchase", "view")
+    val w = 12L * 3600 * 1000000
+    (0 until 3).foreach { draw =>
+      val rows = (0 until 500).map { i =>
+        val us = (rnd.nextInt(200) * 3600L + rnd.nextInt(4) * 900L) * 1000000
+        (i.toLong, rnd.nextInt(10).toLong, types(rnd.nextInt(types.size)),
+          new java.sql.Timestamp(us / 1000))
+      }
+      val e = rows.toDF("event_id", "user_id", "event_type", "ts")
+      def sqlLv(mode: String, df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("user_id").agg(expr(
+            s"window_funnel($w, '$mode', ts, event_id, " +
+              "event_type = 'signup', event_type = 'click', " +
+              "event_type = 'purchase')").as("lv"))
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // sorted per-user streams: (us, event_id) total order
+      val byUser = rows.groupBy(_._2).map { case (u, evs) =>
+        u -> evs.map(r => (r._4.getTime * 1000, r._1, r._3))
+          .sortBy(t => (t._1, t._2))
+      }
+      // strict_order reference: prefix match at each signup over ALL
+      // events; window from the chain start
+      val stOrder = byUser.map { case (u, evs) =>
+        val lv = evs.indices.filter(i => evs(i)._3 == "signup").map { i =>
+          var lvl = 1
+          if (i + 1 < evs.size && evs(i + 1)._3 == "click" &&
+              evs(i + 1)._1 - evs(i)._1 <= w) {
+            lvl = 2
+            if (i + 2 < evs.size && evs(i + 2)._3 == "purchase" &&
+                evs(i + 2)._1 - evs(i)._1 <= w) lvl = 3
+          }
+          lvl
+        }
+        u -> (if (lv.isEmpty) 0 else lv.max)
+      }
+      assert(sqlLv("strict_order", e) == stOrder, s"draw $draw strict_order")
+      // strict_dedup reference, the "last of its type before the next
+      // step" reading over the condition-filtered stream: has2 = some
+      // click whose LAST preceding signup admits it; has3 = some
+      // purchase whose LAST preceding click carries a valid chain
+      val filt = byUser.map { case (u, evs) =>
+        u -> evs.filter(t => t._3 != "view")
+      }
+      val stDedup = filt.map { case (u, evs) =>
+        def lastBefore(i: Int, tp: String): Option[(Long, Long, String)] =
+          (0 until i).reverse.map(evs).find(_._3 == tp)
+        val has1 = evs.exists(_._3 == "signup")
+        def chainOfClick(i: Int): Option[Long] =
+          lastBefore(i, "signup").collect {
+            case s if evs(i)._1 - s._1 <= w => s._1
+          }
+        val has2 = evs.indices.exists(i =>
+          evs(i)._3 == "click" && chainOfClick(i).isDefined)
+        val has3 = evs.indices.exists { i =>
+          evs(i)._3 == "purchase" &&
+            evs.indices.take(i).reverse.find(j => evs(j)._3 == "click")
+              .flatMap(chainOfClick)
+              .exists(cs => evs(i)._1 - cs <= w)
+        }
+        u -> (if (!has1) 0 else 1 + (if (has2) 1 else 0) +
+          (if (has2 && has3) 1 else 0))
+      }
+      val eFilt = e.filter(col("event_type").isin("signup", "click", "purchase"))
+      assert(sqlLv("strict_dedup", eFilt) == stDedup, s"draw $draw strict_dedup")
+    }
+  }
+
   test("retention SQL aggregate == o_a16 join formulation on the fixture") {
     graft.functions.GraftExtensions.register(spark)
     val a = graft.SparkEntry.queries("o_a16_retention")(spark, sf)

@@ -60,10 +60,12 @@ KEYS = [
     "o_a17_seqmatch", "o_a17b_seqmatch_sql", "o_a18_seqcount", "o_a18b_seqcount_windowed",
     "o_a18c_seqcount_chunked", "o_a18d_seqcount_sql",
     "o_a18e_seqcount_sql_windowed", "o_a21_seq_next_node", "o_w1_dedup",
-    # r16: the retention SQL aggregate and the pattern-grammar pair —
-    # their lead()/join oracles recompose on any planted event stream
+    # r16: the retention SQL aggregate, the pattern-grammar pair, and
+    # the windowFunnel mode surface — their lead()/join oracles
+    # recompose on any planted event stream
     "o_a16b_retention_sql", "o_a17c_seqmatch_gaps",
     "o_a17d_seqmatch_strictnext",
+    "o_a15g_funnel_sql_strict", "o_a15h_funnel_sql_dedup",
 ]
 
 ADDOPENS = " ".join(
