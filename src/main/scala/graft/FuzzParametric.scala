@@ -186,6 +186,60 @@ object FuzzParametric {
         s"(${sqlA.count(_._2 == 1)}/${sqlB.count(_._2 == 1)} matched)")
     }
 
+    // ---- window_funnel modes vs generated window plans, random windows -
+    // strict_order == the o_a15d lead()-prefix plan over ALL events;
+    // strict_dedup == the o_a15b last-of-type running-window plan over
+    // the condition-filtered stream — per-user levels, random windows.
+    (1 to 2).foreach { _ =>
+      val wU = (1 + rnd.nextInt(48)).toLong * hourUs
+      val wIv = expr(s"INTERVAL ${wU / 1000000} SECONDS")
+      def modeLv(mode: String, df: DataFrame) =
+        toMap(df.groupBy("user_id").agg(expr(
+          s"window_funnel($wU, '$mode', ts, event_id, " +
+            "event_type = 'signup', event_type = 'click', " +
+            "event_type = 'purchase')").as("lv")))(_.getInt(1))
+      // strict_order window plan (o_a15d's shape at window wU)
+      val soWin = toMap(e
+        .withColumn("n1t", lead(col("event_type"), 1).over(wOrd))
+        .withColumn("n1s", lead(col("ts"), 1).over(wOrd))
+        .withColumn("n2t", lead(col("event_type"), 2).over(wOrd))
+        .withColumn("n2s", lead(col("ts"), 2).over(wOrd))
+        .withColumn("lvl", when(sign,
+          lit(1) +
+            when(col("n1t") === "click" && col("n1s") <= col("ts") + wIv, 1)
+              .otherwise(0) +
+            when(col("n1t") === "click" && col("n1s") <= col("ts") + wIv &&
+              col("n2t") === "purchase" && col("n2s") <= col("ts") + wIv, 1)
+              .otherwise(0)))
+        .groupBy("user_id").agg(max("lvl").as("lvl"))
+        .filter(col("lvl").isNotNull))(_.getInt(1))
+      val soAgg = modeLv("strict_order", e).filter(_._2 >= 1)
+      if (soAgg != soWin) fail(s"window_funnel strict_order w=$wU: " +
+        s"agg != lead() plan (${(soAgg.toSet -- soWin.toSet).take(3)})")
+      // strict_dedup window plan (o_a15b's shape at window wU)
+      val pre = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+      val sentinel = lit("1970-01-01 00:00:00").cast("timestamp")
+      val sdWin = toMap(filtered
+        .withColumn("ls", max(when(sign, col("ts"))).over(pre))
+        .withColumn("c2", when(click && col("ls").isNotNull &&
+          col("ts") <= col("ls") + wIv, col("ls")))
+        .withColumn("c2m", when(click, coalesce(col("c2"), sentinel)))
+        .withColumn("lc", last(col("c2m"), ignoreNulls = true).over(pre))
+        .groupBy("user_id")
+        .agg(max(when(sign, 1).otherwise(0)).as("h1"),
+          max(when(col("c2").isNotNull, 1).otherwise(0)).as("h2"),
+          max(when(buy && col("lc").isNotNull &&
+            col("ts") <= col("lc") + wIv, 1).otherwise(0)).as("h3"))
+        .filter(col("h1") === 1)
+        .select(col("user_id"),
+          (lit(1) + col("h2") + col("h3")).cast("int").as("lvl")))(_.getInt(1))
+      val sdAgg = modeLv("strict_dedup", filtered).filter(_._2 >= 1)
+      if (sdAgg != sdWin) fail(s"window_funnel strict_dedup w=$wU: " +
+        s"agg != running-window plan (${(sdAgg.toSet -- sdWin.toSet).take(3)})")
+      println(s"[fuzz-parametric] window_funnel modes w=${wU / hourUs}h ok " +
+        s"(${soAgg.size}/${sdAgg.size} users)")
+    }
+
     // ---- retention vs the join formulation, random horizons ------------
     (1 to 2).foreach { _ =>
       val h1 = 1 + rnd.nextInt(10)
