@@ -144,6 +144,15 @@ object GraftExtensions {
         arity(es, 1, 32,
           "retention(cond1, ..., condN) needs 1-32 boolean conditions")
         RetentionAgg(es)
+      }),
+    ("sequence_next_node",
+      new ExpressionInfo(classOf[SequenceNextNodeAgg].getName,
+        "sequence_next_node"),
+      (es: Seq[Expression]) => {
+        arity(es, 5, 5,
+          "sequence_next_node(ts, tie, value, cond1, cond2) takes exactly " +
+            "5 arguments")
+        SequenceNextNodeAgg(es)
       }))
 
   /** SQL table functions (FROM-clause relations). The graft_asof builder

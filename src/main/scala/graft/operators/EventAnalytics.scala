@@ -425,6 +425,26 @@ object EventAnalytics {
         .orderBy("next_node")
     }),
 
+    // O-A21b: the SQL surface — CH sequenceNextNode(forward, head)
+    // called IN SQL via the `sequence_next_node` aggregate
+    // (functions.SequenceNextNodeAgg): per user, the value of the event
+    // immediately after the FIRST consecutive signup→click pair in the
+    // full stream ('NONE' at stream end; NULL = no pair, filtered out —
+    // the o_a21 matched-users universe). Oracle = o_a21's VERBATIM:
+    // buffered first-adjacent-pair scan vs the one-shuffle lead()
+    // window — two mechanisms, one contract. Buffers every row
+    // (adjacency in the full stream, like strict_order), state capped.
+    "o_a21b_seq_next_node_sql" -> ((s, d) => {
+      graft.functions.GraftExtensions.register(s)
+      Tables.events(s, d).groupBy("user_id")
+        .agg(expr("sequence_next_node(ts, event_id, event_type, " +
+            "event_type = 'signup', event_type = 'click')")
+          .as("next_node"))
+        .filter(col("next_node").isNotNull)
+        .groupBy("next_node").agg(count(lit(1)).as("n_users"))
+        .orderBy("next_node")
+    }),
+
     // O-A17: sequenceMatch('(?1)(?t<=3600)(?2).*(?3)') analog (CH event
     // pattern matching, the sibling of windowFunnel over the same event
     // tables): per signup user, 1 iff a click occurs within 1 hour AFTER
@@ -806,6 +826,26 @@ object EventAnalytics {
          SELECT seq_count, COUNT(*) AS n_users FROM u
          GROUP BY seq_count ORDER BY seq_count"""
 
+  /** The first-pair next-node oracle — shared by o_a21 and the
+    * SQL-surface aggregate o_a21b. */
+  private val seqNextNodeOracleSql =
+      """WITH p AS (
+           SELECT user_id, event_type, ts, event_id,
+                  lead(event_type, 1) OVER w AS n1,
+                  lead(event_type, 2) OVER w AS n2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         m AS (
+           SELECT user_id, coalesce(n2, 'NONE') AS nn, ts, event_id FROM p
+           WHERE event_type = 'signup' AND n1 = 'click'),
+         f AS (
+           SELECT user_id, nn,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rk
+           FROM m)
+         SELECT nn AS next_node, COUNT(*) AS n_users FROM f WHERE rk = 1
+         GROUP BY 1 ORDER BY 1"""
+
   /** The strict_dedup funnel oracle — shared by o_a15b and the
     * SQL-surface mode aggregate o_a15h. */
   private val funnelDedupOracleSql =
@@ -934,23 +974,11 @@ object EventAnalytics {
     // observationally identical to the lead()-prefix funnel
     "o_a15g_funnel_sql_strict" -> funnelStrictOracleSql,
 
-    "o_a21_seq_next_node" ->
-      """WITH p AS (
-           SELECT user_id, event_type, ts, event_id,
-                  lead(event_type, 1) OVER w AS n1,
-                  lead(event_type, 2) OVER w AS n2
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         m AS (
-           SELECT user_id, coalesce(n2, 'NONE') AS nn, ts, event_id FROM p
-           WHERE event_type = 'signup' AND n1 = 'click'),
-         f AS (
-           SELECT user_id, nn,
-                  row_number() OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id) AS rk
-           FROM m)
-         SELECT nn AS next_node, COUNT(*) AS n_users FROM f WHERE rk = 1
-         GROUP BY 1 ORDER BY 1""",
+    "o_a21_seq_next_node" -> seqNextNodeOracleSql,
+
+    // same oracle VERBATIM: the SQL-surface aggregate must be
+    // observationally identical to the lead()-window formulation
+    "o_a21b_seq_next_node_sql" -> seqNextNodeOracleSql,
 
     "o_a17_seqmatch" ->
       """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events

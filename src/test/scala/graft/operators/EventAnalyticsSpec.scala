@@ -519,6 +519,45 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence_next_node SQL aggregate == o_a21 lead()-window form") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    // fixture: the two catalog keys must agree exactly
+    def dist(k: String) = graft.SparkEntry.queries(k)(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val d21 = dist("o_a21_seq_next_node")
+    assert(dist("o_a21b_seq_next_node_sql") == d21)
+    assert(d21.size >= 2, "fixture should produce several next-node types")
+    // randomized tied streams: per-user values vs the window formulation
+    val rnd = new scala.util.Random(1606)
+    val types = Seq("signup", "click", "purchase", "view")
+    (0 until 3).foreach { draw =>
+      val rows = (0 until 400).map { i =>
+        val us = (rnd.nextInt(150) * 3600L + rnd.nextInt(4) * 900L) * 1000000
+        (i.toLong, rnd.nextInt(10).toLong, types(rnd.nextInt(types.size)),
+          new java.sql.Timestamp(us / 1000))
+      }
+      val e = rows.toDF("event_id", "user_id", "event_type", "ts")
+      val agg = e.groupBy("user_id")
+        .agg(expr("sequence_next_node(ts, event_id, event_type, " +
+            "event_type = 'signup', event_type = 'click')").as("nn"))
+        .filter(col("nn").isNotNull)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val win = e
+        .withColumn("n1", lead(col("event_type"), 1).over(w))
+        .withColumn("n2", lead(col("event_type"), 2).over(w))
+        .filter(col("event_type") === "signup" && col("n1") === "click")
+        .groupBy("user_id")
+        .agg(min_by(coalesce(col("n2"), lit("NONE")),
+          struct(col("ts"), col("event_id"))).as("nn"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(agg == win, s"draw $draw: agg=${agg.toSeq.sorted.take(5)} " +
+        s"win=${win.toSeq.sorted.take(5)}")
+    }
+  }
+
   test("retention SQL aggregate == o_a16 join formulation on the fixture") {
     graft.functions.GraftExtensions.register(spark)
     val a = graft.SparkEntry.queries("o_a16_retention")(spark, sf)

@@ -66,6 +66,7 @@ KEYS = [
     "o_a16b_retention_sql", "o_a17c_seqmatch_gaps",
     "o_a17d_seqmatch_strictnext",
     "o_a15g_funnel_sql_strict", "o_a15h_funnel_sql_dedup",
+    "o_a21b_seq_next_node_sql",
 ]
 
 ADDOPENS = " ".join(
