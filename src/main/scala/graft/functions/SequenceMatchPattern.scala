@@ -311,9 +311,14 @@ case class SequenceMatchPatternAgg(
   private def tieExpr = children(2)
   private def conds = children.drop(3)
 
-  // parse eagerly so a bad pattern fails at analysis, not per-task
+  // parse eagerly so a bad pattern fails at analysis, not per-task;
+  // the bound check keeps value * unitMicros (micros scaling for
+  // TIMESTAMP ts) from overflowing silently into a wrong comparison
   @transient private lazy val steps =
     SequenceMatchPattern.parse(pattern, conds.size)
+  require(steps.forall(_.gap.forall(_.value <= Long.MaxValue / 1000000L)),
+    s"sequence_match pattern '$pattern': a time bound exceeds the " +
+      "representable range (would overflow at microsecond scaling)")
   require(steps.nonEmpty)
 
   // (?t n) is in SECONDS on a TIMESTAMP column (CH's reading; micros
