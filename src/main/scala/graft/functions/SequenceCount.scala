@@ -53,7 +53,7 @@ object SequenceCount {
   /** The lag-collapse pass over the (ts, tie) total order. */
   def count(s: State, windowMicros: Long): Long = {
     if (s.n == 0) return 0L
-    val idx = Array.range(0, s.n).sortBy(i => (s.us(i), s.tie(i)))
+    val idx = ParametricAgg.sortedIdx(s.us, s.tie, s.n)
     var fired = 0L
     var prevA = false
     var prevUs = 0L

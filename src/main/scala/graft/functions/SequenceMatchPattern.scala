@@ -182,7 +182,7 @@ object SequenceMatchPattern {
   def matches(s: State, steps: Vector[Step], unitMicros: Long): Boolean = {
     val n = s.n
     if (n == 0) return false
-    val idx = Array.range(0, n).sortBy(i => (s.us(i), s.tie(i)))
+    val idx = ParametricAgg.sortedIdx(s.us, s.tie, n)
     val us = idx.map(s.us)
     val mk = idx.map(s.mask)
     def condOk(j: Int, c: Int): Boolean = (mk(j) & (1 << c)) != 0

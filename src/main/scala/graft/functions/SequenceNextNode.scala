@@ -153,7 +153,7 @@ case class SequenceNextNodeAgg(
 
   override def eval(b: SequenceNextNode.State): Any = {
     if (b.n == 0) return null
-    val idx = Array.range(0, b.n).sortBy(i => (b.us(i), b.tie(i)))
+    val idx = ParametricAgg.sortedIdx(b.us, b.tie, b.n)
     var i = 0
     while (i + 1 < b.n) {
       if ((b.flag(idx(i)) & 1) != 0 && (b.flag(idx(i + 1)) & 2) != 0) {
