@@ -218,7 +218,9 @@ object FuzzParametric {
         s"agg != lead() plan (${(soAgg.toSet -- soWin.toSet).take(3)})")
       // strict_dedup window plan (o_a15b's shape at window wU)
       val pre = wOrd.rowsBetween(Window.unboundedPreceding, -1)
-      val sentinel = lit("1970-01-01 00:00:00").cast("timestamp")
+      // year-1 sentinel, not 1970: see o_a15b — near-epoch corpora made
+      // the epoch sentinel spuriously admit early purchases
+      val sentinel = lit("0001-01-01 00:00:00").cast("timestamp")
       val sdWin = toMap(filtered
         .withColumn("ls", max(when(sign, col("ts"))).over(pre))
         .withColumn("c2", when(click && col("ls").isNotNull &&

@@ -349,9 +349,13 @@ object EventAnalytics {
       val pre = w.rowsBetween(Window.unboundedPreceding, -1)
       val winH = expr("INTERVAL 12 HOURS")
       // invalid-chain sentinel: far enough in the past that `ts <= lc + w`
-      // can never hold for real data, so "last click had no valid chain"
-      // and "no click at all" both fail level 3 naturally
-      val sentinel = lit("1970-01-01 00:00:00").cast("timestamp")
+      // can never hold for ANY representable data, so "last click had no
+      // valid chain" and "no click at all" both fail level 3 naturally.
+      // Year 1, not 1970: the pipefuzz planted corpora start at epoch 0,
+      // and a purchase within `w` of the epoch spuriously passed the
+      // sentinel check (r16 fuzz catch, seed 23 — the buffered
+      // strict_dedup aggregate correctly rejected it and diverged)
+      val sentinel = lit("0001-01-01 00:00:00").cast("timestamp")
       val staged = e
         // ls = last signup before this row (running max == last in row
         // order, because rows are ordered by ts)
@@ -864,7 +868,7 @@ object EventAnalytics {
          p3 AS (
            SELECT *,
                   last_value(CASE WHEN event_type = 'click'
-                                  THEN coalesce(c2, TIMESTAMP '1970-01-01') END
+                                  THEN coalesce(c2, TIMESTAMP '0001-01-01') END
                              IGNORE NULLS)
                     OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lc

@@ -558,6 +558,32 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("o_a15b near the epoch: an invalid click must not admit an early purchase") {
+    // r16 fuzz catch (pipefuzz seed 23): the dedup funnel's
+    // invalid-chain sentinel was 1970-01-01, so on a corpus starting at
+    // epoch 0 a purchase within the 12h window OF THE SENTINEL passed
+    // `ts <= lc + w` with no valid chain at all — the buffered
+    // strict_dedup aggregate rejected it and the differential caught
+    // the gap. Plant exactly that shape: click with NO signup before
+    // it, purchase 2h later, signup only afterwards.
+    import spark.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    def t(m: Int) = new java.sql.Timestamp(m * 60000L) // minutes from epoch
+    val rows = Seq(
+      (1L, "click", t(10), 1L, 0.0, "{}"),
+      (1L, "purchase", t(130), 2L, 0.0, "{}"),
+      (1L, "signup", t(200), 3L, 0.0, "{}"))
+      .toDF("user_id", "event_type", "ts", "event_id", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("epochdedup").toString
+    rows.write.parquet(s"$dir/events.parquet")
+    Seq("o_a15b_funnel_dedup", "o_a15h_funnel_sql_dedup").foreach { k =>
+      val out = graft.SparkEntry.queries(k)(spark, dir)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(out == Map(1 -> 1L),
+        s"$k: the chain-less purchase must not raise the level, got $out")
+    }
+  }
+
   test("retention SQL aggregate == o_a16 join formulation on the fixture") {
     graft.functions.GraftExtensions.register(spark)
     val a = graft.SparkEntry.queries("o_a16_retention")(spark, sf)
