@@ -15,7 +15,16 @@ case class FunnelUpdate(user_id: Long, funnel_level: Int, at: Timestamp)
 
 private[streaming] case class FunnelChainState(mins: Seq[Long], emitted: Int)
 
-private[streaming] case class WindowedFunnelState(best: Seq[Long], emitted: Int)
+/** Incremental `window_funnel` state: `best(k)` = max chain start among
+  * level-(k+1) chains over CONSUMED events, plus the tie-group frontier —
+  * `lastTs` (the latest consumed event time) and `prevBest` (the best
+  * array as it stood BEFORE any event at `lastTs` applied). The frontier
+  * is what keeps the strict-before tie rule exact when a micro-batch cut
+  * splits an equal-timestamp group: a same-`lastTs` event arriving in a
+  * LATER batch chains against `prevBest` (state strictly before its
+  * time), never against a raise its own tie group produced. */
+private[streaming] case class WindowedFunnelState(
+    best: Seq[Long], lastTs: Long, prevBest: Seq[Long], emitted: Int)
 
 /** Incremental `windowFunnel` (O-A15's streaming form): the per-user
   * funnel level maintained across micro-batches with
@@ -126,29 +135,44 @@ object FunnelStream {
     * ([[graft.functions.WindowFunnel.level]]), run INCREMENTALLY:
     * best(k) = the maximum chain start among level-k chains seen so
     * far — one long per stage, O(1) per event. Equal-timestamp events
-    * apply ATOMICALLY against the pre-group state (the strict-before
-    * tie rule the SQL aggregate pins), grouped within each sorted
-    * micro-batch. In-order streams reproduce the batch aggregate
-    * exactly (the dominance recurrence consults only earlier events);
-    * a LATE event older than consumed history can under-count — the
-    * same incremental trade [[funnelUpdates]] documents. Millisecond
+    * apply against the state STRICTLY BEFORE their timestamp (the
+    * strict-before tie rule the SQL aggregate pins) — within a batch by
+    * grouping ties in the sorted pass, and ACROSS a micro-batch cut
+    * through the persisted tie-group frontier ([[WindowedFunnelState]]
+    * `lastTs`/`prevBest`): a stage-k event whose timestamp equals the
+    * previous batch's high mark chains against `prevBest`, so it can
+    * neither ride a same-timestamp raise from that batch nor lose a
+    * strictly-earlier one. In-order streams therefore reproduce the
+    * batch aggregate exactly, tie-split cuts included. A LATE event
+    * (older than `lastTs`) may only open a stage-1 chain — chaining it
+    * against `best` would consult raises from its FUTURE (and a
+    * negative gap passes `t - start <= window` vacuously), turning the
+    * documented under-count trade into an over-count. Millisecond
     * resolution (`Timestamp.getTime`). */
   private[streaming] def advanceWindowed(stages: Seq[String], windowMs: Long,
       st: WindowedFunnelState, events: Seq[FunnelEvent]): WindowedFunnelState = {
     val MIN = Long.MinValue
     val best = st.best.toArray
+    var prevBest = st.prevBest.toArray
+    var lastTs = st.lastTs
     val sorted = events.sortBy(_.ts.getTime).toIndexedSeq
     var i = 0
     while (i < sorted.size) {
       val t = sorted(i).ts.getTime
+      val late = t < lastTs
+      if (t > lastTs) { prevBest = best.clone(); lastTs = t }
+      // t == lastTs after the advance, so prevBest IS the strictly-before
+      // state for this tie group — freshly cloned in-batch, restored from
+      // the persisted frontier when the group straddles a batch cut
       val cand = Array.fill(stages.size)(MIN)
       var j = i
       while (j < sorted.size && sorted(j).ts.getTime == t) {
         var s = stages.indexOf(sorted(j).event_type)
         while (s >= 0) { // an event type may appear at multiple stages
           if (s == 0) { if (t > cand(0)) cand(0) = t }
-          else if (best(s - 1) != MIN && t - best(s - 1) <= windowMs &&
-                   best(s - 1) > cand(s)) cand(s) = best(s - 1)
+          else if (!late && prevBest(s - 1) != MIN &&
+                   t - prevBest(s - 1) <= windowMs &&
+                   prevBest(s - 1) > cand(s)) cand(s) = prevBest(s - 1)
           s = stages.indexOf(sorted(j).event_type, s + 1)
         }
         j += 1
@@ -160,7 +184,7 @@ object FunnelStream {
       }
       i = j
     }
-    WindowedFunnelState(best.toSeq, st.emitted)
+    WindowedFunnelState(best.toSeq, lastTs, prevBest.toSeq, st.emitted)
   }
 
   private def flatMapWindowedFn(stages: Seq[String], windowMs: Long,
@@ -169,7 +193,8 @@ object FunnelStream {
       state: GroupState[WindowedFunnelState]): Iterator[FunnelUpdate] = {
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     val st0 = state.getOption.getOrElse(
-      WindowedFunnelState(Seq.fill(stages.size)(Long.MinValue), 0))
+      WindowedFunnelState(Seq.fill(stages.size)(Long.MinValue),
+        Long.MinValue, Seq.fill(stages.size)(Long.MinValue), 0))
     val evs = events.toSeq
     val st1 = advanceWindowed(stages, windowMs, st0, evs)
     val lvl = st1.best.takeWhile(_ != Long.MinValue).size
