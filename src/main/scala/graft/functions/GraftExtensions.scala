@@ -149,10 +149,33 @@ object GraftExtensions {
       new ExpressionInfo(classOf[SequenceNextNodeAgg].getName,
         "sequence_next_node"),
       (es: Seq[Expression]) => {
-        arity(es, 5, 5,
-          "sequence_next_node(ts, tie, value, cond1, cond2) takes exactly " +
-            "5 arguments")
-        SequenceNextNodeAgg(es)
+        arity(es, 5, 35,
+          "sequence_next_node(ts, tie, value, cond1, cond2) or " +
+            "sequence_next_node('direction', 'base', ts, tie, value, " +
+            "cond1, ..., condN) needs 5 arguments (historical form) or a " +
+            "direction, base, ts, tie, value and 1-30 conditions")
+        // a string FIRST argument selects the full CH operating surface
+        // (direction x base, N conditions); the historical 5-arg form IS
+        // ('forward', 'first_match') with two conditions — one layout,
+        // the builder prepends the literals
+        es.head match {
+          case lit: org.apache.spark.sql.catalyst.expressions.Literal
+              if lit.dataType == org.apache.spark.sql.types.StringType =>
+            arity(es, 6, 35,
+              "sequence_next_node('direction', 'base', ts, tie, value, " +
+                "cond1, ..., condN) needs a direction, a base, a " +
+                "timestamp, a BIGINT tie, a STRING value, and 1-30 " +
+                "conditions")
+            new SequenceNextNodeAgg(es)
+          case _ =>
+            arity(es, 5, 5,
+              "sequence_next_node(ts, tie, value, cond1, cond2) takes " +
+                "exactly 5 arguments (use the 'direction', 'base' form " +
+                "for N conditions)")
+            import org.apache.spark.sql.catalyst.expressions.Literal
+            new SequenceNextNodeAgg(
+              Literal("forward") +: Literal("first_match") +: es)
+        }
       }))
 
   /** SQL table functions (FROM-clause relations). The graft_asof builder

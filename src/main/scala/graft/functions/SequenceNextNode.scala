@@ -10,41 +10,65 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** ClickHouse `sequenceNextNode(forward, head)(ts, value, cond1, cond2)`
-  * as a SQL aggregate — the exploratory sibling of sequenceMatch ("what
-  * happens NEXT after the pattern"), the SQL-surface twin of the o_a21
-  * library formulation: per group, find the FIRST consecutive
-  * cond1→cond2 pair in (ts, tie) stream order over ALL buffered rows
-  * (consecutive = adjacent in the full stream, interventions of any
-  * kind break the pair — so every row is buffered, like
-  * `window_funnel('strict_order')`), and return the `value` of the
-  * event immediately after it ('NONE' at stream end, NULL when the
-  * group has no such pair — the matched-users result universe o_a21
-  * pins).
+/** ClickHouse `sequenceNextNode(direction, base)(ts, value, cond1, …,
+  * condN)` as a SQL aggregate — the exploratory sibling of sequenceMatch
+  * ("what happens NEXT/BEFORE the pattern"), now at CH 22.3's full
+  * operating surface: direction ∈ {forward, backward} × base ∈ {head,
+  * tail, first_match, last_match} with N chain conditions.
   *
-  * `sequence_next_node(ts, tie, value, cond1, cond2)` → STRING. The
-  * explicit BIGINT tie is this engine's determinism convention (CH
-  * leaves same-second order private). State buffers (us, tie, value?,
-  * flags) per row under the [[ParametricAgg]] cap; the one-shuffle
-  * lead()-window library form (o_a21) remains the scale path.
+  * `sequence_next_node('direction', 'base', ts, tie, value, cond1, …,
+  * condN)` → STRING; the historical 5-argument form
+  * `sequence_next_node(ts, tie, value, cond1, cond2)` is
+  * ('forward', 'first_match') with two conditions (the o_a21 contract,
+  * unchanged).
+  *
+  * Contract (the engine's deterministic reading of CH's surface — CH
+  * leaves same-second order engine-private; the explicit BIGINT tie
+  * pins the total order):
+  *
+  *  - TRAVERSAL order u = the buffered rows sorted by (ts, tie),
+  *    ascending for `forward`, descending for `backward`. ALL rows are
+  *    buffered (adjacency is in the full stream — interventions of any
+  *    kind break a chain, like `window_funnel('strict_order')`).
+  *  - The CHAIN is N consecutive traversal positions p..p+N-1 matching
+  *    cond1..condN in order.
+  *  - BASE fixes the anchor p: `head` = the TIME-first event's
+  *    traversal position, `tail` = the time-last's (so backward+tail
+  *    walks the chain back from the end of the stream — CH's canonical
+  *    backward pairing); `first_match` / `last_match` = the first/last
+  *    traversal position where the whole chain matches. head/tail
+  *    chains that don't match at their fixed anchor yield NULL.
+  *  - RESULT: the `value` of traversal position p+N — the event just
+  *    after the chain in traversal order (= just before it in time for
+  *    `backward`). 'NONE' is reserved for p+N past the stream end; a
+  *    present event whose value column is NULL returns NULL-the-value
+  *    (r16 ADVICE: conflating it with 'NONE' misread "null value" as
+  *    "stream end"). NULL with no marker = no chain matched.
+  *
+  * State buffers (us, tie, value?, cond-mask) per row under the
+  * [[ParametricAgg]] cap; the one-shuffle lead()/lag()-window library
+  * forms (o_a21/o_a21c/o_a21d oracles) remain the scale path.
   */
 object SequenceNextNode {
 
-  /** Buffered (micros, tie, value-or-null, cond flags) rows. */
+  val directions = Set("forward", "backward")
+  val bases = Set("head", "tail", "first_match", "last_match")
+
+  /** Buffered (micros, tie, value-or-null, cond-mask) rows. */
   final class State {
     var us = new Array[Long](8)
     var tie = new Array[Long](8)
     var value = new Array[String](8)
-    var flag = new Array[Byte](8) // bit0 = cond1, bit1 = cond2
+    var mask = new Array[Int](8) // bit k = cond(k+1) matched
     var n = 0
-    def add(t: Long, k: Long, v: String, f: Byte): Unit = {
+    def add(t: Long, k: Long, v: String, m: Int): Unit = {
       if (n == us.length) {
         us = java.util.Arrays.copyOf(us, n * 2)
         tie = java.util.Arrays.copyOf(tie, n * 2)
         value = java.util.Arrays.copyOf(value, n * 2)
-        flag = java.util.Arrays.copyOf(flag, n * 2)
+        mask = java.util.Arrays.copyOf(mask, n * 2)
       }
-      us(n) = t; tie(n) = k; value(n) = v; flag(n) = f; n += 1
+      us(n) = t; tie(n) = k; value(n) = v; mask(n) = m; n += 1
     }
   }
 
@@ -55,14 +79,14 @@ object SequenceNextNode {
     while (i < s.n) {
       vb(i) = if (s.value(i) == null) null
               else s.value(i).getBytes(StandardCharsets.UTF_8)
-      bytes += 21 + (if (vb(i) == null) 0 else vb(i).length)
+      bytes += 24 + (if (vb(i) == null) 0 else vb(i).length)
       i += 1
     }
     val buf = ByteBuffer.allocate(bytes)
     buf.putInt(s.n)
     i = 0
     while (i < s.n) {
-      buf.putLong(s.us(i)); buf.putLong(s.tie(i)); buf.put(s.flag(i))
+      buf.putLong(s.us(i)); buf.putLong(s.tie(i)); buf.putInt(s.mask(i))
       if (vb(i) == null) buf.putInt(-1)
       else { buf.putInt(vb(i).length); buf.put(vb(i)) }
       i += 1
@@ -75,45 +99,68 @@ object SequenceNextNode {
     val s = new State
     var n = buf.getInt
     while (n > 0) {
-      val t = buf.getLong; val k = buf.getLong; val f = buf.get()
+      val t = buf.getLong; val k = buf.getLong; val m = buf.getInt
       val len = buf.getInt
       val v = if (len < 0) null else {
         val a = new Array[Byte](len); buf.get(a)
         new String(a, StandardCharsets.UTF_8)
       }
-      s.add(t, k, v, f)
+      s.add(t, k, v, m)
       n -= 1
     }
     s
   }
 }
 
-/** `sequence_next_node(ts, tie, value, cond1, cond2)` → STRING. */
+/** `sequence_next_node('dir', 'base', ts, tie, value, cond1, …)` → STRING.
+  * Children carry the two literals so one layout serves both the
+  * historical 5-arg form (builder prepends 'forward','first_match') and
+  * the full surface. */
 case class SequenceNextNodeAgg(
+    direction: String,
+    base: String,
     children: Seq[Expression],
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[SequenceNextNode.State] {
 
-  require(children.size == 5,
-    "sequence_next_node(ts, tie, value, cond1, cond2) takes 5 arguments")
+  // extract the literals ONCE at build time: the planner later rewrites
+  // children to agg-buffer attributes (merge phase), so re-parsing them
+  // from children on copy() would see attributes, not literals
+  def this(es: Seq[Expression]) =
+    this(SequenceMatchPattern.foldableString(es(0),
+        "sequence_next_node direction"),
+      SequenceMatchPattern.foldableString(es(1), "sequence_next_node base"),
+      es)
 
-  private def tsExpr = children(0)
-  private def tieExpr = children(1)
-  private def valExpr = children(2)
-  private def cond1 = children(3)
-  private def cond2 = children(4)
+  require(children.size >= 6,
+    "sequence_next_node('direction', 'base', ts, tie, value, cond1, ...) " +
+      "needs a direction, a base, and at least one condition")
+  require(children.size <= 5 + 30,
+    "sequence_next_node supports at most 30 conditions (bitmask bound)")
+
+  require(SequenceNextNode.directions(direction),
+    s"sequence_next_node direction '$direction' must be 'forward' | 'backward'")
+  require(SequenceNextNode.bases(base),
+    s"sequence_next_node base '$base' must be 'head' | 'tail' | " +
+      "'first_match' | 'last_match'")
+
+  private def tsExpr = children(2)
+  private def tieExpr = children(3)
+  private def valExpr = children(4)
+  private def conds = children.drop(5)
+  private def nConds = conds.size
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val tsOk = tsExpr.dataType == TimestampType || tsExpr.dataType == LongType
     val ok = tsOk && tieExpr.dataType == LongType &&
       valExpr.dataType == StringType &&
-      cond1.dataType == BooleanType && cond2.dataType == BooleanType
+      conds.forall(_.dataType == BooleanType)
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires (TIMESTAMP|BIGINT ts, BIGINT tie, STRING " +
-        s"value, BOOLEAN cond1, BOOLEAN cond2), got " +
-        children.map(_.dataType.sql).mkString(", "))
+      s"$prettyName requires (literal direction, literal base, " +
+        s"TIMESTAMP|BIGINT ts, BIGINT tie, STRING value, BOOLEAN conds...), " +
+        s"got ${children.map(_.dataType.sql).mkString(", ")}")
   }
 
   override def dataType: DataType = StringType
@@ -126,18 +173,23 @@ case class SequenceNextNodeAgg(
   override def update(b: SequenceNextNode.State,
                       row: InternalRow): SequenceNextNode.State = {
     ParametricAgg.guard(b.n, prettyName,
-      "the o_a21 lead()-window formulation (operators.EventAnalytics)")
+      "the o_a21/o_a21c/o_a21d lead()/lag()-window formulations " +
+        "(operators.EventAnalytics)")
     val t = tsExpr.eval(row)
     val k = tieExpr.eval(row)
     if (t != null && k != null) {
       val v = valExpr.eval(row)
-      val c1 = cond1.eval(row)
-      val c2 = cond2.eval(row)
-      var f = 0
-      if (c1 != null && c1.asInstanceOf[Boolean]) f |= 1
-      if (c2 != null && c2.asInstanceOf[Boolean]) f |= 2
+      var m = 0
+      var c = 0
+      while (c < conds.size) {
+        val cv = conds(c).eval(row)
+        if (cv != null && cv.asInstanceOf[Boolean]) m |= 1 << c
+        c += 1
+      }
+      // mask-0 rows ARE buffered: adjacency is in the full stream, so
+      // non-matching events are the interventions that break chains
       b.add(t.asInstanceOf[Long], k.asInstanceOf[Long],
-        if (v == null) null else v.toString, f.toByte)
+        if (v == null) null else v.toString, m)
     }
     b
   }
@@ -145,24 +197,51 @@ case class SequenceNextNodeAgg(
   override def merge(b: SequenceNextNode.State,
                      o: SequenceNextNode.State): SequenceNextNode.State = {
     ParametricAgg.guard(b.n + o.n - 1, prettyName,
-      "the o_a21 lead()-window formulation (operators.EventAnalytics)")
+      "the o_a21/o_a21c/o_a21d lead()/lag()-window formulations " +
+        "(operators.EventAnalytics)")
     var i = 0
-    while (i < o.n) { b.add(o.us(i), o.tie(i), o.value(i), o.flag(i)); i += 1 }
+    while (i < o.n) { b.add(o.us(i), o.tie(i), o.value(i), o.mask(i)); i += 1 }
     b
   }
 
   override def eval(b: SequenceNextNode.State): Any = {
-    if (b.n == 0) return null
-    val idx = ParametricAgg.sortedIdx(b.us, b.tie, b.n)
-    var i = 0
-    while (i + 1 < b.n) {
-      if ((b.flag(idx(i)) & 1) != 0 && (b.flag(idx(i + 1)) & 2) != 0) {
-        val v = if (i + 2 < b.n) b.value(idx(i + 2)) else null
-        return UTF8String.fromString(if (v == null) "NONE" else v)
+    val n = b.n
+    if (n == 0) return null
+    val idx = ParametricAgg.sortedIdx(b.us, b.tie, n)
+    val fwd = direction == "forward"
+    val N = nConds
+    // traversal position p -> buffered row (ascending time for forward,
+    // descending for backward)
+    @inline def at(p: Int): Int = idx(if (fwd) p else n - 1 - p)
+    // the full chain matches at traversal anchor p
+    def chainAt(p: Int): Boolean = {
+      if (p < 0 || p + N > n) return false
+      var i = 0
+      while (i < N) {
+        if ((b.mask(at(p + i)) & (1 << i)) == 0) return false
+        i += 1
       }
-      i += 1
+      true
     }
-    null
+    val anchor: Int = base match {
+      case "head" => if (fwd) 0 else n - 1 // time-first event
+      case "tail" => if (fwd) n - 1 else 0 // time-last event
+      case "first_match" =>
+        var p = 0
+        while (p + N <= n && !chainAt(p)) p += 1
+        if (p + N <= n) p else -1
+      case "last_match" =>
+        var p = n - N
+        while (p >= 0 && !chainAt(p)) p -= 1
+        p
+    }
+    if (!chainAt(anchor)) return null
+    val q = anchor + N
+    if (q >= n) return UTF8String.fromString("NONE") // traversal end
+    val v = b.value(at(q))
+    // a PRESENT next event with a NULL value is the value null, not
+    // 'NONE' — 'NONE' is reserved for the stream end (r16 ADVICE)
+    if (v == null) null else UTF8String.fromString(v)
   }
 
   override def serialize(b: SequenceNextNode.State): Array[Byte] =

@@ -449,6 +449,45 @@ object EventAnalytics {
         .orderBy("next_node")
     }),
 
+    // O-A21c: sequenceNextNode(backward, first_match) — "what happened
+    // BEFORE the pattern": per user, traversal is time-DESCENDING, the
+    // chain is purchase-then-click in traversal order (= a click
+    // immediately before a purchase in time, adjacency in the FULL
+    // stream), first_match = the time-LATEST such pair, and the result
+    // is the value of the event just before the click in time ('NONE'
+    // when the click opens the stream). Oracle: the lag()-window twin —
+    // two mechanisms (buffered reverse scan vs one-shuffle lag), one
+    // contract.
+    "o_a21c_seq_next_node_backward" -> ((s, d) => {
+      graft.functions.GraftExtensions.register(s)
+      Tables.events(s, d).groupBy("user_id")
+        .agg(expr("sequence_next_node('backward', 'first_match', ts, " +
+            "event_id, event_type, event_type = 'purchase', " +
+            "event_type = 'click')")
+          .as("prev_node"))
+        .filter(col("prev_node").isNotNull)
+        .groupBy("prev_node").agg(count(lit(1)).as("n_users"))
+        .orderBy("prev_node")
+    }),
+
+    // O-A21d: sequenceNextNode(forward, head) — the chain must match at
+    // the stream HEAD: for users whose time-FIRST event is a signup,
+    // what do they do next ('NONE' for the one-event stream)? The
+    // canonical CH head query. head/tail anchor at a fixed position
+    // instead of scanning, completing the base surface (tail/last_match
+    // are spec-pinned vs a brute-force reference on randomized tied
+    // streams).
+    "o_a21d_seq_next_node_head" -> ((s, d) => {
+      graft.functions.GraftExtensions.register(s)
+      Tables.events(s, d).groupBy("user_id")
+        .agg(expr("sequence_next_node('forward', 'head', ts, event_id, " +
+            "event_type, event_type = 'signup')")
+          .as("next_node"))
+        .filter(col("next_node").isNotNull)
+        .groupBy("next_node").agg(count(lit(1)).as("n_users"))
+        .orderBy("next_node")
+    }),
+
     // O-A17: sequenceMatch('(?1)(?t<=3600)(?2).*(?3)') analog (CH event
     // pattern matching, the sibling of windowFunnel over the same event
     // tables): per signup user, 1 iff a click occurs within 1 hour AFTER
@@ -850,6 +889,42 @@ object EventAnalytics {
          SELECT nn AS next_node, COUNT(*) AS n_users FROM f WHERE rk = 1
          GROUP BY 1 ORDER BY 1"""
 
+  /** The backward/first_match next-node oracle (o_a21c): lag() reads the
+    * chain in time order; first match in BACKWARD traversal = the
+    * time-latest pair, hence rk over (ts, event_id) DESC. */
+  private val seqPrevNodeOracleSql =
+      """WITH p AS (
+           SELECT user_id, event_type, ts, event_id,
+                  lag(event_type, 1) OVER w AS b1,
+                  lag(event_type, 2) OVER w AS b2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         m AS (
+           SELECT user_id, coalesce(b2, 'NONE') AS nn, ts, event_id FROM p
+           WHERE event_type = 'purchase' AND b1 = 'click'),
+         f AS (
+           SELECT user_id, nn,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rk
+           FROM m)
+         SELECT nn AS prev_node, COUNT(*) AS n_users FROM f WHERE rk = 1
+         GROUP BY 1 ORDER BY 1"""
+
+  /** The forward/head next-node oracle (o_a21d): the chain is anchored
+    * at each user's time-first row. */
+  private val seqHeadNodeOracleSql =
+      """WITH p AS (
+           SELECT user_id, event_type,
+                  lead(event_type, 1) OVER w AS n1,
+                  row_number() OVER w AS rn
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         m AS (
+           SELECT user_id, coalesce(n1, 'NONE') AS next_node FROM p
+           WHERE rn = 1 AND event_type = 'signup')
+         SELECT next_node, COUNT(*) AS n_users FROM m
+         GROUP BY 1 ORDER BY 1"""
+
   /** The strict_dedup funnel oracle — shared by o_a15b and the
     * SQL-surface mode aggregate o_a15h. */
   private val funnelDedupOracleSql =
@@ -983,6 +1058,8 @@ object EventAnalytics {
     // same oracle VERBATIM: the SQL-surface aggregate must be
     // observationally identical to the lead()-window formulation
     "o_a21b_seq_next_node_sql" -> seqNextNodeOracleSql,
+    "o_a21c_seq_next_node_backward" -> seqPrevNodeOracleSql,
+    "o_a21d_seq_next_node_head" -> seqHeadNodeOracleSql,
 
     "o_a17_seqmatch" ->
       """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
