@@ -182,8 +182,43 @@ object FuzzParametric {
         .agg(max("m").as("m"), max(when(sign, 1).otherwise(0)).as("h"))
         .filter(col("h") === 1))(_.getInt(1))
       if (sqlB != winB) fail(s"pattern '$patB': agg != window plan")
-      println(s"[fuzz-parametric] patterns '$patA' / '$patB' ok " +
-        s"(${sqlA.count(_._2 == 1)}/${sqlB.count(_._2 == 1)} matched)")
+      // Shape C: negation '(?1)(?!2)[(?t OP c)].*(?3)' == the
+      // last-signup-or-click window plan (o_a17e's shape): a click kills
+      // every earlier signup, so feasibility collapses to "the LATEST
+      // preceding signup/click is a signup" — and for < / <= bounds the
+      // latest signup also minimizes the gap, so the one window pair
+      // decides (the > ops need the EARLIEST surviving signup instead;
+      // those stay covered by the spec's brute-force differential)
+      val cSec = (1 + rnd.nextInt(96)) * 900L
+      val opC = Seq("<", "<=")(rnd.nextInt(2))
+      val gapC = if (rnd.nextBoolean()) Some(opC -> cSec) else None
+      val patC = gapC match {
+        case Some((op, c)) => s"(?1)(?!2)(?t$op$c).*(?3)"
+        case None => "(?1)(?!2).*(?3)"
+      }
+      val sqlC = toMap(filtered.groupBy("user_id")
+        .agg(expr(s"sequence_match('$patC', ts, event_id, " +
+            "event_type = 'signup', event_type = 'click', " +
+            "event_type = 'purchase')").cast("int").as("m"),
+          max(when(sign, 1).otherwise(0)).as("h"))
+        .filter(col("h") === 1))(_.getInt(1))
+      val preRows = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+      val winC = toMap(filtered
+        .withColumn("lsc", last(when(sign || click, col("event_type")),
+          ignoreNulls = true).over(preRows))
+        .withColumn("lts", last(when(sign || click, col("ts")),
+          ignoreNulls = true).over(preRows))
+        .withColumn("m", when(buy && col("lsc") === "signup" &&
+          gapC.map(g => gapTest(g._1, col("ts"), col("lts"),
+            g._2 * 1000000)).getOrElse(lit(true)), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(max("m").as("m"), max(when(sign, 1).otherwise(0)).as("h"))
+        .filter(col("h") === 1))(_.getInt(1))
+      if (sqlC != winC) fail(s"pattern '$patC': agg != window plan " +
+        s"(${sqlC.count(_._2 == 1)} vs ${winC.count(_._2 == 1)} matched)")
+      println(s"[fuzz-parametric] patterns '$patA' / '$patB' / '$patC' ok " +
+        s"(${sqlA.count(_._2 == 1)}/${sqlB.count(_._2 == 1)}/" +
+        s"${sqlC.count(_._2 == 1)} matched)")
     }
 
     // ---- window_funnel modes vs generated window plans, random windows -

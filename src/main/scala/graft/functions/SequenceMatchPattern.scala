@@ -28,9 +28,22 @@ import org.apache.spark.sql.types._
   *                  separator: `(?1)(?t<=3600).*(?2)` bounds the gap
   *                  between the matched pair regardless of events
   *                  between.
+  *  - `(?!N)`     — negation: NO event satisfying condition N may occur
+  *                  STRICTLY BETWEEN the two neighboring matched events
+  *                  (the matched step events themselves are exempt even
+  *                  if they also satisfy condition N). Composes with any
+  *                  separator and time constraint in the same gap:
+  *                  `(?1)(?!2).*(?3)` is "a 1 eventually followed by a 3
+  *                  with no 2 in between" — the churn-style query the
+  *                  funnel subset cannot express. At most one negation
+  *                  per gap. Note events matching NO listed condition
+  *                  are never buffered, so only condition-visible events
+  *                  can violate a negation (consistent with the CH
+  *                  ignore rule — and (?!N) names a listed condition, so
+  *                  its events are always visible).
   *
-  * NOT supported (stated per the function-doc contract): negation and
-  * lookahead — the parser rejects them loudly rather than mis-matching.
+  * NOT supported (stated per the function-doc contract): lookahead —
+  * the parser rejects it loudly rather than mis-matching.
   *
   * Determinism: CH leaves same-second event order engine-private; this
   * engine's differential oracles demand a total order, so the caller
@@ -59,13 +72,15 @@ object SequenceMatchPattern {
     * units after construction-time scaling). */
   final case class Gap(op: String, value: Long)
 
-  /** One pattern step: its condition (0-based) plus the separator and
-    * time constraint RELATIVE TO THE PREVIOUS step (both ignored on the
-    * first step). */
-  final case class Step(cond: Int, gap: Option[Gap], skip: Skip)
+  /** One pattern step: its condition (0-based) plus the separator, time
+    * constraint and negated condition (0-based) RELATIVE TO THE PREVIOUS
+    * step (all ignored on the first step). */
+  final case class Step(cond: Int, gap: Option[Gap], skip: Skip,
+                        neg: Option[Int] = None)
 
   private val supported =
-    "supported: (?N), ., .*, (?t<=n) / (?t<n) / (?t>=n) / (?t>n) / (?t==n)"
+    "supported: (?N), ., .*, (?t<=n) / (?t<n) / (?t>=n) / (?t>n) / " +
+      "(?t==n), (?!N)"
 
   /** Parse or die loudly. The pattern must start and end with a
     * condition atom; between atoms at most one separator run and at
@@ -79,6 +94,7 @@ object SequenceMatchPattern {
     var first = true
     var pendingSkip: Option[Skip] = None
     var pendingGap: Option[Gap] = None
+    var pendingNeg: Option[Int] = None
     while (i < pattern.length) {
       pattern.charAt(i) match {
         case '(' =>
@@ -108,7 +124,22 @@ object SequenceMatchPattern {
             pendingGap = Some(Gap(op, v))
             i = j + 1
           } else if (i + 2 < pattern.length && pattern.charAt(i + 2) == '!') {
-            fail("negation '(?!...)' is not supported")
+            // (?!N) — negated condition constraining the CURRENT gap
+            var j = i + 3
+            val numStart = j
+            while (j < pattern.length && pattern.charAt(j).isDigit) j += 1
+            if (j == numStart)
+              fail(s"expected a condition number at position ${i + 3}")
+            if (j >= pattern.length || pattern.charAt(j) != ')')
+              fail(s"unterminated negation atom at position $i")
+            val n = pattern.substring(numStart, j).toInt
+            if (n < 1 || n > nConds)
+              fail(s"condition (?!$n) out of range 1..$nConds")
+            if (first) fail("a negation cannot precede the first condition")
+            if (pendingNeg.isDefined)
+              fail("two negations between one pair of conditions")
+            pendingNeg = Some(n - 1)
+            i = j + 1
           } else {
             // (?N)
             var j = i + 2
@@ -120,9 +151,11 @@ object SequenceMatchPattern {
             val n = pattern.substring(numStart, j).toInt
             if (n < 1 || n > nConds)
               fail(s"condition (?$n) out of range 1..$nConds")
-            steps += Step(n - 1, pendingGap, pendingSkip.getOrElse(Adjacent))
+            steps += Step(n - 1, pendingGap, pendingSkip.getOrElse(Adjacent),
+              pendingNeg)
             pendingSkip = None
             pendingGap = None
+            pendingNeg = None
             first = false
             i = j + 1
           }
@@ -155,6 +188,8 @@ object SequenceMatchPattern {
     }
     if (pendingGap.isDefined)
       fail("pattern must end with a condition atom, not a time constraint")
+    if (pendingNeg.isDefined)
+      fail("pattern must end with a condition atom, not a negation")
     val out = steps.result()
     if (out.isEmpty) fail("no condition atoms")
     out
@@ -178,7 +213,15 @@ object SequenceMatchPattern {
 
   /** The feasible-set DP: feas_k(j) = "event j can be the k-th matched
     * step". Fixed-offset separators are a shifted AND; `.*` folds the
-    * prefix with the running aggregate its gap op needs. */
+    * prefix with the running aggregate its gap op needs. A negation
+    * `(?!f)` stays in the same single pass: fixed offsets check a
+    * prefix-count of forbidden events over the in-between positions;
+    * `.*` RESETS its running aggregate whenever a forbidden event goes
+    * by — every feasible previous-step candidate strictly before the
+    * forbidden position is dead for all later steps (the forbidden event
+    * would sit inside the gap), while a candidate AT the forbidden
+    * position survives (strictly-between excludes the endpoints), hence
+    * the clear-then-add order. Still O(events × steps). */
   def matches(s: State, steps: Vector[Step], unitMicros: Long): Boolean = {
     val n = s.n
     if (n == 0) return false
@@ -202,13 +245,28 @@ object SequenceMatchPattern {
     while (k < steps.length) {
       val st = steps(k)
       val cur = new Array[Boolean](n)
+      // bit of the condition forbidden in this gap (0 = no negation,
+      // matches no event)
+      val fbit = st.neg.map(f => 1 << f).getOrElse(0)
+      @inline def forb(j: Int): Boolean = (mk(j) & fbit) != 0
       st.skip match {
         case Adjacent | Exactly(_) =>
           val off = st.skip match { case Exactly(m) => m + 1; case _ => 1 }
+          // prefix count of forbidden events, only when the gap negates:
+          // fc(b) - fc(a+1) = forbidden events at positions a+1 .. b-1
+          val fc: Array[Int] = if (fbit == 0) null else {
+            val a = new Array[Int](n + 1)
+            var j = 0
+            while (j < n) {
+              a(j + 1) = a(j) + (if (forb(j)) 1 else 0); j += 1
+            }
+            a
+          }
           var j = off
           while (j < n) {
             cur(j) = prev(j - off) && condOk(j, st.cond) &&
-              st.gap.forall(g => gapOk(g, us(j - off), us(j)))
+              st.gap.forall(g => gapOk(g, us(j - off), us(j))) &&
+              (fc == null || fc(j) - fc(j - off + 1) == 0)
             j += 1
           }
         case AnyRun =>
@@ -218,6 +276,7 @@ object SequenceMatchPattern {
               var j = 0
               while (j < n) {
                 cur(j) = any && condOk(j, st.cond)
+                if (forb(j)) any = false
                 any ||= prev(j)
                 j += 1
               }
@@ -229,6 +288,7 @@ object SequenceMatchPattern {
               while (j < n) {
                 cur(j) = latest != Long.MinValue && condOk(j, st.cond) &&
                   gapOk(g, latest, us(j))
+                if (forb(j)) latest = Long.MinValue
                 if (prev(j)) latest = math.max(latest, us(j))
                 j += 1
               }
@@ -239,6 +299,7 @@ object SequenceMatchPattern {
               while (j < n) {
                 cur(j) = earliest != Long.MaxValue && condOk(j, st.cond) &&
                   gapOk(g, earliest, us(j))
+                if (forb(j)) earliest = Long.MaxValue
                 if (prev(j)) earliest = math.min(earliest, us(j))
                 j += 1
               }
@@ -249,6 +310,7 @@ object SequenceMatchPattern {
               while (j < n) {
                 cur(j) = condOk(j, st.cond) &&
                   seen.contains(us(j) - g.value * unitMicros)
+                if (forb(j)) seen.clear()
                 if (prev(j)) seen.add(us(j)): Unit
                 j += 1
               }

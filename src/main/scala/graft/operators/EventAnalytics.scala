@@ -747,6 +747,34 @@ object EventAnalytics {
         .orderBy("matched")
     }),
 
+    // O-A17e: pattern-grammar NEGATION — '(?1)(?!2)(?t<=14400).*(?3)':
+    // a purchase at most 4h after a signup with NO click strictly
+    // between them (the churn-style "X not followed by Y before Z"
+    // query; the r16 parser rejected (?!N) loudly — now the feasible-set
+    // DP tracks it as a running reset in the same O(events × steps)
+    // pass). The 4h bound keeps the fixture discriminating (the
+    // unbounded form saturates these long per-user streams, the o_a17d
+    // lesson). Oracle: the last-signup-or-click window twin — a
+    // purchase matches iff the LATEST preceding signup/click is a
+    // signup within the bound, because a click kills every earlier
+    // signup and among later signups the latest has the smallest gap.
+    // Stage-1 universe, one user-keyed exchange, ParametricAgg-capped.
+    "o_a17e_seqmatch_negation" -> ((s, d) => {
+      graft.functions.GraftExtensions.register(s)
+      Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+          expr("sequence_match('(?1)(?!2)(?t<=14400).*(?3)', ts, event_id, " +
+              "event_type = 'signup', event_type = 'click', " +
+              "event_type = 'purchase')")
+            .cast("int").as("matched"),
+          max(when(col("event_type") === "signup", 1).otherwise(0)).as("_h"))
+        .filter(col("_h") === 1)
+        .groupBy("matched").agg(count(lit(1)).as("n_users"))
+        .orderBy("matched")
+    }),
+
     // O-A16b: the SQL surface — CH retention(cond1, …, condN) called IN
     // SQL via the `retention` aggregate (functions.RetentionAgg),
     // completing the parametric event-analytics quartet. Same cohort
@@ -1153,6 +1181,34 @@ object EventAnalytics {
                              AND s2 <= ts + INTERVAL 4 HOUR THEN 1 ELSE 0 END) AS matched
            FROM p GROUP BY user_id)
          SELECT matched, COUNT(*) AS n_users FROM u WHERE has_signup = 1
+         GROUP BY matched ORDER BY matched""",
+
+    // negation '(?!2)': a purchase matches iff the LATEST preceding
+    // signup-or-click is a signup within the 4h bound — a click kills
+    // every earlier signup, and among the surviving (later) signups the
+    // latest minimizes the gap, so "exists feasible signup" collapses
+    // to one last_value window pair (type + ts read off the same row)
+    "o_a17e_seqmatch_negation" ->
+      """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
+                    WHERE event_type IN ('signup','click','purchase')),
+         p AS (
+           SELECT user_id, event_type, ts,
+                  last_value(CASE WHEN event_type IN ('signup','click')
+                                  THEN event_type END IGNORE NULLS)
+                    OVER w AS lsc,
+                  last_value(CASE WHEN event_type IN ('signup','click')
+                                  THEN ts END IGNORE NULLS) OVER w AS lts
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         u AS (
+           SELECT user_id,
+                  MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS has1,
+                  MAX(CASE WHEN event_type = 'purchase' AND lsc = 'signup'
+                             AND ts <= lts + INTERVAL 4 HOUR
+                           THEN 1 ELSE 0 END) AS matched
+           FROM p GROUP BY user_id)
+         SELECT matched, COUNT(*) AS n_users FROM u WHERE has1 = 1
          GROUP BY matched ORDER BY matched""",
 
     "o_a18_seqcount" -> seqcountOracleSql,

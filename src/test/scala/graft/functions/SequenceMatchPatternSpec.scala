@@ -23,6 +23,12 @@ class SequenceMatchPatternSpec extends AnyFunSuite {
       Vector(Step(0, None, Adjacent), Step(1, Some(Gap(">", 600)), AnyRun)))
     assert(SequenceMatchPattern.parse("(?1).*(?t=7200)(?2)", 2) ==
       Vector(Step(0, None, Adjacent), Step(1, Some(Gap("==", 7200)), AnyRun)))
+    // negation composes with separators and time bounds in either order
+    assert(SequenceMatchPattern.parse("(?1)(?!2).*(?3)", 3) ==
+      Vector(Step(0, None, Adjacent), Step(2, None, AnyRun, Some(1))))
+    assert(SequenceMatchPattern.parse("(?1).*(?!3)(?t<=60)(?2)", 3) ==
+      Vector(Step(0, None, Adjacent),
+        Step(1, Some(Gap("<=", 60)), AnyRun, Some(2))))
     // trailing .* is a CH-compat no-op
     assert(SequenceMatchPattern.parse("(?1)(?2).*", 2).size == 2)
   }
@@ -32,7 +38,11 @@ class SequenceMatchPatternSpec extends AnyFunSuite {
       "" -> "empty",
       "(?0)(?1)" -> "out of range",
       "(?3)" -> "out of range",
-      "(?!1)(?2)" -> "negation",
+      "(?!1)(?2)" -> "negation cannot precede",
+      "(?1)(?!0)(?2)" -> "out of range",
+      "(?1)(?!1)(?!2)(?2)" -> "two negations",
+      "(?1)(?!2)" -> "end with a condition",
+      "(?1)(?!)(?2)" -> "condition number",
       "(?1).*.(?2)" -> "combine",
       "(?1).+(?2)" -> "unexpected",
       ".(?1)" -> "separator cannot precede",
@@ -77,7 +87,9 @@ class SequenceMatchPatternSpec extends AnyFunSuite {
           case AnyRun => (i + 1) until n
         }
         js.exists(j => j < n && condOk(j, st.cond) &&
-          st.gap.forall(g => gapOk(g, i, j)) && rec(k + 1, j))
+          st.gap.forall(g => gapOk(g, i, j)) &&
+          st.neg.forall(f => ((i + 1) until j).forall(b => !condOk(b, f))) &&
+          rec(k + 1, j))
       }
     })
     (0 until n).exists(i => condOk(i, steps.head.cond) && rec(0, i))
@@ -89,7 +101,14 @@ class SequenceMatchPatternSpec extends AnyFunSuite {
       "(?1)(?t<=7200)(?2)", "(?1)(?t<7200)(?2)", "(?1)(?t>1800).*(?2)",
       "(?1)(?t>=3600).*(?3)", "(?1)(?t==3600)(?2)",
       "(?1)(?t<=7200)(?2)(?t>600)(?3)", "(?1).*(?2).(?3)",
-      "(?2)(?1)", "(?3).*(?1)..(?2)", "(?1)")
+      "(?2)(?1)", "(?3).*(?1)..(?2)", "(?1)",
+      // negation: alone, with fixed offsets, composed with time bounds,
+      // same-condition (step event exempt), and chained across steps
+      "(?1)(?!2).*(?3)", "(?1).*(?!2)(?3)", "(?1)(?!3).(?2)",
+      "(?1)(?!3)..(?2)", "(?1)(?!2)(?t<=7200).*(?3)",
+      "(?1)(?!1).*(?2)", "(?1)(?!2).*(?2)", "(?1)(?!3)(?2)",
+      "(?1)(?!2).*(?2)(?!1).*(?3)", "(?1)(?t>1800)(?!2).*(?3)",
+      "(?1)(?!2)(?t==3600).*(?2)")
     val rnd = new scala.util.Random(1601)
     (0 until 4).foreach { draw =>
       // ~15 events per group on a 900s grid: ties and exact 3600s gaps
@@ -169,8 +188,9 @@ class SequenceMatchPatternSpec extends AnyFunSuite {
     assert(!m(tsDf, "(?1)(?t<5)(?2)"))
   }
 
-  test("catalog keys o_a17c/o_a17d: both matched classes populated at the fixture") {
-    Seq("o_a17c_seqmatch_gaps", "o_a17d_seqmatch_strictnext").foreach { k =>
+  test("catalog keys o_a17c/o_a17d/o_a17e: both matched classes populated at the fixture") {
+    Seq("o_a17c_seqmatch_gaps", "o_a17d_seqmatch_strictnext",
+        "o_a17e_seqmatch_negation").foreach { k =>
       val out = graft.SparkEntry.queries(k)(spark, TestSession.sf)
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       assert(out.keySet == Set(0, 1),
