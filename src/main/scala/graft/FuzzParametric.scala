@@ -273,8 +273,36 @@ object FuzzParametric {
       val sdAgg = modeLv("strict_dedup", filtered).filter(_._2 >= 1)
       if (sdAgg != sdWin) fail(s"window_funnel strict_dedup w=$wU: " +
         s"agg != running-window plan (${(sdAgg.toSet -- sdWin.toSet).take(3)})")
+      // combined 'strict_order,strict_dedup' with OVERLAPPING stage 3
+      // (click OR purchase): the dedup interrupt rule excludes a step-3
+      // click (repeats matched cond2), netting the lead() plan to
+      // purchase-only at step 3; mode order must not matter
+      val cbCall = (m: String) => toMap(e.groupBy("user_id").agg(expr(
+        s"window_funnel($wU, '$m', ts, event_id, " +
+          "event_type = 'signup', event_type = 'click', " +
+          "event_type IN ('click', 'purchase'))").as("lv")))(_.getInt(1))
+        .filter(_._2 >= 1)
+      val cbAgg = cbCall("strict_order,strict_dedup")
+      if (cbAgg != cbCall("strict_dedup,strict_order"))
+        fail(s"window_funnel combined w=$wU: mode order changed the result")
+      val cbWin = toMap(e
+        .withColumn("n1t", lead(col("event_type"), 1).over(wOrd))
+        .withColumn("n1s", lead(col("ts"), 1).over(wOrd))
+        .withColumn("n2t", lead(col("event_type"), 2).over(wOrd))
+        .withColumn("n2s", lead(col("ts"), 2).over(wOrd))
+        .withColumn("lvl", when(sign,
+          lit(1) +
+            when(col("n1t") === "click" && col("n1s") <= col("ts") + wIv, 1)
+              .otherwise(0) +
+            when(col("n1t") === "click" && col("n1s") <= col("ts") + wIv &&
+              col("n2t") === "purchase" && col("n2s") <= col("ts") + wIv, 1)
+              .otherwise(0)))
+        .groupBy("user_id").agg(max("lvl").as("lvl"))
+        .filter(col("lvl").isNotNull))(_.getInt(1))
+      if (cbAgg != cbWin) fail(s"window_funnel combined w=$wU: " +
+        s"agg != lead() plan (${(cbAgg.toSet -- cbWin.toSet).take(3)})")
       println(s"[fuzz-parametric] window_funnel modes w=${wU / hourUs}h ok " +
-        s"(${soAgg.size}/${sdAgg.size} users)")
+        s"(${soAgg.size}/${sdAgg.size}/${cbAgg.size} users)")
     }
 
     // ---- retention vs the join formulation, random horizons ------------

@@ -269,12 +269,14 @@ case class WindowFunnelAgg(
 }
 
 /** ClickHouse `windowFunnel(window, 'mode')(ts, cond1, …, condN)` —
-  * the MODE surface (`strict_order` / `strict_dedup`) as a SQL
-  * aggregate: `window_funnel(window_us, 'mode', ts, tie, cond1, …)`.
-  * Both modes are ROW-ORDER semantics (which event is "next"/"last"
-  * matters), so unlike the default strict-increase form they take an
-  * explicit BIGINT tie column — CH leaves tie order engine-private;
-  * this engine's oracles demand the (ts, tie) total order.
+  * the MODE surface as a SQL aggregate:
+  * `window_funnel(window_us, 'mode', ts, tie, cond1, …)` with mode ∈
+  * {`strict_order`, `strict_dedup`, `strict_order,strict_dedup`} (CH
+  * accepts comma-joined modes; order-insensitive here). All modes are
+  * ROW-ORDER semantics (which event is "next"/"last" matters), so
+  * unlike the default strict-increase form they take an explicit
+  * BIGINT tie column — CH leaves tie order engine-private; this
+  * engine's oracles demand the (ts, tie) total order.
   *
   *  - `strict_order` (CH: no interventions): the chain must be
   *    CONSECUTIVE in the per-user event stream — ANY other event
@@ -283,13 +285,31 @@ case class WindowFunnelAgg(
   *    rows are the breakers). Eval: prefix-match at each stage-1
   *    position, window measured from the chain start — the buffered
   *    twin of o_a15d's lead() formulation, whose oracle it shares.
-  *  - `strict_dedup` (consecutive-step dedup): each step's event must
-  *    be the LAST of its type before the next step's event — a repeat
-  *    of stage k's type between steps k and k+1 breaks the chain.
-  *    Eval: one sequential pass carrying, per stage, the chain start
-  *    the LAST stage-k event offers (possibly invalid — a later
-  *    repeat overwrites); updates read pre-event state (strictly-
-  *    before). The buffered twin of o_a15b, whose oracle it shares.
+  *  - `strict_dedup` standalone: THIS ENGINE'S OWN "last-of-type"
+  *    dedup reading, stated as such — each step's event must be the
+  *    LAST of its type before the next step's event; a repeat of
+  *    stage k's type between steps k and k+1 re-anchors (and possibly
+  *    invalidates) the chain rather than CH's "repeating event
+  *    interrupts further processing". The two readings coincide on
+  *    single-occurrence streams but differ on repeats (signup, click,
+  *    click, purchase: last-of-type re-anchors on the second click
+  *    and reaches level 3; CH's interrupt rule would stop at 2). The
+  *    reading is pinned by the o_a15b oracle it shares and cannot be
+  *    differentially verified against a live CH here — callers
+  *    wanting CH's interrupt behavior compose it below. Eval: one
+  *    sequential pass carrying, per stage, the chain start the LAST
+  *    stage-k event offers (possibly invalid — a later repeat
+  *    overwrites); updates read pre-event state (strictly-before).
+  *    The buffered twin of o_a15b, whose oracle it shares.
+  *  - `strict_order,strict_dedup` combined: the consecutive-chain
+  *    scan with CH's documented deduplication INTERRUPT rule — a step
+  *    candidate that ALSO satisfies a condition already matched by an
+  *    earlier step of the in-flight chain interrupts it (meaningful
+  *    only with overlapping conditions; under adjacency the
+  *    standalone last-of-type reading is vacuous, since nothing can
+  *    sit between adjacent events, so the interrupt rule is the only
+  *    meaningful dedup composition). Oracle: o_a15i's lead() plan
+  *    with the repeat-exclusion predicates.
   *
   * State reuses [[SequenceMatchPattern.State]] (us, tie, mask) and the
   * [[ParametricAgg]] cap; the one-shuffle stacked-window forms remain
@@ -309,10 +329,14 @@ case class WindowFunnelModeAgg(
 
   require(windowMicros > 0,
     s"window_funnel: window $windowMicros us must be > 0")
-  require(mode == "strict_order" || mode == "strict_dedup",
+  /** Comma-joined mode set (CH convention), order-insensitive. */
+  private val modes: Set[String] = mode.split(',').map(_.trim).toSet
+  require(modes.nonEmpty && modes.subsetOf(Set("strict_order", "strict_dedup")),
     s"window_funnel mode '$mode' not supported: 'strict_order' | " +
-      "'strict_dedup' (the default strict-increase form is " +
-      "window_funnel(window_us, ts, cond...) without a mode)")
+      "'strict_dedup' | 'strict_order,strict_dedup' (the default " +
+      "strict-increase form is window_funnel(window_us, ts, cond...) " +
+      "without a mode)")
+  private def strictOrder = modes("strict_order")
   require(children.size >= 5,
     "window_funnel(window_us, mode, ts, tie, cond1, ...) needs at least " +
       "one condition")
@@ -357,7 +381,7 @@ case class WindowFunnelModeAgg(
         c += 1
       }
       // strict_order buffers breakers (mask 0) — interventions matter
-      if (m != 0 || mode == "strict_order")
+      if (m != 0 || strictOrder)
         b.add(t.asInstanceOf[Long], k.asInstanceOf[Long], m)
     }
     b
@@ -379,8 +403,14 @@ case class WindowFunnelModeAgg(
     val us = idx.map(b.us)
     val mk = idx.map(b.mask)
     val MIN = Long.MinValue
-    if (mode == "strict_order") {
-      // prefix match at each stage-1 position; window from chain start
+    if (strictOrder) {
+      // prefix match at each stage-1 position; window from chain start.
+      // With strict_dedup composed: a step candidate ALSO matching a
+      // condition already matched by an earlier step interrupts the
+      // chain (CH's documented interrupt rule — the composition's only
+      // meaningful dedup effect, since adjacency leaves no room between
+      // steps for the standalone last-of-type reading to act on)
+      val dedup = modes("strict_dedup")
       var best = 0
       var i = 0
       while (i < n) {
@@ -391,7 +421,10 @@ case class WindowFunnelModeAgg(
           while (ok && k <= nStages && i + k - 1 < n) {
             val p = i + k - 1
             if ((mk(p) & (1 << (k - 1))) != 0 &&
-                us(p) - us(i) <= windowMicros) { lvl = k; k += 1 }
+                us(p) - us(i) <= windowMicros &&
+                (!dedup || (mk(p) & ((1 << (k - 1)) - 1)) == 0)) {
+              lvl = k; k += 1
+            }
             else ok = false
           }
           if (lvl > best) best = lvl

@@ -693,6 +693,29 @@ object EventAnalytics {
         .orderBy("funnel_level")
     }),
 
+    // O-A15i: COMBINED modes — windowFunnel(w, 'strict_order,
+    // strict_dedup') (CH accepts comma-joined modes): the consecutive
+    // chain with the deduplication INTERRUPT rule — a step candidate
+    // also satisfying an already-matched condition kills the chain.
+    // Discriminating needs OVERLAPPING conditions (stage 3 here accepts
+    // click OR purchase): signup→click→click reads level 3 under
+    // strict_order alone but the second click repeats the matched
+    // cond2 and interrupts at 2 under the combination. Oracle: the
+    // o_a15d lead() plan with the repeat-exclusion predicate folded in
+    // (n2 matching cond2 is excluded, so step 3 nets to purchase).
+    "o_a15i_funnel_sql_combined" -> ((s, d) => {
+      graft.functions.GraftExtensions.register(s)
+      Tables.events(s, d).groupBy("user_id")
+        .agg(expr(
+          "window_funnel(43200000000, 'strict_order,strict_dedup', ts, " +
+            "event_id, event_type = 'signup', event_type = 'click', " +
+            "event_type IN ('click', 'purchase'))")
+          .as("funnel_level"))
+        .filter(col("funnel_level") >= 1)
+        .groupBy("funnel_level").agg(count(lit(1)).as("n_users"))
+        .orderBy("funnel_level")
+    }),
+
     // O-A17c: the FULL CH pattern grammar — per-gap time bounds between
     // arbitrary steps, '(?1)(?t<=43200)(?2)(?t>600)(?3)': a click
     // DIRECTLY following the signup in the condition-filtered stream
@@ -1080,6 +1103,34 @@ object EventAnalytics {
     // same oracle VERBATIM: the SQL-surface strict_order mode must be
     // observationally identical to the lead()-prefix funnel
     "o_a15g_funnel_sql_strict" -> funnelStrictOracleSql,
+
+    // combined strict_order + dedup-interrupt: the o_a15d lead() shape
+    // with the repeat-exclusion predicate — stage 3 accepts click OR
+    // purchase in the query text, but a click at step 3 repeats the
+    // already-matched cond2 and interrupts, netting to purchase-only
+    "o_a15i_funnel_sql_combined" ->
+      """WITH p AS (
+           SELECT user_id, event_type, ts, event_id,
+                  lead(event_type, 1) OVER w AS n1t,
+                  lead(ts, 1)         OVER w AS n1s,
+                  lead(event_type, 2) OVER w AS n2t,
+                  lead(ts, 2)         OVER w AS n2s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         l AS (
+           SELECT user_id,
+                  CASE WHEN event_type = 'signup' THEN
+                    1 + CASE WHEN n1t = 'click' AND n1s <= ts + INTERVAL 12 HOUR
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN n1t = 'click' AND n1s <= ts + INTERVAL 12 HOUR
+                                  AND n2t = 'purchase' AND n2s <= ts + INTERVAL 12 HOUR
+                             THEN 1 ELSE 0 END
+                  END AS lvl
+           FROM p),
+         u AS (SELECT user_id, MAX(lvl) AS funnel_level FROM l GROUP BY user_id)
+         SELECT funnel_level, COUNT(*) AS n_users FROM u
+         WHERE funnel_level IS NOT NULL
+         GROUP BY funnel_level ORDER BY funnel_level""",
 
     "o_a21_seq_next_node" -> seqNextNodeOracleSql,
 

@@ -519,6 +519,61 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("combined 'strict_order,strict_dedup' == interrupt-rule reference; mode order free") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(1606)
+    val types = Seq("signup", "click", "purchase", "view")
+    val w = 12L * 3600 * 1000000
+    var discriminated = false
+    (0 until 3).foreach { draw =>
+      val rows = (0 until 500).map { i =>
+        val us = (rnd.nextInt(200) * 3600L + rnd.nextInt(4) * 900L) * 1000000
+        (i.toLong, rnd.nextInt(10).toLong, types(rnd.nextInt(types.size)),
+          new java.sql.Timestamp(us / 1000))
+      }
+      val e = rows.toDF("event_id", "user_id", "event_type", "ts")
+      // overlapping stage 3 (click OR purchase) — the only shape where
+      // the dedup interrupt adds to strict_order (under adjacency the
+      // last-of-type reading has no room to act)
+      def sqlLv(mode: String) =
+        e.groupBy("user_id").agg(expr(
+            s"window_funnel($w, '$mode', ts, event_id, " +
+              "event_type = 'signup', event_type = 'click', " +
+              "event_type IN ('click', 'purchase'))").as("lv"))
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val byUser = rows.groupBy(_._2).map { case (u, evs) =>
+        u -> evs.map(r => (r._4.getTime * 1000, r._1, r._3))
+          .sortBy(t => (t._1, t._2))
+      }
+      // interrupt-rule reference: prefix match; a step-3 click repeats
+      // the matched cond2 and interrupts, so step 3 nets to purchase
+      val ref = byUser.map { case (u, evs) =>
+        val lv = evs.indices.filter(i => evs(i)._3 == "signup").map { i =>
+          var lvl = 1
+          if (i + 1 < evs.size && evs(i + 1)._3 == "click" &&
+              evs(i + 1)._1 - evs(i)._1 <= w) {
+            lvl = 2
+            if (i + 2 < evs.size && evs(i + 2)._3 == "purchase" &&
+                evs(i + 2)._1 - evs(i)._1 <= w) lvl = 3
+          }
+          lvl
+        }
+        u -> (if (lv.isEmpty) 0 else lv.max)
+      }
+      val combined = sqlLv("strict_order,strict_dedup")
+      assert(combined == ref, s"draw $draw combined != interrupt reference")
+      assert(sqlLv("strict_dedup,strict_order") == combined,
+        s"draw $draw: mode order changed the result")
+      val so = sqlLv("strict_order")
+      assert(combined.forall { case (u, l) => l <= so(u) },
+        s"draw $draw: combined exceeded strict_order somewhere")
+      if (combined.exists { case (u, l) => l < so(u) }) discriminated = true
+    }
+    assert(discriminated,
+      "streams should contain a signup,click,click chain the interrupt cuts")
+  }
+
   test("sequence_next_node SQL aggregate == o_a21 lead()-window form") {
     import spark.implicits._
     graft.functions.GraftExtensions.register(spark)
