@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectPostHocResolutionRule(_ => graft.plans.CollapseDedup)
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
+    // CH SQL-dialect clauses (LIMIT n BY k, SAMPLE a/b) on the analyst
+    // entry point — parse-time rewrite into standard window/filter plans
+    ext.injectParser((session, delegate) =>
+      new graft.plans.GraftSqlParser(session, delegate))
   }
 }
 

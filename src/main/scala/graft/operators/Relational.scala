@@ -676,6 +676,34 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // O-S7: the CH SQL-dialect clause `LIMIT n BY k` THROUGH spark.sql —
+    // the literal text an arriving ClickHouse analyst types (the most
+    // idiomatic CH-ism; reference routes it to a deployed CH 22.3,
+    // build/docker-compose.yml:8-9), accepted by the parse-time rewrite
+    // (plans.GraftSqlParser, injected by GraftExtensions) into the o_w2
+    // row_number window plan. PlanSpec asserts the windowed physical
+    // form; HttpSqlSpec drives the same text end-to-end over HTTP.
+    "o_s7_limit_by_sql" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""SELECT o_custkey, o_orderkey, o_totalprice
+               FROM orders
+               ORDER BY o_totalprice DESC, o_orderkey
+               LIMIT 3 BY o_custkey""")
+    }),
+
+    // O-S8: the CH `SAMPLE a/b` clause THROUGH spark.sql — deterministic
+    // hash sampling (the o_s6 md5 device, CH samples by hash of the
+    // declared sampling key, never an RNG), with the sampling key named
+    // on the session conf as the engine's stand-in for CH's `SAMPLE BY`
+    // table clause. The rewrite is a pushdown-friendly md5-prefix
+    // filter aliased back to the table name.
+    "o_s8_sample_sql" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events")
+      s.conf.set("graft.sample.key.events", "event_id")
+      s.sql("""SELECT event_type, COUNT(*) AS n FROM events SAMPLE 1/16
+               GROUP BY event_type ORDER BY event_type""")
+    }),
+
     // ========================= §2.7 set ops ============================
 
     // O-U1: union-all of event families over the shared envelope
@@ -1222,6 +1250,23 @@ object Relational {
                 COUNT(DISTINCT user_id) AS users
          FROM events
          WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
+         GROUP BY event_type ORDER BY event_type""",
+
+    // the LIMIT n BY rewrite's contract, written out: first 3 rows per
+    // key in result order
+    "o_s7_limit_by_sql" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3
+         ORDER BY o_totalprice DESC, o_orderkey""",
+
+    // SAMPLE 1/16 == md5 hex prefix < '1' == the o_s6 '= 0' device
+    "o_s8_sample_sql" ->
+      """SELECT event_type, COUNT(*) AS n
+         FROM events
+         WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '1'
          GROUP BY event_type ORDER BY event_type""",
 
     "o_a28_delta_sum" ->

@@ -1,0 +1,280 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** ClickHouse SQL-dialect shim for the analyst entry point: the literal
+  * CH clauses a user of the reference types at ports 8123/9000
+  * (`/root/reference/build/docker-compose.yml:8-9` routes them to a
+  * deployed ClickHouse 22.3) — `LIMIT n BY k` and `SAMPLE a/b` — are
+  * rewritten AT PARSE TIME into standard Spark SQL and handed to the
+  * delegate parser, so `spark.sql("... LIMIT 3 BY k")` and the S-HTTP
+  * server both accept them. Installed by
+  * [[graft.functions.GraftExtensions]] via `injectParser`.
+  *
+  * The rewrite is purely textual over TOP-LEVEL tokens (a scanner skips
+  * string/identifier literals, comments, and parenthesized subtext, so a
+  * `'LIMIT 3 BY'` inside a string or a subquery's own clauses are never
+  * touched):
+  *
+  *  - `… ORDER BY o LIMIT n BY cols [LIMIT m] [OFFSET j]` becomes the
+  *    o_w2 row_number window plan:
+  *    {{{
+  *    SELECT * EXCEPT (__graft_rn) FROM (
+  *      SELECT *, row_number() OVER (PARTITION BY cols ORDER BY o)
+  *        AS __graft_rn FROM ( base ) __graft_lb) __graft_lb2
+  *    WHERE __graft_rn <= n ORDER BY o [LIMIT m] [OFFSET j]
+  *    }}}
+  *    A top-level ORDER BY is REQUIRED: CH's LIMIT BY keeps the first n
+  *    rows per key in result order, and without an explicit order that
+  *    selection is nondeterministic — this engine refuses loudly rather
+  *    than returning engine-private rows (the determinism convention the
+  *    whole oracle gate rests on). Scope handling is per query: when
+  *    every ORDER BY / BY identifier is projected, the whole base wraps
+  *    as a subquery (so SELECT aliases work — `ORDER BY cnt DESC LIMIT 3
+  *    BY k` over a GROUP BY); when the order references UNPROJECTED base
+  *    columns, the window and hidden order columns are injected into the
+  *    base's own select list instead (FROM-scope expressions work;
+  *    mixing an alias with an unprojected column in one ORDER BY is the
+  *    one shape a textual rewrite cannot straddle and fails at analysis
+  *    naming the alias).
+  *  - `FROM tbl SAMPLE a/b` (b ∈ {16, 256}, 0 < a < b) becomes a
+  *    deterministic md5-prefix filter — CH samples by a hash of the
+  *    table's declared sampling key, NOT an RNG, so the same rows are
+  *    drawn on every run and every cluster size (the o_s6 device). The
+  *    sampling key is the engine's stand-in for CH's `SAMPLE BY` table
+  *    clause: set `graft.sample.key.<tbl> = <column>` on the session
+  *    conf; an unset key fails loudly (CH likewise rejects SAMPLE on a
+  *    table with no SAMPLE BY). The filter is a pushdown-friendly
+  *    `substring(md5(key), 1, len) < bound` over the subquery aliased
+  *    back to the table name, so qualified references keep resolving.
+  *
+  * Everything else — including every statement Spark itself issues —
+  * passes through byte-identical (a cheap substring guard skips the
+  * scanner entirely when neither clause can be present).
+  */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+  extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    delegate.parsePlan(GraftSqlDialect.rewrite(sqlText, session))
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(GraftSqlDialect.rewrite(sqlText, session))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlDialect {
+
+  private val limitByRe = """(?i)\bLIMIT\s+(\d+)\s+BY\b""".r
+  private val orderByRe = """(?i)\bORDER\s+BY\b""".r
+  private val tailKwRe = """(?i)\b(LIMIT|OFFSET)\b""".r
+  private val sampleRe =
+    """(?i)\bFROM\s+([A-Za-z_][A-Za-z0-9_.]*)\s+SAMPLE\s+(\d+)\s*/\s*(\d+)\b""".r
+
+  /** Dialect misuse is the PERMANENT error class (the reference's
+    * dead-letter classifier keys on parse/analysis vs execution; S-HTTP
+    * answers 400) — AnalysisException, not a bare IllegalArgument that
+    * would read as a 500 execution failure. USER_RAISED_EXCEPTION is the
+    * message-only error class raise_error() uses. */
+  def fail(why: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      "USER_RAISED_EXCEPTION",
+      Map("errorMessage" -> s"graft CH-dialect: $why"))
+
+  /** Depth per character position; -1 inside string/backtick/double-quote
+    * literals and comments. Top-level code = depth 0. */
+  private[plans] def depths(s: String): Array[Int] = {
+    val d = new Array[Int](s.length)
+    var depth = 0
+    var mode = 0 // 0 code; 1 '…'; 2 "…"; 3 `…`; 4 -- comment; 5 /* comment
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      mode match {
+        case 0 =>
+          if (c == '\'') { d(i) = -1; mode = 1 }
+          else if (c == '"') { d(i) = -1; mode = 2 }
+          else if (c == '`') { d(i) = -1; mode = 3 }
+          else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+            d(i) = -1; mode = 4
+          } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+            d(i) = -1; mode = 5
+          } else if (c == '(') { d(i) = depth; depth += 1 }
+          else if (c == ')') { depth -= 1; d(i) = depth }
+          else d(i) = depth
+        case 1 => d(i) = -1; if (c == '\'') mode = 0 // '' reads close+reopen
+        case 2 => d(i) = -1; if (c == '"') mode = 0
+        case 3 => d(i) = -1; if (c == '`') mode = 0
+        case 4 => d(i) = -1; if (c == '\n') mode = 0
+        case 5 =>
+          d(i) = -1
+          if (c == '/' && i > 0 && s.charAt(i - 1) == '*') mode = 0
+      }
+      i += 1
+    }
+    d
+  }
+
+  def rewrite(sql: String, session: SparkSession): String = {
+    // fast path: neither clause can be present — leave internal and
+    // ordinary statements byte-identical
+    val u = sql.toUpperCase(java.util.Locale.ROOT)
+    if (!u.contains("LIMIT") && !u.contains("SAMPLE")) return sql
+    rewriteLimitBy(rewriteSample(sql, session))
+  }
+
+  /** Split a fragment on top-level commas (commas inside parens or
+    * literals stay put). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val d = depths(s)
+    val out = Seq.newBuilder[String]
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == ',' && d(i) == 0) {
+        out += s.substring(start, i); start = i + 1
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** One ORDER BY item: the expression text and its direction suffix
+    * (`DESC NULLS FIRST` etc., possibly empty). */
+  private case class OrdItem(expr: String, dir: String)
+
+  private val dirSuffixRe =
+    """(?i)(\s+(ASC|DESC))?(\s+NULLS\s+(FIRST|LAST))?\s*$""".r
+
+  private def ordItems(ordText: String): Seq[OrdItem] =
+    splitTopLevel(ordText).map { it =>
+      val m = dirSuffixRe.findFirstMatchIn(it).get // $-anchored: always hits
+      OrdItem(it.substring(0, m.start).trim, it.substring(m.start).trim)
+    }
+
+  private val identRe = """^[A-Za-z_][A-Za-z0-9_]*$""".r
+
+  private def rewriteLimitBy(sql: String): String = {
+    val d = depths(sql)
+    val hit = limitByRe.findAllMatchIn(sql).find(m => d(m.start) == 0)
+      .getOrElse(return sql)
+    val n = hit.group(1).toLong
+    if (n <= 0) fail(s"LIMIT $n BY: n must be positive")
+    val ord = orderByRe.findAllMatchIn(sql.substring(0, hit.start))
+      .filter(o => d(o.start) == 0).toSeq.lastOption.getOrElse(fail(
+        "LIMIT n BY requires a top-level ORDER BY: CH keeps the first n " +
+          "rows PER KEY in result order, and without an explicit order " +
+          "that selection is engine-private — name the order"))
+    val ordText = sql.substring(ord.end, hit.start).trim
+    val base = sql.substring(0, ord.start).trim
+    val colsEnd = tailKwRe.findAllMatchIn(sql)
+      .find(k => k.start >= hit.end && d(k.start) == 0)
+      .map(_.start).getOrElse(sql.length)
+    var cols = sql.substring(hit.end, colsEnd).trim
+    // CH allows LIMIT n BY (k1, k2); PARTITION BY (k1, k2) would read a
+    // struct, so strip one full enclosing pair
+    if (cols.startsWith("(") && cols.endsWith(")") &&
+        depths(cols).drop(1).dropRight(1).forall(_ >= 1))
+      cols = cols.substring(1, cols.length - 1).trim
+    if (cols.isEmpty) fail("LIMIT n BY needs at least one key column")
+    val tail = sql.substring(colsEnd).trim
+
+    // Two rewrite shapes, picked per query:
+    //  - WRAP the whole base as a subquery when every ORDER BY / BY
+    //    identifier is projected (covers SELECT aliases — the common CH
+    //    idiom `ORDER BY cnt DESC LIMIT 3 BY k` over a GROUP BY);
+    //  - INJECT the window + hidden order columns into the base's own
+    //    select list when the order references UNPROJECTED base columns
+    //    (they resolve in the base's FROM scope; aliases don't — the one
+    //    scope a textual rewrite cannot straddle, stated in the docs).
+    val dBase = depths(base)
+    val selM = """(?i)\bSELECT\b""".r.findAllMatchIn(base)
+      .find(m => dBase(m.start) == 0)
+    val fromM = """(?i)\bFROM\b""".r.findAllMatchIn(base)
+      .find(m => dBase(m.start) == 0 && selM.exists(_.end <= m.start))
+    val selList = (selM, fromM) match {
+      case (Some(s), Some(f)) => Some(base.substring(s.end, f.start))
+      case _ => None
+    }
+    val hasSetOp = """(?i)\b(UNION|INTERSECT|EXCEPT)\b""".r
+      .findAllMatchIn(base).exists(m => dBase(m.start) == 0)
+    val isDistinct =
+      selList.exists(_.trim.toUpperCase(java.util.Locale.ROOT)
+        .startsWith("DISTINCT"))
+    val items = ordItems(ordText)
+    val byCols = splitTopLevel(cols)
+    def projected(x: String): Boolean =
+      identRe.findFirstIn(x).isDefined && selList.exists(sl =>
+        ("""(?i)\b""" + java.util.regex.Pattern.quote(x) + """\b""").r
+          .findFirstIn(sl).isDefined)
+    val allProjected = (items.map(_.expr) ++ byCols).forall(projected)
+
+    if (allProjected || hasSetOp || isDistinct || selList.isEmpty) {
+      s"""SELECT * EXCEPT (__graft_rn) FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY $cols ORDER BY $ordText)
+         |    AS __graft_rn
+         |  FROM ( $base ) __graft_lb) __graft_lb2
+         |WHERE __graft_rn <= $n ORDER BY $ordText $tail""".stripMargin
+    } else {
+      val hidden = items.zipWithIndex
+        .map { case (it, i) => s"${it.expr} AS __graft_o$i" }
+      val outerOrd = items.zipWithIndex
+        .map { case (it, i) => s"__graft_o$i ${it.dir}".trim }
+      val except = "__graft_rn" +: items.indices.map(i => s"__graft_o$i")
+      val injected = base.substring(0, fromM.get.start) +
+        s", ${hidden.mkString(", ")}, row_number() OVER (PARTITION BY " +
+        s"$cols ORDER BY $ordText) AS __graft_rn " +
+        base.substring(fromM.get.start)
+      s"""SELECT * EXCEPT (${except.mkString(", ")}) FROM (
+         |  $injected ) __graft_lb
+         |WHERE __graft_rn <= $n
+         |ORDER BY ${outerOrd.mkString(", ")} $tail""".stripMargin
+    }
+  }
+
+  private def rewriteSample(sql: String, session: SparkSession): String = {
+    val d = depths(sql)
+    val hit = sampleRe.findAllMatchIn(sql).find(m => d(m.start) == 0)
+      .getOrElse(return sql)
+    val table = hit.group(1)
+    val a = hit.group(2).toInt
+    val b = hit.group(3).toInt
+    if (b != 16 && b != 256)
+      fail(s"SAMPLE $a/$b: denominator must be 16 or 256 (the md5 hex " +
+        "prefix device that both this engine and the DuckDB oracle can " +
+        "evaluate deterministically)")
+    if (a <= 0 || a >= b) fail(s"SAMPLE $a/$b: need 0 < a < b")
+    val alias = table.split('.').last
+    val key = session.conf.getOption(s"graft.sample.key.$alias").getOrElse(
+      fail(s"SAMPLE on '$table' needs a sampling key: set " +
+        s"graft.sample.key.$alias=<column> on the session (the engine's " +
+        "stand-in for CH's SAMPLE BY table clause)"))
+    val (len, bound) =
+      if (b == 16) (1, f"${a}%x") else (2, f"${a}%02x")
+    val pred = s"substring(md5(cast(cast($key AS STRING) AS BINARY)), " +
+      s"1, $len) < '$bound'"
+    sql.substring(0, hit.start) +
+      s"FROM (SELECT * FROM $table WHERE $pred) $alias" +
+      sql.substring(hit.end)
+  }
+}

@@ -8,6 +8,10 @@ object TestSession {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // full extension path (functions + rules + the CH-dialect parser):
+      // the o_s7/o_s8 keys feed LITERAL CH SQL through spark.sql, which
+      // only the build-time-injected parser can accept
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

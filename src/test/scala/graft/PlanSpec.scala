@@ -53,6 +53,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$p")
   }
 
+  test("o_s7: literal CH 'LIMIT n BY' parses into the windowed group-limit plan") {
+    // the text goes through spark.sql via the injected CH-dialect parser;
+    // the physical plan must be the o_w2 shape — a row_number window with
+    // the rn<=k filter pushed to WindowGroupLimit, NOT a global sort+scan
+    val p = plan("o_s7_limit_by_sql")
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$p")
+    assert(p.contains("row_number"), s"expected a row_number window in:\n$p")
+  }
+
+  test("o_s8: literal CH 'SAMPLE a/b' becomes a deterministic pushed filter") {
+    val df = SparkEntry.queries("o_s8_sample_sql")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the md5-prefix predicate filters BEFORE the aggregate (no sample
+    // operator, no RNG — substring(md5(..)) < bound inside the scan stage)
+    assert(p.contains("md5"), s"expected the md5 device in:\n$p")
+    assert(!p.toLowerCase.contains("sample"), s"no RNG sampler expected in:\n$p")
+  }
+
   test("o_w6: leaderboard position rides the slice CDF, not an n_orders window") {
     // the catalog entry Materialize.drops its (small) result, hiding the
     // plan — so the shape that REPLACED the hazard (row_number over a

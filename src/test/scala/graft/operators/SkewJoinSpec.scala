@@ -35,11 +35,15 @@ class SkewJoinSpec extends AnyFunSuite {
     val e = Tables.events(spark, sf)
     val doubled = e.dropDuplicates(Seq("event_id"))
       .dropDuplicates(Seq("event_id", "user_id"))
+    // TestSession runs the full extension path (r17), so CollapseDedup
+    // fires as a post-hoc resolution rule DURING analysis — the analyzed
+    // plan arrives already collapsed; the rule must also be idempotent
     val analyzed = doubled.queryExecution.analyzed
-    assert("Deduplicate".r.findAllIn(analyzed.toString).size == 2)
+    assert("Deduplicate".r.findAllIn(analyzed.toString).size == 1,
+      s"extension should collapse at analysis:\n$analyzed")
     val collapsed = graft.plans.CollapseDedup(analyzed)
     assert("Deduplicate".r.findAllIn(collapsed.toString).size == 1,
-      s"expected collapsed dedup, got:\n$collapsed")
+      s"rule must be idempotent, got:\n$collapsed")
     // non-subset keys must NOT collapse (outer (user_id) ⊄ inner (event_id))
     val mixed = e.dropDuplicates(Seq("event_id")).dropDuplicates(Seq("user_id"))
       .queryExecution.analyzed

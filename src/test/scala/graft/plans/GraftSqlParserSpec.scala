@@ -1,0 +1,129 @@
+package graft.plans
+
+import graft.TestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CH-dialect parse-time rewrite ([[GraftSqlParser]]): the clause shapes,
+  * the untouchability of strings/subqueries/ordinary SQL, and the loud
+  * failure modes. Result-level correctness of the rewrites is pinned by
+  * the DuckDB oracles (o_s7/o_s8) and the HttpSqlSpec e2e. */
+class GraftSqlParserSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def rw(sql: String): String = GraftSqlDialect.rewrite(sql, spark)
+
+  test("ordinary SQL — including Spark-internal statements — passes byte-identical") {
+    val untouched = Seq(
+      "SELECT 1",
+      "SELECT a FROM t ORDER BY a LIMIT 5",
+      "SELECT a, count(*) FROM t GROUP BY a",
+      "CREATE TABLE t (a INT) USING parquet",
+      // the clause text inside a STRING literal is data, not syntax
+      "SELECT 'LIMIT 3 BY k' AS s FROM t",
+      "SELECT '... SAMPLE 1/16 ...' AS s FROM t",
+      // a subquery's own LIMIT is below top level
+      "SELECT * FROM (SELECT a FROM t ORDER BY a LIMIT 3) q ORDER BY a")
+    untouched.foreach(s => assert(rw(s) eq s, s"should pass through: $s"))
+  }
+
+  test("LIMIT n BY rewrites to the row_number window; tail LIMIT survives") {
+    val out = rw("SELECT a, b FROM t ORDER BY b DESC, a LIMIT 3 BY a LIMIT 10")
+    assert(out.contains("row_number() OVER (PARTITION BY a ORDER BY b DESC, a)"))
+    assert(out.contains("__graft_rn <= 3"))
+    assert(out.contains("EXCEPT (__graft_rn)"))
+    assert(out.trim.endsWith("ORDER BY b DESC, a LIMIT 10"))
+    // parenthesized key list loses ITS parens (PARTITION BY (a,b) would
+    // read a struct) while expression parens inside keys survive
+    val multi = rw("SELECT a, b, c FROM t ORDER BY c LIMIT 1 BY (a, b)")
+    assert(multi.contains("PARTITION BY a, b ORDER BY c"))
+  }
+
+  test("LIMIT n BY without a top-level ORDER BY fails loudly") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      rw("SELECT a FROM t LIMIT 3 BY a")
+    }
+    assert(e.getMessage.contains("ORDER BY"))
+    // an ORDER BY inside a subquery does not count
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      rw("SELECT a FROM (SELECT a FROM t ORDER BY a) q LIMIT 3 BY a")
+    }
+    assert(e2.getMessage.contains("ORDER BY"))
+  }
+
+  test("SAMPLE a/b rewrites to the md5-prefix filter aliased to the table") {
+    spark.conf.set("graft.sample.key.tt", "id")
+    try {
+      val out = rw("SELECT count(*) FROM tt SAMPLE 3/16 WHERE x > 0")
+      assert(out.contains("FROM (SELECT * FROM tt WHERE substring(md5("))
+      assert(out.contains("1, 1) < '3') tt WHERE x > 0"))
+      val out256 = rw("SELECT count(*) FROM tt SAMPLE 20/256")
+      assert(out256.contains("1, 2) < '14'")) // 20 = 0x14
+    } finally spark.conf.unset("graft.sample.key.tt")
+  }
+
+  test("SAMPLE failure modes are loud: no key, bad denominator, bad fraction") {
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      rw("SELECT 1 FROM nokey SAMPLE 1/16")
+    }
+    assert(e1.getMessage.contains("graft.sample.key.nokey"))
+    spark.conf.set("graft.sample.key.tt", "id")
+    try {
+      val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+        rw("SELECT 1 FROM tt SAMPLE 1/10")
+      }
+      assert(e2.getMessage.contains("16 or 256"))
+      val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+        rw("SELECT 1 FROM tt SAMPLE 16/16")
+      }
+      assert(e3.getMessage.contains("0 < a < b"))
+    } finally spark.conf.unset("graft.sample.key.tt")
+  }
+
+  test("LIMIT BY composes with SAMPLE in one statement") {
+    spark.conf.set("graft.sample.key.tt", "id")
+    try {
+      val out = rw(
+        "SELECT a, b FROM tt SAMPLE 1/16 ORDER BY b LIMIT 2 BY a")
+      assert(out.contains("md5") && out.contains("__graft_rn <= 2"))
+    } finally spark.conf.unset("graft.sample.key.tt")
+  }
+
+  test("spark.sql end-to-end: LIMIT n BY over a temp view") {
+    import spark.implicits._
+    Seq((1, 10), (1, 9), (1, 8), (2, 7), (2, 6)).toDF("k", "v")
+      .createOrReplaceTempView("lbt")
+    val rows = spark.sql("SELECT k, v FROM lbt ORDER BY v DESC LIMIT 2 BY k")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(rows.toSeq == Seq((1, 10), (1, 9), (2, 7), (2, 6)))
+    // output columns carry no rewrite artifacts
+    assert(spark.sql(
+      "SELECT k, v FROM lbt ORDER BY v DESC LIMIT 1 BY k").columns.toSeq ==
+      Seq("k", "v"))
+  }
+
+  test("LIMIT BY ordering by an UNPROJECTED base column (injection shape)") {
+    import spark.implicits._
+    Seq((1, 10, "a"), (1, 9, "b"), (1, 8, "c"), (2, 7, "d"), (2, 6, "e"))
+      .toDF("k", "v", "s").createOrReplaceTempView("lbt2")
+    // v is not in the select list: the rewrite must inject the window and
+    // hidden order columns into the base query's own scope
+    val rows = spark.sql("SELECT k, s FROM lbt2 ORDER BY v DESC LIMIT 2 BY k")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1, "a"), (1, "b"), (2, "d"), (2, "e")))
+    assert(spark.sql(
+      "SELECT k, s FROM lbt2 ORDER BY v DESC LIMIT 2 BY k").columns.toSeq ==
+      Seq("k", "s"))
+  }
+
+  test("LIMIT BY ordering by a GROUP BY aggregate alias (wrapping shape)") {
+    import spark.implicits._
+    Seq((1, "x"), (1, "x"), (1, "y"), (2, "z"), (2, "z"), (2, "z"))
+      .toDF("k", "g").createOrReplaceTempView("lbt3")
+    // the common CH idiom: top-1 group per key by count alias
+    val rows = spark.sql(
+      "SELECT k, g, count(*) AS cnt FROM lbt3 GROUP BY k, g " +
+        "ORDER BY cnt DESC, g LIMIT 1 BY k")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSet == Set((1, "x", 2L), (2, "z", 3L)))
+  }
+}

@@ -164,6 +164,38 @@ class HttpSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("CH dialect over HTTP: LIMIT n BY and SAMPLE a/b run end-to-end") {
+    withServer { (c, p) =>
+      // the literal clause an arriving CH analyst types at port 8123
+      val r = post(c, p,
+        "SELECT o_custkey, o_orderkey FROM orders " +
+          "ORDER BY o_totalprice DESC, o_orderkey " +
+          "LIMIT 2 BY o_custkey FORMAT TSVWithNames")
+      assert(r.statusCode() == 200, r.body())
+      val lines = r.body().linesIterator.toSeq
+      assert(lines.head == "o_custkey\to_orderkey")
+      val perKey = lines.tail.map(_.split('\t')(0))
+        .groupBy(identity).view.mapValues(_.size)
+      assert(perKey.nonEmpty && perKey.values.max <= 2,
+        "LIMIT 2 BY must cap rows per key at 2")
+      // SAMPLE without a declared sampling key is the permanent class
+      val bad = post(c, p, "SELECT COUNT(*) FROM orders SAMPLE 1/16")
+      assert(bad.statusCode() == 400, s"${bad.statusCode()} ${bad.body()}")
+      assert(bad.body().contains("sampling key"))
+      spark.conf.set("graft.sample.key.orders", "o_orderkey")
+      try {
+        val ok = post(c, p, "SELECT COUNT(*) AS n FROM orders SAMPLE 1/16")
+        assert(ok.statusCode() == 200, ok.body())
+        val full = post(c, p, "SELECT COUNT(*) AS n FROM orders")
+        val (nS, nF) = (ok.body().trim.toLong, full.body().trim.toLong)
+        assert(nS > 0 && nS < nF, s"sample $nS of $nF should be a strict subset")
+        // determinism: the same text draws the same rows every time
+        assert(post(c, p, "SELECT COUNT(*) AS n FROM orders SAMPLE 1/16")
+          .body().trim.toLong == nS)
+      } finally spark.conf.unset("graft.sample.key.orders")
+    }
+  }
+
   test("NULL and timestamp rendering follow the CH conventions") {
     withServer { (c, p) =>
       val r = get(c, p, s"/?query=${enc(
