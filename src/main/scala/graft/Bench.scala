@@ -151,8 +151,12 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
+    // whale-headroom gauge: the peak buffered events any parametric
+    // aggregate held for one group across the whole run, vs the cap —
+    // the pre-failure observability VERDICT r16 asked for
+    val maxGroupEvents = functions.ParametricAgg.peakBuffered
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min-of-${passes.length}-passes","pass_totals":$passTotals,"pass_load_avg":$passLoadsJson,${BootInfo.jsonFields},"backbone_build_sec":$backboneSec,"vec_index_build_sec":$vecIndexSec,"pipeline_build_sec":$pipelineSec,"queries":$qs,"errors":$errors,"sf":$sfJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min-of-${passes.length}-passes","pass_totals":$passTotals,"pass_load_avg":$passLoadsJson,${BootInfo.jsonFields},"backbone_build_sec":$backboneSec,"vec_index_build_sec":$vecIndexSec,"pipeline_build_sec":$pipelineSec,"max_group_events":$maxGroupEvents,"parametric_cap":${functions.ParametricAgg.maxEvents},"queries":$qs,"errors":$errors,"sf":$sfJson}"""
     println(line)
     // The driver captures stdout with a tail that can truncate the JSON
     // head on long runs — persist the full line to a file as well so

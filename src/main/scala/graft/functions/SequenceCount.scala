@@ -112,6 +112,9 @@ case class SequenceCountAgg(
   private def firstExpr = children(3)
   private def secondExpr = children(4)
 
+  // shared peak-buffer gauge, acquired on the driver, shipped to tasks
+  private val peakAcc = ParametricAgg.acquire()
+
   override def checkInputDataTypes(): TypeCheckResult = {
     val tsOk = tsExpr.dataType == TimestampType || tsExpr.dataType == LongType
     val ok = tsOk && tieExpr.dataType == LongType &&
@@ -133,7 +136,8 @@ case class SequenceCountAgg(
   override def update(b: SequenceCount.State,
                       row: InternalRow): SequenceCount.State = {
     ParametricAgg.guard(b.n, prettyName,
-      "graft.operators.EventAnalytics.sequenceCount / sequenceCountChunked")
+      "graft.operators.EventAnalytics.sequenceCount / sequenceCountChunked",
+      peakAcc)
     val t = tsExpr.eval(row)
     val k = tieExpr.eval(row)
     if (t != null && k != null) {
@@ -151,7 +155,8 @@ case class SequenceCountAgg(
   override def merge(b: SequenceCount.State,
                      o: SequenceCount.State): SequenceCount.State = {
     ParametricAgg.guard(b.n + o.n - 1, prettyName,
-      "graft.operators.EventAnalytics.sequenceCount / sequenceCountChunked")
+      "graft.operators.EventAnalytics.sequenceCount / sequenceCountChunked",
+      peakAcc)
     var i = 0
     while (i < o.n) { b.add(o.us(i), o.tie(i), o.isA(i)); i += 1 }
     b

@@ -388,6 +388,9 @@ case class SequenceMatchPatternAgg(
   private def unitMicros: Long =
     if (tsExpr.dataType == TimestampType) 1000000L else 1L
 
+  // shared peak-buffer gauge, acquired on the driver, shipped to tasks
+  private val peakAcc = ParametricAgg.acquire()
+
   override def checkInputDataTypes(): TypeCheckResult = {
     val tsOk = tsExpr.dataType == TimestampType || tsExpr.dataType == LongType
     val ok = tsOk && tieExpr.dataType == LongType &&
@@ -410,7 +413,7 @@ case class SequenceMatchPatternAgg(
                       row: InternalRow): SequenceMatchPattern.State = {
     ParametricAgg.guard(b.n, prettyName,
       "graft.operators.EventAnalytics.sequenceMatch / the lead()-window " +
-        "formulations (o_a17-style)")
+        "formulations (o_a17-style)", peakAcc)
     val t = tsExpr.eval(row)
     val k = tieExpr.eval(row)
     if (t != null && k != null) {
@@ -430,7 +433,7 @@ case class SequenceMatchPatternAgg(
                      o: SequenceMatchPattern.State): SequenceMatchPattern.State = {
     ParametricAgg.guard(b.n + o.n - 1, prettyName,
       "graft.operators.EventAnalytics.sequenceMatch / the lead()-window " +
-        "formulations (o_a17-style)")
+        "formulations (o_a17-style)", peakAcc)
     var i = 0
     while (i < o.n) { b.add(o.us(i), o.tie(i), o.mask(i)); i += 1 }
     b

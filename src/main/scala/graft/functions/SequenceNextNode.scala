@@ -151,6 +151,9 @@ case class SequenceNextNodeAgg(
   private def conds = children.drop(5)
   private def nConds = conds.size
 
+  // shared peak-buffer gauge, acquired on the driver, shipped to tasks
+  private val peakAcc = ParametricAgg.acquire()
+
   override def checkInputDataTypes(): TypeCheckResult = {
     val tsOk = tsExpr.dataType == TimestampType || tsExpr.dataType == LongType
     val ok = tsOk && tieExpr.dataType == LongType &&
@@ -174,7 +177,7 @@ case class SequenceNextNodeAgg(
                       row: InternalRow): SequenceNextNode.State = {
     ParametricAgg.guard(b.n, prettyName,
       "the o_a21/o_a21c/o_a21d lead()/lag()-window formulations " +
-        "(operators.EventAnalytics)")
+        "(operators.EventAnalytics)", peakAcc)
     val t = tsExpr.eval(row)
     val k = tieExpr.eval(row)
     if (t != null && k != null) {
@@ -198,7 +201,7 @@ case class SequenceNextNodeAgg(
                      o: SequenceNextNode.State): SequenceNextNode.State = {
     ParametricAgg.guard(b.n + o.n - 1, prettyName,
       "the o_a21/o_a21c/o_a21d lead()/lag()-window formulations " +
-        "(operators.EventAnalytics)")
+        "(operators.EventAnalytics)", peakAcc)
     var i = 0
     while (i < o.n) { b.add(o.us(i), o.tie(i), o.value(i), o.mask(i)); i += 1 }
     b

@@ -20,13 +20,79 @@ import org.apache.spark.sql.types._
 object ParametricAgg {
   def maxEvents: Int =
     Integer.getInteger("graft.parametric.maxEventsPerGroup", 1000000)
-  def guard(n: Int, fn: String, scalePath: String): Unit =
+  def guard(n: Int, fn: String, scalePath: String,
+            peak: MaxAccumulator = null): Unit = {
+    if (peak != null) peak.add(n + 1L) // buffer size AFTER the pending add
     if (n >= maxEvents) throw new IllegalStateException(
       s"$fn buffered $n events in one group, at the " +
         s"graft.parametric.maxEventsPerGroup cap (${maxEvents}): a group " +
         "this hot is a whale the buffered SQL aggregate cannot hold in " +
         s"executor heap — use the one-shuffle library form ($scalePath) " +
         "which handles whale groups by construction, or raise the cap")
+  }
+
+  /** Pre-failure observability for the cap above (r16 VERDICT: a group
+    * approaching `maxEventsPerGroup` was invisible until the loud
+    * throw): a max-accumulator tracking the PEAK buffered events in any
+    * single group. Each buffering aggregate acquires the shared
+    * accumulator at build time (driver) and ships it in its task
+    * closure; executors fold task-local maxima and the driver merges
+    * them on task end, so the figure is cluster-correct, not
+    * local-mode-only. Surfaced per action in `system_query_log`
+    * ([[graft.sources.QueryLog]] `max_group_events`) and per run in the
+    * bench JSON — an operator reads headroom as peak/cap. */
+  final class MaxAccumulator
+    extends org.apache.spark.util.AccumulatorV2[Long, Long] {
+    private var v = 0L
+    override def isZero: Boolean = v == 0L
+    override def copy(): MaxAccumulator = {
+      val c = new MaxAccumulator; c.v = v; c
+    }
+    override def reset(): Unit = v = 0L
+    override def add(x: Long): Unit = if (x > v) v = x
+    override def merge(
+        o: org.apache.spark.util.AccumulatorV2[Long, Long]): Unit =
+      add(o.value)
+    override def value: Long = v
+  }
+
+  @volatile private var driverAcc: MaxAccumulator = null
+  @volatile private var driverAccApp: String = null
+
+  /** Driver-side lazy registration of the shared peak accumulator (one
+    * per SparkContext — re-registered if the context was replaced, the
+    * test-suite lifecycle). Returns null when no context is active
+    * (executor-side construction paths), which guard() tolerates. */
+  def acquire(): MaxAccumulator = synchronized {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession) match {
+      case Some(sp) if !sp.sparkContext.isStopped =>
+        val sc = sp.sparkContext
+        if (driverAcc == null || driverAccApp != sc.applicationId) {
+          driverAcc = new MaxAccumulator
+          sc.register(driverAcc, "graft.parametric.maxBufferedPerGroup")
+          driverAccApp = sc.applicationId
+        }
+        driverAcc
+      case _ => null
+    }
+  }
+
+  /** Current peak (0 when no parametric aggregate ran). */
+  def peakBuffered: Long = {
+    val a = driverAcc
+    if (a == null) 0L else a.value
+  }
+
+  /** Read and re-zero — the per-action attribution device QueryLog uses.
+    * Under CONCURRENT actions the peak attributes to whichever action
+    * completes first (one shared figure; the ops surface is a single
+    * analyst's, stated). */
+  def peakAndReset(): Long = {
+    val a = driverAcc
+    if (a == null) 0L
+    else { val v = a.value; a.reset(); v }
+  }
 
   /** Index sort by the (key, tie) total order WITHOUT boxing — every
     * buffered aggregate's eval starts with this sort, and on a whale
@@ -219,6 +285,9 @@ case class WindowFunnelAgg(
   private def conds = children.drop(2)
   private def nStages = conds.size
 
+  // shared peak-buffer gauge, acquired on the driver, shipped to tasks
+  private val peakAcc = ParametricAgg.acquire()
+
   override def checkInputDataTypes(): TypeCheckResult = {
     val tsOk = tsExpr.dataType == TimestampType || tsExpr.dataType == LongType
     val condsOk = conds.forall(_.dataType == BooleanType)
@@ -238,14 +307,16 @@ case class WindowFunnelAgg(
   override def update(b: WindowFunnel.State,
                       row: InternalRow): WindowFunnel.State = {
     ParametricAgg.guard(b.n, prettyName,
-      "graft.operators.EventAnalytics.funnelLevels / funnelLevelsChunked")
+      "graft.operators.EventAnalytics.funnelLevels / funnelLevelsChunked",
+      peakAcc)
     WindowFunnel.updateState(b, row, tsExpr, conds)
   }
 
   override def merge(b: WindowFunnel.State,
                      o: WindowFunnel.State): WindowFunnel.State = {
     ParametricAgg.guard(b.n + o.n - 1, prettyName,
-      "graft.operators.EventAnalytics.funnelLevels / funnelLevelsChunked")
+      "graft.operators.EventAnalytics.funnelLevels / funnelLevelsChunked",
+      peakAcc)
     var i = 0
     while (i < o.n) { b.add(o.us(i), o.mask(i)); i += 1 }
     b
@@ -337,6 +408,8 @@ case class WindowFunnelModeAgg(
       "strict-increase form is window_funnel(window_us, ts, cond...) " +
       "without a mode)")
   private def strictOrder = modes("strict_order")
+  // shared peak-buffer gauge, acquired on the driver, shipped to tasks
+  private val peakAcc = ParametricAgg.acquire()
   require(children.size >= 5,
     "window_funnel(window_us, mode, ts, tie, cond1, ...) needs at least " +
       "one condition")
@@ -369,7 +442,8 @@ case class WindowFunnelModeAgg(
   override def update(b: SequenceMatchPattern.State,
                       row: InternalRow): SequenceMatchPattern.State = {
     ParametricAgg.guard(b.n, s"$prettyName('$mode')",
-      "graft.operators.EventAnalytics (o_a15b/o_a15d stacked-window forms)")
+      "graft.operators.EventAnalytics (o_a15b/o_a15d stacked-window forms)",
+      peakAcc)
     val t = tsExpr.eval(row)
     val k = tieExpr.eval(row)
     if (t != null && k != null) {
@@ -390,7 +464,8 @@ case class WindowFunnelModeAgg(
   override def merge(b: SequenceMatchPattern.State,
                      o: SequenceMatchPattern.State): SequenceMatchPattern.State = {
     ParametricAgg.guard(b.n + o.n - 1, s"$prettyName('$mode')",
-      "graft.operators.EventAnalytics (o_a15b/o_a15d stacked-window forms)")
+      "graft.operators.EventAnalytics (o_a15b/o_a15d stacked-window forms)",
+      peakAcc)
     var i = 0
     while (i < o.n) { b.add(o.us(i), o.tie(i), o.mask(i)); i += 1 }
     b
@@ -513,6 +588,8 @@ case class SequenceMatchAgg(
 
   // the level() sentinel: negative = no time constraint
   private def effWindow: Long = if (windowMicros == 0) -1L else windowMicros
+  // shared peak-buffer gauge, acquired on the driver, shipped to tasks
+  private val peakAcc = ParametricAgg.acquire()
   private def tsExpr = children(1)
   private def conds = children.drop(2)
   private def nStages = conds.size
@@ -536,14 +613,14 @@ case class SequenceMatchAgg(
   override def update(b: WindowFunnel.State,
                       row: InternalRow): WindowFunnel.State = {
     ParametricAgg.guard(b.n, prettyName,
-      "graft.operators.EventAnalytics.sequenceMatch")
+      "graft.operators.EventAnalytics.sequenceMatch", peakAcc)
     WindowFunnel.updateState(b, row, tsExpr, conds)
   }
 
   override def merge(b: WindowFunnel.State,
                      o: WindowFunnel.State): WindowFunnel.State = {
     ParametricAgg.guard(b.n + o.n - 1, prettyName,
-      "graft.operators.EventAnalytics.sequenceMatch")
+      "graft.operators.EventAnalytics.sequenceMatch", peakAcc)
     var i = 0
     while (i < o.n) { b.add(o.us(i), o.mask(i)); i += 1 }
     b

@@ -47,14 +47,16 @@ final class QueryLog(capacity: Int = 10000) extends QueryExecutionListener {
   override def onSuccess(funcName: String, qe: QueryExecution,
                          durationNs: Long): Unit =
     add(Entry(seq.getAndIncrement(), System.currentTimeMillis(), funcName,
-      durationNs / 1000000L, "OK", ""))
+      durationNs / 1000000L, "OK", "",
+      graft.functions.ParametricAgg.peakAndReset()))
 
   override def onFailure(funcName: String, qe: QueryExecution,
                          error: Exception): Unit =
     add(Entry(seq.getAndIncrement(), System.currentTimeMillis(), funcName,
       -1L, "FAIL",
       Option(error.getMessage).getOrElse(error.getClass.getSimpleName)
-        .linesIterator.take(1).mkString))
+        .linesIterator.take(1).mkString,
+      graft.functions.ParametricAgg.peakAndReset()))
 
   /** Snapshot as a DataFrame (one row per completed action, insertion
     * order by `seq`) — `SELECT * FROM query_log ORDER BY seq DESC` style
@@ -76,9 +78,17 @@ final class QueryLog(capacity: Int = 10000) extends QueryExecutionListener {
 }
 
 object QueryLog {
-  /** One completed action (top level so Spark can derive its Encoder). */
+  /** One completed action (top level so Spark can derive its Encoder).
+    * `max_group_events` is the whale-headroom gauge: the peak buffered
+    * events any parametric event aggregate (window_funnel /
+    * sequence_count / sequence_match / sequence_next_node) held for ONE
+    * group during the action, vs the `graft.parametric.maxEventsPerGroup`
+    * cap — 0 when no buffering aggregate ran. Read-and-reset per action;
+    * under concurrent actions the figure attributes to whichever
+    * completes first (one shared gauge, stated in ParametricAgg). */
   final case class Entry(seq: Long, event_ms: Long, func: String,
-                         duration_ms: Long, status: String, error: String)
+                         duration_ms: Long, status: String, error: String,
+                         max_group_events: Long = 0L)
 
   /** Install a log on the session; returns it for [[QueryLog.toDF]] /
     * uninstall via `spark.listenerManager.unregister`. */

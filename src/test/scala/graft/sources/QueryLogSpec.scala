@@ -47,6 +47,40 @@ class QueryLogSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(log)
   }
 
+  test("max_group_events gauges the parametric aggregates' whale headroom") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    val log = QueryLog.install(spark)
+    try {
+      graft.functions.ParametricAgg.peakAndReset() // clear prior suites' peak
+      val rnd = new scala.util.Random(1741)
+      val types = Seq("signup", "click", "purchase", "view")
+      val df = (0 until 600).map { i =>
+        (rnd.nextInt(10).toLong, types(rnd.nextInt(types.size)),
+          new java.sql.Timestamp(1726300800000L + i * 60000L))
+      }.toDF("user_id", "event_type", "ts")
+      // ground truth: the hottest group's condition-matching row count —
+      // the aggregate buffers exactly these, and the final merge/update
+      // observes the full group size
+      val expected = df.filter(col("event_type") =!= "view")
+        .groupBy("user_id").count().agg(max("count")).head.getLong(0)
+      df.groupBy("user_id")
+        .agg(expr("window_funnel(43200000000, ts, event_type = 'signup', " +
+          "event_type = 'click', event_type = 'purchase')").as("lv"))
+        .collect()
+      val deadline = System.nanoTime() + 10_000_000_000L
+      def gauge(): Option[Long] = log.toDF(spark)
+        .filter(col("max_group_events") > 0)
+        .orderBy(col("seq").desc).collect().headOption
+        .map(_.getAs[Long]("max_group_events"))
+      while (gauge().isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(gauge().contains(expected),
+        s"gauge ${gauge()} != hottest group $expected")
+      // read-and-reset: the action consumed the figure
+      assert(graft.functions.ParametricAgg.peakBuffered == 0L)
+    } finally spark.listenerManager.unregister(log)
+  }
+
   test("the ring is bounded: only the newest `capacity` entries survive") {
     val log = new QueryLog(capacity = 5)
     (0 until 20).foreach { i =>
