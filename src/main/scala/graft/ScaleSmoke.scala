@@ -799,7 +799,10 @@ object ScaleSmoke {
           "o_a18e_seqcount_sql_windowed", "o_a17c_seqmatch_gaps",
           "o_a17d_seqmatch_strictnext", "o_a16b_retention_sql",
           "o_a15g_funnel_sql_strict", "o_a15h_funnel_sql_dedup",
-          "o_a21b_seq_next_node_sql")
+          "o_a21b_seq_next_node_sql",
+          // the r17 keys: same buffered-state-over-the-exchange shape
+          "o_a21c_seq_next_node_backward", "o_a21d_seq_next_node_head",
+          "o_a17e_seqmatch_negation", "o_a15i_funnel_sql_combined")
         // keys whose heavy stage is user_id-keyed (the whale's bytes
         // land in one task) vs pre-reduced/other-keyed contrast keys;
         // the buffered SQL aggregates are user-keyed too — partial
@@ -814,7 +817,9 @@ object ScaleSmoke {
           "o_a18e_seqcount_sql_windowed", "o_a17c_seqmatch_gaps",
           "o_a17d_seqmatch_strictnext",
           "o_a15g_funnel_sql_strict", "o_a15h_funnel_sql_dedup",
-          "o_a21b_seq_next_node_sql")
+          "o_a21b_seq_next_node_sql",
+          "o_a21c_seq_next_node_backward", "o_a21d_seq_next_node_head",
+          "o_a17e_seqmatch_negation", "o_a15i_funnel_sql_combined")
         // the (user_id, chunk)-keyed mitigations: the whale must SPREAD
         val chunkKeyed = Set("o_a15e_funnel_chunked", "o_a18c_seqcount_chunked")
         keys.foreach { k =>
@@ -1026,7 +1031,14 @@ object ScaleSmoke {
             ("o_a17d_seqmatch_strictnext", base, d10),
             ("o_a15g_funnel_sql_strict", base, d10),
             ("o_a15h_funnel_sql_dedup", base, d10),
-            ("o_a21b_seq_next_node_sql", base, d10))
+            ("o_a21b_seq_next_node_sql", base, d10),
+            // the r17 surface keys, decade from birth (same policy)
+            ("o_a21c_seq_next_node_backward", base, d10),
+            ("o_a21d_seq_next_node_head", base, d10),
+            ("o_a17e_seqmatch_negation", base, d10),
+            ("o_a15i_funnel_sql_combined", base, d10),
+            ("o_s7_limit_by_sql", base, d10),
+            ("o_s8_sample_sql", base, d10))
           movers.foreach { case (key, small, big) =>
             // the o_a27 family's adaptive gate steps from the naive
             // window (ONE data shuffle) to the distributed prefix sum

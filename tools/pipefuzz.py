@@ -67,6 +67,15 @@ KEYS = [
     "o_a17d_seqmatch_strictnext",
     "o_a15g_funnel_sql_strict", "o_a15h_funnel_sql_dedup",
     "o_a21b_seq_next_node_sql",
+    # r17: the sequence_next_node direction x base surface, the
+    # pattern-grammar negation, the combined funnel modes, and the
+    # SAMPLE SQL-dialect clause — window/md5 oracles recompose on any
+    # planted event stream (o_s7_limit_by_sql reads ORDERS, which this
+    # corpus does not plant; its clause is fuzz-covered through
+    # GraftSqlParserSpec's randomized shapes instead)
+    "o_a21c_seq_next_node_backward", "o_a21d_seq_next_node_head",
+    "o_a17e_seqmatch_negation", "o_a15i_funnel_sql_combined",
+    "o_s8_sample_sql",
 ]
 
 ADDOPENS = " ".join(
