@@ -1038,7 +1038,8 @@ object ScaleSmoke {
             ("o_a17e_seqmatch_negation", base, d10),
             ("o_a15i_funnel_sql_combined", base, d10),
             ("o_s7_limit_by_sql", base, d10),
-            ("o_s8_sample_sql", base, d10))
+            ("o_s8_sample_sql", base, d10),
+            ("d_text_tokens_bpe", dBase, d10))
           movers.foreach { case (key, small, big) =>
             // the o_a27 family's adaptive gate steps from the naive
             // window (ONE data shuffle) to the distributed prefix sum

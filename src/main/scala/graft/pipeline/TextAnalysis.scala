@@ -30,6 +30,102 @@ object TextAnalysis {
   private[pipeline] def normCol: Column = trim(regexp_replace(
     regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** Number of BPE merges trained for `d_text_tokens_bpe` — small and
+    * fixed so the DuckDB oracle can replay training as K chained CTEs. */
+  private[pipeline] val BPE_MERGES = 10
+
+  /** doc_id + the initial BPE unit string: ' c h a r s | o f | w o r d s '
+    * — characters as units, '|' the word-separator unit, single-space
+    * delimited with sentinel spaces at both ends (so every unit boundary
+    * is ' x ', the anchor the replace passes key on). The normalization
+    * is the shared [[normCol]] chain, whose output alphabet is [a-z0-9 ]
+    * — the reserved '|' and '~' units can never occur as characters. */
+  private[pipeline] def bpeInit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("nt", normCol)
+      .select(col("doc_id"), expr(
+        """CASE WHEN nt = '' THEN ' ' ELSE
+             ' ' || array_join(transform(split(nt, ' '),
+               w -> array_join(regexp_extract_all(w, '[a-z0-9]', 0), ' ')),
+               ' | ') || ' ' END""").as("u"))
+
+  /** Train the merge table: BPE_MERGES iterations of corpus-wide
+    * adjacent-pair counting + argmax + one replace pass (contract at the
+    * d_text_tokens_bpe catalog entry). Driver-side loop; each collect is
+    * exactly one rule row. localCheckpoint keeps iteration i's plan from
+    * re-running passes 1..i-1. */
+  private[pipeline] def bpeRules(s: SparkSession, d: String)
+      : Seq[(String, String)] = {
+    import s.implicits._
+    val rules = Seq.newBuilder[(String, String)]
+    var st = bpeInit(s, d).select("u").localCheckpoint(true)
+    (1 to BPE_MERGES).foreach { _ =>
+      val pairs = st.select(explode(expr(
+        """arrays_zip(slice(split(trim(u), ' '), 1, size(split(trim(u), ' ')) - 1),
+                      slice(split(trim(u), ' '), 2, size(split(trim(u), ' ')) - 1))"""))
+          .as("p"))
+        .select(col("p.0").as("p1"), col("p.1").as("p2"))
+        .filter(col("p1") =!= "|" && col("p2") =!= "|" &&
+          col("p1") =!= "" && col("p2") =!= "")
+        .groupBy("p1", "p2").agg(count(lit(1)).as("c"))
+        // sentinel: an exhausted corpus still yields a rule; '~' is
+        // outside the normalized alphabet so its replace is a no-op
+        .unionByName(Seq(("~", "~", -1L)).toDF("p1", "p2", "c"))
+      val best = pairs.orderBy(col("c").desc, col("p1"), col("p2"))
+        .limit(1).collect()(0)
+      val (p1, p2) = (best.getString(0), best.getString(1))
+      rules += ((p1, p2))
+      st = st.withColumn("u",
+        expr(s"replace(u, ' $p1 $p2 ', ' $p1$p2 ')")).localCheckpoint(true)
+    }
+    rules.result()
+  }
+
+  /** The d_text_tokens_bpe oracle: training + encoding replayed in
+    * DuckDB as BPE_MERGES chained (pairs, argmax-rule, replace) CTE
+    * triples — a static SQL string built once; the corpus enters only at
+    * execution. Mirrors bpeInit/bpeRules expression for expression. */
+  private def bpeOracleSql: String = {
+    val init =
+      """s0 AS (
+           SELECT doc_id,
+                  CASE WHEN nt = '' THEN ' ' ELSE
+                    ' ' || array_to_string(list_transform(string_split(nt, ' '),
+                      w -> array_to_string(regexp_extract_all(w, '[a-z0-9]'), ' ')),
+                      ' | ') || ' ' END AS u
+           FROM (SELECT doc_id,
+                        trim(regexp_replace(regexp_replace(lower(text),
+                          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+                 FROM documents))"""
+    val iters = (1 to BPE_MERGES).map { i =>
+      s"""p$i AS (
+           SELECT w[i] AS p1, w[i + 1] AS p2
+           FROM (SELECT string_split(trim(u), ' ') AS w,
+                        unnest(generate_series(1,
+                          len(string_split(trim(u), ' ')) - 1)) AS i
+                 FROM s${i - 1})),
+         r$i AS (
+           SELECT p1, p2 FROM (
+             SELECT p1, p2, COUNT(*) AS c FROM p$i
+             WHERE p1 <> '|' AND p2 <> '|' AND p1 <> '' AND p2 <> ''
+             GROUP BY 1, 2
+             UNION ALL SELECT '~', '~', -1)
+           ORDER BY c DESC, p1, p2 LIMIT 1),
+         s$i AS (
+           SELECT doc_id,
+                  replace(u, ' ' || p1 || ' ' || p2 || ' ',
+                          ' ' || p1 || p2 || ' ') AS u
+           FROM s${i - 1}, r$i)"""
+    }.mkString(",\n")
+    s"""WITH $init,
+       $iters
+       SELECT doc_id,
+              CAST(len(list_filter(string_split(trim(u), ' '),
+                x -> x <> '|' AND x <> '')) AS BIGINT) AS n_tokens,
+              md5(u) AS tok_fp
+       FROM s$BPE_MERGES ORDER BY doc_id"""
+  }
+
   /** Per-position bigram stream (doc_id, pos, w1, w2) — the scoring
     * input, recomputed per call (linear, no shuffle before the join). */
   private def lmBigrams(s: SparkSession, d: String): DataFrame =
@@ -91,6 +187,42 @@ object TextAnalysis {
           when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
             .when(col("s_de") >= col("s_fr"), "de")
             .otherwise("fr"))
+        .orderBy("doc_id")
+    }),
+
+    // True-BPE token counting (r17 stretch): a REAL merge table trained
+    // on the corpus itself (deterministic, corpus-derived like
+    // d_lm_score's bigram MLE), replacing the chars/4 estimate for
+    // budget work that needs subword precision. Contract (documented,
+    // engine-exact): normalize (the shared normCol chain), initial
+    // units = the characters of each word with '|' as the word-separator
+    // unit; train BPE_MERGES rules by repeatedly (a) counting adjacent
+    // non-separator unit pairs corpus-wide, (b) taking the argmax under
+    // the (count DESC, p1 ASC, p2 ASC) total order — a '~' sentinel rule
+    // at count -1 keeps exhausted corpora well-defined (its replace is a
+    // no-op) — and (c) applying the rule as ONE rescan-free left-to-right
+    // replace pass over the unit strings. The single-pass application is
+    // the one stated deviation from textbook BPE: inside a uniform run
+    // the pass's delimiter consumption can group pairs differently than
+    // greedy-with-rescan (token COUNT is unchanged there), and the same
+    // pass semantics run in BOTH engines, so the DuckDB oracle replays
+    // training + encoding bit-for-bit — tok_fp pins the whole
+    // tokenization, not just counts. Scale: training is K linear passes
+    // (here over the full corpus; at 100 TB train on the d_sample_split
+    // md5-prefix deterministic sample — the merge table is
+    // vocabulary-sized either way); encoding is per-row codegen'd
+    // string work, embarrassingly parallel.
+    "d_text_tokens_bpe" -> ((s, d) => {
+      val rules = bpeRules(s, d)
+      val enc = rules.foldLeft("u") { case (e, (p1, p2)) =>
+        s"replace($e, ' $p1 $p2 ', ' $p1$p2 ')"
+      }
+      bpeInit(s, d)
+        .withColumn("u", expr(enc))
+        .select(col("doc_id"),
+          expr("size(filter(split(trim(u), ' '), x -> x <> '|' AND x <> ''))")
+            .cast("long").as("n_tokens"),
+          md5(col("u").cast("binary")).as("tok_fp"))
         .orderBy("doc_id")
     }),
 
@@ -289,6 +421,8 @@ object TextAnalysis {
                 CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS INT) AS n_re_tokens,
                 CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_bpe_est
          FROM documents ORDER BY doc_id""",
+
+    "d_text_tokens_bpe" -> bpeOracleSql,
 
     "d_text_ngram_freq" ->
       """SELECT bg, COUNT(*) AS n FROM (

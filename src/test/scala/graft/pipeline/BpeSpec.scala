@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import graft.TestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** d_text_tokens_bpe — the trained-merge-table token counter: the
+  * reconstruction law, the replace-pass semantics the contract documents,
+  * and training determinism. The DuckDB training replay is pinned by the
+  * catalog differential (the oracle re-trains in SQL). */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  test("reconstruction law: tokens reassemble the normalized text exactly") {
+    val rules = TextAnalysis.bpeRules(spark, sf)
+    assert(rules.size == TextAnalysis.BPE_MERGES)
+    assert(!rules.exists(_._1 == "~"), "fixture has ample pairs: no sentinel")
+    val enc = rules.foldLeft("u") { case (e, (p1, p2)) =>
+      s"replace($e, ' $p1 $p2 ', ' $p1$p2 ')"
+    }
+    val rows = TextAnalysis.bpeInit(spark, sf)
+      .withColumn("u0", col("u"))
+      .withColumn("u", expr(enc))
+      .select(col("doc_id"), col("u0"), col("u")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val units0 = r.getString(1).trim.split(" ").filter(x => x.nonEmpty)
+      val toks = r.getString(2).trim.split(" ").filter(x => x.nonEmpty)
+      // (a) concatenation invariance: merging never changes the text
+      assert(toks.mkString("") == units0.mkString(""),
+        s"doc ${r.getLong(0)}: tokens must reassemble the unit stream")
+      // (b) each merge welds exactly two units into one
+      val merges = units0.length - toks.length
+      assert(merges >= 0 && toks.count(_ != "|") ==
+        units0.count(_ != "|") - merges,
+        s"doc ${r.getLong(0)}: n_tokens must drop by exactly the merges")
+      // (c) word separators are never merged away
+      assert(toks.count(_ == "|") == units0.count(_ == "|"))
+    }
+    // the table genuinely compresses: the corpus has repeated char pairs
+    val totalMerged = rows.map(r => r.getString(1).trim.split(" ").length -
+      r.getString(2).trim.split(" ").length).sum
+    assert(totalMerged > 0, "training should find at least one real merge")
+  }
+
+  test("replace-pass semantics: rescan-free left-to-right, both engines' reading") {
+    import spark.implicits._
+    // the documented uniform-run case: the pass consumes the shared
+    // delimiter, grouping ' l l l l l ' as (1,2)+(4,5) — same COUNT as
+    // greedy-with-rescan, and (verified) the same string DuckDB produces
+    val got = Seq(" l l l l l ").toDF("u")
+      .select(expr("replace(u, ' l l ', ' ll ')")).head.getString(0)
+    assert(got == " ll l ll ", s"got '$got'")
+  }
+
+  test("training is deterministic and frequency-ordered") {
+    val r1 = TextAnalysis.bpeRules(spark, sf)
+    val r2 = TextAnalysis.bpeRules(spark, sf)
+    assert(r1 == r2, "two trainings over the same corpus must agree")
+    // the first rule is the corpus's most frequent adjacent char pair
+    val top = TextAnalysis.bpeInit(spark, sf)
+      .select(explode(expr(
+        """arrays_zip(slice(split(trim(u), ' '), 1, size(split(trim(u), ' ')) - 1),
+                      slice(split(trim(u), ' '), 2, size(split(trim(u), ' ')) - 1))"""))
+        .as("p"))
+      .select(col("p.0").as("p1"), col("p.1").as("p2"))
+      .filter(col("p1") =!= "|" && col("p2") =!= "|")
+      .groupBy("p1", "p2").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("p1"), col("p2")).head
+    assert(r1.head == ((top.getString(0), top.getString(1))))
+  }
+}

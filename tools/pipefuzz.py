@@ -76,6 +76,10 @@ KEYS = [
     "o_a21c_seq_next_node_backward", "o_a21d_seq_next_node_head",
     "o_a17e_seqmatch_negation", "o_a15i_funnel_sql_combined",
     "o_s8_sample_sql",
+    # r17 stretch: trained-BPE token counts — the oracle RE-TRAINS the
+    # merge table in DuckDB, so every planted corpus re-proves training
+    # + encoding bit-for-bit (tok_fp pins the whole tokenization)
+    "d_text_tokens_bpe",
 ]
 
 ADDOPENS = " ".join(
