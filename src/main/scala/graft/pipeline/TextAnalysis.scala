@@ -81,6 +81,25 @@ object TextAnalysis {
     rules.result()
   }
 
+  /** Stored merge table — train ONCE per corpus version, readers read
+    * (the lmModelStore discipline; the production shape is one training
+    * per curation run, N encoders — the iterative trainer's K sequential
+    * jobs are a build cost, not a per-query cost). The table is
+    * BPE_MERGES rows, so the read-back collect is metadata-scale. */
+  private[pipeline] def bpeRulesStored(s: SparkSession, d: String)
+      : Seq[(String, String)] = {
+    val base = s"${Warehouse.versionDir(s, d, "documents.parquet")}/bpe"
+    Warehouse.ensure(s, base) {
+      import s.implicits._
+      bpeRules(s, d).zipWithIndex
+        .map { case ((p1, p2), i) => (i, p1, p2) }
+        .toDF("rank", "p1", "p2")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/rules")
+    }
+    s.read.parquet(s"$base/rules").orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
   /** The d_text_tokens_bpe oracle: training + encoding replayed in
     * DuckDB as BPE_MERGES chained (pairs, argmax-rule, replace) CTE
     * triples — a static SQL string built once; the corpus enters only at
@@ -213,7 +232,7 @@ object TextAnalysis {
     // vocabulary-sized either way); encoding is per-row codegen'd
     // string work, embarrassingly parallel.
     "d_text_tokens_bpe" -> ((s, d) => {
-      val rules = bpeRules(s, d)
+      val rules = bpeRulesStored(s, d)
       val enc = rules.foldLeft("u") { case (e, (p1, p2)) =>
         s"replace($e, ' $p1 $p2 ', ' $p1$p2 ')"
       }

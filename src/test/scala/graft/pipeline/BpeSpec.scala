@@ -54,10 +54,13 @@ class BpeSpec extends AnyFunSuite {
     assert(got == " ll l ll ", s"got '$got'")
   }
 
-  test("training is deterministic and frequency-ordered") {
+  test("training is deterministic and frequency-ordered; the store round-trips") {
     val r1 = TextAnalysis.bpeRules(spark, sf)
     val r2 = TextAnalysis.bpeRules(spark, sf)
     assert(r1 == r2, "two trainings over the same corpus must agree")
+    // the stored table (what the catalog key reads) == a fresh training,
+    // rank order preserved
+    assert(TextAnalysis.bpeRulesStored(spark, sf) == r1)
     // the first rule is the corpus's most frequent adjacent char pair
     val top = TextAnalysis.bpeInit(spark, sf)
       .select(explode(expr(
