@@ -1075,7 +1075,10 @@ object ScaleSmoke {
               "o_a15g_funnel_sql_strict", "o_a15h_funnel_sql_dedup",
               "o_a17b_seqmatch_sql", "o_a17c_seqmatch_gaps",
               "o_a17d_seqmatch_strictnext", "o_a18d_seqcount_sql",
-              "o_a18e_seqcount_sql_windowed", "o_a21b_seq_next_node_sql")
+              "o_a18e_seqcount_sql_windowed", "o_a21b_seq_next_node_sql",
+              // r17: same buffered-state shape, same fan-out adjudication
+              "o_a21c_seq_next_node_backward", "o_a21d_seq_next_node_head",
+              "o_a17e_seqmatch_negation", "o_a15i_funnel_sql_combined")
             val cap = if (bufferedAggCap(key)) 24.0 else 12.0
             if (wS >= (1L << 20))
               require(wB <= cap * wS,
