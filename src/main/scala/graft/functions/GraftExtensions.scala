@@ -180,6 +180,22 @@ object GraftExtensions {
             new SequenceNextNodeAgg(
               Literal("forward") +: Literal("first_match") +: es)
         }
+      }),
+    // CH's FULL sequenceNextNode signature carries a base_condition
+    // positional argument between the value column and the chain
+    // conditions; with/without-base arities overlap (both tails are all
+    // BOOLEAN), so the base form gets its own name rather than a
+    // heuristic dispatch that would misread a 7-arg call
+    ("sequence_next_node_base",
+      new ExpressionInfo(classOf[SequenceNextNodeAgg].getName,
+        "sequence_next_node_base"),
+      (es: Seq[Expression]) => {
+        arity(es, 7, 36,
+          "sequence_next_node_base('direction', 'base', ts, tie, value, " +
+            "base_cond, cond1, ..., condN) needs a direction, a base, a " +
+            "timestamp, a BIGINT tie, a STRING value, a BOOLEAN base " +
+            "condition, and 1-30 conditions")
+        new SequenceNextNodeAgg(es, true)
       }))
 
   /** SQL table functions (FROM-clause relations). The graft_asof builder

@@ -136,8 +136,7 @@ case class SequenceCountAgg(
   override def update(b: SequenceCount.State,
                       row: InternalRow): SequenceCount.State = {
     ParametricAgg.guard(b.n, prettyName,
-      "graft.operators.EventAnalytics.sequenceCount / sequenceCountChunked",
-      peakAcc)
+      "graft.operators.EventAnalytics.sequenceCount / sequenceCountChunked")
     val t = tsExpr.eval(row)
     val k = tieExpr.eval(row)
     if (t != null && k != null) {
@@ -149,16 +148,17 @@ case class SequenceCountAgg(
       if (isF || isS)
         b.add(t.asInstanceOf[Long], k.asInstanceOf[Long], isF)
     }
+    ParametricAgg.notePeak(peakAcc, b.n)
     b
   }
 
   override def merge(b: SequenceCount.State,
                      o: SequenceCount.State): SequenceCount.State = {
     ParametricAgg.guard(b.n + o.n - 1, prettyName,
-      "graft.operators.EventAnalytics.sequenceCount / sequenceCountChunked",
-      peakAcc)
+      "graft.operators.EventAnalytics.sequenceCount / sequenceCountChunked")
     var i = 0
     while (i < o.n) { b.add(o.us(i), o.tie(i), o.isA(i)); i += 1 }
+    ParametricAgg.notePeak(peakAcc, b.n)
     b
   }
 

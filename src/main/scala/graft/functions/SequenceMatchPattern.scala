@@ -413,7 +413,7 @@ case class SequenceMatchPatternAgg(
                       row: InternalRow): SequenceMatchPattern.State = {
     ParametricAgg.guard(b.n, prettyName,
       "graft.operators.EventAnalytics.sequenceMatch / the lead()-window " +
-        "formulations (o_a17-style)", peakAcc)
+        "formulations (o_a17-style)")
     val t = tsExpr.eval(row)
     val k = tieExpr.eval(row)
     if (t != null && k != null) {
@@ -426,6 +426,7 @@ case class SequenceMatchPatternAgg(
       }
       if (m != 0) b.add(t.asInstanceOf[Long], k.asInstanceOf[Long], m)
     }
+    ParametricAgg.notePeak(peakAcc, b.n)
     b
   }
 
@@ -433,9 +434,10 @@ case class SequenceMatchPatternAgg(
                      o: SequenceMatchPattern.State): SequenceMatchPattern.State = {
     ParametricAgg.guard(b.n + o.n - 1, prettyName,
       "graft.operators.EventAnalytics.sequenceMatch / the lead()-window " +
-        "formulations (o_a17-style)", peakAcc)
+        "formulations (o_a17-style)")
     var i = 0
     while (i < o.n) { b.add(o.us(i), o.tie(i), o.mask(i)); i += 1 }
+    ParametricAgg.notePeak(peakAcc, b.n)
     b
   }
 

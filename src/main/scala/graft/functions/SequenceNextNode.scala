@@ -54,6 +54,10 @@ object SequenceNextNode {
   val directions = Set("forward", "backward")
   val bases = Set("head", "tail", "first_match", "last_match")
 
+  /** Mask bit carrying the base-condition flag (conditions are capped at
+    * 30, bits 0..29, so bit 30 is always free). */
+  val BASE_BIT: Int = 1 << 30
+
   /** Buffered (micros, tie, value-or-null, cond-mask) rows. */
   final class State {
     var us = new Array[Long](8)
@@ -112,13 +116,25 @@ object SequenceNextNode {
   }
 }
 
-/** `sequence_next_node('dir', 'base', ts, tie, value, cond1, …)` → STRING.
-  * Children carry the two literals so one layout serves both the
-  * historical 5-arg form (builder prepends 'forward','first_match') and
-  * the full surface. */
+/** `sequence_next_node('dir', 'base', ts, tie, value, cond1, …)` → STRING,
+  * and (hasBaseCond) `sequence_next_node_base('dir', 'base', ts, tie,
+  * value, base_cond, cond1, …)` — CH's FULL signature, whose
+  * `base_condition` positional argument gates the ANCHOR: head/tail
+  * require the fixed anchor event to satisfy it (else NULL, never a
+  * different anchor), and first_match/last_match scan for the
+  * first/last traversal position where the whole chain matches AND the
+  * anchor event satisfies it (this engine's whole-chain reading of
+  * *_match, stated in the object doc; CH anchors on the first event1
+  * match and the two readings differ only when an event1+base match
+  * fails to continue the chain). A separate registered name because the
+  * with/without-base arities overlap (both are ts/tie/value + booleans).
+  * Children carry the two literals so one layout serves the historical
+  * 5-arg form (builder prepends 'forward','first_match'), the full
+  * surface, and the base_condition surface. */
 case class SequenceNextNodeAgg(
     direction: String,
     base: String,
+    hasBaseCond: Boolean,
     children: Seq[Expression],
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
@@ -127,28 +143,47 @@ case class SequenceNextNodeAgg(
   // extract the literals ONCE at build time: the planner later rewrites
   // children to agg-buffer attributes (merge phase), so re-parsing them
   // from children on copy() would see attributes, not literals
-  def this(es: Seq[Expression]) =
+  def this(es: Seq[Expression], withBase: Boolean) =
     this(SequenceMatchPattern.foldableString(es(0),
         "sequence_next_node direction"),
       SequenceMatchPattern.foldableString(es(1), "sequence_next_node base"),
+      withBase,
       es)
+  def this(es: Seq[Expression]) = this(es, false)
 
-  require(children.size >= 6,
-    "sequence_next_node('direction', 'base', ts, tie, value, cond1, ...) " +
-      "needs a direction, a base, and at least one condition")
-  require(children.size <= 5 + 30,
-    "sequence_next_node supports at most 30 conditions (bitmask bound)")
+  private def fnName =
+    if (hasBaseCond) "sequence_next_node_base" else "sequence_next_node"
+
+  require(children.size >= (if (hasBaseCond) 7 else 6),
+    s"$fnName('direction', 'base', ts, tie, value, " +
+      (if (hasBaseCond) "base_cond, " else "") +
+      "cond1, ...) needs a direction, a base" +
+      (if (hasBaseCond) ", a base condition" else "") +
+      ", and at least one condition")
+  require(children.size <= (if (hasBaseCond) 6 else 5) + 30,
+    s"$fnName supports at most 30 conditions (bitmask bound)")
 
   require(SequenceNextNode.directions(direction),
-    s"sequence_next_node direction '$direction' must be 'forward' | 'backward'")
+    s"$fnName direction '$direction' must be 'forward' | 'backward'")
   require(SequenceNextNode.bases(base),
-    s"sequence_next_node base '$base' must be 'head' | 'tail' | " +
+    s"$fnName base '$base' must be 'head' | 'tail' | " +
       "'first_match' | 'last_match'")
+  // forward+tail / backward+head anchor at the traversal END: a chain of
+  // N>=2 can never fit there and N=1 can only ever read past the stream
+  // ('NONE') — structurally degenerate, so reject loudly like CH rather
+  // than silently returning NULL forever (r17 ADVICE)
+  require(!(direction == "forward" && base == "tail") &&
+    !(direction == "backward" && base == "head"),
+    s"$fnName('$direction', '$base'): the anchor sits at the END of the " +
+      "traversal, so no chain can ever be followed — use forward+head, " +
+      "backward+tail, or a *_match base")
 
   private def tsExpr = children(2)
   private def tieExpr = children(3)
   private def valExpr = children(4)
-  private def conds = children.drop(5)
+  private def baseCondExpr: Option[Expression] =
+    if (hasBaseCond) Some(children(5)) else None
+  private def conds = children.drop(if (hasBaseCond) 6 else 5)
   private def nConds = conds.size
 
   // shared peak-buffer gauge, acquired on the driver, shipped to tasks
@@ -158,17 +193,20 @@ case class SequenceNextNodeAgg(
     val tsOk = tsExpr.dataType == TimestampType || tsExpr.dataType == LongType
     val ok = tsOk && tieExpr.dataType == LongType &&
       valExpr.dataType == StringType &&
+      baseCondExpr.forall(_.dataType == BooleanType) &&
       conds.forall(_.dataType == BooleanType)
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires (literal direction, literal base, " +
-        s"TIMESTAMP|BIGINT ts, BIGINT tie, STRING value, BOOLEAN conds...), " +
+        s"TIMESTAMP|BIGINT ts, BIGINT tie, STRING value, " +
+        (if (hasBaseCond) "BOOLEAN base_cond, " else "") +
+        s"BOOLEAN conds...), " +
         s"got ${children.map(_.dataType.sql).mkString(", ")}")
   }
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
-  override def prettyName: String = "sequence_next_node"
+  override def prettyName: String = fnName
 
   override def createAggregationBuffer(): SequenceNextNode.State =
     new SequenceNextNode.State
@@ -177,7 +215,7 @@ case class SequenceNextNodeAgg(
                       row: InternalRow): SequenceNextNode.State = {
     ParametricAgg.guard(b.n, prettyName,
       "the o_a21/o_a21c/o_a21d lead()/lag()-window formulations " +
-        "(operators.EventAnalytics)", peakAcc)
+        "(operators.EventAnalytics)")
     val t = tsExpr.eval(row)
     val k = tieExpr.eval(row)
     if (t != null && k != null) {
@@ -189,11 +227,19 @@ case class SequenceNextNodeAgg(
         if (cv != null && cv.asInstanceOf[Boolean]) m |= 1 << c
         c += 1
       }
+      // the base-condition flag rides bit 30 (conds capped at 30, so the
+      // bit is always free); NULL base_cond reads false like the conds
+      baseCondExpr.foreach { bc =>
+        val bv = bc.eval(row)
+        if (bv != null && bv.asInstanceOf[Boolean])
+          m |= SequenceNextNode.BASE_BIT
+      }
       // mask-0 rows ARE buffered: adjacency is in the full stream, so
       // non-matching events are the interventions that break chains
       b.add(t.asInstanceOf[Long], k.asInstanceOf[Long],
         if (v == null) null else v.toString, m)
     }
+    ParametricAgg.notePeak(peakAcc, b.n)
     b
   }
 
@@ -201,9 +247,10 @@ case class SequenceNextNodeAgg(
                      o: SequenceNextNode.State): SequenceNextNode.State = {
     ParametricAgg.guard(b.n + o.n - 1, prettyName,
       "the o_a21/o_a21c/o_a21d lead()/lag()-window formulations " +
-        "(operators.EventAnalytics)", peakAcc)
+        "(operators.EventAnalytics)")
     var i = 0
     while (i < o.n) { b.add(o.us(i), o.tie(i), o.value(i), o.mask(i)); i += 1 }
+    ParametricAgg.notePeak(peakAcc, b.n)
     b
   }
 
@@ -216,9 +263,12 @@ case class SequenceNextNodeAgg(
     // traversal position p -> buffered row (ascending time for forward,
     // descending for backward)
     @inline def at(p: Int): Int = idx(if (fwd) p else n - 1 - p)
-    // the full chain matches at traversal anchor p
+    // the full chain matches at traversal anchor p, whose event also
+    // satisfies the base condition when one was given (the anchor gate)
     def chainAt(p: Int): Boolean = {
       if (p < 0 || p + N > n) return false
+      if (hasBaseCond &&
+          (b.mask(at(p)) & SequenceNextNode.BASE_BIT) == 0) return false
       var i = 0
       while (i < N) {
         if ((b.mask(at(p + i)) & (1 << i)) == 0) return false

@@ -20,9 +20,7 @@ import org.apache.spark.sql.types._
 object ParametricAgg {
   def maxEvents: Int =
     Integer.getInteger("graft.parametric.maxEventsPerGroup", 1000000)
-  def guard(n: Int, fn: String, scalePath: String,
-            peak: MaxAccumulator = null): Unit = {
-    if (peak != null) peak.add(n + 1L) // buffer size AFTER the pending add
+  def guard(n: Int, fn: String, scalePath: String): Unit = {
     if (n >= maxEvents) throw new IllegalStateException(
       s"$fn buffered $n events in one group, at the " +
         s"graft.parametric.maxEventsPerGroup cap (${maxEvents}): a group " +
@@ -30,6 +28,14 @@ object ParametricAgg {
         s"executor heap — use the one-shuffle library form ($scalePath) " +
         "which handles whale groups by construction, or raise the cap")
   }
+
+  /** Record the buffer size AFTER an update/merge actually ran (r17
+    * ADVICE: recording pre-add counted rows the aggregate then skipped —
+    * null ts, mask-0 drops — inflating the gauge by 1 on some
+    * partitionings). Call at the end of update()/merge() with the
+    * post-add `b.n`, keeping guard() itself pre-add. */
+  def notePeak(peak: MaxAccumulator, n: Int): Unit =
+    if (peak != null && n > 0) peak.add(n.toLong)
 
   /** Pre-failure observability for the cap above (r16 VERDICT: a group
     * approaching `maxEventsPerGroup` was invisible until the loud
@@ -307,18 +313,19 @@ case class WindowFunnelAgg(
   override def update(b: WindowFunnel.State,
                       row: InternalRow): WindowFunnel.State = {
     ParametricAgg.guard(b.n, prettyName,
-      "graft.operators.EventAnalytics.funnelLevels / funnelLevelsChunked",
-      peakAcc)
-    WindowFunnel.updateState(b, row, tsExpr, conds)
+      "graft.operators.EventAnalytics.funnelLevels / funnelLevelsChunked")
+    val r = WindowFunnel.updateState(b, row, tsExpr, conds)
+    ParametricAgg.notePeak(peakAcc, r.n)
+    r
   }
 
   override def merge(b: WindowFunnel.State,
                      o: WindowFunnel.State): WindowFunnel.State = {
     ParametricAgg.guard(b.n + o.n - 1, prettyName,
-      "graft.operators.EventAnalytics.funnelLevels / funnelLevelsChunked",
-      peakAcc)
+      "graft.operators.EventAnalytics.funnelLevels / funnelLevelsChunked")
     var i = 0
     while (i < o.n) { b.add(o.us(i), o.mask(i)); i += 1 }
+    ParametricAgg.notePeak(peakAcc, b.n)
     b
   }
 
@@ -408,6 +415,12 @@ case class WindowFunnelModeAgg(
       "strict-increase form is window_funnel(window_us, ts, cond...) " +
       "without a mode)")
   private def strictOrder = modes("strict_order")
+  // standalone strict_dedup keeps this engine's documented last-of-type
+  // reading, which DIVERGES from CH's repeat-interrupt rule on repeated
+  // stage types (class doc above) — silent at call time until r17
+  // ADVICE: warn ONCE per JVM so a migrating CH analyst learns the
+  // delta without every query paying a log line
+  if (modes == Set("strict_dedup")) WindowFunnelModeAgg.warnStandaloneDedup()
   // shared peak-buffer gauge, acquired on the driver, shipped to tasks
   private val peakAcc = ParametricAgg.acquire()
   require(children.size >= 5,
@@ -442,8 +455,7 @@ case class WindowFunnelModeAgg(
   override def update(b: SequenceMatchPattern.State,
                       row: InternalRow): SequenceMatchPattern.State = {
     ParametricAgg.guard(b.n, s"$prettyName('$mode')",
-      "graft.operators.EventAnalytics (o_a15b/o_a15d stacked-window forms)",
-      peakAcc)
+      "graft.operators.EventAnalytics (o_a15b/o_a15d stacked-window forms)")
     val t = tsExpr.eval(row)
     val k = tieExpr.eval(row)
     if (t != null && k != null) {
@@ -458,16 +470,17 @@ case class WindowFunnelModeAgg(
       if (m != 0 || strictOrder)
         b.add(t.asInstanceOf[Long], k.asInstanceOf[Long], m)
     }
+    ParametricAgg.notePeak(peakAcc, b.n)
     b
   }
 
   override def merge(b: SequenceMatchPattern.State,
                      o: SequenceMatchPattern.State): SequenceMatchPattern.State = {
     ParametricAgg.guard(b.n + o.n - 1, s"$prettyName('$mode')",
-      "graft.operators.EventAnalytics (o_a15b/o_a15d stacked-window forms)",
-      peakAcc)
+      "graft.operators.EventAnalytics (o_a15b/o_a15d stacked-window forms)")
     var i = 0
     while (i < o.n) { b.add(o.us(i), o.tie(i), o.mask(i)); i += 1 }
+    ParametricAgg.notePeak(peakAcc, b.n)
     b
   }
 
@@ -555,6 +568,26 @@ case class WindowFunnelModeAgg(
     copy(children = newChildren)
 }
 
+object WindowFunnelModeAgg {
+  @volatile private var warned = false
+  /** One-time (per JVM) divergence notice for standalone
+    * `strict_dedup` (r17 ADVICE: the delta vs CH was documented but
+    * silent at call time). */
+  private[functions] def warnStandaloneDedup(): Unit =
+    if (!warned) synchronized {
+      if (!warned) {
+        warned = true
+        org.slf4j.LoggerFactory.getLogger(classOf[WindowFunnelModeAgg])
+          .warn("window_funnel('strict_dedup') standalone uses this " +
+            "engine's last-of-type reading, which differs from " +
+            "ClickHouse's repeat-interrupt rule on repeated stage types " +
+            "(signup,click,click,purchase reads level 3 here, 2 in CH); " +
+            "use 'strict_order,strict_dedup' for CH's documented " +
+            "interrupt behavior")
+      }
+    }
+}
+
 /** ClickHouse `sequenceMatch('(?1).*(?2)…')` (optionally with a
   * chain-start time bound) as a SQL aggregate —
   * `sequence_match(window_us, ts, cond1, …, condN)` → BOOLEAN: true iff
@@ -613,16 +646,19 @@ case class SequenceMatchAgg(
   override def update(b: WindowFunnel.State,
                       row: InternalRow): WindowFunnel.State = {
     ParametricAgg.guard(b.n, prettyName,
-      "graft.operators.EventAnalytics.sequenceMatch", peakAcc)
-    WindowFunnel.updateState(b, row, tsExpr, conds)
+      "graft.operators.EventAnalytics.sequenceMatch")
+    val r = WindowFunnel.updateState(b, row, tsExpr, conds)
+    ParametricAgg.notePeak(peakAcc, r.n)
+    r
   }
 
   override def merge(b: WindowFunnel.State,
                      o: WindowFunnel.State): WindowFunnel.State = {
     ParametricAgg.guard(b.n + o.n - 1, prettyName,
-      "graft.operators.EventAnalytics.sequenceMatch", peakAcc)
+      "graft.operators.EventAnalytics.sequenceMatch")
     var i = 0
     while (i < o.n) { b.add(o.us(i), o.mask(i)); i += 1 }
+    ParametricAgg.notePeak(peakAcc, b.n)
     b
   }
 

@@ -101,8 +101,17 @@ object GraftSqlDialect {
       Map("errorMessage" -> s"graft CH-dialect: $why"))
 
   /** Depth per character position; -1 inside string/backtick/double-quote
-    * literals and comments. Top-level code = depth 0. */
-  private[plans] def depths(s: String): Array[Int] = {
+    * literals and comments. Top-level code = depth 0.
+    *
+    * `backslashEscapes`: Spark's DEFAULT string literals honor backslash
+    * escapes ('it\'s'), so the scanner must skip the character after a
+    * backslash inside '…'/"…" or an escaped quote would flip it back to
+    * code mode mid-literal and clause-like text in the string could be
+    * rewritten (r17 ADVICE). False only when the session sets
+    * `spark.sql.parser.escapedStringLiterals` (the legacy mode where a
+    * backslash is a literal character). */
+  private[plans] def depths(s: String,
+                            backslashEscapes: Boolean = true): Array[Int] = {
     val d = new Array[Int](s.length)
     var depth = 0
     var mode = 0 // 0 code; 1 '…'; 2 "…"; 3 `…`; 4 -- comment; 5 /* comment
@@ -121,8 +130,12 @@ object GraftSqlDialect {
           } else if (c == '(') { d(i) = depth; depth += 1 }
           else if (c == ')') { depth -= 1; d(i) = depth }
           else d(i) = depth
-        case 1 => d(i) = -1; if (c == '\'') mode = 0 // '' reads close+reopen
-        case 2 => d(i) = -1; if (c == '"') mode = 0
+        case 1 | 2 =>
+          d(i) = -1
+          if (c == '\\' && backslashEscapes && i + 1 < s.length) {
+            d(i + 1) = -1; i += 1 // skip the escaped character
+          } else if (c == '\'' && mode == 1) mode = 0 // '' = close+reopen
+          else if (c == '"' && mode == 2) mode = 0
         case 3 => d(i) = -1; if (c == '`') mode = 0
         case 4 => d(i) = -1; if (c == '\n') mode = 0
         case 5 =>
@@ -139,13 +152,16 @@ object GraftSqlDialect {
     // ordinary statements byte-identical
     val u = sql.toUpperCase(java.util.Locale.ROOT)
     if (!u.contains("LIMIT") && !u.contains("SAMPLE")) return sql
-    rewriteLimitBy(rewriteSample(sql, session))
+    // escapedStringLiterals = legacy literal-backslash mode (no escapes)
+    val esc = !session.conf.get(
+      "spark.sql.parser.escapedStringLiterals", "false").toBoolean
+    rewriteLimitBy(rewriteSample(sql, session, esc), esc)
   }
 
   /** Split a fragment on top-level commas (commas inside parens or
     * literals stay put). */
-  private def splitTopLevel(s: String): Seq[String] = {
-    val d = depths(s)
+  private def splitTopLevel(s: String, esc: Boolean): Seq[String] = {
+    val d = depths(s, esc)
     val out = Seq.newBuilder[String]
     var start = 0
     var i = 0
@@ -166,16 +182,16 @@ object GraftSqlDialect {
   private val dirSuffixRe =
     """(?i)(\s+(ASC|DESC))?(\s+NULLS\s+(FIRST|LAST))?\s*$""".r
 
-  private def ordItems(ordText: String): Seq[OrdItem] =
-    splitTopLevel(ordText).map { it =>
+  private def ordItems(ordText: String, esc: Boolean): Seq[OrdItem] =
+    splitTopLevel(ordText, esc).map { it =>
       val m = dirSuffixRe.findFirstMatchIn(it).get // $-anchored: always hits
       OrdItem(it.substring(0, m.start).trim, it.substring(m.start).trim)
     }
 
   private val identRe = """^[A-Za-z_][A-Za-z0-9_]*$""".r
 
-  private def rewriteLimitBy(sql: String): String = {
-    val d = depths(sql)
+  private def rewriteLimitBy(sql: String, esc: Boolean): String = {
+    val d = depths(sql, esc)
     val hit = limitByRe.findAllMatchIn(sql).find(m => d(m.start) == 0)
       .getOrElse(return sql)
     val n = hit.group(1).toLong
@@ -194,7 +210,7 @@ object GraftSqlDialect {
     // CH allows LIMIT n BY (k1, k2); PARTITION BY (k1, k2) would read a
     // struct, so strip one full enclosing pair
     if (cols.startsWith("(") && cols.endsWith(")") &&
-        depths(cols).drop(1).dropRight(1).forall(_ >= 1))
+        depths(cols, esc).drop(1).dropRight(1).forall(_ >= 1))
       cols = cols.substring(1, cols.length - 1).trim
     if (cols.isEmpty) fail("LIMIT n BY needs at least one key column")
     val tail = sql.substring(colsEnd).trim
@@ -207,7 +223,7 @@ object GraftSqlDialect {
     //    select list when the order references UNPROJECTED base columns
     //    (they resolve in the base's FROM scope; aliases don't — the one
     //    scope a textual rewrite cannot straddle, stated in the docs).
-    val dBase = depths(base)
+    val dBase = depths(base, esc)
     val selM = """(?i)\bSELECT\b""".r.findAllMatchIn(base)
       .find(m => dBase(m.start) == 0)
     val fromM = """(?i)\bFROM\b""".r.findAllMatchIn(base)
@@ -221,8 +237,8 @@ object GraftSqlDialect {
     val isDistinct =
       selList.exists(_.trim.toUpperCase(java.util.Locale.ROOT)
         .startsWith("DISTINCT"))
-    val items = ordItems(ordText)
-    val byCols = splitTopLevel(cols)
+    val items = ordItems(ordText, esc)
+    val byCols = splitTopLevel(cols, esc)
     def projected(x: String): Boolean =
       identRe.findFirstIn(x).isDefined && selList.exists(sl =>
         ("""(?i)\b""" + java.util.regex.Pattern.quote(x) + """\b""").r
@@ -252,29 +268,44 @@ object GraftSqlDialect {
     }
   }
 
-  private def rewriteSample(sql: String, session: SparkSession): String = {
-    val d = depths(sql)
-    val hit = sampleRe.findAllMatchIn(sql).find(m => d(m.start) == 0)
-      .getOrElse(return sql)
-    val table = hit.group(1)
-    val a = hit.group(2).toInt
-    val b = hit.group(3).toInt
-    if (b != 16 && b != 256)
-      fail(s"SAMPLE $a/$b: denominator must be 16 or 256 (the md5 hex " +
-        "prefix device that both this engine and the DuckDB oracle can " +
-        "evaluate deterministically)")
-    if (a <= 0 || a >= b) fail(s"SAMPLE $a/$b: need 0 < a < b")
-    val alias = table.split('.').last
-    val key = session.conf.getOption(s"graft.sample.key.$alias").getOrElse(
-      fail(s"SAMPLE on '$table' needs a sampling key: set " +
-        s"graft.sample.key.$alias=<column> on the session (the engine's " +
-        "stand-in for CH's SAMPLE BY table clause)"))
-    val (len, bound) =
-      if (b == 16) (1, f"${a}%x") else (2, f"${a}%02x")
-    val pred = s"substring(md5(cast(cast($key AS STRING) AS BINARY)), " +
-      s"1, $len) < '$bound'"
-    sql.substring(0, hit.start) +
-      s"FROM (SELECT * FROM $table WHERE $pred) $alias" +
-      sql.substring(hit.end)
+  /** Rewrites EVERY top-level `FROM tbl SAMPLE a/b` occurrence (a join of
+    * two sampled tables is legal CH), looping because offsets shift per
+    * rewrite; terminates since the replacement text holds no top-level
+    * SAMPLE (the inner SELECT sits inside parens). The sampling key is
+    * looked up under the FULL multipart name first (`graft.sample.key.
+    * db.t`), then the bare last component — so `db1.t` and `db2.t` can
+    * declare different keys while unqualified names keep working (r17
+    * ADVICE: the bare-name-only lookup silently shared one key). */
+  private def rewriteSample(sql: String, session: SparkSession,
+                            esc: Boolean): String = {
+    var cur = sql
+    while (true) {
+      val d = depths(cur, esc)
+      val hit = sampleRe.findAllMatchIn(cur).find(m => d(m.start) == 0)
+        .getOrElse(return cur)
+      val table = hit.group(1)
+      val a = hit.group(2).toInt
+      val b = hit.group(3).toInt
+      if (b != 16 && b != 256)
+        fail(s"SAMPLE $a/$b: denominator must be 16 or 256 (the md5 hex " +
+          "prefix device that both this engine and the DuckDB oracle can " +
+          "evaluate deterministically)")
+      if (a <= 0 || a >= b) fail(s"SAMPLE $a/$b: need 0 < a < b")
+      val alias = table.split('.').last
+      val key = session.conf.getOption(s"graft.sample.key.$table")
+        .orElse(session.conf.getOption(s"graft.sample.key.$alias"))
+        .getOrElse(fail(s"SAMPLE on '$table' needs a sampling key: set " +
+          s"graft.sample.key.$table=<column> (or graft.sample.key.$alias) " +
+          "on the session (the engine's stand-in for CH's SAMPLE BY " +
+          "table clause)"))
+      val (len, bound) =
+        if (b == 16) (1, f"${a}%x") else (2, f"${a}%02x")
+      val pred = s"substring(md5(cast(cast($key AS STRING) AS BINARY)), " +
+        s"1, $len) < '$bound'"
+      cur = cur.substring(0, hit.start) +
+        s"FROM (SELECT * FROM $table WHERE $pred) $alias" +
+        cur.substring(hit.end)
+    }
+    cur // unreachable; the loop returns from getOrElse
   }
 }

@@ -19,11 +19,14 @@ class SequenceNextNodeSpec extends AnyFunSuite {
   private case class Ev(us: Long, tie: Long, value: String)
 
   /** The documented contract, straight-line: sort by (us, tie), reverse
-    * for backward, anchor per base, chain = consecutive traversal
-    * positions matching conds in order, result = value after the chain
-    * ('NONE' at traversal end, null value stays null). */
+    * for backward, anchor per base (gated by the base condition when one
+    * is given), chain = consecutive traversal positions matching conds in
+    * order, result = value after the chain ('NONE' at traversal end, null
+    * value stays null). */
   private def reference(events: Seq[Ev], conds: Seq[String => Boolean],
-                        direction: String, base: String): Option[String] = {
+                        direction: String, base: String,
+                        baseCond: Option[String => Boolean] = None)
+      : Option[String] = {
     if (events.isEmpty) return None
     val sorted = events.sortBy(e => (e.us, e.tie))
     val u = if (direction == "forward") sorted else sorted.reverse
@@ -31,6 +34,7 @@ class SequenceNextNodeSpec extends AnyFunSuite {
     val N = conds.size
     def chainAt(p: Int): Boolean =
       p >= 0 && p + N <= n &&
+        baseCond.forall(bc => u(p).value != null && bc(u(p).value)) &&
         (0 until N).forall(i => u(p + i).value != null && conds(i)(u(p + i).value))
     val anchor = base match {
       case "head" => if (direction == "forward") 0 else n - 1
@@ -43,19 +47,35 @@ class SequenceNextNodeSpec extends AnyFunSuite {
     else Option(u(anchor + N).value) // null value -> None here; see caller
   }
 
-  /** Run the aggregate over one group and return its (nullable) result. */
+  /** The valid direction x base surface (forward+tail / backward+head
+    * anchor at the traversal end and are rejected — r17 ADVICE). */
+  private val validCombos =
+    for (dir <- Seq("forward", "backward");
+         base <- Seq("head", "tail", "first_match", "last_match")
+         if !(dir == "forward" && base == "tail") &&
+           !(dir == "backward" && base == "head")) yield (dir, base)
+
+  /** Run the aggregate over one group and return its (nullable) result;
+    * `baseCondSql` selects the sequence_next_node_base surface. */
   private def agg(events: Seq[Ev], condSql: Seq[String],
-                  direction: String, base: String): Option[String] = {
+                  direction: String, base: String,
+                  baseCondSql: Option[String] = None): Option[String] = {
     import spark.implicits._
     graft.functions.GraftExtensions.register(spark)
     val df = events.map(e => (e.us, e.tie, e.value)).toDF("us", "tie", "v")
-    val call = s"sequence_next_node('$direction', '$base', us, tie, v, " +
-      condSql.mkString(", ") + ")"
+    val call = baseCondSql match {
+      case None =>
+        s"sequence_next_node('$direction', '$base', us, tie, v, " +
+          condSql.mkString(", ") + ")"
+      case Some(bc) =>
+        s"sequence_next_node_base('$direction', '$base', us, tie, v, $bc, " +
+          condSql.mkString(", ") + ")"
+    }
     val r = df.agg(expr(call)).collect()(0)
     if (r.isNullAt(0)) None else Some(r.getString(0))
   }
 
-  test("randomized tied streams: all 8 direction x base combos match the reference") {
+  test("randomized tied streams: all 6 valid direction x base combos match the reference") {
     val rnd = new scala.util.Random(1701)
     val conds = Seq[String => Boolean](_ == "signup", _ == "click")
     val condSql = Seq("v = 'signup'", "v = 'click'")
@@ -65,14 +85,53 @@ class SequenceNextNodeSpec extends AnyFunSuite {
       val events = (0 until (4 + rnd.nextInt(14))).map { i =>
         Ev(rnd.nextInt(4).toLong * 1000, i.toLong, types(rnd.nextInt(types.size)))
       }
-      for (dir <- Seq("forward", "backward");
-           base <- Seq("head", "tail", "first_match", "last_match")) {
+      validCombos.foreach { case (dir, base) =>
         val want = reference(events, conds, dir, base)
           // reference returns Option(null-value) as None already via Option()
         val got = agg(events, condSql, dir, base)
         assert(got == want,
           s"draw $draw $dir/$base: got $got want $want over $events")
       }
+    }
+  }
+
+  test("degenerate forward+tail / backward+head pairings are rejected loudly") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    val df = Seq((1L, 1L, "signup")).toDF("us", "tie", "v")
+    Seq(("forward", "tail"), ("backward", "head")).foreach { case (d, b) =>
+      val e = intercept[Exception] {
+        df.agg(expr(s"sequence_next_node('$d', '$b', us, tie, v, " +
+          "v = 'signup', v = 'click')")).collect()
+      }
+      assert(e.getMessage.contains("END of the traversal"), s"$d/$b: $e")
+    }
+  }
+
+  test("base_condition gates the anchor on randomized tied streams (all valid combos)") {
+    val rnd = new scala.util.Random(1705)
+    val conds = Seq[String => Boolean](_ == "signup", _ == "click")
+    val condSql = Seq("v = 'signup'", "v = 'click'")
+    // base condition on the anchor event's value: the CH churn idiom
+    // "the pair must START from X" — here a parity-ish value predicate
+    // that bites on some anchors and not others
+    val bcFn: String => Boolean = v => v == "signup" || v == "view"
+    val bcSql = "v IN ('signup', 'view')"
+    (0 until 12).foreach { draw =>
+      val events = (0 until (4 + rnd.nextInt(14))).map { i =>
+        Ev(rnd.nextInt(4).toLong * 1000, i.toLong, types(rnd.nextInt(types.size)))
+      }
+      validCombos.foreach { case (dir, base) =>
+        val want = reference(events, conds, dir, base, Some(bcFn))
+        val got = agg(events, condSql, dir, base, Some(bcSql))
+        assert(got == want,
+          s"draw $draw $dir/$base + base_cond: got $got want $want over $events")
+      }
+      // a TRUE base condition degrades to the plain surface exactly
+      val (dir, base) = validCombos(rnd.nextInt(validCombos.size))
+      assert(agg(events, condSql, dir, base, Some("true")) ==
+        agg(events, condSql, dir, base),
+        s"draw $draw: base_cond=true must equal the plain form")
     }
   }
 

@@ -115,6 +115,51 @@ class GraftSqlParserSpec extends AnyFunSuite {
       Seq("k", "s"))
   }
 
+  test("backslash-escaped quotes inside string literals stay literal (r17 ADVICE)") {
+    // the escaped quote must NOT flip the scanner to code mode: the
+    // clause text after it is still string data
+    val s1 = "SELECT 'it\\'s LIMIT 3 BY k' AS s FROM t ORDER BY s"
+    assert(rw(s1) eq s1, "escaped quote + clause text must pass through")
+    val s2 = "SELECT 'a\\' SAMPLE 1/16 (' AS s FROM t"
+    assert(rw(s2) eq s2, "escaped quote + paren text must pass through")
+    // a REAL clause after a string containing escapes still rewrites
+    val s3 = "SELECT k, 'x\\'y' AS s FROM t ORDER BY k LIMIT 2 BY k"
+    assert(rw(s3).contains("__graft_rn <= 2"))
+    // legacy escapedStringLiterals mode: backslash is a literal char,
+    // so 'a\' is a COMPLETE string and the clause after it is code
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try {
+      val s4 = "SELECT k, 'a\\' AS s FROM t ORDER BY k LIMIT 2 BY k"
+      assert(rw(s4).contains("__graft_rn <= 2"),
+        "legacy mode must treat the backslash as literal")
+    } finally spark.conf.unset("spark.sql.parser.escapedStringLiterals")
+  }
+
+  test("SAMPLE: multipart-name keys win over bare names; every occurrence rewrites") {
+    spark.conf.set("graft.sample.key.db1.t", "id1")
+    spark.conf.set("graft.sample.key.t", "id0")
+    try {
+      // qualified name resolves its own key, not the bare-name fallback
+      val out = rw("SELECT count(*) FROM db1.t SAMPLE 1/16")
+      assert(out.contains("md5(cast(cast(id1 AS STRING)"))
+      // unqualified name keeps the bare key
+      assert(rw("SELECT count(*) FROM t SAMPLE 1/16")
+        .contains("md5(cast(cast(id0 AS STRING)"))
+      // a UNION of two sampled SELECTs has TWO top-level occurrences —
+      // both must rewrite (r17 ADVICE: only the first used to)
+      spark.conf.set("graft.sample.key.u", "uid")
+      val two = rw(
+        "SELECT k FROM t SAMPLE 1/16 UNION ALL SELECT k FROM u SAMPLE 2/16")
+      assert(two.contains("id0") && two.contains("uid"),
+        s"both top-level SAMPLEs must rewrite: $two")
+      assert(!two.toUpperCase.contains(" SAMPLE "), s"no SAMPLE left: $two")
+    } finally {
+      spark.conf.unset("graft.sample.key.db1.t")
+      spark.conf.unset("graft.sample.key.t")
+      spark.conf.unset("graft.sample.key.u")
+    }
+  }
+
   test("LIMIT BY ordering by a GROUP BY aggregate alias (wrapping shape)") {
     import spark.implicits._
     Seq((1, "x"), (1, "x"), (1, "y"), (2, "z"), (2, "z"), (2, "z"))
