@@ -704,6 +704,37 @@ object Relational {
                GROUP BY event_type ORDER BY event_type""")
     }),
 
+    // O-S7b: CH's LIMIT-BY grammar also takes a per-key OFFSET —
+    // `LIMIT off, n BY k` skips the first `off` rows per key and keeps
+    // the next n ("the 2nd and 3rd biggest orders per customer", the
+    // pagination idiom). Same parse-time rewrite as o_s7 with the rank
+    // predicate widened to a band (__graft_rn > off AND <= off + n).
+    "o_s7b_limit_by_offset_sql" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""SELECT o_custkey, o_orderkey, o_totalprice
+               FROM orders
+               ORDER BY o_totalprice DESC, o_orderkey
+               LIMIT 1, 2 BY o_custkey""")
+    }),
+
+    // O-S9: the CH `ORDER BY … WITH FILL [STEP n]` clause THROUGH
+    // spark.sql — the last of the three CH SELECT-isms (after LIMIT BY
+    // and SAMPLE): the literal text an arriving analyst types to
+    // gap-fill an hourly series, rewritten at parse time to the o_s5
+    // spine shape (base CTE, sequence+explode spine over scalar min/max
+    // subqueries UNION the base's own fill values, LEFT JOIN back).
+    // Filled measure columns are NULL — this engine's stated delta vs
+    // CH's type-default fill (the oracle pins NULL, and COALESCE
+    // restores CH's 0 per query when wanted). Spine rows ≈ series
+    // length; at 100 TB both join sides are post-aggregate tiny.
+    "o_s9_with_fill_sql" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events")
+      s.sql("""SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+               FROM events WHERE event_type = 'purchase'
+               GROUP BY date_trunc('hour', ts)
+               ORDER BY hour WITH FILL STEP INTERVAL 1 HOUR""")
+    }),
+
     // ========================= §2.7 set ops ============================
 
     // O-U1: union-all of event families over the shared envelope
@@ -1268,6 +1299,30 @@ object Relational {
          FROM events
          WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '1'
          GROUP BY event_type ORDER BY event_type""",
+
+    // LIMIT 1, 2 BY == rank band (1, 3] per key in result order
+    "o_s7b_limit_by_offset_sql" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn > 1 AND rn <= 3
+         ORDER BY o_totalprice DESC, o_orderkey""",
+
+    // WITH FILL == the observed-bounds hourly grid UNION the base's own
+    // fill values, LEFT JOIN base; filled n stays NULL (stated delta vs
+    // CH's type-default 0 — contrast o_s5's COALESCE form)
+    "o_s9_with_fill_sql" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+                         FROM events WHERE event_type = 'purchase' GROUP BY 1),
+            b AS (SELECT CAST(min(hour) AS TIMESTAMP) AS lo,
+                         CAST(max(hour) AS TIMESTAMP) AS hi FROM hourly),
+            spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+                      FROM b
+                      UNION
+                      SELECT hour FROM hourly)
+         SELECT spine.hour, n
+         FROM spine LEFT JOIN hourly USING (hour) ORDER BY hour""",
 
     "o_a28_delta_sum" ->
       """WITH t AS (

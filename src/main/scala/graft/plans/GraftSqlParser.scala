@@ -10,11 +10,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
 /** ClickHouse SQL-dialect shim for the analyst entry point: the literal
   * CH clauses a user of the reference types at ports 8123/9000
   * (`/root/reference/build/docker-compose.yml:8-9` routes them to a
-  * deployed ClickHouse 22.3) — `LIMIT n BY k` and `SAMPLE a/b` — are
-  * rewritten AT PARSE TIME into standard Spark SQL and handed to the
-  * delegate parser, so `spark.sql("... LIMIT 3 BY k")` and the S-HTTP
-  * server both accept them. Installed by
-  * [[graft.functions.GraftExtensions]] via `injectParser`.
+  * deployed ClickHouse 22.3) — `LIMIT [offset,] n BY k`, `SAMPLE a/b`
+  * and `ORDER BY c WITH FILL [STEP n]` — are rewritten AT PARSE TIME
+  * into standard Spark SQL and handed to the delegate parser, so
+  * `spark.sql("... LIMIT 3 BY k")` and the S-HTTP server both accept
+  * them. Installed by [[graft.functions.GraftExtensions]] via
+  * `injectParser`.
   *
   * The rewrite is purely textual over TOP-LEVEL tokens (a scanner skips
   * string/identifier literals, comments, and parenthesized subtext, so a
@@ -84,7 +85,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
 object GraftSqlDialect {
 
-  private val limitByRe = """(?i)\bLIMIT\s+(\d+)\s+BY\b""".r
+  // CH grammar: LIMIT [offset_value, ]n BY expressions
+  private val limitByRe = """(?i)\bLIMIT\s+(\d+)\s*(?:,\s*(\d+))?\s+BY\b""".r
   private val orderByRe = """(?i)\bORDER\s+BY\b""".r
   private val tailKwRe = """(?i)\b(LIMIT|OFFSET)\b""".r
   private val sampleRe =
@@ -151,11 +153,12 @@ object GraftSqlDialect {
     // fast path: neither clause can be present — leave internal and
     // ordinary statements byte-identical
     val u = sql.toUpperCase(java.util.Locale.ROOT)
-    if (!u.contains("LIMIT") && !u.contains("SAMPLE")) return sql
+    if (!u.contains("LIMIT") && !u.contains("SAMPLE") && !u.contains("FILL"))
+      return sql
     // escapedStringLiterals = legacy literal-backslash mode (no escapes)
     val esc = !session.conf.get(
       "spark.sql.parser.escapedStringLiterals", "false").toBoolean
-    rewriteLimitBy(rewriteSample(sql, session, esc), esc)
+    rewriteLimitBy(rewriteWithFill(rewriteSample(sql, session, esc), esc), esc)
   }
 
   /** Split a fragment on top-level commas (commas inside parens or
@@ -194,8 +197,13 @@ object GraftSqlDialect {
     val d = depths(sql, esc)
     val hit = limitByRe.findAllMatchIn(sql).find(m => d(m.start) == 0)
       .getOrElse(return sql)
-    val n = hit.group(1).toLong
-    if (n <= 0) fail(s"LIMIT $n BY: n must be positive")
+    // CH's LIMIT [offset,] n BY: with two numbers the FIRST is the
+    // per-key offset (skip `off`, keep the next `n` rows per key)
+    val (off, n) =
+      if (hit.group(2) == null) (0L, hit.group(1).toLong)
+      else (hit.group(1).toLong, hit.group(2).toLong)
+    if (n <= 0) fail(s"LIMIT${if (off > 0) s" $off," else ""} $n BY: " +
+      "n must be positive")
     val ord = orderByRe.findAllMatchIn(sql.substring(0, hit.start))
       .filter(o => d(o.start) == 0).toSeq.lastOption.getOrElse(fail(
         "LIMIT n BY requires a top-level ORDER BY: CH keeps the first n " +
@@ -245,12 +253,16 @@ object GraftSqlDialect {
           .findFirstIn(sl).isDefined)
     val allProjected = (items.map(_.expr) ++ byCols).forall(projected)
 
+    // offset form: skip the first `off` rows per key, keep the next n
+    val rnPred =
+      if (off == 0) s"__graft_rn <= $n"
+      else s"__graft_rn > $off AND __graft_rn <= ${off + n}"
     if (allProjected || hasSetOp || isDistinct || selList.isEmpty) {
       s"""SELECT * EXCEPT (__graft_rn) FROM (
          |  SELECT *, row_number() OVER (PARTITION BY $cols ORDER BY $ordText)
          |    AS __graft_rn
          |  FROM ( $base ) __graft_lb) __graft_lb2
-         |WHERE __graft_rn <= $n ORDER BY $ordText $tail""".stripMargin
+         |WHERE $rnPred ORDER BY $ordText $tail""".stripMargin
     } else {
       val hidden = items.zipWithIndex
         .map { case (it, i) => s"${it.expr} AS __graft_o$i" }
@@ -263,9 +275,99 @@ object GraftSqlDialect {
         base.substring(fromM.get.start)
       s"""SELECT * EXCEPT (${except.mkString(", ")}) FROM (
          |  $injected ) __graft_lb
-         |WHERE __graft_rn <= $n
+         |WHERE $rnPred
          |ORDER BY ${outerOrd.mkString(", ")} $tail""".stripMargin
     }
+  }
+
+  private val withFillRe = """(?i)\bWITH\s+FILL\b""".r
+  private val stepRe =
+    """(?i)^STEP\s+(INTERVAL\s+\d+\s+[A-Za-z]+|\d+)\s*""".r
+
+  /** `ORDER BY c [ASC] WITH FILL [STEP n | STEP INTERVAL n unit]` — the
+    * third CH SELECT-ism (after LIMIT BY and SAMPLE) an arriving analyst
+    * types: gap-fill the result over the fill column's observed [min,
+    * max] grid. Rewritten to the o_s5 spine shape — the base wrapped as
+    * a CTE, spine = explode(sequence(min, max, step)) over scalar
+    * subqueries UNIONed with the base's own fill values (CH keeps
+    * original rows even off the step grid), LEFT JOIN back USING the
+    * fill column, outer ORDER BY:
+    * {{{
+    * WITH __graft_wfb AS ( base )
+    * SELECT * FROM (
+    *   SELECT c FROM (SELECT explode(sequence(
+    *       (SELECT min(c) FROM __graft_wfb),
+    *       (SELECT max(c) FROM __graft_wfb), step)) AS c)
+    *   UNION SELECT c FROM __graft_wfb) __graft_wfs
+    * LEFT JOIN __graft_wfb USING (c) ORDER BY c [tail]
+    * }}}
+    * Scale: the spine's row count is the series length (data-size
+    * independent) and the base is referenced through ONE CTE — in
+    * practice a post-aggregate series, so even the multi-reference plan
+    * is metadata-sized next to the scan (the o_s5 argument).
+    *
+    * Stated deltas vs CH 22.3, each failing LOUDLY where it applies:
+    * filled measure columns are NULL (CH fills type defaults — 0/'' —
+    * which erase the filled-vs-observed distinction; COALESCE restores
+    * it per query); exactly ONE ORDER BY item, ascending (CH
+    * multi-key/descending fill unimplemented); FROM/TO bounds
+    * unimplemented (bound the base query instead); STEP defaults to 1,
+    * so a non-numeric fill column NEEDS an explicit STEP (sequence()
+    * rejects the mismatch at analysis); the fill column must be a
+    * projected column NAME (the spine joins back by name); does not
+    * compose with LIMIT n BY in one statement. */
+  private def rewriteWithFill(sql: String, esc: Boolean): String = {
+    val d = depths(sql, esc)
+    // the LAST top-level occurrence is the clause position; a `WITH fill
+    // AS (…)` CTE also matches the token pair but sits BEFORE any
+    // top-level ORDER BY, so the no-ORDER-BY case must PASS THROUGH to
+    // the delegate (which parses the CTE fine and rejects real misuse
+    // with its own loud syntax error), never fail here
+    val hit = withFillRe.findAllMatchIn(sql).filter(m => d(m.start) == 0)
+      .toSeq.lastOption.getOrElse(return sql)
+    val ord = orderByRe.findAllMatchIn(sql.substring(0, hit.start))
+      .filter(o => d(o.start) == 0).toSeq.lastOption.getOrElse(return sql)
+    if (limitByRe.findAllMatchIn(sql).exists(m => d(m.start) == 0))
+      fail("WITH FILL does not compose with LIMIT n BY in one statement " +
+        "(rewrite scope): materialize the LIMIT BY query as a subquery " +
+        "and apply WITH FILL on the outer SELECT")
+    val ordText = sql.substring(ord.end, hit.start).trim
+    val items = splitTopLevel(ordText, esc)
+    if (items.size != 1)
+      fail(s"WITH FILL supports exactly ONE ORDER BY item (the fill " +
+        s"column); got '$ordText' — interpolating across multiple sort " +
+        "keys is not implemented")
+    val sufM = dirSuffixRe.findFirstMatchIn(items.head).get
+    val c = items.head.substring(0, sufM.start).trim
+    val dir = items.head.substring(sufM.start).trim
+    if (dir.nonEmpty && !dir.equalsIgnoreCase("asc"))
+      fail(s"WITH FILL fills ascending only; got '$c $dir' (CH's " +
+        "descending fill is not implemented)")
+    if (identRe.findFirstIn(c).isEmpty)
+      fail(s"WITH FILL needs the fill column as a projected column NAME " +
+        s"(got '$c'): the spine joins back to the base by name — alias " +
+        "the expression in the select list and order by the alias")
+    var rest = sql.substring(hit.end).trim
+    val step = stepRe.findFirstMatchIn(rest) match {
+      case Some(sm) => rest = rest.substring(sm.end).trim; sm.group(1)
+      case None => "1"
+    }
+    val up = rest.toUpperCase(java.util.Locale.ROOT)
+    if (!(rest.isEmpty || up.startsWith("LIMIT") || up.startsWith("OFFSET")))
+      fail(s"unsupported WITH FILL modifier " +
+        s"'${rest.takeWhile(!_.isWhitespace)}': only [STEP n | STEP " +
+        "INTERVAL n unit] is implemented (CH's FROM/TO bounds are not — " +
+        "bound the base query instead)")
+    val base = sql.substring(0, ord.start).trim
+    s"""WITH __graft_wfb AS ( $base )
+       |SELECT * FROM (
+       |  SELECT $c FROM (SELECT explode(sequence(
+       |      (SELECT min($c) FROM __graft_wfb),
+       |      (SELECT max($c) FROM __graft_wfb), $step)) AS $c)
+       |  UNION
+       |  SELECT $c FROM __graft_wfb) __graft_wfs
+       |LEFT JOIN __graft_wfb USING ($c)
+       |ORDER BY $c $rest""".stripMargin
   }
 
   /** Rewrites EVERY top-level `FROM tbl SAMPLE a/b` occurrence (a join of

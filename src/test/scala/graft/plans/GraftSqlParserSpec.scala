@@ -115,6 +115,103 @@ class GraftSqlParserSpec extends AnyFunSuite {
       Seq("k", "s"))
   }
 
+  test("LIMIT off, n BY rewrites to the rank band; randomized shapes match a reference") {
+    val out = rw("SELECT a, b FROM t ORDER BY b DESC, a LIMIT 2, 3 BY a")
+    assert(out.contains("__graft_rn > 2 AND __graft_rn <= 5"))
+    // e2e + randomized: per-key pagination == the Scala reference
+    import spark.implicits._
+    val rnd = new scala.util.Random(1807)
+    (0 until 6).foreach { draw =>
+      val rows = (0 until (20 + rnd.nextInt(30)))
+        .map(i => (rnd.nextInt(4), rnd.nextInt(100) * 10 + i, i))
+      rows.toDF("k", "v", "id").createOrReplaceTempView("lbo")
+      val off = rnd.nextInt(3)
+      val n = 1 + rnd.nextInt(3)
+      val got = spark.sql(
+        s"SELECT k, v FROM lbo ORDER BY v DESC, id LIMIT $off, $n BY k")
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+      val want = rows.sortBy(r => (-r._2, r._3))
+        .groupBy(_._1).values.flatMap(_.slice(off, off + n))
+        .map(r => (r._1, r._2)).toSeq
+        .sortBy { case (k, v) =>
+          (-v, rows.find(r => r._1 == k && r._2 == v).get._3) }
+      assert(got == want, s"draw $draw off=$off n=$n: $got != $want")
+    }
+  }
+
+  test("WITH FILL rewrites to the spine LEFT JOIN; gaps fill with NULL measures") {
+    val out = rw("SELECT a, n FROM t ORDER BY a WITH FILL STEP 2")
+    assert(out.contains("explode(sequence("))
+    assert(out.contains("(SELECT min(a) FROM __graft_wfb)"))
+    assert(out.contains("LEFT JOIN __graft_wfb USING (a)"))
+    assert(out.trim.endsWith("ORDER BY a"))
+    // STEP INTERVAL passes through textually; tail LIMIT survives
+    val iv = rw("SELECT h, n FROM t ORDER BY h WITH FILL " +
+      "STEP INTERVAL 1 HOUR LIMIT 5")
+    assert(iv.contains("INTERVAL 1 HOUR)) AS h") && iv.trim.endsWith("LIMIT 5"))
+    // e2e over a temp view: integer series with gaps
+    import spark.implicits._
+    Seq((1, 10L), (2, 20L), (5, 50L), (9, 90L)).toDF("k", "v")
+      .createOrReplaceTempView("wft")
+    val rows = spark.sql("SELECT k, v FROM wft ORDER BY k WITH FILL")
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(rows.map(_._1).toSeq == (1 to 9),
+      "default STEP 1 must densify the grid")
+    assert(rows.toMap.apply(3).isEmpty && rows.toMap.apply(5).contains(50L),
+      "filled rows carry NULL measures; observed rows keep theirs")
+    // off-grid base rows SURVIVE (CH keeps original rows): step 2 from
+    // min=1 puts k=2 off the 1,3,5,7,9 grid — still present
+    val off = spark.sql("SELECT k, v FROM wft ORDER BY k WITH FILL STEP 2")
+      .collect().map(_.getInt(0)).toSeq
+    assert(off == Seq(1, 2, 3, 5, 7, 9), s"grid + off-grid originals: $off")
+  }
+
+  test("WITH FILL randomized shapes match an in-memory reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1808)
+    (0 until 6).foreach { draw =>
+      val ks = (0 until (5 + rnd.nextInt(12)))
+        .map(_ => rnd.nextInt(40)).distinct
+      val rows = ks.map(k => (k, k.toLong * 100))
+      rows.toDF("k", "v").createOrReplaceTempView("wfr")
+      val step = 1 + rnd.nextInt(4)
+      val got = spark.sql(
+        s"SELECT k, v FROM wfr ORDER BY k WITH FILL STEP $step")
+        .collect()
+        .map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toSeq
+      val grid = (rows.map(_._1).min to rows.map(_._1).max by step).toSet
+      val byK = rows.toMap
+      val want = (grid ++ rows.map(_._1)).toSeq.sorted
+        .map(k => (k, byK.get(k).map(_.longValue)))
+      assert(got == want, s"draw $draw step=$step: $got != $want")
+    }
+  }
+
+  test("WITH FILL failure modes are loud: scope, direction, modifiers, composition") {
+    def failsWith(sql: String, needle: String): Unit = {
+      val e = intercept[org.apache.spark.sql.AnalysisException] { rw(sql) }
+      assert(e.getMessage.contains(needle), s"$sql => ${e.getMessage}")
+    }
+    // WITH FILL with no preceding top-level ORDER BY passes through so a
+    // CTE literally named `fill` keeps parsing; the delegate rejects the
+    // real misuse with its own syntax error
+    val noOrd = "SELECT a FROM t WITH FILL"
+    assert(rw(noOrd) eq noOrd)
+    val cte = "WITH fill AS (SELECT 1 AS a) SELECT a FROM fill ORDER BY a"
+    assert(rw(cte) eq cte)
+    failsWith("SELECT a, b FROM t ORDER BY a, b WITH FILL", "exactly ONE")
+    failsWith("SELECT a FROM t ORDER BY a DESC WITH FILL", "ascending only")
+    failsWith("SELECT a FROM t ORDER BY a + 1 WITH FILL", "column NAME")
+    failsWith("SELECT a FROM t ORDER BY a WITH FILL FROM 1 TO 9", "FROM/TO")
+    failsWith("SELECT a FROM t ORDER BY a WITH FILL TO 9", "FROM/TO")
+    failsWith(
+      "SELECT a, b FROM t ORDER BY a WITH FILL LIMIT 2 BY b", "compose")
+    // inside a string literal the clause is data
+    val s = "SELECT 'ORDER BY a WITH FILL' AS x FROM t"
+    assert(rw(s) eq s)
+  }
+
   test("backslash-escaped quotes inside string literals stay literal (r17 ADVICE)") {
     // the escaped quote must NOT flip the scanner to code mode: the
     // clause text after it is still string data

@@ -196,6 +196,39 @@ class HttpSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("CH dialect over HTTP: WITH FILL and LIMIT off, n BY run end-to-end") {
+    withServer { (c, p) =>
+      // WITH FILL: an integer series with gaps fills to a dense grid
+      val r = post(c, p,
+        "SELECT o_orderkey AS k, COUNT(*) AS n FROM orders " +
+          "WHERE o_orderkey IN (1, 2, 9, 15) GROUP BY o_orderkey " + // gaps
+          "ORDER BY k WITH FILL FORMAT TSVWithNames")
+      assert(r.statusCode() == 200, r.body())
+      val lines = r.body().linesIterator.toSeq
+      assert(lines.head == "k\tn")
+      val ks = lines.tail.map(_.split('\t')(0).toLong)
+      assert(ks == (ks.min to ks.max), s"fill must densify the grid: $ks")
+      // orderkeys are sparse (1,2,3,4,5,6,7,32,33,...): filled rows
+      // carry CH's NULL marker \N in the n column
+      assert(lines.tail.exists(_.split('\t')(1) == "\\N"),
+        "filled rows must render NULL measures")
+      // LIMIT off, n BY: skip the top order per customer, keep the next
+      val lb = post(c, p,
+        "SELECT o_custkey, o_orderkey FROM orders " +
+          "ORDER BY o_totalprice DESC, o_orderkey " +
+          "LIMIT 1, 1 BY o_custkey FORMAT TSVWithNames")
+      assert(lb.statusCode() == 200, lb.body())
+      val perKey = lb.body().linesIterator.toSeq.tail.map(_.split('\t')(0))
+        .groupBy(identity).view.mapValues(_.size)
+      assert(perKey.nonEmpty && perKey.values.max <= 1)
+      // an unsupported FILL modifier is the permanent (400) error class
+      val bad = post(c, p,
+        "SELECT o_orderkey AS k FROM orders ORDER BY k WITH FILL TO 99")
+      assert(bad.statusCode() == 400, s"${bad.statusCode()} ${bad.body()}")
+      assert(bad.body().contains("FROM/TO"))
+    }
+  }
+
   test("NULL and timestamp rendering follow the CH conventions") {
     withServer { (c, p) =>
       val r = get(c, p, s"/?query=${enc(
