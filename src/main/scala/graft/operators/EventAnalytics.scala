@@ -488,6 +488,27 @@ object EventAnalytics {
         .orderBy("next_node")
     }),
 
+    // O-A21e: CH's FULL sequenceNextNode signature — the base_condition
+    // positional argument (functions.SequenceNextNodeAgg, registered as
+    // sequence_next_node_base) gates the ANCHOR event: per user, the
+    // first adjacent signup→click pair whose SIGNUP also carries
+    // value > 50 ("chains starting from a qualified event", the CH
+    // base_condition idiom), reporting the value of the event just
+    // after it. NULL value reads false like the chain conditions.
+    // Oracle: o_a21's lead() window with the anchor predicate widened
+    // by the base condition — two mechanisms, one contract.
+    "o_a21e_seq_next_node_base" -> ((s, d) => {
+      graft.functions.GraftExtensions.register(s)
+      Tables.events(s, d).groupBy("user_id")
+        .agg(expr("sequence_next_node_base('forward', 'first_match', ts, " +
+            "event_id, event_type, value > 50, " +
+            "event_type = 'signup', event_type = 'click')")
+          .as("next_node"))
+        .filter(col("next_node").isNotNull)
+        .groupBy("next_node").agg(count(lit(1)).as("n_users"))
+        .orderBy("next_node")
+    }),
+
     // O-A17: sequenceMatch('(?1)(?t<=3600)(?2).*(?3)') analog (CH event
     // pattern matching, the sibling of windowFunnel over the same event
     // tables): per signup user, 1 iff a click occurs within 1 hour AFTER
@@ -1139,6 +1160,26 @@ object EventAnalytics {
     "o_a21b_seq_next_node_sql" -> seqNextNodeOracleSql,
     "o_a21c_seq_next_node_backward" -> seqPrevNodeOracleSql,
     "o_a21d_seq_next_node_head" -> seqHeadNodeOracleSql,
+
+    // o_a21's lead() oracle with the anchor predicate widened by the
+    // base condition (value > 50 gates the signup that opens the pair)
+    "o_a21e_seq_next_node_base" ->
+      """WITH p AS (
+           SELECT user_id, event_type, value, ts, event_id,
+                  lead(event_type, 1) OVER w AS n1,
+                  lead(event_type, 2) OVER w AS n2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         m AS (
+           SELECT user_id, coalesce(n2, 'NONE') AS nn, ts, event_id FROM p
+           WHERE event_type = 'signup' AND n1 = 'click' AND value > 50),
+         f AS (
+           SELECT user_id, nn,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rk
+           FROM m)
+         SELECT nn AS next_node, COUNT(*) AS n_users FROM f WHERE rk = 1
+         GROUP BY 1 ORDER BY 1""",
 
     "o_a17_seqmatch" ->
       """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
