@@ -802,7 +802,9 @@ object ScaleSmoke {
           "o_a21b_seq_next_node_sql",
           // the r17 keys: same buffered-state-over-the-exchange shape
           "o_a21c_seq_next_node_backward", "o_a21d_seq_next_node_head",
-          "o_a17e_seqmatch_negation", "o_a15i_funnel_sql_combined")
+          "o_a17e_seqmatch_negation", "o_a15i_funnel_sql_combined",
+          // r18: the base-condition mask bit rides the same state
+          "o_a21e_seq_next_node_base")
         // keys whose heavy stage is user_id-keyed (the whale's bytes
         // land in one task) vs pre-reduced/other-keyed contrast keys;
         // the buffered SQL aggregates are user-keyed too — partial
@@ -819,7 +821,8 @@ object ScaleSmoke {
           "o_a15g_funnel_sql_strict", "o_a15h_funnel_sql_dedup",
           "o_a21b_seq_next_node_sql",
           "o_a21c_seq_next_node_backward", "o_a21d_seq_next_node_head",
-          "o_a17e_seqmatch_negation", "o_a15i_funnel_sql_combined")
+          "o_a17e_seqmatch_negation", "o_a15i_funnel_sql_combined",
+          "o_a21e_seq_next_node_base")
         // the (user_id, chunk)-keyed mitigations: the whale must SPREAD
         val chunkKeyed = Set("o_a15e_funnel_chunked", "o_a18c_seqcount_chunked")
         keys.foreach { k =>
@@ -1039,7 +1042,15 @@ object ScaleSmoke {
             ("o_a15i_funnel_sql_combined", base, d10),
             ("o_s7_limit_by_sql", base, d10),
             ("o_s8_sample_sql", base, d10),
-            ("d_text_tokens_bpe", dBase, d10))
+            ("d_text_tokens_bpe", dBase, d10),
+            // the r18 keys, decade from birth (same policy): the two
+            // dialect clauses, the base_condition aggregate, and the
+            // BPE-sized budget/curriculum pair
+            ("o_s9_with_fill_sql", base, d10),
+            ("o_s7b_limit_by_offset_sql", base, d10),
+            ("o_a21e_seq_next_node_base", base, d10),
+            ("d_token_budget_bpe", dBase, d10),
+            ("d_curriculum_bpe", dBase, d10))
           movers.foreach { case (key, small, big) =>
             // the o_a27 family's adaptive gate steps from the naive
             // window (ONE data shuffle) to the distributed prefix sum
@@ -1078,7 +1089,10 @@ object ScaleSmoke {
               "o_a18e_seqcount_sql_windowed", "o_a21b_seq_next_node_sql",
               // r17: same buffered-state shape, same fan-out adjudication
               "o_a21c_seq_next_node_backward", "o_a21d_seq_next_node_head",
-              "o_a17e_seqmatch_negation", "o_a15i_funnel_sql_combined")
+              "o_a17e_seqmatch_negation", "o_a15i_funnel_sql_combined",
+              // r18: base_condition rides the same buffered next-node
+              // state (one extra mask bit per row, same fan-out shape)
+              "o_a21e_seq_next_node_base")
             val cap = if (bufferedAggCap(key)) 24.0 else 12.0
             if (wS >= (1L << 20))
               require(wB <= cap * wS,

@@ -375,6 +375,56 @@ object Curation {
         .orderBy("doc_id"), caches: _*)
     }),
 
+    // Token-budget selection under the TRAINED BPE table (r17 VERDICT
+    // #3): same rank-by-quality prefix-sum admission as d_token_budget,
+    // but n_tokens comes from d_text_tokens_bpe's stored merge table
+    // instead of the whitespace count — subword precision for the
+    // budget threshold (the estimate variant stays for comparison). The
+    // corpus-global prefix sum still rides OrderStats.weightedCdf;
+    // encoding is per-row codegen'd string work on top of the same fps2
+    // quality read, so the scale shape is unchanged.
+    "d_token_budget_bpe" -> ((s, d) => {
+      val scored = Backbone.fingerprints(s, d)
+        .select(col("doc_id"), col("uniq_ratio").as("quality"))
+        .join(TextAnalysis.bpeTokenCounts(s, d), Seq("doc_id"))
+        .withColumn("g", lit(1))
+        .withColumn("neg_q", -col("quality"))
+      val (cdf, caches) = OrderStats.weightedCdfPlan(
+        scored, "g", Seq("neg_q", "doc_id"), "n_tokens")
+      Materialize.drop(cdf
+        .select(col("doc_id"), col("n_tokens"),
+          (-col("neg_q")).as("quality"),
+          col("cum").as("cum_tokens"),
+          (col("cum") * 2 <= col("tot")).cast("int").as("selected"))
+        .orderBy("doc_id"), caches: _*)
+    }),
+
+    // Curriculum phases under the trained BPE table — d_curriculum with
+    // subword-precise token sizing. One delta the ws-token variant never
+    // faces: a BPE count can be ZERO (text normalizing to empty), so the
+    // phase expression clamps cum to >= 1 — Spark's `div` truncates
+    // toward zero while DuckDB's `//` floors, and (cum-1)*10 at cum=0
+    // would split the engines on the sign.
+    "d_curriculum_bpe" -> ((s, d) => {
+      val kept = TextDedup.curationDecisions(s, d)
+        .filter(col("decision") === "kept").select("doc_id")
+      val scored = Backbone.fingerprints(s, d)
+        .join(kept, Seq("doc_id"))
+        .select(col("doc_id"), col("uniq_ratio").as("quality"))
+        .join(TextAnalysis.bpeTokenCounts(s, d), Seq("doc_id"))
+        .withColumn("g", lit(1))
+        .withColumn("neg_q", -col("quality"))
+      val (cdf, caches) = OrderStats.weightedCdfPlan(
+        scored, "g", Seq("neg_q", "doc_id"), "n_tokens")
+      Materialize.drop(cdf
+        .select(col("doc_id"), col("n_tokens"),
+          (-col("neg_q")).as("quality"),
+          col("cum").as("cum_tokens"),
+          expr("cast(((greatest(cum, 1L) - 1) * 10) div tot as int)")
+            .as("phase"))
+        .orderBy("doc_id"), caches: _*)
+    }),
+
     // Domain mix APPLY — the step that turns d_domain_mix's weights into
     // an actual training-mix manifest: a corpus-sized mix where source s
     // contributes floor(N * w_s) documents (N = corpus size). Within a
@@ -587,6 +637,65 @@ object Curation {
             FROM t)
           SELECT doc_id, n_tokens, quality, cum_tokens,
                  CAST(((cum_tokens - 1) * 10) // tot AS INT) AS phase
+          FROM c ORDER BY doc_id""",
+
+    // BPE-precise budget: the d_text_tokens_bpe training/encoding CTEs
+    // replayed, composed into the same rank-by-quality prefix sum
+    "d_token_budget_bpe" ->
+      s"""WITH ${TextAnalysis.bpeCtes},
+          tok AS (SELECT doc_id, ${TextAnalysis.bpeCountSql} AS n_tokens
+                  FROM s${TextAnalysis.BPE_MERGES}),
+          bq AS (SELECT doc_id,
+                       round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 6)
+                         AS quality
+                FROM (SELECT doc_id, string_split(text, ' ') AS w
+                      FROM documents)),
+          t AS (SELECT doc_id, n_tokens, quality
+                FROM tok JOIN bq USING (doc_id)),
+          c AS (SELECT doc_id, n_tokens, quality,
+                       CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+                       CAST(SUM(n_tokens) OVER () AS BIGINT) AS tot
+                FROM t)
+          SELECT doc_id, n_tokens, quality, cum_tokens,
+                 CAST(CASE WHEN cum_tokens * 2 <= tot THEN 1 ELSE 0 END AS INT)
+                   AS selected
+          FROM c ORDER BY doc_id""",
+
+    // BPE-precise curriculum: the cascade's kept set (recursive CTEs
+    // shared with d_curriculum) sized by the replayed BPE counts; the
+    // phase cut clamps cum >= 1 because a BPE count can be zero and
+    // Spark `div` truncates where DuckDB `//` floors
+    "d_curriculum_bpe" ->
+      s"""WITH RECURSIVE ${TextDedup.clustersCte},
+          ${TextDedup.keeperCte},
+          ex AS (
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS exact_keep
+            FROM documents),
+          kept AS (
+            SELECT k.doc_id
+            FROM k JOIN ex e ON k.doc_id = e.doc_id
+            WHERE k.doc_id = e.exact_keep AND k.doc_id = k.keep_id
+              AND k.uniq_ratio >= 0.3),
+          ${TextAnalysis.bpeCtes},
+          tok AS (SELECT doc_id, ${TextAnalysis.bpeCountSql} AS n_tokens
+                  FROM s${TextAnalysis.BPE_MERGES}),
+          bq AS (SELECT doc_id,
+                       round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 6)
+                         AS quality
+                FROM (SELECT doc_id, string_split(text, ' ') AS w
+                      FROM documents)),
+          t AS (SELECT doc_id, n_tokens, quality
+                FROM tok JOIN bq USING (doc_id) JOIN kept USING (doc_id)),
+          c AS (SELECT doc_id, n_tokens, quality,
+                       CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+                       CAST(SUM(n_tokens) OVER () AS BIGINT) AS tot
+                FROM t)
+          SELECT doc_id, n_tokens, quality, cum_tokens,
+                 CAST(((greatest(cum_tokens, 1) - 1) * 10) // tot AS INT)
+                   AS phase
           FROM c ORDER BY doc_id""",
 
     "d_mix_apply" ->

@@ -100,13 +100,43 @@ object TextAnalysis {
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
   }
 
-  /** The d_text_tokens_bpe oracle: training + encoding replayed in
-    * DuckDB as BPE_MERGES chained (pairs, argmax-rule, replace) CTE
-    * triples — a static SQL string built once; the corpus enters only at
-    * execution. Mirrors bpeInit/bpeRules expression for expression. */
-  private def bpeOracleSql: String = {
+  /** doc_id + the BPE-encoded unit string (the stored merge table's
+    * rules applied as BPE_MERGES chained replace passes) — shared by
+    * `d_text_tokens_bpe` and the BPE-precise token-budget/curriculum
+    * keys so "token count" means ONE thing across the catalog. */
+  private[pipeline] def bpeEncodedUnits(s: SparkSession, d: String): DataFrame = {
+    val rules = bpeRulesStored(s, d)
+    val enc = rules.foldLeft("u") { case (e, (p1, p2)) =>
+      s"replace($e, ' $p1 $p2 ', ' $p1$p2 ')"
+    }
+    bpeInit(s, d).withColumn("u", expr(enc))
+  }
+
+  /** (doc_id, n_tokens) under the trained BPE merge table — the subword
+    * token counter budget/packing work composes with (vs the chars/4
+    * estimate in `d_text_tokens`). Steady state reads the KB-scale
+    * stored rules and encodes per row: codegen'd string work, no
+    * shuffle. */
+  private[pipeline] def bpeTokenCounts(s: SparkSession, d: String): DataFrame =
+    bpeEncodedUnits(s, d).select(col("doc_id"),
+      expr("size(filter(split(trim(u), ' '), x -> x <> '|' AND x <> ''))")
+        .cast("long").as("n_tokens"))
+
+  /** The BPE training + encoding replayed in DuckDB as BPE_MERGES
+    * chained (pairs, argmax-rule, replace) CTE triples — the CTE LIST
+    * only (no WITH), so budget/curriculum oracles can compose it into
+    * their own WITH chains. `s$BPE_MERGES` is the encoded-units relation
+    * (doc_id, u). Mirrors bpeInit/bpeRules expression for expression.
+    *
+    * Every step is `AS MATERIALIZED`: DuckDB 1.0 INLINES each CTE at
+    * every reference site, and `s_{i-1}` is referenced twice per merge
+    * (by `p_i` and `s_i`) — inlined, the chain re-expands ~2^BPE_MERGES
+    * copies of s0 (measured: 223 s at sf0.001 for the tokens key alone,
+    * and the curriculum composition under WITH RECURSIVE never
+    * finished). Materialized, each step runs once: ~9 s. */
+  private[pipeline] def bpeCtes: String = {
     val init =
-      """s0 AS (
+      """s0 AS MATERIALIZED (
            SELECT doc_id,
                   CASE WHEN nt = '' THEN ' ' ELSE
                     ' ' || array_to_string(list_transform(string_split(nt, ' '),
@@ -117,33 +147,43 @@ object TextAnalysis {
                           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
                  FROM documents))"""
     val iters = (1 to BPE_MERGES).map { i =>
-      s"""p$i AS (
+      s"""p$i AS MATERIALIZED (
            SELECT w[i] AS p1, w[i + 1] AS p2
            FROM (SELECT string_split(trim(u), ' ') AS w,
                         unnest(generate_series(1,
                           len(string_split(trim(u), ' ')) - 1)) AS i
                  FROM s${i - 1})),
-         r$i AS (
+         r$i AS MATERIALIZED (
            SELECT p1, p2 FROM (
              SELECT p1, p2, COUNT(*) AS c FROM p$i
              WHERE p1 <> '|' AND p2 <> '|' AND p1 <> '' AND p2 <> ''
              GROUP BY 1, 2
              UNION ALL SELECT '~', '~', -1)
            ORDER BY c DESC, p1, p2 LIMIT 1),
-         s$i AS (
+         s$i AS MATERIALIZED (
            SELECT doc_id,
                   replace(u, ' ' || p1 || ' ' || p2 || ' ',
                           ' ' || p1 || p2 || ' ') AS u
            FROM s${i - 1}, r$i)"""
     }.mkString(",\n")
-    s"""WITH $init,
-       $iters
+    s"""$init,
+       $iters"""
+  }
+
+  /** The DuckDB token-count expression over an encoded unit string `u` —
+    * textually one thing wherever BPE counts appear in an oracle. */
+  private[pipeline] val bpeCountSql =
+    """CAST(len(list_filter(string_split(trim(u), ' '),
+         x -> x <> '|' AND x <> '')) AS BIGINT)"""
+
+  /** The d_text_tokens_bpe oracle: the shared CTE chain + the count/fp
+    * projection. */
+  private def bpeOracleSql: String =
+    s"""WITH $bpeCtes
        SELECT doc_id,
-              CAST(len(list_filter(string_split(trim(u), ' '),
-                x -> x <> '|' AND x <> '')) AS BIGINT) AS n_tokens,
+              $bpeCountSql AS n_tokens,
               md5(u) AS tok_fp
        FROM s$BPE_MERGES ORDER BY doc_id"""
-  }
 
   /** Per-position bigram stream (doc_id, pos, w1, w2) — the scoring
     * input, recomputed per call (linear, no shuffle before the join). */
@@ -232,12 +272,7 @@ object TextAnalysis {
     // vocabulary-sized either way); encoding is per-row codegen'd
     // string work, embarrassingly parallel.
     "d_text_tokens_bpe" -> ((s, d) => {
-      val rules = bpeRulesStored(s, d)
-      val enc = rules.foldLeft("u") { case (e, (p1, p2)) =>
-        s"replace($e, ' $p1 $p2 ', ' $p1$p2 ')"
-      }
-      bpeInit(s, d)
-        .withColumn("u", expr(enc))
+      bpeEncodedUnits(s, d)
         .select(col("doc_id"),
           expr("size(filter(split(trim(u), ' '), x -> x <> '|' AND x <> ''))")
             .cast("long").as("n_tokens"),

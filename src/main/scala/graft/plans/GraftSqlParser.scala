@@ -381,10 +381,13 @@ object GraftSqlDialect {
   private def rewriteSample(sql: String, session: SparkSession,
                             esc: Boolean): String = {
     var cur = sql
-    while (true) {
+    def nextHit = {
       val d = depths(cur, esc)
-      val hit = sampleRe.findAllMatchIn(cur).find(m => d(m.start) == 0)
-        .getOrElse(return cur)
+      sampleRe.findAllMatchIn(cur).find(m => d(m.start) == 0)
+    }
+    var found = nextHit
+    while (found.isDefined) {
+      val hit = found.get
       val table = hit.group(1)
       val a = hit.group(2).toInt
       val b = hit.group(3).toInt
@@ -407,7 +410,8 @@ object GraftSqlDialect {
       cur = cur.substring(0, hit.start) +
         s"FROM (SELECT * FROM $table WHERE $pred) $alias" +
         cur.substring(hit.end)
+      found = nextHit
     }
-    cur // unreachable; the loop returns from getOrElse
+    cur
   }
 }

@@ -329,6 +329,89 @@ class CurationSpec extends AnyFunSuite {
       "selected set must be a rank prefix")
   }
 
+  test("bpe token budget: n_tokens IS the trained-BPE count; CDF equals brute prefix sum") {
+    // the point of the key: ONE token counter across the catalog — the
+    // budget's n_tokens must equal d_text_tokens_bpe's per doc, not a
+    // second BPE implementation that could drift
+    val bpe = TextAnalysis.queries("d_text_tokens_bpe")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Curation.queries("d_token_budget_bpe")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getInt(4)))
+    assert(rows.nonEmpty && rows.length == bpe.size)
+    rows.foreach { case (id, n, _, _, _) =>
+      assert(n == bpe(id), s"doc $id n_tokens must come from the stored merge table")
+    }
+    // subword precision actually differs from the whitespace estimate
+    val ws = Curation.queries("d_token_budget")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.exists { case (id, n, _, _, _) => ws(id) != n },
+      "BPE counts should not be identical to the estimate on a real corpus")
+    val ranked = rows.sortBy { case (id, _, q, _, _) => (-q, id) }
+    var cum = 0L
+    ranked.foreach { case (id, n, _, gotCum, _) =>
+      cum += n
+      assert(gotCum == cum, s"doc $id cum mismatch: $gotCum vs $cum")
+    }
+    val tot = rows.map(_._2).sum
+    rows.foreach { case (id, _, _, c, sel) =>
+      assert(sel == (if (c * 2 <= tot) 1 else 0), s"doc $id selected flag")
+    }
+  }
+
+  test("bpe curriculum: same kept cascade as the estimate variant; phase law exact") {
+    val est = Curation.queries("d_curriculum")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val cur = Curation.queries("d_curriculum_bpe")(spark, sf).collect()
+    assert(cur.nonEmpty)
+    assert(cur.map(_.getLong(0)).toSet == est,
+      "BPE sizing must not change WHICH docs survive the cascade")
+    val phases = cur.groupBy(_.getAs[Int]("phase"))
+    assert(phases.keySet.subsetOf((0 until 10).toSet),
+      s"phases out of range: ${phases.keySet}")
+    // quality monotone across phases (the curriculum property)
+    val byPhase = phases.view.mapValues(_.map(_.getAs[Double]("quality")))
+    (0 until 9).foreach { p =>
+      for (a <- byPhase.get(p); b <- byPhase.get(p + 1))
+        assert(a.min >= b.max - 1e-9,
+          s"phase $p worst ${a.min} < phase ${p + 1} best ${b.max}")
+    }
+    // exact phase law, including the cum>=1 clamp for zero-token docs
+    val ranked = cur.map(r => (r.getLong(0), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("quality"), r.getAs[Long]("cum_tokens"),
+        r.getAs[Int]("phase")))
+      .sortBy { case (id, _, q, _, _) => (-q, id) }
+    val tot = ranked.map(_._2).sum
+    var cum = 0L
+    ranked.foreach { case (id, n, _, gotCum, ph) =>
+      cum += n
+      assert(gotCum == cum, s"doc $id cum mismatch")
+      assert(ph == (((math.max(cum, 1L) - 1L) * 10L) / tot).toInt,
+        s"doc $id phase law")
+    }
+  }
+
+  test("bpe curriculum: a zero-token doc lands in phase 0, not phase -1") {
+    import spark.implicits._
+    // '#####' normalizes to an empty unit stream -> BPE n_tokens == 0;
+    // cum can be 0 for the best-quality doc and (cum-1)*10 div tot would
+    // disagree in SIGN between Spark's truncating div and DuckDB's
+    // flooring // — the clamp pins both to phase 0. Quality 1.0 (single
+    // distinct word) ranks it first, so its cum IS the dangerous 0.
+    val dir = java.nio.file.Files.createTempDirectory("bpe_zero").toString
+    Seq((1L, "#####", "en", "web", 5L),
+        (2L, "alpha beta alpha beta gamma", "en", "web", 27L),
+        (3L, "delta delta delta epsilon zeta", "en", "web", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.queries("d_curriculum_bpe")(spark, dir).collect()
+    val zero = out.find(_.getLong(0) == 1L)
+    zero.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") == 0L)
+      assert(r.getAs[Int]("phase") == 0, "zero-token doc must clamp to phase 0")
+    }
+    out.foreach(r => assert(r.getAs[Int]("phase") >= 0))
+  }
+
   test("mix apply: per-source copies hit floor(N*w) exactly; prefix is rank-deterministic") {
     import org.apache.spark.sql.functions.{col => c}
     val mix = Curation.queries("d_mix_apply")(spark, sf).collect()

@@ -80,6 +80,17 @@ KEYS = [
     # merge table in DuckDB, so every planted corpus re-proves training
     # + encoding bit-for-bit (tok_fp pins the whole tokenization)
     "d_text_tokens_bpe",
+    # r18: sequence_next_node's base_condition (planted `value` gates
+    # roughly half the anchors per draw), the WITH FILL dialect clause
+    # (events-fed: every draw re-proves the sequence+explode spine over
+    # a different hour histogram with different holes), and the
+    # BPE-precise budget/curriculum pair — each draw re-trains the merge
+    # table AND re-runs the kept cascade, so the composed oracle's two
+    # halves are re-proved together. (o_s7b_limit_by_offset_sql reads
+    # ORDERS like o_s7 — not planted here; covered by the randomized
+    # parser shapes in GraftSqlParserSpec.)
+    "o_a21e_seq_next_node_base", "o_s9_with_fill_sql",
+    "d_token_budget_bpe", "d_curriculum_bpe",
 ]
 
 ADDOPENS = " ".join(
