@@ -73,12 +73,14 @@ object EventAggStream {
   }
 
   private def retentionFn(conds: Seq[FunnelEvent => Boolean],
-      idleTimeoutMs: Long)(
+      idleTimeoutMs: Long,
+      peakAcc: graft.functions.ParametricAgg.MaxAccumulator)(
       userId: Long, events: Iterator[FunnelEvent],
       state: GroupState[RetentionState]): Iterator[RetentionUpdate] = {
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     val st0 = state.getOption.getOrElse(RetentionState(0))
     val evs = events.toSeq
+    StreamGauges.noteGroupEvents(peakAcc, evs.size)
     var mask = st0.mask
     evs.foreach { e =>
       var k = 0
@@ -119,39 +121,45 @@ object EventAggStream {
     val timeout: GroupStateTimeout =
       if (idleTimeoutMs > 0) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout
+    val (peakAcc, _) = StreamGauges.acquire()
     ds.groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, timeout)(
-        retentionFn(conds, idleTimeoutMs))
+        retentionFn(conds, idleTimeoutMs, peakAcc))
   }
 
   private def seqCountFn(first: TaggedEvent => Boolean,
-      second: TaggedEvent => Boolean, windowMicros: Long, idleTimeoutMs: Long)(
+      second: TaggedEvent => Boolean, windowMicros: Long, idleTimeoutMs: Long,
+      peakAcc: graft.functions.ParametricAgg.MaxAccumulator,
+      lateAcc: org.apache.spark.util.LongAccumulator)(
       userId: Long, events: Iterator[TaggedEvent],
       state: GroupState[SeqCountState]): Iterator[SeqCountUpdate] = {
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     val st0 = state.getOption.getOrElse(
       SeqCountState(Long.MinValue, Long.MinValue, lastIsA = false, 0L))
     val evs = events.toSeq
+    StreamGauges.noteGroupEvents(peakAcc, evs.size)
     var lastUs = st0.lastUs
     var lastTie = st0.lastTie
     var lastIsA = st0.lastIsA
     var count = st0.count
     // matching events only (the aggregate buffers exactly these; both
     // conditions ⇒ first: arms, never fires), in (us, tie) order,
-    // late-dropped behind the consumed frontier
-    evs.iterator
+    // late-dropped behind the consumed frontier — each drop counted on
+    // the StreamGauges late gauge (the stated trade, made observable;
+    // only condition-MATCHING events count, mirroring what the batch
+    // aggregate would have buffered)
+    val (keep, late) = evs.iterator
       .map(e => (e.ts.getTime * 1000L, e.tie, e))
-      .filter { case (us, tie, _) =>
+      .filter { case (_, _, e) => first(e) || second(e) }
+      .toSeq.partition { case (us, tie, _) =>
         us > st0.lastUs || (us == st0.lastUs && tie > st0.lastTie) }
-      .toSeq.sortBy(t => (t._1, t._2))
+    StreamGauges.noteLate(lateAcc, late.size)
+    keep.sortBy(t => (t._1, t._2))
       .foreach { case (us, tie, e) =>
         val a = first(e)
-        val s = second(e)
-        if (a || s) {
-          if (!a && lastIsA &&
-              (windowMicros == 0 || us - lastUs <= windowMicros)) count += 1
-          lastIsA = a; lastUs = us; lastTie = tie
-        }
+        if (!a && lastIsA &&
+            (windowMicros == 0 || us - lastUs <= windowMicros)) count += 1
+        lastIsA = a; lastUs = us; lastTie = tie
       }
     // store when the fold state moved AND is worth keeping: an unarmed
     // zero-count frontier is fold-equivalent to the init state (prevA
@@ -187,8 +195,10 @@ object EventAggStream {
     val timeout: GroupStateTimeout =
       if (idleTimeoutMs > 0) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout
+    val (peakAcc, lateAcc) = StreamGauges.acquire()
     ds.groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, timeout)(
-        seqCountFn(first, second, windowMicros, idleTimeoutMs))
+        seqCountFn(first, second, windowMicros, idleTimeoutMs,
+          peakAcc, lateAcc))
   }
 }

@@ -74,7 +74,8 @@ object FunnelStream {
   private[streaming] def level(mins: Seq[Long]): Int =
     mins.takeWhile(_ != Long.MaxValue).size
 
-  private def flatMapFn(stages: Seq[String], idleTimeoutMs: Long)(
+  private def flatMapFn(stages: Seq[String], idleTimeoutMs: Long,
+      peakAcc: graft.functions.ParametricAgg.MaxAccumulator)(
       userId: Long, events: Iterator[FunnelEvent],
       state: GroupState[FunnelChainState]): Iterator[FunnelUpdate] = {
     if (state.hasTimedOut) {
@@ -86,6 +87,7 @@ object FunnelStream {
     val st0 = state.getOption.getOrElse(
       FunnelChainState(Seq.fill(stages.size)(Long.MaxValue), 0))
     val evs = events.toSeq
+    StreamGauges.noteGroupEvents(peakAcc, evs.size)
     val st1 = advance(stages, st0, evs)
     val lvl = level(st1.mins)
     val out =
@@ -123,9 +125,10 @@ object FunnelStream {
     val timeout: GroupStateTimeout =
       if (idleTimeoutMs > 0) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout
+    val (peakAcc, _) = StreamGauges.acquire()
     ds.groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, timeout)(
-        flatMapFn(stages, idleTimeoutMs))
+        flatMapFn(stages, idleTimeoutMs, peakAcc))
   }
 
   // ---- WINDOWED streaming funnel: the `window_funnel` SQL surface's
@@ -188,7 +191,8 @@ object FunnelStream {
   }
 
   private def flatMapWindowedFn(stages: Seq[String], windowMs: Long,
-      idleTimeoutMs: Long)(
+      idleTimeoutMs: Long,
+      peakAcc: graft.functions.ParametricAgg.MaxAccumulator)(
       userId: Long, events: Iterator[FunnelEvent],
       state: GroupState[WindowedFunnelState]): Iterator[FunnelUpdate] = {
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
@@ -196,6 +200,7 @@ object FunnelStream {
       WindowedFunnelState(Seq.fill(stages.size)(Long.MinValue),
         Long.MinValue, Seq.fill(stages.size)(Long.MinValue), 0))
     val evs = events.toSeq
+    StreamGauges.noteGroupEvents(peakAcc, evs.size)
     val st1 = advanceWindowed(stages, windowMs, st0, evs)
     val lvl = st1.best.takeWhile(_ != Long.MinValue).size
     val out =
@@ -235,9 +240,10 @@ object FunnelStream {
     val timeout: GroupStateTimeout =
       if (idleTimeoutMs > 0) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout
+    val (peakAcc, _) = StreamGauges.acquire()
     ds.groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, timeout)(
-        flatMapWindowedFn(stages, windowMs, idleTimeoutMs))
+        flatMapWindowedFn(stages, windowMs, idleTimeoutMs, peakAcc))
   }
 
   /** o_a15f's result shape from an update feed: levels only ever

@@ -115,6 +115,7 @@ class EventAggStreamSpec extends AnyFunSuite {
   test("late events are dropped, never recounted (the documented trade)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
+    val lateBefore = StreamGauges.lateDropsTotal
     val ms = MemoryStream[TaggedEvent]
     val q = EventAggStream.seqCountUpdates(ms.toDS(),
         _.event_type == "signup", _.event_type == "purchase")
@@ -134,6 +135,10 @@ class EventAggStreamSpec extends AnyFunSuite {
       .groupBy("user_id").agg(max("seq_count"))
       .collect().map(_.getLong(1)).toSeq
     assert(counts == Seq(1L), s"late signup must not re-arm: $counts")
+    // the trade is observable, not silent: exactly the one dropped
+    // matching event lands on the StreamGauges late counter
+    assert(StreamGauges.lateDropsTotal - lateBefore == 1L,
+      "the late signup must count on the late-drop gauge")
   }
 
   test("both twins survive a checkpoint restart mid-stream") {
