@@ -41,7 +41,13 @@ object TextAnalysis {
     * is the shared [[normCol]] chain, whose output alphabet is [a-z0-9 ]
     * — the reserved '|' and '~' units can never occur as characters. */
   private[pipeline] def bpeInit(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    bpeUnits(Tables.documents(s, d))
+
+  /** The unit construction over any (doc_id, text) frame — factored so
+    * the sampled trainer below feeds a filtered corpus through the SAME
+    * expression. */
+  private def bpeUnits(docs: DataFrame): DataFrame =
+    docs
       .withColumn("nt", normCol)
       .select(col("doc_id"), expr(
         """CASE WHEN nt = '' THEN ' ' ELSE
@@ -55,10 +61,14 @@ object TextAnalysis {
     * exactly one rule row. localCheckpoint keeps iteration i's plan from
     * re-running passes 1..i-1. */
   private[pipeline] def bpeRules(s: SparkSession, d: String)
+      : Seq[(String, String)] =
+    bpeTrain(s, bpeInit(s, d))
+
+  private def bpeTrain(s: SparkSession, init: DataFrame)
       : Seq[(String, String)] = {
     import s.implicits._
     val rules = Seq.newBuilder[(String, String)]
-    var st = bpeInit(s, d).select("u").localCheckpoint(true)
+    var st = init.select("u").localCheckpoint(true)
     (1 to BPE_MERGES).foreach { _ =>
       val pairs = st.select(explode(expr(
         """arrays_zip(slice(split(trim(u), ' '), 1, size(split(trim(u), ' ')) - 1),
@@ -92,6 +102,41 @@ object TextAnalysis {
     Warehouse.ensure(s, base) {
       import s.implicits._
       bpeRules(s, d).zipWithIndex
+        .map { case ((p1, p2), i) => (i, p1, p2) }
+        .toDF("rank", "p1", "p2")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/rules")
+    }
+    s.read.parquet(s"$base/rules").orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
+  /** The 100 TB training path, as code instead of a comment (r17 VERDICT
+    * #7): train the merge table on the `d_sample_split`-style md5-prefix
+    * DETERMINISTIC sample — documents whose sampling hash
+    * (first hex digit of `md5(doc_id)`, the split key's exact
+    * expression) falls in `digits` — instead of the full corpus. One
+    * digit = a 1/16 sample; training cost drops proportionally while the
+    * pair statistics (and hence the argmax chain) track the corpus,
+    * exactly when the sample sees the corpus's pair distribution —
+    * BpeSpec pins the law: a corpus whose texts the sample covers
+    * uniformly trains the IDENTICAL merge table. Stored once per
+    * (corpus version, sample) behind its own warehouse marker; encoding
+    * still runs over the FULL corpus with whichever table the caller
+    * picks. */
+  private[pipeline] def bpeRulesSampledStored(s: SparkSession, d: String,
+      digits: Set[String] = Set("2")): Seq[(String, String)] = {
+    require(digits.nonEmpty && digits.forall(h =>
+      h.length == 1 && "0123456789abcdef".contains(h)),
+      s"sample digits must be single hex chars, got $digits")
+    val tag = digits.toSeq.sorted.mkString
+    val base =
+      s"${Warehouse.versionDir(s, d, "documents.parquet")}/bpe_sampled_$tag"
+    Warehouse.ensure(s, base) {
+      import s.implicits._
+      val sampled = Tables.documents(s, d).filter(
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+          .isin(digits.toSeq: _*))
+      bpeTrain(s, bpeUnits(sampled)).zipWithIndex
         .map { case ((p1, p2), i) => (i, p1, p2) }
         .toDF("rank", "p1", "p2")
         .coalesce(1).write.mode("overwrite").parquet(s"$base/rules")
@@ -268,9 +313,10 @@ object TextAnalysis {
     // training + encoding bit-for-bit — tok_fp pins the whole
     // tokenization, not just counts. Scale: training is K linear passes
     // (here over the full corpus; at 100 TB train on the d_sample_split
-    // md5-prefix deterministic sample — the merge table is
-    // vocabulary-sized either way); encoding is per-row codegen'd
-    // string work, embarrassingly parallel.
+    // md5-prefix deterministic sample — `bpeRulesSampledStored`, the
+    // spec-pinned sampled trainer — the merge table is vocabulary-sized
+    // either way); encoding is per-row codegen'd string work,
+    // embarrassingly parallel.
     "d_text_tokens_bpe" -> ((s, d) => {
       bpeEncodedUnits(s, d)
         .select(col("doc_id"),

@@ -54,6 +54,43 @@ class BpeSpec extends AnyFunSuite {
     assert(got == " ll l ll ", s"got '$got'")
   }
 
+  test("sampled training reproduces full-corpus rules when the sample covers the corpus") {
+    import spark.implicits._
+    // the 100 TB path's law: if every text appears once in the md5-digit
+    // sample and R times in the full corpus (uniform replication), every
+    // adjacent-pair count scales by exactly R at EVERY merge iteration —
+    // the (count DESC, p1, p2) argmax chain, ties included, is invariant
+    // under uniform scaling, so the sampled table IS the full table.
+    def hex1(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      "%02x".format(md(0)).substring(0, 1)
+    }
+    val texts = Seq("the cat sat on the mat", "the dog ate the cod",
+      "a banana and a bandana", "codec codec codec",
+      "sphinx of black quartz judge my vow", "zebras graze at dawn")
+    // per text: ONE doc_id hashing into the '2' sample + two outside it
+    var nextId = 0L
+    def take(p: String => Boolean): Long = {
+      while (!p(hex1(nextId))) nextId += 1
+      val id = nextId; nextId += 1; id
+    }
+    val rows = texts.flatMap { t =>
+      Seq((take(_ == "2"), t), (take(_ != "2"), t), (take(_ != "2"), t))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("bpe_sample").toString
+    rows.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val full = TextAnalysis.bpeRulesStored(spark, dir)
+    val sampled = TextAnalysis.bpeRulesSampledStored(spark, dir, Set("2"))
+    assert(sampled == full,
+      s"uniform coverage must reproduce the table: $sampled vs $full")
+    assert(!full.exists(_._1 == "~"), "the planted corpus has real pairs")
+    // the stored sampled table round-trips (second read hits the marker)
+    assert(TextAnalysis.bpeRulesSampledStored(spark, dir, Set("2")) == full)
+  }
+
   test("training is deterministic and frequency-ordered; the store round-trips") {
     val r1 = TextAnalysis.bpeRules(spark, sf)
     val r2 = TextAnalysis.bpeRules(spark, sf)
