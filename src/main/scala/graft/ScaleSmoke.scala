@@ -1047,6 +1047,7 @@ object ScaleSmoke {
             // dialect clauses, the base_condition aggregate, and the
             // BPE-sized budget/curriculum pair
             ("o_s9_with_fill_sql", base, d10),
+            ("o_s9b_with_fill_bounds_sql", base, d10),
             ("o_s7b_limit_by_offset_sql", base, d10),
             ("o_a21e_seq_next_node_base", base, d10),
             ("d_token_budget_bpe", dBase, d10),

@@ -735,6 +735,23 @@ object Relational {
                ORDER BY hour WITH FILL STEP INTERVAL 1 HOUR""")
     }),
 
+    // O-S9b: WITH FILL with CH's FROM/TO bounds — the generated grid is
+    // [FROM, TO) (TO exclusive, CH's documented reading), while the
+    // base's own rows OUTSIDE the bounds are still kept; a literal
+    // two-day window inside the fixture's month discriminates all
+    // three behaviors (holes inside the bounds fill, the boundary hour
+    // at TO does not, January rows outside the window survive).
+    "o_s9b_with_fill_bounds_sql" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events")
+      s.sql("""SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+               FROM events WHERE event_type = 'purchase'
+               GROUP BY date_trunc('hour', ts)
+               ORDER BY hour
+               WITH FILL FROM timestamp '2024-01-05 00:00:00'
+                         TO timestamp '2024-01-07 00:00:00'
+                         STEP INTERVAL 1 HOUR""")
+    }),
+
     // ========================= §2.7 set ops ============================
 
     // O-U1: union-all of event families over the shared envelope
@@ -1319,6 +1336,23 @@ object Relational {
                          CAST(max(hour) AS TIMESTAMP) AS hi FROM hourly),
             spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
                       FROM b
+                      UNION
+                      SELECT hour FROM hourly)
+         SELECT spine.hour, n
+         FROM spine LEFT JOIN hourly USING (hour) ORDER BY hour""",
+
+    // FROM/TO bounds: the grid is [FROM, TO) — generate_series is
+    // end-inclusive like sequence(), so the same < TO filter applies —
+    // UNIONed with ALL base hours (rows outside the bounds survive)
+    "o_s9b_with_fill_bounds_sql" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+                         FROM events WHERE event_type = 'purchase' GROUP BY 1),
+            spine AS (SELECT g AS hour FROM (
+                        SELECT unnest(generate_series(
+                          TIMESTAMP '2024-01-05 00:00:00',
+                          TIMESTAMP '2024-01-07 00:00:00',
+                          INTERVAL 1 HOUR)) AS g)
+                      WHERE g < TIMESTAMP '2024-01-07 00:00:00'
                       UNION
                       SELECT hour FROM hourly)
          SELECT spine.hour, n

@@ -11,7 +11,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * CH clauses a user of the reference types at ports 8123/9000
   * (`/root/reference/build/docker-compose.yml:8-9` routes them to a
   * deployed ClickHouse 22.3) — `LIMIT [offset,] n BY k`, `SAMPLE a/b`
-  * and `ORDER BY c WITH FILL [STEP n]` — are rewritten AT PARSE TIME
+  * and `ORDER BY c WITH FILL [FROM x] [TO y] [STEP n]` — are rewritten
+  * AT PARSE TIME
   * into standard Spark SQL and handed to the delegate parser, so
   * `spark.sql("... LIMIT 3 BY k")` and the S-HTTP server both accept
   * them. Installed by [[graft.functions.GraftExtensions]] via
@@ -306,16 +307,25 @@ object GraftSqlDialect {
     * practice a post-aggregate series, so even the multi-reference plan
     * is metadata-sized next to the scan (the o_s5 argument).
     *
+    * `[FROM const] [TO const]` bounds (CH grammar order, before STEP)
+    * replace the min/max scalar subqueries; TO is EXCLUSIVE per CH's
+    * documented reading ("without the TO value"), enforced by a spine
+    * filter since sequence() is end-inclusive. Original rows OUTSIDE
+    * the bounds are still kept (the UNION side) — CH keeps them too;
+    * only the generated grid is bounded.
+    *
     * Stated deltas vs CH 22.3, each failing LOUDLY where it applies:
     * filled measure columns are NULL (CH fills type defaults — 0/'' —
     * which erase the filled-vs-observed distinction; COALESCE restores
     * it per query); exactly ONE ORDER BY item, ascending (CH
-    * multi-key/descending fill unimplemented); FROM/TO bounds
-    * unimplemented (bound the base query instead); STEP defaults to 1,
-    * so a non-numeric fill column NEEDS an explicit STEP (sequence()
-    * rejects the mismatch at analysis); the fill column must be a
-    * projected column NAME (the spine joins back by name); does not
-    * compose with LIMIT n BY in one statement. */
+    * multi-key/descending fill unimplemented; INTERPOLATE
+    * unimplemented); an empty bound range (FROM past the data max with
+    * no TO, or FROM >= TO) errors at sequence() rather than producing
+    * zero filled rows; STEP defaults to 1, so a non-numeric fill column
+    * NEEDS an explicit STEP (sequence() rejects the mismatch at
+    * analysis); the fill column must be a projected column NAME (the
+    * spine joins back by name); does not compose with LIMIT n BY in one
+    * statement. */
   private def rewriteWithFill(sql: String, esc: Boolean): String = {
     val d = depths(sql, esc)
     // the LAST top-level occurrence is the clause position; a `WITH fill
@@ -348,6 +358,36 @@ object GraftSqlDialect {
         s"(got '$c'): the spine joins back to the base by name — alias " +
         "the expression in the select list and order by the alias")
     var rest = sql.substring(hit.end).trim
+    // CH grammar order: [FROM const] [TO const] [STEP const]. A bound
+    // value runs to the next top-level keyword (depths() keeps keywords
+    // inside literals — timestamp '…' — out of play).
+    def takeValue(src: String, what: String,
+                  stops: Seq[String]): (String, String) = {
+      val dd = depths(src, esc)
+      val re = ("(?i)\\b(" + stops.mkString("|") + ")\\b").r
+      val (v, r2) = re.findAllMatchIn(src).find(m => dd(m.start) == 0) match {
+        case Some(m) =>
+          (src.substring(0, m.start).trim, src.substring(m.start).trim)
+        case None => (src.trim, "")
+      }
+      if (v.isEmpty) fail(s"WITH FILL $what needs a constant expression")
+      (v, r2)
+    }
+    var fromB: Option[String] = None
+    var toB: Option[String] = None
+    // FROM/TO are in each other's stop lists so an out-of-order or
+    // repeated bound surfaces as the loud leftover-modifier failure
+    // below instead of splicing into the generated SQL
+    """(?i)^FROM\s+""".r.findFirstMatchIn(rest).foreach { m =>
+      val (v, r2) = takeValue(rest.substring(m.end), "FROM",
+        Seq("TO", "STEP", "LIMIT", "OFFSET", "FROM"))
+      fromB = Some(v); rest = r2
+    }
+    """(?i)^TO\s+""".r.findFirstMatchIn(rest).foreach { m =>
+      val (v, r2) = takeValue(rest.substring(m.end), "TO",
+        Seq("STEP", "LIMIT", "OFFSET", "FROM", "TO"))
+      toB = Some(v); rest = r2
+    }
     val step = stepRe.findFirstMatchIn(rest) match {
       case Some(sm) => rest = rest.substring(sm.end).trim; sm.group(1)
       case None => "1"
@@ -355,15 +395,19 @@ object GraftSqlDialect {
     val up = rest.toUpperCase(java.util.Locale.ROOT)
     if (!(rest.isEmpty || up.startsWith("LIMIT") || up.startsWith("OFFSET")))
       fail(s"unsupported WITH FILL modifier " +
-        s"'${rest.takeWhile(!_.isWhitespace)}': only [STEP n | STEP " +
-        "INTERVAL n unit] is implemented (CH's FROM/TO bounds are not — " +
-        "bound the base query instead)")
+        s"'${rest.takeWhile(!_.isWhitespace)}': only [FROM x] [TO y] " +
+        "[STEP n | STEP INTERVAL n unit] is implemented, in CH's order " +
+        "(INTERPOLATE is not)")
     val base = sql.substring(0, ord.start).trim
+    val lo = fromB.getOrElse(s"(SELECT min($c) FROM __graft_wfb)")
+    val hi = toB.getOrElse(s"(SELECT max($c) FROM __graft_wfb)")
+    // TO is exclusive in CH; sequence() is end-inclusive when aligned
+    val bound = toB.map(t => s" WHERE $c < $t").getOrElse("")
     s"""WITH __graft_wfb AS ( $base )
        |SELECT * FROM (
        |  SELECT $c FROM (SELECT explode(sequence(
-       |      (SELECT min($c) FROM __graft_wfb),
-       |      (SELECT max($c) FROM __graft_wfb), $step)) AS $c)
+       |      $lo,
+       |      $hi, $step)) AS $c)$bound
        |  UNION
        |  SELECT $c FROM __graft_wfb) __graft_wfs
        |LEFT JOIN __graft_wfb USING ($c)

@@ -188,6 +188,45 @@ class GraftSqlParserSpec extends AnyFunSuite {
     }
   }
 
+  test("WITH FILL FROM/TO bounds: grid is [FROM, TO), originals survive outside") {
+    import spark.implicits._
+    Seq((1, 10L), (2, 20L), (5, 50L), (9, 90L)).toDF("k", "v")
+      .createOrReplaceTempView("wfb")
+    // TO is exclusive (CH's reading): 8 is generated by no grid and is
+    // not an original; 1 and 9 sit OUTSIDE the bounds and still survive
+    val got = spark.sql(
+      "SELECT k, v FROM wfb ORDER BY k WITH FILL FROM 2 TO 8")
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(1, 2, 3, 4, 5, 6, 7, 9), s"bounds grid: $got")
+    // randomized bound shapes vs the in-memory reference
+    val rnd = new scala.util.Random(1809)
+    (0 until 6).foreach { draw =>
+      val ks = (0 until (5 + rnd.nextInt(12))).map(_ => rnd.nextInt(40))
+        .distinct
+      val rows = ks.map(k => (k, k.toLong * 100))
+      rows.toDF("k", "v").createOrReplaceTempView("wfb")
+      val step = 1 + rnd.nextInt(3)
+      val from = rnd.nextInt(20)
+      // keep TO above both candidate grid starts: sequence() errors on
+      // an inverted range (the documented delta vs CH's empty fill)
+      val to = math.max(from, ks.min) + 1 + rnd.nextInt(25)
+      val (fc, tc) = (if (rnd.nextBoolean()) s"FROM $from" else "",
+        s"TO $to")
+      val got2 = spark.sql(
+        s"SELECT k, v FROM wfb ORDER BY k WITH FILL $fc $tc STEP $step")
+        .collect()
+        .map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toSeq
+      val lo = if (fc.nonEmpty) from else rows.map(_._1).min
+      val grid = (lo until to by step).toSet
+      val byK = rows.toMap
+      val want = (grid ++ rows.map(_._1)).toSeq.sorted
+        .map(k => (k, byK.get(k).map(_.longValue)))
+      assert(got2 == want,
+        s"draw $draw $fc $tc STEP $step: $got2 != $want")
+    }
+  }
+
   test("WITH FILL failure modes are loud: scope, direction, modifiers, composition") {
     def failsWith(sql: String, needle: String): Unit = {
       val e = intercept[org.apache.spark.sql.AnalysisException] { rw(sql) }
@@ -203,8 +242,16 @@ class GraftSqlParserSpec extends AnyFunSuite {
     failsWith("SELECT a, b FROM t ORDER BY a, b WITH FILL", "exactly ONE")
     failsWith("SELECT a FROM t ORDER BY a DESC WITH FILL", "ascending only")
     failsWith("SELECT a FROM t ORDER BY a + 1 WITH FILL", "column NAME")
-    failsWith("SELECT a FROM t ORDER BY a WITH FILL FROM 1 TO 9", "FROM/TO")
-    failsWith("SELECT a FROM t ORDER BY a WITH FILL TO 9", "FROM/TO")
+    failsWith("SELECT a FROM t ORDER BY a WITH FILL INTERPOLATE (b)",
+      "INTERPOLATE is not")
+    // bounds must come in CH's order: STEP before FROM / TO before FROM
+    // leaves the bound as a loud leftover, never spliced SQL
+    failsWith("SELECT a FROM t ORDER BY a WITH FILL STEP 2 FROM 1",
+      "unsupported WITH FILL modifier 'FROM'")
+    failsWith("SELECT a FROM t ORDER BY a WITH FILL TO 9 FROM 1",
+      "unsupported WITH FILL modifier 'FROM'")
+    failsWith("SELECT a FROM t ORDER BY a WITH FILL FROM STEP 2",
+      "FROM needs")
     failsWith(
       "SELECT a, b FROM t ORDER BY a WITH FILL LIMIT 2 BY b", "compose")
     // inside a string literal the clause is data

@@ -221,11 +221,22 @@ class HttpSqlSpec extends AnyFunSuite {
       val perKey = lb.body().linesIterator.toSeq.tail.map(_.split('\t')(0))
         .groupBy(identity).view.mapValues(_.size)
       assert(perKey.nonEmpty && perKey.values.max <= 1)
+      // FROM/TO bounds run end-to-end: the grid is [5, 9) plus the
+      // original keys outside the bounds
+      val bd = post(c, p,
+        "SELECT o_orderkey AS k, COUNT(*) AS n FROM orders " +
+          "WHERE o_orderkey IN (1, 2, 9, 15) GROUP BY o_orderkey " +
+          "ORDER BY k WITH FILL FROM 5 TO 9 FORMAT TSVWithNames")
+      assert(bd.statusCode() == 200, bd.body())
+      val bks = bd.body().linesIterator.toSeq.tail.map(_.split('\t')(0).toLong)
+      assert(bks == Seq(1L, 2L, 5L, 6L, 7L, 8L, 9L, 15L),
+        s"[FROM, TO) grid + out-of-bounds originals: $bks")
       // an unsupported FILL modifier is the permanent (400) error class
       val bad = post(c, p,
-        "SELECT o_orderkey AS k FROM orders ORDER BY k WITH FILL TO 99")
+        "SELECT o_orderkey AS k FROM orders ORDER BY k " +
+          "WITH FILL INTERPOLATE (n)")
       assert(bad.statusCode() == 400, s"${bad.statusCode()} ${bad.body()}")
-      assert(bad.body().contains("FROM/TO"))
+      assert(bad.body().contains("INTERPOLATE"))
     }
   }
 

@@ -91,6 +91,11 @@ KEYS = [
     # parser shapes in GraftSqlParserSpec.)
     "o_a21e_seq_next_node_base", "o_s9_with_fill_sql",
     "d_token_budget_bpe", "d_curriculum_bpe",
+    # r18: WITH FILL FROM/TO — the literal 2024 bounds sit outside the
+    # planted 1970-epoch streams, so every draw re-proves the [FROM, TO)
+    # grid against a corpus it does NOT overlap (spine rows all filled,
+    # original hours all outside the bounds — both survival rules)
+    "o_s9b_with_fill_bounds_sql",
 ]
 
 ADDOPENS = " ".join(
