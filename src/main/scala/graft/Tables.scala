@@ -18,7 +18,40 @@ object Tables {
     // query already set the nanosAsLong conf) and otherwise throws
     // PARQUET_TYPE_ILLEGAL.
     if (name == "events") events(spark, dir)
+    else if (name == "documents" || name == "embeddings")
+      fanout(spark, spark.read.parquet(s"$dir/$name.parquet"))
     else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Scale-adaptive scan fan-out (optimization guide §2.5 "input skew:
+    * one huge unsplittable file — repartition immediately after the
+    * read"): the driver's tables are single-row-group parquet files, so
+    * every scan is ONE split and all per-row map work (regex/explode/
+    * array pipelines over text, vector decode, cast chains) runs
+    * single-threaded until the first exchange — measured 1.0-2.2 s
+    * single-task stages at sf0.1 on a 32-core session. When the scan
+    * yields fewer splits than the session's parallelism AND the input is
+    * small enough that re-splitting it is trivia (under maxPartitionBytes
+    * per target slice — i.e. the file COULD have been written as that
+    * many splits), round-robin it across the cores. Both conditions are
+    * derived from the input, not tuned to a core count: at production
+    * scale a table this small is a dimension table (no-op either way),
+    * and a large table already carries enough splits so the gate never
+    * fires. Applied to the CORPUS tables only (documents/embeddings —
+    * every consumer runs regex/explode/vector pipelines): the
+    * relational/event tables' scans are cheap projections whose first
+    * real operator is already a keyed exchange, so a fan-out exchange
+    * there is pure addition (measured both ways at sf0.1: event keys
+    * +0.25 s each with it, corpus keys −0.3..−1.4 s without it).
+    * Disable with -Dgraft.scan.fanout=false. */
+  private def fanout(s: SparkSession, df: DataFrame): DataFrame = {
+    if (sys.props.get("graft.scan.fanout").contains("false")) return df
+    val target = s.sparkContext.defaultParallelism
+    val parts = df.rdd.getNumPartitions
+    if (parts >= target) return df
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val maxSplit = s.sessionState.conf.filesMaxPartitionBytes
+    if (bytes <= BigInt(maxSplit) * target) df.repartition(target) else df
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
@@ -43,7 +76,7 @@ object Tables {
     // events carries one, and this loader normalizes it.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$d/events.parquet")
-    raw.schema("ts").dataType match {
+    (raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // int64 here means TIMESTAMP(NANOS) (surfaced long by the
         // nanosAsLong conf) — but an UNANNOTATED int64 drop would surface
@@ -64,7 +97,7 @@ object Tables {
       case _ =>
         raw.withColumn("ts",
           col("ts").cast(org.apache.spark.sql.types.TimestampType))
-    }
+    })
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -104,12 +104,19 @@ object OrderStats {
     if (est <= BigInt(gateBytes)) {
       // small-input fast path: the textbook window — bounded parallelism
       // is irrelevant at this size, and it skips the range sampling and
-      // the extra exchanges. Column order matches the distributed branch.
+      // the extra exchanges. The cum window runs FIRST: its required
+      // child order (key, ord...) prefix-satisfies the tot window's
+      // (key), so both windows share ONE exchange and ONE sort (tot
+      // first planned sort-by-key then RE-sorted by (key, ord...) — a
+      // second full pass over the data for nothing; r18 opt). The final
+      // select restores the distributed branch's (..., tot, cum) column
+      // order.
       val byVal = Window.partitionBy(key).orderBy(ord.map(col): _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val out = src
-        .withColumn("tot", sum(col(wt)).over(Window.partitionBy(key)))
         .withColumn("cum", sum(col(wt)).over(byVal))
+        .withColumn("tot", sum(col(wt)).over(Window.partitionBy(key)))
+        .select(src.columns.map(col) :+ col("tot") :+ col("cum"): _*)
       return (out, Seq.empty)
     }
     val n = spark.sessionState.conf.numShufflePartitions

@@ -14,7 +14,16 @@ import org.apache.spark.sql.DataFrame
   * pattern survives adversarial corpora at 100 TB where a collect()-based
   * cut would OOM the driver. */
 private[graft] object Materialize {
+  /** PLAN-DUMP ONLY (`-Dgraft.materialize.keep=true`): return the
+    * un-checkpointed plan, caches left in place, so PlanDump can print
+    * the full physical plan instead of a post-checkpoint RDD scan.
+    * Never set for bench/verify runs — the eager cut and cache release
+    * are part of query execution. */
+  private def keepPlan: Boolean =
+    sys.props.get("graft.materialize.keep").contains("true")
+
   def drop(result: DataFrame, caches: DataFrame*): DataFrame = {
+    if (keepPlan) return result
     val out = result.localCheckpoint(eager = true)
     caches.foreach(_.unpersist())
     out
