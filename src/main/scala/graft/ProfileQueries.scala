@@ -25,7 +25,9 @@ object ProfileQueries {
     final case class StageAgg(var name: String = "", var tasks: Int = 0,
                               var taskMs: Long = 0, var maxTaskMs: Long = 0,
                               var shufWrite: Long = 0, var shufRead: Long = 0,
-                              var input: Long = 0)
+                              var input: Long = 0, var ops: String = "",
+                              var deserMs: Long = 0, var runMs: Long = 0,
+                              var gcMs: Long = 0, var cpuMs: Long = 0)
     val stages = new java.util.concurrent.ConcurrentHashMap[Int, StageAgg]()
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Seq[Int])]()
     val listener = new SparkListener {
@@ -38,6 +40,13 @@ object ProfileQueries {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val a = stages.computeIfAbsent(e.stageInfo.stageId, _ => StageAgg())
         a.name = e.stageInfo.name.takeWhile(_ != '(').trim
+        // operator attribution: the RDD scope names inside the stage
+        // (WholeStageCodegen ids, Exchange, InMemoryTableScan...) — the
+        // only per-stage signal that maps back to plan operators without
+        // a live UI
+        a.ops = e.stageInfo.rddInfos.sortBy(_.id)
+          .map(r => r.scope.map(_.name).getOrElse(r.name))
+          .distinct.mkString(">")
       }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         val a = stages.computeIfAbsent(e.stageId, _ => StageAgg())
@@ -50,6 +59,10 @@ object ProfileQueries {
             a.shufWrite += m.shuffleWriteMetrics.bytesWritten
             a.shufRead += m.shuffleReadMetrics.totalBytesRead
             a.input += m.inputMetrics.bytesRead
+            a.deserMs += m.executorDeserializeTime
+            a.runMs += m.executorRunTime
+            a.gcMs += m.jvmGCTime
+            a.cpuMs += m.executorCpuTime / 1000000L
           }
         }
       }
@@ -81,6 +94,9 @@ object ProfileQueries {
         println(f"[prof]   stage $sid%4d ${a.name}%-28s tasks=${a.tasks}%4d " +
           f"taskMs=${a.taskMs}%7d max=${a.maxTaskMs}%6d " +
           f"in=${a.input / 1024}%8dK sw=${a.shufWrite / 1024}%6dK sr=${a.shufRead / 1024}%6dK")
+        println(s"[prof]     ops: ${a.ops.take(300)}")
+        println(f"[prof]     deser=${a.deserMs} run=${a.runMs} " +
+          f"cpu=${a.cpuMs} gc=${a.gcMs}")
       }
     }
     spark.stop()

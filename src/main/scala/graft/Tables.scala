@@ -17,10 +17,46 @@ object Tables {
     // a raw read of it is order-dependent (works only if some earlier
     // query already set the nanosAsLong conf) and otherwise throws
     // PARQUET_TYPE_ILLEGAL.
-    if (name == "events") events(spark, dir)
-    else if (name == "documents" || name == "embeddings")
-      fanout(spark, spark.read.parquet(s"$dir/$name.parquet"))
-    else spark.read.parquet(s"$dir/$name.parquet")
+    memo(spark, dir, name) {
+      if (name == "events") eventsLoad(spark, dir)
+      else if (name == "documents" || name == "embeddings")
+        fanout(spark, spark.read.parquet(s"$dir/$name.parquet"))
+      else spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  /** Memoized ANALYZED handle per (session, dir, table, data version) —
+    * r18 opt, guide §1.2/§6: every loader call pays a driver file
+    * listing plus a one-task footer/schema job at DataFrame-creation
+    * time (~10-20 ms), and the fan-out gate below additionally plans the
+    * raw scan to count its splits; a catalog run re-opens the same
+    * immutable input tables once per key. The handle is file index +
+    * schema + the normalization plan — no data; every action still scans
+    * the parquet (this is a catalog, not a result cache). The memo key
+    * embeds the table's file-metadata version (count, bytes, max mtime —
+    * one local stat walk, no Spark job), so a spec that overwrites a
+    * temp-dir corpus in place gets a fresh handle, never the stale file
+    * index — the same staleness discipline as Warehouse.token. Sessions
+    * are weakly keyed so stopped test sessions don't pin their
+    * handles. */
+  private val memoMap = new java.util.WeakHashMap[
+    SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+  private def memo(s: SparkSession, dir: String, name: String)
+                  (load: => DataFrame): DataFrame = {
+    def walk(f: java.io.File): (Long, Long, Long) =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .map(walk).fold((0L, 0L, 0L)) { case ((a, b, c), (x, y, z)) =>
+            (a + x, b + y, math.max(c, z)) }
+      else (1L, f.length(), f.lastModified())
+    val ver = walk(new java.io.File(dir, s"$name.parquet"))
+    memoMap.synchronized {
+      val m = Option(memoMap.get(s)).getOrElse {
+        val mm = scala.collection.mutable.Map[String, DataFrame]()
+        memoMap.put(s, mm); mm
+      }
+      m.getOrElseUpdate(s"$dir|$name|$ver", load)
+    }
+  }
 
   /** Scale-adaptive scan fan-out (optimization guide §2.5 "input skew:
     * one huge unsplittable file — repartition immediately after the
@@ -67,7 +103,10 @@ object Tables {
     * (read as-is). Normalize both to session-zoned microsecond
     * TimestampType so every downstream query sees one type and ts
     * filters stay pushdown-eligible. */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "events")(eventsLoad(s, d))
+
+  private def eventsLoad(s: SparkSession, d: String): DataFrame = {
     // DELIBERATELY session-global (EngineSession sets it at build time;
     // this covers hand-rolled sessions): the flag cannot be restored
     // after the read — the scan re-reads it at EXECUTION, so a restore

@@ -120,6 +120,17 @@ object OrderStats {
       return (out, Seq.empty)
     }
     val n = spark.sessionState.conf.numShufflePartitions
+    // the narrow (key, ord..., wt) projection is persisted BEFORE the
+    // range exchange (r18 opt, guide §1.2 "don't compute things you
+    // throw away"): repartitionByRange SAMPLES its child to pick range
+    // boundaries, i.e. evaluates the un-cached input lineage a second
+    // time before the shuffle-map pass evaluates it again — measured as
+    // the dominant cost when the input rides an expensive projection
+    // (the BPE-encode keys paid the encode 2-3x). The cache holds only
+    // these few narrow columns (the projection above strips everything
+    // else), spills to disk, and is released by the caller with the
+    // slice cache below.
+    val srcP = src.persist(StorageLevel.MEMORY_AND_DISK)
     // explicit partition count (AQE must not re-split the exchange) AND
     // persisted: the two consumers below must see the SAME slice-id
     // space. The cache pins ONE physical instantiation of the range
@@ -127,7 +138,7 @@ object OrderStats {
     // never rides on ReuseExchange being enabled; even a partition
     // evicted and recomputed re-runs the same RDD against the same
     // registered map outputs, keeping pids stable.
-    val ranged = src.repartitionByRange(n, orderCols: _*)
+    val ranged = srcP.repartitionByRange(n, orderCols: _*)
       .withColumn("pid", spark_partition_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -159,6 +170,6 @@ object OrderStats {
         col("pid") === col("__opid") && col(key) <=> col("__okey"))
       .withColumn("cum", col("lcum") + col("cum_off"))
       .drop("pid", "lcum", "cum_off", "__opid", "__okey")
-    (out, Seq(ranged))
+    (out, Seq(ranged, srcP))
   }
 }

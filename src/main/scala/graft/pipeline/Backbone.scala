@@ -94,7 +94,7 @@ private[graft] object Backbone {
           col("n_chars").cast("long").as("n_chars"))
         .write.mode("overwrite").parquet(path)
     }
-    s.read.parquet(path)
+    Warehouse.readParquet(s, path)
   }
 
   /** Writes the banded-signature and verified-pair tables for a band
@@ -116,12 +116,12 @@ private[graft] object Backbone {
     * delta probes and DedupStream bootstraps from. */
   def bands(s: SparkSession, d: String,
             nBands: Int = 4, rowsPerBand: Int = 2): DataFrame =
-    s.read.parquet(s"${ensureMinhash(s, d, nBands, rowsPerBand)}/bands")
+    Warehouse.readParquet(s, s"${ensureMinhash(s, d, nBands, rowsPerBand)}/bands")
 
   /** Stored VERIFIED near-dup pairs (da, db, jaccard >= 0.5). */
   def pairs(s: SparkSession, d: String,
             nBands: Int = 4, rowsPerBand: Int = 2): DataFrame =
-    s.read.parquet(s"${ensureMinhash(s, d, nBands, rowsPerBand)}/pairs")
+    Warehouse.readParquet(s, s"${ensureMinhash(s, d, nBands, rowsPerBand)}/pairs")
 
   /** Stored cluster labels (doc_id, cluster_id) — connected components
     * over the default-geometry pair graph; docs in no near-dup pair are
@@ -135,7 +135,7 @@ private[graft] object Backbone {
         .write.mode("overwrite").parquet(path)
       (edges +: caches).foreach(_.unpersist())
     }
-    s.read.parquet(path)
+    Warehouse.readParquet(s, path)
   }
 
   /** Separately-persisted HISTORY tables for the stored-delta contract
@@ -183,16 +183,16 @@ private[graft] object Backbone {
     * CC labels, written next to the inputs. */
   private def derivePairsAndLabels(s: SparkSession, base: String,
                                    nDocs: Long): Unit = {
-    val hb = s.read.parquet(s"$base/bands")
+    val hb = Warehouse.readParquet(s, s"$base/bands")
     val cands = hb.as("x").join(hb.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-    TextDedup.verifyPairs(cands, s.read.parquet(s"$base/sets"), nDocs)
+    TextDedup.verifyPairs(cands, Warehouse.readParquet(s, s"$base/sets"), nDocs)
       .write.mode("overwrite").parquet(s"$base/pairs")
     val edges = Graph.symmetrize(
-      s.read.parquet(s"$base/pairs"), "da", "db").persist()
+      Warehouse.readParquet(s, s"$base/pairs"), "da", "db").persist()
     val (lbl, caches) = Graph.minLabelComponents(edges)
     lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
       .write.mode("overwrite").parquet(s"$base/labels")
@@ -201,11 +201,11 @@ private[graft] object Backbone {
 
   private def readHistory(s: SparkSession, base: String): HistoryTables =
     HistoryTables(
-      s.read.parquet(s"$base/keepers"),
-      s.read.parquet(s"$base/bands"),
-      s.read.parquet(s"$base/sets"),
-      s.read.parquet(s"$base/pairs"),
-      s.read.parquet(s"$base/labels"))
+      Warehouse.readParquet(s, s"$base/keepers"),
+      Warehouse.readParquet(s, s"$base/bands"),
+      Warehouse.readParquet(s, s"$base/sets"),
+      Warehouse.readParquet(s, s"$base/pairs"),
+      Warehouse.readParquet(s, s"$base/labels"))
 
   /** Stored BATCH-side signature tables — banded signatures, shingle
     * sets and fingerprints for documents in [split, batchEnd) — signed
@@ -235,9 +235,9 @@ private[graft] object Backbone {
       sp.caches.foreach(_.unpersist())
     }
     BatchTables(
-      s.read.parquet(s"$base/bands"),
-      s.read.parquet(s"$base/sets"),
-      s.read.parquet(s"$base/fps"))
+      Warehouse.readParquet(s, s"$base/bands"),
+      Warehouse.readParquet(s, s"$base/sets"),
+      Warehouse.readParquet(s, s"$base/fps"))
   }
 
   /** Compact EXTERNALLY-PRODUCED raw history tables (keepers, bands,
@@ -262,7 +262,7 @@ private[graft] object Backbone {
       sets.write.mode("overwrite").parquet(s"$base/sets")
       // the broadcast gate sizes off the history's own row count here
       // (an external intake has no corpus dir to consult)
-      derivePairsAndLabels(s, base, s.read.parquet(s"$base/sets").count())
+      derivePairsAndLabels(s, base, Warehouse.readParquet(s, s"$base/sets").count())
     }
     readHistory(s, base)
   }

@@ -146,7 +146,7 @@ object Curation {
   }
 
   def readBloomPair(s: SparkSession, dir: String): (Array[Byte], Array[Byte]) = {
-    val r = s.read.parquet(dir).head
+    val r = Warehouse.readParquet(s, dir).head
     (r.getAs[Array[Byte]]("bf1"), r.getAs[Array[Byte]]("bf2"))
   }
 

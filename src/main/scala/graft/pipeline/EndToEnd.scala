@@ -117,7 +117,7 @@ object EndToEnd {
         scrub.write.mode("overwrite").parquet(s"$base/scrub")
       } finally caches.foreach(_.unpersist())
     }
-    (s.read.parquet(s"$base/dec"), s.read.parquet(s"$base/scrub"))
+    (Warehouse.readParquet(s, s"$base/dec"), Warehouse.readParquet(s, s"$base/scrub"))
   }
 
   /** Build the pipeline artifact up front (Bench) so per-query timings

@@ -106,7 +106,7 @@ object TextAnalysis {
         .toDF("rank", "p1", "p2")
         .coalesce(1).write.mode("overwrite").parquet(s"$base/rules")
     }
-    s.read.parquet(s"$base/rules").orderBy("rank")
+    Warehouse.readParquet(s, s"$base/rules").orderBy("rank")
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
   }
 
@@ -141,7 +141,7 @@ object TextAnalysis {
         .toDF("rank", "p1", "p2")
         .coalesce(1).write.mode("overwrite").parquet(s"$base/rules")
     }
-    s.read.parquet(s"$base/rules").orderBy("rank")
+    Warehouse.readParquet(s, s"$base/rules").orderBy("rank")
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
   }
 
@@ -260,7 +260,7 @@ object TextAnalysis {
       lmBigrams(s, d).groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
         .write.mode("overwrite").parquet(s"$base/big")
     }
-    (s.read.parquet(s"$base/uni"), s.read.parquet(s"$base/big"))
+    (Warehouse.readParquet(s, s"$base/uni"), Warehouse.readParquet(s, s"$base/big"))
   }
 
   val queries: Map[String, Q] = Map(

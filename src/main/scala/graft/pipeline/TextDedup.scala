@@ -65,7 +65,7 @@ object TextDedup {
       try truth.write.mode("overwrite").parquet(path)
       finally t.unpersist()
     }
-    s.read.parquet(path)
+    Warehouse.readParquet(s, path)
   }
 
   /** Exact ground-truth near-dup pairs within the audit window: shared-

@@ -85,7 +85,7 @@ private[graft] object VecBackbone {
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
-      val r = s.read.parquet(p.toString).head
+      val r = Warehouse.readParquet(s, p.toString).head
       Some(BandedGeom(r.getAs[Int]("bands"), r.getAs[Int]("planes"),
         if (r.getAs[Boolean]("seeded")) Some(r.getAs[Long]("seed")) else None,
         r.getAs[Int]("dims")))
@@ -161,7 +161,7 @@ private[graft] object VecBackbone {
       rows.toDF("kind", "idx", "center")
         .coalesce(1).write.mode("overwrite").parquet(path)
     }
-    val rows = s.read.parquet(path).collect() // NCells + M*K tiny rows
+    val rows = Warehouse.readParquet(s, path).collect() // NCells + M*K tiny rows
     def centersOf(kind: String): Array[Array[Double]] =
       rows.filter(_.getString(0) == kind).sortBy(_.getInt(1))
         .map(_.getSeq[Double](2).toArray)
@@ -195,7 +195,7 @@ private[graft] object VecBackbone {
         .toDF("kind", "idx", "center")
         .coalesce(1).write.mode("overwrite").parquet(path)
     }
-    val rows = s.read.parquet(path).collect() // NCells tiny rows
+    val rows = Warehouse.readParquet(s, path).collect() // NCells tiny rows
     val coarse = rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
     Similarity.seedFit(s"$ck|h$upTo|ivf", NCells, 10, 42, coarse)
     coarse
@@ -260,7 +260,7 @@ private[graft] object VecBackbone {
       Similarity.signBuckets(s, Tables.embeddings(s, d), planes)
         .write.mode("overwrite").parquet(path)
     }
-    s.read.parquet(path)
+    Warehouse.readParquet(s, path)
   }
 
   /** Stored SYMMETRIC-SQ8 code table over the full corpus:
@@ -282,7 +282,7 @@ private[graft] object VecBackbone {
     Warehouse.ensure(s, path) {
       sq8BuildAt(s, d, path, Long.MaxValue)
     }
-    s.read.parquet(s"$path/codes")
+    Warehouse.readParquet(s, s"$path/codes")
   }
 
   /** The PINNED scale of a stored SQ8 table — the sidecar artifact the
@@ -292,7 +292,7 @@ private[graft] object VecBackbone {
     * corruption). One tiny row. */
   def sq8Scale(s: SparkSession, d: String): Double = {
     sq8Codes(s, d) // ensure built
-    s.read.parquet(s"${root(s, d)}/sq8/scale").collect()(0).getDouble(0)
+    Warehouse.readParquet(s, s"${root(s, d)}/sq8/scale").collect()(0).getDouble(0)
   }
 
   /** SQ8 code table AS OF vec_id < upTo — "yesterday's index": history
@@ -305,13 +305,13 @@ private[graft] object VecBackbone {
     Warehouse.ensure(s, path) {
       sq8BuildAt(s, d, path, upTo)
     }
-    s.read.parquet(s"$path/codes")
+    Warehouse.readParquet(s, s"$path/codes")
   }
 
   private[graft] def sq8ScaleAt(s: SparkSession, d: String,
                                 upTo: Long): Double = {
     sq8CodesAt(s, d, upTo) // ensure built
-    s.read.parquet(s"${root(s, d)}/sq8_h$upTo/scale")
+    Warehouse.readParquet(s, s"${root(s, d)}/sq8_h$upTo/scale")
       .collect()(0).getDouble(0)
   }
 
@@ -371,7 +371,7 @@ private[graft] object VecBackbone {
       s.range(1).select(lit(sc).as("s")).coalesce(1)
         .write.mode("overwrite").parquet(s"$path/scale")
     }
-    s.read.parquet(s"$path/codes")
+    Warehouse.readParquet(s, s"$path/codes")
   }
 
   /** RE-SCALE COMPACTION — the actuator the `d_ann_sq8_clip` audit
@@ -398,13 +398,13 @@ private[graft] object VecBackbone {
       sq8Advance(s, d, split) // the committed state being superseded
       sq8BuildAt(s, d, path, Long.MaxValue)
     }
-    s.read.parquet(s"$path/codes")
+    Warehouse.readParquet(s, s"$path/codes")
   }
 
   private[graft] def sq8CompactScale(s: SparkSession, d: String,
                                      split: Long): Double = {
     sq8Compact(s, d, split) // ensure built
-    s.read.parquet(s"${root(s, d)}/sq8_cmp$split/scale")
+    Warehouse.readParquet(s, s"${root(s, d)}/sq8_cmp$split/scale")
       .collect()(0).getDouble(0)
   }
 
@@ -460,7 +460,7 @@ private[graft] object VecBackbone {
         .write.mode("overwrite").parquet(s"$path/post")
       writeGeomSidecar(s, path, geom)
     }
-    s.read.parquet(s"$path/post")
+    Warehouse.readParquet(s, s"$path/post")
   }
 
   /** Stored banded postings for the embedding slice [lo, hi) — the
@@ -476,7 +476,7 @@ private[graft] object VecBackbone {
         .write.mode("overwrite").parquet(s"$path/post")
       writeGeomSidecar(s, path, geom)
     }
-    s.read.parquet(s"$path/post")
+    Warehouse.readParquet(s, s"$path/post")
   }
 
   /** COMMIT the banded postings advance: stored history-slice postings ∪
@@ -496,7 +496,7 @@ private[graft] object VecBackbone {
         .write.mode("overwrite").parquet(s"$path/post")
       writeGeomSidecar(s, path, geom)
     }
-    s.read.parquet(s"$path/post")
+    Warehouse.readParquet(s, s"$path/post")
   }
 
   /** Stored IVF cell assignments + PQ codes over the full corpus:
@@ -508,7 +508,7 @@ private[graft] object VecBackbone {
       encode(Tables.embeddings(s, d), q)
         .write.mode("overwrite").parquet(path)
     }
-    s.read.parquet(path)
+    Warehouse.readParquet(s, path)
   }
 
   // ---------------------------------------------------------------------
@@ -546,7 +546,7 @@ private[graft] object VecBackbone {
     * next to the stored bucket table (shared by [[history]]'s fresh
     * build — the advance derives its new state incrementally instead). */
   private def derivePairsAndLabels(s: SparkSession, base: String): Unit = {
-    val hb = s.read.parquet(s"$base/buckets")
+    val hb = Warehouse.readParquet(s, s"$base/buckets")
     hb.as("x").join(hb.as("y"),
         col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -554,7 +554,7 @@ private[graft] object VecBackbone {
       .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
       .write.mode("overwrite").parquet(s"$base/pairs")
     val edges = Graph.symmetrize(
-      s.read.parquet(s"$base/pairs"), "va", "vb").persist()
+      Warehouse.readParquet(s, s"$base/pairs"), "va", "vb").persist()
     val (lbl, caches) = Graph.minLabelComponents(edges)
     lbl.select(col("id").as("vec_id"), col("lbl").as("cluster_id"))
       .write.mode("overwrite").parquet(s"$base/labels")
@@ -563,10 +563,10 @@ private[graft] object VecBackbone {
 
   private def readHistory(s: SparkSession, base: String): VecHistory =
     VecHistory(
-      s.read.parquet(s"$base/buckets"),
-      s.read.parquet(s"$base/pairs"),
-      s.read.parquet(s"$base/labels"),
-      s.read.parquet(s"$base/codes"))
+      Warehouse.readParquet(s, s"$base/buckets"),
+      Warehouse.readParquet(s, s"$base/pairs"),
+      Warehouse.readParquet(s, s"$base/labels"),
+      Warehouse.readParquet(s, s"$base/codes"))
 
   def batch(s: SparkSession, d: String, split: Long,
             batchEnd: Long = Long.MaxValue,
@@ -581,8 +581,8 @@ private[graft] object VecBackbone {
       encode(e, q).write.mode("overwrite").parquet(s"$base/codes")
     }
     VecBatch(
-      s.read.parquet(s"$base/buckets"),
-      s.read.parquet(s"$base/codes"))
+      Warehouse.readParquet(s, s"$base/buckets"),
+      Warehouse.readParquet(s, s"$base/codes"))
   }
 
   /** Compact EXTERNALLY-PRODUCED raw index tables (bucket + code rows —
@@ -703,15 +703,15 @@ private[graft] object VecBackbone {
       verifyCand(Similarity.bandedCandidatesWithin(hPost), hVecs)
         .write.mode("overwrite").parquet(s"$base/pairs")
       val edges = Graph.symmetrize(
-        s.read.parquet(s"$base/pairs"), "va", "vb").persist()
+        Warehouse.readParquet(s, s"$base/pairs"), "va", "vb").persist()
       val (lbl, caches) = Graph.minLabelComponents(edges)
       lbl.select(col("id").as("vec_id"), col("lbl").as("cluster_id"))
         .write.mode("overwrite").parquet(s"$base/labels")
       (edges +: caches).foreach(_.unpersist())
       writeGeomSidecar(s, base, geom)
     }
-    VecBandedHistory(hPost, s.read.parquet(s"$base/pairs"),
-      s.read.parquet(s"$base/labels"),
+    VecBandedHistory(hPost, Warehouse.readParquet(s, s"$base/pairs"),
+      Warehouse.readParquet(s, s"$base/labels"),
       // the STORE owns the geometry from here on; pre-sidecar layouts
       // were always the requested geometry (the tag pins it)
       readGeomSidecar(s, base).getOrElse(geom))
@@ -786,19 +786,19 @@ private[graft] object VecBackbone {
       s"${Warehouse.sanitize(tag)}_${geom.tag}_$inId"
     Warehouse.ensure(s, base) {
       postings.write.mode("overwrite").parquet(s"$base/postings")
-      val post = s.read.parquet(s"$base/postings")
+      val post = Warehouse.readParquet(s, s"$base/postings")
       verifyCand(Similarity.bandedCandidatesWithin(post), vecs)
         .write.mode("overwrite").parquet(s"$base/pairs")
       val edges = Graph.symmetrize(
-        s.read.parquet(s"$base/pairs"), "va", "vb").persist()
+        Warehouse.readParquet(s, s"$base/pairs"), "va", "vb").persist()
       val (lbl, caches) = Graph.minLabelComponents(edges)
       lbl.select(col("id").as("vec_id"), col("lbl").as("cluster_id"))
         .write.mode("overwrite").parquet(s"$base/labels")
       (edges +: caches).foreach(_.unpersist())
       writeGeomSidecar(s, base, geom)
     }
-    VecBandedHistory(s.read.parquet(s"$base/postings"),
-      s.read.parquet(s"$base/pairs"), s.read.parquet(s"$base/labels"),
+    VecBandedHistory(Warehouse.readParquet(s, s"$base/postings"),
+      Warehouse.readParquet(s, s"$base/pairs"), Warehouse.readParquet(s, s"$base/labels"),
       readGeomSidecar(s, base).getOrElse(geom))
   }
 

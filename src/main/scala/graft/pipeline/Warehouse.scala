@@ -4,7 +4,7 @@ import java.util.UUID
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Shared storage mechanics for the materialized backbones — the TEXT
   * side ([[Backbone]]: fingerprint/band/pair/label tables) and the
@@ -124,10 +124,40 @@ object Warehouse {
   private val built = mutable.Set[String]()
 
   /** TEST HOOK: drop the in-JVM built memo so a spec can exercise the
-    * cross-JVM path (the on-disk marker) without forking a JVM. */
+    * cross-JVM path (the on-disk marker) without forking a JVM. Also
+    * drops the read-handle memo: after the reset a spec may REBUILD at
+    * the same path, and a stale handle would carry the pre-rebuild file
+    * listing. */
   private[pipeline] def resetBuiltForTest(): Unit = synchronized {
     built.clear()
+    dfMemo.synchronized(dfMemo.clear())
   }
+
+  /** Memoized read handle for a STORED table (r18 opt, guide §1.2/§6):
+    * every `spark.read.parquet(path)` call pays a driver file listing
+    * plus a one-task footer/schema job at DataFrame-creation time —
+    * measured ~10-20 ms each, and the cascade keys re-open 5-20 stored
+    * tables per query (0.2-0.4 s/key of pure metadata re-derivation).
+    * Stored tables are build-once (ensure-guarded: content never changes
+    * after the `_graft_built` marker), so the ANALYZED handle — file
+    * index + schema, no data — is reusable for the life of the session.
+    * This is a catalog/metastore, not a result cache: every action still
+    * scans the parquet. Keyed per session (weakly — a stopped test
+    * session must not pin its handles); invalidated with the built memo
+    * on [[resetBuiltForTest]] and by [[gc]] for pruned version dirs. */
+  private val dfMemo =
+    new java.util.WeakHashMap[SparkSession, mutable.Map[String, DataFrame]]()
+  private[pipeline] def readParquet(s: SparkSession, path: String): DataFrame =
+    dfMemo.synchronized {
+      val m = Option(dfMemo.get(s)).getOrElse {
+        val mm = mutable.Map[String, DataFrame](); dfMemo.put(s, mm); mm
+      }
+      m.getOrElseUpdate(path, s.read.parquet(path))
+    }
+  private def dropMemoizedReads(prefix: String): Unit =
+    dfMemo.synchronized {
+      dfMemo.values.forEach(_.filterInPlace((k, _) => !k.startsWith(prefix)))
+    }
 
   /** Returns true iff THIS call ran `build` (a memo/marker hit returns
     * false) — commit-triggered hooks like [[autoGc]] key off it. */
@@ -327,6 +357,7 @@ object Warehouse {
                   else {
                     built.filterInPlace(!_.startsWith(rawVictim))
                     stamped.filterInPlace((k, _) => !k.startsWith(rawVictim))
+                    dropMemoizedReads(rawVictim)
                     Some((p, rawVictim))
                   }
                 }
