@@ -464,11 +464,18 @@ object Relational {
           col("l_quantity").cast("bigint").as("wt"))
       val (cdf, caches) = OrderStats.weightedCdfPlan(src, "l_returnflag",
         Seq("val", "l_orderkey", "l_linenumber"), "wt")
+      // checkpoint BEFORE the output sort (r18 opt): a final orderBy is
+      // a range exchange whose boundary sampling executes the whole
+      // un-materialized subtree below it a second time — here the full
+      // window chain (profiled: two identical ~1 s window stages, the
+      // sample pass writing no shuffle). Sorting the checkpointed rows
+      // reads blocks twice instead of computing twice; same rows, same
+      // order.
       graft.pipeline.Materialize.drop(
         cdf.filter(col("cum") * 2 >= col("tot"))
           .groupBy("l_returnflag")
-          .agg(min("val").as("wmedian"))
-          .orderBy("l_returnflag"), caches: _*)
+          .agg(min("val").as("wmedian")), caches: _*)
+        .orderBy("l_returnflag")
     }),
 
     // O-A27b: CH `quantilesExactWeighted(0.25,0.5,0.75,0.9)` — the
@@ -493,8 +500,9 @@ object Relational {
             min(when(col("cum") * 100 >= col("tot") * 75, col("val"))).as("q75"),
             min(when(col("cum") * 100 >= col("tot") * 90, col("val"))).as("q90"))
           .selectExpr("l_returnflag",
-            "stack(4, 25, q25, 50, q50, 75, q75, 90, q90) AS (q_pct, qval)")
-          .orderBy("l_returnflag", "q_pct"), caches: _*)
+            "stack(4, 25, q25, 50, q50, 75, q75, 90, q90) AS (q_pct, qval)"),
+        caches: _*)
+        .orderBy("l_returnflag", "q_pct") // sort AFTER the cut — see o_a27
     }),
 
     // O-A30: CH `avgWeighted` + `skewPop`/`kurtPop` — weighted mean and

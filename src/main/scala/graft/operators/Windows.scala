@@ -130,8 +130,12 @@ object Windows {
                        ELSE (total % 4) +
                             (pos - (total DIV 4 + 1) * (total % 4) - 1)
                               DIV (total DIV 4) + 1
-                  END AS INT)""").as("quartile"))
-        .orderBy("o_custkey"), caches: _*)
+                  END AS INT)""").as("quartile")), caches: _*)
+        // sort AFTER the lineage cut (r18 opt): a final orderBy is a
+        // range exchange whose boundary sampling re-executes the whole
+        // un-materialized subtree below it — sorting the checkpointed
+        // rows reads blocks instead; same rows, same order
+        .orderBy("o_custkey")
     }),
 
     // O-W7: first/last value per key (first-touch attribution).

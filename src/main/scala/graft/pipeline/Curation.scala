@@ -343,7 +343,8 @@ object Curation {
           (-col("neg_q")).as("quality"),
           col("cum").as("cum_tokens"),
           (col("cum") * 2 <= col("tot")).cast("int").as("selected"))
-        .orderBy("doc_id"), caches: _*)
+        , caches: _*)
+        .orderBy("doc_id") // sort AFTER the cut - see o_a27 (r18 opt)
     }),
 
     // Training CURRICULUM — the phase schedule between curation and the
@@ -372,7 +373,8 @@ object Curation {
           (-col("neg_q")).as("quality"),
           col("cum").as("cum_tokens"),
           expr("cast(((cum - 1) * 10) div tot as int)").as("phase"))
-        .orderBy("doc_id"), caches: _*)
+        , caches: _*)
+        .orderBy("doc_id") // sort AFTER the cut - see o_a27 (r18 opt)
     }),
 
     // Token-budget selection under the TRAINED BPE table (r17 VERDICT
@@ -396,7 +398,8 @@ object Curation {
           (-col("neg_q")).as("quality"),
           col("cum").as("cum_tokens"),
           (col("cum") * 2 <= col("tot")).cast("int").as("selected"))
-        .orderBy("doc_id"), caches: _*)
+        , caches: _*)
+        .orderBy("doc_id") // sort AFTER the cut - see o_a27 (r18 opt)
     }),
 
     // Curriculum phases under the trained BPE table — d_curriculum with
@@ -422,7 +425,8 @@ object Curation {
           col("cum").as("cum_tokens"),
           expr("cast(((greatest(cum, 1L) - 1) * 10) div tot as int)")
             .as("phase"))
-        .orderBy("doc_id"), caches: _*)
+        , caches: _*)
+        .orderBy("doc_id") // sort AFTER the cut - see o_a27 (r18 opt)
     }),
 
     // Domain mix APPLY — the step that turns d_domain_mix's weights into
@@ -472,7 +476,8 @@ object Curation {
         .filter(col("n_copies") >= 1)
         .select(col("doc_id"), col("source"),
           col("cum").as("rank_in_source"), col("n_copies"))
-        .orderBy("doc_id"), caches: _*)
+        , caches: _*)
+        .orderBy("doc_id") // sort AFTER the cut - see o_a27 (r18 opt)
     }),
 
     // Domain MIXING weights — per-source sampling weights for training-

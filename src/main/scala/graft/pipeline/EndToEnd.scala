@@ -60,10 +60,12 @@ object EndToEnd {
     val packed = Packing.packSequences(
       dec.filter(col("decision") === "kept").select("doc_id", "n_chars"),
       capacity = 2048, buckets = 32)
+    // UNORDERED — the catalog entry sorts AFTER Materialize.drop's
+    // lineage cut (r18 opt: a final orderBy's range-boundary sampling
+    // would re-execute this whole join tail a second time)
     val out = dec.select("doc_id", "decision")
       .join(packed.select("doc_id", "bucket", "seq_no", "n_tokens", "seq_fill"),
         Seq("doc_id"), "left")
-      .orderBy("doc_id")
     (out, caches :+ dec)
   }
 
@@ -89,8 +91,7 @@ object EndToEnd {
     val out = dec
       .join(scrub.select(col("doc_id"), col("n_kept").as("n_words_scrubbed")),
         Seq("doc_id"), "left")
-      .orderBy("doc_id")
-    (out, Seq.empty)
+    (out, Seq.empty) // unordered — catalog entry sorts after the cut
   }
 
   /** The MATERIALIZED curated-corpus artifact: the scrubbed pipeline's
@@ -180,23 +181,23 @@ object EndToEnd {
     val shipped = scrub.select(col("doc_id"),
       col("scrub_text").as("text"),
       length(col("scrub_text")).cast("long").as("n_chars"))
-    (Shards.manifest(shipped, hexChars = 1).orderBy("shard_id"), Seq.empty)
+    (Shards.manifest(shipped, hexChars = 1), Seq.empty)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_pipeline_e2e" -> ((s, d) => {
       val (out, caches) = plan(s, d)
-      Materialize.drop(out, caches: _*)
+      Materialize.drop(out, caches: _*).orderBy("doc_id")
     }),
 
     "d_pipeline_scrubbed" -> ((s, d) => {
       val (out, caches) = scrubbedPlan(s, d)
-      Materialize.drop(out, caches: _*)
+      Materialize.drop(out, caches: _*).orderBy("doc_id")
     }),
 
     "d_pipeline_sharded" -> ((s, d) => {
       val (out, caches) = shardedPlan(s, d)
-      Materialize.drop(out, caches: _*)
+      Materialize.drop(out, caches: _*).orderBy("shard_id")
     })
   )
 

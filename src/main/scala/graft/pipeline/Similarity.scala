@@ -1022,8 +1022,9 @@ object Similarity {
     Materialize.drop(labels
       .select(col("id").as("vec_id"), col("lbl").as("cluster_id"))
       .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy("cluster_id")))
-      .orderBy("vec_id"), edges +: caches: _*)
+        count(lit(1)).over(Window.partitionBy("cluster_id"))),
+      edges +: caches: _*)
+      .orderBy("vec_id") // sort AFTER the cut — see o_a27 (r18 opt)
   }
 
   /** Cross-band-deduped candidate pairs WITHIN one posting set
@@ -1084,8 +1085,9 @@ object Similarity {
     Materialize.drop(labels
       .select(col("id").as("vec_id"), col("lbl").as("cluster_id"))
       .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy("cluster_id")))
-      .orderBy("vec_id"), edges +: caches: _*)
+        count(lit(1)).over(Window.partitionBy("cluster_id"))),
+      edges +: caches: _*)
+      .orderBy("vec_id") // sort AFTER the cut — see o_a27 (r18 opt)
   }
 
   /** IVF-PQ behind `d_ann_ivfpq`.

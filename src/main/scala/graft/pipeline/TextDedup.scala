@@ -773,8 +773,8 @@ object TextDedup {
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
           bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
         .filter(col("hamming") <= 8)
-        .distinct()
-        .orderBy("da", "db"), docs)
+        .distinct(), docs)
+        .orderBy("da", "db") // sort AFTER the cut — see o_a27 (r18 opt)
   }
 
   /** CTE builders are parameterized by a name SUFFIX and a doc-filter
