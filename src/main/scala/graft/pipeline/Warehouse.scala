@@ -161,7 +161,7 @@ object Warehouse {
 
   /** Returns true iff THIS call ran `build` (a memo/marker hit returns
     * false) — commit-triggered hooks like [[autoGc]] key off it. */
-  private[pipeline] def ensure(s: SparkSession, path: String)(build: => Unit): Boolean =
+  private[graft] def ensure(s: SparkSession, path: String)(build: => Unit): Boolean =
     synchronized {
       if (built.contains(path)) return false
       val marker = new org.apache.hadoop.fs.Path(path, "_graft_built")
@@ -231,7 +231,7 @@ object Warehouse {
     * never fail the query itself. Only the CURRENT token is ever
     * resolvable (the token embeds the source file-metadata version), so
     * a family's newest stamp always sits on its current version. */
-  private[pipeline] def versionDir(s: SparkSession, d: String, fileName: String,
+  private[graft] def versionDir(s: SparkSession, d: String, fileName: String,
                  prefix: String = ""): String = {
     val path = s"$rootDir/$prefix${token(s, d, fileName)}"
     if (explicitDir.isDefined) synchronized {

@@ -66,12 +66,27 @@ object Projection {
     * ([[refreshPartitions]]) instead of re-scanning the base. This is how
     * CH keeps projections inside the mutation: part-scoped rewrite, never
     * a table re-scan. */
-  def materialize(base: DataFrame, name: String, groupCols: Seq[String],
-                  specs: Seq[AggSpec], outPath: String,
-                  partitionCol: Option[String] = None): ProjectionDef = {
+  /** The ProjectionDef for an ALREADY-materialized projection — pure
+    * metadata over the same arguments [[materialize]] takes, no write.
+    * Callers that store projections once per corpus version (the CH
+    * contract: projections are materialized once and maintained on
+    * insert, never rebuilt per query) pair this with a build-once
+    * marker around [[materialize]]. */
+  def define(base: DataFrame, name: String, groupCols: Seq[String],
+             specs: Seq[AggSpec], outPath: String,
+             partitionCol: Option[String] = None): ProjectionDef = {
     require(groupCols.nonEmpty, "projection needs at least one group column")
     require(specs.nonEmpty, "projection needs at least one aggregate")
     val effGroup = groupCols ++ partitionCol.filterNot(groupCols.contains)
+    ProjectionDef(name, baseRootsOf(base), outPath, effGroup,
+      specs.map(sp => (sp.func, sp.input) -> partialColumn(sp)).toMap,
+      partitionCol)
+  }
+
+  def materialize(base: DataFrame, name: String, groupCols: Seq[String],
+                  specs: Seq[AggSpec], outPath: String,
+                  partitionCol: Option[String] = None): ProjectionDef = {
+    val pd = define(base, name, groupCols, specs, outPath, partitionCol)
     val aggCols: Seq[Column] = specs.map { sp =>
       val cn = partialColumn(sp)
       sp match {
@@ -84,12 +99,11 @@ object Projection {
           s"projection aggregate must be sum/min/max/count, got: $other")
       }
     }
-    val rollup = base.groupBy(effGroup.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    val rollup = base.groupBy(pd.groupCols.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
     val w = rollup.write.mode("overwrite")
     partitionCol.fold(w)(c => w.partitionBy(c)).parquet(outPath)
-    ProjectionDef(name, baseRootsOf(base), outPath, effGroup,
-      specs.map(sp => (sp.func, sp.input) -> partialColumn(sp)).toMap,
-      partitionCol)
+    pd
   }
 
   /** Identity of "the base table" = the file-source root paths of its
