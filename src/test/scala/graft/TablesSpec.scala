@@ -105,4 +105,32 @@ class TablesSpec extends AnyFunSuite {
       assert(df.limit(1).count() == 1)
     }
   }
+
+  test("loader memo: repeated loads share the analyzed handle, a data " +
+      "drop at the same path gets fresh data") {
+    import spark.implicits._
+    // r18 opt pin: Tables memoizes the analyzed read handle per
+    // (session, dir, table, file-metadata version). Two properties:
+    // same-version loads return the SAME plan instance (no footer
+    // re-derivation), and an in-place overwrite — the spec-corpus
+    // pattern — is SERVED FRESH because the version triple changes.
+    val d = java.nio.file.Files.createTempDirectory("tbl_memo").toString
+    Seq((1L, "alpha", "en")).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val first = Tables.documents(spark, d)
+    val again = Tables.documents(spark, d)
+    assert(again.queryExecution.logical eq first.queryExecution.logical,
+      "same-version load must reuse the memoized handle")
+    assert(first.select("text").head().getString(0) == "alpha")
+
+    // in-place data drop: new content, same path — must not serve stale
+    Thread.sleep(5) // ensure a distinguishable mtime even on coarse clocks
+    Seq((2L, "beta", "en"), (3L, "gamma", "en")).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val fresh = Tables.documents(spark, d)
+    assert(fresh.count() == 2,
+      "overwritten corpus must be re-opened, not served from the memo")
+    assert(fresh.select("text").orderBy("doc_id").collect().map(_.getString(0))
+      .toSeq == Seq("beta", "gamma"))
+  }
 }
