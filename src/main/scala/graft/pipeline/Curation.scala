@@ -145,10 +145,13 @@ object Curation {
       .repartition(1).write.mode("overwrite").parquet(dir)
   }
 
-  def readBloomPair(s: SparkSession, dir: String): (Array[Byte], Array[Byte]) = {
-    val r = Warehouse.readParquet(s, dir).head
-    (r.getAs[Array[Byte]]("bf1"), r.getAs[Array[Byte]]("bf2"))
-  }
+  def readBloomPair(s: SparkSession, dir: String): (Array[Byte], Array[Byte]) =
+    // ensure-guarded artifact, KB-to-MB regardless of corpus size — the
+    // collected value memoizes like the other sidecars (r18 opt)
+    Warehouse.sidecarValue(s, s"bloom:$dir") {
+      val r = Warehouse.readParquet(s, dir).head
+      (r.getAs[Array[Byte]]("bf1"), r.getAs[Array[Byte]]("bf2"))
+    }
 
   /** STATELESS per-row contamination score: how many distinct 5-grams of
     * `text` hit the eval-set filter pair. Pure expression — no explode,

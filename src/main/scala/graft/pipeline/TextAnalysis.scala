@@ -106,8 +106,9 @@ object TextAnalysis {
         .toDF("rank", "p1", "p2")
         .coalesce(1).write.mode("overwrite").parquet(s"$base/rules")
     }
-    Warehouse.readParquet(s, s"$base/rules").orderBy("rank")
-      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    Warehouse.sidecarValue(s, s"rules:$base")(
+      Warehouse.readParquet(s, s"$base/rules").orderBy("rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq)
   }
 
   /** The 100 TB training path, as code instead of a comment (r17 VERDICT
@@ -141,8 +142,9 @@ object TextAnalysis {
         .toDF("rank", "p1", "p2")
         .coalesce(1).write.mode("overwrite").parquet(s"$base/rules")
     }
-    Warehouse.readParquet(s, s"$base/rules").orderBy("rank")
-      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    Warehouse.sidecarValue(s, s"rules:$base")(
+      Warehouse.readParquet(s, s"$base/rules").orderBy("rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq)
   }
 
   /** doc_id + the BPE-encoded unit string (the stored merge table's

@@ -78,18 +78,30 @@ private[graft] object VecBackbone {
   }
 
   /** Read a geometry sidecar back; None when the dir predates the
-    * sidecar (pre-r15 layouts were always the axis catalog geometry). */
-  private[graft] def readGeomSidecar(s: SparkSession,
-                                     dir: String): Option[BandedGeom] = {
+    * sidecar (pre-r15 layouts were always the axis catalog geometry).
+    * `memoize` (default true) caches the value per (session, path) —
+    * correct for the ensure-guarded warehouse stores whose sidecar never
+    * changes after the build marker; callers that read MUTABLE intake
+    * dirs (VecIndexStream writes the sidecar into its own baseDir after
+    * a None read, and must see divergent-geometry conflicts across
+    * restarts) pass memoize = false. */
+  private[graft] def readGeomSidecar(s: SparkSession, dir: String,
+                                     memoize: Boolean = true): Option[BandedGeom] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/banded_geom")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val r = Warehouse.readParquet(s, p.toString).head
-      Some(BandedGeom(r.getAs[Int]("bands"), r.getAs[Int]("planes"),
-        if (r.getAs[Boolean]("seeded")) Some(r.getAs[Long]("seed")) else None,
-        r.getAs[Int]("dims")))
+    def read: Option[BandedGeom] = {
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        // fresh handle, not the memoized one: a mutable intake dir may
+        // have rewritten the sidecar since an earlier read
+        val r = (if (memoize) Warehouse.readParquet(s, p.toString)
+                 else s.read.parquet(p.toString)).head
+        Some(BandedGeom(r.getAs[Int]("bands"), r.getAs[Int]("planes"),
+          if (r.getAs[Boolean]("seeded")) Some(r.getAs[Long]("seed")) else None,
+          r.getAs[Int]("dims")))
+      }
     }
+    if (memoize) Warehouse.sidecarValue(s, s"geom:$p")(read) else read
   }
 
   /** IVF/PQ operating point — matches d_ann_ivf / d_ann_ivfpq. */
@@ -161,7 +173,8 @@ private[graft] object VecBackbone {
       rows.toDF("kind", "idx", "center")
         .coalesce(1).write.mode("overwrite").parquet(path)
     }
-    val rows = Warehouse.readParquet(s, path).collect() // NCells + M*K tiny rows
+    val rows = Warehouse.sidecarValue(s, s"rows:$path")(
+      Warehouse.readParquet(s, path).collect()) // NCells + M*K tiny rows
     def centersOf(kind: String): Array[Array[Double]] =
       rows.filter(_.getString(0) == kind).sortBy(_.getInt(1))
         .map(_.getSeq[Double](2).toArray)
@@ -195,7 +208,8 @@ private[graft] object VecBackbone {
         .toDF("kind", "idx", "center")
         .coalesce(1).write.mode("overwrite").parquet(path)
     }
-    val rows = Warehouse.readParquet(s, path).collect() // NCells tiny rows
+    val rows = Warehouse.sidecarValue(s, s"rows:$path")(
+      Warehouse.readParquet(s, path).collect()) // NCells tiny rows
     val coarse = rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
     Similarity.seedFit(s"$ck|h$upTo|ivf", NCells, 10, 42, coarse)
     coarse
@@ -292,7 +306,9 @@ private[graft] object VecBackbone {
     * corruption). One tiny row. */
   def sq8Scale(s: SparkSession, d: String): Double = {
     sq8Codes(s, d) // ensure built
-    Warehouse.readParquet(s, s"${root(s, d)}/sq8/scale").collect()(0).getDouble(0)
+    val p = s"${root(s, d)}/sq8/scale"
+    Warehouse.sidecarValue(s, s"scale:$p")(
+      Warehouse.readParquet(s, p).collect()(0).getDouble(0))
   }
 
   /** SQ8 code table AS OF vec_id < upTo — "yesterday's index": history
@@ -311,8 +327,9 @@ private[graft] object VecBackbone {
   private[graft] def sq8ScaleAt(s: SparkSession, d: String,
                                 upTo: Long): Double = {
     sq8CodesAt(s, d, upTo) // ensure built
-    Warehouse.readParquet(s, s"${root(s, d)}/sq8_h$upTo/scale")
-      .collect()(0).getDouble(0)
+    val p = s"${root(s, d)}/sq8_h$upTo/scale"
+    Warehouse.sidecarValue(s, s"scale:$p")(
+      Warehouse.readParquet(s, p).collect()(0).getDouble(0))
   }
 
   /** Shared SQ8 encode: signed levels under a GIVEN scale, CLAMPED to

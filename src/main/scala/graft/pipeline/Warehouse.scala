@@ -131,6 +131,7 @@ object Warehouse {
   private[pipeline] def resetBuiltForTest(): Unit = synchronized {
     built.clear()
     dfMemo.synchronized(dfMemo.clear())
+    sidecarMemo.synchronized(sidecarMemo.clear())
   }
 
   /** Memoized read handle for a STORED table (r18 opt, guide §1.2/§6):
@@ -154,9 +155,33 @@ object Warehouse {
       }
       m.getOrElseUpdate(path, s.read.parquet(path))
     }
-  private def dropMemoizedReads(prefix: String): Unit =
+  private def dropMemoizedReads(prefix: String): Unit = {
     dfMemo.synchronized {
       dfMemo.values.forEach(_.filterInPlace((k, _) => !k.startsWith(prefix)))
+    }
+    sidecarMemo.synchronized {
+      sidecarMemo.values.forEach(_.filterInPlace((k, _) => !k.startsWith(prefix)))
+    }
+  }
+
+  /** Memoized SIDECAR VALUE per (session, path) — for the tiny
+    * metadata collects (geometry rows, quantizer centers, SQ8 scales)
+    * that stored-table accessors re-run as one driver job per call.
+    * Same immutability argument as [[readParquet]] (ensure-guarded
+    * paths never change after their marker) applied one step further:
+    * the COLLECTED value is cached, not just the handle. Strictly
+    * metadata-scale by construction — callers pass paths whose content
+    * is a handful of rows; corpus-sized tables keep going through
+    * [[readParquet]]. Invalidated with the handle memo. */
+  private val sidecarMemo =
+    new java.util.WeakHashMap[SparkSession, mutable.Map[String, Any]]()
+  private[pipeline] def sidecarValue[T](s: SparkSession, path: String)
+                                       (read: => T): T =
+    sidecarMemo.synchronized {
+      val m = Option(sidecarMemo.get(s)).getOrElse {
+        val mm = mutable.Map[String, Any](); sidecarMemo.put(s, mm); mm
+      }
+      m.getOrElseUpdate(path, read).asInstanceOf[T]
     }
 
   /** Returns true iff THIS call ran `build` (a memo/marker hit returns

@@ -66,7 +66,7 @@ object VecIndexStream {
     // write mixed-geometry postings — the exact corruption the sidecar
     // exists to prevent
     if (!geomChecked.contains(s"$baseDir|${geom.tag}")) {
-      VecBackbone.readGeomSidecar(s, baseDir) match {
+      VecBackbone.readGeomSidecar(s, baseDir, memoize = false) match {
         case Some(stored) =>
           require(stored == geom,
             s"index at $baseDir was built under $stored; refusing to " +
@@ -187,6 +187,6 @@ object VecIndexStream {
     * geometry rides the full stream → compact → advance chain. Falls
     * back to the axis catalog geometry for pre-sidecar layouts. */
   def readBandedGeom(s: SparkSession, baseDir: String): BandedGeom =
-    VecBackbone.readGeomSidecar(s, baseDir)
+    VecBackbone.readGeomSidecar(s, baseDir, memoize = false)
       .getOrElse(VecBackbone.CatalogGeom)
 }
